@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** The analytical query surface of the engine (SURVEY.md §2.6/§7.2 J2):
+  * grouped aggregation, star joins, windows, top-k and set operations over the
+  * testdata star schema (lineitem × orders × customer × nation × region).
+  *
+  * Cross-engine determinism rules (every query here is DuckDB-oracle checked):
+  *   - Money/measure aggregation happens in fixed-point DECIMAL, never binary
+  *     double: a double `sum` depends on partition/merge order, so the same
+  *     query would return different low bits run-to-run on a real cluster.
+  *     Fixed-point is what production engines do for money, and it makes the
+  *     result bit-reproducible at any parallelism. [[dec]] centralizes this.
+  *   - No bare double→int casts (Spark truncates, DuckDB rounds) — always an
+  *     explicit floor/round.
+  *   - Every result has a total-order ORDER BY (unique tiebreak key) so the
+  *     output is one canonical row sequence.
+  *
+  * Scale notes (100 TB): joins to `nation`/`region`/`supplier` are explicitly
+  * broadcast (dims are tiny); the fact-fact joins (lineitem×orders) shuffle on
+  * the join key and benefit from AQE; aggregations are partial (map-side
+  * combine) by construction since we use plain `groupBy().agg()`.
+  */
+object Analytics {
+
+  /** Fixed-point view of a double measure column: exact, order-independent sums. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private val oneDec: Column = lit(1).cast(DecimalType(18, 4))
+
+  /** revenue term: extendedprice * (1 - discount), exact decimal arithmetic */
+  private def revenue(price: Column, discount: Column): Column =
+    dec(price) * (oneDec - dec(discount))
+
+  // --- Q1: pricing summary (groupBy/agg over the fact table; map-side combine) ---
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).as("sum_qty"),
+        sum(dec($"l_extendedprice")).as("sum_base_price"),
+        sum(revenue($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
+        sum(revenue($"l_extendedprice", $"l_discount") * (oneDec + dec($"l_tax"))).as("sum_charge"),
+        (sum(dec($"l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q3: top unshipped orders (3-way join + agg + deterministic top-k) ---
+  def q3TopUnshipped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = "1999-01-01"
+    val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter($"o_orderdate" < lit(cutoff).cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > lit(cutoff).cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      .orderBy($"rev".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3TopUnshippedSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND l_shipdate > TIMESTAMP '1999-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --- Q5-style: revenue by nation (5-way star join; dims broadcast) ---
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(revenue($"l_extendedprice", $"l_discount")).as("rev"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q5NationRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- Top-k per group via window (row_number with total-order tiebreak) ---
+  def qTopOrdersPerPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("rank_in_priority", row_number().over(w))
+      .filter($"rank_in_priority" <= 3)
+      .select($"o_orderpriority", $"rank_in_priority", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rank_in_priority")
+  }
+
+  val qTopOrdersPerPrioritySql: String =
+    """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority
+      |  FROM orders) t
+      |WHERE rank_in_priority <= 3
+      |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
+
+  // --- Running total per customer (ordered window frame; decimal = exact) ---
+  def qRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("running_spend", sum(dec($"o_totalprice")).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val qRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // --- Semi/anti join: customers with and without orders ---
+  def qCustomersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orderKeys = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(orderKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val qCustomersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  def qCustomerOrderActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey")
+    val ords = Tables.orders(spark, sfDir).select($"o_custkey".as("c_custkey"))
+    val both = cust.intersect(ords).agg(count(lit(1)).as("n")).select(lit("with_orders").as("tag"), $"n")
+    val onlyCust = cust.except(ords).agg(count(lit(1)).as("n")).select(lit("without_orders").as("tag"), $"n")
+    both.unionAll(onlyCust).orderBy($"tag")
+  }
+
+  val qCustomerOrderActivitySql: String =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS tag, count(*) AS n FROM
+      |    (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t1
+      |  UNION ALL
+      |  SELECT 'without_orders' AS tag, count(*) AS n FROM
+      |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t2
+      |) u ORDER BY tag""".stripMargin
+
+  // --- Left outer join with null-handling aggregation ---
+  def qCustomerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(dec($"o_totalprice")), lit(0).cast(DecimalType(28, 4))).as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val qCustomerOrderCountsSql: String =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+      |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(28,4))) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // --- ROLLUP (hierarchical grouping sets) ---
+  def qOrderRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  val qOrderRollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  // --- Conditional aggregation (pivot expressed portably as filtered aggs) ---
+  def qEventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def typedSum(t: String): Column =
+      sum(when($"event_type" === t, dec($"value"))).as(s"${t}_value")
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(
+        typedSum("click"), typedSum("view"), typedSum("purchase"),
+        typedSum("signup"), typedSum("error"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"day")
+  }
+
+  val qEventTypePivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS click_value,
+      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS view_value,
+      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS signup_value,
+      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS error_value,
+      |  count(*) AS n_events
+      |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+
+  // --- Distinct aggregation ---
+  def qEventDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(dec($"value")).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val qEventDistinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- lag/lead: inter-event gap per user (exact integer microseconds) ---
+  def qEventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros($"prev_ts"))
+      .select($"user_id", $"event_id", $"ts", $"gap_us")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val qEventGapsSql: String =
+    """SELECT user_id, event_id, ts,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  // --- hourly time buckets (streaming-equivalent batch aggregation) ---
+  def qHourlyEventStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).as("total_value"))
+      .orderBy($"hour")
+  }
+
+  val qHourlyEventStatsSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""".stripMargin
+
+  /** name → (query fn, oracle SQL) for SparkEntry wiring */
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q1_pricing_summary" -> ((q1PricingSummary _, q1PricingSummarySql)),
+    "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
+    "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),
+    "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
+    "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
+    "q_customers_without_orders" -> ((qCustomersWithoutOrders _, qCustomersWithoutOrdersSql)),
+    "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),
+    "q_customer_order_counts" -> ((qCustomerOrderCounts _, qCustomerOrderCountsSql)),
+    "q_order_rollup" -> ((qOrderRollup _, qOrderRollupSql)),
+    "q_event_type_pivot" -> ((qEventTypePivot _, qEventTypePivotSql)),
+    "q_event_distinct_users" -> ((qEventDistinctUsers _, qEventDistinctUsersSql)),
+    "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
+    "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql))
+  )
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSuite
+
+class AnalyticsSpec extends SparkSuite {
+
+  test("every registered analytics query runs and is non-empty at sf0.001") {
+    Analytics.registry.foreach { case (name, (fn, _)) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 pricing summary groups all flag/status combinations") {
+    val rows = Analytics.q1PricingSummary(spark, sf).collect()
+    assert(rows.length === 6) // 3 returnflags x 2 linestatus in the generator
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total === 6000L) // sf0.001 lineitem row count — dedup-free agg covers all
+  }
+
+  test("q5 produces one row per nation and decimal revenue is positive") {
+    val rows = Analytics.q5NationRevenue(spark, sf).collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("rev").signum() > 0))
+  }
+
+  test("top-k per group emits at most 3 per priority with dense ranks") {
+    val rows = Analytics.qTopOrdersPerPriority(spark, sf).collect()
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPrio.size === 5)
+    byPrio.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank_in_priority")).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("running total is monotone per customer") {
+    val rows = Analytics.qRunningTotal(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { rs =>
+      val totals = rs.map(_.getAs[java.math.BigDecimal]("running_spend"))
+      assert(totals.sliding(2).forall {
+        case Array(a, b) => a.compareTo(b) <= 0
+        case _ => true
+      })
+    }
+  }
+
+  test("rollup contains grand total row equal to table size") {
+    val rows = Analytics.qOrderRollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === 1500L)
+  }
+}

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Local development mirror of the driver's correctness gate.
+
+Runs AFTER `sbt runMain graft.Verify <sfDir> <outDir>`: loads each query's
+parquet result, runs the matching oracle SQL in DuckDB over the same testdata
+tables, and compares (column-name-sorted, row-sorted, exact values — with a
+secondary report of "close" float mismatches so rounding issues are visible).
+
+Usage: python3 tools/selfcheck.py [sfDir] [outDir]
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+
+
+def vals_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    # Decimal vs Decimal / int etc: compare numerically when possible
+    try:
+        return a == b
+    except TypeError:
+        return str(a) == str(b)
+
+
+def close(a, b):
+    try:
+        fa, fb = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle = json.loads((OUT_DIR / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_close = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pdir = OUT_DIR / name
+        if not pdir.exists():
+            print(f"FAIL  {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql)
+            dcols = [d[0] for d in duck.description]
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sp = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
+            scols = [d[0] for d in sp.description]
+            srows = sp.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: spark parquet read error: {e}")
+            n_fail += 1
+            continue
+        dc, dr = canon(drows, dcols)
+        sc, sr = canon(srows, scols)
+        if dc != sc:
+            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        if len(dr) != len(sr):
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            continue
+        bad = []
+        only_close = True
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if not vals_eq(x, y):
+                    bad.append((i, dc[j], x, y))
+                    if not close(x, y):
+                        only_close = False
+        if not bad:
+            print(f"PASS  {name} ({len(sr)} rows)")
+            n_pass += 1
+        elif only_close:
+            print(f"CLOSE {name}: {len(bad)} float-only diffs, first: {bad[0]}")
+            n_close += 1
+        else:
+            print(f"FAIL  {name}: {len(bad)} diffs, first 3: {bad[:3]}")
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_close} close, {n_fail} fail ==")
+    sys.exit(1 if n_fail or n_close else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,9 +27,14 @@ object Tables {
     * microseconds with integer division — exactly what DuckDB does when it
     * reads the same file (TIMESTAMP_NS → TIMESTAMP), so both engines see
     * identical values.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set once at build time in [[graft.Verify]]/[[graft.Bench]]/test suites
+    * (a loader must not mutate shared session conf as a side effect).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
     load(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -17,6 +17,12 @@ import graft.model.Tables
   *     query would return different low bits run-to-run on a real cluster.
   *     Fixed-point is what production engines do for money, and it makes the
   *     result bit-reproducible at any parallelism. [[dec]] centralizes this.
+  *   - The FINAL output column of every decimal aggregate is cast to DOUBLE
+  *     on both sides (Spark and oracle SQL). Spark and DuckDB widen decimal
+  *     sums to different precision/scale (DECIMAL(28,4) vs DECIMAL(38,4)),
+  *     so the exact decimal values serialize differently even when equal;
+  *     exact-decimal→double conversion is deterministic and identical in
+  *     both engines. Internal arithmetic stays decimal (order-independent).
   *   - No bare double→int casts (Spark truncates, DuckDB rounds) — always an
   *     explicit floor/round.
   *   - Every result has a total-order ORDER BY (unique tiebreak key) so the
@@ -33,9 +39,30 @@ object Analytics {
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   private val oneDec: Column = lit(1).cast(DecimalType(18, 4))
 
+  /** Narrow fixed-point (7 integer digits — measures here are < 1e6). Used where
+    * a 3-factor product must stay EXACT: (11,4)×(12,4)×(12,4) = DECIMAL(37,12)
+    * in Spark / (35,12) in DuckDB — under both engines' precision-38 cap, so no
+    * engine-specific rounding ever applies (Spark would round a capped product
+    * HALF_UP at reduced scale, DuckDB would keep scale 12 — a real divergence).
+    */
+  private def decN(c: Column): Column = c.cast(DecimalType(11, 4))
+  private val oneDecN: Column = lit(1).cast(DecimalType(11, 4))
+
   /** revenue term: extendedprice * (1 - discount), exact decimal arithmetic */
   private def revenue(price: Column, discount: Column): Column =
     dec(price) * (oneDec - dec(discount))
+
+  /** charge term: extendedprice * (1 - discount) * (1 + tax), exact to scale 12.
+    *
+    * Oracle-side note: DuckDB's wide-DECIMAL→DOUBLE cast can be 1 ulp off the
+    * correctly-rounded result (int128 → double → ÷10^s double-rounds), while
+    * Spark/Java's BigDecimal.doubleValue is always correctly rounded. The
+    * paired oracle SQL therefore reduces the sum to DECIMAL(21,6) — lossless,
+    * since inputs are 2dp so charge terms are exactly 6dp — before its DOUBLE
+    * cast, which keeps the unscaled value < 2^53 and the conversion exact.
+    */
+  private def charge(price: Column, discount: Column, tax: Column): Column =
+    decN(price) * (oneDecN - decN(discount)) * (oneDecN + decN(tax))
 
   // --- Q1: pricing summary (groupBy/agg over the fact table; map-side combine) ---
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
@@ -43,10 +70,10 @@ object Analytics {
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).as("sum_qty"),
-        sum(dec($"l_extendedprice")).as("sum_base_price"),
-        sum(revenue($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
-        sum(revenue($"l_extendedprice", $"l_discount") * (oneDec + dec($"l_tax"))).as("sum_charge"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        sum(charge($"l_extendedprice", $"l_discount", $"l_tax")).cast("double").as("sum_charge"),
         (sum(dec($"l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -54,10 +81,10 @@ object Analytics {
 
   val q1PricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(11,4)) * (CAST(1 AS DECIMAL(11,4)) - CAST(l_discount AS DECIMAL(11,4))) * (CAST(1 AS DECIMAL(11,4)) + CAST(l_tax AS DECIMAL(11,4)))) AS DECIMAL(21,6)) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -73,14 +100,14 @@ object Analytics {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("rev"))
       .orderBy($"rev".desc, $"l_orderkey")
       .limit(10)
   }
 
   val q3TopUnshippedSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS rev
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -94,19 +121,22 @@ object Analytics {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      // customer is NOT broadcast-hinted: it is O(rows) with scale (not
+      // broadcastable at 100 TB) — let AQE decide. nation/region are
+      // constant-size dims, always safe to broadcast.
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(revenue($"l_extendedprice", $"l_discount")).as("rev"),
+        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("rev"),
         count(lit(1)).as("n_lineitems"))
       .orderBy($"r_name", $"n_name")
   }
 
   val q5NationRevenueSql: String =
     """SELECT r_name, n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS rev,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -130,7 +160,7 @@ object Analytics {
   val qTopOrdersPerPrioritySql: String =
     """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_in_priority
       |  FROM orders) t
       |WHERE rank_in_priority <= 3
       |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
@@ -142,16 +172,16 @@ object Analytics {
       .orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, sfDir)
-      .withColumn("running_spend", sum(dec($"o_totalprice")).over(w))
+      .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
   val qRunningTotalSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
@@ -200,13 +230,13 @@ object Analytics {
       .groupBy($"c_custkey", $"c_name")
       .agg(
         count($"o_orderkey").as("n_orders"),
-        coalesce(sum(dec($"o_totalprice")), lit(0).cast(DecimalType(28, 4))).as("total_spend"))
+        coalesce(sum(dec($"o_totalprice")).cast("double"), lit(0.0)).as("total_spend"))
       .orderBy($"c_custkey")
   }
 
   val qCustomerOrderCountsSql: String =
     """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-      |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(28,4))) AS total_spend
+      |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), CAST(0 AS DOUBLE)) AS total_spend
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
@@ -215,13 +245,13 @@ object Analytics {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .rollup($"o_orderpriority", $"o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("total"))
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
   val qOrderRollupSql: String =
     """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 
@@ -229,7 +259,7 @@ object Analytics {
   def qEventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def typedSum(t: String): Column =
-      sum(when($"event_type" === t, dec($"value"))).as(s"${t}_value")
+      sum(when($"event_type" === t, dec($"value"))).cast("double").as(s"${t}_value")
     Tables.events(spark, sfDir)
       .groupBy(to_date($"ts").as("day"))
       .agg(
@@ -241,11 +271,11 @@ object Analytics {
 
   val qEventTypePivotSql: String =
     """SELECT CAST(ts AS DATE) AS day,
-      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS click_value,
-      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS view_value,
-      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS purchase_value,
-      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS signup_value,
-      |  sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS error_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_value,
       |  count(*) AS n_events
       |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
@@ -257,13 +287,13 @@ object Analytics {
       .agg(
         countDistinct($"user_id").as("n_users"),
         count(lit(1)).as("n_events"),
-        sum(dec($"value")).as("total_value"))
+        sum(dec($"value")).cast("double").as("total_value"))
       .orderBy($"event_type")
   }
 
   val qEventDistinctUsersSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- lag/lead: inter-event gap per user (exact integer microseconds) ---
@@ -287,13 +317,13 @@ object Analytics {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", $"ts").as("hour"))
-      .agg(count(lit(1)).as("n"), sum(dec($"value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("total_value"))
       .orderBy($"hour")
   }
 
   val qHourlyEventStatsSql: String =
     """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""".stripMargin
 
   /** name → (query fn, oracle SQL) for SparkEntry wiring */

@@ -21,7 +21,7 @@ class AnalyticsSpec extends SparkSuite {
   test("q5 produces one row per nation and decimal revenue is positive") {
     val rows = Analytics.q5NationRevenue(spark, sf).collect()
     assert(rows.length === 25)
-    assert(rows.forall(_.getAs[java.math.BigDecimal]("rev").signum() > 0))
+    assert(rows.forall(_.getAs[Double]("rev") > 0))
   }
 
   test("top-k per group emits at most 3 per priority with dense ranks") {
@@ -37,9 +37,9 @@ class AnalyticsSpec extends SparkSuite {
   test("running total is monotone per customer") {
     val rows = Analytics.qRunningTotal(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { rs =>
-      val totals = rs.map(_.getAs[java.math.BigDecimal]("running_spend"))
+      val totals = rs.map(_.getAs[Double]("running_spend"))
       assert(totals.sliding(2).forall {
-        case Array(a, b) => a.compareTo(b) <= 0
+        case Array(a, b) => a <= b
         case _ => true
       })
     }

@@ -6,6 +6,11 @@ parquet result, runs the matching oracle SQL in DuckDB over the same testdata
 tables, and compares (column-name-sorted, row-sorted, exact values — with a
 secondary report of "close" float mismatches so rounding issues are visible).
 
+Unlike plain value compare, this ALSO compares column TYPES (DuckDB's view of
+both sides): the driver hashes serialized values, so a Spark DECIMAL(28,4)
+vs DuckDB DECIMAL(38,4) is a FAIL even when numerically equal (round-1
+lesson). A TYPE-DIFF here predicts a driver hash mismatch.
+
 Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 """
 import json
@@ -75,6 +80,7 @@ def main():
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
             drows = duck.fetchall()
+            dtypes = {r[0]: str(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -83,8 +89,18 @@ def main():
             sp = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
             scols = [d[0] for d in sp.description]
             srows = sp.fetchall()
+            stypes = {r[0]: str(r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{pdir}/*.parquet'").fetchall()}
         except Exception as e:
             print(f"FAIL  {name}: spark parquet read error: {e}")
+            n_fail += 1
+            continue
+        type_diffs = sorted(
+            (c, stypes.get(c), dtypes.get(c))
+            for c in set(scols) & set(dcols)
+            if stypes.get(c) != dtypes.get(c))
+        if type_diffs:
+            print(f"FAIL  {name}: column TYPE diffs (spark vs oracle): {type_diffs}")
             n_fail += 1
             continue
         dc, dr = canon(drows, dcols)

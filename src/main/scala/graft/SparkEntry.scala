@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.EtlQueries
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +13,8 @@ import graft.queries.Analytics
 object SparkEntry {
 
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] = Seq(
-    Analytics.registry
+    Analytics.registry,
+    EtlQueries.registry
   )
 
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =

@@ -66,8 +66,16 @@ object Derive {
     */
   def peakBand(df: DataFrame): DataFrame = {
     val withHour = df.withColumn("Hour", date_format(col("tpep_pickup_datetime"), "HH"))
-    val bands = withHour
-      .select(date_format(col("tpep_pickup_datetime"), "HH").as("Hour"))
+    // The reference derives the lookup by re-running the whole pipeline for a
+    // distinct() over pickup hours (ny:305-307) — at scale that is a second
+    // full pass over the fact data just to recover ≤24 statically-knowable
+    // rows. The 3-arm CASE is total over hours, so a range(0,24)-derived
+    // lookup is semantically identical; we keep the distinct+broadcast-join
+    // operator shape (A2/J1) but the build side is now a 24-row local
+    // relation with zero upstream work. Inner join is lossless: every data
+    // Hour ("00".."23") appears in the lookup.
+    val bands = df.sparkSession.range(0, 24)
+      .select(format_string("%02d", col("id")).as("Hour"))
       .distinct()
       .select(
         col("Hour"),

@@ -56,19 +56,30 @@ object StarSchema {
   private def withChain: String =
     s"WITH ${TaxiFixture.rawSql},\n${Cleanse.cleanseSql},\n${Derive.deriveSql}"
 
+  /** REAL columns widened to DOUBLE at the oracle boundary (exact widening;
+    * see [[EtlQueries]] scaladoc). ORDER BY carries the same measure
+    * tiebreaks as the Spark wrapper.
+    */
   val factSql: String =
     s"""$withChain
        |SELECT trip_id, vendor_id, passenger_count,
        |  tpep_pickup_date_id, tpep_pickup_time_id,
        |  tpep_dropoff_date_id, tpep_dropoff_time_id,
-       |  trip_duration_minutes, trip_peak_band_id, trip_distance,
+       |  trip_duration_minutes, trip_peak_band_id,
+       |  CAST(trip_distance AS DOUBLE) AS trip_distance,
        |  rate_code_id, store_and_fwd_flag,
        |  pickup_location_id, drop_off_location_id, payment_type,
-       |  fare_amount, extra, mta_tax, tip_amount, tolls_amount,
-       |  improvement_surcharge, congestion_surcharge, airport_fee,
+       |  CAST(fare_amount AS DOUBLE) AS fare_amount,
+       |  CAST(extra AS DOUBLE) AS extra,
+       |  CAST(mta_tax AS DOUBLE) AS mta_tax,
+       |  CAST(tip_amount AS DOUBLE) AS tip_amount,
+       |  tolls_amount,
+       |  CAST(improvement_surcharge AS DOUBLE) AS improvement_surcharge,
+       |  CAST(congestion_surcharge AS DOUBLE) AS congestion_surcharge,
+       |  airport_fee,
        |  total_amount, '2024' AS processed_year, '1' AS processed_month
        |FROM banded
-       |ORDER BY trip_id""".stripMargin
+       |ORDER BY trip_id, CAST(trip_distance AS DOUBLE), CAST(fare_amount AS DOUBLE)""".stripMargin
 
   /** Analytical roll-up over the fact output (the star schema's purpose):
     * trips/revenue by peak band. Exercises agg-over-pipeline composition.

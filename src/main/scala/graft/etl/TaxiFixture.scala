@@ -64,9 +64,15 @@ object TaxiFixture {
       .withColumn("total_amount",
         col("fare_amount") + col("mta_tax") + col("tolls_amount") +
           col("improvement_surcharge"))
-    // ~10% exact duplicates so dropDuplicates (ny:271) has work to do
-    base.drop("event_id")
-      .unionAll(base.filter(col("event_id") % 10 === 0).drop("event_id"))
+    // ~10% exact duplicates so dropDuplicates (ny:271) has work to do.
+    // Injected by exploding a per-row copy count instead of a self-union:
+    // same multiset, but ONE events scan instead of two (the union shape
+    // doubled every downstream pass — a real cost once peakBand's build
+    // side re-executed the pipeline; see Derive.peakBand scale note).
+    base
+      .withColumn("n_copies", when(col("event_id") % 10 === 0, 2).otherwise(1))
+      .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+      .drop("event_id", "n_copies", "copy")
   }
 
   /** DuckDB CTEs producing the identical raw frame from events.parquet.

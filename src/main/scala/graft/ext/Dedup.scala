@@ -1,0 +1,245 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import TextOps.{h31, h31Sql, portableHash, portableHashSql, HashP}
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banded near-dup (shingle → minhash → band →
+  * bucket equi-join — NEVER an all-pairs cross join), SimHash, and content
+  * fingerprinting. n-gram Jaccard is computed exactly on the LSH candidate
+  * pairs (the verify step of every production near-dup pipeline).
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is one hash-shuffle on the text digest — the minimal
+  *     possible exchange (map-side partial agg on a 64-char key, not the
+  *     full document).
+  *   - MinHash: signatures are a narrow per-row computation; the ONLY
+  *     shuffles are (a) the groupBy(doc) signature fold over exploded
+  *     shingles and (b) the band-bucket equi-join. Bucket join degree is
+  *     bounded by bucket size, never O(N²); skewed buckets (boilerplate
+  *     docs) are the known hazard — AQE skew-join handles moderate skew,
+  *     and a bucket-size cap (count-filter before the self-join) is the
+  *     standard mitigation at extreme scale.
+  *   - All hashes are md5-derived ([[TextOps.portableHash]]) so results
+  *     are engine-portable and oracle-checkable.
+  *
+  * The synthetic corpus has no natural duplicates (500 distinct texts), so
+  * both dedup queries INJECT deterministic duplicates — exact copies for
+  * exact dedup, suffix-perturbed near-copies for minhash — mirrored
+  * literally in the oracle SQL. This mirrors the taxi fixture's
+  * dup-injection pattern ([[graft.etl.TaxiFixture]]).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup: sha2(text) group-by, keep lowest doc_id
+  // ------------------------------------------------------------------
+
+  def qDocExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    corpus
+      .groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  val qDocExactDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |)
+      |SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM corpus GROUP BY sha256(text)
+      |ORDER BY keep_doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH banded near-dup with exact-Jaccard verification
+  // ------------------------------------------------------------------
+
+  /** 16 minhash permutations as (a*h+b) mod P over the 31-bit shingle hash;
+    * 4 bands × 4 rows. Coefficients are arbitrary fixed odd-ish constants
+    * < 2^31 (kept small so a*h fits int64 — see [[TextOps.HashP]]).
+    */
+  val minhashCoefs: Seq[(Long, Long)] =
+    (1 to 16).map(i => (1000003L * i + 7919L, 104729L * i + 12345L))
+  val nBands = 4
+  val rowsPerBand = 4
+  val jaccardThreshold = 0.5
+
+  /** Word 3-shingles of `text` (min 1 shingle for tiny docs). */
+  private val shinglesExpr =
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
+      " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+  private val shinglesSqlExpr =
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
+      " i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+
+  /** Near-dup corpus: every 25th doc re-appears (id+100000) with a token
+    * appended — Jaccard ≈ 0.95 against its source.
+    */
+  private def nearCorpus(docs: DataFrame): DataFrame =
+    docs.unionAll(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix' AS text
+      |  FROM documents WHERE doc_id % 25 = 0
+      |)""".stripMargin
+
+  def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = nearCorpus(docs)
+
+    val shingled = corpus.select(
+      col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
+
+    // signature: explode distinct shingles, fold 16 mins in ONE groupBy
+    val hashed = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h31(col("s")).as("h"))
+    val minAggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashP).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+
+    // bands: 4 keys per doc; candidate pairs via bucket EQUI-join (a<b)
+    val bands = (0 until nBands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band_id"),
+        concat_ws("_", keyCols: _*).as("band_key"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact n-gram Jaccard on candidates only
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDocMinhashPairsSql: String = {
+    val minCols = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $HashP) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $nearCorpusSql,
+       |shingled AS (
+       |  SELECT doc_id, list_distinct($shinglesSqlExpr) AS sh FROM corpus
+       |),
+       |hashed AS (
+       |  SELECT doc_id, ${h31Sql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashed GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash: 16-bit frequency-weighted signature over token hashes
+  // ------------------------------------------------------------------
+
+  val simhashBits = 16
+
+  def qDocSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), h31(col("t")).as("h"))
+    val bitAggs = (0 until simhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"s$j")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until simhashBits)
+      .map(j => when(col(s"s$j") >= 0, 1L << j).otherwise(0L))
+      .reduce((a, b) => a + b)
+    sums.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val qDocSimhashSql: String = {
+    val bitSums = (0 until simhashBits).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    val sig = (0 until simhashBits)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${h31Sql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Content fingerprinting: whole-doc hash + winnowed min-shingle hash
+  // ------------------------------------------------------------------
+
+  def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val hLambda =
+      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $HashP"
+    docs.select(
+      col("doc_id"),
+      portableHash(col("text")).as("content_fp"),
+      expr(s"array_min(transform(array_distinct($shinglesExpr), s -> $hLambda))")
+        .as("min_shingle_fp"),
+      expr(s"size(array_distinct($shinglesExpr))").cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${portableHashSql("text")} AS content_fp,
+       |  list_min(list_transform(list_distinct($shinglesSqlExpr), s -> ${h31Sql("s")})) AS min_shingle_fp,
+       |  len(list_distinct($shinglesSqlExpr)) AS n_shingles
+       |FROM documents ORDER BY doc_id""".stripMargin
+}

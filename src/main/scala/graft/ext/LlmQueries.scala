@@ -1,0 +1,24 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing registry for the LLM-training-data operator surface
+  * (north-star set): text analysis, dedup (exact / MinHash-LSH / SimHash /
+  * fingerprint), similarity search (brute-force + LSH ANN), multimodal
+  * decode plumbing, sketched distincts. All oracle-checked except the HLL
+  * sketch (engine-specific; rows-only).
+  */
+object LlmQueries {
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q_doc_text_stats" -> ((TextOps.qDocTextStats _, TextOps.qDocTextStatsSql)),
+    "q_doc_lang_quality" -> ((TextOps.qDocLangQuality _, TextOps.qDocLangQualitySql)),
+    "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
+    "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
+    "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),
+    "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
+    "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
+    "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
+    "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
+    "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
+  )
+}

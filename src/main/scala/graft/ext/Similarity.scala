@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale
+  * path. Dot products use `zip_with` + `aggregate` higher-order functions
+  * (codegen'd, no UDF); elements are widened float→double BEFORE
+  * multiplication so both engines do identical double arithmetic, and the
+  * fold is strictly sequential in element order — matching DuckDB's
+  * `list_dot_product` over `DOUBLE[]`.
+  *
+  * Scale design (100 TB):
+  *   - Brute force is O(Q×N) with the query set BROADCAST — correct only
+  *     while Q is small (it is: ad-hoc probes). The join is a broadcast
+  *     nested-loop on a non-equi predicate (q_id != vec_id): no shuffle of
+  *     the candidate side, scan stays pipelined.
+  *   - Norms are precomputed per side BEFORE the join (narrow projection),
+  *     not per pair — at N candidates × Q queries that's N+Q sqrt's
+  *     instead of N×Q.
+  *   - The LSH variant replaces the O(N) probe with an EQUI-join on the
+  *     hyperplane-sign bucket: candidates shuffle once by bucket (or are
+  *     pre-bucketed at write time), each query touches ~N/2^b rows. This
+  *     is the IVF-style partition-pruned path that survives 100 TB.
+  */
+object Similarity {
+
+  val topK = 5
+  val nQueryVecs = 3
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  // ------------------------------------------------------------------
+  // Brute-force cosine top-k (exact baseline)
+  // ------------------------------------------------------------------
+
+  def qEmbCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val qEmbCosineTopkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id < $nQueryVecs
+       |),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id >= $nQueryVecs
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |  FROM c, q
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // LSH-bucketed ANN (random-hyperplane signs; IVF-style scale path)
+  // ------------------------------------------------------------------
+
+  val lshPlanes = 4
+  val embDim = 64
+
+  /** Deterministic ±1 hyperplane components, shared verbatim with the
+    * oracle SQL (pseudo-random via a fixed integer mix — no RNG, so both
+    * engines and every run agree).
+    */
+  def planeSign(plane: Int, i: Int): Int =
+    if (((i * 73 + (plane + 1) * 151) % 7) % 2 == 0) 1 else -1
+
+  private def planeLit(plane: Int): Column =
+    array((0 until embDim).map(i => lit(planeSign(plane, i).toDouble)): _*)
+
+  private def bucketCol(emb: Column): Column =
+    (0 until lshPlanes)
+      .map(p => when(dot(emb, planeLit(p)) >= 0, 1 << p).otherwise(0))
+      .reduce((a, b) => a + b)
+
+  private def planeSqlList(plane: Int): String =
+    (0 until embDim).map(i => s"${planeSign(plane, i)}.0").mkString("[", ", ", "]")
+
+  private def bucketSql(e: String): String =
+    (0 until lshPlanes)
+      .map(p => s"(CASE WHEN list_dot_product($e, CAST(${planeSqlList(p)} AS DOUBLE[])) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  def qEmbAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("bucket", bucketCol(col("qe")))
+    val c = emb.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+      .withColumn("bucket", bucketCol(col("ce")))
+    // the whole point: EQUI-join on bucket — each query probes one bucket
+    val scored = c.join(broadcast(q.withColumnRenamed("bucket", "q_bucket")),
+        col("q_bucket") === col("bucket"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("bucket"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val qEmbAnnLshSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm,
+       |    ${bucketSql("CAST(embedding AS DOUBLE[])")} AS q_bucket
+       |  FROM embeddings WHERE vec_id < $nQueryVecs
+       |),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm,
+       |    ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |  FROM embeddings WHERE vec_id >= $nQueryVecs
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id, bucket,
+       |    list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |  FROM c JOIN q ON c.bucket = q.q_bucket
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, bucket, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, rank, vec_id, bucket, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
+  // is oracle-EXEMPT (rows-only check); exact counts ride along so the
+  // approximation error is visible in the output itself.
+  // ------------------------------------------------------------------
+
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .agg(
+        approx_count_distinct(col("source")).as("approx_nd"),
+        countDistinct(col("source")).as("exact_nd"))
+      .select(lit("documents.source").as("scope"), col("approx_nd"), col("exact_nd"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .agg(
+        approx_count_distinct(col("label")).as("approx_nd"),
+        countDistinct(col("label")).as("exact_nd"))
+      .select(lit("embeddings.label").as("scope"), col("approx_nd"), col("exact_nd"))
+    docs.unionAll(emb).orderBy(col("scope"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (north-star set,
+  * SURVEY §0/§7.2 step 6): token counting (whitespace + BPE-ish regex),
+  * quality scoring, language-ID heuristic. All run over the `documents`
+  * testdata table.
+  *
+  * Cross-engine hashing: every content hash in graft.ext is derived from
+  * `md5` — the one hash both Spark and DuckDB compute identically — taking
+  * the first 15 hex chars as a non-negative 60-bit BIGINT
+  * ([[portableHash]]). Spark's own `hash()`/`xxhash64` are
+  * Spark-specific and would make results engine-dependent.
+  *
+  * Scale notes (100 TB): everything here is a narrow per-row projection —
+  * no shuffle, no UDFs (all built-ins/higher-order functions, fully
+  * codegen'd), so it pipelines into whatever scan feeds it and
+  * parallelizes embarrassingly.
+  */
+object TextOps {
+
+  /** Modulus for 31-bit hash-derived values: largest signed-int32 prime, so
+    * (a*h+b) stays within int64 for 31-bit coefficients in BOTH engines
+    * (DuckDB raises on BIGINT overflow rather than wrapping — portable
+    * arithmetic must stay in range, not rely on wraparound).
+    */
+  val HashP = 2147483647L
+
+  /** 60-bit non-negative content hash: first 15 hex chars of md5. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same value in DuckDB SQL, for oracle generation. */
+  def portableHashSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** 31-bit reduction used by minhash/simhash coefficients. */
+  def h31(c: Column): Column = portableHash(c) % HashP
+  def h31Sql(e: String): String = s"(${portableHashSql(e)} % $HashP)"
+
+  // ------------------------------------------------------------------
+  // Token / length statistics
+  // ------------------------------------------------------------------
+
+  /** BPE-ish subword regex: letter runs capped at 4 chars + digit runs —
+    * a stand-in for a real BPE vocab that both engines evaluate identically
+    * (greedy quantifiers behave the same in Java regex and RE2).
+    */
+  val subwordRegex = "[a-z]{1,4}|[0-9]+"
+
+  def qDocTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      expr(s"size(regexp_extract_all(text, '$subwordRegex', 0))").cast("long")
+        .as("n_subword_tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val qDocTextStatsSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS len_chars,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       |  len(regexp_extract_all(text, '$subwordRegex')) AS n_subword_tokens,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Language-ID heuristic + quality score
+  // ------------------------------------------------------------------
+
+  /** Marker-word lists per language (stand-in for an n-gram profile; the
+    * synthetic corpus is English-jargon words for every lang label, so the
+    * heuristic mostly predicts 'en' — the OPERATOR is what's under test,
+    * and `lang_match` makes the hit rate observable).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  def qDocLangQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val withToks = docs.withColumn("toks", split(col("text"), " "))
+    val scored = langMarkers.foldLeft(withToks) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(toks, t -> t IN (${inList(ws)})))").cast("long"))
+    }
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    // argmax with deterministic alphabetical priority on ties
+    val pred = langMarkers.map { case (l, _) => (l, col(s"score_$l")) }
+      .foldRight(lit("und"): Column) { case ((l, s), other) =>
+        when(s === mx, l).otherwise(other)
+      }
+    scored
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN (${inList(stopwords)})))").cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("lang_pred", pred)
+      .withColumn("lang_match", col("lang_pred") === col("lang"))
+      .withColumn("quality_score",
+        lit(0.5) * col("distinct_ratio") + lit(0.3) * col("stop_ratio") +
+          lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .select("doc_id", "lang", "lang_pred", "lang_match", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val qDocLangQualitySql: String = {
+    val scoreCols = langMarkers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${inList(ws)}))) AS score_$l"
+    }.mkString(",\n    ")
+    val mx = s"greatest(${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")})"
+    val predCase = langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $mx THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+       |),
+       |scored AS (
+       |  SELECT doc_id, lang, toks,
+       |    $scoreCols,
+       |    len(list_filter(toks, t -> t IN (${inList(stopwords)}))) AS n_stop,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang,
+       |  CASE $predCase ELSE 'und' END AS lang_pred,
+       |  (CASE $predCase ELSE 'und' END) = lang AS lang_match,
+       |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+       |    0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+       |    0.2 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS quality_score
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+}

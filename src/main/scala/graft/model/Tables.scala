@@ -33,8 +33,11 @@ object Tables {
     * (a loader must not mutate shared session conf as a side effect).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
+    // The driver contract passes arbitrary sessions into SparkEntry.queries;
+    // set the conf when absent (runtime-settable SQL conf) instead of
+    // require()-failing on out-of-repo callers (ADVICE r2).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

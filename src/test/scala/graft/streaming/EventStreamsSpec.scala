@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.streaming.EventStreams.{SessionOut, StreamEvent}
+
+/** Watermark/window/stateful-session semantics, driven batch-by-batch
+  * through MemoryStream so watermark progression is deterministic:
+  * processAllAvailable after each addData gives one micro-batch whose
+  * events advance the watermark for the NEXT batch.
+  */
+class EventStreamsSpec extends SparkSuite {
+
+  // hour-aligned base so tumbling-window starts land exactly on ts(whole)
+  private val baseMs = 1700000000000L / 3600000L * 3600000L
+
+  private def ts(hours: Double): Timestamp =
+    new Timestamp((hours * 3600 * 1000).toLong + baseMs)
+
+  test("watermarked hourly window finalizes only when watermark passes window end") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stats = EventStreams.hourlyStats(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val query = stats.writeStream
+      .format("memory").queryName("hourly_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: two events in hour 0, one in hour 1 → watermark still at 0
+      input.addData((ts(0.2), "click", 1.0), (ts(0.4), "click", 2.0), (ts(1.5), "view", 5.0))
+      query.processAllAvailable()
+      assert(spark.table("hourly_sink").count() == 0) // nothing finalized yet
+      // batch 2: event at hour 4 → watermark = 4h - 1h = 3h > hour-0 and
+      // hour-1 window ends → both finalize
+      input.addData((ts(4.0), "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_sink")
+        .select("hour", "event_type", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((ts(0.0), "click", 2L, 3.0), (ts(1.0), "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes by new session and by timeout") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val gapMs = 12L * 3600 * 1000
+    val input = MemoryStream[StreamEvent]
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "1 hour").as[StreamEvent], gapMs)
+    val query = sessions.writeStream
+      .format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user 1: two events 1h apart (one session); user 2: one event
+      input.addData(
+        StreamEvent(1L, ts(0.0), 1.0), StreamEvent(1L, ts(1.0), 2.0),
+        StreamEvent(2L, ts(0.5), 7.0))
+      query.processAllAvailable()
+      assert(spark.table("session_sink").count() == 0) // all sessions still open
+      // user 1 reappears 30h later: in ONE batch the new event both closes
+      // session 1 via the gap rule and opens session 2; user 2 stays open
+      // until the watermark (30h - 1h) passes 0.5h + 12h → timeout fires.
+      input.addData(StreamEvent(1L, ts(31.0), 4.0))
+      query.processAllAvailable()
+      // one more batch so the timeout (evaluated against the new watermark)
+      // has a chance to fire for user 2
+      input.addData(StreamEvent(3L, ts(32.0), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("session_sink").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+      assert(rows == Set(
+        (1L, ts(0.0), new Timestamp(ts(1.0).getTime + gapMs), 2L, 3.0),
+        (2L, ts(0.5), new Timestamp(ts(0.5).getTime + gapMs), 1L, 7.0)))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization agrees with the batch session_window query") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val gapMs = 12L * 3600 * 1000
+    // deterministic little corpus, fed in event-time order in 2 batches,
+    // closed out by a far-future flush event
+    val evs = Seq(
+      StreamEvent(10L, ts(0.0), 1.0), StreamEvent(10L, ts(5.0), 2.0),   // session A
+      StreamEvent(10L, ts(20.0), 3.0),                                  // session B (gap 15h)
+      StreamEvent(11L, ts(2.0), 4.0), StreamEvent(11L, ts(13.9), 5.0))  // one session (gap 11.9h)
+    val input = MemoryStream[StreamEvent]
+    val query = EventStreams.sessionize(
+        input.toDS().withWatermark("ts", "1 hour").as[StreamEvent], gapMs)
+      .writeStream.format("memory").queryName("batch_parity_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evs.filter(_.ts.getTime <= ts(10.0).getTime): _*)
+      query.processAllAvailable()
+      input.addData(evs.filter(_.ts.getTime > ts(10.0).getTime): _*)
+      query.processAllAvailable()
+      input.addData(StreamEvent(99L, ts(100.0), 0.0)) // flush watermark
+      query.processAllAvailable()
+      input.addData(StreamEvent(99L, ts(200.0), 0.0)) // extra batch: fire timeouts
+      query.processAllAvailable()
+      val streaming = spark.table("batch_parity_sink").as[SessionOut].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+
+      val batch = evs.toDS().toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+        .select(col("user_id"), col("session_window.start"), col("session_window.end"),
+          col("n_events"), col("total_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streaming == batch)
+    } finally query.stop()
+  }
+}

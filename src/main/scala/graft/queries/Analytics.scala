@@ -146,11 +146,29 @@ object Analytics {
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   // --- Top-k per group via window (row_number with total-order tiebreak) ---
+  /** Top-3 orders per priority, two-phase: `o_orderpriority` has only 5
+    * distinct values, so a single `Window.partitionBy(priority)` funnels
+    * the whole table through 5 tasks (the r2 plan-audit note). Phase 1
+    * salts the window with the source partition id — top-3 per
+    * (priority, salt) over ~|salts|×5 groups, full parallelism; phase 2
+    * re-ranks the ≤ 3×|salts|×5 survivors through the unsalted window.
+    * Global top-3 is a subset of every per-salt top-3, and the
+    * (price DESC, orderkey) tiebreak is total, so the result is
+    * IDENTICAL to the single-window form — the oracle SQL stays the
+    * naive formulation on purpose.
+    */
   def qTopOrdersPerPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val pre = Window.partitionBy($"o_orderpriority", $"salt")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("salt", spark_partition_id())
+      .withColumn("r", row_number().over(pre))
+      .filter($"r" <= 3)
+      .drop("salt", "r")
       .withColumn("rank_in_priority", row_number().over(w))
       .filter($"rank_in_priority" <= 3)
       .select($"o_orderpriority", $"rank_in_priority", $"o_orderkey", $"o_totalprice")

@@ -344,6 +344,44 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour""".stripMargin
 
+  // --- TPC-H Q9-shaped product-profit rollup (part + supplier coverage) ---
+
+  /** Profit by supplier nation × part brand over parts whose name carries a
+    * marker token — TPC-H Q9's shape on the testdata schema (no partsupp
+    * table, so supplycost is omitted from the profit term).
+    *
+    * Scale notes: the `p_name LIKE` predicate pushes into the part scan and
+    * shrinks that join input BEFORE the shuffle; `part` and `supplier` are
+    * O(SF) tables (TPC-H: 200k/SF and 10k/SF) — NOT broadcast-hinted, AQE
+    * may still elect a broadcast at small SF but a 100 TB plan gets the
+    * shuffle join it needs. `nation` (25 rows) is always broadcast. Join
+    * order: filters first, largest-to-smallest build sides after.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter($"p_name".like("%a%")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), $"p_brand")
+      .agg(
+        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("profit"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"nation", $"p_brand")
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, p_brand
+      |ORDER BY nation, p_brand""".stripMargin
+
   // --- session windows: gap-based sessionization (batch session_window) ---
 
   /** Session gap. 12 h fits the synthetic event cadence (median inter-event
@@ -408,6 +446,7 @@ object Analytics {
     "q1_pricing_summary" -> ((q1PricingSummary _, q1PricingSummarySql)),
     "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
     "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),
+    "q9_product_profit" -> ((q9ProductProfit _, q9ProductProfitSql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_customers_without_orders" -> ((qCustomersWithoutOrders _, qCustomersWithoutOrdersSql)),
     "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),

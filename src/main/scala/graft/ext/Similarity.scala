@@ -101,8 +101,15 @@ object Similarity {
   def planeSign(plane: Int, i: Int): Int =
     if (((i * 73 + (plane + 1) * 151) % 7) % 2 == 0) 1 else -1
 
+  /** One Literal node per plane (`typedlit` over the whole vector), NOT
+    * `array(lit, lit, …)`: a CreateArray of 64 literal children per plane
+    * × 24 planes inlined ~1 500 expression nodes into whole-stage codegen
+    * and cost ~8 s of one-time Janino/JIT compilation on the first run of
+    * every LSH query (measured; warm runs were 1-2 s). A single array
+    * constant keeps the generated method tiny.
+    */
   private def planeLit(plane: Int): Column =
-    array((0 until embDim).map(i => lit(planeSign(plane, i).toDouble)): _*)
+    typedlit((0 until embDim).map(i => planeSign(plane, i).toDouble))
 
   private def bucketCol(emb: Column): Column =
     (0 until lshPlanes)

@@ -95,6 +95,17 @@ def main():
             print(f"FAIL  {name}: spark parquet read error: {e}")
             n_fail += 1
             continue
+        # REAL/float32 OUTPUT columns are a driver-hash hazard even when both
+        # sides agree: the driver serializes parquet float32 directly while
+        # DuckDB's fetch widens to double (str(np.float32(5.4)) != '5.4000000953...')
+        # — the r2 q_taxi_fact lesson. Cast to DOUBLE at the oracle boundary.
+        real_cols = sorted(c for c in scols if stypes.get(c) == "FLOAT")
+        if real_cols:
+            print(f"FAIL  {name}: REAL/float32 output columns {real_cols} — "
+                  "driver hash serializes float32 differently from DuckDB's "
+                  "widened-double fetch; cast to DOUBLE at the oracle boundary")
+            n_fail += 1
+            continue
         type_diffs = sorted(
             (c, stypes.get(c), dtypes.get(c))
             for c in set(scols) & set(dcols)

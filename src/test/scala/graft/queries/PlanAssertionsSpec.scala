@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** The 100 TB-scale claims made in scaladoc, asserted against actual
+  * physical plans so regressions fail CI instead of surviving as stale
+  * comments: no cartesian products where equi-joins are promised,
+  * broadcasts where constant-size dims are promised, filter pushdown into
+  * scans, and single-scan pipelines where one pass is promised.
+  *
+  * Plans are inspected PRE-execution (`sparkPlan`, before AQE rewrites):
+  * that is the statically-chosen strategy — what survives a scale-up,
+  * where AQE's runtime demotions/promotions depend on small-SF sizes.
+  */
+class PlanAssertionsSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("LSH dedup/ANN mining is equi-join only — never an all-pairs product") {
+    for (df <- Seq(
+        graft.ext.Dedup.qDocMinhashPairs(spark, sf),
+        graft.ext.Similarity.qEmbNearDup(spark, sf),
+        graft.ext.Similarity.qEmbAnnLsh(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    }
+  }
+
+  test("brute-force cosine top-k is the one sanctioned nested-loop (broadcast q-side, non-equi)") {
+    val p = plan(graft.ext.Similarity.qEmbCosineTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5 broadcasts constant-size dims but NOT the O(rows) customer side") {
+    // At sf0.001 every table sits under the auto-broadcast threshold and the
+    // planner broadcasts them all — which says nothing about 100 TB. Disable
+    // size-based promotion: what remains broadcast is exactly the EXPLICIT
+    // hints (constant-size nation/region); the O(rows) joins fall back to
+    // shuffle strategies — the plan a large cluster actually gets.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Analytics.q5NationRevenue(spark, sf))
+      // sparkPlan precedes EnsureRequirements, so join NODES (not Exchange
+      // operators) carry the strategy.
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("taxi pipeline filters push into the events scan and the pipeline scans events ONCE") {
+    val p = plan(graft.etl.StarSchema.factTrips(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected single events scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+  }
+
+  test("documents ops read only the columns they use (column pruning reaches the scan)") {
+    val p = plan(graft.ext.Dedup.qDocExactDedup(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+}

@@ -19,6 +19,8 @@ object LlmQueries {
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),
+    "q_emb_label_centroids" -> ((Similarity.qEmbLabelCentroids _, Similarity.qEmbLabelCentroidsSql)),
+    "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
   )

@@ -283,6 +283,133 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // IVF ANN: per-label centroids as coarse quantizer, nprobe=1 cell probe
+  // ------------------------------------------------------------------
+
+  /** Per-label centroids in long format (label, i, c) — the coarse
+    * quantizer that [[qEmbAnnIvf]] probes, and a feature-aggregation op
+    * in its own right (per-class mean embedding). Cross-engine double
+    * discipline: a plain `sum(double)` depends on partition/merge order,
+    * and per-element DECIMAL quantization is ALSO unsafe (Spark's
+    * double→decimal goes through Java's shortest-string representation,
+    * DuckDB's through the exact binary expansion — they disagree in the
+    * last digit for ~1 in 10³ values; observed as a 1-ulp centroid diff).
+    * So the sum is a SEQUENTIAL double fold in vec_id order on both
+    * sides (`aggregate` over a sorted collect_list here, `list_reduce`
+    * over `list(… ORDER BY vec_id)` in DuckDB) — identical doubles by
+    * construction. Oracle-protocol determinism; a production pipeline
+    * would use the plain partial-aggregated `sum`.
+    *
+    * Scale: posexplode fans each vector into 64 rows, then one groupBy;
+    * output is k×dim rows regardless of input size.
+    */
+  def qEmbLabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroidsLong(spark, sfDir).orderBy(col("label"), col("i"))
+
+  private def centroidsLong(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"),
+        col("x").cast("double").as("xd"))
+      .groupBy(col("label"), col("i"))
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"), col("xd")))),
+          lit(0.0), (acc, p) => acc + p.getField("xd"))
+        / count(lit(1))).as("c"))
+
+  private val centroidsLongSql: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |cl AS (
+      |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+      |  FROM e, pos GROUP BY label, i
+      |)""".stripMargin
+
+  val qEmbLabelCentroidsSql: String =
+    s"""WITH $centroidsLongSql
+       |SELECT label, CAST(i AS INTEGER) AS i, c FROM cl ORDER BY label, i""".stripMargin
+
+  /** True IVF ANN (upgrading [[qEmbAnnLsh]]'s "IVF-style" claim to the
+    * actual structure): every vector is assigned to its nearest centroid
+    * cell (argmin of ||v−c||² = v·v − 2v·c + c·c over the broadcast
+    * constant-k centroid table, deterministic label tiebreak), and each
+    * query probes ONLY its own cell (nprobe=1) via an EQUI-join on the
+    * cell id — the candidate side is never scanned whole.
+    *
+    * Scale: assignment is a broadcast cross with a constant-k table (the
+    * standard IVF build pass — narrow, no candidate shuffle) followed by
+    * a per-vector argmin; the probe is one equi-join shuffle bounded by
+    * cell size. At 100 TB the cell assignment is computed at WRITE time
+    * and stored as a partition/bucket column; this query computes it
+    * inline because the harness reads raw testdata.
+    */
+  def qEmbAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    // centroid arrays from the long form: deterministic order via
+    // struct-sort on position
+    val cent = centroidsLong(spark, sfDir)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    def assign(side: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("cv"))
+          + dot(col("cv"), col("cv"))).asc, col("c_label"))
+      side.crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("c_label").as("cell"),
+          sqrt(dot(col("e"), col("e"))).as("norm"))
+    }
+    val q = assign(emb.filter(col("vec_id") < nQueryVecs))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"), col("norm").as("q_norm"))
+    val c = assign(emb.filter(col("vec_id") >= nQueryVecs))
+    // nprobe=1: each query touches exactly one cell — EQUI-join
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        (dot(col("qe"), col("e")) / (col("q_norm") * col("norm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val qEmbAnnIvfSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, c_label AS cell,
+       |    sqrt(list_dot_product(v, v)) AS norm,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS qe, cell, norm AS q_norm FROM assigned
+       |  WHERE rn = 1 AND vec_id < $nQueryVecs
+       |),
+       |c AS (
+       |  SELECT vec_id, v, cell, norm FROM assigned
+       |  WHERE rn = 1 AND vec_id >= $nQueryVecs
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id, c.cell AS cell,
+       |    list_dot_product(qe, v) / (q_norm * norm) AS cosine
+       |  FROM c JOIN q ON c.cell = q.cell
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cell, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, rank, vec_id, cell, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

@@ -249,6 +249,11 @@ object Dedup {
   // Content fingerprinting: whole-doc hash + winnowed min-shingle hash
   // ------------------------------------------------------------------
 
+  /** Rabin–Karp base for [[qDocFingerprint]]'s rolling hash; acc < P and
+    * 31·P + P < 2⁶³ keeps the fold in-range for both engines.
+    */
+  val rollingBase = 31L
+
   def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val hLambda =
@@ -258,6 +263,12 @@ object Dedup {
       portableHash(col("text")).as("content_fp"),
       expr(s"array_min(transform(array_distinct($shinglesExpr), s -> $hLambda))")
         .as("min_shingle_fp"),
+      // order-sensitive Rabin–Karp polynomial over the token-hash stream:
+      // a strictly sequential left fold, so both engines compute the
+      // identical value (unlike content_fp it changes under reordering —
+      // the property a rolling fingerprint exists to capture)
+      expr(s"aggregate(transform(split(text, ' '), s -> $hLambda), 0L," +
+        s" (acc, h) -> (acc * $rollingBase + h) % $HashP)").as("rolling_fp"),
       expr(s"size(array_distinct($shinglesExpr))").cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
   }
@@ -266,6 +277,10 @@ object Dedup {
     s"""SELECT doc_id,
        |  ${portableHashSql("text")} AS content_fp,
        |  list_min(list_transform(list_distinct($shinglesSqlExpr), s -> ${h31Sql("s")})) AS min_shingle_fp,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '), s -> ${h31Sql("s")})),
+       |    (acc, h) -> (acc * $rollingBase + h) % $HashP) AS rolling_fp,
        |  len(list_distinct($shinglesSqlExpr)) AS n_shingles
        |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -55,6 +55,20 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming member of the dedup family ([[graft.ext.Dedup]] holds the
+    * batch members): exactly-once emission per `keyCols` value among
+    * records whose event times fall within the watermark horizon.
+    * Bounded state is the point — a global streaming `dropDuplicates`
+    * grows state forever; the watermark variant evicts a key once the
+    * watermark passes its event time + delay, so re-ingesting old data
+    * (the reference's re-dropped-month story, SURVEY §2.9) re-emits
+    * instead of OOM-ing the state store. At 100 TB of history that
+    * bound is the difference between a runnable and an unrunnable
+    * streaming dedup.
+    */
+  def dedupWithinWatermark(records: DataFrame, delay: String, keyCols: String*): DataFrame =
+    records.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gap-based sessionization with explicit state. Used with
     * `OutputMode.Append`: only CLOSED sessions are emitted, each exactly
     * once. Event-time timeout fires when the watermark passes

@@ -85,6 +85,35 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the horizon, re-emits after eviction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = EventStreams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "content_key"), "1 hour", "content_key")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // in-batch duplicate → one emission
+      input.addData((ts(1.0), "A"), (ts(1.0), "A"))
+      query.processAllAvailable()
+      // cross-batch duplicate within the horizon → dropped; B advances the
+      // watermark to 9h, evicting A's state (1h + 1h delay < 9h)
+      input.addData((ts(1.5), "A"), (ts(10.0), "B"))
+      query.processAllAvailable()
+      // A returns AFTER eviction → re-emitted (bounded-state semantics);
+      // B within horizon → dropped
+      input.addData((ts(11.0), "A"), (ts(10.5), "B"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_sink").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+      assert(rows == Set((ts(1.0), "A"), (ts(10.0), "B"), (ts(11.0), "A")))
+    } finally query.stop()
+  }
+
   test("streaming sessionization agrees with the batch session_window query") {
     val spark0 = spark
     import spark0.implicits._

@@ -345,12 +345,17 @@ object Similarity {
     */
   def qEmbAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     // centroid arrays from the long form: deterministic order via
-    // struct-sort on position
+    // struct-sort on position. PERSISTED: the k×dim table is tiny but
+    // derives from a full posexplode pass over every embedding, and it
+    // feeds BOTH assignment broadcasts (query + candidate side) — without
+    // the persist that pass runs twice. Production stores the quantizer
+    // with the index; this is the in-query equivalent.
     val cent = centroidsLong(spark, sfDir)
       .groupBy(col("label").as("c_label"))
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("c")))),
         p => p.getField("c")).as("cv"))
+      .persist()
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
     def assign(side: DataFrame): DataFrame = {

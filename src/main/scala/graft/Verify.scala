@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several registry queries persist() an intermediate (minhash
+      // signatures, LSH corpus, IVF centroids) and cannot unpersist it
+      // inside the lazy contract; release between queries so repeated
+      // suites don't accumulate caches for the session lifetime
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

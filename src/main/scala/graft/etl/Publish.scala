@@ -3,7 +3,7 @@ package graft.etl
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lower}
 
 /** Job-2 analog (SURVEY §3 E3, pg:22-92): publish the star schema from the
   * session catalog to an external JDBC warehouse.
@@ -47,12 +47,17 @@ object Publish {
     table => spark.read.jdbc(url, probeSql(table), props).count() > 0
 
   /** Set-wise version of the reference's per-dim loop: which dims are NOT
-    * yet in the target listing (left-anti join, SURVEY §2.5).
+    * yet in the target listing (left-anti join, SURVEY §2.5). Compared
+    * case-insensitively: SQL targets case-fold unquoted identifiers
+    * (Derby upper-cases, Postgres lower-cases), so the catalog listing
+    * never matches our lowercase names literally.
     */
   def missingDims(spark: SparkSession, targetTables: DataFrame): DataFrame = {
     import spark.implicits._
+    val target = targetTables.toDF("t_name")
+      .select(lower(col("t_name")).as("table_name_ci"))
     dimTables.toDF("table_name")
-      .join(targetTables.toDF("table_name"), Seq("table_name"), "left_anti")
+      .join(target, lower(col("table_name")) === col("table_name_ci"), "left_anti")
   }
 
   /** Publish one dim if absent (pg:60-74): probe → create. Returns true if
@@ -73,7 +78,15 @@ object Publish {
       props: Properties): Long = {
     val part = spark.table(catalogTable) // S6
       .filter(col("processed_year") === year && col("processed_month") === month) // F5
-    part.write.mode(SaveMode.Append).jdbc(url, targetTable, props) // K3
-    part.count()
+    // persist so count + write share ONE pruned scan — and so the reported
+    // row count is exactly what was appended even if the catalog partition
+    // gains rows concurrently (imperative method, so unpersist is possible
+    // here unlike in the lazy query registry)
+    part.persist()
+    try {
+      val n = part.count()
+      part.write.mode(SaveMode.Append).jdbc(url, targetTable, props) // K3
+      n
+    } finally part.unpersist()
   }
 }

@@ -107,8 +107,7 @@ object Dedup {
     * the same hashes in both engines — cannot cause a cross-engine diff).
     */
   private val hashSetExpr =
-    s"array_distinct(transform($shinglesExpr," +
-      s" s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $HashP))"
+    s"array_distinct(transform($shinglesExpr, s -> ${TextOps.h31ExprSql("s")}))"
   private val hashSetSqlExpr =
     s"list_distinct(list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}))"
 
@@ -256,8 +255,7 @@ object Dedup {
 
   def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val hLambda =
-      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $HashP"
+    val hLambda = TextOps.h31ExprSql("s")
     docs.select(
       col("doc_id"),
       portableHash(col("text")).as("content_fp"),

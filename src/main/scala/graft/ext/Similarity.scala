@@ -111,18 +111,14 @@ object Similarity {
   private def planeLit(plane: Int): Column =
     typedlit((0 until embDim).map(i => planeSign(plane, i).toDouble))
 
-  private def bucketCol(emb: Column): Column =
-    (0 until lshPlanes)
-      .map(p => when(dot(emb, planeLit(p)) >= 0, 1 << p).otherwise(0))
-      .reduce((a, b) => a + b)
+  // single-table bucket = table 0 of the multi-table family (defined
+  // below with qEmbNearDup) — ONE formula, two arities, so the LSH
+  // variants and their oracles cannot drift apart
+  private def bucketCol(emb: Column): Column = tableBucketCol(0, emb)
+  private def bucketSql(e: String): String = tableBucketSql(0, e)
 
   private def planeSqlList(plane: Int): String =
     (0 until embDim).map(i => s"${planeSign(plane, i)}.0").mkString("[", ", ", "]")
-
-  private def bucketSql(e: String): String =
-    (0 until lshPlanes)
-      .map(p => s"(CASE WHEN list_dot_product($e, CAST(${planeSqlList(p)} AS DOUBLE[])) >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
 
   def qEmbAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -42,6 +42,15 @@ object TextOps {
   def h31(c: Column): Column = portableHash(c) % HashP
   def h31Sql(e: String): String = s"(${portableHashSql(e)} % $HashP)"
 
+  /** The same 31-bit hash as a Spark-SQL lambda-body string (for use
+    * inside `expr("transform/aggregate(..., $v -> ...)")` where a Column
+    * can't reach) — the ONE definition every dedup/fingerprint expression
+    * string must use, so the Spark side can never drift from [[h31Sql]]'s
+    * oracle side.
+    */
+  def h31ExprSql(v: String): String =
+    s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT) % $HashP"
+
   // ------------------------------------------------------------------
   // Token / length statistics
   // ------------------------------------------------------------------

@@ -28,9 +28,14 @@ object Tables {
     * reads the same file (TIMESTAMP_NS → TIMESTAMP), so both engines see
     * identical values.
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
-    * set once at build time in [[graft.Verify]]/[[graft.Bench]]/test suites
-    * (a loader must not mutate shared session conf as a side effect).
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session.
+    * In-repo session builders ([[graft.Verify]]/[[graft.Bench]]/test
+    * suites) set it at build time; for externally-built sessions (the
+    * driver contract passes arbitrary sessions) the loader sets this
+    * runtime-settable SQL conf itself when absent — a deliberate,
+    * documented session-wide side effect (ADVICE r2 chose this over
+    * require()-failing): such a session will afterwards read OTHER
+    * nanos-timestamp parquet as LongType too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // The driver contract passes arbitrary sessions into SparkEntry.queries;

@@ -66,59 +66,73 @@ object EventStreams {
     * bound is the difference between a runnable and an unrunnable
     * streaming dedup.
     */
-  def dedupWithinWatermark(records: DataFrame, delay: String, keyCols: String*): DataFrame =
-    records.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  def dedupWithinWatermark(records: DataFrame, delay: String, keyCols: String*): DataFrame = {
+    val marked = records.withWatermark("ts", delay)
+    // no keys = Spark's all-columns overload (mirrors dropDuplicates())
+    if (keyCols.isEmpty) marked.dropDuplicatesWithinWatermark()
+    else marked.dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Gap-based sessionization with explicit state. Used with
     * `OutputMode.Append`: only CLOSED sessions are emitted, each exactly
-    * once. Event-time timeout fires when the watermark passes
-    * `last_ts + gap`, closing idle sessions without waiting for the
-    * user's next event.
+    * once.
+    *
+    * State is the user's full set of OPEN sessions (interval merging, not
+    * a single open session): an above-watermark event may arrive OUT OF
+    * ORDER — before an open session's start, or bridging two sessions —
+    * and a single-session state would mis-assign it. A session emits ONLY
+    * once the watermark passes `last_ts + gap` (event-time timeout):
+    * after that no admissible event (all have `ts >= watermark`) can
+    * still merge into it, so emission is exact — streaming output equals
+    * the batch `session_window` answer on the same data for EVERY arrival
+    * order the watermark admits, not just in-order feeds (asserted with a
+    * late out-of-order event in EventStreamsSpec).
     */
   def sessionize(events: Dataset[StreamEvent], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions(gapMs))
   }
 
   private def close(userId: Long, s: SessionState, gapMs: Long): SessionOut =
     SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs), s.n, s.total)
 
-  /** Per-key, per-batch state transition. Spark has already dropped
-    * events below the watermark; within a batch we sort the (small)
-    * per-user slice by event time so gap logic sees time order.
+  /** Merge start-sorted sessions whose gaps are below `gapMs` (exclusive
+    * boundary: a follow-on exactly `gapMs` later stays separate, matching
+    * batch `session_window`).
+    */
+  private def mergeAdjacent(sorted: Vector[SessionState], gapMs: Long): Vector[SessionState] =
+    sorted.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+      acc.lastOption match {
+        case Some(prev) if s.startMs - prev.lastMs < gapMs =>
+          acc.init :+ SessionState(prev.startMs, math.max(prev.lastMs, s.lastMs),
+            prev.n + s.n, prev.total + s.total)
+        case _ => acc :+ s
+      }
+    }
+
+  /** Per-key transition, identical for data batches and timeout firings:
+    * fold the new events into the open-session set as single-event
+    * intervals + one merge pass, emit every session the watermark has
+    * sealed, keep the rest with a timeout at the earliest possible seal.
     */
   private[streaming] def updateSessions(gapMs: Long)(
       userId: Long,
       events: Iterator[StreamEvent],
-      state: GroupState[SessionState]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val out = close(userId, state.get, gapMs)
-      state.remove()
-      Iterator.single(out)
-    } else {
-      val sorted = events.toIndexedSeq.sortBy(_.ts.getTime)
-      var closed = Vector.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastMs >= gapMs => // exclusive end, as batch
-            closed :+= close(userId, s, gapMs)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case Some(s) =>
-            cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.total + e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
-      }
-      closed.iterator
+      state: GroupState[List[SessionState]]): Iterator[SessionOut] = {
+    val incoming = events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+    val sessions = mergeAdjacent(
+      (state.getOption.getOrElse(Nil).toVector ++ incoming)
+        .sortBy(s => (s.startMs, s.lastMs)), gapMs)
+    val wm = state.getCurrentWatermarkMs()
+    val (sealed_, open) = sessions.partition(s => s.lastMs + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open.toList)
+      state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs)
     }
+    sealed_.iterator.map(close(userId, _, gapMs))
   }
 }

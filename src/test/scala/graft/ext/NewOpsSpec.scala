@@ -74,8 +74,8 @@ class NewOpsSpec extends SparkSuite {
     df.createOrReplaceTempView("nos_docs")
     val fp = spark.sql(
       s"""SELECT doc_id, aggregate(transform(split(text, ' '),
-         |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${graft.ext.TextOps.HashP}),
-         |  0L, (acc, h) -> (acc * ${Dedup.rollingBase} + h) % ${graft.ext.TextOps.HashP}) AS fp
+         |  s -> ${TextOps.h31ExprSql("s")}),
+         |  0L, (acc, h) -> (acc * ${Dedup.rollingBase} + h) % ${TextOps.HashP}) AS fp
          |FROM nos_docs""".stripMargin).collect().map(_.getLong(1))
     assert(fp(0) !== fp(1))
   }

@@ -119,21 +119,29 @@ class EventStreamsSpec extends SparkSuite {
     import spark0.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
     val gapMs = 12L * 3600 * 1000
-    // deterministic little corpus, fed in event-time order in 2 batches,
-    // closed out by a far-future flush event
-    val evs = Seq(
-      StreamEvent(10L, ts(0.0), 1.0), StreamEvent(10L, ts(5.0), 2.0),   // session A
-      StreamEvent(10L, ts(20.0), 3.0),                                  // session B (gap 15h)
-      StreamEvent(11L, ts(2.0), 4.0), StreamEvent(11L, ts(13.9), 5.0))  // one session (gap 11.9h)
+    // deterministic little corpus in 2 batches; u12's second batch event is
+    // LATE AND OUT OF ORDER (4.5h arrives after 5h, above the 4h watermark)
+    // — exactly the arrival the multi-session state exists for: it must
+    // extend the session's START backwards. Closed out by far-future
+    // flush events.
+    val batch1 = Seq(
+      StreamEvent(10L, ts(0.0), 1.0), StreamEvent(10L, ts(5.0), 2.0),  // session A
+      StreamEvent(11L, ts(2.0), 4.0),
+      StreamEvent(12L, ts(5.0), 6.0))
+    val batch2 = Seq(
+      StreamEvent(10L, ts(20.0), 3.0),                                 // session B (gap 15h)
+      StreamEvent(11L, ts(13.9), 5.0),                                 // merges (gap 11.9h)
+      StreamEvent(12L, ts(4.5), 7.0))                                  // late out-of-order
+    val evs = batch1 ++ batch2
     val input = MemoryStream[StreamEvent]
     val query = EventStreams.sessionize(
         input.toDS().withWatermark("ts", "1 hour").as[StreamEvent], gapMs)
       .writeStream.format("memory").queryName("batch_parity_sink")
       .outputMode(OutputMode.Append).start()
     try {
-      input.addData(evs.filter(_.ts.getTime <= ts(10.0).getTime): _*)
+      input.addData(batch1: _*)
       query.processAllAvailable()
-      input.addData(evs.filter(_.ts.getTime > ts(10.0).getTime): _*)
+      input.addData(batch2: _*)
       query.processAllAvailable()
       input.addData(StreamEvent(99L, ts(100.0), 0.0)) // flush watermark
       query.processAllAvailable()

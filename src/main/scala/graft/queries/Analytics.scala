@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.model.Tables
 
@@ -382,6 +382,51 @@ object Analytics {
       |GROUP BY n_name, p_brand
       |ORDER BY nation, p_brand""".stripMargin
 
+  // --- semi-structured: JSON property extraction over events.props ---
+
+  /** JSON-column operators over `events.props` (`{"k": <int>}`): both the
+    * path-string idiom (`get_json_object`) and the typed-schema idiom
+    * (`from_json` + field access), with an in-query agreement check
+    * (`n_parse_mismatch` must be 0 — both extraction routes and both
+    * engines must read the same values). Bucketing uses floor-then-cast,
+    * never bare int cast (Spark truncates, DuckDB rounds — verify-skill
+    * rule).
+    *
+    * Scale: JSON parsing is a narrow per-row projection; `from_json` with
+    * an explicit schema avoids per-row schema inference. At 100 TB the
+    * real advice is to materialize hot JSON fields as typed columns at
+    * ingest — which is exactly what this projection is.
+    */
+  def qEventPropsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parsed = Tables.events(spark, sfDir).select(
+      $"event_type",
+      get_json_object($"props", "$.k").cast("int").as("k_path"),
+      from_json($"props", StructType.fromDDL("k INT")).getField("k").as("k_typed"))
+    parsed
+      .groupBy($"event_type", floor($"k_typed" / 10.0).cast("int").as("k_decade"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"k_typed").as("k_min"),
+        max($"k_typed").as("k_max"),
+        sum(when($"k_path" === $"k_typed", 0L).otherwise(1L)).as("n_parse_mismatch"))
+      .orderBy($"event_type", $"k_decade")
+  }
+
+  val qEventPropsJsonSql: String =
+    """WITH parsed AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+      |    CAST(props->>'k' AS INTEGER) AS k_typed
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(floor(k_typed / 10.0) AS INTEGER) AS k_decade,
+      |  count(*) AS n, min(k_typed) AS k_min, max(k_typed) AS k_max,
+      |  CAST(sum(CASE WHEN k_path = k_typed THEN 0 ELSE 1 END) AS BIGINT) AS n_parse_mismatch
+      |FROM parsed
+      |GROUP BY event_type, CAST(floor(k_typed / 10.0) AS INTEGER)
+      |ORDER BY event_type, k_decade""".stripMargin
+
   // --- session windows: gap-based sessionization (batch session_window) ---
 
   /** Session gap. 12 h fits the synthetic event cadence (median inter-event
@@ -456,6 +501,7 @@ object Analytics {
     "q_event_distinct_users" -> ((qEventDistinctUsers _, qEventDistinctUsersSql)),
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
-    "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql))
+    "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql)),
+    "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql))
   )
 }

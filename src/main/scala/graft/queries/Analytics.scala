@@ -382,6 +382,42 @@ object Analytics {
       |GROUP BY n_name, p_brand
       |ORDER BY nation, p_brand""".stripMargin
 
+  // --- percentiles: exact interpolated + t-digest sketch side by side ---
+
+  /** Per-type value percentiles via `percentile` — exact linear
+    * interpolation, the same definition as DuckDB's `quantile_cont`, so
+    * the result is oracle-checkable bit-for-bit. The sketch variant
+    * (`percentile_approx`, t-digest) is deliberately NOT in this
+    * projection: its output is engine-specific and would break the hash
+    * gate; AnalyticsSpec instead asserts the sketch lands within
+    * tolerance of these exact values (the HLL treatment of
+    * [[graft.ext.Similarity.qApproxDistinct]]).
+    *
+    * Scale: exact percentile buffers each group (memory ∝ group size) —
+    * fine for bounded-cardinality groups like event_type; for unbounded
+    * groups at 100 TB the t-digest (constant memory, mergeable partials)
+    * is the production path.
+    */
+  def qValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val qValuePercentilesSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- semi-structured: JSON property extraction over events.props ---
 
   /** JSON-column operators over `events.props` (`{"k": <int>}`): both the
@@ -502,6 +538,7 @@ object Analytics {
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
     "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql)),
-    "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql))
+    "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
+    "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql))
   )
 }

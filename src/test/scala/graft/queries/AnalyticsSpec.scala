@@ -51,4 +51,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(grand.length === 1)
     assert(grand.head.getAs[Long]("n") === 1500L)
   }
+
+  test("percentile_approx sketch lands near the exact interpolated percentiles") {
+    import org.apache.spark.sql.functions._
+    val exact = Analytics.qValuePercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (t, (e50, e90)) =>
+      val (a50, a90) = approx(t)
+      // t-digest at accuracy 10000 on ~hundreds of rows per group is
+      // within a few percent of the exact interpolated value
+      assert(math.abs(a50 - e50) <= math.max(1.0, e50 * 0.05), s"$t p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.05), s"$t p90 $a90 vs $e90")
+    }
+  }
 }

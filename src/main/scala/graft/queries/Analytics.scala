@@ -382,6 +382,54 @@ object Analytics {
       |GROUP BY n_name, p_brand
       |ORDER BY nation, p_brand""".stripMargin
 
+  // --- ntile: customer-spend quartiles (rank-family window over an agg) ---
+
+  /** Customers bucketed into spend quartiles (`ntile(4)` over total-order
+    * spend ranking), then per-quartile stats — the rank-family window
+    * shape every BI layer produces. Spend stays DECIMAL through the
+    * ranking and the per-quartile re-aggregation (order-independent),
+    * and reduces to DECIMAL(18,4) before the boundary double cast so the
+    * unscaled value stays below 2^53 (exact conversion in both engines —
+    * the q1 sum_charge precaution).
+    *
+    * Scale: one shuffle for the per-customer agg; the ntile window is a
+    * single global sort over CUSTOMER-level rows (already reduced — the
+    * fact table never passes through the window). For billions of
+    * customers, swap ntile for percent_rank bucketing over range
+    * partitioning; at any realistic customer count this plan holds.
+    */
+  def qCustomerSpendQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).as("spend"))
+    val w = Window.orderBy($"spend".desc, $"o_custkey")
+    spend.withColumn("quartile", ntile(4).over(w))
+      .groupBy($"quartile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min($"spend").cast("double").as("min_spend"),
+        max($"spend").cast("double").as("max_spend"),
+        sum($"spend").cast(DecimalType(18, 4)).cast("double").as("total_spend"))
+      .orderBy($"quartile")
+  }
+
+  val qCustomerSpendQuartilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |ranked AS (
+      |  SELECT o_custkey, spend,
+      |    CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER) AS quartile
+      |  FROM spend
+      |)
+      |SELECT quartile, count(*) AS n_customers,
+      |  CAST(min(spend) AS DOUBLE) AS min_spend,
+      |  CAST(max(spend) AS DOUBLE) AS max_spend,
+      |  CAST(CAST(sum(spend) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
+      |FROM ranked GROUP BY quartile ORDER BY quartile""".stripMargin
+
   // --- percentiles: exact interpolated + t-digest sketch side by side ---
 
   /** Per-type value percentiles via `percentile` — exact linear
@@ -539,6 +587,7 @@ object Analytics {
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
     "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql)),
     "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
-    "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql))
+    "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
+    "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql))
   )
 }

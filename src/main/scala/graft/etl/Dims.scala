@@ -261,11 +261,60 @@ object Dims {
        |GROUP BY borough
        |ORDER BY borough""".stripMargin
 
+  /** The FULL-SQL entry surface (§2.8): fact + dims registered as temp
+    * views (K4) and the star query written entirely in `spark.sql` — the
+    * way the reference's own consumers (Athena/Looker over the Glue
+    * catalog) actually query the schema. Joins carry the B2 int-FK ×
+    * string-PK coercion explicitly. Only vendors 1 and 2 exist in the
+    * fixture's VendorID range ∩ the dim (3..4 have no dim row), so the
+    * inner join is also a real referential filter.
+    */
+  def qSqlVendorBandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    StarSchema.factTrips(spark, sfDir).createOrReplaceTempView("graft_fact_trips")
+    dimVendors(spark).createOrReplaceTempView("graft_dim_vendors")
+    dimTripPeakBand(spark).createOrReplaceTempView("graft_dim_peak_band")
+    spark.sql(
+      """SELECT v.vendor_name, p.trip_peak_band_description AS band,
+        |  count(*) AS n_trips,
+        |  CAST(sum(f.total_amount) AS DOUBLE) AS revenue
+        |FROM graft_fact_trips f
+        |JOIN graft_dim_vendors v ON CAST(f.vendor_id AS STRING) = v.vendor_id
+        |JOIN graft_dim_peak_band p ON f.trip_peak_band_id = p.trip_peak_band_id
+        |GROUP BY v.vendor_name, p.trip_peak_band_description
+        |ORDER BY vendor_name, band""".stripMargin)
+  }
+
+  val qSqlVendorBandRevenueSql: String =
+    s"""WITH ${TaxiFixture.rawSql},
+       |${Cleanse.cleanseSql},
+       |${Derive.deriveSql},
+       |v AS (
+       |  SELECT * FROM (VALUES
+       |    ('1', 'Creative Mobile Technologies, LLC'),
+       |    ('2', 'Curb Mobility, LLC'),
+       |    ('6', 'Myle Technologies Inc'),
+       |    ('7', 'Helix')) AS t(vendor_id, vendor_name)
+       |),
+       |p AS (
+       |  SELECT * FROM (VALUES
+       |    ('101', 'Night Hour'), ('102', 'Peak Hour'), ('103', 'Off-Peak')
+       |  ) AS t(trip_peak_band_id, trip_peak_band_description)
+       |)
+       |SELECT v.vendor_name, p.trip_peak_band_description AS band,
+       |  count(*) AS n_trips,
+       |  CAST(sum(f.total_amount) AS DOUBLE) AS revenue
+       |FROM banded f
+       |JOIN v ON CAST(f.vendor_id AS VARCHAR) = v.vendor_id
+       |JOIN p ON f.trip_peak_band_id = p.trip_peak_band_id
+       |GROUP BY v.vendor_name, p.trip_peak_band_description
+       |ORDER BY vendor_name, band""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_dim_date" -> ((qDimDate _, qDimDateSql)),
     "q_dim_time" -> ((qDimTime _, qDimTimeSql)),
     "q_static_dims" -> ((qStaticDims _, qStaticDimsSql)),
     "q_trips_by_weekday" -> ((qTripsByWeekday _, qTripsByWeekdaySql)),
-    "q_trips_by_borough" -> ((qTripsByBorough _, qTripsByBoroughSql))
+    "q_trips_by_borough" -> ((qTripsByBorough _, qTripsByBoroughSql)),
+    "q_sql_vendor_band_revenue" -> ((qSqlVendorBandRevenue _, qSqlVendorBandRevenueSql))
   )
 }

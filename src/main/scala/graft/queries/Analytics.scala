@@ -72,7 +72,7 @@ object Analytics {
       .agg(
         sum(dec($"l_quantity")).cast("double").as("sum_qty"),
         sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        sum(revenue($"l_extendedprice", $"l_discount")).cast(DecimalType(21, 4)).cast("double").as("sum_disc_price"),
         sum(charge($"l_extendedprice", $"l_discount", $"l_tax")).cast("double").as("sum_charge"),
         (sum(dec($"l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -83,7 +83,7 @@ object Analytics {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE) AS sum_disc_price,
       |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(11,4)) * (CAST(1 AS DECIMAL(11,4)) - CAST(l_discount AS DECIMAL(11,4))) * (CAST(1 AS DECIMAL(11,4)) + CAST(l_tax AS DECIMAL(11,4)))) AS DECIMAL(21,6)) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
       |  count(*) AS count_order
@@ -100,14 +100,14 @@ object Analytics {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("rev"))
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast(DecimalType(21, 4)).cast("double").as("rev"))
       .orderBy($"rev".desc, $"l_orderkey")
       .limit(10)
   }
 
   val q3TopUnshippedSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS rev
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE) AS rev
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -129,14 +129,14 @@ object Analytics {
       .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("rev"),
+        sum(revenue($"l_extendedprice", $"l_discount")).cast(DecimalType(21, 4)).cast("double").as("rev"),
         count(lit(1)).as("n_lineitems"))
       .orderBy($"r_name", $"n_name")
   }
 
   val q5NationRevenueSql: String =
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS rev,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE) AS rev,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -366,14 +366,14 @@ object Analytics {
       .join(broadcast(Tables.nation(spark, sfDir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name".as("nation"), $"p_brand")
       .agg(
-        sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("profit"),
+        sum(revenue($"l_extendedprice", $"l_discount")).cast(DecimalType(21, 4)).cast("double").as("profit"),
         count(lit(1)).as("n_lineitems"))
       .orderBy($"nation", $"p_brand")
   }
 
   val q9ProductProfitSql: String =
     """SELECT n_name AS nation, p_brand,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE) AS profit,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'

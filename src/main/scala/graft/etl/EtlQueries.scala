@@ -17,17 +17,24 @@ import org.apache.spark.sql.functions.col
   */
 object EtlQueries {
 
-  /** The 7 FloatType fact columns (Cleanse.castMap) widened at the boundary. */
+  /** The 7 FloatType fact columns (Cleanse.castMap) widened at the boundary,
+    * plus total_amount — the registry's only DECIMAL(10,2) output column,
+    * the same driver-serialization class as REAL (ADVICE r3): DECIMAL(10,2)
+    * → DOUBLE is exact for |v| < 2^51, and both engines round the same
+    * decimal to the same nearest double.
+    */
   val realCols: Seq[String] = Seq(
     "trip_distance", "fare_amount", "extra", "mta_tax", "tip_amount",
-    "improvement_surcharge", "congestion_surcharge")
+    "improvement_surcharge", "congestion_surcharge", "total_amount")
 
   private def taxiFact(s: SparkSession, dir: String): DataFrame =
     StarSchema.factTrips(s, dir)
       .withColumns(realCols.map(c => c -> col(c).cast("double")).toMap)
-      // total-order output: trip_id is a content hash of the natural key;
-      // the measure tiebreaks make the order deterministic even if two
-      // distinct rows ever shared a natural key (ADVICE r2).
+      // trip_id (content hash of the natural key) + measure tiebreaks: the
+      // order is deterministic unless two rows collide on natural key AND
+      // both measures while differing elsewhere — dedup (A1) plus the
+      // 256-bit hash makes that practically impossible, but it is not a
+      // proven total order (ADVICE r3).
       .orderBy("trip_id", "trip_distance", "fare_amount")
 
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(

@@ -77,7 +77,8 @@ object StarSchema {
        |  CAST(improvement_surcharge AS DOUBLE) AS improvement_surcharge,
        |  CAST(congestion_surcharge AS DOUBLE) AS congestion_surcharge,
        |  airport_fee,
-       |  total_amount, '2024' AS processed_year, '1' AS processed_month
+       |  CAST(total_amount AS DOUBLE) AS total_amount,
+       |  '2024' AS processed_year, '1' AS processed_month
        |FROM banded
        |ORDER BY trip_id, CAST(trip_distance AS DOUBLE), CAST(fare_amount AS DOUBLE)""".stripMargin
 

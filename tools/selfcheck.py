@@ -106,6 +106,17 @@ def main():
                   "widened-double fetch; cast to DOUBLE at the oracle boundary")
             n_fail += 1
             continue
+        # DECIMAL outputs are the same serialization class (r3 q_taxi_fact
+        # lesson): the driver's hash of a parquet DECIMAL differs from
+        # DuckDB's fetch representation even when values are numerically
+        # identical. Widen to DOUBLE at the oracle boundary on both sides.
+        dec_cols = sorted(c for c in scols if stypes.get(c, "").startswith("DECIMAL"))
+        if dec_cols:
+            print(f"FAIL  {name}: DECIMAL output columns {dec_cols} — "
+                  "driver-hash serialization differs from DuckDB's fetch; "
+                  "cast to DOUBLE at the oracle boundary on both sides")
+            n_fail += 1
+            continue
         type_diffs = sorted(
             (c, stypes.get(c), dtypes.get(c))
             for c in set(scols) & set(dcols)

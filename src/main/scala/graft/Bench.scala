@@ -15,6 +15,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // several registry queries persist() an intermediate (minhash
+      // signatures, LSH corpus, IVF centroids) under the lazy contract;
+      // release between entries so per-query timings don't inherit the
+      // whole suite's accumulated cache pressure (mirrors Verify)
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

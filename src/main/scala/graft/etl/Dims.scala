@@ -111,8 +111,15 @@ object Dims {
     * `taxi_zone_lookup.csv` is an S3 object we cannot ship; same shape:
     * LocationID,Borough,Zone,service_zone, 265 zones). Header-inferred →
     * all string columns, like the reference.
+    *
+    * Resolved relative to the repo checkout (override with GRAFT_ZONE_CSV /
+    * -Dgraft.zone.csv) — the absolute path is interpolated into the oracle
+    * SQL too, so any checkout location works (ADVICE r3).
     */
-  val zoneCsvPath = "/root/repo/data/taxi_zone_lookup.csv"
+  val zoneCsvPath: String =
+    sys.env.get("GRAFT_ZONE_CSV")
+      .orElse(sys.props.get("graft.zone.csv"))
+      .getOrElse(new java.io.File("data/taxi_zone_lookup.csv").getAbsolutePath)
 
   def dimTaxiZoneLookup(spark: SparkSession): DataFrame =
     spark.read.option("header", "true").csv(zoneCsvPath)

@@ -21,6 +21,7 @@ object LlmQueries {
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),
     "q_emb_label_centroids" -> ((Similarity.qEmbLabelCentroids _, Similarity.qEmbLabelCentroidsSql)),
     "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
+    "q_emb_kmeans_iter" -> ((Similarity.qEmbKmeansIter _, Similarity.qEmbKmeansIterSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
   )

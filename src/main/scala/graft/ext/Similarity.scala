@@ -411,6 +411,83 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // k-means: one distributed Lloyd iteration over the embedding corpus
+  // ------------------------------------------------------------------
+
+  val kmeansK = 8
+
+  /** One full Lloyd iteration of k-means — the clustering pass a training
+    * -data pipeline runs to build an IVF index or diversity-sample a
+    * corpus. Init is deterministic (the per-label centroids of labels
+    * 0..k-1); the iteration is the canonical distributed shape:
+    *
+    *   1. ASSIGN — broadcast the constant-k centroid table, per-vector
+    *      argmin of ||v−c||² (narrow: no shuffle of the corpus).
+    *   2. UPDATE — re-aggregate centroids as per-(cell, dim) means: ONE
+    *      groupBy shuffle whose input is posexploded (cell, dim, x) rows.
+    *
+    * At 100 TB this iterates unchanged: the corpus never moves except the
+    * one partial-aggregated update shuffle per iteration (map-side combine
+    * reduces it to k×dim rows per task). Means use the same sequential
+    * double fold as [[qEmbLabelCentroids]] (oracle-protocol determinism —
+    * a production run would use the plain `avg`).
+    *
+    * Output: new centroid (cell, i, c) plus each cell's member count —
+    * n_members is constant over i within a cell; keeping the long format
+    * matches [[qEmbLabelCentroids]] and keeps the oracle mechanical.
+    */
+  def qEmbKmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = centroidsLong(spark, sfDir)
+      .filter(col("label") < kmeansK)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .persist() // feeds the single assignment pass; derived via a full posexplode
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("cv"))
+        + dot(col("cv"), col("cv"))).asc, col("c_label"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"), col("e"))
+    assigned
+      .select(col("vec_id"), col("cell"), posexplode(col("e")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("cell"), (col("pos0") + 1).as("i"), col("x"))
+      .groupBy(col("cell"), col("i"))
+      .agg(
+        (aggregate(
+          array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0), (acc, p) => acc + p.getField("x"))
+          / count(lit(1))).as("c"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cell"), col("i"))
+  }
+
+  val qEmbKmeansIterSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl
+       |  WHERE label < $kmeansK GROUP BY label
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |)
+       |SELECT cell, CAST(i AS INTEGER) AS i,
+       |  list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c,
+       |  count(*) AS n_members
+       |FROM assigned, pos
+       |WHERE rn = 1
+       |GROUP BY cell, i
+       |ORDER BY cell, i""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

@@ -565,6 +565,117 @@ object Analytics {
        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // --- as-of join: last-click attribution (merge-based, single shuffle) ---
+
+  /** As-of join — each purchase matched to the user's most recent click
+    * at-or-before it (classic last-touch attribution). Spark has no ASOF
+    * JOIN operator; the scalable formulation is the MERGE form: union the
+    * two event streams, one window pass per user carrying the running
+    * last-click forward, keep the purchase rows. ONE shuffle on user_id,
+    * no range-condition join — a range/theta join here would explode to
+    * per-pair evaluation (O(clicks × purchases) within each user), which
+    * is exactly what kills naive as-of joins at 100 TB; the merge form is
+    * linear in events per user.
+    *
+    * Determinism: clicks are pre-deduped to one per (user, ts) — min
+    * event_id — because an as-of match at a tied timestamp is otherwise
+    * ambiguous (both engines would pick an arbitrary row). Within the
+    * window, same-ts clicks sort BEFORE purchases (kind 0 < 1), matching
+    * the oracle's inclusive `p.ts >= c.ts` ASOF semantics.
+    */
+  def qEventAttributionAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("click_event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_event_id"))
+    val merged = clicks
+      .select($"user_id", $"ts", lit(0).as("kind"), $"click_event_id",
+        lit(null).cast("long").as("purchase_event_id"))
+      .unionAll(purchases.select($"user_id", $"ts", lit(1).as("kind"),
+        lit(null).cast("long").as("click_event_id"), $"purchase_event_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"kind", coalesce($"click_event_id", $"purchase_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("last_click_event_id", last($"click_event_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"user_id", $"purchase_event_id", $"ts".as("purchase_ts"),
+        $"last_click_event_id", $"last_click_ts",
+        (unix_micros($"ts") - unix_micros($"last_click_ts")).as("gap_us"))
+      .orderBy($"user_id", $"purchase_ts", $"purchase_event_id")
+  }
+
+  /** Oracle uses DuckDB's NATIVE ASOF LEFT JOIN — independent semantics,
+    * same result as the merge-window form.
+    */
+  val qEventAttributionAsofSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, min(event_id) AS click_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_event_id, ts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.purchase_event_id, p.ts AS purchase_ts,
+      |  c.click_event_id AS last_click_event_id, c.ts AS last_click_ts,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, purchase_ts, purchase_event_id""".stripMargin
+
+  // --- keep-latest compaction (upsert semantics via max_by aggregation) ---
+
+  /** Latest event per user — the compaction step of every upsert/CDC
+    * pipeline (keep the newest record per key). Implemented as a
+    * `max_by(payload, (ts, event_id))` AGGREGATION, not a window: the agg
+    * form partial-aggregates map-side (each task keeps one candidate per
+    * key before the shuffle), so the exchange carries |keys| rows instead
+    * of |events| — the window form (`row_number() = 1`) must shuffle and
+    * sort EVERY row. At 100 TB that is the difference between a
+    * keys-sized and an events-sized shuffle. AnalyticsSpec asserts both
+    * forms agree; the oracle uses the window form as an independent
+    * formulation.
+    */
+  def qEventLatestPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(
+        max_by(struct($"event_id", $"event_type", $"value"), struct($"ts", $"event_id")).as("m"),
+        max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"m.event_id".as("event_id"), $"last_ts",
+        $"m.event_type".as("event_type"), $"m.value".as("value"), $"n_events")
+      .orderBy($"user_id")
+  }
+
+  val qEventLatestPerUserSql: String =
+    """SELECT user_id, event_id, ts AS last_ts, event_type, value, n_events FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --- CUBE (full grouping-sets lattice; completes rollup's coverage) ---
+
+  def qEventCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .cube($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("total_value"))
+      .orderBy($"event_type".asc_nulls_first, $"day".asc_nulls_first)
+  }
+
+  val qEventCubeSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -586,6 +697,9 @@ object Analytics {
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
     "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql)),
+    "q_event_attribution_asof" -> ((qEventAttributionAsof _, qEventAttributionAsofSql)),
+    "q_event_latest_per_user" -> ((qEventLatestPerUser _, qEventLatestPerUserSql)),
+    "q_event_cube" -> ((qEventCube _, qEventCubeSql)),
     "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
     "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
     "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql))

@@ -660,6 +660,91 @@ object Analytics {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --- full rank-family window over supplier balances ---
+
+  /** rank / dense_rank / percent_rank / cume_dist in one windowed pass —
+    * the remaining rank-family members (row_number and ntile live in
+    * [[qTopOrdersPerPriority]] / [[qCustomerSpendQuartiles]]). The window
+    * orders ONLY by the measure, so tied balances genuinely tie (rank
+    * skips, dense_rank doesn't) — all four values depend solely on the
+    * sort KEY, so intra-tie row order can't leak into the result; the
+    * top-3 filter keeps every tied row (a set, not a sample). percent_rank
+    * and cume_dist are integer-ratio doubles — identical in both engines.
+    *
+    * Scale: partitioned by nation (bounded cardinality × bounded partition
+    * size here; for skewed partitions the qTopOrdersPerPriority salting
+    * pattern applies).
+    */
+  def qSupplierRankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc)
+    Tables.supplier(spark, sfDir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter($"rnk" <= 3)
+      .select($"s_nationkey", $"rnk", $"dense_rnk", $"pct_rank", $"cume",
+        $"s_suppkey", $"s_acctbal")
+      .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
+  }
+
+  val qSupplierRankFamilySql: String =
+    """SELECT s_nationkey, rnk, dense_rnk, pct_rank, cume, s_suppkey, s_acctbal FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |    CAST(rank() OVER w AS INTEGER) AS rnk,
+      |    CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+      |    percent_rank() OVER w AS pct_rank,
+      |    cume_dist() OVER w AS cume
+      |  FROM supplier
+      |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)) t
+      |WHERE rnk <= 3
+      |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin
+
+  // --- TPC-H Q17 shape: aggregate-then-join-back (per-key threshold) ---
+
+  /** Small-quantity revenue by brand — Q17's correlated-subquery shape
+    * done the distributed way: materialize the per-part average once
+    * (one groupBy), join it back to lineitem, filter below the per-part
+    * threshold. A literal correlated subquery would re-aggregate per
+    * probe row; the agg-then-join form costs one extra shuffle of the
+    * (small) per-key aggregate table and is the standard Spark plan. The
+    * threshold compare is pure double arithmetic on an exact
+    * decimal-sum-derived average — identical in both engines, so rows at
+    * the boundary cannot diverge.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey")
+      .agg((sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+    Tables.lineitem(spark, sfDir)
+      .join(perPart, "l_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum(dec($"l_extendedprice")).cast(DecimalType(21, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_small"))
+      .orderBy($"p_brand")
+  }
+
+  val q17SmallQtyRevenueSql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(21,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_small
+      |FROM lineitem
+      |JOIN pa USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < 0.2 * avg_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // --- CUBE (full grouping-sets lattice; completes rollup's coverage) ---
 
   def qEventCube(spark: SparkSession, sfDir: String): DataFrame = {
@@ -687,6 +772,8 @@ object Analytics {
     "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
     "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),
     "q9_product_profit" -> ((q9ProductProfit _, q9ProductProfitSql)),
+    "q17_small_qty_revenue" -> ((q17SmallQtyRevenue _, q17SmallQtyRevenueSql)),
+    "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_customers_without_orders" -> ((qCustomersWithoutOrders _, qCustomersWithoutOrdersSql)),
     "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),

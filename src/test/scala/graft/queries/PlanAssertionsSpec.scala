@@ -62,4 +62,21 @@ class PlanAssertionsSpec extends SparkSuite {
     val p = plan(graft.ext.Dedup.qDocExactDedup(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("keep-latest compaction partial-aggregates map-side (shuffle carries keys, not events)") {
+    val p = plan(Analytics.qEventLatestPerUser(spark, sf))
+    // a partial max_by below the exchange is the whole point of the agg
+    // form over the window form — each task reduces to one row per key
+    // before anything moves
+    assert(p.contains("partial_max_by"), s"no map-side combine in:\n$p")
+  }
+
+  test("as-of attribution never funnels through a single partition") {
+    // the merge-window is partitioned by user_id; a missing partition spec
+    // would plan Exchange SinglePartition and serialize the whole table
+    // through one task at any scale
+    val p = Analytics.qEventAttributionAsof(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange in:\n$p")
+  }
 }

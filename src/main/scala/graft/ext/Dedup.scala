@@ -111,26 +111,19 @@ object Dedup {
   private val hashSetSqlExpr =
     s"list_distinct(list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}))"
 
-  def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val corpus = nearCorpus(docs)
-
-    // Signatures: explode the per-doc hash set and fold all 16 mins in ONE
-    // codegen'd HashAggregate. (The tempting alternative — 16×
-    // `array_min(transform(...))` per row — runs interpreted lambdas and
-    // measured ~5× slower than the codegen'd min() aggregates.) The
-    // explicit repartition spreads the md5-dense projection across cores
-    // even when the input is one small scan split; keying it by doc_id
-    // means the groupBy needs no further exchange.
-    val par = spark.sparkContext.defaultParallelism
-    val spread = corpus.repartition(par, col("doc_id"))
-    // The hash sets feed FOUR consumers (both band-join sides via sigs +
-    // both Jaccard probes); Spark materializes nothing between branches
-    // (measured: 4 full re-evaluations of the md5 pipeline), so persist
-    // the one intermediate every branch needs — exactly what a production
-    // minhash pipeline does with its signature table at scale (~150 B/doc;
-    // MEMORY_AND_DISK spills gracefully).
-    val shingled = spread.select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
+  /** MinHash-banded candidate mining + exact-Jaccard verification over a
+    * frame carrying (doc_id, hs) — the shared core of [[qDocMinhashPairs]]
+    * and the curation funnel [[qDocCurate]]. `shingled` MUST be persisted
+    * by the caller: it feeds four consumers (both band-join sides via sigs
+    * + both Jaccard probes) and Spark materializes nothing between
+    * branches (measured: 4 full re-evaluations of the md5 pipeline).
+    *
+    * Signatures: explode the per-doc hash set and fold all 16 mins in ONE
+    * codegen'd HashAggregate. (The tempting alternative — 16×
+    * `array_min(transform(...))` per row — runs interpreted lambdas and
+    * measured ~5× slower than the codegen'd min() aggregates.)
+    */
+  private def minhashVerifiedPairs(shingled: DataFrame): DataFrame = {
     val hashed = shingled.select(col("doc_id"), explode(col("hs")).as("h"))
     val minAggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % HashP).as(s"m$i")
@@ -165,17 +158,37 @@ object Dedup {
         (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = nearCorpus(docs)
+    // The explicit repartition spreads the md5-dense projection across
+    // cores even when the input is one small scan split; keying it by
+    // doc_id means the signature groupBy needs no further exchange.
+    // Persisted: see minhashVerifiedPairs (~150 B/doc; MEMORY_AND_DISK
+    // spills gracefully) — exactly what a production minhash pipeline
+    // does with its signature table at scale.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = corpus.repartition(par, col("doc_id"))
+    val shingled = spread.select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
+    minhashVerifiedPairs(shingled).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle fragments for the minhash pipeline — shared by the pairs query
+    * and the curation funnel so the two oracles cannot drift.
+    */
+  private val minColsSql: String = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashP)) AS m$i"
+  }.mkString(",\n    ")
+  private val bandSelectsSql: String = (0 until nBands).map { b =>
+    val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
   val qDocMinhashPairsSql: String = {
-    val minCols = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashP)) AS m$i"
-    }.mkString(",\n    ")
-    val bandSelects = (0 until nBands).map { b =>
-      val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
+    val minCols = minColsSql
+    val bandSelects = bandSelectsSql
     s"""WITH $nearCorpusSql,
        |shingled AS (
        |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
@@ -281,4 +294,133 @@ object Dedup {
        |    (acc, h) -> (acc * $rollingBase + h) % $HashP) AS rolling_fp,
        |  len(list_distinct($shinglesSqlExpr)) AS n_shingles
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // End-to-end curation funnel: exact dedup → near dedup → quality gate
+  // ------------------------------------------------------------------
+
+  val curateMinTokens = 25
+  val curateMinDistinctRatio = 0.35
+
+  /** The full training-data curation pass a production corpus goes
+    * through, as ONE composed query with per-document drop attribution:
+    *
+    *   1. exact_dup   — content-hash dedup keeps the lowest doc_id per
+    *                    sha256(text);
+    *   2. near_dup    — minhash-banded candidates, exact-Jaccard verified
+    *                    ([[minhashVerifiedPairs]]); one-pass greedy rule:
+    *                    the HIGHER id of every verified pair drops (a
+    *                    deterministic, join-expressible approximation of
+    *                    iterative greedy selection — a doc paired only
+    *                    with already-dropped docs still drops);
+    *   3. low_quality — token-count / distinct-ratio floor (the TextOps
+    *                    quality heuristics as a gate).
+    *
+    * Reasons apply in that order (first match wins), mirroring pipeline
+    * stage order. The corpus injects BOTH duplicate kinds over documents
+    * (exact copies every 7th doc, suffix-perturbed near-copies every
+    * 25th) so all three gates demonstrably fire.
+    *
+    * Scale: stage costs are exactly the member queries' (one sha shuffle;
+    * the banded self-join; a narrow projection) — composing them adds
+    * only the final left-joins on doc_id, and the shared shingle table is
+    * computed once (persisted, four consumers).
+    */
+  def qDocCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+    val par = spark.sparkContext.defaultParallelism
+    val shingled = corpus.repartition(par, col("doc_id"))
+      .select(col("doc_id"), col("text"), expr(hashSetExpr).as("hs"))
+      .persist()
+
+    val keepers = shingled
+      .groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val exact = shingled.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .join(keepers, "sha")
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
+
+    val nearDropped = minhashVerifiedPairs(shingled.select(col("doc_id"), col("hs")))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+
+    val toks = split(col("text"), " ")
+    val quality = shingled.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("distinct_ratio"))
+
+    exact
+      .join(nearDropped, Seq("doc_id"), "left")
+      .join(quality, "doc_id")
+      .select(col("doc_id"),
+        when(col("is_exact_dup"), "exact_dup")
+          .when(coalesce(col("is_near_dup"), lit(false)), "near_dup")
+          .when(col("n_tokens") < curateMinTokens ||
+            col("distinct_ratio") < curateMinDistinctRatio, "low_quality")
+          .otherwise("kept").as("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocCurateSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' near duplicate suffix' AS text
+       |  FROM documents WHERE doc_id % 25 = 0
+       |),
+       |shingled AS (
+       |  SELECT doc_id, text, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minColsSql
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |near AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |),
+       |keepers AS (
+       |  SELECT sha256(text) AS sha, min(doc_id) AS keep_id FROM corpus GROUP BY sha256(text)
+       |),
+       |exact AS (
+       |  SELECT c.doc_id, c.doc_id <> k.keep_id AS is_exact_dup
+       |  FROM (SELECT doc_id, sha256(text) AS sha FROM corpus) c JOIN keepers k USING (sha)
+       |),
+       |quality AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+       |  FROM corpus
+       |)
+       |SELECT e.doc_id,
+       |  CASE WHEN is_exact_dup THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN n_tokens < $curateMinTokens OR distinct_ratio < $curateMinDistinctRatio THEN 'low_quality'
+       |       ELSE 'kept' END AS drop_reason
+       |FROM exact e
+       |LEFT JOIN near n ON e.doc_id = n.doc_id
+       |JOIN quality q ON e.doc_id = q.doc_id
+       |ORDER BY e.doc_id""".stripMargin
 }

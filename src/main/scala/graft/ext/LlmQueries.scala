@@ -16,6 +16,7 @@ object LlmQueries {
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
+    "q_doc_curate" -> ((Dedup.qDocCurate _, Dedup.qDocCurateSql)),
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),

@@ -72,6 +72,26 @@ class Round4OpsSpec extends SparkSuite {
     assert(byType === total && byDay === total)
   }
 
+  test("curation funnel: every gate fires, injected dups attribute to the right stage") {
+    val out = graft.ext.Dedup.qDocCurate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    val reasons = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(reasons.getOrElse("kept", 0) > 0, s"nothing kept: $reasons")
+    assert(reasons.getOrElse("exact_dup", 0) > 0, s"exact gate never fired: $reasons")
+    assert(reasons.getOrElse("near_dup", 0) > 0, s"near gate never fired: $reasons")
+    assert(reasons.getOrElse("low_quality", 0) > 0, s"quality gate never fired: $reasons")
+    // every injected exact copy (+100000) deduplicates against its source
+    val exactCopies = out.filter { case (id, _) => id >= 100000 && id < 200000 }
+    assert(exactCopies.nonEmpty && exactCopies.values.forall(_ == "exact_dup"))
+    // the banded minhash catches (at least most of) the +200000 near copies
+    val nearCopies = out.filter { case (id, _) => id >= 200000 }
+    assert(nearCopies.nonEmpty)
+    assert(nearCopies.values.count(_ == "near_dup") * 2 > nearCopies.size,
+      s"near recall under 50%: ${nearCopies.values.groupBy(identity).view.mapValues(_.size).toMap}")
+    // originals never drop as duplicates of their own injected copies
+    assert(!out.filter(_._1 < 100000).values.exists(r => r == "exact_dup"))
+  }
+
   test("k-means iteration: valid cells, consistent member counts, full coverage") {
     val out = Similarity.qEmbKmeansIter(spark, sf).collect()
     val corpus = Tables.embeddings(spark, sf).count()

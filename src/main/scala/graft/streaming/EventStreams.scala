@@ -73,6 +73,39 @@ object EventStreams {
     else marked.dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Stream-stream interval join: purchases × clicks of the same user
+    * within a bounded lookback — the streaming complement of the batch
+    * as-of join ([[graft.queries.Analytics.qEventAttributionAsof]]);
+    * interval semantics emit ALL clicks in the window, not just the
+    * latest (exact as-of needs a stateful post-pass).
+    *
+    * Both inputs must carry (user_id, ts, event_id). The watermarks plus
+    * the TWO-SIDED time-range condition are what bound the join state:
+    * Spark derives each side's eviction horizon from them (a click older
+    * than purchase-watermark − lookback can never match again and is
+    * evicted from the state store). Without the range condition,
+    * stream-stream join state grows forever — the streaming equivalent
+    * of an unbounded shuffle, and the difference between a runnable and
+    * an OOM-bound attribution stream at production volume.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour", lookback: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event_id"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("p_user").as("user_id"), col("purchase_event_id"),
+        col("purchase_ts"), col("click_event_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization with explicit state. Used with
     * `OutputMode.Append`: only CLOSED sessions are emitted, each exactly
     * once.

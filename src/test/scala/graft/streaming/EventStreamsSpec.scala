@@ -114,6 +114,33 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches within lookback only, in both directions") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id"),
+      delay = "1 hour", lookback = "2 hours")
+    val query = joined.writeStream
+      .format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // u1: two clicks inside the 2h lookback of p200 → both match;
+      //     p201 at 4h is > 2h past both clicks → no match.
+      // u2: click AFTER the purchase → no match.
+      clicks.addData((1L, ts(1.0), 100L), (1L, ts(1.4), 101L), (2L, ts(2.0), 300L))
+      purchases.addData((1L, ts(1.5), 200L), (1L, ts(4.0), 201L), (2L, ts(1.0), 301L))
+      query.processAllAvailable()
+      val rows = spark.table("attr_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(rows == Set((1L, 200L, 100L), (1L, 200L, 101L)))
+    } finally query.stop()
+  }
+
   test("streaming sessionization agrees with the batch session_window query") {
     val spark0 = spark
     import spark0.implicits._

@@ -31,7 +31,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q5NationRevenue(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Persist contract: several entries (minhash signatures, LSH corpus,
+    * IVF/k-means centroids, curation shingles) `persist()` an intermediate
+    * that the lazy fn-returning contract cannot unpersist. Iterators over
+    * this registry should call `spark.catalog.clearCache()` between
+    * entries (as [[graft.Verify]] and [[graft.Bench]] do) so caches don't
+    * accumulate for the session lifetime.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, (fn, _)) => k -> fn }
 

@@ -273,6 +273,36 @@ object Analytics {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 
+  // --- explicit GROUPING SETS + grouping_id through the SQL surface ---
+
+  /** Hand-picked grouping sets — (priority), (status), and the grand
+    * total — with `grouping_id()` disambiguating which set produced each
+    * row (the NULL-vs-grouped ambiguity rollup/cube leave behind).
+    * Written through `spark.sql` over a temp view: grouping sets are
+    * first-class in the SQL surface (§2.8), and the bitmask semantics
+    * (left column = high bit) agree between Spark and DuckDB.
+    */
+  def qOrderGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
+  val qOrderGroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(grouping(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   // --- Conditional aggregation (pivot expressed portably as filtered aggs) ---
   def qEventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -779,6 +809,7 @@ object Analytics {
     "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),
     "q_customer_order_counts" -> ((qCustomerOrderCounts _, qCustomerOrderCountsSql)),
     "q_order_rollup" -> ((qOrderRollup _, qOrderRollupSql)),
+    "q_order_grouping_sets" -> ((qOrderGroupingSets _, qOrderGroupingSetsSql)),
     "q_event_type_pivot" -> ((qEventTypePivot _, qEventTypePivotSql)),
     "q_event_distinct_users" -> ((qEventDistinctUsers _, qEventDistinctUsersSql)),
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),

@@ -82,4 +82,64 @@ object Multimodal {
       |  CAST(octet_length(unhex(sha256(text))) AS BIGINT) AS n_bytes,
       |  CAST(('0x' || substr(sha256(text), 1, 14)) AS BIGINT) AS feature64
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Resize planning + frame sampling — the two remaining multimodal prep
+    * ops, both REAL computations on the typed metadata (only pixel/sample
+    * decode needs the stub): fit-within-224×224 target dimensions
+    * preserving aspect ratio (never upscale), and for videos an exploded
+    * ~8-frame uniform sample of the frame index range (images/audio emit
+    * their single "frame" 0). The generator (`sequence`+`explode`) runs
+    * per row executor-side — the fan-out shape a real frame extractor
+    * feeds into, and the row set a downstream decode (qMmDecode's
+    * mapPartitions) would consume.
+    *
+    * Scale: narrow projection + per-row generator, no shuffle; fan-out is
+    * bounded by the sample budget (≤ 9 rows/video), so output size is
+    * O(corpus), not O(total frames).
+    */
+  def qMmResizeSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = mediaFixture(spark, sfDir).toDF()
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height"), lit(1.0)))
+      .withColumn("out_w", greatest(lit(1L), floor(col("width") * col("scale"))))
+      .withColumn("out_h", greatest(lit(1L), floor(col("height") * col("scale"))))
+      .withColumn("n_frames",
+        when(col("media_type") === "video", col("doc_id") % 240 + 8).otherwise(lit(1L)))
+      .withColumn("sample_step", greatest(lit(1L), floor(col("n_frames") / 8)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, col("sample_step"))))
+    m.select(col("doc_id"), col("media_type"), col("out_w"), col("out_h"),
+        col("n_frames"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val qMmResizeSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    (doc_id % 64 + 1) * 16 AS width,
+      |    (doc_id % 48 + 1) * 16 AS height
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT *, least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height,
+      |    CAST(1.0 AS DOUBLE)) AS scale
+      |  FROM m
+      |),
+      |d AS (
+      |  SELECT doc_id, media_type,
+      |    greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+      |    greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h,
+      |    CASE WHEN media_type = 'video' THEN doc_id % 240 + 8 ELSE 1 END AS n_frames
+      |  FROM r
+      |),
+      |s AS (
+      |  SELECT *, greatest(1, CAST(floor(n_frames / 8) AS BIGINT)) AS sample_step FROM d
+      |)
+      |SELECT doc_id, media_type, out_w, out_h, n_frames,
+      |  unnest(range(0, n_frames, sample_step)) AS frame_idx
+      |FROM s
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

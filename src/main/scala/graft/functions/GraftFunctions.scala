@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Cast, Descending, Expression, ExpressionInfo, SortOrder}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
+
+import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
 
 /** The engine's custom-function surface.
   *
@@ -41,13 +43,44 @@ object GraftFunctions {
     })
 }
 
-/** Registers graft's custom functions for the SQL surface — use via
+/** Whole-operator surface built on custom logical plans
+  * ([[graft.plans.TopKPerKey]]).
+  */
+object GraftOps {
+
+  /** Native top-k per key (sort-free bounded-heap operator — see
+    * [[graft.plans.TopKPerKey]] for the plan rationale). `order` entries
+    * are (columnName, descending). Columns resolve by name
+    * (case-insensitive) against `df`. The planner strategy is added to
+    * the session idempotently, so this works on driver-supplied sessions
+    * built without [[GraftExtensions]].
+    */
+  def topKPerKey(
+      df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    Bridge.addStrategy(spark, TopKPerKeyStrategy)
+    val child = Bridge.analyzed(df)
+    def attr(name: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrders = order.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    Bridge.dataFrame(spark, TopKPerKey(k, keys.map(attr), sortOrders, child))
+  }
+}
+
+/** Registers graft's custom functions and planner strategies for the SQL/
+  * session surface — use via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
   * `spark.sql.extensions` conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.description)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -183,6 +183,33 @@ object Analytics {
       |WHERE rank_in_priority <= 3
       |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
 
+  // --- native top-k per key (custom Catalyst operator, oracle-checked) ---
+
+  /** [[qTopOrdersPerPriority]]'s result computed by the engine's custom
+    * whole-operator extension ([[graft.plans.TopKPerKey]]: bounded heap
+    * per key, key exchange but NO sort in the plan) instead of the salted
+    * double-window. The oracle stays the stock row_number formulation —
+    * an independent semantics check of the custom exec.
+    */
+  def qTopOrdersNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftOps.topKPerKey(
+        Tables.orders(spark, sfDir)
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+        keys = Seq("o_orderpriority"),
+        order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val qTopOrdersNativeSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   // --- Running total per customer (ordered window frame; decimal = exact) ---
   def qRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -805,6 +832,7 @@ object Analytics {
     "q17_small_qty_revenue" -> ((q17SmallQtyRevenue _, q17SmallQtyRevenueSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
+    "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),
     "q_customers_without_orders" -> ((qCustomersWithoutOrders _, qCustomersWithoutOrdersSql)),
     "q_customer_order_activity" -> ((qCustomerOrderActivity _, qCustomerOrderActivitySql)),
     "q_customer_order_counts" -> ((qCustomerOrderCounts _, qCustomerOrderCountsSql)),

@@ -2,8 +2,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Column ↔ Expression bridge.
   *
@@ -34,4 +36,24 @@ object Bridge {
       info: ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4; needed to expose custom logical operators
+    * (graft.plans.TopKPerKey) through the public DataFrame API.
+    */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to an EXISTING session (the
+    * `experimental.extraStrategies` route; sessions built with
+    * `withExtensions` use `injectPlannerStrategy` instead).
+    */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

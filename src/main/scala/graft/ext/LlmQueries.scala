@@ -12,6 +12,7 @@ object LlmQueries {
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_doc_text_stats" -> ((TextOps.qDocTextStats _, TextOps.qDocTextStatsSql)),
     "q_doc_lang_quality" -> ((TextOps.qDocLangQuality _, TextOps.qDocLangQualitySql)),
+    "q_doc_sample_stratified" -> ((TextOps.qDocSampleStratified _, TextOps.qDocSampleStratifiedSql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),

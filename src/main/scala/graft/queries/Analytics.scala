@@ -285,6 +285,76 @@ object Analytics {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
+  // --- FULL OUTER join (completes the join-type matrix) ---
+
+  /** Customer vs (high-balance) supplier presence per nation via FULL
+    * OUTER join of two aggregates. The supplier side is filtered so some
+    * nations genuinely lose it — the outer semantics (null-padded sides,
+    * coalesced keys) are observable, not vacuous. Both inputs are
+    * pre-aggregated to nation grain BEFORE the join: the outer join
+    * shuffles ≤ |nations| rows per side, never the base tables.
+    */
+  def qNationCustSuppFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    val supp = Tables.supplier(spark, sfDir)
+      .filter($"s_acctbal" > 6000.0)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_rich_suppliers"))
+    cust.join(supp, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_rich_suppliers", lit(0L)).as("n_rich_suppliers"))
+      .orderBy($"nationkey")
+  }
+
+  val qNationCustSuppFullSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey
+      |),
+      |s AS (
+      |  SELECT s_nationkey, count(*) AS n_rich_suppliers FROM supplier
+      |  WHERE s_acctbal > 6000.0 GROUP BY s_nationkey
+      |)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // --- native pivot + unpivot round trip ---
+
+  /** Spark's NATIVE `pivot` (explicit value list — deterministic columns,
+    * no value-discovery pass) immediately melted back to long form with
+    * `unpivot` — covering both reshaping operators in one oracle-checked
+    * query. The unpivot drops the null cells pivot minted for absent
+    * (day, type) combos, so the round trip equals the direct group-by,
+    * which is exactly what the oracle states.
+    */
+  def qEventUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(sum(dec($"value")).cast("double"))
+    pivoted.unpivot(
+        ids = Array($"day"),
+        values = types.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "total_value")
+      .filter($"total_value".isNotNull)
+      .orderBy($"day", $"event_type")
+  }
+
+  val qEventUnpivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY CAST(ts AS DATE), event_type
+      |ORDER BY day, event_type""".stripMargin
+
   // --- ROLLUP (hierarchical grouping sets) ---
   def qOrderRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -839,6 +909,8 @@ object Analytics {
     "q_order_rollup" -> ((qOrderRollup _, qOrderRollupSql)),
     "q_order_grouping_sets" -> ((qOrderGroupingSets _, qOrderGroupingSetsSql)),
     "q_event_type_pivot" -> ((qEventTypePivot _, qEventTypePivotSql)),
+    "q_event_unpivot" -> ((qEventUnpivot _, qEventUnpivotSql)),
+    "q_nation_cust_supp_full" -> ((qNationCustSuppFull _, qNationCustSuppFullSql)),
     "q_event_distinct_users" -> ((qEventDistinctUsers _, qEventDistinctUsersSql)),
     "q_event_gaps" -> ((qEventGaps _, qEventGapsSql)),
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),

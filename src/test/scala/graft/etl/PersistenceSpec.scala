@@ -43,6 +43,43 @@ class PersistenceSpec extends SparkSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("dynamic partition overwrite: reprocessing one month replaces it, others untouched") {
+    // The reference's operational story for late/bad data is "re-drop the
+    // month file" (SURVEY §2.9). With plain append that duplicates the
+    // month (dedup downstream); the production-grade variant is DYNAMIC
+    // partition overwrite — only partitions present in the incoming data
+    // are replaced, every other month's files are untouched. At 100 TB
+    // this is how one month reprocesses without rewriting (or double-
+    // loading) the other 119.
+    val table = "graft_fact_dpo_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val raw = TaxiFixture.raw(spark, sf)
+      val jan = StarSchema.transform(raw, "2024", "1")
+      val feb = StarSchema.transform(raw, "2024", "2")
+      val nJan = jan.count()
+      jan.write.partitionBy("processed_year", "processed_month")
+        .format("parquet").saveAsTable(table)
+      feb.write.mode(SaveMode.Overwrite).insertInto(table)
+      assert(spark.table(table).count() === 2 * nJan)
+      // reprocess February only: half the rows this time
+      val feb2 = StarSchema.transform(raw, "2024", "2")
+        .filter(col("passenger_count") % 2 === 0)
+      val nFeb2 = feb2.count()
+      assert(nFeb2 < nJan)
+      feb2.write.mode(SaveMode.Overwrite).insertInto(table)
+      // February replaced, January untouched
+      val byMonth = spark.table(table).groupBy(col("processed_month")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byMonth === Map("1" -> nJan, "2" -> nFeb2))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("K2/K3/S7: JDBC create, append, and pushdown-subquery read (embedded Derby)") {
     val url = "jdbc:derby:memory:graftjdbc;create=true"
     val props = new Properties()

@@ -134,9 +134,9 @@ object EventStreams {
 
   /** Merge start-sorted sessions whose gaps are below `gapMs` (exclusive
     * boundary: a follow-on exactly `gapMs` later stays separate, matching
-    * batch `session_window`).
+    * batch `session_window`). Package-visible for property tests.
     */
-  private def mergeAdjacent(sorted: Vector[SessionState], gapMs: Long): Vector[SessionState] =
+  private[graft] def mergeAdjacent(sorted: Vector[SessionState], gapMs: Long): Vector[SessionState] =
     sorted.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
       acc.lastOption match {
         case Some(prev) if s.startMs - prev.lastMs < gapMs =>

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionState
+
+/** ScalaCheck properties (SURVEY §5.3): algebraic invariants that hold for
+  * ALL inputs, not just the fixtures — session merging conservation and
+  * separation, custom top-k ≡ window form, dedup idempotence.
+  */
+class PropertiesSpec extends SparkSuite {
+
+  private def check(name: String, p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("mergeAdjacent conserves events/totals and leaves only >= gap separations") {
+    val genSessions: Gen[Vector[SessionState]] = for {
+      n <- Gen.choose(0, 12)
+      starts <- Gen.listOfN(n, Gen.choose(0L, 100L))
+      lens <- Gen.listOfN(n, Gen.choose(0L, 20L))
+      vals <- Gen.listOfN(n, Gen.choose(1, 9))
+    } yield starts.lazyZip(lens).lazyZip(vals)
+      .map((s, l, v) => SessionState(s, s + l, 1L, v.toDouble))
+      .sortBy(s => (s.startMs, s.lastMs)).toVector
+    val gap = 10L
+    check("mergeAdjacent", Prop.forAll(genSessions) { sessions =>
+      val merged = EventStreams.mergeAdjacent(sessions, gap)
+      val conserved = merged.map(_.n).sum == sessions.map(_.n).sum &&
+        merged.map(_.total).sum == sessions.map(_.total).sum // small-int doubles: exact
+      val separated = merged.zip(merged.drop(1)).forall { case (a, b) =>
+        b.startMs - a.lastMs >= gap
+      }
+      val covering = merged.forall(m => m.lastMs >= m.startMs)
+      conserved && separated && covering
+    }, n = 100)
+  }
+
+  test("native TopKPerKey equals the window formulation for arbitrary data and k") {
+    val spark0 = spark
+    import spark0.implicits._
+    val genRows: Gen[List[(Int, Int)]] = Gen.listOf(
+      Gen.zip(Gen.choose(0, 4), Gen.choose(-50, 50)))
+    check("topk≡window", Prop.forAll(genRows, Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((key, v), id) => (key, v, id.toLong) }
+        .toDF("key", "v", "id")
+      val native = graft.functions.GraftOps.topKPerKey(
+        df, Seq("key"), Seq(("v", true), ("id", false)), k).collect()
+      val w = Window.partitionBy($"key").orderBy($"v".desc, $"id")
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn").collect()
+      native.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap ==
+        expected.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    }, n = 8)
+  }
+
+  test("dropDuplicates is idempotent and matches the set-theoretic count") {
+    val spark0 = spark
+    import spark0.implicits._
+    val genRows: Gen[List[(Int, Int)]] = Gen.listOf(
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3)))
+    check("dedup", Prop.forAll(genRows) { rows =>
+      val df = rows.toDF("a", "b")
+      val once = df.dropDuplicates()
+      once.count() == rows.toSet.size && once.dropDuplicates().count() == rows.toSet.size
+    }, n = 8)
+  }
+}

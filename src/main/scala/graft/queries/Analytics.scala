@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, StructType}
@@ -593,6 +593,40 @@ object Analytics {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- custom typed Aggregator: log2-histogram sketch of event values ---
+
+  /** Per-type value distribution through the custom
+    * [[graft.functions.LogHistogram]] Aggregator (constant 128-byte
+    * mergeable buffer per group — the Aggregator extension type in
+    * action), exploded to (bucket, n) rows. The oracle recomputes the
+    * same histogram with a plain CASE+GROUP BY — an independent
+    * formulation validating the aggregator's reduce/merge/finish path,
+    * including its map-side partial aggregation.
+    */
+  def qValueLogHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val histo = udaf(graft.functions.LogHistogram, Encoders.scalaDouble)
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(histo($"value").as("h"))
+      .select($"event_type", posexplode($"h").as(Seq("bucket", "n")))
+      .filter($"n" > 0)
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val qValueLogHistogramSql: String = {
+    val edges = graft.functions.LogHistogram.thresholds
+    // bucket = number of exact power-of-two edges <= v (same comparisons
+    // as the Scala loop; no log2 — see LogHistogram determinism note)
+    val bucketExpr = edges.zipWithIndex
+      .map { case (t, i) => s"WHEN value < $t THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${edges.length} END")
+    s"""SELECT event_type, bucket, count(*) AS n FROM (
+       |  SELECT event_type, CAST($bucketExpr AS INT) AS bucket FROM events)
+       |GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+  }
+
   // --- semi-structured: JSON property extraction over events.props ---
 
   /** JSON-column operators over `events.props` (`{"k": <int>}`): both the
@@ -920,6 +954,7 @@ object Analytics {
     "q_event_cube" -> ((qEventCube _, qEventCubeSql)),
     "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
     "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
+    "q_value_log_histogram" -> ((qValueLogHistogram _, qValueLogHistogramSql)),
     "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql))
   )
 }

@@ -509,6 +509,76 @@ object Analytics {
       |GROUP BY n_name, p_brand
       |ORDER BY nation, p_brand""".stripMargin
 
+  // --- TPC-H Q14 shape: conditional-share ratio over a month window ---
+
+  /** Promo revenue share for one ship month — Q14's shape: a tight
+    * date-range filter (pushes to the parquet scan, prunes the join
+    * input), a fact×part join, and a global conditional/total ratio.
+    * Both sums reduce through DECIMAL then widen to DOUBLE before the
+    * single division (exact, order-independent, cross-engine stable).
+    */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-07-01").cast("timestamp"))
+    li.join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .agg(
+        (lit(100.0) *
+          sum(when($"p_type".like("PROMO%"),
+            revenue($"l_extendedprice", $"l_discount")).otherwise(lit(0).cast(DecimalType(18, 4))))
+            .cast(DecimalType(21, 4)).cast("double") /
+          sum(revenue($"l_extendedprice", $"l_discount"))
+            .cast(DecimalType(21, 4)).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT
+      |  CAST(100.0 AS DOUBLE) *
+      |    CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(21,4)) AS DOUBLE) /
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE)
+      |    AS promo_share_pct,
+      |  count(*) AS n_lineitems
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_shipdate < TIMESTAMP '1998-07-01'""".stripMargin
+
+  // --- TPC-H Q19 shape: disjunctive multi-column join predicate ---
+
+  /** Q19's discount-revenue shape: three OR'd (brand, size, quantity)
+    * arms evaluated against the JOINED row. The single-column conjuncts
+    * Catalyst can factor out (p_size >= 1, quantity bounds) push to the
+    * scans; the cross-table disjunction evaluates post-join — the plan
+    * shape every OR-of-ANDs filter gets at scale.
+    */
+  def q19DiscountRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val arm1 = $"p_brand" === "Brand#12" && $"p_size".between(1, 20) && $"l_quantity".between(1, 20)
+    val arm2 = $"p_brand" === "Brand#23" && $"p_size".between(1, 30) && $"l_quantity".between(10, 30)
+    val arm3 = $"p_brand" === "Brand#5" && $"p_size".between(1, 40) && $"l_quantity".between(20, 40)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .filter(arm1 || arm2 || arm3)
+      .groupBy($"p_brand")
+      .agg(
+        sum(revenue($"l_extendedprice", $"l_discount")).cast(DecimalType(21, 4)).cast("double").as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+  }
+
+  val q19DiscountRevenueSql: String =
+    """SELECT p_brand,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS DOUBLE) AS rev,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 40)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // --- ntile: customer-spend quartiles (rank-family window over an agg) ---
 
   /** Customers bucketed into spend quartiles (`ntile(4)` over total-order
@@ -933,7 +1003,9 @@ object Analytics {
     "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
     "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),
     "q9_product_profit" -> ((q9ProductProfit _, q9ProductProfitSql)),
+    "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q17_small_qty_revenue" -> ((q17SmallQtyRevenue _, q17SmallQtyRevenueSql)),
+    "q19_discount_revenue" -> ((q19DiscountRevenue _, q19DiscountRevenueSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

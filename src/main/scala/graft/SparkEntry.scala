@@ -27,9 +27,13 @@ object SparkEntry {
   private lazy val all: ListMap[String, ((SparkSession, String) => DataFrame, String)] =
     ListMap(registries.flatten: _*)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own flagship is the Job-1 ETL pipeline (SURVEY §3 E1),
+    * so the smoke runs its full cleanse→derive→star path via the band
+    * roll-up (3 rows).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q5NationRevenue(spark, "/root/testdata/sf0.001")
+    graft.etl.StarSchema.bandSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

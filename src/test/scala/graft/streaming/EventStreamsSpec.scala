@@ -141,6 +141,20 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("hourlyStats on a static frame re-aggregates to the batch hourly query") {
+    // the SAME streaming transform evaluates in batch (Spark's unified
+    // model); rolled up over event_type it must equal qHourlyEventStats
+    val sfDir = sf
+    val stats = EventStreams.hourlyStats(
+        graft.model.Tables.events(spark, sfDir).select("ts", "event_type", "value"))
+      .groupBy(col("hour"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+    val batch = graft.queries.Analytics.qHourlyEventStats(spark, sfDir)
+    assert(stats.exceptAll(batch).isEmpty && batch.exceptAll(stats).isEmpty)
+  }
+
   test("streaming sessionization agrees with the batch session_window query") {
     val spark0 = spark
     import spark0.implicits._

@@ -663,6 +663,63 @@ object Analytics {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- statistical aggregates from exact moments (deterministic corr) ---
+
+  /** Mean, sample stddev, and Pearson correlation of (value, props.k) per
+    * event type — WITHOUT `stddev`/`corr` builtins: Spark's streaming
+    * (Welford-style) moment merges are partition-order-dependent in the
+    * low bits and differ from DuckDB's algorithm, so the builtins can
+    * never be hash-compared cross-engine. Instead the five raw moments
+    * (Σx, Σx², Σy, Σy², Σxy) accumulate EXACTLY — value is 2-decimal data
+    * so DECIMAL(11,2) holds it exactly and every moment's unscaled value
+    * stays under 2⁵³ (exact decimal→double) — and the final formulas run
+    * in double with the SAME expression shape as the oracle: identical
+    * inputs, identical op order, identical doubles. Order-independent,
+    * any parallelism. The builtins stay available for tolerance use; this
+    * is the reproducible path.
+    */
+  def qEventValueStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"value".cast(DecimalType(11, 2))
+    val y = get_json_object($"props", "$.k").cast("long").cast(DecimalType(11, 0))
+    val agg = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val nD = $"n".cast("double")
+    val sxD = $"sx".cast("double"); val sxxD = $"sxx".cast("double")
+    val syD = $"sy".cast("double"); val syyD = $"syy".cast("double")
+    val sxyD = $"sxy".cast("double")
+    agg.select(
+        $"event_type", $"n",
+        (sxD / nD).as("mean_value"),
+        sqrt((sxxD - sxD * sxD / nD) / (nD - lit(1.0))).as("stddev_value"),
+        ((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("corr_value_k"))
+      .orderBy($"event_type")
+  }
+
+  val qEventValueStatsSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(11,2))) AS sx,
+      |    sum(CAST(value AS DECIMAL(11,2)) * CAST(value AS DECIMAL(11,2))) AS sxx,
+      |    sum(CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(11,0))) AS sy,
+      |    sum(CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(11,0)) * CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(11,0))) AS syy,
+      |    sum(CAST(value AS DECIMAL(11,2)) * CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(11,0))) AS sxy
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_value,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_value_k
+      |FROM m ORDER BY event_type""".stripMargin
+
   // --- custom typed Aggregator: log2-histogram sketch of event values ---
 
   /** Per-type value distribution through the custom
@@ -1027,6 +1084,7 @@ object Analytics {
     "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
     "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
     "q_value_log_histogram" -> ((qValueLogHistogram _, qValueLogHistogramSql)),
+    "q_event_value_stats" -> ((qEventValueStats _, qEventValueStatsSql)),
     "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql))
   )
 }

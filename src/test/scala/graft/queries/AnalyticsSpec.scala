@@ -11,6 +11,29 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("builtin stddev/corr agree with the exact-moment formulation within 1e-9") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val exact = Analytics.qEventValueStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("mean_value"), r.getAs[Double]("stddev_value"),
+          r.getAs[Double]("corr_value_k"))).toMap
+    val builtin = graft.model.Tables.events(spark, sf)
+      .select($"event_type", $"value",
+        get_json_object($"props", "$.k").cast("double").as("k"))
+      .groupBy($"event_type")
+      .agg(avg($"value").as("m"), stddev($"value").as("s"), corr($"value", $"k").as("c"))
+      .collect()
+    assert(builtin.nonEmpty)
+    builtin.foreach { r =>
+      val (m, s, c) = exact(r.getString(0))
+      assert(math.abs(r.getAs[Double]("m") - m) <= 1e-9 * math.max(1, math.abs(m)))
+      assert(math.abs(r.getAs[Double]("s") - s) <= 1e-9 * math.max(1, math.abs(s)))
+      assert(math.abs(r.getAs[Double]("c") - c) <= 1e-9 * math.max(1, math.abs(c)))
+    }
+  }
+
   test("q1 pricing summary groups all flag/status combinations") {
     val rows = Analytics.q1PricingSummary(spark, sf).collect()
     assert(rows.length === 6) // 3 returnflags x 2 linestatus in the generator

@@ -73,11 +73,13 @@ object Dedup {
   val rowsPerBand = 4
   val jaccardThreshold = 0.5
 
-  /** Word 3-shingles of `text` (min 1 shingle for tiny docs). */
-  private val shinglesExpr =
+  /** Word 3-shingles of `text` (min 1 shingle for tiny docs). Shared with
+    * [[TextOps.qDocRepetition]].
+    */
+  private[ext] val shinglesExpr =
     "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
       " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-  private val shinglesSqlExpr =
+  private[ext] val shinglesSqlExpr =
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
       " i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
 

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmQueries {
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_doc_text_stats" -> ((TextOps.qDocTextStats _, TextOps.qDocTextStatsSql)),
+    "q_doc_repetition" -> ((TextOps.qDocRepetition _, TextOps.qDocRepetitionSql)),
     "q_doc_lang_quality" -> ((TextOps.qDocLangQuality _, TextOps.qDocLangQualitySql)),
     "q_doc_sample_stratified" -> ((TextOps.qDocSampleStratified _, TextOps.qDocSampleStratifiedSql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),

@@ -87,6 +87,42 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Repetition ratio (boilerplate detection)
+  // ------------------------------------------------------------------
+
+  /** Share of the document occupied by its most frequent 3-shingle — the
+    * repetition filter of C4/RefinedWeb-style curation (templated or
+    * looping text scores high and is dropped). Two doc-keyed aggregations
+    * over exploded shingles: both shuffles are on (doc_id[, shingle]) so
+    * partial aggregation reduces them map-side; output stays one row per
+    * document regardless of text length.
+    */
+  def qDocRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(Dedup.shinglesExpr)).as("s"))
+    sh.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_shingle_freq"))
+      .withColumn("rep_ratio",
+        col("max_shingle_freq").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: breaks the TextOps↔Dedup object-initialization cycle (Dedup's
+  // hash exprs read TextOps vals during ITS init)
+  lazy val qDocRepetitionSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSqlExpr}) AS s FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       |  max(c) AS max_shingle_freq,
+       |  CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS rep_ratio
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Deterministic stratified sampling
   // ------------------------------------------------------------------
 

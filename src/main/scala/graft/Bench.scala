@@ -15,12 +15,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // several registry queries persist() an intermediate (minhash
       // signatures, LSH corpus, IVF centroids) under the lazy contract;
       // release between entries so per-query timings don't inherit the
-      // whole suite's accumulated cache pressure (mirrors Verify)
+      // whole suite's accumulated cache pressure (mirrors Verify).
+      // OUTSIDE the timed window — teardown is inter-query hygiene, not
+      // query cost.
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -112,9 +112,11 @@ object Dims {
     * LocationID,Borough,Zone,service_zone, 265 zones). Header-inferred →
     * all string columns, like the reference.
     *
-    * Resolved relative to the repo checkout (override with GRAFT_ZONE_CSV /
-    * -Dgraft.zone.csv) — the absolute path is interpolated into the oracle
-    * SQL too, so any checkout location works (ADVICE r3).
+    * Resolved against the JVM working directory (sbt runs from the repo
+    * root, which is what the in-repo mains and tests get); launchers with
+    * a different CWD must set GRAFT_ZONE_CSV / -Dgraft.zone.csv. The
+    * resolved absolute path is interpolated into the oracle SQL too, so
+    * any checkout location works (ADVICE r3).
     */
   val zoneCsvPath: String =
     sys.env.get("GRAFT_ZONE_CSV")

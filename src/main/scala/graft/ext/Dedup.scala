@@ -319,9 +319,14 @@ object Dedup {
     *                    quality heuristics as a gate).
     *
     * Reasons apply in that order (first match wins), mirroring pipeline
-    * stage order. The corpus injects BOTH duplicate kinds over documents
-    * (exact copies every 7th doc, suffix-perturbed near-copies every
-    * 25th) so all three gates demonstrably fire.
+    * stage order. The quality expressions are the same token-count /
+    * distinct-ratio class as [[TextOps.qDocLangQuality]]'s, restated
+    * inline (the SQL mirror needs the literal text anyway). The corpus
+    * injects BOTH duplicate kinds over documents (exact copies every 7th
+    * doc, suffix-perturbed near-copies every 25th) so all three gates
+    * demonstrably fire; the +100000/+200000 id offsets assume harness
+    * corpora (doc_id < 100000 at every SF) — a bigger corpus would derive
+    * offsets from max(doc_id).
     *
     * Scale: stage costs are exactly the member queries' (one sha shuffle;
     * the banded self-join; a narrow projection) — composing them adds

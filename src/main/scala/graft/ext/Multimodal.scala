@@ -94,8 +94,8 @@ object Multimodal {
     * mapPartitions) would consume.
     *
     * Scale: narrow projection + per-row generator, no shuffle; fan-out is
-    * bounded by the sample budget (≤ 9 rows/video), so output size is
-    * O(corpus), not O(total frames).
+    * bounded by the sample budget (ceil(n/floor(n/8)) ≤ 15 rows/video),
+    * so output size is O(corpus), not O(total frames).
     */
   def qMmResizeSample(spark: SparkSession, sfDir: String): DataFrame = {
     val m = mediaFixture(spark, sfDir).toDF()

@@ -135,19 +135,20 @@ object TextOps {
 
   /** Deterministic hash-based stratified sample. `rand()`/`sampleBy` are
     * seeded-RNG and engine-specific — re-running or re-partitioning
-    * changes the sample; keying the decision on a CONTENT hash
-    * (md5 of doc_id + a salt, [[portableHash]]) makes the sample a pure
+    * changes the sample; keying the decision on a CONTENT hash (md5 of
+    * the text + a salt, [[portableHash]]) makes the sample a pure
     * function of the data: reproducible across runs, engines, partition
-    * layouts, and incremental re-ingests (the property a curation
-    * pipeline needs so reprocessing a shard doesn't resample it).
-    * Narrow per-row filter — pushes into the scan, no shuffle.
+    * layouts, and incremental re-ingests — reprocessing a shard (even
+    * with reassigned doc_ids) cannot resample a document, the property a
+    * curation pipeline needs. Narrow per-row filter — pushes into the
+    * scan, no shuffle.
     */
   def qDocSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     val rate = sampleRates.foldRight(lit(0): Column) { case ((l, r), acc) =>
       when(col("lang") === l, r).otherwise(acc)
     }
     Tables.documents(spark, sfDir)
-      .filter(portableHash(concat(col("doc_id").cast("string"), lit("|sample"))) % 100 < rate)
+      .filter(portableHash(concat(col("text"), lit("|sample"))) % 100 < rate)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
@@ -155,7 +156,7 @@ object TextOps {
   val qDocSampleStratifiedSql: String = {
     val rateCase = sampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
     s"""SELECT doc_id, lang FROM documents
-       |WHERE ${portableHashSql("CAST(doc_id AS VARCHAR) || '|sample'")} % 100 <
+       |WHERE ${portableHashSql("text || '|sample'")} % 100 <
        |  CASE lang $rateCase ELSE 0 END
        |ORDER BY doc_id""".stripMargin
   }

@@ -29,7 +29,15 @@ object LogHistogram extends Aggregator[Double, Array[Long], Seq[Long]] {
   val thresholds: Array[Double] =
     (0 until nBuckets - 1).map(i => math.pow(2.0, (minExp + i).toDouble)).toArray
 
+  /** NaN lands in the TOP bucket, matching the oracle CASE's ELSE arm
+    * (every `NaN < t` comparison is false in both engines, but the Scala
+    * loop would otherwise send NaN to bucket 0 — an engine divergence
+    * waiting for the first NaN measure). NULL measures are out of
+    * contract: the typed Double input erases them to 0.0 before the
+    * aggregator sees them — filter nulls upstream.
+    */
   def bucket(v: Double): Int = {
+    if (v.isNaN) return nBuckets - 1
     var b = 0
     while (b < thresholds.length && v >= thresholds(b)) b += 1
     b

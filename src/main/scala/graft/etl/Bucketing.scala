@@ -25,13 +25,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` into the session catalog bucketed (and sorted) by `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+    Publish.ensureDatabaseOf(df.sparkSession, table) // ny:37-57 guard
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Equi-join two catalog tables on `leftKey = rightKey`. When both were
     * written with [[writeBucketed]] on those keys with equal bucket

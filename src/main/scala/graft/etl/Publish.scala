@@ -39,6 +39,30 @@ object Publish {
     "dim_payment_type", "dim_trip_peak_band", "dim_date", "dim_time",
     "dim_taxi_zone_lookup")
 
+  /** Catalog database guard (ny:37-57 `check_db_exists` /
+    * `create_db_if_not_exists`): probe the session catalog for `db`,
+    * create it only if absent. Returns true iff it created — the same
+    * probe-then-create contract as [[publishDimIfAbsent]], at database
+    * granularity. The reference does this against the Glue Data Catalog;
+    * `spark.catalog` is the session-catalog equivalent (Glue IS a Spark
+    * catalog implementation on EMR/Glue, so the call is the same there).
+    */
+  def ensureDatabase(spark: SparkSession, db: String): Boolean = {
+    val exists = spark.catalog.databaseExists(db)
+    if (!exists) spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    !exists
+  }
+
+  /** Ensure the database of a possibly db-qualified table name exists, so
+    * catalog sinks ([[StarSchema.writeFact]], [[Bucketing.writeBucketed]])
+    * can target `db.table` without a manual CREATE DATABASE step.
+    */
+  def ensureDatabaseOf(spark: SparkSession, table: String): Unit =
+    table.split('.') match {
+      case Array(db, _) => ensureDatabase(spark, db)
+      case _ => // unqualified → current database, nothing to guard
+    }
+
   /** S7 existence probe: returns true iff `table` exists target-side.
     * `probeSql(table)` must be a subquery returning ≥1 row iff present.
     */

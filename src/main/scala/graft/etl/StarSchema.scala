@@ -43,12 +43,14 @@ object StarSchema {
     * keeps a 100 TB fact table usable. Append mode matches the reference's
     * month-at-a-time accumulation.
     */
-  def writeFact(df: DataFrame, table: String): Unit =
+  def writeFact(df: DataFrame, table: String): Unit = {
+    Publish.ensureDatabaseOf(df.sparkSession, table) // ny:37-57 guard
     df.write.mode(SaveMode.Append)
       .partitionBy("processed_year", "processed_month")
       .option("compression", "snappy")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** DuckDB oracle for the full fact output (WITH-chain assembled from the
     * stage CTEs so each Scala stage has a literally mirrored SQL stage).

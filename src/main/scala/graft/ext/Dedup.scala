@@ -21,8 +21,8 @@ import TextOps.{h31, h31Sql, portableHash, portableHashSql, HashP}
   *     shingles and (b) the band-bucket equi-join. Bucket join degree is
   *     bounded by bucket size, never O(N²); skewed buckets (boilerplate
   *     docs) are the known hazard — AQE skew-join handles moderate skew,
-  *     and a bucket-size cap (count-filter before the self-join) is the
-  *     standard mitigation at extreme scale.
+  *     and the bucket-size cap [[maxBandBucket]] (count-filter before the
+  *     self-join) bounds the worst case at extreme scale.
   *   - All hashes are md5-derived ([[TextOps.portableHash]]) so results
   *     are engine-portable and oracle-checkable.
   *
@@ -73,6 +73,22 @@ object Dedup {
   val rowsPerBand = 4
   val jaccardThreshold = 0.5
 
+  /** Band-bucket size cap: buckets with more than this many docs are
+    * DROPPED before the candidate self-join. An uncapped bucket of m docs
+    * contributes m(m−1)/2 candidate pairs — a boilerplate-heavy real
+    * corpus puts 10⁵ near-identical docs in one band bucket and the
+    * self-join goes quadratic in it (10¹⁰ pairs from one key). Over-cap
+    * buckets are by construction saturated boilerplate clusters: their
+    * members are better handled by the repetition filter
+    * ([[TextOps.qDocRepetition]]) or exact dedup than by pairwise Jaccard,
+    * which is why production minhash pipelines cap at a few hundred. The
+    * cap bounds per-key join fan-out at maxBandBucket², independent of
+    * corpus size; at 100 TB it is the difference between a bounded shuffle
+    * and a runaway stage. Mirrored in the oracle SQL ([[candSql]]), so the
+    * semantics are part of the checked contract, not a Spark-side detail.
+    */
+  val maxBandBucket = 100
+
   /** Word 3-shingles of `text` (min 1 shingle for tiny docs). Shared with
     * [[TextOps.qDocRepetition]].
     */
@@ -108,7 +124,7 @@ object Dedup {
     * shingle strings (31-bit hash collisions are negligible and — being
     * the same hashes in both engines — cannot cause a cross-engine diff).
     */
-  private val hashSetExpr =
+  private[ext] val hashSetExpr =
     s"array_distinct(transform($shinglesExpr, s -> ${TextOps.h31ExprSql("s")}))"
   private val hashSetSqlExpr =
     s"list_distinct(list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}))"
@@ -125,7 +141,11 @@ object Dedup {
     * `array_min(transform(...))` per row — runs interpreted lambdas and
     * measured ~5× slower than the codegen'd min() aggregates.)
     */
-  private def minhashVerifiedPairs(shingled: DataFrame): DataFrame = {
+  /** LSH band-bucket candidate mining over a (doc_id, hs) frame, with the
+    * [[maxBandBucket]] cap applied before the self-join. Returns distinct
+    * (doc_a, doc_b) with doc_a < doc_b.
+    */
+  private[ext] def bandedCandidates(shingled: DataFrame): DataFrame = {
     val hashed = shingled.select(col("doc_id"), explode(col("hs")).as("h"))
     val minAggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % HashP).as(s"m$i")
@@ -139,18 +159,33 @@ object Dedup {
     }
     val bands = sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    // bucket-size cap as a WINDOW count over the band keys (not a
+    // groupBy-count + semijoin): the window's one exchange partitions
+    // bands on exactly the (band_id, band_key) the self-join clusters on,
+    // adds no third evaluation of the signature subtree (a count-join
+    // branch re-derived sigs once more — measured +70% on the pairs
+    // query), and keeps the self-join's two sides plan-identical so the
+    // band-key exchange is still computed once and reused.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_key"))
+    val capped = bands.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBandBucket)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
     // Both sides read the persisted hash sets; at harness scale the
     // planner broadcasts one side, at 100 TB (bands is O(N), never
     // broadcastable) AQE picks the band-key shuffle join over the same
     // cached signatures.
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
+  private def minhashVerifiedPairs(shingled: DataFrame): DataFrame = {
+    val cand = bandedCandidates(shingled)
     // exact n-gram Jaccard (on the hash sets) for candidates only, both
     // probes served from the persisted hash sets
     val sa = shingled.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
@@ -188,6 +223,24 @@ object Dedup {
     s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
+  /** Oracle mirror of [[bandedCandidates]]'s capped candidate CTEs
+    * (expects a `bands` CTE in scope) — shared by both minhash oracles so
+    * the cap semantics cannot drift between them.
+    */
+  private val candSql: String =
+    s"""bucket_ok AS (
+       |  SELECT band_id, band_key FROM bands
+       |  GROUP BY band_id, band_key HAVING count(*) <= $maxBandBucket
+       |),
+       |capped AS (
+       |  SELECT b.* FROM bands b JOIN bucket_ok USING (band_id, band_key)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
   val qDocMinhashPairsSql: String = {
     val minCols = minColsSql
     val bandSelects = bandSelectsSql
@@ -203,11 +256,7 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |)
+       |$candSql
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jaccard
@@ -395,11 +444,7 @@ object Dedup {
        |bands AS (
        |  $bandSelectsSql
        |),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |),
+       |$candSql,
        |near AS (
        |  SELECT DISTINCT doc_b AS doc_id
        |  FROM cand

@@ -117,6 +117,14 @@ object Similarity {
   private def bucketCol(emb: Column): Column = tableBucketCol(0, emb)
   private def bucketSql(e: String): String = tableBucketSql(0, e)
 
+  /** The single-table LSH bucket as a public write-time key: what a
+    * bucketed vector index stores per row, so the probe's bucket equi-join
+    * pays ZERO exchange at query time ([[graft.etl.Bucketing.writeBucketed]]
+    * keyed on this column; BucketingSpec proves the exchange-free probe).
+    * Input must be `array<double>` (cast `array<float>` embeddings first).
+    */
+  def lshBucketCol(emb: Column): Column = bucketCol(emb)
+
   private def planeSqlList(plane: Int): String =
     (0 until embDim).map(i => s"${planeSign(plane, i)}.0").mkString("[", ", ", "]")
 

@@ -96,11 +96,19 @@ object TextOps {
     * over exploded shingles: both shuffles are on (doc_id[, shingle]) so
     * partial aggregation reduces them map-side; output stays one row per
     * document regardless of text length.
+    *
+    * Shingles are reduced to their 31-bit hash ([[h31]]) BEFORE the
+    * explode, so the first shuffle carries (doc_id, int64) instead of raw
+    * multi-word shingle strings — ~5-10× fewer shuffle bytes at identical
+    * results (max-frequency is collision-tolerant at 31 bits, and both
+    * engines compute the same md5-derived hashes, so a collision cannot
+    * cause a cross-engine diff). VERDICT r4 #2.
     */
   def qDocRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(expr(Dedup.shinglesExpr)).as("s"))
-    sh.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(
+        expr(s"transform(${Dedup.shinglesExpr}, s -> ${h31ExprSql("s")})")).as("h"))
+    sh.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_shingle_freq"))
       .withColumn("rep_ratio",
@@ -112,10 +120,11 @@ object TextOps {
   // hash exprs read TextOps vals during ITS init)
   lazy val qDocRepetitionSql: String =
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(${Dedup.shinglesSqlExpr}) AS s FROM documents
+       |  SELECT doc_id, unnest(list_transform(${Dedup.shinglesSqlExpr}, s -> ${h31Sql("s")})) AS h
+       |  FROM documents
        |),
        |c AS (
-       |  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+       |  SELECT doc_id, h, count(*) AS c FROM sh GROUP BY doc_id, h
        |)
        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
        |  max(c) AS max_shingle_freq,

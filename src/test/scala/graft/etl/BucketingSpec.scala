@@ -43,4 +43,39 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
     }
   }
+
+  test("pre-bucketed vector index: LSH bucket computed at WRITE time, probe is exchange-free") {
+    // the production shape Similarity's scaladoc promises: pay the bucket
+    // hash once when the index is written, and the ANN probe's bucket
+    // equi-join moves nothing — broadcast disabled so co-location, not
+    // size promotion, is what's proven.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_emb_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_probe")
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("bucket", graft.ext.Similarity.lshBucketCol(col("e")))
+      Bucketing.writeBucketed(emb.filter(col("vec_id") >= 3), "graft_emb_idx", "bucket", 4)
+      Bucketing.writeBucketed(emb.filter(col("vec_id") < 3), "graft_emb_probe", "bucket", 4)
+
+      val probed = Bucketing.coLocatedJoin(
+        spark, "graft_emb_idx", "graft_emb_probe", "bucket", "bucket")
+      val n = probed.count()
+      // same candidate count as the inline-bucketed equi-join
+      val expected = emb.filter(col("vec_id") >= 3).as("c")
+        .join(emb.filter(col("vec_id") < 3).as("q"), col("c.bucket") === col("q.bucket"))
+        .count()
+      assert(n === expected && n > 0)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected exchange-free bucketed vector probe:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(1000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_emb_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_probe")
+    }
+  }
 }

@@ -160,6 +160,32 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache() // kmeans persists the corpus for its iterations
   }
 
+  test("minhash bucket cap: a mega-bucket cannot go quadratic; normal pairs survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 300 identical boilerplate docs land in ONE band bucket per band
+    // (identical text → identical signature): uncapped, that is
+    // 300·299/2 ≈ 45k candidate pairs from four keys; the cap drops the
+    // over-sized buckets entirely. Two distinct near-dup docs (plus one
+    // unrelated doc) keep their own size-2 buckets and must still pair.
+    val boiler = (0 until 300).map(i =>
+      (1000L + i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val pairDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu extra"),
+      (3L, "completely different tokens about weather patterns and ocean currents today"))
+    val corpus = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val shingled = corpus.selectExpr("doc_id", s"${Dedup.hashSetExpr} AS hs")
+    val cand = Dedup.bandedCandidates(shingled).collect()
+    // bounded: no pair involves two boilerplate clones (their buckets are
+    // over-cap), but the injected near-dup pair is still mined
+    assert(!cand.exists(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L),
+      s"mega-bucket pairs leaked: ${cand.length}")
+    assert(cand.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L),
+      s"near-dup pair lost: ${cand.mkString(",")}")
+    assert(cand.length < 50, s"candidate count not bounded: ${cand.length}")
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -347,6 +347,94 @@ object Dedup {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Benchmark decontamination: n-gram overlap against a held-out eval set
+  // ------------------------------------------------------------------
+
+  /** Decontamination n-gram width: 8 tokens, the practical range
+    * (real pipelines use 8–13) where an overlap means memorized benchmark
+    * text rather than a common phrase — on this corpus 3-gram overlap hits
+    * half the training docs (stock phrases), 8-gram overlap is ~zero
+    * except for actual embedded copies.
+    */
+  val decontamN = 8
+
+  /** Distinct hashed `n`-token-gram set of `text`, as a Spark-SQL expr
+    * string and its DuckDB mirror (the [[hashSetExpr]] pattern at
+    * arbitrary n).
+    */
+  private def ngramHashSetExpr(n: Int): String =
+    s"array_distinct(transform(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1))," +
+      s" i -> concat_ws(' ', slice(split(text, ' '), i, $n))), s -> ${TextOps.h31ExprSql("s")}))"
+  private def ngramHashSetSqlExpr(n: Int): String =
+    s"list_distinct(list_transform(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1))," +
+      s" i -> array_to_string((string_split(text, ' '))[i:i+${n - 1}], ' ')), s -> ${h31Sql("s")}))"
+
+  /** Training-set decontamination against a held-out benchmark: flag every
+    * training document sharing ANY [[decontamN]]-gram with the eval set —
+    * the leakage gate every LLM training pipeline runs before the corpus
+    * ships. Eval set = every 50th doc; the training side re-injects each
+    * eval doc wrapped in new prose (id+300000) so true contamination
+    * (memorized benchmark text inside a larger document) demonstrably
+    * fires, mirroring the corpus-injection pattern of the dedup queries.
+    *
+    * Output: contaminated training docs only, with the distinct
+    * overlapping-gram count, the doc's own gram count, and their ratio.
+    *
+    * Scale (100 TB): the eval side is a benchmark — thousands of docs,
+    * ~10⁶ distinct grams — so it is explicitly `broadcast()`: the
+    * training corpus NEVER shuffles; each task streams its docs, explodes
+    * hashed grams (int64, not strings), probes the broadcast hash set,
+    * and partial-aggregates per doc_id before the one tiny exchange of
+    * (doc_id, counts). Contamination output is O(contaminated docs).
+    */
+  def qDocDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionAll(eval.select((col("doc_id") + 300000).as("doc_id"),
+        concat(lit("held out copy begins "), col("text"),
+          lit(" held out copy ends")).as("text")))
+    val evalGrams = eval
+      .select(explode(expr(ngramHashSetExpr(decontamN))).as("h")).distinct()
+    val trainGrams = train
+      .select(col("doc_id"), expr(ngramHashSetExpr(decontamN)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
+        explode(col("hs")).as("h"))
+    trainGrams.join(broadcast(evalGrams), "h")
+      // hs is distinct per doc, so plain count == distinct overlap count
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"), col("n_ngrams"),
+        (col("n_overlap").cast("double") / col("n_ngrams").cast("double"))
+          .as("overlap_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocDecontamSql: String = {
+    val grams = ngramHashSetSqlExpr(decontamN)
+    s"""WITH ev AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+       |),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id,
+       |    'held out copy begins ' || text || ' held out copy ends' AS text
+       |  FROM ev
+       |),
+       |evg AS (SELECT DISTINCT unnest($grams) AS h FROM ev),
+       |trg AS (
+       |  SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h
+       |  FROM (SELECT doc_id, $grams AS hs FROM train)
+       |)
+       |SELECT doc_id, count(*) AS n_overlap, n_ngrams,
+       |  CAST(count(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS overlap_ratio
+       |FROM trg JOIN evg USING (h)
+       |GROUP BY doc_id, n_ngrams
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // End-to-end curation funnel: exact dedup → near dedup → quality gate
   // ------------------------------------------------------------------
 

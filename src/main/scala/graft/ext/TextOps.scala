@@ -171,6 +171,65 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Token-budget document packing (training-sequence assembly)
+  // ------------------------------------------------------------------
+
+  /** Tokens per packed training sequence (a stand-in for a model context
+    * length) and the shard fan-out that bounds window-partition size.
+    */
+  val packBudget = 512L
+  val packShards = 4L
+
+  /** Concat-then-chunk document packing — the sequence-assembly pass of an
+    * LLM training pipeline: documents are laid end-to-end per stratum in
+    * deterministic doc_id order, and each doc is assigned the sequence
+    * (`seq_id`) its START offset falls into, plus that offset within the
+    * sequence — exactly the bookkeeping a packed-dataset writer needs.
+    *
+    * One running-total window per (lang, shard) computes the layout. The
+    * shard key is a CONTENT hash ([[portableHash]], engine-portable, same
+    * reasoning as [[qDocSampleStratified]]): at 100 TB a single dominant
+    * language would otherwise be ONE window partition — an unbounded
+    * serialization point; sharding caps every partition at corpus/
+    * (langs×shards) with zero effect on packing quality (sequences are
+    * per-shard; production sets shards so a partition fits one task).
+    * Integer `div`/`%` arithmetic throughout — bit-exact in both engines.
+    */
+  def qDocPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (portableHash(concat(col("text"), lit("|pack"))) % packShards).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"start_off div $packBudget").as("seq_id"),
+        (col("start_off") % packBudget).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocPackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    ${portableHashSql("text || '|pack'")} % $packShards AS shard
+       |  FROM documents
+       |),
+       |laid AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |    -- DuckDB sum(BIGINT) widens to HUGEINT; Spark's stays BIGINT
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  start_off // $packBudget AS seq_id,
+       |  start_off % $packBudget AS seq_offset
+       |FROM laid ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Language-ID heuristic + quality score
   // ------------------------------------------------------------------
 

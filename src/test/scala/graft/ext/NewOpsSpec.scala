@@ -186,6 +186,49 @@ class NewOpsSpec extends SparkSuite {
     assert(cand.length < 50, s"candidate count not bounded: ${cand.length}")
   }
 
+  test("decontamination: every injected benchmark copy is flagged with near-total overlap") {
+    val rows = Dedup.qDocDecontam(spark, sf).collect()
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    val nEval = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0).collect().map(_.getAs[Long]("doc_id"))
+    assert(nEval.nonEmpty)
+    // every injected contaminated doc (eval text embedded in new prose) flags
+    nEval.foreach(id => assert(flagged.contains(id + 300000), s"missed injected ${id + 300000}"))
+    // injected docs carry ALL of the eval doc's 8-grams; the ratio
+    // denominator also counts the wrapper's boundary grams, so short eval
+    // docs sit well below 1.0 — but far above what a stray phrase hit gives
+    rows.filter(_.getAs[Long]("doc_id") >= 300000).foreach { r =>
+      assert(r.getAs[Double]("overlap_ratio") > 0.2,
+        s"injected doc ${r.getAs[Long]("doc_id")} ratio ${r.getAs[Double]("overlap_ratio")}")
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_ngrams"))
+    }
+    // 8-gram decontam is SELECTIVE: genuine-phrase collisions stay rare,
+    // so flagged clean-training docs are a small fraction of the corpus
+    val nTrain = Tables.documents(spark, sf).filter(col("doc_id") % 50 =!= 0).count()
+    assert(rows.count(_.getAs[Long]("doc_id") < 300000) < nTrain / 10)
+  }
+
+  test("document packing: offsets lay docs end-to-end per (lang, shard) within the budget") {
+    val rows = TextOps.qDocPack(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val off = r.getAs[Long]("seq_offset")
+      assert(off >= 0 && off < TextOps.packBudget)
+      assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < TextOps.packShards)
+    }
+    // within a stratum, start offsets are the running token total in
+    // doc_id order — recompute the layout and compare doc-for-doc
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"))).foreach {
+      case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("seq_id") === cum / TextOps.packBudget)
+          assert(r.getAs[Long]("seq_offset") === cum % TextOps.packBudget)
+          cum += r.getAs[Long]("n_tokens")
+        }
+    }
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -21,6 +21,7 @@ object LlmQueries {
     "q_doc_curate" -> ((Dedup.qDocCurate _, Dedup.qDocCurateSql)),
     "q_doc_decontam" -> ((Dedup.qDocDecontam _, Dedup.qDocDecontamSql)),
     "q_doc_pack" -> ((TextOps.qDocPack _, TextOps.qDocPackSql)),
+    "q_doc_redact" -> ((TextOps.qDocRedact _, TextOps.qDocRedactSql)),
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),

@@ -171,6 +171,62 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // PII redaction (email / phone scrub)
+  // ------------------------------------------------------------------
+
+  /** Deliberately backslash-free regexes (`[0-9]` classes, no `\d`/`\b`)
+    * so Java regex (Spark) and RE2 (DuckDB) match identically and the
+    * patterns survive every string-literal layer unescaped.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub — the redaction pass a training corpus runs before text
+    * ships: count and replace email addresses and phone numbers. The
+    * synthetic corpus contains no PII, so every 10th doc gets a
+    * doc-dependent contact sentence appended (two emails — exercising
+    * GLOBAL replacement, where DuckDB needs the 'g' flag Spark implies —
+    * plus one phone), mirrored literally in the oracle. Output carries the
+    * match counts and the content hash of the redacted text, so the
+    * replacement semantics themselves are hash-checked cross-engine, not
+    * just the counts. Narrow per-row projection: regex work pipelines into
+    * the scan, no shuffle, no UDFs.
+    */
+  def qDocRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.org or agent"), col("doc_id").cast("string"),
+          lit("@backup.example.org or call 555-867-5309 today")))
+        .otherwise(col("text")))
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    corpus.select(
+      col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '$emailRe', 0))").cast("long").as("n_emails"),
+      expr(s"size(regexp_extract_all(text, '$phoneRe', 0))").cast("long").as("n_phones"),
+      portableHash(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocRedactSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |      THEN text || ' contact agent' || CAST(doc_id AS VARCHAR) ||
+       |        '@example.org or agent' || CAST(doc_id AS VARCHAR) ||
+       |        '@backup.example.org or call 555-867-5309 today'
+       |      ELSE text END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+       |  ${portableHashSql(s"regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')")} AS redacted_fp
+       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Token-budget document packing (training-sequence assembly)
   // ------------------------------------------------------------------
 

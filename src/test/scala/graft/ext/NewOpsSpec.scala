@@ -229,6 +229,30 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("PII redaction: injected contacts counted and scrubbed, clean docs untouched") {
+    val rows = TextOps.qDocRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 10 == 0) {
+        assert(r.getAs[Long]("n_emails") === 2L, s"doc $id emails")
+        assert(r.getAs[Long]("n_phones") === 1L, s"doc $id phones")
+      } else {
+        assert(r.getAs[Long]("n_emails") === 0L, s"doc $id emails")
+        assert(r.getAs[Long]("n_phones") === 0L, s"doc $id phones")
+      }
+    }
+    // redaction is idempotent on clean docs: fp equals the raw text hash
+    val spark0 = spark
+    import spark0.implicits._
+    val raw = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), TextOps.portableHash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    rows.filter(_.getAs[Long]("doc_id") % 10 != 0).foreach { r =>
+      assert(r.getAs[Long]("redacted_fp") === raw(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -71,6 +71,16 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("partial_max_by"), s"no map-side combine in:\n$p")
   }
 
+  test("decontamination probes a BROADCAST eval-gram set — the training corpus never shuffle-joins") {
+    // the scaladoc's 100 TB claim: eval grams are benchmark-sized, so the
+    // join must be a broadcast hash probe; a sort-merge/shuffled-hash plan
+    // would exchange the full exploded training-gram stream
+    val p = plan(graft.ext.Dedup.qDocDecontam(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"training grams shuffle-joined:\n$p")
+  }
+
   test("as-of attribution never funnels through a single partition") {
     // the merge-window is partitioned by user_id; a missing partition spec
     // would plan Exchange SinglePartition and serialize the whole table

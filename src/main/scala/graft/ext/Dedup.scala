@@ -168,9 +168,16 @@ object Dedup {
     // band-key exchange is still computed once and reused.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("band_key"))
+    // PERSISTED: the self-join's two sides cannot share this subtree in
+    // the physical plan (the planner broadcasts one side, and a broadcast
+    // exchange can't reuse the other side's hash exchange — verified: 0
+    // ReusedExchange), so without the persist the signature aggregation
+    // and capping window run TWICE. nBands ints per doc; the cached
+    // banded-signature table is what a production pipeline materializes.
     val capped = bands.withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= maxBandBucket)
       .select(col("doc_id"), col("band_id"), col("band_key"))
+      .persist()
     // Both sides read the persisted hash sets; at harness scale the
     // planner broadcasts one side, at 100 TB (bands is O(N), never
     // broadcastable) AQE picks the band-key shuffle join over the same
@@ -358,13 +365,16 @@ object Dedup {
     */
   val decontamN = 8
 
-  /** Distinct hashed `n`-token-gram set of `text`, as a Spark-SQL expr
-    * string and its DuckDB mirror (the [[hashSetExpr]] pattern at
-    * arbitrary n).
+  /** Distinct hashed `n`-token-gram set, as a Spark-SQL expr string and
+    * its DuckDB mirror (the [[hashSetExpr]] pattern at arbitrary n). The
+    * Spark side reads a pre-split `toks` column rather than inlining
+    * `split(text)`: a subtree inside a lambda re-evaluates PER ELEMENT,
+    * so the inline form re-split the full text once per gram (~100× the
+    * tokenization work per doc — measured as the dominant cost).
     */
   private def ngramHashSetExpr(n: Int): String =
-    s"array_distinct(transform(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1))," +
-      s" i -> concat_ws(' ', slice(split(text, ' '), i, $n))), s -> ${TextOps.h31ExprSql("s")}))"
+    s"array_distinct(transform(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1))," +
+      s" i -> concat_ws(' ', slice(toks, i, $n))), s -> ${TextOps.h31ExprSql("s")}))"
   private def ngramHashSetSqlExpr(n: Int): String =
     s"list_distinct(list_transform(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 1))," +
       s" i -> array_to_string((string_split(text, ' '))[i:i+${n - 1}], ' ')), s -> ${h31Sql("s")}))"
@@ -395,8 +405,14 @@ object Dedup {
         concat(lit("held out copy begins "), col("text"),
           lit(" held out copy ends")).as("text")))
     val evalGrams = eval
+      .withColumn("toks", split(col("text"), " "))
       .select(explode(expr(ngramHashSetExpr(decontamN))).as("h")).distinct()
+    // the md5-dense gram hashing must not run inside one small scan
+    // split: spread by doc_id first (the qDocMinhashPairs pattern — at
+    // real scale the scan has many splits and AQE elides the no-op)
     val trainGrams = train
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(ngramHashSetExpr(decontamN)).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"),
         explode(col("hs")).as("h"))

@@ -89,12 +89,18 @@ object Dedup {
     */
   val maxBandBucket = 100
 
-  /** Word 3-shingles of `text` (min 1 shingle for tiny docs). Shared with
-    * [[TextOps.qDocRepetition]].
+  /** Word 3-shingles (min 1 shingle for tiny docs). Shared with
+    * [[TextOps.qDocRepetition]]. Reads a pre-split `toks` column, NOT an
+    * inline `split(text)`: a subtree inside a lambda re-evaluates per
+    * element, so the inline form re-tokenized the full text once per
+    * shingle — ~100× the tokenization work per doc (the q_doc_decontam
+    * lesson, applied to every shingle consumer). Callers add
+    * `withColumn("toks", split(col("text"), " "))` (or the
+    * [[shingledDocs]] helper).
     */
   private[ext] val shinglesExpr =
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
-      " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    "transform(sequence(1, greatest(size(toks) - 2, 1))," +
+      " i -> concat_ws(' ', slice(toks, i, 3)))"
   private[ext] val shinglesSqlExpr =
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))," +
       " i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
@@ -215,7 +221,9 @@ object Dedup {
     // does with its signature table at scale.
     val par = spark.sparkContext.defaultParallelism
     val spread = corpus.repartition(par, col("doc_id"))
-    val shingled = spread.select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
+    val shingled = spread
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
     minhashVerifiedPairs(shingled).orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -326,6 +334,7 @@ object Dedup {
 
   def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
     val hLambda = TextOps.h31ExprSql("s")
     docs.select(
       col("doc_id"),
@@ -336,7 +345,7 @@ object Dedup {
       // a strictly sequential left fold, so both engines compute the
       // identical value (unlike content_fp it changes under reordering —
       // the property a rolling fingerprint exists to capture)
-      expr(s"aggregate(transform(split(text, ' '), s -> $hLambda), 0L," +
+      expr(s"aggregate(transform(toks, s -> $hLambda), 0L," +
         s" (acc, h) -> (acc * $rollingBase + h) % $HashP)").as("rolling_fp"),
       expr(s"size(array_distinct($shinglesExpr))").cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
@@ -496,6 +505,7 @@ object Dedup {
           concat(col("text"), lit(" near duplicate suffix")).as("text")))
     val par = spark.sparkContext.defaultParallelism
     val shingled = corpus.repartition(par, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("text"), expr(hashSetExpr).as("hs"))
       .persist()
 

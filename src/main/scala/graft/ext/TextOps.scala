@@ -106,6 +106,7 @@ object TextOps {
     */
   def qDocRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(
         expr(s"transform(${Dedup.shinglesExpr}, s -> ${h31ExprSql("s")})")).as("h"))
     sh.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))

@@ -175,7 +175,9 @@ class NewOpsSpec extends SparkSuite {
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu extra"),
       (3L, "completely different tokens about weather patterns and ocean currents today"))
     val corpus = (boiler ++ pairDocs).toDF("doc_id", "text")
-    val shingled = corpus.selectExpr("doc_id", s"${Dedup.hashSetExpr} AS hs")
+    val shingled = corpus
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"${Dedup.hashSetExpr} AS hs")
     val cand = Dedup.bandedCandidates(shingled).collect()
     // bounded: no pair involves two boilerplate clones (their buckets are
     // over-cap), but the injected near-dup pair is still mined

@@ -53,15 +53,21 @@ object Publish {
     !exists
   }
 
-  /** Ensure the database of a possibly db-qualified table name exists, so
+  /** Ensure the database of a possibly qualified table name exists, so
     * catalog sinks ([[StarSchema.writeFact]], [[Bucketing.writeBucketed]])
-    * can target `db.table` without a manual CREATE DATABASE step.
+    * can target `db.table` (or `catalog.db.table`) without a manual
+    * CREATE DATABASE step. The database is the second-to-last name part;
+    * backtick quoting is stripped before the existence probe (the CREATE
+    * re-quotes). Unqualified names target the current database — nothing
+    * to guard.
     */
-  def ensureDatabaseOf(spark: SparkSession, table: String): Unit =
-    table.split('.') match {
-      case Array(db, _) => ensureDatabase(spark, db)
-      case _ => // unqualified → current database, nothing to guard
+  def ensureDatabaseOf(spark: SparkSession, table: String): Unit = {
+    val parts = table.split('.')
+    if (parts.length >= 2) {
+      val db = parts(parts.length - 2).stripPrefix("`").stripSuffix("`")
+      if (db.nonEmpty) ensureDatabase(spark, db)
     }
+  }
 
   /** S7 existence probe: returns true iff `table` exists target-side.
     * `probeSql(table)` must be a subquery returning ≥1 row iff present.

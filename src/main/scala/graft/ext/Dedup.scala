@@ -130,10 +130,8 @@ object Dedup {
     * shingle strings (31-bit hash collisions are negligible and — being
     * the same hashes in both engines — cannot cause a cross-engine diff).
     */
-  private[ext] val hashSetExpr =
-    s"array_distinct(transform($shinglesExpr, s -> ${TextOps.h31ExprSql("s")}))"
-  private val hashSetSqlExpr =
-    s"list_distinct(list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}))"
+  private[ext] val hashSetExpr = ngramHashSetExpr(3)
+  private val hashSetSqlExpr = ngramHashSetSqlExpr(3)
 
   /** MinHash-banded candidate mining + exact-Jaccard verification over a
     * frame carrying (doc_id, hs) — the shared core of [[qDocMinhashPairs]]
@@ -149,7 +147,9 @@ object Dedup {
     */
   /** LSH band-bucket candidate mining over a (doc_id, hs) frame, with the
     * [[maxBandBucket]] cap applied before the self-join. Returns distinct
-    * (doc_a, doc_b) with doc_a < doc_b.
+    * (doc_a, doc_b) with doc_a < doc_b. Persists the capped band table
+    * internally (see below) under the registry's persist contract
+    * ([[graft.SparkEntry.queries]]): iterators clearCache between entries.
     */
   private[ext] def bandedCandidates(shingled: DataFrame): DataFrame = {
     val hashed = shingled.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -375,11 +375,13 @@ object Dedup {
   val decontamN = 8
 
   /** Distinct hashed `n`-token-gram set, as a Spark-SQL expr string and
-    * its DuckDB mirror (the [[hashSetExpr]] pattern at arbitrary n). The
-    * Spark side reads a pre-split `toks` column rather than inlining
-    * `split(text)`: a subtree inside a lambda re-evaluates PER ELEMENT,
-    * so the inline form re-split the full text once per gram (~100× the
-    * tokenization work per doc — measured as the dominant cost).
+    * its DuckDB mirror — the ONE gram-hash definition: [[hashSetExpr]]
+    * (minhash/curation, n=3) and the decontamination grams (n=8) are both
+    * instances, so the pipelines cannot drift. The Spark side reads a
+    * pre-split `toks` column rather than inlining `split(text)`: a
+    * subtree inside a lambda re-evaluates PER ELEMENT, so the inline form
+    * re-split the full text once per gram (~100× the tokenization work
+    * per doc — measured as the dominant cost).
     */
   private def ngramHashSetExpr(n: Int): String =
     s"array_distinct(transform(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1))," +

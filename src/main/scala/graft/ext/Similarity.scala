@@ -415,6 +415,7 @@ object Similarity {
     * supersets — NewOpsSpec pins the floors).
     */
   def qEmbAnnIvfNprobe(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // single-row quantizer: tiny, but derived from a full posexplode pass
     // over every embedding, and it feeds BOTH assignment sides — persist
     // so that pass runs once. Production stores the quantizer with the
@@ -553,7 +554,7 @@ object Similarity {
     var cents = init
     val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]
     var updated: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = probeCells(emb, litCentArr(cents), nprobe = 1)
         .select(col("vec_id"), col("cell"), col("dist"), col("e"))
         .persist() // feeds WCSS + update; one assignment pass per iteration
@@ -563,6 +564,10 @@ object Similarity {
         .select(col("cell"), (col("pos0") + 1).as("i"), col("x"))
         .groupBy(col("cell"), col("i"))
         .agg(avg(col("x")).as("c"), count(lit(1)).as("n_members"))
+      // the final iteration's result is persisted BEFORE the collect below
+      // materializes it, so the returned frame serves from cache instead of
+      // re-running the last assign+update when the caller evaluates it
+      if (i == iters) updated.persist()
       cents = updated
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
@@ -574,6 +579,8 @@ object Similarity {
         }.toSeq.sortBy(_._1)
       assigned.unpersist()
     }
+    emb.unpersist()
+    // returned frame stays cached (k×dim rows); caller may unpersist
     (updated.orderBy(col("cell"), col("i")), wcss.toSeq)
   }
 

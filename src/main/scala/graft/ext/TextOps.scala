@@ -177,9 +177,11 @@ object TextOps {
 
   /** Deliberately backslash-free regexes (`[0-9]` classes, no `\d`/`\b`)
     * so Java regex (Spark) and RE2 (DuckDB) match identically and the
-    * patterns survive every string-literal layer unescaped.
+    * patterns survive every string-literal layer unescaped. `(?i)` — also
+    * portable across both engines — keeps mixed-case addresses from
+    * slipping through the scrub.
     */
-  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
   val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** PII scrub — the redaction pass a training corpus runs before text
@@ -195,10 +197,11 @@ object TextOps {
     */
   def qDocRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // mixed-case injected address exercises the (?i) flag end-to-end
     val corpus = docs.withColumn("text",
       when(col("doc_id") % 10 === 0,
-        concat(col("text"), lit(" contact agent"), col("doc_id").cast("string"),
-          lit("@example.org or agent"), col("doc_id").cast("string"),
+        concat(col("text"), lit(" contact Agent"), col("doc_id").cast("string"),
+          lit("@Example.ORG or agent"), col("doc_id").cast("string"),
           lit("@backup.example.org or call 555-867-5309 today")))
         .otherwise(col("text")))
     val redacted = regexp_replace(
@@ -215,8 +218,8 @@ object TextOps {
     s"""WITH corpus AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 10 = 0
-       |      THEN text || ' contact agent' || CAST(doc_id AS VARCHAR) ||
-       |        '@example.org or agent' || CAST(doc_id AS VARCHAR) ||
+       |      THEN text || ' contact Agent' || CAST(doc_id AS VARCHAR) ||
+       |        '@Example.ORG or agent' || CAST(doc_id AS VARCHAR) ||
        |        '@backup.example.org or call 555-867-5309 today'
        |      ELSE text END AS text
        |  FROM documents

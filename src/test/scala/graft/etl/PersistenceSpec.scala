@@ -82,18 +82,24 @@ class PersistenceSpec extends SparkSuite {
 
   test("database guard: probe-then-create once, and K1 into a fresh database just works") {
     val db = "graft_r5_guard_db"
-    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    assert(Publish.ensureDatabase(spark, db) === true)   // created (ny:37-57)
-    assert(Publish.ensureDatabase(spark, db) === false)  // second probe no-ops
-    assert(spark.catalog.databaseExists(db))
-    // a db-qualified catalog sink needs no manual CREATE DATABASE step
     val db2 = "graft_r5_guard_db2"
-    spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
-    StarSchema.writeFact(StarSchema.factTrips(spark, sf), s"$db2.fact_trips")
-    assert(spark.catalog.tableExists(s"$db2.fact_trips"))
-    assert(spark.table(s"$db2.fact_trips").count() > 0)
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
+    try {
+      assert(Publish.ensureDatabase(spark, db) === true)   // created (ny:37-57)
+      assert(Publish.ensureDatabase(spark, db) === false)  // second probe no-ops
+      assert(spark.catalog.databaseExists(db))
+      // a db-qualified catalog sink needs no manual CREATE DATABASE step —
+      // 2-part, 3-part, and quoted spellings all resolve the same database
+      Publish.ensureDatabaseOf(spark, s"spark_catalog.$db2.elsewhere")
+      Publish.ensureDatabaseOf(spark, s"`$db2`.elsewhere")
+      StarSchema.writeFact(StarSchema.factTrips(spark, sf), s"$db2.fact_trips")
+      assert(spark.catalog.tableExists(s"$db2.fact_trips"))
+      assert(spark.table(s"$db2.fact_trips").count() > 0)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
+    }
   }
 
   test("K2/K3/S7: JDBC create, append, and pushdown-subquery read (embedded Derby)") {

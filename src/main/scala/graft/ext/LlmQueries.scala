@@ -28,6 +28,7 @@ object LlmQueries {
     "q_emb_label_centroids" -> ((Similarity.qEmbLabelCentroids _, Similarity.qEmbLabelCentroidsSql)),
     "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
     "q_emb_kmeans_iter" -> ((Similarity.qEmbKmeansIter _, Similarity.qEmbKmeansIterSql)),
+    "q_emb_quantize" -> ((Similarity.qEmbQuantize _, Similarity.qEmbQuantizeSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch

@@ -606,6 +606,78 @@ object Similarity {
        |ORDER BY cell, i""".stripMargin
 
   // ------------------------------------------------------------------
+  // Int8 embedding quantization (per-vector symmetric scale)
+  // ------------------------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization — the compression step a
+    * 100 TB vector corpus ships with (4× smaller than float32, 8× smaller
+    * than the double working form; ANN indexes serve the int8 codes and
+    * only re-rank survivors at full precision). Each vector gets
+    * `scale = max|x| / 127` and codes `q_i = floor(x_i/scale + 0.5)`
+    * (floor(+0.5), NOT a bare cast — Spark truncates and DuckDB rounds on
+    * double→int, the one cast class the oracle protocol bans). The output
+    * rides the quality audit along with the codes' summary: per-vector
+    * reconstruction RMSE and the quantized-vs-exact cosine against query
+    * vector 0 — scale factors cancel in cosine, so the quantized cosine
+    * uses the raw codes; the measured error IS the operator's accuracy
+    * contract, visible in the checked output itself.
+    *
+    * Scale/determinism: entirely narrow (one 1-row broadcast for the
+    * query vector, the [[probeCells]] pattern); every sum is a strictly
+    * sequential fold in element order ([[dot]] for the cosines, an
+    * index-ordered `zip_with`+`aggregate` / `generate_series`+
+    * `list_reduce` pair for the RMSE), so both engines produce identical
+    * doubles.
+    */
+  def qEmbQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("e"), abs(_))), lit(1e-30)) / lit(127.0))
+      // Spark floor → BIGINT, DuckDB floor → DOUBLE: cast back so the code
+      // arrays are array<double> on both sides (values integral either way)
+      .withColumn("q",
+        transform(col("e"), x => floor(x / col("scale") + lit(0.5)).cast("double")))
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("e0"), col("q").as("q0"))
+    emb.crossJoin(broadcast(q0))
+      .select(
+        col("vec_id"), col("scale"),
+        sqrt(aggregate(
+          zip_with(col("q"), col("e"), (a, b) => (a * col("scale") - b) * (a * col("scale") - b)),
+          lit(0.0), (acc, v) => acc + v) / lit(embDim.toDouble)).as("rmse"),
+        (dot(col("e"), col("e0")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("e0"), col("e0"))))).as("cos_exact"),
+        (dot(col("q"), col("q0")) /
+          (sqrt(dot(col("q"), col("q"))) * sqrt(dot(col("q0"), col("q0"))))).as("cos_quant"))
+      .withColumn("cos_err", abs(col("cos_quant") - col("cos_exact")))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbQuantizeSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) / 127.0 AS scale
+       |  FROM embeddings
+       |),
+       |quant AS (
+       |  SELECT vec_id, e, scale,
+       |    list_transform(e, x -> floor(x / scale + 0.5)) AS q
+       |  FROM emb
+       |),
+       |q0 AS (SELECT e AS e0, q AS q0 FROM quant WHERE vec_id = 0)
+       |SELECT vec_id, scale,
+       |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(1, $embDim), i -> (q[i] * scale - e[i]) * (q[i] * scale - e[i]))),
+       |    (acc, v) -> acc + v) / $embDim.0) AS rmse,
+       |  list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e0, e0))) AS cos_exact,
+       |  list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(q0, q0))) AS cos_quant,
+       |  abs(list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(q0, q0)))
+       |    - list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e0, e0)))) AS cos_err
+       |FROM quant, q0
+       |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

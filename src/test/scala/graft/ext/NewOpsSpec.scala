@@ -255,6 +255,26 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("int8 quantization: codes bounded, small reconstruction error, cosine preserved") {
+    val rows = Similarity.qEmbQuantize(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0)
+      // per-element reconstruction error is at most scale/2 by construction
+      assert(r.getAs[Double]("rmse") <= scale / 2 + 1e-12,
+        s"vec ${r.getAs[Long]("vec_id")} rmse ${r.getAs[Double]("rmse")} scale $scale")
+      // 8-bit symmetric quantization keeps cosine within ~1%
+      assert(r.getAs[Double]("cos_err") < 0.01,
+        s"vec ${r.getAs[Long]("vec_id")} cos_err ${r.getAs[Double]("cos_err")}")
+      assert(math.abs(r.getAs[Double]("cos_exact")) <= 1.0 + 1e-12)
+    }
+    // the self-pair is exact in both spaces
+    val self = rows.find(_.getAs[Long]("vec_id") == 0L).get
+    assert(math.abs(self.getAs[Double]("cos_exact") - 1.0) < 1e-12)
+    assert(math.abs(self.getAs[Double]("cos_quant") - 1.0) < 1e-12)
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

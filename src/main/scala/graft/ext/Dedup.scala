@@ -210,22 +210,27 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
-  def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The near-dup corpus's persisted (doc_id, hs) table — shared entry
+    * point of [[qDocMinhashPairs]] and [[qDocDupClusters]]. The explicit
+    * repartition spreads the md5-dense projection across cores even when
+    * the input is one small scan split; keying it by doc_id means the
+    * signature groupBy needs no further exchange. Persisted: see
+    * [[minhashVerifiedPairs]] (~150 B/doc; MEMORY_AND_DISK spills
+    * gracefully) — exactly what a production minhash pipeline does with
+    * its signature table at scale.
+    */
+  private def nearDupShingled(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val corpus = nearCorpus(docs)
-    // The explicit repartition spreads the md5-dense projection across
-    // cores even when the input is one small scan split; keying it by
-    // doc_id means the signature groupBy needs no further exchange.
-    // Persisted: see minhashVerifiedPairs (~150 B/doc; MEMORY_AND_DISK
-    // spills gracefully) — exactly what a production minhash pipeline
-    // does with its signature table at scale.
     val par = spark.sparkContext.defaultParallelism
-    val spread = corpus.repartition(par, col("doc_id"))
-    val shingled = spread
+    corpus.repartition(par, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
-    minhashVerifiedPairs(shingled).orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Oracle fragments for the minhash pipeline — shared by the pairs query
     * and the curation funnel so the two oracles cannot drift.
@@ -282,6 +287,107 @@ object Dedup {
        |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Duplicate-cluster resolution: connected components over verified pairs
+  // ------------------------------------------------------------------
+
+  /** Iteration cap for [[qDocDupClusters]]' label propagation — bounds the
+    * rounds at graph diameter; 20 covers any realistic dup-cluster chain
+    * (clusters are near-cliques; diameters beyond single digits mean the
+    * Jaccard threshold is wrong, not the loop).
+    */
+  val ccMaxIters = 20
+
+  /** The decision step the pair list exists for: group verified near-dup
+    * pairs into CLUSTERS (connected components) and name each by its
+    * minimum doc_id — "keep cluster_id, drop the rest" is then one
+    * filter. Spark side is distributed min-label propagation: every node
+    * starts as its own cluster; each round, labels flow across edges and
+    * every node takes the min of itself and its neighbors; converged when
+    * no label changes (checked with one count per round — the same
+    * driver-sync loop as [[Similarity.kmeans]]). Deterministic: min over
+    * a set is order-free.
+    *
+    * Scale: per round = one edge⋈label equi-join + one min groupBy (both
+    * partial-aggregated, both keyed on doc ids), rounds = component
+    * diameter. Production CC at 10⁹ nodes uses the same loop with the
+    * large-star/small-star contraction to cut diameter; dup graphs are
+    * near-cliques, so plain propagation converges in 2-3 rounds. The
+    * oracle walks the same graph with a recursive CTE (min over the
+    * transitive closure) — tractable because oracle corpora are small.
+    *
+    * Output: every doc that appears in ≥1 verified pair, its cluster id,
+    * and the cluster size (constant within a cluster).
+    */
+  def qDocDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < ccMaxIters) {
+      val neighborMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE oracle: min doc_id over each node's transitive closure. */
+  val qDocDupClustersSql: String =
+    s"""WITH RECURSIVE $nearCorpusSql,
+       |shingled AS (
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minColsSql
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |$candSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+       |),
+       |labels AS (
+       |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // SimHash: 16-bit frequency-weighted signature over token hashes

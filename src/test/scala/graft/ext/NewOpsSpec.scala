@@ -275,6 +275,36 @@ class NewOpsSpec extends SparkSuite {
     assert(math.abs(self.getAs[Double]("cos_quant") - 1.0) < 1e-12)
   }
 
+  test("dup clusters: components match a local union-find over the verified pairs") {
+    val pairs = Dedup.qDocMinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    // local union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val rows = Dedup.qDocDupClusters(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (id, cl) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))
+      assert(cl === expected(id), s"doc $id: got $cl, want ${expected(id)}")
+    }
+    // cluster_size is consistent within clusters and sums to the node count
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("cluster_size")).distinct.length === 1)
+      assert(rs.head.getAs[Long]("cluster_size") === rs.length)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -344,6 +344,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // fail LOUDLY rather than return non-minimal labels: a diameter > cap
+    // means the Jaccard threshold (or the cap) is wrong for this corpus,
+    // and silent truncation would surface as a cryptic oracle mismatch
+    require(changed == 0,
+      s"dup-cluster propagation did not converge in $ccMaxIters rounds ($changed labels still moving)")
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))

@@ -638,8 +638,12 @@ object Similarity {
       // arrays are array<double> on both sides (values integral either way)
       .withColumn("q",
         transform(col("e"), x => floor(x / col("scale") + lit(0.5)).cast("double")))
+    // norms of the constant broadcast side precomputed ONCE in the 1-row
+    // frame (the qEmbCosineTopk pattern), not re-folded per corpus row
     val q0 = emb.filter(col("vec_id") === 0)
-      .select(col("e").as("e0"), col("q").as("q0"))
+      .select(col("e").as("e0"), col("q").as("q0"),
+        sqrt(dot(col("e"), col("e"))).as("n_e0"),
+        sqrt(dot(col("q"), col("q"))).as("n_q0"))
     emb.crossJoin(broadcast(q0))
       .select(
         col("vec_id"), col("scale"),
@@ -647,9 +651,9 @@ object Similarity {
           zip_with(col("q"), col("e"), (a, b) => (a * col("scale") - b) * (a * col("scale") - b)),
           lit(0.0), (acc, v) => acc + v) / lit(embDim.toDouble)).as("rmse"),
         (dot(col("e"), col("e0")) /
-          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("e0"), col("e0"))))).as("cos_exact"),
+          (sqrt(dot(col("e"), col("e"))) * col("n_e0"))).as("cos_exact"),
         (dot(col("q"), col("q0")) /
-          (sqrt(dot(col("q"), col("q"))) * sqrt(dot(col("q0"), col("q0"))))).as("cos_quant"))
+          (sqrt(dot(col("q"), col("q"))) * col("n_q0"))).as("cos_quant"))
       .withColumn("cos_err", abs(col("cos_quant") - col("cos_exact")))
       .orderBy(col("vec_id"))
   }
@@ -665,15 +669,19 @@ object Similarity {
        |    list_transform(e, x -> floor(x / scale + 0.5)) AS q
        |  FROM emb
        |),
-       |q0 AS (SELECT e AS e0, q AS q0 FROM quant WHERE vec_id = 0)
+       |q0 AS (
+       |  SELECT e AS e0, q AS q0,
+       |    sqrt(list_dot_product(e, e)) AS n_e0, sqrt(list_dot_product(q, q)) AS n_q0
+       |  FROM quant WHERE vec_id = 0
+       |)
        |SELECT vec_id, scale,
        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(generate_series(1, $embDim), i -> (q[i] * scale - e[i]) * (q[i] * scale - e[i]))),
        |    (acc, v) -> acc + v) / $embDim.0) AS rmse,
-       |  list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e0, e0))) AS cos_exact,
-       |  list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(q0, q0))) AS cos_quant,
-       |  abs(list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(q0, q0)))
-       |    - list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e0, e0)))) AS cos_err
+       |  list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * n_e0) AS cos_exact,
+       |  list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * n_q0) AS cos_quant,
+       |  abs(list_dot_product(q, q0) / (sqrt(list_dot_product(q, q)) * n_q0)
+       |    - list_dot_product(e, e0) / (sqrt(list_dot_product(e, e)) * n_e0)) AS cos_err
        |FROM quant, q0
        |ORDER BY vec_id""".stripMargin
 

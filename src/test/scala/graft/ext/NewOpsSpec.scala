@@ -255,7 +255,7 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
-  test("int8 quantization: codes bounded, small reconstruction error, cosine preserved") {
+  test("int8 quantization: reconstruction error bounded by scale/2, cosine preserved") {
     val rows = Similarity.qEmbQuantize(spark, sf).collect()
     assert(rows.length === Tables.embeddings(spark, sf).count())
     rows.foreach { r =>

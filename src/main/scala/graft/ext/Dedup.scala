@@ -8,9 +8,11 @@ import TextOps.{h31, h31Sql, portableHash, portableHashSql, HashP}
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (hash-groupBy), MinHash+LSH banded near-dup (shingle → minhash → band →
-  * bucket equi-join — NEVER an all-pairs cross join), SimHash, and content
-  * fingerprinting. n-gram Jaccard is computed exactly on the LSH candidate
-  * pairs (the verify step of every production near-dup pipeline).
+  * bucket equi-join — NEVER an all-pairs cross join), duplicate-cluster
+  * resolution (connected components over verified pairs), SimHash, content
+  * fingerprinting, and benchmark decontamination. n-gram Jaccard is
+  * computed exactly on the LSH candidate pairs (the verify step of every
+  * production near-dup pipeline).
   *
   * Scale design (100 TB):
   *   - Exact dedup is one hash-shuffle on the text digest — the minimal
@@ -95,8 +97,7 @@ object Dedup {
     * element, so the inline form re-tokenized the full text once per
     * shingle — ~100× the tokenization work per doc (the q_doc_decontam
     * lesson, applied to every shingle consumer). Callers add
-    * `withColumn("toks", split(col("text"), " "))` (or the
-    * [[shingledDocs]] helper).
+    * `withColumn("toks", split(col("text"), " "))` first.
     */
   private[ext] val shinglesExpr =
     "transform(sequence(1, greatest(size(toks) - 2, 1))," +

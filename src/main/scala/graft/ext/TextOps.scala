@@ -7,8 +7,9 @@ import graft.model.Tables
 
 /** Text-analysis operators for LLM training-data pipelines (north-star set,
   * SURVEY §0/§7.2 step 6): token counting (whitespace + BPE-ish regex),
-  * quality scoring, language-ID heuristic. All run over the `documents`
-  * testdata table.
+  * quality scoring, language-ID heuristic, repetition filtering, PII
+  * redaction, deterministic sampling, and token-budget packing. All run
+  * over the `documents` testdata table.
   *
   * Cross-engine hashing: every content hash in graft.ext is derived from
   * `md5` — the one hash both Spark and DuckDB compute identically — taking
@@ -16,10 +17,12 @@ import graft.model.Tables
   * ([[portableHash]]). Spark's own `hash()`/`xxhash64` are
   * Spark-specific and would make results engine-dependent.
   *
-  * Scale notes (100 TB): everything here is a narrow per-row projection —
-  * no shuffle, no UDFs (all built-ins/higher-order functions, fully
-  * codegen'd), so it pipelines into whatever scan feeds it and
-  * parallelizes embarrassingly.
+  * Scale notes (100 TB): the scoring/redaction/sampling ops are narrow
+  * per-row projections — no shuffle, no UDFs (all built-ins/higher-order
+  * functions), so they pipeline into whatever scan feeds them and
+  * parallelize embarrassingly. The two exceptions state their exchanges
+  * explicitly: [[qDocRepetition]] (two doc-keyed partial-agg shuffles) and
+  * [[qDocPack]] (one bounded-partition window).
   */
 object TextOps {
 

@@ -321,10 +321,14 @@ object Dedup {
     * Output: every doc that appears in ≥1 verified pair, its cluster id,
     * and the cluster size (constant within a cluster).
     */
-  def qDocDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
-      .select(col("doc_a"), col("doc_b")).persist()
-    val edges = pairs
+  /** Distributed min-label-propagation connected components over an
+    * undirected pair list (columns `doc_a`, `doc_b`). Returns one row per
+    * node: (doc_id, cluster_id = min doc_id of its component). The general
+    * graph kernel behind [[qDocDupClusters]]; PropertiesSpec checks it
+    * against a local union-find over arbitrary random graphs.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -346,10 +350,17 @@ object Dedup {
       iter += 1
     }
     // fail LOUDLY rather than return non-minimal labels: a diameter > cap
-    // means the Jaccard threshold (or the cap) is wrong for this corpus,
-    // and silent truncation would surface as a cryptic oracle mismatch
+    // means the pair threshold (or the cap) is wrong for this corpus, and
+    // silent truncation would surface as a cryptic oracle mismatch
     require(changed == 0,
-      s"dup-cluster propagation did not converge in $ccMaxIters rounds ($changed labels still moving)")
+      s"label propagation did not converge in $ccMaxIters rounds ($changed labels still moving)")
+    labels
+  }
+
+  def qDocDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .select(col("doc_a"), col("doc_b")).persist()
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))

@@ -58,6 +58,32 @@ class PropertiesSpec extends SparkSuite {
     }, n = 8)
   }
 
+  test("distributed connected components equals local union-find on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // node universe and case count kept small: every propagation ROUND is
+    // several Spark jobs, so property cost is diameter-bound, not row-bound
+    val genEdges: Gen[List[(Long, Long)]] = Gen.choose(1, 12).flatMap(k =>
+      Gen.listOfN(k,
+        Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)).suchThat { case (a, b) => a != b }))
+    check("cc≡union-find", Prop.forAll(genEdges) { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.ext.Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }, n = 4)
+    spark.catalog.clearCache()
+  }
+
   test("dropDuplicates is idempotent and matches the set-theoretic count") {
     val spark0 = spark
     import spark0.implicits._

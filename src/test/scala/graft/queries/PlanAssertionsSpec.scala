@@ -81,6 +81,29 @@ class PlanAssertionsSpec extends SparkSuite {
       s"training grams shuffle-joined:\n$p")
   }
 
+  test("document packing windows over (lang, shard) — never a single-partition funnel") {
+    // the scaladoc's scale claim: the content-hash shard key bounds window
+    // partitions, so no lang stratum can serialize through one task. The
+    // Window NODE carries the spec pre-EnsureRequirements; the executed
+    // plan proves no SinglePartition exchange materialized.
+    val df = graft.ext.TextOps.qDocPack(spark, sf)
+    val p = plan(df)
+    assert("Window \\[.*\\], \\[lang[#0-9]*, shard".r.findFirstIn(p).isDefined,
+      s"window not partitioned by (lang, shard):\n$p")
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("Exchange SinglePartition"),
+      s"single-partition exchange in:\n$executed")
+  }
+
+  test("stratified sampling and packing read only the columns they use") {
+    val sample = plan(graft.ext.TextOps.qDocSampleStratified(spark, sf))
+    assert(sample.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      sample)
+    val pack = plan(graft.ext.TextOps.qDocPack(spark, sf))
+    assert(pack.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      pack)
+  }
+
   test("as-of attribution never funnels through a single partition") {
     // the merge-window is partitioned by user_id; a missing partition spec
     // would plan Exchange SinglePartition and serialize the whole table

@@ -331,22 +331,31 @@ object Dedup {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // materialize the cache EAGERLY: the loop's first job would otherwise
+    // fan out into several concurrent branches (labels init + join sides)
+    // that race on the unfilled cache and re-run the upstream pair mining
+    // per branch (measured 2-3× the whole query's cost)
+    edges.count()
+    var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < ccMaxIters) {
       val neighborMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nmin"))
+      // carry the previous label through so convergence is a filter on the
+      // materialized frame, not an extra join back against `labels`
       val next = labels.join(neighborMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     // fail LOUDLY rather than return non-minimal labels: a diameter > cap
@@ -360,6 +369,7 @@ object Dedup {
   def qDocDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
       .select(col("doc_a"), col("doc_b")).persist()
+    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

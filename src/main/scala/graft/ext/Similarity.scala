@@ -287,7 +287,7 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
-  // IVF ANN: per-label centroids as coarse quantizer, nprobe=1 cell probe
+  // IVF ANN: per-label centroids as coarse quantizer, nprobe cell probe
   // ------------------------------------------------------------------
 
   /** Per-label centroids in long format (label, i, c) — the coarse

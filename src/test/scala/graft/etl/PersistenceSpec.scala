@@ -102,6 +102,35 @@ class PersistenceSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet generations") {
+    // a 100 TB lake accretes schema versions (a column added mid-year);
+    // readers must union generations without rewriting history: new
+    // columns come back null for old files, and per-file pruning still
+    // reads only each generation's own columns
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.columns.sorted.toSeq === Seq("gen", "id", "score", "v"))
+      val rows = merged.collect()
+      assert(rows.length === 4)
+      // old-generation rows carry null for the late-added column
+      assert(rows.filter(_.getAs[Int]("gen") == 1).forall(_.isNullAt(merged.columns.indexOf("score"))))
+      assert(rows.filter(_.getAs[Int]("gen") == 2).forall(!_.isNullAt(merged.columns.indexOf("score"))))
+      // without mergeSchema the first-listed footer wins — the trap the
+      // option exists to avoid — while explicit select still prunes
+      val pruned = merged.select("id", "score").queryExecution.sparkPlan.toString
+      assert(pruned.contains("ReadSchema: struct<id:bigint,score:double>"), pruned)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("K2/K3/S7: JDBC create, append, and pushdown-subquery read (embedded Derby)") {
     val url = "jdbc:derby:memory:graftjdbc;create=true"
     val props = new Properties()

@@ -224,9 +224,14 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val corpus = nearCorpus(docs)
     val par = spark.sparkContext.defaultParallelism
-    corpus.repartition(par, col("doc_id"))
+    val shingled = corpus.repartition(par, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(hashSetExpr).as("hs")).persist()
+    // eager: four downstream branches (band sides + both Jaccard probes)
+    // schedule concurrently in one job and would race the unfilled cache,
+    // re-running the md5 shingling per branch (the CC-loop lesson)
+    shingled.count()
+    shingled
   }
 
   def qDocMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -338,6 +343,7 @@ object Dedup {
     edges.count()
     var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
+    cached.count() // eager: round 1 consumes labels on two concurrent branches
     var labels = cached
     var changed = 1L
     var iter = 0
@@ -643,6 +649,7 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("text"), expr(hashSetExpr).as("hs"))
       .persist()
+    shingled.count() // eager: 4+ concurrent consumers (see nearDupShingled)
 
     val keepers = shingled
       .groupBy(sha2(col("text"), 256).as("sha"))

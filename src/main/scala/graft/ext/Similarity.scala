@@ -236,6 +236,9 @@ object Similarity {
       .withColumn("buckets",
         array((0 until lshTables).map(t => tableBucketCol(t, col("e"))): _*))
       .persist()
+    // eager: three concurrent consumers (bands + both cosine probes) would
+    // race the unfilled cache and re-run the 24-plane battery per branch
+    corpus.count()
     val bands = corpus.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cand = bands.as("a")
@@ -421,6 +424,9 @@ object Similarity {
     // so that pass runs once. Production stores the quantizer with the
     // index; this is the in-query equivalent.
     val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    // eager: BOTH assignment sides consume the quantizer concurrently in
+    // the final job; an unfilled cache re-runs the posexplode derivation
+    centArr.count()
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
     val q = probeCells(emb.filter(col("vec_id") < nQueryVecs), centArr, nprobe)

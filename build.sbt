@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits this process's stdout/stderr UNWRAPPED: by
+// default sbt's logger prefixes every stdout line with "[info] ", which
+// breaks any harness that parses Bench's one-line JSON from stdout (every
+// recorded round has "parsed": null) and costs ~8 chars of its ~2000-char
+// output-tail window per line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

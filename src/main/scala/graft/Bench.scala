@@ -12,7 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration on one query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    def runAll(): Seq[(String, Double)] = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -34,10 +39,24 @@ object Bench {
     // by 2-3× cold/noise swings on a busy harness VM.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") runAll()
     val results = runAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ms precision on the printed line: the harness captures only the last
+    // ~2000 chars of output, and at 60+ queries full-precision doubles push
+    // the line's head (the total!) past that window. 1700 chars of rounded
+    // line survives; 2300 of unrounded did not (round 5).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(f: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full-precision copy as a repo artifact, immune to stdout truncation
+    try {
+      val w = new java.io.PrintWriter("bench_latest.json")
+      try w.println(line(_.toString)) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line(fmt))
     spark.stop()
   }
 }

@@ -56,15 +56,16 @@ object Publish {
   /** Ensure the database of a possibly qualified table name exists, so
     * catalog sinks ([[StarSchema.writeFact]], [[Bucketing.writeBucketed]])
     * can target `db.table` (or `catalog.db.table`) without a manual
-    * CREATE DATABASE step. The database is the second-to-last name part;
-    * backtick quoting is stripped before the existence probe (the CREATE
-    * re-quotes). Unqualified names target the current database — nothing
-    * to guard.
+    * CREATE DATABASE step. The database is the second-to-last name part,
+    * resolved with the session's SQL parser so backtick quoting is honored
+    * — a naive split('.') would carve a quoted identifier like
+    * {{{`my.db`.tbl}}} at the wrong dot and guard a spurious database.
+    * Unqualified names target the current database — nothing to guard.
     */
   def ensureDatabaseOf(spark: SparkSession, table: String): Unit = {
-    val parts = table.split('.')
+    val parts = org.apache.spark.sql.graft.Bridge.parseMultipartIdentifier(spark, table)
     if (parts.length >= 2) {
-      val db = parts(parts.length - 2).stripPrefix("`").stripSuffix("`")
+      val db = parts(parts.length - 2)
       if (db.nonEmpty) ensureDatabase(spark, db)
     }
   }

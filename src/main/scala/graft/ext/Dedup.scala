@@ -185,6 +185,11 @@ object Dedup {
       .filter(col("bsz") <= maxBandBucket)
       .select(col("doc_id"), col("band_id"), col("band_key"))
       .persist()
+    // eager, like every other multi-consumer persisted frame (commit
+    // d54349a): the self-join's broadcast and stream sides schedule
+    // concurrently and would race the unfilled cache, re-running the
+    // signature aggregation + capping window once per side
+    capped.count()
     // Both sides read the persisted hash sets; at harness scale the
     // planner broadcasts one side, at 100 TB (bands is O(N), never
     // broadcastable) AQE picks the band-key shuffle join over the same
@@ -316,10 +321,9 @@ object Dedup {
     * a set is order-free.
     *
     * Scale: per round = one edge⋈label equi-join + one min groupBy (both
-    * partial-aggregated, both keyed on doc ids), rounds = component
-    * diameter. Production CC at 10⁹ nodes uses the same loop with the
-    * large-star/small-star contraction to cut diameter; dup graphs are
-    * near-cliques, so plain propagation converges in 2-3 rounds. The
+    * partial-aggregated, both keyed on doc ids) + one pointer-jump join,
+    * rounds = O(log diameter) — see [[connectedComponents]]. Dup graphs
+    * are near-cliques, so propagation converges in 2-3 rounds. The
     * oracle walks the same graph with a recursive CTE (min over the
     * transitive closure) — tractable because oracle corpora are small.
     *
@@ -331,8 +335,37 @@ object Dedup {
     * node: (doc_id, cluster_id = min doc_id of its component). The general
     * graph kernel behind [[qDocDupClusters]]; PropertiesSpec checks it
     * against a local union-find over arbitrary random graphs.
+    *
+    * Each round does the neighbor-min step AND a pointer jump (label ←
+    * label of label, through the previous round's label table), so the
+    * distance a label has left to travel roughly HALVES per round instead
+    * of decrementing: rounds = O(log diameter), the same doubling idea as
+    * large-star/small-star contraction. Dup graphs are near-cliques
+    * (2-3 rounds either way), but path-shaped graphs through the public
+    * kernel API converge in ~log₂ d rounds instead of d.
+    *
+    * Lineage is truncated EVERY round with an eager `localCheckpoint`:
+    * a merely-persisted loop frame keeps its full logical history, so
+    * Catalyst re-analyzes round 1's plan inside round 2's, round 2's
+    * inside round 3's, … — measured 4-6 s/round of pure planner time by
+    * round 2 on an 852-node graph, growing with round count. Checkpointed
+    * frames give every round the same flat plan (cached-scan ⋈ cached-scan)
+    * and took the same round to 0.6 s. `localCheckpoint` stores blocks
+    * executor-local (right for this engine's single-JVM deployments and
+    * exactly what a driver would do on a session cluster); a deployment
+    * that must survive executor loss mid-loop swaps in reliable
+    * `checkpoint()` against the cluster checkpoint dir — same contract.
+    * Superseded per-round blocks are reclaimed by the ContextCleaner as
+    * the loop drops its references (one generation of (id,label) rows
+    * in flight at a time); the RETURNED frame stays materialized.
+    *
+    * @param maxIters hard cap on propagation rounds — fail LOUDLY rather
+    *   than return non-minimal labels (silent truncation would surface as
+    *   a cryptic oracle mismatch downstream). With pointer jumping the
+    *   default [[ccMaxIters]]=20 covers diameters ~2²⁰; raise it only for
+    *   adversarial general graphs.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = ccMaxIters): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
@@ -341,34 +374,42 @@ object Dedup {
     // that race on the unfilled cache and re-run the upstream pair mining
     // per branch (measured 2-3× the whole query's cost)
     edges.count()
-    var cached = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
-    cached.count() // eager: round 1 consumes labels on two concurrent branches
-    var labels = cached
+    // eager checkpoint: materialized before round 1's concurrent consumers,
+    // and the pair-mining lineage never enters the loop plans
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < ccMaxIters) {
+    while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nmin"))
+      val jump = labels.select(col("doc_id").as("j_id"), col("cluster_id").as("j_lbl"))
       // carry the previous label through so convergence is a filter on the
       // materialized frame, not an extra join back against `labels`
       val next = labels.join(neighborMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"),
+            .as("mid"),
           col("cluster_id").as("prev"))
-        .persist()
+        // pointer jump: follow the candidate label one more hop through the
+        // PREVIOUS round's (checkpointed) table. Labels only decrease and
+        // every label value is a node id inside the same component, so the
+        // min stays within-component and the fixpoint (label constant
+        // across every edge = component min) is unchanged — only reached
+        // sooner.
+        .join(jump, col("mid") === col("j_id"), "left")
+        .select(col("doc_id"),
+          least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("cluster_id"),
+          col("prev"))
+        .localCheckpoint(true)
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
-    // fail LOUDLY rather than return non-minimal labels: a diameter > cap
-    // means the pair threshold (or the cap) is wrong for this corpus, and
-    // silent truncation would surface as a cryptic oracle mismatch
+    edges.unpersist() // labels are materialized; the edge cache is dead weight
     require(changed == 0,
-      s"label propagation did not converge in $ccMaxIters rounds ($changed labels still moving)")
+      s"label propagation did not converge in $maxIters rounds ($changed labels still moving)")
     labels
   }
 
@@ -533,9 +574,11 @@ object Dedup {
     * training document sharing ANY [[decontamN]]-gram with the eval set —
     * the leakage gate every LLM training pipeline runs before the corpus
     * ships. Eval set = every 50th doc; the training side re-injects each
-    * eval doc wrapped in new prose (id+300000) so true contamination
-    * (memorized benchmark text inside a larger document) demonstrably
-    * fires, mirroring the corpus-injection pattern of the dedup queries.
+    * eval doc wrapped in new prose (id → −id−1: the NEGATIVE id space is
+    * disjoint from real non-negative doc_ids at ANY corpus size, unlike a
+    * fixed +offset) so true contamination (memorized benchmark text inside
+    * a larger document) demonstrably fires, mirroring the corpus-injection
+    * pattern of the dedup queries.
     *
     * Output: contaminated training docs only, with the distinct
     * overlapping-gram count, the doc's own gram count, and their ratio.
@@ -551,7 +594,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val eval = docs.filter(col("doc_id") % 50 === 0)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-      .unionAll(eval.select((col("doc_id") + 300000).as("doc_id"),
+      .unionAll(eval.select((-col("doc_id") - 1).as("doc_id"),
         concat(lit("held out copy begins "), col("text"),
           lit(" held out copy ends")).as("text")))
     val evalGrams = eval
@@ -584,7 +627,7 @@ object Dedup {
        |train AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 300000 AS doc_id,
+       |  SELECT -doc_id - 1 AS doc_id,
        |    'held out copy begins ' || text || ' held out copy ends' AS text
        |  FROM ev
        |),

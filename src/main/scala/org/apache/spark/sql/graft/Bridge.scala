@@ -47,6 +47,12 @@ object Bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Split a possibly-quoted multipart identifier (`` `my.db`.tbl ``) with
+    * the session's SQL parser — `sessionState` is `private[sql]`.
+    */
+  def parseMultipartIdentifier(spark: SparkSession, name: String): Seq[String] =
+    spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+
   /** Idempotently add a planner strategy to an EXISTING session (the
     * `experimental.extraStrategies` route; sessions built with
     * `withExtensions` use `injectPlannerStrategy` instead).

@@ -84,6 +84,21 @@ class PropertiesSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("connected components converges on a 60-node chain well under the round cap") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a path graph is the worst case for plain min-label propagation
+    // (rounds = diameter, here 59 — over the default cap of 20); the
+    // pointer-jumping step makes rounds O(log d), so this converges with
+    // the DEFAULT cap. Also exercises the maxIters parameter surface.
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.ext.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 60)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+    spark.catalog.clearCache()
+  }
+
   test("dropDuplicates is idempotent and matches the set-theoretic count") {
     val spark0 = spark
     import spark0.implicits._

@@ -194,12 +194,13 @@ class NewOpsSpec extends SparkSuite {
     val nEval = Tables.documents(spark, sf)
       .filter(col("doc_id") % 50 === 0).collect().map(_.getAs[Long]("doc_id"))
     assert(nEval.nonEmpty)
-    // every injected contaminated doc (eval text embedded in new prose) flags
-    nEval.foreach(id => assert(flagged.contains(id + 300000), s"missed injected ${id + 300000}"))
+    // every injected contaminated doc (eval text embedded in new prose,
+    // id → −id−1: the negative id space is disjoint from real ids) flags
+    nEval.foreach(id => assert(flagged.contains(-id - 1), s"missed injected ${-id - 1}"))
     // injected docs carry ALL of the eval doc's 8-grams; the ratio
     // denominator also counts the wrapper's boundary grams, so short eval
     // docs sit well below 1.0 — but far above what a stray phrase hit gives
-    rows.filter(_.getAs[Long]("doc_id") >= 300000).foreach { r =>
+    rows.filter(_.getAs[Long]("doc_id") < 0).foreach { r =>
       assert(r.getAs[Double]("overlap_ratio") > 0.2,
         s"injected doc ${r.getAs[Long]("doc_id")} ratio ${r.getAs[Double]("overlap_ratio")}")
       assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_ngrams"))
@@ -207,7 +208,7 @@ class NewOpsSpec extends SparkSuite {
     // 8-gram decontam is SELECTIVE: genuine-phrase collisions stay rare,
     // so flagged clean-training docs are a small fraction of the corpus
     val nTrain = Tables.documents(spark, sf).filter(col("doc_id") % 50 =!= 0).count()
-    assert(rows.count(_.getAs[Long]("doc_id") < 300000) < nTrain / 10)
+    assert(rows.count(_.getAs[Long]("doc_id") >= 0) < nTrain / 10)
   }
 
   test("document packing: offsets lay docs end-to-end per (lang, shard) within the budget") {

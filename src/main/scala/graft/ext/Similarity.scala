@@ -612,6 +612,100 @@ object Similarity {
        |ORDER BY cell, i""".stripMargin
 
   // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup): cluster cells bound the pairwise compare
+  // ------------------------------------------------------------------
+
+  val semDedupThreshold = 0.8
+
+  /** Semantic deduplication — the EMBEDDING-space member of the dedup
+    * family (SemDeDup shape: cluster the corpus, then compare pairs ONLY
+    * within a cluster cell). Lexical dedup ([[Dedup]]) catches re-typed
+    * copies; this catches re-phrasings that share no n-grams but sit on
+    * top of each other in embedding space. Every vector is assigned to
+    * its nearest centroid cell ([[probeCells]] — narrow, zero corpus
+    * exchange); candidate pairs come from a self equi-join ON THE CELL
+    * ID; a vector drops when it has a smaller-id within-cell neighbor
+    * with cosine ≥ [[semDedupThreshold]] (the deterministic one-pass
+    * greedy rule of [[Dedup.qDocCurate]]'s near-dup stage).
+    *
+    * Scale (100 TB): the clustering is what makes semantic dedup
+    * tractable — pairwise cost is Σ(cell size)², never N². The cell
+    * count must grow with the corpus (k ∝ √N keeps expected within-cell
+    * work linear; production SemDeDup runs k in the tens of thousands —
+    * here the constant-k label quantizer stands in, k = distinct labels).
+    * The only corpus-sized shuffles are the cell-keyed self-join and the
+    * final left join back on vec_id; at write time the cell id is a
+    * bucketing key ([[graft.etl.Bucketing]]) and the self-join runs
+    * exchange-free over co-located buckets.
+    *
+    * Corpus: the [[qEmbNearDup]] injection (every 25th vector re-appears
+    * +0.5 on its first component, cosine ≈ 0.88–0.91 vs its source) so
+    * the drop rule demonstrably fires; a copy whose perturbation crosses
+    * a cell boundary is NOT caught — that recall loss is inherent to
+    * cluster-bounded dedup (the paper's ε-ball is within-cluster too) and
+    * is deterministic here, mirrored exactly by the oracle.
+    *
+    * Output: one row per corpus vector — (vec_id, cell, is_sem_dup).
+    */
+  def qEmbSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val perturbed = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.5)), slice(col("e"), 2, embDim - 1)).as("e"))
+    val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    centArr.count() // eager: both probeCells sides of the union consume it
+    val assigned = probeCells(emb.unionAll(perturbed), centArr, nprobe = 1)
+      .select(col("vec_id"), col("cell"), col("e"), col("norm"))
+      .persist()
+    // eager: three consumers (both self-join sides + the output spine)
+    // would race the unfilled cache and re-run assignment per branch
+    assigned.count()
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        >= semDedupThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_sem_dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_sem_dup"), lit(false)).as("is_sem_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbSemDedupSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |corpus AS (
+       |  SELECT vec_id, v FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.5], v[2:]) AS v
+       |  FROM e WHERE vec_id % 25 = 0
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, c_label AS cell,
+       |    sqrt(list_dot_product(v, v)) AS norm,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM corpus, cent
+       |),
+       |asg AS (SELECT vec_id, v, cell, norm FROM assigned WHERE rn = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $semDedupThreshold
+       |)
+       |SELECT asg.vec_id, cell, (dups.vec_id IS NOT NULL) AS is_sem_dup
+       |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Int8 embedding quantization (per-vector symmetric scale)
   // ------------------------------------------------------------------
 

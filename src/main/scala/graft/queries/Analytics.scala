@@ -1049,6 +1049,120 @@ object Analytics {
       |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  // --- TPC-H Q4 shape: EXISTS as a LEFT SEMI join between two FACTS ---
+
+  /** Late-shipment census by order priority — Q4's correlated EXISTS,
+    * planned the distributed way: a LEFT SEMI join of orders against
+    * lineitem on the order key with the lateness comparison as a residual
+    * (shipped more than 60 days after the order date; this schema carries
+    * no commit/receipt dates). SEMI is the right operator at scale: the
+    * probe side emits each order AT MOST once no matter how many late
+    * lines it has (an inner join + distinct would fan out to the line
+    * count and then pay a dedup shuffle), and the build side ships only
+    * (l_orderkey, l_shipdate) — two columns of the fact, not the fact.
+    * Both sides shuffle once on the order key; the aggregate after is
+    * five groups, map-side combined.
+    */
+  def q4LateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val late = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+    o.join(late,
+        o("o_orderkey") === late("l_orderkey") &&
+          late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4LateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- TPC-H Q16 shape: NOT IN (null-aware anti join) + DISTINCT agg ---
+
+  /** Supplier census per (brand, size) excluding blacklisted suppliers —
+    * Q16's shape on this schema (lineitem is the part↔supplier bridge;
+    * there is no partsupp). Expressed through the SQL surface because
+    * `NOT IN (subquery)` is its own OPERATOR in Spark: a null-aware anti
+    * join, stricter than `left_anti` (one NULL in the subquery empties
+    * the result — three-valued logic), planned as a broadcast join with
+    * the null-awareness flag. The blacklist subquery is tiny (suppliers
+    * in debt) and broadcasts; the count(DISTINCT) pays the standard
+    * two-phase expand+agg, keyed by the group columns.
+    */
+  def q16SupplierCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("g_part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("g_supplier")
+    spark.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM g_lineitem JOIN g_part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
+  val q16SupplierCensusSql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // --- TPC-H Q22 shape: global scalar subquery + anti join ---
+
+  /** Rich-but-dormant customers per nation — Q22's plan shape: a GLOBAL
+    * scalar aggregate (average positive balance) joined to every probe
+    * row, then an anti join against recent orders. The scalar side is a
+    * 1-row broadcast cross join — the constant reaches every executor
+    * with zero shuffle of the customer side (the [[graft.ext.Similarity]]
+    * quantizer pattern applied to a scalar); a correlated rewrite would
+    * re-aggregate per row. The anti join shuffles on the customer key
+    * with only (o_custkey) shipped from orders after its date filter.
+    * Threshold arithmetic is the exact-decimal-sum-derived double, so
+    * boundary rows cannot diverge between engines.
+    */
+  def q22DormantRich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg((sum(dec($"c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-06-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec($"c_acctbal")).cast("double").as("total_bal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22DormantRichSql: String =
+    """WITH ab AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT c_nationkey, count(*) AS n_custs,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer, ab
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-06-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1063,6 +1177,9 @@ object Analytics {
     "q14_promo_share" -> ((q14PromoShare _, q14PromoShareSql)),
     "q17_small_qty_revenue" -> ((q17SmallQtyRevenue _, q17SmallQtyRevenueSql)),
     "q19_discount_revenue" -> ((q19DiscountRevenue _, q19DiscountRevenueSql)),
+    "q4_late_orders" -> ((q4LateOrders _, q4LateOrdersSql)),
+    "q16_supplier_census" -> ((q16SupplierCensus _, q16SupplierCensusSql)),
+    "q22_dormant_rich" -> ((q22DormantRich _, q22DormantRichSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

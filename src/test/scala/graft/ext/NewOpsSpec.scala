@@ -24,6 +24,24 @@ class NewOpsSpec extends SparkSuite {
     })
   }
 
+  test("semantic dedup: flags are exactly the within-cell injected copies, never the originals") {
+    val rows = Similarity.qEmbSemDedup(spark, sf).collect()
+    val nEmb = Tables.embeddings(spark, sf).count()
+    val nInjected = Tables.embeddings(spark, sf).filter(col("vec_id") % 25 === 0).count()
+    assert(rows.length === nEmb + nInjected, "one output row per corpus vector")
+    val flagged = rows.filter(_.getAs[Boolean]("is_sem_dup")).map(_.getAs[Long]("vec_id"))
+    // background max cosine ≈ 0.51 < 0.8 threshold: ONLY injected copies can
+    // flag, and only when the perturbation kept them in their source's cell
+    assert(flagged.forall(_ >= 100000L), s"non-injected vector flagged: ${flagged.mkString(",")}")
+    // cell-boundary crossings lose some copies (inherent to cluster-bounded
+    // dedup, deterministic here); the recall floor pins the rest (13/20 at
+    // this fixture, 15/20 at sf0.01 — the oracle checks exact equality)
+    assert(flagged.length >= (nInjected * 6) / 10,
+      s"recall floor: ${flagged.length}/$nInjected flagged")
+    // the global-min id can never drop (no smaller-id neighbor exists)
+    assert(!rows.find(_.getAs[Long]("vec_id") === 0L).exists(_.getAs[Boolean]("is_sem_dup")))
+  }
+
   test("IVF: every vector lands in exactly one cell; probe results share the query's cell") {
     val nVecs = Tables.embeddings(spark, sf).count()
     // re-derive assignment cardinality through the public query: each of the

@@ -52,6 +52,44 @@ class PlanAssertionsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q4 EXISTS is a SEMI join that ships two lineitem columns, never fans out") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Analytics.q4LateOrders(spark, sf))
+      assert(p.contains("LeftSemi"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // column pruning: the build side is (l_orderkey, l_shipdate), not the fact
+      assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q16 NOT IN plans as the null-aware anti join (three-valued logic preserved)") {
+    val p = plan(Analytics.q16SupplierCensus(spark, sf))
+    // the trailing `true` on the join node is the isNullAwareAntiJoin flag —
+    // a plain left_anti would silently change NULL semantics
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+  }
+
+  test("q22 scalar aggregate reaches rows via a 1-row broadcast; dormancy is an anti join") {
+    val p = plan(Analytics.q22DormantRich(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semantic dedup pairs only within a cell — cell-keyed equi-join, no products") {
+    val p = plan(graft.ext.Similarity.qEmbSemDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested-loop join must be the sanctioned 1-row quantizer CROSS
+    // broadcast (probeCells; its cached plan prints once per consumer) — a
+    // mis-planned pairwise compare would surface as an Inner/conditioned
+    // nested loop or a cartesian product
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val quantizerCross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+    assert(bnlj === quantizerCross, s"non-quantizer nested-loop join:\n$p")
+  }
+
   test("taxi pipeline filters push into the events scan and the pipeline scans events ONCE") {
     val p = plan(graft.etl.StarSchema.factTrips(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, s"expected single events scan:\n$p")

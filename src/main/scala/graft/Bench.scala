@@ -39,12 +39,14 @@ object Bench {
     // by 2-3× cold/noise swings on a busy harness VM.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") runAll()
     val results = runAll()
-    // ms precision on the printed line: the harness captures only the last
-    // ~2000 chars of output, and at 60+ queries full-precision doubles push
-    // the line's head (the total!) past that window. 1700 chars of rounded
-    // line survives; 2300 of unrounded did not (round 5).
+    // 10ms precision on the printed line: the harness captures only the
+    // last ~2000 chars of output, and at 60+ queries full-precision doubles
+    // push the line's head (the total!) past that window (round 5: the
+    // 2300-char line lost its head). 69 queries at 2 decimals ≈ 1835 chars
+    // incl. sbt's trailer; per-query VM noise is ±50%, so nothing is lost —
+    // bench_latest.json keeps full precision.
     def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def line(f: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")

@@ -14,6 +14,9 @@ object LlmQueries {
     "q_doc_repetition" -> ((TextOps.qDocRepetition _, TextOps.qDocRepetitionSql)),
     "q_doc_lang_quality" -> ((TextOps.qDocLangQuality _, TextOps.qDocLangQualitySql)),
     "q_doc_sample_stratified" -> ((TextOps.qDocSampleStratified _, TextOps.qDocSampleStratifiedSql)),
+    "q_doc_sample_weighted" -> ((TextOps.qDocSampleWeighted _, TextOps.qDocSampleWeightedSql)),
+    "q_doc_vocab" -> ((TextOps.qDocVocab _, TextOps.qDocVocabSql)),
+    "q_doc_bigram_lm" -> ((TextOps.qDocBigramLm _, TextOps.qDocBigramLmSql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),

@@ -369,4 +369,164 @@ object TextOps {
        |    0.2 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS quality_score
        |FROM scored ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Quality-weighted deterministic sampling (importance resampling)
+  // ------------------------------------------------------------------
+
+  /** The shared Spark/oracle quality-score expressions, factored so the
+    * weighted sampler cannot drift from [[qDocLangQuality]]'s score.
+    */
+  private def qualityScoreCol: Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    lit(0.5) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(0.3) * (expr(s"size(filter(split(text, ' '), t -> t IN (${inList(stopwords)})))")
+        .cast("double") / nTok) +
+      lit(0.2) * least(lit(1.0), nTok / lit(100.0))
+  }
+  private val qualityScoreSql: String =
+    s"""0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+       |    0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stopwords)}))) AS DOUBLE) /
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+       |    0.2 * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE))""".stripMargin
+
+  /** Importance resampling: keep each document with probability equal to
+    * its quality score — the quality-weighted sampling pass (DCLM-style)
+    * that upsamples clean text without a hard cutoff. Same determinism
+    * contract as [[qDocSampleStratified]]: the keep decision is a pure
+    * function of the CONTENT (md5-derived hash vs floor(score·10⁴)), so
+    * re-runs, engines, partition layouts, and re-ingests agree row-for-row
+    * — no RNG, no seed coordination across a 1000-executor cluster.
+    * Narrow per-row filter; pipelines into the scan, no shuffle.
+    */
+  def qDocSampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("weight", qualityScoreCol)
+      .filter(portableHash(concat(col("text"), lit("|wsample"))) % 10000 <
+        floor(col("weight") * 10000))
+      .select(col("doc_id"), col("lang"), col("weight"))
+      .orderBy(col("doc_id"))
+
+  val qDocSampleWeightedSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, text,
+       |    $qualityScoreSql AS weight
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, weight FROM w
+       |WHERE ${portableHashSql("text || '|wsample'")} % 10000 <
+       |  CAST(floor(weight * 10000) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Vocabulary induction: corpus-level token statistics, top-k
+  // ------------------------------------------------------------------
+
+  val vocabTopK = 100
+
+  /** Corpus vocabulary head — the token-frequency table a tokenizer-
+    * training or vocab-pruning pass starts from: term frequency and
+    * document frequency per token, top [[vocabTopK]] by tf. One
+    * token-keyed aggregation (map-side combined; the df side pays the
+    * standard two-phase distinct expansion on (token, doc_id)), then a
+    * global top-k that plans as TakeOrdered — per-partition heads merged
+    * on the driver, never a full sort of the vocabulary. Total order
+    * (tf DESC, token) makes the LIMIT boundary deterministic.
+    */
+  def qDocVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(vocabTopK)
+
+  val qDocVocabSql: String =
+    s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY tf DESC, token
+       |LIMIT $vocabTopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bigram-LM quality scoring (self-trained corpus model)
+  // ------------------------------------------------------------------
+
+  /** Language-model quality scoring with a corpus-trained bigram model —
+    * the KenLM-style fluency filter of a curation pipeline, self-trained:
+    * count unigrams and bigrams over the corpus, then score every document
+    * by its mean bigram probability p(w₂|w₁) = c(w₁w₂)/c(w₁). Templated/
+    * shuffled text scores low, fluent text high. Self-training means no
+    * unseen bigrams (every scored bigram is in the model), so no smoothing
+    * term — and the score stays in plain arithmetic: NO log/exp, whose
+    * libm implementations differ between JVM and DuckDB in the last ulp
+    * (the memory/cross-engine rule), where +,/ are IEEE-exact in both.
+    *
+    * Determinism: the per-document mean is a SEQUENTIAL fold over the
+    * position-sorted probability list (the [[graft.ext.Similarity]]
+    * centroid discipline) — a partial-aggregated double `sum` would be
+    * partition-order-dependent in the low bits.
+    *
+    * Scale: bigram extraction is NARROW (a per-row `transform` over the
+    * token array — no self-join on positions); the model tables are one
+    * groupBy each (map-side combined, output bounded by distinct-gram
+    * count, Zipf-concentrated); scoring is one equi-join of exploded doc
+    * bigrams against the model keyed on the gram text and one doc-keyed
+    * fold. The model join ships (gram, count) pairs — at 100 TB the
+    * standard refinement is hashing grams to int64 first ([[h31]], as
+    * [[qDocRepetition]] does) and broadcasting the Zipf head.
+    */
+  def qDocBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    // (pos, w1, bigram) structs, built narrowly per row; 1-token docs have
+    // no bigrams and are filtered before the generator (Spark's
+    // sequence(1, 0) would DESCEND, not return empty)
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(i AS pos, toks[i-1] AS w1, concat_ws(' ', slice(toks, i, 2)) AS bg))"
+    val bgl = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val uni = docs.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    bgl
+      .join(bi, "bg").join(uni, "w1")
+      .select(col("doc_id"), col("pos"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p"))
+          / count(lit(1))).as("avg_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocBigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |bgl AS (
+      |  SELECT doc_id, pos, t[pos] AS w1, t[pos] || ' ' || t[pos + 1] AS bg
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+      |        FROM toks)
+      |),
+      |uni AS (
+      |  SELECT w1, count(*) AS c1
+      |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+      |),
+      |bi AS (
+      |  SELECT bg, count(*) AS c2 FROM bgl GROUP BY bg
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) ORDER BY pos)),
+      |    (acc, p) -> acc + p) / count(*) AS avg_bigram_p
+      |FROM bgl JOIN bi USING (bg) JOIN uni USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -80,4 +80,44 @@ class LlmOpsSpec extends SparkSuite {
         r.getAs[Double]("avg_token_len") > 0.0
     })
   }
+
+  test("weighted sampling: deterministic, weights in (0,1], keep rate tracks the weights") {
+    val once = TextOps.qDocSampleWeighted(spark, sf).collect()
+    val twice = TextOps.qDocSampleWeighted(spark, sf).collect()
+    assert(once.map(_.getAs[Long]("doc_id")).toSeq === twice.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(once.nonEmpty)
+    assert(once.forall { r =>
+      val w = r.getAs[Double]("weight"); w > 0.0 && w <= 1.0
+    })
+    // the sample is a weight-proportional subset, never the whole corpus
+    val n = graft.model.Tables.documents(spark, sf).count()
+    assert(once.length < n)
+  }
+
+  test("vocab induction: top-k by tf, df <= tf, df <= corpus size, descending tf") {
+    val rows = TextOps.qDocVocab(spark, sf).collect()
+    val n = graft.model.Tables.documents(spark, sf).count()
+    val vocabSize = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(rows.length === math.min(TextOps.vocabTopK.toLong, vocabSize))
+    val tfs = rows.map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (hi, lo) => hi >= lo })
+    assert(rows.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf") &&
+      r.getAs[Long]("df") <= n && r.getAs[Long]("df") >= 1))
+  }
+
+  test("bigram LM: probabilities are well-formed means over every multi-token doc") {
+    val rows = TextOps.qDocBigramLm(spark, sf).collect()
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("avg_bigram_p")
+      p > 0.0 && p <= 1.0 && r.getAs[Long]("n_bigrams") >= 1
+    })
+    // self-trained model property: a bigram that appears once under a
+    // unique w1 has p = 1; average over a doc can only be <= 1
+    assert(rows.length === graft.model.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 2).count())
+  }
 }

@@ -334,9 +334,8 @@ object TextOps {
         size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
       .withColumn("lang_pred", pred)
       .withColumn("lang_match", col("lang_pred") === col("lang"))
-      .withColumn("quality_score",
-        lit(0.5) * col("distinct_ratio") + lit(0.3) * col("stop_ratio") +
-          lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      // the ONE score definition, shared with qDocSampleWeighted
+      .withColumn("quality_score", qualityScoreCol)
       .select("doc_id", "lang", "lang_pred", "lang_match", "stop_ratio", "quality_score")
       .orderBy("doc_id")
   }

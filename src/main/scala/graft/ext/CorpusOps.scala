@@ -1,0 +1,287 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import TextOps.{h31, h31Sql, portableHash, portableHashSql, HashP}
+
+/** Corpus-management operators for LLM training-data pipelines — the
+  * passes that turn a raw document pile into a shippable dataset: passage-
+  * level dedup, deterministic train/val/test splitting, text
+  * normalization, data-mixture reporting, and a JSONL interchange
+  * round-trip. All run over the `documents` testdata table; every content
+  * hash is the cross-engine [[TextOps.portableHash]] (md5-derived) so
+  * results are engine-independent.
+  *
+  * Scale notes (100 TB) are per-operator; the module-wide rule matches
+  * `graft.ext`: no UDFs, no driver-side collects, every shuffle keyed on
+  * a small hash or id column, narrow ops stay narrow so they pipeline
+  * into the scan.
+  */
+object CorpusOps {
+
+  // ------------------------------------------------------------------
+  // Passage-level exact dedup (fixed-width chunks)
+  // ------------------------------------------------------------------
+
+  /** Passage width in tokens. Non-overlapping 16-token chunks approximate
+    * the fixed-gram granularity of exact-substring training-data dedup
+    * (the suffix-array method's practical stand-in): boilerplate repeats
+    * at passage scale long before whole documents collide.
+    */
+  val passageTokens = 16
+
+  /** Passage-level exact dedup: chunk every document into non-overlapping
+    * [[passageTokens]]-token passages, keep only the globally FIRST
+    * occurrence of each distinct passage (ordered by (doc_id, position) —
+    * deterministic, engine-independent), and report per document how many
+    * passages survived plus an order-sensitive fingerprint of the kept
+    * text. This is the sub-document dedup pass (Lee et al.-style) that
+    * removes repeated boilerplate *within* otherwise-unique documents —
+    * exact whole-doc dedup ([[Dedup.qDocExactDedup]]) cannot see it.
+    *
+    * Scale: tokenize + chunk is narrow (pipelines into the scan; the
+    * passage fan-out is size(text)/16 rows per doc). The first-occurrence
+    * decision is ONE window over the 60-bit passage hash — an exchange on
+    * `h` carrying (doc_id, pos, int64) rows, partial-aggregation-free but
+    * payload-minimal (no passage strings shuffle; VERDICT r4 #2 rule).
+    * The per-doc reassembly is one doc_id-keyed aggregation whose
+    * collect_list is bounded by passages-per-doc = tokens/16, not corpus
+    * size. At 100 TB both exchanges are hash-partitioned on high-card
+    * keys — no skew pole (a mega-frequent passage lands once per
+    * (doc,pos), and the window only computes min(key)).
+    */
+  def qDocPassageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pass = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks), $passageTokens)," +
+            s" i -> concat_ws(' ', slice(toks, i, $passageTokens)))"))
+          .as(Seq("pos", "passage")))
+      .select(col("doc_id"), col("pos"), h31(col("passage")).as("h"))
+    // global first occurrence: min (doc_id, pos) per passage hash, as one
+    // int64 key (pos is bounded by tokens/16 ≪ 100000)
+    val keyed = pass.withColumn("k", col("doc_id") * 100000L + col("pos"))
+      .withColumn("keep", col("k") === min(col("k")).over(Window.partitionBy(col("h"))))
+    keyed.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when(col("keep") === false, 1)).as("n_dropped"),
+        // order-sensitive fingerprint of the kept passages (pos order):
+        // same sequential-fold scheme as Dedup's rolling fingerprint
+        expr(s"aggregate(transform(array_sort(collect_list(" +
+          s"CASE WHEN keep THEN named_struct('pos', pos, 'h', h) END))," +
+          s" s -> s.h), 0L, (acc, x) -> (acc * ${Dedup.rollingBase} + x) % $HashP)")
+          .as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocPassageDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST((s - 1) / $passageTokens AS INTEGER) AS pos,
+       |    ${h31Sql(s"array_to_string(toks[s : s + ${passageTokens - 1}], ' ')")} AS h
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $passageTokens)) AS s FROM t)
+       |),
+       |k AS (
+       |  SELECT doc_id, pos, h, doc_id * 100000 + pos AS k,
+       |    doc_id * 100000 + pos = min(doc_id * 100000 + pos) OVER (PARTITION BY h) AS keep
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |  count(*) AS n_passages,
+       |  count(*) FILTER (WHERE NOT keep) AS n_dropped,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      coalesce(list(h ORDER BY pos) FILTER (WHERE keep), [])),
+       |    (acc, x) -> (acc * ${Dedup.rollingBase} + x) % $HashP) AS kept_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic train/val/test split
+  // ------------------------------------------------------------------
+
+  /** Percent boundaries: [0,80) train, [80,90) val, [90,100) test. */
+  val trainPct = 80
+  val valPct = 90
+
+  /** Deterministic 3-way dataset split with per-stratum accounting — the
+    * split every training pipeline needs BEFORE tokenization, made a pure
+    * function of document CONTENT (md5 hash vs fixed boundaries) rather
+    * than RNG: re-runs, engines, partition layouts, and incremental
+    * re-ingests assign every document to the same fold, and a document
+    * duplicated across shards cannot land in both train and test (the
+    * leakage mode seed-based splitting invites). Same determinism
+    * contract as [[TextOps.qDocSampleStratified]].
+    *
+    * Scale: narrow per-row hash + one tiny (lang × fold)-keyed partial
+    * aggregation — the output is ≤ |langs|·3 rows regardless of corpus
+    * size; no other shuffle.
+    */
+  def qDocSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = portableHash(concat(col("text"), lit("|split"))) % 100
+    Tables.documents(spark, sfDir)
+      .withColumn("fold",
+        when(bucket < trainPct, "train").when(bucket < valPct, "val").otherwise("test"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  val qDocSplitSql: String =
+    s"""SELECT lang,
+       |  CASE WHEN ${portableHashSql("text || '|split'")} % 100 < $trainPct THEN 'train'
+       |       WHEN ${portableHashSql("text || '|split'")} % 100 < $valPct THEN 'val'
+       |       ELSE 'test' END AS fold,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY lang, fold ORDER BY lang, fold""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Text normalization
+  // ------------------------------------------------------------------
+
+  /** Normalization pass: lowercase, strip non-alphanumerics to spaces,
+    * collapse whitespace, trim — the canonical pre-tokenization cleanup.
+    * The synthetic corpus is already clean, so every 7th document gets a
+    * doc-dependent messy suffix (mixed case, punctuation, doubled spaces)
+    * injected identically in both engines — the normalizer demonstrably
+    * has work to do, and the output hash checks the full transform
+    * cross-engine, not just the lengths. Backslash-free regexes for the
+    * same Java-regex/RE2 portability reasons as [[TextOps.qDocRedact]].
+    *
+    * Scale: pure narrow projection — regex work pipelines into the scan,
+    * no shuffle, no UDFs.
+    */
+  def qDocNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir).withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit("  NOISE-Block!! #"), col("doc_id").cast("string"),
+          lit("  (Visit,Now)   ")))
+        .otherwise(col("text")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    corpus.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_raw"),
+      length(norm).cast("long").as("len_norm"),
+      portableHash(norm).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocNormalizeSql: String = {
+    val normSql = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN text || '  NOISE-Block!! #' || CAST(doc_id AS VARCHAR) || '  (Visit,Now)   '
+       |      ELSE text END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  length(text) AS len_raw,
+       |  length($normSql) AS len_norm,
+       |  ${portableHashSql(normSql)} AS norm_fp
+       |FROM corpus ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Data-mixture report (per-source corpus accounting)
+  // ------------------------------------------------------------------
+
+  /** Data-mixture report: per (source, lang) document and token counts,
+    * summed quality mass, and each cell's share of the corpus token
+    * budget — the table a pretraining run's sampling weights are tuned
+    * against. Quality is the ONE shared score ([[TextOps]] — the same
+    * expression `q_doc_lang_quality` and `q_doc_sample_weighted` check),
+    * summed in DECIMAL so the group total is order-independent and
+    * engine-exact, then cast to double once at the end (the Analytics
+    * decimal rule).
+    *
+    * Scale: one (source, lang)-keyed partial aggregation (output ≤
+    * |sources|·|langs| rows); the token-share step is a window over that
+    * AGGREGATED frame — a single-partition exchange of a few hundred
+    * rows, never of the corpus.
+    */
+  def qDocSourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("q", TextOps.qualityScoreCol.cast("decimal(18,12)"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("q")).as("q_sum"))
+    agg.withColumn("token_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("q_sum").cast("double").as("quality_mass"), col("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val qDocSourceMixSql: String =
+    s"""WITH agg AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    sum(CAST(${TextOps.qualityScoreSql} AS DECIMAL(18,12))) AS q_sum
+       |  FROM documents GROUP BY source, lang
+       |)
+       |SELECT source, lang, n_docs, n_tokens,
+       |  CAST(q_sum AS DOUBLE) AS quality_mass,
+       |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM agg ORDER BY source, lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // JSONL interchange round-trip
+  // ------------------------------------------------------------------
+
+  /** JSONL round-trip: write the corpus as line-delimited JSON (the
+    * interchange format LLM corpora actually ship in), read it back with
+    * an EXPLICIT schema, and aggregate a per-language content checksum.
+    * The checksum (sum of 60-bit content hashes) only matches the
+    * parquet-side oracle if every document survived JSON encode→decode
+    * byte-for-byte — this checks the source/sink fidelity, not just row
+    * counts.
+    *
+    * Scale: JSONL is line-splittable, so the read side parallelizes like
+    * any text source; the explicit schema skips the inference pass (an
+    * extra full scan at 100 TB). The local temp dir is the harness
+    * stand-in for a distributed filesystem path — the code path
+    * (DataFrameWriter.json → DataFrameReader.schema.json) is identical.
+    */
+  /** Mersenne prime 2^61−1: the content-checksum modulus. */
+  val checksumP = 2305843009213693951L
+
+  def qDocJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .write.mode("overwrite").json(dir)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .json(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        // modular checksum: sum the 60-bit hashes in DECIMAL(38,0) (a
+        // plain int64 sum overflows at a few hundred documents) and
+        // reduce mod 2^61−1 back to an exact BIGINT. Exact at ANY corpus
+        // size — no decimal→double cast at the boundary (whose last-ulp
+        // rounding differs between engines on >2^53 values)
+        (sum(portableHash(col("text")).cast("decimal(38,0)")) % lit(checksumP))
+          .cast("long").as("content_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val qDocJsonlRoundtripSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CAST(${portableHashSql("text")} AS DECIMAL(38,0))) % $checksumP AS BIGINT) AS content_sum
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}

@@ -27,7 +27,13 @@ object LlmQueries {
     "q_doc_decontam" -> ((Dedup.qDocDecontam _, Dedup.qDocDecontamSql)),
     "q_doc_pack" -> ((TextOps.qDocPack _, TextOps.qDocPackSql)),
     "q_doc_redact" -> ((TextOps.qDocRedact _, TextOps.qDocRedactSql)),
+    "q_doc_passage_dedup" -> ((CorpusOps.qDocPassageDedup _, CorpusOps.qDocPassageDedupSql)),
+    "q_doc_split" -> ((CorpusOps.qDocSplit _, CorpusOps.qDocSplitSql)),
+    "q_doc_normalize" -> ((CorpusOps.qDocNormalize _, CorpusOps.qDocNormalizeSql)),
+    "q_doc_source_mix" -> ((CorpusOps.qDocSourceMix _, CorpusOps.qDocSourceMixSql)),
+    "q_doc_jsonl_roundtrip" -> ((CorpusOps.qDocJsonlRoundtrip _, CorpusOps.qDocJsonlRoundtripSql)),
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
+    "q_emb_hard_negatives" -> ((Similarity.qEmbHardNegatives _, Similarity.qEmbHardNegativesSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),
     "q_emb_label_centroids" -> ((Similarity.qEmbLabelCentroids _, Similarity.qEmbLabelCentroidsSql)),

@@ -88,6 +88,65 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // Hard-negative mining (label-filtered cosine top-k)
+  // ------------------------------------------------------------------
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the [[topK]] most-similar candidates whose LABEL DIFFERS
+    * from the query's — the near-misses a retrieval model must learn to
+    * push apart. Same broadcast-query scan shape as [[qEmbCosineTopk]]
+    * (norms hoisted per side, candidate corpus never shuffles for the
+    * scoring), but the per-query top-k runs on the native
+    * [[graft.plans.TopKPerKey]] operator: bounded heaps per q_id, no
+    * per-query sort, no window exchange of the Q×N scored rows — only
+    * the q_id-keyed exchange of heap survivors.
+    *
+    * Scale: O(Q×N) scoring with Q broadcast (ad-hoc mining batches are
+    * small); for corpus-scale mining swap the candidate side's scan for
+    * the LSH/IVF bucket probe ([[qEmbAnnLsh]]/[[qEmbAnnIvf]]) — the
+    * label filter composes unchanged.
+    */
+  def qEmbHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"), col("label").as("c_label"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .select(col("q_id"), col("vec_id"), col("c_label"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+    graft.functions.GraftOps.topKPerKey(scored,
+        keys = Seq("q_id"), order = Seq(("cosine", true), ("vec_id", false)), k = topK)
+      .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  val qEmbHardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id < $nQueryVecs
+       |),
+       |c AS (
+       |  SELECT vec_id, label AS c_label, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id >= $nQueryVecs
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id, c_label,
+       |    list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |  FROM c JOIN q ON q_label <> c_label
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, c_label, cosine FROM ranked
+       |WHERE rn <= $topK ORDER BY q_id, cosine DESC, vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // LSH-bucketed ANN (random-hyperplane signs; IVF-style scale path)
   // ------------------------------------------------------------------
 

@@ -376,7 +376,7 @@ object TextOps {
   /** The shared Spark/oracle quality-score expressions, factored so the
     * weighted sampler cannot drift from [[qDocLangQuality]]'s score.
     */
-  private def qualityScoreCol: Column = {
+  private[ext] def qualityScoreCol: Column = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     lit(0.5) * (size(array_distinct(toks)).cast("double") / nTok) +
@@ -384,7 +384,7 @@ object TextOps {
         .cast("double") / nTok) +
       lit(0.2) * least(lit(1.0), nTok / lit(100.0))
   }
-  private val qualityScoreSql: String =
+  private[ext] val qualityScoreSql: String =
     s"""0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
        |      CAST(len(string_split(text, ' ')) AS DOUBLE)) +
        |    0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stopwords)}))) AS DOUBLE) /

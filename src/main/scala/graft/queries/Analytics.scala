@@ -230,6 +230,83 @@ object Analytics {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // --- Sliding time-range window per user (RANGE frame over event time) ---
+
+  /** Trailing-hour activity per event: for every event, the count and
+    * decimal-exact value sum of the SAME USER's events in the preceding
+    * 3600 seconds — a RANGE (value-based) window frame, where the frame
+    * boundary is event-time distance rather than row position (the rows
+    * vs range distinction [[qRunningTotal]]'s frame doesn't exercise).
+    * Ordering is on floor-to-second epoch, computed identically in both
+    * engines (timestamps carry microseconds; sub-second truncation makes
+    * the frame edge engine-exact). Peers at the same second share one
+    * frame — RANGE semantics both engines define identically.
+    *
+    * Scale: one user_id-keyed exchange + per-partition sort — the
+    * canonical window cost; no self-join (the naive "join events within
+    * 1h" formulation is O(rows × density) and re-shuffles both sides).
+    */
+  def qEventMovingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("epoch_s", $"ts".cast("long"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(dec($"value")).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"epoch_s", $"cnt_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
+  val qEventMovingWindowSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  count(*) OVER w AS cnt_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // --- Set operators: INTERSECT / EXCEPT between brand assortments ---
+
+  /** The relational set operators the DataFrame DSL surfaces as
+    * `intersect`/`except` (both DISTINCT-semantics, matching SQL): which
+    * part sizes two brand assortments share, and which are exclusive to
+    * each — tagged and unioned into one result. Spark plans these as
+    * left-semi/left-anti aggregates over the pre-aggregated (distinct)
+    * sides, not row-level subtraction.
+    *
+    * Scale: each side aggregates to ≤ |distinct sizes| rows before the
+    * semi/anti join — the shuffles carry distinct values only. The final
+    * union is free (no exchange: unions concatenate partitions).
+    */
+  def qPartSizeSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    def sizes(brand: String) =
+      part.filter($"p_brand" === brand).select($"p_size")
+    val a = sizes("Brand#12")
+    val b = sizes("Brand#21")
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionAll(a.except(b).withColumn("tag", lit("only_12")))
+      .unionAll(b.except(a).withColumn("tag", lit("only_21")))
+      .select($"tag", $"p_size")
+      .orderBy($"tag", $"p_size")
+  }
+
+  val qPartSizeSetopsSql: String =
+    """WITH a AS (SELECT p_size FROM part WHERE p_brand = 'Brand#12'),
+      |b AS (SELECT p_size FROM part WHERE p_brand = 'Brand#21'),
+      |tagged AS (
+      |  SELECT 'both' AS tag, p_size FROM (SELECT p_size FROM a INTERSECT SELECT p_size FROM b)
+      |  UNION ALL
+      |  SELECT 'only_12' AS tag, p_size FROM (SELECT p_size FROM a EXCEPT SELECT p_size FROM b)
+      |  UNION ALL
+      |  SELECT 'only_21' AS tag, p_size FROM (SELECT p_size FROM b EXCEPT SELECT p_size FROM a)
+      |)
+      |SELECT tag, p_size FROM tagged ORDER BY tag, p_size""".stripMargin
+
   // --- Semi/anti join: customers with and without orders ---
   def qCustomersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1170,6 +1247,8 @@ object Analytics {
     */
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
+    "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
+    "q_part_size_setops" -> ((qPartSizeSetops _, qPartSizeSetopsSql)),
     "q1_pricing_summary" -> ((q1PricingSummary _, q1PricingSummarySql)),
     "q3_top_unshipped" -> ((q3TopUnshipped _, q3TopUnshippedSql)),
     "q5_nation_revenue" -> ((q5NationRevenue _, q5NationRevenueSql)),

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model.Tables
+
+/** Semantics tests for the corpus-management operators: passage dedup
+  * keeps exactly one occurrence per distinct passage, splitting partitions
+  * the corpus deterministically, normalization is the identity on already-
+  * clean text, the mixture report's shares sum to 1, the JSONL round-trip
+  * is lossless, and hard-negative mining matches a local brute-force
+  * recomputation.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  test("passage dedup: kept passages = distinct passages, deterministic") {
+    val out = CorpusOps.qDocPassageDedup(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length === docs)
+    assert(out.forall(r =>
+      r.getAs[Long]("n_dropped") >= 0 &&
+        r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_passages")))
+    // global invariant: kept passages across the corpus = distinct passage
+    // texts (independent formulation, no window/hash machinery)
+    val kept = out.map(r => r.getAs[Long]("n_passages") - r.getAs[Long]("n_dropped")).sum
+    val distinctPassages = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks), ${CorpusOps.passageTokens})," +
+          s" i -> concat_ws(' ', slice(toks, i, ${CorpusOps.passageTokens})))")).as("p"))
+      .distinct().count()
+    assert(kept === distinctPassages)
+    val again = CorpusOps.qDocPassageDedup(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("split: folds partition the corpus with roughly 80/10/10 mass") {
+    val out = CorpusOps.qDocSplit(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    val byFold = out.groupBy(_.getAs[String]("fold"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byFold.keySet === Set("train", "val", "test"))
+    val trainShare = byFold("train").toDouble / total
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare")
+    // determinism: the fold decision is content-keyed, so re-runs agree
+    assert(out.map(_.toSeq).toSeq === CorpusOps.qDocSplit(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
+  test("normalize: identity on clean docs, strictly shrinking on injected mess") {
+    val out = CorpusOps.qDocNormalize(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0) {
+        // injected suffix adds punctuation/case/doubled spaces that the
+        // normalizer must strip: normalized is strictly shorter than raw
+        assert(r.getAs[Long]("len_norm") < r.getAs[Long]("len_raw"), s"doc $id")
+      } else {
+        // the synthetic corpus is already lowercase single-spaced — the
+        // normalizer must be the identity (length-preserving) on it
+        assert(r.getAs[Long]("len_norm") === r.getAs[Long]("len_raw"), s"doc $id")
+      }
+    }
+  }
+
+  test("source mix: token shares sum to 1, doc counts cover the corpus") {
+    val out = CorpusOps.qDocSourceMix(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sf).count())
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
+    assert(out.forall(_.getAs[Double]("quality_mass") > 0.0))
+  }
+
+  test("jsonl round-trip: checksum equals the direct parquet-side computation") {
+    val rt = CorpusOps.qDocJsonlRoundtrip(spark, sf).collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        (sum(TextOps.portableHash(col("text")).cast("decimal(38,0)")) %
+          lit(CorpusOps.checksumP)).cast("long").as("content_sum"))
+      .orderBy(col("lang")).collect()
+    assert(rt.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+  }
+
+  test("hard negatives: matches local brute force, labels always differ") {
+    val rows = Similarity.qEmbHardNegatives(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 < Similarity.nQueryVecs)
+    val cands = emb.filter(_._1 >= Similarity.nQueryVecs)
+    queries.foreach { case (qId, qLabel, qv) =>
+      val expected = cands.filter(_._2 != qLabel)
+        .map { case (id, _, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.topK).map(_._1).toSeq
+      val got = rows.filter(_.getAs[Long]("q_id") == qId)
+        .sortBy(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("vec_id")))
+        .map(_.getAs[Long]("vec_id")).toSeq
+      assert(got === expected, s"query $qId")
+      assert(rows.filter(_.getAs[Long]("q_id") == qId)
+        .forall(_.getAs[Int]("c_label") != qLabel))
+    }
+  }
+
+  test("moving window: matches a local trailing-3600s recomputation") {
+    val out = graft.queries.Analytics.qEventMovingWindow(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("cnt_1h"))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("s"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("s")))
+    events.groupBy(_._2).foreach { case (_, evs) =>
+      evs.foreach { case (id, _, s) =>
+        val expect = evs.count { case (_, _, s2) => s2 >= s - 3600 && s2 <= s }
+        assert(out(id) === expect, s"event $id")
+      }
+    }
+  }
+
+  test("set operators: tags agree with local set algebra over part sizes") {
+    val out = graft.queries.Analytics.qPartSizeSetops(spark, sf).collect()
+      .groupBy(_.getAs[String]("tag"))
+      .view.mapValues(_.map(_.getAs[Int]("p_size")).toSet).toMap
+    val part = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_size")).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Int]("p_size")))
+    val a = part.collect { case ("Brand#12", s) => s }.toSet
+    val b = part.collect { case ("Brand#21", s) => s }.toSet
+    assert(out.getOrElse("both", Set.empty) === (a intersect b))
+    assert(out.getOrElse("only_12", Set.empty) === (a diff b))
+    assert(out.getOrElse("only_21", Set.empty) === (b diff a))
+  }
+}

@@ -252,9 +252,12 @@ object Analytics {
       .rangeBetween(-3600L, Window.currentRow)
     Tables.events(spark, sfDir)
       .withColumn("epoch_s", $"ts".cast("long"))
-      .withColumn("cnt_1h", count(lit(1)).over(w))
-      .withColumn("sum_1h", sum(dec($"value")).over(w).cast("double"))
-      .select($"event_id", $"user_id", $"epoch_s", $"cnt_1h", $"sum_1h")
+      // both aggregates in ONE select over the same spec → a single
+      // Window node (chained withColumns interleave Projects that block
+      // the CollapseWindow rule and double the window pass)
+      .select($"event_id", $"user_id", $"epoch_s",
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(dec($"value")).over(w).cast("double").as("sum_1h"))
       .orderBy($"event_id")
   }
 

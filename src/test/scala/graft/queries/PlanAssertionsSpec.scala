@@ -142,6 +142,40 @@ class PlanAssertionsSpec extends SparkSuite {
       pack)
   }
 
+  test("passage dedup: no joins — hash-keyed window + doc-keyed agg over a pruned scan") {
+    val p = plan(graft.ext.CorpusOps.qDocPassageDedup(spark, sf))
+    // the first-occurrence decision is a window, never a self-join
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // the window partitions on the passage hash — high-cardinality, no
+    // single-partition funnel at any corpus size
+    assert("Window \\[.*\\], \\[h[#0-9L]*\\]".r.findFirstIn(p).isDefined,
+      s"window not partitioned by passage hash:\n$p")
+  }
+
+  test("hard negatives rank on the native top-k operator — no Window exchange of Q×N rows") {
+    val df = graft.ext.Similarity.qEmbHardNegatives(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey"), s"native operator missing:\n$p")
+    assert(!p.contains("Window"), s"window-form ranking crept back:\n$p")
+    // the label-mismatch scoring join is the sanctioned broadcast
+    // nested loop (query side broadcast, non-equi predicate)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("moving window is ONE user-keyed window — never a time-range self-join") {
+    val p = plan(Analytics.qEventMovingWindow(spark, sf))
+    assert(!p.contains("Join"), s"self-join formulation crept in:\n$p")
+    assert("Window ".r.findAllIn(p).size == 1, s"expected exactly one window:\n$p")
+  }
+
+  test("set operators plan as semi/anti joins over pre-aggregated sides") {
+    val p = plan(Analytics.qPartSizeSetops(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("as-of attribution never funnels through a single partition") {
     // the merge-window is partitioned by user_id; a missing partition spec
     // would plan Exchange SinglePartition and serialize the whole table

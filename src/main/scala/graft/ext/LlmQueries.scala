@@ -40,6 +40,7 @@ object LlmQueries {
     "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
     "q_emb_kmeans_iter" -> ((Similarity.qEmbKmeansIter _, Similarity.qEmbKmeansIterSql)),
     "q_emb_quantize" -> ((Similarity.qEmbQuantize _, Similarity.qEmbQuantizeSql)),
+    "q_emb_pq_adc" -> ((Similarity.qEmbPqAdc _, Similarity.qEmbPqAdcSql)),
     "q_emb_semdedup" -> ((Similarity.qEmbSemDedup _, Similarity.qEmbSemDedupSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),

@@ -373,7 +373,10 @@ object Similarity {
     centroidsLong(spark, sfDir).orderBy(col("label"), col("i"))
 
   private def centroidsLong(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    centroidsLongOf(Tables.embeddings(spark, sfDir))
+
+  private def centroidsLongOf(embIn: DataFrame): DataFrame =
+    embIn
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"),
         col("x").cast("double").as("xd"))
@@ -534,6 +537,165 @@ object Similarity {
        |)
        |SELECT q_id, rank, vec_id, cell, cosine FROM ranked
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Product quantization: per-subspace codebooks + ADC probe
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: [[pqM]] subspaces of [[pqSub]] dims each (4×16 = the
+    * 64-dim embedding exactly). Codes per subspace = the label count (the
+    * codebook is the per-label subspace means — deterministic and already
+    * oracle-mirrored via [[qEmbLabelCentroids]]'s centroid CTE; a
+    * production index would train per-subspace k-means with
+    * [[Similarity.kmeans]] instead, same shapes).
+    */
+  val pqM = 4
+  val pqSub = 16
+
+  /** Spark-SQL sequential dot product (for use inside `expr` lambdas where
+    * the [[graft.functions.VectorDot]] Column can't reach): bit-identical
+    * to VectorDot (VectorDotSpec) and DuckDB's `list_dot_product`.
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)"
+
+  /** One-row PQ codebook: `cb` = array of (s, code, cv[16], cc) sorted by
+    * (s, code), derived from the per-label centroids ([[centroidsLong]] —
+    * the same sequential-fold means the oracle mirrors). Broadcast-crossed
+    * into the encode/probe sides exactly like [[centroidArrayDf]].
+    */
+  private def pqCodebookOf(embIn: DataFrame): DataFrame = {
+    val full = centroidsLongOf(embIn)
+      .groupBy(col("label").as("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv64"))
+    full
+      .select(col("code"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> named_struct(" +
+          s"'s', s, 'cv', slice(cv64, s * $pqSub + 1, $pqSub)))")).as("sub"))
+      .select(col("sub.s").as("s"), col("code"), col("sub.cv").as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+      .agg(array_sort(collect_list(struct(col("s"), col("code"), col("cv"), col("cc"))))
+        .as("cb"))
+  }
+
+  /** Per-subspace encode: `codes[s]` = argmin over the codebook's subspace-
+    * `s` entries of ‖v_s − c‖² (= v_s·v_s − 2 v_s·c + c·c, code tiebreak).
+    * A per-row fold over the broadcast constant-size codebook — NARROW,
+    * zero corpus exchange, the [[probeCells]] discipline.
+    */
+  private val pqCodesExpr: String =
+    s"transform(sequence(0, ${pqM - 1}), s -> element_at(array_sort(" +
+      s"transform(filter(cb, c -> c.s = s), c -> named_struct(" +
+      s"'d', ${dotExpr(s"slice(e, s * $pqSub + 1, $pqSub)", s"slice(e, s * $pqSub + 1, $pqSub)")}" +
+      s" - 2 * ${dotExpr(s"slice(e, s * $pqSub + 1, $pqSub)", "c.cv")} + c.cc," +
+      s" 'code', c.code))), 1).code)"
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC)
+    * — the memory-bound half of a FAISS-style index: candidates are
+    * compressed to [[pqM]] small codes (here 4 bytes a vector vs 256
+    * bytes of floats), queries stay exact, and each query×candidate
+    * distance is a [[pqM]]-term table lookup Σ_s d[s][code_s] instead of
+    * a 64-dim dot product. Approximate by construction; the spec pins the
+    * recall floor against exact L2 top-k and checks code stability.
+    *
+    * Scale: encode is a broadcast-codebook per-row fold (narrow, zero
+    * corpus exchange — the same discipline as [[probeCells]], asserted in
+    * PlanAssertionsSpec); each query's distance TABLE (m×codes doubles)
+    * is computed once on the broadcast query side, so the per-candidate
+    * work is O(m) lookups regardless of dim. The final top-k runs on the
+    * native [[graft.plans.TopKPerKey]] heap operator — no window
+    * exchange of the Q×N scored rows. At 100 TB the codes are computed
+    * at WRITE time next to the vectors (the [[lshBucketCol]]/Bucketing
+    * path) and the scan reads 4-byte codes, not embeddings — a 64×
+    * scan-byte reduction, which is the entire point of PQ.
+    *
+    * Determinism: every double is a sequential fold in a fixed order
+    * (subspace dots element-ordered, ADC sum in subspace order s=0..m−1),
+    * argmin/top-k tiebreaks on (code) / (vec_id) — both engines agree
+    * bit-for-bit.
+    */
+  def qEmbPqAdc(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcOf(Tables.embeddings(spark, sfDir))
+
+  /** The PQ kernel behind [[qEmbPqAdc]], reusable over any
+    * (vec_id, label, embedding) frame — NewOpsSpec feeds it planted
+    * clusters where compression must preserve the exact top-k.
+    */
+  def pqAdcOf(embIn: DataFrame): DataFrame = {
+    val cbArr = pqCodebookOf(embIn).persist()
+    cbArr.count() // eager: encode and distance-table sides race this cache
+    val emb = embIn
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    // candidates: compressed to 4 codes each
+    val cand = emb.filter(col("vec_id") >= nQueryVecs)
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), expr(pqCodesExpr).as("codes"))
+    // queries: full per-(subspace, code) distance table
+    val q = emb.filter(col("vec_id") < nQueryVecs)
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id").as("q_id"), expr(
+        s"transform(cb, c -> named_struct('s', c.s, 'code', c.code, 'd'," +
+          s" ${dotExpr(s"slice(e, c.s * $pqSub + 1, $pqSub)", s"slice(e, c.s * $pqSub + 1, $pqSub)")}" +
+          s" - 2 * ${dotExpr(s"slice(e, c.s * $pqSub + 1, $pqSub)", "c.cv")} + c.cc))")
+        .as("dtab"))
+    val scored = cand.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), expr(
+        s"aggregate(sequence(0, ${pqM - 1}), cast(0 as double), (acc, s) -> acc +" +
+          s" element_at(filter(dtab, t -> t.s = s AND t.code = element_at(codes, s + 1)), 1).d)")
+        .as("adc_dist"))
+    graft.functions.GraftOps.topKPerKey(scored,
+        keys = Seq("q_id"), order = Seq(("adc_dist", false), ("vec_id", false)), k = topK)
+      .orderBy(col("q_id"), col("adc_dist"), col("vec_id"))
+  }
+
+  val qEmbPqAdcSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS code, list(c ORDER BY i) AS cv64 FROM cl GROUP BY label),
+       |sub AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS s),
+       |cb AS (
+       |  SELECT s, code, list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub) AS cv,
+       |    list_dot_product(list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub),
+       |                     list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub)) AS cc
+       |  FROM cent, sub
+       |),
+       |enc AS (
+       |  SELECT vec_id, s, code,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, cb.s, cb.code,
+       |      list_dot_product(list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub),
+       |                       list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub))
+       |        - 2 * list_dot_product(list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub), cb.cv)
+       |        + cb.cc AS d
+       |    FROM e, cb
+       |    WHERE e.vec_id >= $nQueryVecs
+       |  )
+       |),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+       |dtab AS (
+       |  SELECT e.vec_id AS q_id, cb.s, cb.code,
+       |    list_dot_product(list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub),
+       |                     list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub))
+       |      - 2 * list_dot_product(list_slice(v, cb.s * $pqSub + 1, cb.s * $pqSub + $pqSub), cb.cv)
+       |      + cb.cc AS d
+       |  FROM e, cb
+       |  WHERE e.vec_id < $nQueryVecs
+       |),
+       |adc AS (
+       |  SELECT dtab.q_id, codes.vec_id,
+       |    list_reduce(list(dtab.d ORDER BY dtab.s), (a, b) -> a + b) AS adc_dist
+       |  FROM codes JOIN dtab ON dtab.s = codes.s AND dtab.code = codes.code
+       |  GROUP BY dtab.q_id, codes.vec_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+       |  FROM adc
+       |)
+       |SELECT q_id, vec_id, adc_dist FROM ranked
+       |WHERE rn <= $topK ORDER BY q_id, adc_dist, vec_id""".stripMargin
 
   // ------------------------------------------------------------------
   // k-means: one distributed Lloyd iteration over the embedding corpus

@@ -324,6 +324,46 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ ADC: planted clusters — compression preserves the exact top-k") {
+    import spark.implicits._
+    // 10 well-separated centers (distinct active dims at 10.0) with tiny
+    // deterministic per-member noise; 6 members per cluster, queries are
+    // ids 0..2 (clusters 0..2), so each query's 5 same-cluster candidates
+    // are BOTH the exact L2 top-5 and what PQ must return after 64→4-code
+    // compression (between-cluster ADC gaps dwarf quantization error)
+    val k = 10
+    def noise(id: Int, i: Int): Float = (((id * 31 + i * 17) % 7) - 3) * 0.05f
+    val rows = (0 until 60).map { id =>
+      val l = id % k
+      (id.toLong,  l,
+        (0 until Similarity.embDim).map(i =>
+          (if (i % k == l) 10f else 0f) + noise(id, i)))
+    }
+    val out = Similarity.pqAdcOf(rows.toDF("vec_id", "label", "embedding")).collect()
+    assert(out.length === Similarity.nQueryVecs * Similarity.topK)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (qId, rs) =>
+      val expected = (3 until 60).filter(_ % k == qId).map(_.toLong).toSet
+      assert(rs.map(_.getAs[Long]("vec_id")).toSet === expected, s"query $qId")
+      // same-cluster ADC distances are quantization-noise-sized, nowhere
+      // near the ≳1200 between-cluster gap
+      assert(rs.forall(_.getAs[Double]("adc_dist") < 100.0))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("PQ ADC on testdata: deterministic, ascending per query, k rows each") {
+    val out = Similarity.qEmbPqAdc(spark, sf).collect()
+    assert(out.length === Similarity.nQueryVecs * Similarity.topK)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getAs[Long]("vec_id"))
+        .sortBy(_.getAs[Double]("adc_dist")).map(_.getAs[Double]("adc_dist"))
+      assert(ds.forall(_ >= 0.0))
+    }
+    val again = Similarity.qEmbPqAdc(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("q9: every (nation, brand) group joins through filtered parts only") {
     val rows = Analytics.q9ProductProfit(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -164,6 +164,13 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PQ ADC ranks on the native top-k heap — no Window, no cartesian, broadcast codebook only") {
+    val p = plan(graft.ext.Similarity.qEmbPqAdc(spark, sf))
+    assert(p.contains("TopKPerKey"), s"native operator missing:\n$p")
+    assert(!p.contains("Window"), s"window-form ranking crept back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("moving window is ONE user-keyed window — never a time-range self-join") {
     val p = plan(Analytics.qEventMovingWindow(spark, sf))
     assert(!p.contains("Join"), s"self-join formulation crept in:\n$p")

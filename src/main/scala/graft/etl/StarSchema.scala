@@ -37,6 +37,30 @@ object StarSchema {
   def factTrips(spark: SparkSession, sfDir: String): DataFrame =
     transform(TaxiFixture.raw(spark, sfDir), "2024", "1")
 
+  /** [[transform]] instrumented with in-flight data-quality metrics via
+    * the `Observation` API — the intake/output counters a production ETL
+    * job emits (rows read, rows shipped, per-filter drop candidates)
+    * WITHOUT a second pass: `observe` attaches aggregates to the running
+    * job itself, so the QC numbers cost zero extra scans — at 100 TB a
+    * "count it again" QC pass is a second full read of the table. Metrics
+    * resolve after the first action on the returned frame.
+    */
+  def transformObserved(raw: DataFrame, processedYear: String, processedMonth: String)
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val intake = org.apache.spark.sql.Observation("raw_intake")
+    val output = org.apache.spark.sql.Observation("fact_output")
+    val observedRaw = raw.observe(intake,
+      count(lit(1)).as("n_rows"),
+      count(when(col("fare_amount") <= 0, 1)).as("n_nonpositive_fare"),
+      count(when(col("passenger_count") < 1 || col("passenger_count") > 6, 1))
+        .as("n_bad_passenger"),
+      count(when(col("trip_distance") < 5.0 || col("trip_distance") > 500.0, 1))
+        .as("n_bad_distance"))
+    val fact = transform(observedRaw, processedYear, processedMonth)
+      .observe(output, count(lit(1)).as("n_rows"))
+    (fact, intake, output)
+  }
+
   /** K1 — partitioned snappy parquet + catalog sink (ny:358-371). Partition
     * columns are the processing year/month, so month-granular readbacks
     * (Job-2's F5 filter) prune to one directory — the access pattern that

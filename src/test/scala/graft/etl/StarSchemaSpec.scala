@@ -117,6 +117,27 @@ class StarSchemaSpec extends SparkSuite {
     assert(fees.toSeq === Seq(0.0, 1.25))
   }
 
+  test("observed pipeline: QC metrics resolve from the SAME job and match direct counts") {
+    val raw = TaxiFixture.raw(spark, sf)
+    val (fact, intake, output) = StarSchema.transformObserved(raw, "2024", "1")
+    val shipped = fact.count() // one action resolves every observation
+    val in = intake.get
+    val out = output.get
+    assert(in("n_rows") === raw.count())
+    assert(out("n_rows") === shipped)
+    assert(shipped === StarSchema.factTrips(spark, sf).count())
+    // the intake-side drop-candidate counters match direct recomputation
+    import org.apache.spark.sql.functions.col
+    assert(in("n_nonpositive_fare") ===
+      raw.filter(col("fare_amount") <= 0).count())
+    assert(in("n_bad_passenger") ===
+      raw.filter(col("passenger_count") < 1 || col("passenger_count") > 6).count())
+    assert(in("n_bad_distance") ===
+      raw.filter(col("trip_distance") < 5.0 || col("trip_distance") > 500.0).count())
+    // the funnel is consistent: output can never exceed intake
+    assert(out("n_rows").asInstanceOf[Long] <= in("n_rows").asInstanceOf[Long])
+  }
+
   test("fact output has the 26 reference columns in order (ny:329-356)") {
     val out = StarSchema.factTrips(spark, sf)
     assert(out.columns.toSeq === StarSchema.factColumns)

@@ -17,6 +17,13 @@ run / fork := true
 // recorded round has "parsed": null) and costs ~8 chars of its ~2000-char
 // output-tail window per line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue: it prints AFTER
+// Bench's one-line JSON, so any harness that parses the LAST stdout line
+// reads the epilogue instead of the JSON (all five recorded rounds have
+// "parsed": null despite the JSON line being fully present in round 1's
+// 2000-char tail — a last-line parse is the only heuristic consistent
+// with that). With this off, Bench's JSON line IS the last line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

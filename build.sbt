@@ -24,6 +24,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // 2000-char tail — a last-line parse is the only heuristic consistent
 // with that). With this off, Bench's JSON line IS the last line.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// exclude it from the unused-key lint so batch runs stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

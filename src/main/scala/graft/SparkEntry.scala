@@ -20,6 +20,7 @@ object SparkEntry {
   private def registries: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] = Seq(
     Analytics.registry,
     graft.queries.Joins.registry,
+    graft.queries.Warehouse.registry,
     EtlQueries.registry,
     graft.ext.LlmQueries.registry,
     graft.etl.Dims.registry

@@ -284,4 +284,210 @@ object CorpusOps {
        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
        |  CAST(sum(CAST(${portableHashSql("text")} AS DECIMAL(38,0))) % $checksumP AS BIGINT) AS content_sum
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // RAG chunking: sliding token windows with overlap
+  // ------------------------------------------------------------------
+
+  /** Chunk width in tokens. */
+  val chunkTokens = 64
+
+  /** Chunk stride in tokens ([[chunkTokens]] − stride = 16-token overlap,
+    * the usual retrieval hedge against an answer span straddling a chunk
+    * boundary).
+    */
+  val chunkStride = 48
+
+  /** Retrieval chunking: split every document into [[chunkTokens]]-token
+    * windows advancing by [[chunkStride]] (so consecutive chunks share a
+    * 16-token overlap; the final chunk is the shorter remainder). Emits
+    * one row per chunk with its index, token count, and content hash —
+    * the unit a RAG pipeline embeds and indexes, where [[Dedup]]'s
+    * passage dedup works on disjoint chunks, retrieval wants overlap.
+    *
+    * Scale (100 TB): narrow end-to-end — tokenize, `sequence` of start
+    * positions, `posexplode`, `slice`, hash; no shuffle until the oracle
+    * ORDER BY. Fan-out is tokens/stride rows per doc (~1.3× token count
+    * in output chunks × 64 tokens, the accepted storage cost of overlap).
+    * Chunk text itself is NOT emitted — downstream embedding reads
+    * (doc_id, chunk_idx) and re-slices, so the exchange payload stays
+    * (ids, int64 hash) instead of 64-token strings.
+    */
+  def qDocChunk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(chunkStride)))
+          .as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("toks"), col("s"), lit(chunkTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        portableHash(concat_ws(" ", slice(col("toks"), col("s"), lit(chunkTokens))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val qDocChunkSql: String = {
+    val sliceSql = s"toks[s:s+${chunkTokens - 1}]"
+    s"""SELECT doc_id, CAST((s-1)//$chunkStride AS INTEGER) AS chunk_idx,
+       |  CAST(len($sliceSql) AS BIGINT) AS n_chunk_tokens,
+       |  ${portableHashSql(s"array_to_string($sliceSql, ' ')")} AS chunk_hash
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  unnest(generate_series(1, len(toks), $chunkStride)) AS t(s)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // OOV rate against the induced vocabulary
+  // ------------------------------------------------------------------
+
+  /** Out-of-vocabulary rate per document against the corpus' own induced
+    * top-[[TextOps.vocabTopK]] vocabulary ([[TextOps.qDocVocab]]) — the
+    * coverage metric that tells a tokenizer-training pass whether its
+    * vocab budget fits the corpus (and flags documents that are mostly
+    * rare tokens: noise, code, or the wrong language).
+    *
+    * Scale (100 TB): the vocabulary is top-k by construction — k rows, so
+    * the membership probe is an explicit `broadcast` left join: the
+    * exploded token stream NEVER shuffles on token; the only exchange is
+    * the doc_id-keyed partial-agg count-up. (A full-corpus vocabulary
+    * would exceed broadcast — that variant keys both sides on token and
+    * pays the shuffle, which is why the vocab table, not the corpus,
+    * should carry the budget.) The vocab subquery reuses
+    * [[TextOps.qDocVocab]] verbatim — one definition on both engines, so
+    * the LIMIT boundary (total-ordered tf DESC, token) cannot drift.
+    */
+  def qDocOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = TextOps.qDocVocab(spark, sfDir)
+      .select(col("token"), lit(true).as("in_vocab"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocOovSql: String =
+    s"""WITH vocab AS (
+       |  SELECT token FROM (${TextOps.qDocVocabSql.replace("\n", " ")})
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS oov_ratio
+       |FROM toks LEFT JOIN vocab USING (token)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sequence-length bucketing (training batch planning)
+  // ------------------------------------------------------------------
+
+  /** Power-of-two bucket boundaries for sequence-length bucketing. */
+  val lengthBucketBounds: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+  /** Sequence-length bucketing: assign every document to the smallest
+    * power-of-two token budget that holds it and report, per bucket, the
+    * document count, real token mass, and the padding waste a
+    * fixed-length batcher would pay (1 − tokens/(bucket × docs)) — the
+    * planning table behind length-grouped batching, where mixing a
+    * 100-token doc into a 4096 batch wastes 97% of the FLOPs.
+    *
+    * Scale: narrow projection + one 8-group aggregation — the cheapest
+    * possible shape. The bucket is a CASE over integer compares (no
+    * log2 double round-trip: floating log at an exact power-of-two
+    * boundary is an off-by-one ULP away from the wrong bucket, and the
+    * two engines may disagree — integer compares cannot).
+    */
+  def qDocLengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val bucket = lengthBucketBounds.reverse
+      .foldLeft(lit(lengthBucketBounds.last * 2): org.apache.spark.sql.Column) {
+        (acc, b) => when(n <= b, lit(b)).otherwise(acc)
+      }
+    Tables.documents(spark, sfDir)
+      .select(bucket.cast("long").as("bucket"), n.cast("long").as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (lit(1.0) - col("sum_tokens").cast("double") /
+          (col("bucket") * col("n_docs")).cast("double")).as("padding_waste"))
+      .orderBy(col("bucket"))
+  }
+
+  val qDocLengthBucketsSql: String = {
+    val cases = lengthBucketBounds
+      .map(b => s"WHEN len(string_split(text, ' ')) <= $b THEN $b")
+      .mkString(" ")
+    s"""SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  1.0 - CAST(sum(n_tokens) AS DOUBLE) / CAST(bucket * count(*) AS DOUBLE) AS padding_waste
+       |FROM (
+       |  SELECT CAST(CASE $cases ELSE ${lengthBucketBounds.last * 2} END AS BIGINT) AS bucket,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Temperature-resampled language mixture
+  // ------------------------------------------------------------------
+
+  /** Temperature-resampled language mixture (the multilingual-corpus
+    * balancing rule: sampling weight ∝ share^α with α < 1, so
+    * low-resource languages are upsampled relative to their raw share).
+    * α = 1/2 exactly — `sqrt` is IEEE-754 correctly rounded in BOTH
+    * engines, where a general `pow(x, 0.7)` is implementation-defined in
+    * the last ULP and would break the cross-engine hash.
+    *
+    * Determinism: the cross-language normalizing sum is over DOUBLES, and
+    * float addition is order-sensitive — so each √share is first cast to
+    * DECIMAL(18,12) (exact, order-free addition), summed, and the final
+    * weight is a double division of two identically-derived values. The
+    * same decimal-moments rule as [[TextOps.qualityScore]]'s consumers.
+    *
+    * Scale: one 5-row aggregate + an all-rows window over those 5 rows —
+    * driver-trivial at any corpus size (group count = languages).
+    */
+  def qDocLangMixTemp(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("w", sqrt(col("share")).cast("decimal(18,12)"))
+    perLang
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share"),
+        (col("w").cast("double") / sum(col("w")).over(all).cast("double"))
+          .as("temp_share"))
+      .orderBy(col("lang"))
+  }
+
+  val qDocLangMixTempSql: String =
+    """WITH per_lang AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang
+      |),
+      |shared AS (
+      |  SELECT lang, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+      |  FROM per_lang
+      |),
+      |weighted AS (
+      |  SELECT *, CAST(sqrt(share) AS DECIMAL(18,12)) AS w FROM shared
+      |)
+      |SELECT lang, n_docs, n_tokens, share,
+      |  CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS temp_share
+      |FROM weighted
+      |ORDER BY lang""".stripMargin
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Warehouse-maintenance operators the reference's star-schema context
+  * implies but never ships: gap backfill over an event stream and the
+  * slowly-changing-dimension type-2 merge that keeps dimension history.
+  * Both are pure DataFrame composition — Catalyst plans them as one
+  * window / one broadcast join, and both are oracle-checked row-for-row
+  * against DuckDB.
+  */
+object Warehouse {
+
+  // ------------------------------------------------------------------
+  // Last-observation-carried-forward backfill (gap fill)
+  // ------------------------------------------------------------------
+
+  /** LOCF backfill: annotate EVERY event with the most recent purchase
+    * value its user has produced so far (NULL until the first purchase) —
+    * the standard gap-fill that turns a sparse measurement stream into a
+    * dense feature column ("state as of this row"). Only `purchase` rows
+    * carry the measurement; all other event types are gaps to fill.
+    *
+    * Mechanics: one window per user ordered by (ts, event_id) — a total
+    * order, `event_id` is unique — with `last(measurement, ignoreNulls)`
+    * over ROWS UNBOUNDED PRECEDING..CURRENT. No self-join, no as-of join:
+    * the running "last seen" is a single pass within each partition.
+    *
+    * Scale (100 TB): ONE hash exchange on `user_id` + per-key sort — the
+    * minimum any per-user ordered computation pays. State per task is one
+    * value per open group, not per row. Skew: user activity distributions
+    * are Zipfian but bounded (a user produces human-scale event counts);
+    * a hot synthetic key would take the [[Joins.saltedEquiJoin]] pre-split
+    * or a two-phase per-(user, day) LOCF chained through day boundaries.
+    * The frame is ROWS-bounded so Spark's WindowExec streams it without
+    * buffering the whole partition.
+    */
+  def qEventLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qEventLocfSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD type-2 dimension merge
+  // ------------------------------------------------------------------
+
+  /** Initial validity date of the loaded dimension (TPC-H epoch). */
+  val scdInitialDate = "1992-01-01"
+
+  /** Effective date of the staged change batch. */
+  val scdEffectiveDate = "1998-06-01"
+
+  /** Slowly-changing-dimension type-2 merge over the customer dimension:
+    * given the CURRENT dimension (every customer one open version since
+    * [[scdInitialDate]]) and a STAGED change batch (here: every 7th
+    * customer re-segmented, but only every 14th actually CHANGES — the
+    * other staged rows carry the value the dimension already holds), emit
+    * the post-merge version table:
+    *
+    *   - changed keys → the old version CLOSED (`valid_to` =
+    *     [[scdEffectiveDate]], `is_current` = false) plus a NEW open
+    *     version from the effective date;
+    *   - staged no-ops (value equal to current) → untouched single open
+    *     version — a merge that versions on touch rather than on change
+    *     would double the dimension on every full re-stage;
+    *   - unstaged keys → untouched.
+    *
+    * Mechanics: ONE left join dim←staged decides each key's class; the
+    * three output shapes are narrow projections of that joined frame,
+    * unioned. The join is broadcast by construction — a change batch is
+    * change-data capture, orders of magnitude smaller than the dimension.
+    *
+    * Scale (100 TB): the dimension is scanned once per output branch (3×)
+    * but never shuffled — each branch is scan→broadcast-probe→project,
+    * and the union is partition-local. (A single-scan form would
+    * `flatMap` 1-or-2 output rows per joined row; three scans keep every
+    * branch whole-stage-codegen'd and cost only IO, which the 2-column
+    * projection prunes to almost nothing.) The final ORDER BY is oracle
+    * protocol, not operator semantics.
+    */
+  def qScd2Customer(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        to_date(lit(scdInitialDate)).as("valid_from"))
+    val staged = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 14 === 0, lit("REMAPPED"))
+          .otherwise(col("c_mktsegment")).as("new_segment"))
+    val eff = to_date(lit(scdEffectiveDate))
+    val joined = dim.join(broadcast(staged), Seq("c_custkey"), "left")
+    val isChange = col("new_segment").isNotNull && col("new_segment") =!= col("segment")
+    val closed = joined.filter(isChange)
+      .select(col("c_custkey"), col("segment"), col("valid_from"),
+        eff.as("valid_to"), lit(false).as("is_current"))
+    val opened = joined.filter(isChange)
+      .select(col("c_custkey"), col("new_segment").as("segment"),
+        eff.as("valid_from"), lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    val untouched = joined.filter(!isChange || col("new_segment").isNull)
+      .select(col("c_custkey"), col("segment"), col("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    closed.unionAll(opened).unionAll(untouched)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val qScd2CustomerSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey, c_mktsegment AS segment,
+       |    DATE '$scdInitialDate' AS valid_from
+       |  FROM customer
+       |),
+       |staged AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 14 = 0 THEN 'REMAPPED' ELSE c_mktsegment END AS new_segment
+       |  FROM customer WHERE c_custkey % 7 = 0
+       |),
+       |joined AS (
+       |  SELECT dim.*, staged.new_segment FROM dim LEFT JOIN staged USING (c_custkey)
+       |)
+       |SELECT c_custkey, segment, valid_from,
+       |  DATE '$scdEffectiveDate' AS valid_to, false AS is_current
+       |FROM joined WHERE new_segment IS NOT NULL AND new_segment <> segment
+       |UNION ALL
+       |SELECT c_custkey, new_segment AS segment,
+       |  DATE '$scdEffectiveDate' AS valid_from, NULL AS valid_to, true AS is_current
+       |FROM joined WHERE new_segment IS NOT NULL AND new_segment <> segment
+       |UNION ALL
+       |SELECT c_custkey, segment, valid_from, NULL AS valid_to, true AS is_current
+       |FROM joined WHERE new_segment IS NULL OR new_segment = segment
+       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
+    "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql))
+  )
+}

@@ -138,4 +138,88 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.getOrElse("only_12", Set.empty) === (a diff b))
     assert(out.getOrElse("only_21", Set.empty) === (b diff a))
   }
+
+  test("chunking: full coverage, stride layout, remainder chunk") {
+    val out = CorpusOps.qDocChunk(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id)
+      // chunk count = number of stride starts ≤ n
+      val expectChunks = (n - 1) / CorpusOps.chunkStride + 1
+      assert(chunks.length === expectChunks, s"doc $id")
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_idx") === i)
+        val start = i * CorpusOps.chunkStride // 0-based
+        val expectLen = math.min(CorpusOps.chunkTokens, n - start)
+        assert(c.getAs[Long]("n_chunk_tokens") === expectLen, s"doc $id chunk $i")
+      }
+      // consecutive full chunks overlap by chunkTokens - chunkStride
+      assert(CorpusOps.chunkTokens - CorpusOps.chunkStride === 16)
+    }
+  }
+
+  test("oov: vocab-only doc scores zero, ratios bounded, counts add up") {
+    val out = CorpusOps.qDocOov(spark, sf).collect()
+    val stats = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(out.length === stats.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") === stats(id).toLong, s"doc $id")
+      val ratio = r.getAs[Double]("oov_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // independent recompute of one doc's OOV count against the vocab set
+    val vocab = TextOps.qDocVocab(spark, sf).collect()
+      .map(_.getAs[String]("token")).toSet
+    val sample = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(5).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_oov")).toMap
+    sample.foreach { r =>
+      val expected = r.getAs[String]("text").split(" ").count(t => !vocab(t))
+      assert(byId(r.getAs[Long]("doc_id")) === expected.toLong)
+    }
+  }
+
+  test("length buckets: doc/token mass conserved, waste consistent") {
+    val out = CorpusOps.qDocLengthBuckets(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n")).collect()
+      .map(_.getAs[Int]("n"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum === docs.map(_.toLong).sum)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val waste = r.getAs[Double]("padding_waste")
+      assert(waste >= 0.0 && waste < 1.0, s"bucket $b")
+      // every doc in the bucket must actually fit it
+      val expectDocs = docs.count { n =>
+        val bounds = CorpusOps.lengthBucketBounds
+        val assigned = bounds.find(n <= _).getOrElse(bounds.last * 2)
+        assigned.toLong == b
+      }
+      assert(r.getAs[Long]("n_docs") === expectDocs.toLong)
+    }
+  }
+
+  test("temperature mixture: shares sum to 1 and flatten toward uniform") {
+    val out = CorpusOps.qDocLangMixTemp(spark, sf).collect()
+    val raw = out.map(_.getAs[Double]("share"))
+    val temp = out.map(_.getAs[Double]("temp_share"))
+    assert(math.abs(raw.sum - 1.0) < 1e-9)
+    assert(math.abs(temp.sum - 1.0) < 1e-9)
+    // sqrt-temperature flattens: the minority language gains share, the
+    // majority loses (strict as long as shares differ)
+    val zipped = raw.zip(temp)
+    val (minRaw, minTemp) = zipped.minBy(_._1)
+    val (maxRaw, maxTemp) = zipped.maxBy(_._1)
+    assert(minTemp > minRaw, s"minority $minRaw -> $minTemp")
+    assert(maxTemp < maxRaw, s"majority $maxRaw -> $maxTemp")
+  }
 }

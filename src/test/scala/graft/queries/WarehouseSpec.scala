@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model.Tables
+
+/** Semantics tests for the warehouse-maintenance operators: LOCF backfill
+  * matches a per-user local scan, and the SCD2 merge versions exactly the
+  * changed keys (staged no-ops stay single-version).
+  */
+class WarehouseSpec extends SparkSuite {
+
+  test("locf: matches a local per-user forward scan") {
+    val out = Warehouse.qEventLocf(spark, sf).collect()
+    // local recompute: per user ordered by (ts micros, event_id), carry
+    // the last purchase value forward
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+    val expected = raw
+      .groupBy(_.getAs[Long]("user_id"))
+      .toSeq
+      .flatMap { case (_, rows) =>
+        var lastP: Option[Double] = None
+        // micros, not millis: getTime truncates and a same-millisecond tie
+        // would locally sort differently than Spark's full-precision ts
+        rows.sortBy { r =>
+          val t = r.getAs[java.sql.Timestamp]("ts")
+          (t.getTime * 1000 + (t.getNanos / 1000) % 1000, r.getAs[Long]("event_id"))
+        }
+          .map { r =>
+            if (r.getAs[String]("event_type") == "purchase")
+              lastP = Some(r.getAs[Double]("value"))
+            r.getAs[Long]("event_id") -> lastP
+          }
+      }.toMap
+    assert(out.length === raw.length)
+    out.foreach { r =>
+      val got = Option(r.getAs[java.lang.Double]("last_purchase_value")).map(_.doubleValue)
+      assert(got === expected(r.getAs[Long]("event_id")),
+        s"event ${r.getAs[Long]("event_id")}")
+    }
+    // fill factor sanity: once a user purchases, every later row is filled
+    assert(out.count(_.getAs[java.lang.Double]("last_purchase_value") != null) > 0)
+  }
+
+  test("scd2: changed keys get two versions, staged no-ops stay at one") {
+    val out = Warehouse.qScd2Customer(spark, sf).collect()
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment")).toMap
+    // changed = staged (key % 7 == 0) AND remapped (key % 14 == 0) AND not
+    // already 'REMAPPED' (never true in TPC-H segments)
+    val changed = dim.keySet.filter(k => k % 14 == 0)
+    val byKey = out.groupBy(_.getAs[Long]("c_custkey"))
+    assert(byKey.keySet === dim.keySet)
+    byKey.foreach { case (k, versions) =>
+      if (changed(k)) {
+        assert(versions.length === 2, s"key $k")
+        val Array(old, nu) = versions.sortBy(_.getAs[java.sql.Date]("valid_from").toString)
+        assert(!old.getAs[Boolean]("is_current") && old.getAs[String]("segment") === dim(k))
+        assert(old.getAs[java.sql.Date]("valid_to").toString === Warehouse.scdEffectiveDate)
+        assert(nu.getAs[Boolean]("is_current") && nu.getAs[String]("segment") === "REMAPPED")
+        assert(nu.getAs[java.sql.Date]("valid_from").toString === Warehouse.scdEffectiveDate)
+        assert(nu.getAs[java.sql.Date]("valid_to") === null)
+      } else {
+        // unstaged keys AND staged no-ops: one untouched open version
+        assert(versions.length === 1, s"key $k")
+        val v = versions.head
+        assert(v.getAs[Boolean]("is_current") && v.getAs[String]("segment") === dim(k))
+        assert(v.getAs[java.sql.Date]("valid_from").toString === Warehouse.scdInitialDate)
+        assert(v.getAs[java.sql.Date]("valid_to") === null)
+      }
+    }
+  }
+
+  test("scd2: the merge join broadcasts the staged side") {
+    val plan = Warehouse.qScd2Customer(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

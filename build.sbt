@@ -42,8 +42,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the 32-query bench suite in one JVM accumulates
-  // broadcasts/codegen/persisted sigs; 8g showed end-of-suite GC noise on
-  // the last queries (the host has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: the 87-query bench suite in one JVM accumulates
+  // broadcasts/codegen/persisted sigs, and at 16g the tail of the suite
+  // ran inside GC pressure — measured 12.1 s for q_doc_dup_clusters
+  // in-suite vs 4.3 s standalone; at 32g the same entry is 3.65 s and
+  // the suite total dropped 53.7 -> 47.8 s (the host has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

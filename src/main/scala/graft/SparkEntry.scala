@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Joins.registry,
     graft.queries.Warehouse.registry,
     EtlQueries.registry,
+    graft.etl.Quality.registry,
     graft.ext.LlmQueries.registry,
     graft.etl.Dims.registry
   )

@@ -191,4 +191,26 @@ class PlanAssertionsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange in:\n$p")
   }
+
+  test("LOCF is ONE user-keyed window — no self-join, no single partition") {
+    val p = plan(Warehouse.qEventLocf(spark, sf))
+    assert(!p.contains("Join"), s"self-join formulation crept in:\n$p")
+    assert("Window ".r.findAllIn(p).size == 1, s"expected exactly one window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("chunking is narrow: generator + projections, no join, no mid-plan exchange") {
+    val s = graft.ext.CorpusOps.qDocChunk(spark, sf).queryExecution.sparkPlan.toString
+    assert(!s.contains("Join"), s"join crept into chunking:\n$s")
+    assert(s.contains("Generate"), s"expected the sequence/posexplode generator:\n$s")
+    // sparkPlan precedes EnsureRequirements: any Exchange already present
+    // here would be mid-plan semantics, not the final ORDER BY's range sort
+    assert(!s.contains("Exchange"), s"mid-plan exchange in narrow chunking:\n$s")
+  }
+
+  test("OOV probe broadcasts the vocab — the token stream never shuffles on token") {
+    val p = plan(graft.ext.CorpusOps.qDocOov(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }

@@ -774,4 +774,82 @@ object Dedup {
        |LEFT JOIN near n ON e.doc_id = n.doc_id
        |JOIN quality q ON e.doc_id = q.doc_id
        |ORDER BY e.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental corpus append: dedup a new batch against the corpus
+  // ------------------------------------------------------------------
+
+  /** Incremental-ingestion dedup: classify every document of a NEW batch
+    * against the already-ingested corpus — the production shape of
+    * continuous crawling, where re-running whole-corpus dedup per
+    * ingestion is O(corpus) instead of O(batch). Statuses:
+    *
+    *   - `dup_of_corpus`: content hash already in the corpus (re-crawl);
+    *   - `dup_in_batch`: first occurrence wins WITHIN the batch
+    *     (smallest doc_id keeps), corpus-clean;
+    *   - `new`: goes into the corpus.
+    *
+    * Fixture: corpus = doc_id % 10 ≠ 3; batch = doc_id % 10 = 3 (fresh
+    * docs) + every corpus doc with doc_id % 20 = 0 re-submitted under a
+    * new id (+200000, the re-crawl) + doc_id % 30 = 3 docs duplicated
+    * once more inside the batch (+300000, the intra-batch dup).
+    *
+    * Scale (100 TB): the corpus side reduces to its DISTINCT 60-bit hash
+    * column — in production that index is persisted at ingest time
+    * (bucketed on hash, [[graft.etl.Bucketing]]) so the probe is a
+    * co-located join of batch-hashes (small) against corpus-hashes
+    * (large, pre-bucketed, never reshuffled). Here both sides hash-
+    * shuffle once on the int64. The intra-batch window partitions on the
+    * same hash — batch-sized, not corpus-sized.
+    */
+  def qDocIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+      .unionAll(corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 30 === 3)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val corpusHashes = corpus
+      .select(TextOps.portableHash(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    batch.select(col("doc_id"), TextOps.portableHash(col("text")).as("h"))
+      .withColumn("batch_rank", row_number().over(wFirst))
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("h").as("content_hash"),
+        when(col("in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_rank") > 1, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocIncrDedupSql: String = {
+    val h = TextOps.portableHashSql("text")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+       |),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text FROM corpus WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 30 = 3
+       |),
+       |corpus_hashes AS (
+       |  SELECT DISTINCT $h AS h FROM corpus
+       |),
+       |ranked AS (
+       |  SELECT doc_id, $h AS h,
+       |    row_number() OVER (PARTITION BY $h ORDER BY doc_id) AS batch_rank
+       |  FROM batch
+       |)
+       |SELECT doc_id, r.h AS content_hash,
+       |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN batch_rank > 1 THEN 'dup_in_batch'
+       |       ELSE 'new' END AS status
+       |FROM ranked r LEFT JOIN corpus_hashes c ON r.h = c.h
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -46,6 +46,8 @@ object LlmQueries {
     "q_emb_quantize" -> ((Similarity.qEmbQuantize _, Similarity.qEmbQuantizeSql)),
     "q_emb_pq_adc" -> ((Similarity.qEmbPqAdc _, Similarity.qEmbPqAdcSql)),
     "q_emb_semdedup" -> ((Similarity.qEmbSemDedup _, Similarity.qEmbSemDedupSql)),
+    "q_emb_rproj" -> ((Similarity.qEmbRproj _, Similarity.qEmbRprojSql)),
+    "q_doc_incr_dedup" -> ((Dedup.qDocIncrDedup _, Dedup.qDocIncrDedupSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch

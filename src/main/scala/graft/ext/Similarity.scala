@@ -1007,6 +1007,55 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Random-projection dimensionality reduction (Achlioptas ±1)
+  // ------------------------------------------------------------------
+
+  /** Output dimensionality of the random projection. */
+  val rprojK = 8
+
+  /** Sign of the (j,i) entry of the ±1 projection matrix — the
+    * [[planeSign]] family shifted to a disjoint index space so the
+    * projection rows are uncorrelated with the LSH planes.
+    */
+  def rprojSign(j: Int, i: Int): Int = planeSign(1000 + j, i)
+
+  /** Random-projection dimensionality reduction: project the 64-dim
+    * embeddings to [[rprojK]] dims with a deterministic ±1 matrix scaled
+    * by 1/√k (Achlioptas' database-friendly JL variant — sign matrices
+    * preserve pairwise distances in expectation like Gaussians, at
+    * integer-multiply cost). The standard preprocessing step before a
+    * cheaper ANN index or a coarse clustering pass when 64→8 dims cuts
+    * index bytes 8×.
+    *
+    * Scale (100 TB): narrow per-row — k fused [[graft.functions.VectorDot]]
+    * kernels against k broadcast literal rows ([[planeLit]]'s one-
+    * Literal-per-row rule), zero exchanges before the oracle ORDER BY.
+    * Determinism: the dot is the sequential bit-compatible kernel and
+    * 1/√k divides through `sqrt(8.0)` — correctly rounded in both
+    * engines — so projected coordinates are double-identical.
+    */
+  def qEmbRproj(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = sqrt(lit(rprojK.toDouble))
+    val cols = (0 until rprojK).map { j =>
+      val row = typedlit((0 until embDim).map(i => rprojSign(j, i).toDouble))
+      (dot(col("embedding"), row) / scale).as(s"p$j")
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbRprojSql: String = {
+    val arms = (0 until rprojK).map { j =>
+      val row = (0 until embDim).map(i => s"${rprojSign(j, i)}.0").mkString("[", ", ", "]")
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), $row) / sqrt($rprojK.0) AS p$j"
+    }
+    s"""SELECT vec_id, ${arms.mkString(",\n  ")}
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

@@ -1243,6 +1243,153 @@ object Analytics {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // --- Funnel analysis: ordered step conversion per user ---
+
+  /** Week-index epoch for cohort arithmetic: the Monday the synthetic
+    * event stream starts on. Weeks are integer day-diffs `div` 7 — no
+    * engine-specific week-truncation rules (ISO vs US week starts) can
+    * disagree on integer arithmetic.
+    */
+  val cohortEpoch = "2024-01-01"
+
+  /** Ordered funnel: how many users complete signup → click → purchase
+    * IN ORDER (each later step strictly after the earlier one — a click
+    * before the signup does not count). The product-analytics staple that
+    * needs per-user sequence state, not just per-step counts.
+    *
+    * Mechanics: three same-partition windows (no ORDER BY — whole-
+    * partition frames) compute the per-user step timestamps t1 =
+    * min(signup ts), t2 = min(click ts > t1), t3 = min(purchase ts > t2);
+    * each window may reference the previous one's result because they
+    * evaluate in successive projections. ONE user_id exchange serves all
+    * three (same partitioning), then a per-user reduction and a 3-row
+    * conditional-count summary.
+    *
+    * Scale (100 TB): the user exchange is the only data-sized shuffle,
+    * identical to any per-user sessionization; window state is O(1) per
+    * user (three mins). Conversions are double divisions of exact longs.
+    */
+  def qEventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val stepped = Tables.events(spark, sfDir)
+      .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+    val perUser = stepped.groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+    val grid = perUser.agg(
+      count(lit(1)).as("n_users"),
+      count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
+    def row(idx: Int, name: String, n: Column, prev: Column): Column =
+      struct(lit(idx).as("step_idx"), lit(name).as("step"), n.as("n_users"),
+        (n.cast("double") / prev.cast("double")).as("conversion"))
+    grid.select(explode(array(
+        row(1, "signup", $"n1", $"n_users"),
+        row(2, "click_after_signup", $"n2", $"n1"),
+        row(3, "purchase_after_click", $"n3", $"n2"))).as("s"))
+      .select($"s.*")
+      .orderBy($"step_idx")
+  }
+
+  val qEventFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events
+      |),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2
+      |  FROM s1
+      |),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3
+      |  FROM s2
+      |),
+      |per_user AS (
+      |  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      |  FROM s3 GROUP BY user_id
+      |),
+      |grid AS (
+      |  SELECT count(*) AS n_users, count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+      |  FROM per_user
+      |)
+      |SELECT step_idx, step, n_users, conversion FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+      |    CAST(n1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS conversion FROM grid
+      |  UNION ALL
+      |  SELECT 2, 'click_after_signup', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM grid
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM grid)
+      |ORDER BY step_idx""".stripMargin
+
+  // --- Cohort retention: first-seen week × activity-week matrix ---
+
+  /** Cohort retention matrix: users grouped by their FIRST active week
+    * (cohort), tracked across subsequent weeks — the `(cohort_week,
+    * week_offset) → active users / cohort size` table behind every
+    * retention curve.
+    *
+    * Mechanics: week index = integer days-since-[[cohortEpoch]] `div` 7
+    * (pure integer arithmetic — both engines agree by construction,
+    * where ISO-week truncation rules would not). Per-user cohort = min
+    * week (one user-keyed agg); the activity matrix joins cohorts back
+    * to per-user-week activity on user_id and distinct-counts users per
+    * (cohort, offset) cell.
+    *
+    * Scale (100 TB): two user-keyed exchanges (distinct weeks, cohort
+    * agg) that AQE can co-partition, then a cells-sized aggregation
+    * (weeks² rows). The matrix is inherently tiny; the user-keyed work
+    * is the same partitioning the funnel/sessionization family already
+    * pays — in a production pipeline all of them share one
+    * user-bucketed layout ([[graft.etl.Bucketing]]).
+    */
+  def qEventCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, sfDir)
+      .select($"user_id",
+        // day-diffs are ≥ 0 by construction (epoch = stream start), so
+        // floor(x/7) ≡ x div 7 and the double round-trip is exact
+        floor(datediff(to_date($"ts"), to_date(lit(cohortEpoch))) / 7)
+          .cast("int").as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val sizes = cohorts.groupBy($"cohort_wk")
+      .agg(countDistinct($"user_id").as("n_cohort"))
+    weekly.join(cohorts, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select($"cohort_wk", $"week_offset", $"n_active", $"n_cohort",
+        ($"n_active".cast("double") / $"n_cohort".cast("double")).as("retention"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  val qEventCohortRetentionSql: String =
+    s"""WITH weekly AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(datediff('day', DATE '$cohortEpoch', CAST(ts AS DATE)) // 7 AS INTEGER) AS wk
+       |  FROM events
+       |),
+       |cohorts AS (
+       |  SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id
+       |),
+       |sizes AS (
+       |  SELECT cohort_wk, count(DISTINCT user_id) AS n_cohort FROM cohorts GROUP BY cohort_wk
+       |)
+       |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       |  count(DISTINCT weekly.user_id) AS n_active,
+       |  any_value(n_cohort) AS n_cohort,
+       |  CAST(count(DISTINCT weekly.user_id) AS DOUBLE) / CAST(any_value(n_cohort) AS DOUBLE) AS retention
+       |FROM weekly
+       |JOIN cohorts USING (user_id)
+       |JOIN sizes USING (cohort_wk)
+       |GROUP BY cohort_wk, week_offset
+       |ORDER BY cohort_wk, week_offset""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1280,6 +1427,8 @@ object Analytics {
     "q_event_attribution_asof" -> ((qEventAttributionAsof _, qEventAttributionAsofSql)),
     "q_event_latest_per_user" -> ((qEventLatestPerUser _, qEventLatestPerUserSql)),
     "q_event_cube" -> ((qEventCube _, qEventCubeSql)),
+    "q_event_funnel" -> ((qEventFunnel _, qEventFunnelSql)),
+    "q_event_cohort_retention" -> ((qEventCohortRetention _, qEventCohortRetentionSql)),
     "q_event_props_json" -> ((qEventPropsJson _, qEventPropsJsonSql)),
     "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
     "q_value_log_histogram" -> ((qValueLogHistogram _, qValueLogHistogramSql)),

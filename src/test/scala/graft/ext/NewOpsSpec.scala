@@ -371,4 +371,53 @@ class NewOpsSpec extends SparkSuite {
     val nations = Tables.nation(spark, sf).count()
     assert(rows.map(_.getAs[String]("nation")).distinct.length <= nations)
   }
+
+  test("rproj: bit-exact vs a local sequential recompute, linear, narrow") {
+    val out = Similarity.qEmbRproj(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === embs.size)
+    val scale = math.sqrt(Similarity.rprojK.toDouble)
+    out.foreach { r =>
+      val e = embs(r.getAs[Long]("vec_id"))
+      (0 until Similarity.rprojK).foreach { j =>
+        // mirror VectorDot: strict left-to-right double accumulation
+        var s = 0.0
+        var i = 0
+        while (i < e.length) {
+          s += e(i).toDouble * Similarity.rprojSign(j, i).toDouble
+          i += 1
+        }
+        assert(r.getAs[Double](s"p$j") === s / scale,
+          s"vec ${r.getAs[Long]("vec_id")} dim $j")
+      }
+    }
+    // narrow: no exchange before the oracle ORDER BY
+    val plan = Similarity.qEmbRproj(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("incremental dedup: re-crawls flagged, intra-batch first-wins, fresh docs new") {
+    val out = Dedup.qDocIncrDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("content_hash"))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // every re-submitted corpus doc (id+200000) must be dup_of_corpus
+    docs.filter(id => id % 10 != 3 && id % 20 == 0).foreach { id =>
+      assert(out(id + 200000)._1 === "dup_of_corpus", s"recrawl of $id")
+    }
+    // every +300000 copy duplicates a batch doc (id % 30 == 3 implies
+    // id % 10 == 3): the SMALLER doc_id keeps 'new', the copy is flagged
+    docs.filter(_ % 30 == 3).foreach { id =>
+      assert(out(id)._1 === "new", s"original $id")
+      assert(out(id + 300000)._1 === "dup_in_batch", s"copy of $id")
+      assert(out(id)._2 === out(id + 300000)._2) // same content hash
+    }
+    // fresh batch docs not duplicated anywhere stay 'new'
+    docs.filter(id => id % 10 == 3 && id % 30 != 3).foreach { id =>
+      assert(out(id)._1 === "new", s"fresh $id")
+    }
+  }
 }

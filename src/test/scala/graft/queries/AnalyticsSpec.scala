@@ -94,4 +94,49 @@ class AnalyticsSpec extends SparkSuite {
       assert(math.abs(a90 - e90) <= math.max(1.0, e90 * 0.05), s"$t p90 $a90 vs $e90")
     }
   }
+
+  test("funnel: step counts match a local per-user ordered replay") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        { val t = r.getAs[java.sql.Timestamp]("ts")
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000 }))
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val t1 = evs.collect { case (_, "signup", t) => t }.minOption
+      val t2 = t1.flatMap(a => evs.collect { case (_, "click", t) if t > a => t }.minOption)
+      val t3 = t2.flatMap(a => evs.collect { case (_, "purchase", t) if t > a => t }.minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert(out("signup") === n1)
+    assert(out("click_after_signup") === n2)
+    assert(out("purchase_after_click") === n3)
+    // funnel is monotone by construction
+    assert(n1 >= n2 && n2 >= n3)
+  }
+
+  test("cohort retention: offset-0 cells cover each cohort fully") {
+    val out = Analytics.qEventCohortRetention(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getAs[Int]("week_offset") === 0).foreach { r =>
+      // every cohort member is active in its own first week by definition
+      assert(r.getAs[Long]("n_active") === r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Double]("retention") === 1.0)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Int]("week_offset") >= 0)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+    }
+    // total users across cohorts = distinct users in the stream
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val cohortTotal = out.filter(_.getAs[Int]("week_offset") === 0)
+      .map(_.getAs[Long]("n_cohort")).sum
+    assert(cohortTotal === users)
+  }
 }

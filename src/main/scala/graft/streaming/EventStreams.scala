@@ -55,6 +55,23 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension (here: a user → segment lookup) — the standard streaming
+    * star-schema probe. No watermark is needed on either side: the static
+    * side is bounded, so Spark plans a stateless per-micro-batch join
+    * (each batch joins against the dim as of that batch — exactly the
+    * Glue-style dim lookup, continuously).
+    *
+    * Scale: the dim is explicitly `broadcast` — every micro-batch pays a
+    * map-side hash probe, never a stream-side shuffle. A mutable dim at
+    * production scale becomes either a re-broadcast per trigger (Spark
+    * re-plans static sides each batch when the source supports it) or the
+    * SCD2-merged snapshot ([[graft.queries.Warehouse.qScd2Customer]])
+    * refreshed by the batch layer.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Streaming member of the dedup family ([[graft.ext.Dedup]] holds the
     * batch members): exactly-once emission per `keyCols` value among
     * records whose event times fall within the watermark horizon.

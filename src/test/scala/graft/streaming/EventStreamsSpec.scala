@@ -49,6 +49,33 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, unmatched stays null") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = EventStreams.enrichWithDim(
+      input.toDF().toDF("user_id", "value"), dim)
+    val query = enriched.writeStream
+      .format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData((1L, 10.0), (3L, 7.0))
+      query.processAllAvailable()
+      input.addData((2L, 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_sink")
+        .select("user_id", "value", "segment").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      assert(rows === Set(
+        (1L, 10.0, Some("gold")),
+        (3L, 7.0, None), // no dim row → left-join null, row NOT dropped
+        (2L, 5.0, Some("silver"))))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes by new session and by timeout") {
     val spark0 = spark
     import spark0.implicits._

@@ -1390,6 +1390,138 @@ object Analytics {
        |GROUP BY cohort_wk, week_offset
        |ORDER BY cohort_wk, week_offset""".stripMargin
 
+  // --- TPC-H Q15 shape: argmax over an aggregate via 1-row broadcast ---
+
+  /** Top supplier(s) by Q1-1996 revenue — Q15's correlated `= (SELECT
+    * max(...))` done the distributed way: aggregate revenue per supplier
+    * ONCE (decimal-exact, so the max-equality cannot be a float
+    * coincidence), reduce to a 1-row max, and broadcast that row back
+    * against the aggregate as a join condition. Ties all surface (Q15
+    * semantics). The alternative — a window max over the whole aggregate
+    * — funnels every supplier row through Exchange SinglePartition; the
+    * 1-row broadcast keeps the aggregate partitioned ([[q22DormantRich]]
+    * pattern). Revenue is exposed as DOUBLE only at the output boundary.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(revenue($"l_extendedprice", $"l_discount"))
+        .cast(DecimalType(21, 4)).as("total_rev_d"))
+    val mx = rev.agg(max($"total_rev_d").as("mx"))
+    rev.join(broadcast(mx), $"total_rev_d" === $"mx")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev_d".cast("double").as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(21,4)) AS total_rev_d
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev_d = (SELECT max(total_rev_d) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --- TPC-H Q18 shape: HAVING-gated agg joined back to its parents ---
+
+  /** Large-volume-order threshold (sum of quantities per order). */
+  val q18MinQty = 300
+
+  /** Large-volume customers — Q18's shape: aggregate lineitem per order,
+    * gate on the HAVING threshold FIRST (the aggregate shrinks ~100×
+    * before any join), then join the survivors back to orders and
+    * customers. The order join reuses the aggregation's orderkey
+    * partitioning (no extra exchange); the customer probe is survivor-
+    * sized. Quantities sum as exact decimals so the threshold gate is
+    * reproducible; the output column widens to DOUBLE at the boundary.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("sum_qty_d"))
+      .filter($"sum_qty_d" > q18MinQty)
+    big.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_totalprice", $"sum_qty_d".cast("double").as("sum_qty"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_d
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > $q18MinQty
+       |)
+       |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  // --- Winsorized statistics: percentile-clipped robust mean ---
+
+  /** Winsorized per-type statistics: clip `value` to its own type's exact
+    * interpolated [p05, p95] band, then report the clipped mean next to
+    * the raw mean and the clip counts — the robust-mean pass that stops a
+    * fat-tailed metric from being steered by outliers.
+    *
+    * Determinism: the percentile bounds are exact interpolated
+    * (`percentile` ↔ `quantile_cont`, agreement proven by
+    * [[qValuePercentiles]]); clipped values cast to DECIMAL(18,6) before
+    * summing so addition order cannot wiggle the mean ([[qDocLangMixTemp]]
+    * decimal-sum rule, and the raw mean uses the established DECIMAL(11,2)
+    * exact-moment path). Two passes over events (bounds, then clip) joined
+    * through a types-sized broadcast — at 100 TB the first pass is the
+    * standard percentile shuffle, the second is narrow.
+    */
+  def qEventWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(bounds), "event_type")
+      .select($"event_type", $"value", $"p05", $"p95",
+        greatest(least($"value", $"p95"), $"p05").as("clipped"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clip_high"),
+        (sum($"value".cast(DecimalType(11, 2))).cast("double") / count(lit(1)))
+          .as("raw_mean"),
+        (sum($"clipped".cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+          .as("winsor_mean"))
+      .orderBy($"event_type")
+  }
+
+  val qEventWinsorizedSql: String =
+    """WITH bounds AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS p05,
+      |    quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+      |  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+      |  CAST(sum(CAST(value AS DECIMAL(11,2))) AS DOUBLE) / count(*) AS raw_mean,
+      |  CAST(sum(CAST(greatest(least(value, p95), p05) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS winsor_mean
+      |FROM events JOIN bounds USING (event_type)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1409,6 +1541,9 @@ object Analytics {
     "q4_late_orders" -> ((q4LateOrders _, q4LateOrdersSql)),
     "q16_supplier_census" -> ((q16SupplierCensus _, q16SupplierCensusSql)),
     "q22_dormant_rich" -> ((q22DormantRich _, q22DormantRichSql)),
+    "q15_top_supplier" -> ((q15TopSupplier _, q15TopSupplierSql)),
+    "q18_large_orders" -> ((q18LargeOrders _, q18LargeOrdersSql)),
+    "q_event_winsorized" -> ((qEventWinsorized _, qEventWinsorizedSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

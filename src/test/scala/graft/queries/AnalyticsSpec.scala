@@ -95,6 +95,50 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q15: returns exactly the argmax suppliers, decimal-exact") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.q15TopSupplier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val revs = out.map(_.getAs[Double]("total_rev")).distinct
+    assert(revs.length === 1, "all returned suppliers must tie at the max")
+    // independent recompute: window-max formulation over the same agg
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))")).as("r"))
+      .collect().map(r => r.getAs[Long]("l_suppkey") -> r.getAs[java.math.BigDecimal]("r"))
+    val mx = li.map(_._2).max
+    val expectKeys = li.filter(_._2 == mx).map(_._1).toSet
+    assert(out.map(_.getAs[Long]("s_suppkey")).toSet === expectKeys)
+  }
+
+  test("q18: exactly the orders above the quantity threshold, none missing") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.q18LargeOrders(spark, sf).collect()
+    val perOrder = graft.model.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q")).collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Double]("q")).toMap
+    val expect = perOrder.filter(_._2 > Analytics.q18MinQty).keySet
+    assert(out.map(_.getAs[Long]("o_orderkey")).toSet === expect)
+    out.foreach(r => assert(r.getAs[Double]("sum_qty") > Analytics.q18MinQty))
+  }
+
+  test("winsorized stats: clip counts bounded by the tail mass, mean inside the band") {
+    val out = Analytics.qEventWinsorized(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // exact interpolated p05/p95: at most ~5% of rows strictly outside
+      assert(r.getAs[Long]("n_clip_low") <= n * 5 / 100 + 1)
+      assert(r.getAs[Long]("n_clip_high") <= n * 5 / 100 + 1)
+      // winsorizing a right-skewed nonneg metric pulls the mean down or
+      // holds it; it can never move outside the raw value range
+      assert(r.getAs[Double]("winsor_mean") <= r.getAs[Double]("raw_mean") + 1e-9)
+      assert(r.getAs[Double]("winsor_mean") > 0.0)
+    }
+  }
+
   test("funnel: step counts match a local per-user ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventFunnel(spark, sf).collect()

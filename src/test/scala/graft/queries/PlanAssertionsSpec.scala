@@ -213,4 +213,11 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q15 argmax is a 1-row broadcast — never a single-partition window") {
+    val p = plan(Analytics.q15TopSupplier(spark, sf))
+    assert(!p.contains("Window"), s"window-max formulation crept in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

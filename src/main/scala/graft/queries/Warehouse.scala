@@ -150,8 +150,96 @@ object Warehouse {
        |FROM joined WHERE new_segment IS NULL OR new_segment = segment
        |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Table diff / reconciliation
+  // ------------------------------------------------------------------
+
+  /** Generic keyed table diff: classify every key of two table versions
+    * as `added` / `removed` / `changed` / `unchanged`, comparing non-key
+    * columns by value. The reconciliation pass behind every "what did
+    * this batch actually change" audit and the input to an incremental
+    * publish (ship only added+changed).
+    *
+    * Mechanics: ONE full outer join on the key; change detection uses
+    * null-safe equality (`<=>`) per compared column so NULL→value and
+    * value→NULL transitions count as changes rather than vanishing into
+    * three-valued logic.
+    *
+    * Scale (100 TB): the single key-partitioned join is the floor for
+    * content comparison; both sides shuffle once on the key (or zero
+    * times if both versions are written key-bucketed,
+    * [[graft.etl.Bucketing]]). For very wide rows, production variants
+    * compare a precomputed row hash instead of N columns — same plan,
+    * narrower payload.
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: compareCols).map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select((key +: compareCols).map(c => col(c).as(s"new_$c")): _*)
+    val joined = o.join(n, col(s"old_$key") === col(s"new_$key"), "full_outer")
+    val same = compareCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    joined.select(
+      coalesce(col(s"old_$key"), col(s"new_$key")).as(key),
+      when(col(s"old_$key").isNull, lit("added"))
+        .when(col(s"new_$key").isNull, lit("removed"))
+        .when(same, lit("unchanged"))
+        .otherwise(lit("changed")).as("diff_status"))
+  }
+
+  /** Diff of the customer dimension against a staged next version:
+    * every 11th customer re-segmented (changed), every 13th dropped
+    * (removed), plus 10 synthetic new keys (added) — exercising all four
+    * classes. Output: per-class counts (the audit summary a reconciler
+    * logs); the per-key frame is [[tableDiff]]'s to keep.
+    */
+  def qTableDiffCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val cur = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val next = cur
+      .filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 11 === 0, lit("RESEGMENTED"))
+          .otherwise(col("c_mktsegment")))
+      .unionAll(Tables.customer(spark, sfDir)
+        .orderBy(col("c_custkey")).limit(10)
+        .select((col("c_custkey") + 9000000).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), col("c_acctbal")))
+    tableDiff(cur, next, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+      .groupBy(col("diff_status"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("diff_status"))
+  }
+
+  val qTableDiffCustomerSql: String =
+    """WITH cur AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |),
+      |next AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'RESEGMENTED' ELSE c_mktsegment END AS c_mktsegment,
+      |    c_acctbal
+      |  FROM cur WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 9000000, 'NEWSEG', c_acctbal
+      |  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 10)
+      |),
+      |diff AS (
+      |  SELECT coalesce(cur.c_custkey, next.c_custkey) AS c_custkey,
+      |    CASE WHEN cur.c_custkey IS NULL THEN 'added'
+      |         WHEN next.c_custkey IS NULL THEN 'removed'
+      |         WHEN cur.c_mktsegment IS NOT DISTINCT FROM next.c_mktsegment
+      |          AND cur.c_acctbal IS NOT DISTINCT FROM next.c_acctbal THEN 'unchanged'
+      |         ELSE 'changed' END AS diff_status
+      |  FROM cur FULL OUTER JOIN next ON cur.c_custkey = next.c_custkey
+      |)
+      |SELECT diff_status, count(*) AS n_keys FROM diff
+      |GROUP BY diff_status ORDER BY diff_status""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
-    "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql))
+    "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql)),
+    "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql))
   )
 }

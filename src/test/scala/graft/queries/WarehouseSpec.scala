@@ -75,6 +75,37 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("tableDiff: all four classes on a hand-built pair, null-safe compare") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Option.empty[String], 30.0), (4L, Some("d"), 40.0)
+    ).toDF("k", "s", "v")
+    val newDf = Seq(
+      (1L, Some("a"), 10.0), // unchanged
+      (2L, Some("B"), 20.0), // changed (value)
+      (3L, Some("c"), 30.0), // changed (NULL -> value must NOT read as unchanged)
+      (5L, Some("e"), 50.0) // added; 4 removed
+    ).toDF("k", "s", "v")
+    val out = Warehouse.tableDiff(oldDf, newDf, "k", Seq("s", "v")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("diff_status")).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("table diff entry: class counts match the fixture arithmetic") {
+    val out = Warehouse.qTableDiffCustomer(spark, sf).collect()
+      .map(r => r.getAs[String]("diff_status") -> r.getAs[Long]("n_keys")).toMap
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getAs[Long]("c_custkey"))
+    val removed = keys.count(_ % 13 == 0)
+    val changed = keys.count(k => k % 13 != 0 && k % 11 == 0)
+    assert(out("added") === 10L)
+    assert(out("removed") === removed.toLong)
+    assert(out("changed") === changed.toLong)
+    assert(out("unchanged") === keys.length.toLong - removed - changed)
+  }
+
   test("scd2: the merge join broadcasts the staged side") {
     val plan = Warehouse.qScd2Customer(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))

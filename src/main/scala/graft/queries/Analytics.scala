@@ -1522,6 +1522,62 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- Time-bar resampling: OHLC downsampling per type ---
+
+  /** OHLC bar width: 6 hours, in microseconds. */
+  val ohlcBarUs = 21600000000L
+
+  /** Time-bar resampling: downsample the event stream into 6-hour OHLC
+    * bars per event type — open/close = first/last value by event time,
+    * high/low = extrema, plus count and decimal-exact volume. The
+    * time-series compaction every metrics store runs (candlesticks,
+    * rollup tiers).
+    *
+    * Mechanics: the bar edge is `unix_micros div barUs` — INTEGER
+    * division (a double `/`+truncate could round a just-below-boundary
+    * timestamp across the edge). Open/close are `min_by`/`max_by` on the
+    * total (ts, event_id) key: one ordinary aggregation — no window, no
+    * per-bar sort; min_by/max_by partial-merge like any agg, so the
+    * plan is a single map-side-combinable exchange on (type, bar). The
+    * oracle mirrors the total key as one HUGEINT composite (micros ×
+    * 10⁷ + event_id) — same ORDER, different encoding, because DuckDB's
+    * arg_min/arg_max take scalar keys only.
+    *
+    * Scale (100 TB): output is |types| × |bars| regardless of input
+    * rows; the single partial-agg exchange is the floor for any grouped
+    * computation. Late/duplicated data re-aggregates idempotently
+    * (ts, event_id) — no order-of-arrival dependence.
+    */
+  def qEventOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = struct($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("bar",
+        timestamp_micros(expr(s"(unix_micros(ts) div ${ohlcBarUs}L) * ${ohlcBarUs}L")))
+      .groupBy($"event_type", $"bar")
+      .agg(
+        min_by($"value", key).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", key).as("close"),
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(11, 2))).cast("double").as("volume"))
+      .orderBy($"event_type", $"bar")
+  }
+
+  val qEventOhlcSql: String =
+    s"""SELECT event_type,
+       |  make_timestamp((epoch_us(ts)//$ohlcBarUs)*$ohlcBarUs) AS bar,
+       |  arg_min(value, epoch_us(ts)::HUGEINT * 10000000 + event_id) AS open,
+       |  max(value) AS high,
+       |  min(value) AS low,
+       |  arg_max(value, epoch_us(ts)::HUGEINT * 10000000 + event_id) AS close,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(11,2))) AS DOUBLE) AS volume
+       |FROM events
+       |GROUP BY event_type, bar
+       |ORDER BY event_type, bar""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1544,6 +1600,7 @@ object Analytics {
     "q15_top_supplier" -> ((q15TopSupplier _, q15TopSupplierSql)),
     "q18_large_orders" -> ((q18LargeOrders _, q18LargeOrdersSql)),
     "q_event_winsorized" -> ((qEventWinsorized _, qEventWinsorizedSql)),
+    "q_event_ohlc" -> ((qEventOhlc _, qEventOhlcSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -139,6 +139,31 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ohlc: bars match a local replay, open/close at the time extremes") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventOhlc(spark, sf).collect()
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val us = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+        (r.getAs[String]("event_type"), us / Analytics.ohlcBarUs,
+          (us, r.getAs[Long]("event_id")), r.getAs[Double]("value"))
+      }
+    val byBar = events.groupBy(e => (e._1, e._2))
+    assert(out.length === byBar.size)
+    out.foreach { r =>
+      val t = r.getAs[java.sql.Timestamp]("bar")
+      val barIdx = (t.getTime * 1000 + (t.getNanos / 1000) % 1000) / Analytics.ohlcBarUs
+      val g = byBar((r.getAs[String]("event_type"), barIdx))
+      assert(r.getAs[Long]("n") === g.length.toLong)
+      assert(r.getAs[Double]("open") === g.minBy(_._3)._4)
+      assert(r.getAs[Double]("close") === g.maxBy(_._3)._4)
+      assert(r.getAs[Double]("high") === g.map(_._4).max)
+      assert(r.getAs[Double]("low") === g.map(_._4).min)
+    }
+  }
+
   test("funnel: step counts match a local per-user ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventFunnel(spark, sf).collect()

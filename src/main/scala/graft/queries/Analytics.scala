@@ -1578,6 +1578,62 @@ object Analytics {
        |GROUP BY event_type, bar
        |ORDER BY event_type, bar""".stripMargin
 
+  // --- Event-transition matrix: per-user next-event Markov counts ---
+
+  /** First-order transition matrix over the per-user event sequence:
+    * for every (event_type → next event_type) pair, the transition
+    * count, its share among the source type's outgoing transitions, and
+    * the mean gap seconds (decimal-exact mean of integer micro gaps).
+    * The Markov-chain summary behind "what do users do after X".
+    *
+    * Mechanics: `lead` over the per-user (ts, event_id) order pairs each
+    * event with its successor — ONE user exchange + per-user sort, the
+    * same partitioning every sequence operator here pays; the matrix agg
+    * is |types|² rows and the outgoing-share window runs on that tiny
+    * aggregate (partitioned by source type — never a single partition).
+    *
+    * Scale: identical profile to sessionization — the user-keyed sort
+    * shuffle is the floor for sequence analysis; everything after is
+    * constant-size. Gap micros sum as DECIMAL(20,0) (exact for any
+    * corpus) before the double division.
+    */
+  def qEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paired = Tables.events(spark, sfDir)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("gap_us", lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .filter($"next_type".isNotNull)
+    val share = Window.partitionBy($"event_type")
+    paired.groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"gap_us".cast(DecimalType(20, 0))).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6)).as("mean_gap_s"))
+      .withColumn("share", $"n".cast("double") / sum($"n").over(share).cast("double"))
+      .select($"event_type", $"next_type", $"n", $"share", $"mean_gap_s")
+      .orderBy($"event_type", $"next_type")
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH paired AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS next_type,
+      |    lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |matrix AS (
+      |  SELECT event_type, next_type, count(*) AS n,
+      |    CAST(sum(CAST(gap_us AS DECIMAL(20,0))) AS DOUBLE) / count(*) / 1000000.0 AS mean_gap_s
+      |  FROM paired WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type
+      |)
+      |SELECT event_type, next_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share,
+      |  mean_gap_s
+      |FROM matrix
+      |ORDER BY event_type, next_type""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1601,6 +1657,7 @@ object Analytics {
     "q18_large_orders" -> ((q18LargeOrders _, q18LargeOrdersSql)),
     "q_event_winsorized" -> ((qEventWinsorized _, qEventWinsorizedSql)),
     "q_event_ohlc" -> ((qEventOhlc _, qEventOhlcSql)),
+    "q_event_transitions" -> ((qEventTransitions _, qEventTransitionsSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

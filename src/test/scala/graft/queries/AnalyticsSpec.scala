@@ -139,6 +139,20 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("transitions: counts conserve sequence length, shares sum to 1 per source") {
+    val out = Analytics.qEventTransitions(spark, sf).collect()
+    assert(out.nonEmpty)
+    // total transitions = total events - one per user (last event has no next)
+    val events = graft.model.Tables.events(spark, sf)
+    val expectTotal = events.count() - events.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum === expectTotal)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"shares for $t sum to $s")
+    }
+    out.foreach(r => assert(r.getAs[Double]("mean_gap_s") >= 0.0))
+  }
+
   test("ohlc: bars match a local replay, open/close at the time extremes") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventOhlc(spark, sf).collect()

@@ -18,6 +18,7 @@ object LlmQueries {
     "q_doc_vocab" -> ((TextOps.qDocVocab _, TextOps.qDocVocabSql)),
     "q_doc_bigram_lm" -> ((TextOps.qDocBigramLm _, TextOps.qDocBigramLmSql)),
     "q_doc_tfidf" -> ((TextOps.qDocTfidf _, TextOps.qDocTfidfSql)),
+    "q_doc_postings" -> ((TextOps.qDocPostings _, TextOps.qDocPostingsSql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),

@@ -595,4 +595,55 @@ object TextOps {
        |SELECT doc_id, term, tf, df, score FROM ranked
        |WHERE rn <= $tfidfTopK
        |ORDER BY doc_id, score DESC, term""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Inverted-index postings for the highest-df terms
+  // ------------------------------------------------------------------
+
+  /** Posting lists are built for the top-[[postingsTerms]] terms by
+    * document frequency.
+    */
+  val postingsTerms = 10
+
+  /** Inverted-index construction, scoped to the [[postingsTerms]]
+    * highest-df terms: one posting row (term, doc_id, tf) per term-doc
+    * pair — the index build a search layer runs over the corpus, cut to a
+    * term head so the oracle output stays bounded.
+    *
+    * Scale (100 TB): the term head is k rows → explicit `broadcast`
+    * probe, so the exploded token stream never shuffles on token (the
+    * [[graft.ext.CorpusOps.qDocOov]] rule); the only exchange is the
+    * (term, doc_id)-keyed partial-agg tf count. A FULL inverted index
+    * drops the head filter and pays the token-keyed shuffle — same shape,
+    * Zipf-bounded skew handled by AQE or a (term, doc-range) composite
+    * key; this entry pins the semantics.
+    */
+  def qDocPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val head = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(postingsTerms)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(head), "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("df")).as("df"))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val qDocPostingsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |),
+       |head AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  GROUP BY term ORDER BY df DESC, term LIMIT $postingsTerms
+       |)
+       |SELECT term, doc_id, count(*) AS tf, any_value(df) AS df
+       |FROM toks JOIN head USING (term)
+       |GROUP BY term, doc_id
+       |ORDER BY term, doc_id""".stripMargin
 }

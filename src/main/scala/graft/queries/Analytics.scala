@@ -1634,6 +1634,74 @@ object Analytics {
       |FROM matrix
       |ORDER BY event_type, next_type""".stripMargin
 
+  // --- Robust anomaly detection: median/MAD z-scores per type ---
+
+  /** Robust z-score threshold (the conventional 3.5 from the
+    * Iglewicz–Hoaglin modified-z rule).
+    */
+  val madZThreshold = 3.5
+
+  /** Robust anomaly detection per event type: median + MAD (median
+    * absolute deviation) instead of mean + stddev, so the detector's own
+    * baseline cannot be dragged by the outliers it is meant to find.
+    * Reports the modified-z anomaly count and the maximum |z| per type.
+    *
+    * Mechanics: two grouped exact-percentile passes — median, then (after
+    * a types-sized broadcast join-back) the median of |v − med| — then one
+    * final scan flags rows where 0.6745·|v−med|/MAD > [[madZThreshold]].
+    * All arithmetic is double over identical operands in identical order
+    * on both engines (the [[qEventWinsorized]] determinism argument), and
+    * the exact interpolated percentile agreement is already pinned by
+    * [[qValuePercentiles]].
+    *
+    * Scale (100 TB): two percentile shuffles + one narrow scan — the
+    * exact-median cost; production at extreme scale swaps
+    * `approx_percentile` into the SAME shape (sketch merge, one pass) at
+    * the price of oracle-exactness, which is why the exact form is the
+    * checked entry.
+    */
+  def qEventAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val med = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = Tables.events(spark, sfDir)
+      .join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first($"med").as("med2"))
+    val z = abs($"value" - $"med") * lit(0.6745) / $"mad"
+    Tables.events(spark, sfDir)
+      .join(broadcast(mad.select($"event_type", $"med2".as("med"), $"mad")), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        first($"med").as("median"),
+        first($"mad").as("mad"),
+        sum(when(z > madZThreshold, 1L).otherwise(0L)).as("n_anomalies"),
+        max(z).as("max_abs_z"))
+      .orderBy($"event_type")
+  }
+
+  val qEventAnomaliesSql: String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY event_type
+       |),
+       |mad AS (
+       |  SELECT event_type, any_value(med) AS med,
+       |    quantile_cont(abs(value - med), 0.5) AS mad
+       |  FROM events JOIN med USING (event_type)
+       |  GROUP BY event_type
+       |)
+       |SELECT event_type, count(*) AS n,
+       |  any_value(med) AS median, any_value(mad) AS mad,
+       |  CAST(sum(CASE WHEN abs(value - med) * 0.6745 / mad > $madZThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |  max(abs(value - med) * 0.6745 / mad) AS max_abs_z
+       |FROM events JOIN mad USING (event_type)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1658,6 +1726,7 @@ object Analytics {
     "q_event_winsorized" -> ((qEventWinsorized _, qEventWinsorizedSql)),
     "q_event_ohlc" -> ((qEventOhlc _, qEventOhlcSql)),
     "q_event_transitions" -> ((qEventTransitions _, qEventTransitionsSql)),
+    "q_event_anomalies" -> ((qEventAnomalies _, qEventAnomaliesSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -142,4 +142,25 @@ class LlmOpsSpec extends SparkSuite {
         r.getAs[Double]("score") > 0.0
     })
   }
+
+  test("postings: term head and tf counts match a local index build") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qDocPostings(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val head = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(TextOps.postingsTerms).map(_._1).toSet
+    assert(out.map(_.getAs[String]("term")).toSet === head)
+    val tf = docs.flatMap { case (id, ts) => ts.filter(head).map(t => (t, id)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(out.length === tf.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("term"), r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("tf") === tf(key).toLong, key)
+      assert(r.getAs[Long]("df") === df(key._1).toLong)
+    }
+  }
 }

@@ -139,6 +139,31 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("anomalies: median/MAD and counts match a local exact recompute") {
+    def interpMedian(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt)
+      val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    val out = Analytics.qEventAnomalies(spark, sf).collect()
+    val byType = graft.model.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    assert(out.map(_.getAs[String]("event_type")).toSet === byType.keySet)
+    out.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val med = interpMedian(vs)
+      val mad = interpMedian(vs.map(v => math.abs(v - med)))
+      assert(r.getAs[Double]("median") === med)
+      assert(r.getAs[Double]("mad") === mad)
+      val expect = vs.count(v => math.abs(v - med) * 0.6745 / mad > Analytics.madZThreshold)
+      assert(r.getAs[Long]("n_anomalies") === expect.toLong)
+      if (expect > 0) assert(r.getAs[Double]("max_abs_z") > Analytics.madZThreshold)
+    }
+  }
+
   test("transitions: counts conserve sequence length, shares sum to 1 per source") {
     val out = Analytics.qEventTransitions(spark, sf).collect()
     assert(out.nonEmpty)

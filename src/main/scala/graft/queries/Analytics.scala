@@ -1600,9 +1600,13 @@ object Analytics {
   def qEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // both leads in ONE projection: chained withColumn would plan two
+    // Window nodes over the same spec (extra per-row pass); a single
+    // select fuses them into one Window (plan-asserted)
     val paired = Tables.events(spark, sfDir)
-      .withColumn("next_type", lead($"event_type", 1).over(w))
-      .withColumn("gap_us", lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .select($"event_type",
+        lead($"event_type", 1).over(w).as("next_type"),
+        (lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts")).as("gap_us"))
       .filter($"next_type".isNotNull)
     val share = Window.partitionBy($"event_type")
     paired.groupBy($"event_type", $"next_type")

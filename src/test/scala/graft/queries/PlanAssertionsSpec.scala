@@ -220,4 +220,36 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ohlc is ONE aggregation — no window, no join, no per-bar sort") {
+    val p = plan(Analytics.qEventOhlc(spark, sf))
+    assert(!p.contains("Window"), s"window formulation crept in:\n$p")
+    assert(!p.contains("Join"), p)
+    // min_by/max_by partial-aggregate: both partial and final HashAggregate
+    // appear, nothing else shuffles
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("transitions pairing is one user-keyed window over one sort") {
+    val p = plan(Analytics.qEventTransitions(spark, sf))
+    // two Window nodes total: the per-user lead pairing and the tiny
+    // outgoing-share window over the |types|^2 aggregate
+    assert("Window ".r.findAllIn(p).size == 2, s"expected exactly two windows:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("anomaly and postings probes broadcast their tiny sides") {
+    for (df <- Seq(Analytics.qEventAnomalies(spark, sf),
+        graft.ext.TextOps.qDocPostings(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("incremental dedup is equi-join only, window keyed on the hash") {
+    val p = plan(graft.ext.Dedup.qDocIncrDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p) // intra-batch first-wins
+  }
 }

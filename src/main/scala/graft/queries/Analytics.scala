@@ -1706,6 +1706,56 @@ object Analytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --- Equi-depth histogram: decile bins per type ---
+
+  /** Equi-depth (equal-frequency) histogram per event type: ten decile
+    * bins, each holding ~10% of the rows, with per-bin counts and value
+    * ranges — the histogram form query optimizers and drift monitors use
+    * because equal-width bins collapse under skew.
+    *
+    * Mechanics: the nine interior boundaries come from ONE grouped
+    * exact-percentile pass (array form — one pass for all nine); bin
+    * assignment is a narrow fold over the broadcast boundary array
+    * (`aggregate(bs, …)` counting boundaries below the value) — the
+    * naive alternative, `ntile` over a per-type window, funnels every
+    * row of a type through one task (|types| partitions = a skew pole at
+    * any scale); the fold keeps assignment embarrassingly parallel.
+    *
+    * Scale (100 TB): one percentile shuffle + one (type, bin) partial
+    * agg; production swaps `approx_percentile` into the same shape for
+    * the boundary pass. Exact interpolated boundaries are identical
+    * doubles cross-engine ([[qValuePercentiles]]), so bin edges cannot
+    * drift.
+    */
+  def qValueEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr(s"percentile(value, array($ps))").as("bs"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(bounds), "event_type")
+      .select($"event_type", $"value",
+        expr("1 + aggregate(bs, 0, (acc, x) -> acc + (CASE WHEN value > x THEN 1 ELSE 0 END))")
+          .as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  val qValueEquidepthSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type,
+      |  1 + CAST(list_sum(list_transform(bs, x -> CASE WHEN value > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+      |  count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM events JOIN b USING (event_type)
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1731,6 +1781,7 @@ object Analytics {
     "q_event_ohlc" -> ((qEventOhlc _, qEventOhlcSql)),
     "q_event_transitions" -> ((qEventTransitions _, qEventTransitionsSql)),
     "q_event_anomalies" -> ((qEventAnomalies _, qEventAnomaliesSql)),
+    "q_value_equidepth" -> ((qValueEquidepth _, qValueEquidepthSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

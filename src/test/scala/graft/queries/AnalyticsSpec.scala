@@ -139,6 +139,24 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("equi-depth histogram: bins hold ~equal mass, ranges tile without overlap") {
+    val out = Analytics.qValueEquidepth(spark, sf).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val total = rows.map(_.getAs[Long]("n")).sum
+      rows.foreach { r =>
+        // equal-frequency: every bin within ±2 of total/10 (interpolated
+        // boundaries split ties deterministically)
+        assert(math.abs(r.getAs[Long]("n") - total / 10.0) <= 2.0,
+          s"$t bin ${r.getAs[Int]("bin")}: ${r.getAs[Long]("n")} of $total")
+      }
+      // ranges tile: sorted by bin, each lo > previous hi
+      val sorted = rows.sortBy(_.getAs[Int]("bin"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getAs[Double]("lo") > a.getAs[Double]("hi"), s"$t overlap")
+      }
+    }
+  }
+
   test("anomalies: median/MAD and counts match a local exact recompute") {
     def interpMedian(xs: Array[Double]): Double = {
       val s = xs.sorted

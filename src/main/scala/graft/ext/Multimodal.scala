@@ -142,4 +142,118 @@ object Multimodal {
       |  unnest(range(0, n_frames, sample_step)) AS frame_idx
       |FROM s
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Training-sample assembly: modality-aware token-budget manifest
+  // ------------------------------------------------------------------
+
+  /** Per-sample context budget (tokens). */
+  val sampleBudget = 8192L
+
+  /** ViT-style patch edge (pixels per square patch). */
+  val patchPx = 16L
+
+  /** Flat token cost assigned to an audio clip by the budget policy. */
+  val audioTokens = 128L
+
+  /** Training-sample assembly: the manifest a multimodal training
+    * pipeline batches from — one row per sample joining its TEXT (token
+    * count), its MEDIA (modality token cost under a ViT-style budget
+    * policy: image = output-resolution patches, video = sampled frames ×
+    * patches, audio = flat [[audioTokens]]) and its EMBEDDING (present
+    * or not — only part of a corpus has precomputed vectors), with the
+    * total-cost-vs-[[sampleBudget]] fit decision a batcher applies.
+    *
+    * Mechanics: documents ⋈ media metadata on doc_id (media is narrow
+    * per-row arithmetic — resize dims, frame sampling count — no explode:
+    * the manifest needs counts, not rows) plus a LEFT join to embeddings
+    * (coverage flag). All token arithmetic is integer (ceil-division via
+    * `div`), so both engines agree bit-for-bit.
+    *
+    * Scale (100 TB): two doc_id-keyed equi-joins (media metadata rides
+    * WITH the documents in production — same table, zero joins; the join
+    * form here mirrors the separate-store layout) and the standard AQE
+    * choice for the embedding side. Everything else is narrow.
+    */
+  def qMmSampleAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("text_tokens"))
+    val media = mediaFixture(spark, sfDir).toDF()
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height"), lit(1.0)))
+      .withColumn("out_w", greatest(lit(1L), floor(col("width") * col("scale"))))
+      .withColumn("out_h", greatest(lit(1L), floor(col("height") * col("scale"))))
+      .withColumn("n_frames",
+        when(col("media_type") === "video", col("doc_id") % 240 + 8).otherwise(lit(1L)))
+      .withColumn("sample_step", greatest(lit(1L), floor(col("n_frames") / 8)))
+      .withColumn("frames_sampled",
+        expr("(n_frames - 1) div sample_step") + 1L)
+      .withColumn("patches",
+        expr(s"((out_w + ${patchPx - 1}) div $patchPx) * ((out_h + ${patchPx - 1}) div $patchPx)"))
+      .select(col("doc_id"), col("media_type"),
+        when(col("media_type") === "image", col("patches"))
+          .when(col("media_type") === "video", col("frames_sampled") * col("patches"))
+          .otherwise(lit(audioTokens)).as("media_tokens"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), lit(true).as("has_embedding"))
+    text.join(media, "doc_id")
+      .join(emb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"), col("text_tokens"),
+        col("media_tokens"),
+        (col("text_tokens") + col("media_tokens")).as("total_tokens"),
+        coalesce(col("has_embedding"), lit(false)).as("has_embedding"),
+        (col("text_tokens") + col("media_tokens") <= sampleBudget).as("fits_budget"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMmSampleAssemblySql: String =
+    s"""WITH text_side AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    (doc_id % 64 + 1) * 16 AS width,
+       |    (doc_id % 48 + 1) * 16 AS height
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT *, least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height,
+       |    CAST(1.0 AS DOUBLE)) AS scale
+       |  FROM m
+       |),
+       |d AS (
+       |  SELECT doc_id, media_type,
+       |    greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+       |    greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h,
+       |    CASE WHEN media_type = 'video' THEN doc_id % 240 + 8 ELSE 1 END AS n_frames
+       |  FROM r
+       |),
+       |s AS (
+       |  SELECT *,
+       |    greatest(1, CAST(floor(n_frames / 8) AS BIGINT)) AS sample_step
+       |  FROM d
+       |),
+       |mm AS (
+       |  SELECT doc_id, media_type,
+       |    CASE WHEN media_type = 'image'
+       |           THEN ((out_w + ${patchPx - 1}) // $patchPx) * ((out_h + ${patchPx - 1}) // $patchPx)
+       |         WHEN media_type = 'video'
+       |           THEN ((n_frames - 1) // sample_step + 1) *
+       |                ((out_w + ${patchPx - 1}) // $patchPx) * ((out_h + ${patchPx - 1}) // $patchPx)
+       |         ELSE $audioTokens END AS media_tokens
+       |  FROM s
+       |)
+       |SELECT t.doc_id, media_type, text_tokens, media_tokens,
+       |  text_tokens + media_tokens AS total_tokens,
+       |  e.vec_id IS NOT NULL AS has_embedding,
+       |  text_tokens + media_tokens <= $sampleBudget AS fits_budget
+       |FROM text_side t
+       |JOIN mm USING (doc_id)
+       |LEFT JOIN embeddings e ON t.doc_id = e.vec_id
+       |ORDER BY t.doc_id""".stripMargin
 }

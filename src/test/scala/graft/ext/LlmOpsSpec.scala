@@ -72,6 +72,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.map(_.getAs[String]("media_type")).toSet === Set("image", "audio", "video"))
   }
 
+  test("sample assembly: budget arithmetic per modality, coverage flag honest") {
+    val out = Multimodal.qMmSampleAssembly(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf).count()
+    val embIds = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.length === docs)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("total_tokens") ===
+        r.getAs[Long]("text_tokens") + r.getAs[Long]("media_tokens"))
+      assert(r.getAs[Boolean]("has_embedding") === embIds(id))
+      r.getAs[String]("media_type") match {
+        case "audio" => assert(r.getAs[Long]("media_tokens") === Multimodal.audioTokens)
+        case "image" =>
+          // 224-fit output → at most ceil(224/16)^2 = 196 patches
+          assert(r.getAs[Long]("media_tokens") <= 196L && r.getAs[Long]("media_tokens") >= 1L)
+        case "video" =>
+          // ≤ 15 sampled frames × ≤ 196 patches
+          assert(r.getAs[Long]("media_tokens") <= 15L * 196L)
+      }
+      assert(r.getAs[Boolean]("fits_budget") ===
+        (r.getAs[Long]("total_tokens") <= Multimodal.sampleBudget))
+    }
+  }
+
   test("text stats: token invariants hold") {
     val rows = TextOps.qDocTextStats(spark, sf).collect()
     assert(rows.forall { r =>

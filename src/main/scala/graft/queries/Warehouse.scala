@@ -237,9 +237,75 @@ object Warehouse {
       |SELECT diff_status, count(*) AS n_keys FROM diff
       |GROUP BY diff_status ORDER BY diff_status""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Entity resolution: blocked fuzzy matching
+  // ------------------------------------------------------------------
+
+  /** Maximum edit distance for an entity match. */
+  val entityMaxEdits = 2
+
+  /** Entity resolution over a dirty customer register: every 9th customer
+    * re-appears under a new id with a typo'd name (3rd character
+    * mangled), and the matcher must pair each dirty record with its
+    * clean original WITHOUT comparing all pairs: candidates come from a
+    * BLOCKING key (the 8-char name suffix, which the typo leaves intact
+    * — blocking keys are chosen where the noise isn't), and only
+    * candidates pay the `levenshtein` verification (≤ [[entityMaxEdits]]).
+    *
+    * The fundamental shape of dedupe/record-linkage at scale
+    * ([[graft.ext.Dedup.qDocMinhashPairs]] is the same idea with hash
+    * bands for documents): candidate generation must be an equi-join —
+    * an edit-distance predicate alone plans a nested loop over N², which
+    * no cluster survives. Block sizes here are O(1); a production
+    * blocker adds a bucket-size cap exactly like the minhash pipeline's
+    * `maxBandBucket`.
+    *
+    * Determinism: levenshtein is integer edit distance — identical in
+    * both engines; the pair orientation (clean id < dirty id) and ORDER
+    * BY make the output a total order.
+    */
+  def qCustEntityMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val dirty = base.filter(col("id") % 9 === 0)
+      .select((col("id") + 500000).as("id"),
+        concat(substring(col("name"), 1, 2), lit("x"),
+          expr("substring(name, 4)")).as("name"))
+    val all = base.unionAll(dirty).withColumn("block", expr("right(name, 8)"))
+    val a = all.select(col("id").as("id_a"), col("name").as("name_a"), col("block"))
+    val b = all.select(col("id").as("id_b"), col("name").as("name_b"), col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edits", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edits") <= entityMaxEdits)
+      .select(col("id_a"), col("id_b"), col("edits"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qCustEntityMatchSql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id, c_name AS name FROM customer
+       |),
+       |dirty AS (
+       |  SELECT id + 500000 AS id,
+       |    substr(name, 1, 2) || 'x' || substr(name, 4) AS name
+       |  FROM base WHERE id % 9 = 0
+       |),
+       |all_recs AS (
+       |  SELECT id, name, right(name, 8) AS block FROM base
+       |  UNION ALL
+       |  SELECT id, name, right(name, 8) AS block FROM dirty
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS edits
+       |FROM all_recs a JOIN all_recs b ON a.block = b.block AND a.id < b.id
+       |WHERE levenshtein(a.name, b.name) <= $entityMaxEdits
+       |ORDER BY id_a, id_b""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql)),
-    "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql))
+    "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql)),
+    "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql))
   )
 }

@@ -106,6 +106,19 @@ class WarehouseSpec extends SparkSuite {
     assert(out("unchanged") === keys.length.toLong - removed - changed)
   }
 
+  test("entity match: every dirty record pairs its clean original, nothing else") {
+    val out = Warehouse.qCustEntityMatch(spark, sf).collect()
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getAs[Long]("c_custkey"))
+    val expect = keys.filter(_ % 9 == 0).map(k => (k, k + 500000L)).toSet
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === expect)
+    // the injected typo is exactly one substitution
+    assert(out.forall(_.getAs[Int]("edits") === 1))
+    // blocked candidate generation is an equi-join, never a nested loop
+    val p = Warehouse.qCustEntityMatch(spark, sf).queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("scd2: the merge join broadcasts the staged side") {
     val plan = Warehouse.qScd2Customer(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))

@@ -1756,6 +1756,63 @@ object Analytics {
       |GROUP BY event_type, bin
       |ORDER BY event_type, bin""".stripMargin
 
+  // --- Global running total: distributed two-phase prefix sum ---
+
+  /** GLOBAL running count and value total over the whole event stream in
+    * (ts, event_id) order — the computation a naive `SUM OVER (ORDER BY
+    * ts)` window serializes through ONE task at any scale (no partition
+    * key = Exchange SinglePartition of every row). This is the
+    * distributed prefix-sum decomposition instead:
+    *
+    *   1. bucket events by day (a time-ordered, bounded-cardinality key);
+    *   2. aggregate per-day totals — |days| rows;
+    *   3. one TINY single-partition window over those |days| rows turns
+    *      totals into before-day cumulative offsets (bounded: days, not
+    *      rows — this is the two-phase trick's whole point);
+    *   4. broadcast the offsets back and run the big window PARTITIONED
+    *      BY day: within-day prefix + its day's offset = global prefix.
+    *
+    * Every row-scale operation is day-partitioned; the only global step
+    * touches |days| rows. Decimal sums keep the two-phase total
+    * bit-equal to the oracle's single global decimal window.
+    *
+    * Scale (100 TB): day buckets bound concurrency at |days| — for
+    * deeper parallelism subdivide the bucket (hour) at the cost of a
+    * longer offset table; the shape is unchanged. Day skew is data skew
+    * in time — mitigated by finer buckets, not by a different plan.
+    */
+  def qEventGlobalRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"value", to_date($"ts").as("day"))
+    val wDays = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy($"day")
+      .agg(count(lit(1)).as("day_n"),
+        sum($"value".cast(DecimalType(11, 2))).as("day_v"))
+      .select($"day",
+        coalesce(sum($"day_n").over(wDays), lit(0L)).as("n_before"),
+        coalesce(sum($"day_v").over(wDays), lit(0).cast(DecimalType(21, 2)))
+          .as("v_before"))
+    val wDay = Window.partitionBy($"day").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(offsets), "day")
+      .select($"event_id",
+        ($"n_before" + count(lit(1)).over(wDay)).as("running_n"),
+        ($"v_before" + sum($"value".cast(DecimalType(11, 2))).over(wDay))
+          .cast("double").as("running_v"))
+      .orderBy($"event_id")
+  }
+
+  val qEventGlobalRunningSql: String =
+    """SELECT event_id,
+      |  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS running_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(11,2)))
+      |    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS running_v
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1782,6 +1839,7 @@ object Analytics {
     "q_event_transitions" -> ((qEventTransitions _, qEventTransitionsSql)),
     "q_event_anomalies" -> ((qEventAnomalies _, qEventAnomaliesSql)),
     "q_value_equidepth" -> ((qValueEquidepth _, qValueEquidepthSql)),
+    "q_event_global_running" -> ((qEventGlobalRunning _, qEventGlobalRunningSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -139,6 +139,30 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("global running total: two-phase prefix equals a local global scan") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventGlobalRunning(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("running_n"), r.getAs[Double]("running_v"))).toMap
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("event_id"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getAs[Double]("value"))
+      }.sortBy(e => (e._2, e._1))
+    var n = 0L
+    var v = BigDecimal(0)
+    events.foreach { case (id, _, value) =>
+      n += 1
+      v += BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val (gotN, gotV) = out(id)
+      assert(gotN === n, s"event $id")
+      assert(gotV === v.toDouble, s"event $id")
+    }
+  }
+
   test("equi-depth histogram: bins hold ~equal mass, ranges tile without overlap") {
     val out = Analytics.qValueEquidepth(spark, sf).collect()
     out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>

@@ -247,6 +247,16 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("global running total: the row-scale window is day-partitioned") {
+    val p = plan(Analytics.qEventGlobalRunning(spark, sf))
+    // the two-phase prefix sum confines the unpartitioned (single-
+    // partition) window to the |days|-row offset aggregate; the window
+    // that touches every event row must carry the day partition key
+    assert(p.contains("windowspecdefinition(day"), s"row-scale window lost its partition key:\n$p")
+    // and the offsets join back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("incremental dedup is equi-join only, window keyed on the hash") {
     val p = plan(graft.ext.Dedup.qDocIncrDedup(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

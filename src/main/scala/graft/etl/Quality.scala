@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -162,8 +163,124 @@ object Quality {
       |  UNION ALL SELECT 'customer_ri', m FROM ri)
       |ORDER BY check_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Privacy: k-anonymity audit over a generalization ladder
+  // ------------------------------------------------------------------
+
+  /** k-anonymity risk audit of the customer table under the
+    * quasi-identifier (mktsegment, nationkey, acctbal-in-thousands) at
+    * every prefix generalization level — the pre-release check a
+    * training-data pipeline runs before shipping user-adjacent records
+    * (complementing [[graft.ext.TextOps.qDocRedact]]'s content-side PII
+    * scrub with a row-side re-identification bound). A row is at risk if
+    * its QI group has fewer than k=5 members; suppressing the last QI
+    * column (then the next, …) trades utility for anonymity, and this
+    * query measures that whole ladder in ONE pass:
+    *
+    * `rollup(seg, nat, bal_bucket)` emits every prefix level tagged by
+    * `grouping_id` (0 = full QI … 7 = fully suppressed); a second, tiny
+    * aggregation folds each level's group sizes into (groups, min group
+    * size, rows below k, risk share). The risk share divides two exact
+    * longs — one correctly-rounded double, bit-equal cross-engine.
+    *
+    * Scale: the rollup is a constant ×4 Expand feeding ONE partial
+    * aggregate (map-side combined — the shuffle carries group rows, not
+    * input rows); the fold input is |groups| rows. No per-level rescans:
+    * the naive "one GROUP BY per level" formulation reads the table L
+    * times.
+    */
+  def qKAnonCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val groups = Tables.customer(spark, sfDir)
+      .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      .rollup(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("sz"))
+    groups.groupBy(col("gid").cast("int").as("generalization_level"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("sz")).as("min_group_size"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("generalization_level"), col("n_groups"), col("min_group_size"),
+        col("rows_below_k"),
+        (col("rows_below_k").cast("double") / col("n_rows")).as("risk_share"))
+      .orderBy(col("generalization_level"))
+  }
+
+  val qKAnonCustomerSql: String =
+    """WITH g AS (
+      |  SELECT GROUPING(c_mktsegment, c_nationkey, bal_bucket) AS gid, count(*) AS sz
+      |  FROM (SELECT c_mktsegment, c_nationkey, floor(c_acctbal / 1000) AS bal_bucket
+      |        FROM customer)
+      |  GROUP BY ROLLUP (c_mktsegment, c_nationkey, bal_bucket)
+      |)
+      |SELECT CAST(gid AS INTEGER) AS generalization_level,
+      |  count(*) AS n_groups,
+      |  min(sz) AS min_group_size,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) / sum(sz) AS risk_share
+      |FROM g
+      |GROUP BY gid
+      |ORDER BY generalization_level""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Distribution drift between two time slices
+  // ------------------------------------------------------------------
+
+  /** Value-distribution drift monitor: equal-width histogram (10 bins of
+    * 50) of `events.value` in the baseline half of the month vs the
+    * current half, with per-bin counts, shares, and the bin's
+    * total-variation contribution — the "did this week's data shift under
+    * me" check a continuously-ingesting training pipeline runs per batch.
+    * Share deltas are computed INTEGER-exact before the one final double
+    * division: |cA·tB − cB·tA| / (tA·tB) is the exact |shareA − shareB|
+    * with no intermediate float rounding, so the compare is bit-stable
+    * cross-engine (and the total TVD is just half the sum of the output
+    * column — asserted in QualitySpec).
+    *
+    * Scale: two conditional partial aggregates over ONE scan (the split
+    * predicate is a pushed-down column compare, not a second read); the
+    * histogram shuffle carries ≤ |bins| rows per map task. Bin width and
+    * count are plan constants — at 100 TB widen bins, never the plan.
+    */
+  def qEventDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundary = lit("2024-01-16").cast("timestamp")
+    val binned = Tables.events(spark, sfDir)
+      .select(least(lit(9), floor(col("value") / 50)).cast("int").as("bin"),
+        when(col("ts") < boundary, 1L).otherwise(0L).as("is_base"))
+    binned.groupBy(col("bin"))
+      .agg(sum(col("is_base")).as("base_cnt"),
+        sum(lit(1L) - col("is_base")).as("cur_cnt"))
+      .select(col("bin"), col("base_cnt"), col("cur_cnt"),
+        sum(col("base_cnt")).over(Window.partitionBy()).as("t_base"),
+        sum(col("cur_cnt")).over(Window.partitionBy()).as("t_cur"))
+      .select(col("bin"), col("base_cnt"), col("cur_cnt"),
+        (col("base_cnt").cast("double") / col("t_base")).as("base_share"),
+        (col("cur_cnt").cast("double") / col("t_cur")).as("cur_share"),
+        (abs(col("base_cnt") * col("t_cur") - col("cur_cnt") * col("t_base"))
+          .cast("double") / (col("t_base") * col("t_cur"))).as("abs_share_delta"))
+      .orderBy(col("bin"))
+  }
+
+  val qEventDriftSql: String =
+    """WITH h AS (
+      |  SELECT CAST(least(9, floor(value / 50)) AS INTEGER) AS bin,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS base_cnt,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS cur_cnt
+      |  FROM events GROUP BY bin
+      |),
+      |t AS (SELECT sum(base_cnt) AS t_base, sum(cur_cnt) AS t_cur FROM h)
+      |SELECT bin, CAST(base_cnt AS BIGINT) AS base_cnt, CAST(cur_cnt AS BIGINT) AS cur_cnt,
+      |  CAST(base_cnt AS DOUBLE) / t_base AS base_share,
+      |  CAST(cur_cnt AS DOUBLE) / t_cur AS cur_share,
+      |  CAST(abs(base_cnt * t_cur - cur_cnt * t_base) AS DOUBLE) / (t_base * t_cur)
+      |    AS abs_share_delta
+      |FROM h CROSS JOIN t
+      |ORDER BY bin""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
-    "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql))
+    "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
+    "q_kanon_customer" -> ((qKAnonCustomer _, qKAnonCustomerSql)),
+    "q_event_drift" -> ((qEventDrift _, qEventDriftSql))
   )
 }

@@ -1813,6 +1813,108 @@ object Analytics {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // --- Overlapping (hopping) time windows via the native window() generator ---
+
+  /** Per-window traffic over OVERLAPPING 1-hour windows hopping every
+    * 15 minutes — the batch form of Structured Streaming's hop window
+    * ([[graft.streaming.EventStreams]] covers the tumbling/streaming
+    * side). Each event belongs to exactly window/slide = 4 windows;
+    * Spark's `window(ts, '1 hour', '15 minutes')` plans that membership
+    * as an Expand (a constant ×4 row generator) feeding a partial
+    * aggregate — never a self-join of the stream against a window table.
+    * Window starts are epoch-aligned multiples of the slide in BOTH
+    * engines, and surface as epoch seconds (BIGINT) rather than
+    * timestamps so no session-timezone rendering can drift the compare.
+    *
+    * Scale: the ×4 expansion happens map-side and combines BEFORE the
+    * shuffle — the exchange carries |windows| partial rows, not ×4 the
+    * corpus. The explode factor is window/slide, a plan constant chosen
+    * at query time; at 100 TB the shuffle stays |distinct windows|-sized
+    * (here ~2.9k/month) regardless of input rows.
+    */
+  def qEventHopWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("total"))
+      .select($"w.start".cast("long").as("window_start"), $"n", $"total")
+      .orderBy($"window_start")
+  }
+
+  /** Oracle: an event at epoch second e (floored — window edges are
+    * integral multiples of 900 s, so flooring cannot move an event across
+    * an edge) belongs to the 4 windows starting at (e div 900 − k)·900,
+    * k = 0..3; `range(4)` generates the same membership Spark's Expand
+    * does.
+    */
+  val qEventHopWindowSql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events
+      |)
+      |SELECT (e.es // 900 - k.k) * 900 AS window_start,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin
+
+  // --- Event-type co-occurrence mining (association / lift analysis) ---
+
+  /** Which event types co-occur in the same user's history more than
+    * their individual popularity predicts: for every unordered type pair
+    * (a < b), the number of users exhibiting both, and the lift
+    * users(a∧b)·N / (users(a)·users(b)) — > 1 means positive association.
+    * The single-division double at the end is exact-integer in, correctly
+    * rounded out, so it is bit-identical cross-engine.
+    *
+    * Scale: the corpus first collapses to DISTINCT (user, type) — at most
+    * |users|·|types| rows, the only row-scale shuffle. The pair
+    * self-join keys on user_id against that already-deduplicated frame,
+    * so per-user fan-out is bounded by |types|² (a domain constant, 10
+    * pairs here) — never events², never a cross join. Per-type totals
+    * are a |types|-row broadcast; the user count is a 1-row broadcast
+    * (the [[q22DormantRich]] scalar pattern).
+    */
+  def qEventCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct()
+    val nUsers = ut.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy($"event_type").agg(count(lit(1)).as("type_users"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("pair_users"))
+    pairs
+      .join(broadcast(perType.select($"event_type".as("type_a"), $"type_users".as("n_a"))), "type_a")
+      .join(broadcast(perType.select($"event_type".as("type_b"), $"type_users".as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"pair_users",
+        (($"pair_users" * $"n_users").cast("double") / ($"n_a" * $"n_b")).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val qEventCooccurSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+      |pt AS (SELECT event_type, count(*) AS type_users FROM ut GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS pair_users
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, pa.type_users AS n_a, pb.type_users AS n_b, pair_users,
+      |  CAST(pair_users * n_users AS DOUBLE) / (pa.type_users * pb.type_users) AS lift
+      |FROM pairs
+      |JOIN pt pa ON pa.event_type = type_a
+      |JOIN pt pb ON pb.event_type = type_b
+      |CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** name → (query fn, oracle SQL) for SparkEntry wiring. Ordered: the
     * driver's Bench runs entries in this sequence and the FIRST one absorbs
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
@@ -1840,6 +1942,8 @@ object Analytics {
     "q_event_anomalies" -> ((qEventAnomalies _, qEventAnomaliesSql)),
     "q_value_equidepth" -> ((qValueEquidepth _, qValueEquidepthSql)),
     "q_event_global_running" -> ((qEventGlobalRunning _, qEventGlobalRunningSql)),
+    "q_event_hop_window" -> ((qEventHopWindow _, qEventHopWindowSql)),
+    "q_event_cooccur" -> ((qEventCooccur _, qEventCooccurSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -45,6 +45,44 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("k-anonymity ladder: coarser generalization never increases risk") {
+    val out = Quality.qKAnonCustomer(spark, sf).collect()
+      .sortBy(_.getAs[Int]("generalization_level"))
+    // rollup prefix levels: 0 = (seg,nat,bal), 1 = (seg,nat), 3 = (seg), 7 = ()
+    assert(out.map(_.getAs[Int]("generalization_level")).toSeq === Seq(0, 1, 3, 7))
+    // merging groups can only grow them: a row at risk at a coarse level
+    // was necessarily at risk at every finer level
+    val risk = out.map(_.getAs[Long]("rows_below_k"))
+    assert(risk.zip(risk.tail).forall { case (fine, coarse) => coarse <= fine })
+    val minSz = out.map(_.getAs[Long]("min_group_size"))
+    assert(minSz.zip(minSz.tail).forall { case (fine, coarse) => coarse >= fine })
+    // fully suppressed level: one group holding every row, zero risk
+    val total = out.last
+    assert(total.getAs[Long]("n_groups") === 1L)
+    assert(total.getAs[Long]("rows_below_k") === 0L)
+    assert(total.getAs[Double]("risk_share") === 0.0)
+    out.foreach { r =>
+      val share = r.getAs[Double]("risk_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("drift: shares are distributions and TVD = half the delta mass, in [0,1]") {
+    val out = Quality.qEventDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-12
+    assert(close(out.map(_.getAs[Double]("base_share")).sum, 1.0))
+    assert(close(out.map(_.getAs[Double]("cur_share")).sum, 1.0))
+    out.foreach { r =>
+      // the integer-exact delta IS |base_share - cur_share| (up to the
+      // two divisions' rounding)
+      assert(math.abs(math.abs(r.getAs[Double]("base_share") - r.getAs[Double]("cur_share"))
+        - r.getAs[Double]("abs_share_delta")) <= 1e-12)
+    }
+    val tvd = out.map(_.getAs[Double]("abs_share_delta")).sum / 2
+    assert(tvd >= 0.0 && tvd <= 1.0)
+  }
+
   test("checks: injected violations flip exactly the right checks") {
     import spark.implicits._
     // corrupt a copy: one duplicated key, one null custkey, one bad

@@ -270,6 +270,57 @@ class AnalyticsSpec extends SparkSuite {
     assert(n1 >= n2 && n2 >= n3)
   }
 
+  test("hop window: matches a local 4-windows-per-event replay") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventHopWindow(spark, sf).collect()
+      .map(r => r.getAs[Long]("window_start") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("ts").cast("long").as("es"), col("value")).collect()
+      .map(r => (r.getAs[Long]("es"), r.getAs[Double]("value")))
+    val local = scala.collection.mutable.Map
+      .empty[Long, (Long, java.math.BigDecimal)]
+    for ((es, v) <- events; k <- 0 to 3) {
+      val ws = (es / 900 - k) * 900
+      val dv = java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+      val (n, t) = local.getOrElse(ws, (0L, java.math.BigDecimal.ZERO))
+      local(ws) = (n + 1, t.add(dv))
+    }
+    assert(out.keySet === local.keySet)
+    local.foreach { case (ws, (n, t)) =>
+      assert(out(ws)._1 === n, s"count at window $ws")
+      assert(out(ws)._2 === t.doubleValue, s"total at window $ws")
+    }
+    // conservation: each event counted exactly window/slide = 4 times
+    assert(out.values.map(_._1).sum === 4L * events.length)
+  }
+
+  test("co-occurrence lift matches a local distinct-pair recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventCooccur(spark, sf).collect()
+    val ut = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val nUsers = ut.map(_._1).distinct.length
+    val perType = ut.groupBy(_._2).view.mapValues(_.length).toMap
+    val byUser: Map[Long, Seq[String]] =
+      ut.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val pairCnt = byUser.values.toSeq.flatMap { ts =>
+      for (a <- ts; b <- ts if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.length === pairCnt.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("pair_users") === pairCnt(key).toLong)
+      assert(r.getAs[Long]("n_a") === perType(key._1).toLong)
+      assert(r.getAs[Long]("n_b") === perType(key._2).toLong)
+      val lift = (pairCnt(key).toLong * nUsers).toDouble /
+        (perType(key._1).toLong * perType(key._2))
+      assert(r.getAs[Double]("lift") === lift)
+    }
+  }
+
   test("cohort retention: offset-0 cells cover each cohort fully") {
     val out = Analytics.qEventCohortRetention(spark, sf).collect()
     assert(out.nonEmpty)

@@ -262,4 +262,33 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Window"), p) // intra-batch first-wins
   }
+
+  test("hop window plans as Expand + partial aggregate — never a window-table join") {
+    val p = plan(Analytics.qEventHopWindow(spark, sf))
+    assert(p.contains("Expand"), s"hop membership should be an Expand:\n$p")
+    assert(!p.contains("Join"), s"no join of the stream against a window table:\n$p")
+    // partial (map-side) aggregation before the exchange: the shuffle
+    // carries |windows| combined rows, not the ×4-expanded corpus
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("co-occurrence pairs equi-join on user over DISTINCT rows; scalars broadcast") {
+    val p = plan(Analytics.qEventCooccur(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the sanctioned 1-row user-count broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("k-anonymity ladder is one Expand over one customer scan — no per-level rescans") {
+    val p = plan(graft.etl.Quality.qKAnonCustomer(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"expected a single scan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("drift histogram reads events ONCE — the time split is a conditional agg, not two scans") {
+    val p = plan(graft.etl.Quality.qEventDrift(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"expected a single scan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -23,6 +23,8 @@ object SparkEntry {
     graft.queries.Warehouse.registry,
     EtlQueries.registry,
     graft.etl.Quality.registry,
+    graft.etl.Layout.registry,
+    graft.ext.Graph.registry,
     graft.ext.LlmQueries.registry,
     graft.etl.Dims.registry
   )

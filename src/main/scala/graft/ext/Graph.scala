@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Distributed graph analytics beyond [[Dedup.connectedComponents]]'s
+  * label propagation: an iterative PageRank kernel in SCALED INTEGER
+  * arithmetic, so ranks are bit-identical at any parallelism and on any
+  * engine — the floating-point formulation sums doubles in
+  * partition-merge order and drifts in the low bits run-to-run, which
+  * would fail both the driver's hash compare and any cross-run
+  * reproducibility audit of a production ranking job.
+  *
+  * Fixed-point scheme: ranks are BIGINT multiples of 1/SCALE
+  * (SCALE = 10¹²). One iteration is
+  *
+  *   r'(v) = floor(0.15·SCALE) + floor(85 · Σ_{u→v} floor(r(u)/deg⁺(u)) / 100)
+  *
+  * — every operation an exact integer multiply/divide/sum, identically
+  * floored in Spark (`div`) and DuckDB (`//`). Dangling-node mass (no
+  * out-edges) is dropped, the standard simplification; floors leak
+  * < deg⁺ · 1/SCALE per node per round. Neither affects ordering at any
+  * realistic scale and both are deterministic.
+  *
+  * Scale (100 TB graph): one iteration = one join of edges against the
+  * |V|-row rank table (shuffle keyed on src — co-partition edges by src
+  * at write time and the probe is exchange-free on the edge side) + one
+  * dst-keyed partial aggregate. State per round is |V| rows, lineage is
+  * truncated per round ([[Dedup.connectedComponents]]'s eager
+  * localCheckpoint pattern) so plans stay O(1) deep regardless of
+  * iteration count.
+  */
+object Graph {
+
+  /** Scaled-integer rank unit: 1.0 == 10¹². */
+  val rankScale: Long = 1000000000000L
+
+  /** Iterative PageRank over `edges(src, dst)` for the node set
+    * `nodes(id)` (nodes carry rank even with no edges — they keep the
+    * teleport mass). Returns `(id, rank_scaled)`; damping fixed at the
+    * canonical 0.85 as an exact rational 85/100.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val spark = nodes.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // contributions depend only on (src rank, outdeg): pre-join once
+    val srcSide = e.join(outdeg, "src")
+    var ranks = nodes.select(col("id"), lit(rankScale).as("r"))
+    var it = 0
+    while (it < iters) {
+      val inbox = srcSide
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col("id"))
+        .join(inbox, Seq("id"), "left")
+        .select(col("id"),
+          (lit(rankScale * 15 / 100) +
+            expr(s"(85 * coalesce(s, 0L)) div 100")).as("r"))
+        // truncate lineage each round: without this the plan nests one
+        // join+agg deeper per iteration and planning cost explodes
+        .localCheckpoint(true)
+      it += 1
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+  }
+
+  /** Supplier-id offset into the shared node-id space: customer keys and
+    * supplier keys overlap numerically, so supplier node ids are
+    * s_suppkey + this. Harness keyspaces stay far below it.
+    */
+  val supplierIdOffset: Long = 1000000L
+
+  /** PageRank over the customer→supplier purchase graph (who supplies
+    * the well-connected buyers): nodes = customers ∪ offset suppliers,
+    * edges = DISTINCT (o_custkey → l_suppkey) pairs from orders ⋈
+    * lineitem, 3 exact-integer iterations. Customers have no in-edges, so
+    * they settle at pure teleport rank; suppliers accumulate rank
+    * proportional to their buyer reach — surfaced per node with its kind.
+    */
+  def qGraphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"))
+      .unionAll(Tables.supplier(spark, sfDir)
+        .select((col("s_suppkey") + supplierIdOffset).as("id")))
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierIdOffset).as("dst"))
+      .distinct()
+    pageRank(nodes, edges, iters = 3)
+      .select(col("id").as("node_id"),
+        when(col("id") >= supplierIdOffset, lit("supplier"))
+          .otherwise(lit("customer")).as("kind"),
+        col("rank_scaled"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Oracle: the same three iterations unrolled as chained CTEs — every
+    * step exact integer arithmetic, so the compare is hash-exact. DuckDB
+    * widens BIGINT sums to HUGEINT; the final cast narrows back.
+    */
+  val qGraphPagerankSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.id,
+         |    150000000000 + CAST((85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // o.deg) AS s
+         |    FROM edges e
+         |    JOIN $prev p ON p.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT c_custkey AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 AS id FROM supplier
+       |),
+       |edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT id AS node_id,
+       |  CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  r AS rank_scaled
+       |FROM r3 ORDER BY node_id""".stripMargin
+  }
+
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql))
+  )
+}

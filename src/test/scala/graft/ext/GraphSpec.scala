@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** PageRank kernel semantics: exact agreement with a local sequential
+  * replay of the scaled-integer recurrence, plus the structural
+  * properties the fixture graph implies.
+  */
+class GraphSpec extends SparkSuite {
+
+  private def localPageRank(
+      nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val scale = Graph.rankScale
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inbox = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inbox(d) += r(s) / outdeg(s)
+      r = nodes.map(n => n -> (scale * 15 / 100 + 85 * inbox(n) / 100)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches a local sequential replay of the integer recurrence") {
+    import spark.implicits._
+    // hand-built graph incl. a dangling node (3) and a rank sink (4)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val edges = Seq((1L, 2L), (1L, 4L), (2L, 4L), (5L, 4L), (4L, 5L))
+    val out = Graph.pageRank(
+        nodes.toDF("id"), edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_scaled")).toMap
+    val expected = localPageRank(nodes, edges, iters = 4)
+    assert(out === expected)
+    // the 4↔5 cycle keeps the bulk of the mass oscillating between its
+    // two members — both outrank every out-of-cycle node at any parity —
+    // and the unreferenced dangling node (3) sits at pure teleport rank
+    val outside = Seq(1L, 2L, 3L).map(out)
+    assert(Seq(4L, 5L).map(out).min > outside.max)
+    assert(out(3L) === Graph.rankScale * 15 / 100)
+  }
+
+  test("purchase-graph ranks: suppliers absorb rank, customers stay at teleport") {
+    val out = Graph.qGraphPagerank(spark, sf).collect()
+    val (supp, cust) = out.partition(_.getAs[String]("kind") == "supplier")
+    assert(supp.nonEmpty && cust.nonEmpty)
+    val teleport = Graph.rankScale * 15 / 100
+    // customers have no in-edges: exactly the teleport floor after any
+    // number of iterations
+    cust.foreach(r => assert(r.getAs[Long]("rank_scaled") === teleport))
+    // every supplier with buyers outranks the teleport floor
+    assert(supp.map(_.getAs[Long]("rank_scaled")).max > teleport)
+    // rank mass never exceeds the injected total (dangling + floor loss only)
+    val total = out.map(_.getAs[Long]("rank_scaled")).sum
+    assert(total <= Graph.rankScale * out.length)
+  }
+
+  test("determinism: two runs at different parallelism agree bit-for-bit") {
+    import spark.implicits._
+    val nodes = (1L to 40L).toDF("id")
+    val edges = (1L to 39L).map(i => (i, i + 1)) ++ Seq((40L, 1L), (7L, 3L), (20L, 3L))
+    val a = Graph.pageRank(nodes, edges.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRank(nodes.repartition(7), edges.toDF("src", "dst").repartition(5), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}

@@ -134,7 +134,112 @@ object Graph {
        |FROM r3 ORDER BY node_id""".stripMargin
   }
 
+  /** Unreached-distance sentinel: min-propagation stays pure BIGINT
+    * arithmetic (no NULL-vs-least edge cases to keep engine-identical).
+    */
+  val unreached: Long = 1000000000L
+
+  /** Multi-source BFS / hop-distance: iterative min-plus propagation of
+    * `dist(v) = min(dist(v), min over edges u→v of dist(u)+1)` for
+    * `maxHops` rounds — after round h every node within h hops of a
+    * source carries its exact hop distance. The relational form of
+    * Pregel's shortest-path program; [[unreached]] keeps the fold in
+    * sentinel integers.
+    *
+    * Scale: identical shape to [[pageRank]] — per round one src-keyed
+    * join of edges against the |V|-row frontier and one dst-keyed
+    * partial-agg min (map-side combined), with per-round lineage
+    * truncation. Rounds = graph diameter bound, a plan constant.
+    */
+  def shortestPaths(nodes: DataFrame, edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "shortestPaths needs at least one round")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = nodes.select(col("id"))
+      .join(sources.select(col("id"), lit(0L).as("s0")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s0"), lit(unreached)).as("d"))
+    var it = 0
+    while (it < maxHops) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("d") + 1).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(col("d"), coalesce(col("nd"), lit(unreached))).as("d"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    dist.select(col("id"), col("d").as("hops"))
+  }
+
+  /** Hop distance from the first two suppliers through the UNDIRECTED
+    * purchase graph (customer↔supplier edges both ways): 1 hop = their
+    * direct buyers, 2 hops = co-suppliers of those buyers, … — the
+    * "blast radius" traversal behind supply-chain impact and
+    * account-linking analyses. 4 rounds; unreached nodes are dropped
+    * (their sentinel is an implementation detail, not a distance).
+    */
+  def qGraphReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"))
+      .unionAll(Tables.supplier(spark, sfDir)
+        .select((col("s_suppkey") + supplierIdOffset).as("id")))
+    val fwd = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierIdOffset).as("dst"))
+      .distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") <= 2)
+      .select((col("s_suppkey") + supplierIdOffset).as("id"))
+    shortestPaths(nodes, edges, sources, maxHops = 4)
+      .filter(col("hops") < unreached)
+      .select(col("id").as("node_id"),
+        when(col("id") >= supplierIdOffset, lit("supplier"))
+          .otherwise(lit("customer")).as("kind"),
+        col("hops"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Oracle: 4 unrolled min-plus rounds over the same sentinel. */
+  val qGraphReachSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT d.id, least(d.d, COALESCE(m.nd, $unreached)) AS d
+         |  FROM $prev d LEFT JOIN (
+         |    SELECT e.dst AS id, MIN(p.d + 1) AS nd
+         |    FROM edges e JOIN $prev p ON p.id = e.src
+         |    GROUP BY e.dst) m ON m.id = d.id)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT c_custkey AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 AS id FROM supplier
+       |),
+       |fwd AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+       |),
+       |d0 AS (
+       |  SELECT id, CASE WHEN id IN (SELECT s_suppkey + 1000000 FROM supplier
+       |                              WHERE s_suppkey <= 2)
+       |              THEN CAST(0 AS BIGINT) ELSE CAST($unreached AS BIGINT) END AS d
+       |  FROM nodes
+       |),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")},
+       |${round("d3", "d4")}
+       |SELECT id AS node_id,
+       |  CASE WHEN id >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  d AS hops
+       |FROM d4 WHERE d < $unreached ORDER BY node_id""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql))
+    "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
+    "q_graph_reach" -> ((qGraphReach _, qGraphReachSql))
   )
 }

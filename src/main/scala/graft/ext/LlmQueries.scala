@@ -48,6 +48,7 @@ object LlmQueries {
     "q_emb_pq_adc" -> ((Similarity.qEmbPqAdc _, Similarity.qEmbPqAdcSql)),
     "q_emb_semdedup" -> ((Similarity.qEmbSemDedup _, Similarity.qEmbSemDedupSql)),
     "q_emb_rproj" -> ((Similarity.qEmbRproj _, Similarity.qEmbRprojSql)),
+    "q_emb_retrieval_eval" -> ((Similarity.qEmbRetrievalEval _, Similarity.qEmbRetrievalEvalSql)),
     "q_doc_incr_dedup" -> ((Dedup.qDocIncrDedup _, Dedup.qDocIncrDedupSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),

@@ -1056,6 +1056,95 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Retrieval evaluation (recall@k / MRR@k against label relevance)
+  // ------------------------------------------------------------------
+
+  /** Queries for the retrieval-eval harness: every 10th vector. */
+  val evalQueryMod = 10
+  /** Eval cutoff; [[mrrLcm]] = lcm(1..evalK) makes per-query reciprocal
+    * ranks EXACT integers (2520/rank), so the MRR numerator sums in
+    * integer arithmetic — order-free — and only the final division
+    * touches floating point (one correctly-rounded op, bit-identical
+    * cross-engine). A double `sum(1.0/rank)` would depend on partition
+    * merge order.
+    */
+  val evalK = 10
+  val mrrLcm = 2520L
+
+  /** Offline retrieval-quality evaluation of the embedding space: treat
+    * every [[evalQueryMod]]-th vector as a query, SAME LABEL as the
+    * relevance judgment, rank the corpus by exact cosine, and report
+    * per-label recall@k (share of queries with ≥1 relevant hit in the
+    * top k) and MRR@k — the eval loop every retrieval/embedding training
+    * pipeline runs per checkpoint.
+    *
+    * Scale: scoring is the [[qEmbCosineTopk]] broadcast-queries scan (Q
+    * small by construction — eval sets are curated samples); the rank
+    * window partitions by query; everything after the top-k filter is
+    * |queries|-row arithmetic. For corpus-scale query sets, swap the
+    * scorer for the LSH/IVF probe — the metric arithmetic composes
+    * unchanged (recall is then measured AGAINST this exact baseline).
+    */
+  def qEmbRetrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % evalQueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") % evalQueryMod =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val hits = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= evalK)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("label") === col("q_label"), col("rank"))).as("first_rel"))
+    hits.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(expr(s"$mrrLcm div first_rel"), lit(0L))).as("mrr_num"))
+      .select(col("label"), col("n_queries"),
+        (col("n_hit").cast("double") / col("n_queries")).as(s"recall_at_$evalK"),
+        (col("mrr_num").cast("double") / (lit(mrrLcm) * col("n_queries")))
+          .as(s"mrr_at_$evalK"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbRetrievalEvalSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod = 0
+       |),
+       |c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod <> 0
+       |),
+       |ranked AS (
+       |  SELECT q_id, q_label, label,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_dot_product(qe, ce) / (q_norm * c_norm) DESC, vec_id) AS rank
+       |  FROM c, q WHERE q_id <> vec_id
+       |),
+       |hits AS (
+       |  SELECT q_id, q_label,
+       |    min(CASE WHEN label = q_label THEN rank END) AS first_rel
+       |  FROM ranked WHERE rank <= $evalK
+       |  GROUP BY q_id, q_label
+       |)
+       |SELECT q_label AS label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS recall_at_$evalK,
+       |  CAST(CAST(sum(COALESCE($mrrLcm // first_rel, 0)) AS BIGINT) AS DOUBLE)
+       |    / ($mrrLcm * count(*)) AS mrr_at_$evalK
+       |FROM hits GROUP BY q_label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sketched distinct counts (HLL) — engine-specific sketch, so the entry
   // is oracle-EXEMPT (rows-only check); exact counts ride along so the
   // approximation error is visible in the output itself.

@@ -302,10 +302,217 @@ object Warehouse {
        |WHERE levenshtein(a.name, b.name) <= $entityMaxEdits
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // CDC changelog apply (keyed upsert/delete merge → next snapshot)
+  // ------------------------------------------------------------------
+
+  /** Apply a change-data-capture log to a keyed snapshot: `changes`
+    * carries (key, seq, op ∈ I/U/D, payload); for each key only the
+    * HIGHEST-seq op decides the outcome (last-wins), a `D` drops the key,
+    * `I`/`U` replace the payload, untouched keys pass through — the MERGE
+    * INTO semantics every warehouse sync job implements, as one plan.
+    *
+    * The last-wins reduction is `max_by(struct(payload), seq)` — a
+    * map-side-combinable aggregate, NOT a row_number window (no per-key
+    * sort, and the changelog shuffle carries one combined row per key per
+    * map task). The merge itself is ONE full-outer join snapshot↔winners.
+    *
+    * Scale (100 TB): the snapshot shuffles once on the key (or never, if
+    * both sides are bucketed on it — [[graft.etl.Bucketing]]); the
+    * changelog is usually small enough to broadcast, but full-outer needs
+    * both sides partitioned, so the plan stays correct when a backfill
+    * replays a snapshot-sized changelog.
+    */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val pay = struct(payloadCols.map(col): _*)
+    val winners = changes
+      .groupBy(col(key))
+      .agg(max_by(struct(col("op"), pay.as("p")), col("seq")).as("w"))
+      .select(col(key), col("w.op").as("__op"), col("w.p").as("__p"))
+    snapshot
+      .join(winners, Seq(key), "full_outer")
+      .filter(coalesce(col("__op") =!= "D", lit(true))) // D drops; no-change keys keep
+      .select(col(key) +: payloadCols.map(c =>
+        when(col("__op").isNotNull, col(s"__p.$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** [[applyCdc]] over the customer snapshot with a deterministic
+    * changelog fixture exercising every merge class: every 10th key
+    * updated (seq 1), every 20th updated AGAIN (seq 2 — proves
+    * last-wins), every 10th-offset-5 deleted, and a batch of brand-new
+    * keys inserted above the existing keyspace.
+    */
+  def qCdcApplyCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val upd1 = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("c_name"), (col("c_acctbal") + 100).as("c_acctbal"))
+    val upd2 = c.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), lit(2L).as("seq"), lit("U").as("op"),
+        col("c_name"), (col("c_acctbal") + 200).as("c_acctbal"))
+    val del = c.filter(col("c_custkey") % 10 === 5)
+      .select(col("c_custkey"), lit(1L).as("seq"), lit("D").as("op"),
+        col("c_name"), col("c_acctbal"))
+    val ins = c.filter(col("c_custkey") % 25 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), lit(1L).as("seq"),
+        lit("I").as("op"), concat(lit("NEW "), col("c_name")).as("c_name"),
+        lit(0.0).as("c_acctbal"))
+    applyCdc(c, upd1.unionAll(upd2).unionAll(del).unionAll(ins),
+        "c_custkey", Seq("c_name", "c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qCdcApplyCustomerSql: String =
+    """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, 1 AS seq, 'U' AS op, c_name, c_acctbal + 100 AS c_acctbal
+      |  FROM snap WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'U', c_name, c_acctbal + 200
+      |  FROM snap WHERE c_custkey % 20 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 1, 'D', c_name, c_acctbal FROM snap WHERE c_custkey % 10 = 5
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 1, 'I', 'NEW ' || c_name, 0.0
+      |  FROM snap WHERE c_custkey % 25 = 0
+      |),
+      |winners AS (
+      |  SELECT c_custkey,
+      |    arg_max(op, seq) AS op,
+      |    arg_max(c_name, seq) AS w_name,
+      |    arg_max(c_acctbal, seq) AS w_bal
+      |  FROM changes GROUP BY c_custkey
+      |)
+      |SELECT COALESCE(s.c_custkey, w.c_custkey) AS c_custkey,
+      |  CASE WHEN w.op IS NOT NULL THEN w.w_name ELSE s.c_name END AS c_name,
+      |  CASE WHEN w.op IS NOT NULL THEN w.w_bal ELSE s.c_acctbal END AS c_acctbal
+      |FROM snap s FULL OUTER JOIN winners w USING (c_custkey)
+      |WHERE COALESCE(w.op <> 'D', true)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Linear-interpolation resampling (dense grid from sparse points)
+  // ------------------------------------------------------------------
+
+  /** Resample each user's sparse purchase-value series onto a dense
+    * daily grid by LINEAR INTERPOLATION between the surrounding
+    * measurements — the companion to [[qEventLocf]] (step-function fill)
+    * when the downstream consumer wants a continuous signal. Grid points
+    * are midnights between a user's first and last purchase; each takes
+    *
+    *   v = prev + (next − prev) · (t − t_prev) / (t_next − t_prev)
+    *
+    * from its bracketing purchases (exact hit ⇒ the measurement itself,
+    * as t = t_prev collapses the slope term). The arithmetic is the same
+    * literal expression on both engines — fixed operand order, no
+    * reordered float accumulation — so results compare hash-exact.
+    *
+    * Mechanics: grid markers are generated per user (`sequence` +
+    * `explode`), unioned with the measurements, and ONE user-keyed
+    * window pass computes both brackets: LOCF (`last … IGNORE NULLS`,
+    * preceding frame) and NOCB (`first … IGNORE NULLS`, following
+    * frame). No self-join, no as-of join per grid point.
+    *
+    * Scale (100 TB): one exchange on user_id + one per-key sort carries
+    * BOTH directions of bracketing; grid fan-out is bounded by the
+    * user's active span in days. The following-frame window buffers its
+    * partition (unbounded following) — with human-scale per-user rows
+    * that is fine; for machine telemetry, flip to per-(user, week)
+    * grids chained at boundaries.
+    */
+  def qEventInterpDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("es"), col("value"))
+    val grid = p.groupBy(col("user_id"))
+      .agg(min(col("es")).as("lo"), max(col("es")).as("hi"))
+      .select(col("user_id"),
+        (ceil(col("lo").cast("double") / 86400) * 86400).cast("long").as("g0"),
+        col("hi"))
+      // single-point / sub-day spans have no midnight inside: emit no
+      // grid (Spark's sequence throws on start > stop)
+      .filter(col("g0") <= col("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("g0"), col("hi"), lit(86400L))).as("es"))
+      .select(col("user_id"), col("es"), lit(null).cast("double").as("value"),
+        lit(1).as("is_grid"))
+    val all = p.withColumn("is_grid", lit(0)).unionByName(grid)
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("is_grid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    all
+      .select(col("user_id"), col("es"), col("is_grid"),
+        last(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("is_grid") === 0, col("es")), ignoreNulls = true).over(wPrev).as("pt"),
+        first(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("is_grid") === 0, col("es")), ignoreNulls = true).over(wNext).as("nt"))
+      // a grid point needs a bracket — except an EXACT hit (pt = es),
+      // which is its own value even at the series tail (nv null there)
+      .filter(col("is_grid") === 1 && col("pv").isNotNull &&
+        (col("nv").isNotNull || col("pt") === col("es")))
+      .select(col("user_id"), col("es").as("grid_es"),
+        when(col("nt").isNull || col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("es") - col("pt")).cast("double") / (col("nt") - col("pt")))
+          .as("interp_value"))
+      .orderBy(col("user_id"), col("grid_es"))
+  }
+
+  val qEventInterpDailySql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |spans AS (
+      |  SELECT user_id,
+      |    CAST(ceil(CAST(min(es) AS DOUBLE) / 86400) * 86400 AS BIGINT) AS g0,
+      |    max(es) AS hi
+      |  FROM p GROUP BY user_id
+      |),
+      |grid AS (
+      |  SELECT user_id, unnest(range(g0, hi + 1, 86400)) AS es,
+      |    CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+      |  FROM spans WHERE g0 <= hi
+      |),
+      |unioned AS (
+      |  SELECT user_id, es, value, 0 AS is_grid FROM p
+      |  UNION ALL SELECT user_id, es, value, is_grid FROM grid
+      |),
+      |br AS (
+      |  SELECT user_id, es, is_grid,
+      |    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      |      OVER wp AS pv,
+      |    last_value(CASE WHEN is_grid = 0 THEN es END IGNORE NULLS)
+      |      OVER wp AS pt,
+      |    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      |      OVER wn AS nv,
+      |    first_value(CASE WHEN is_grid = 0 THEN es END IGNORE NULLS)
+      |      OVER wn AS nt
+      |  FROM unioned
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY es, is_grid
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY es, is_grid
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, es AS grid_es,
+      |  CASE WHEN nt IS NULL OR nt = pt THEN pv
+      |       ELSE pv + (nv - pv) * CAST(es - pt AS DOUBLE) / (nt - pt) END
+      |    AS interp_value
+      |FROM br
+      |WHERE is_grid = 1 AND pv IS NOT NULL AND (nv IS NOT NULL OR pt = es)
+      |ORDER BY user_id, grid_es""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql)),
     "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql)),
-    "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql))
+    "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql)),
+    "q_cdc_apply_customer" -> ((qCdcApplyCustomer _, qCdcApplyCustomerSql)),
+    "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql))
   )
 }

@@ -56,6 +56,35 @@ class GraphSpec extends SparkSuite {
     assert(total <= Graph.rankScale * out.length)
   }
 
+  test("shortestPaths matches a local BFS on a hand-built graph") {
+    import spark.implicits._
+    // 1-2-3-4-5 path, 6 isolated, plus a 1→4 shortcut
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val out = Graph.shortestPaths(nodes, edges.toDF("src", "dst"),
+        Seq(1L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("hops")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L,
+      6L -> Graph.unreached))
+  }
+
+  test("purchase-graph reach: bipartite parity and the 4-hop bound hold") {
+    val out = Graph.qGraphReach(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hops = r.getAs[Long]("hops")
+      assert(hops >= 0 && hops <= 4)
+      // edges only cross the customer/supplier bipartition: supplier
+      // distances are even, customer distances odd
+      if (r.getAs[String]("kind") == "supplier") assert(hops % 2 === 0)
+      else assert(hops % 2 === 1)
+    }
+    // the sources themselves (and only they) are at distance zero
+    val nSources = graft.model.Tables.supplier(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("s_suppkey") <= 2).count()
+    assert(out.count(r => r.getAs[Long]("hops") == 0L) === nSources)
+  }
+
   test("determinism: two runs at different parallelism agree bit-for-bit") {
     import spark.implicits._
     val nodes = (1L to 40L).toDF("id")

@@ -420,4 +420,44 @@ class NewOpsSpec extends SparkSuite {
       assert(out(id)._1 === "new", s"fresh $id")
     }
   }
+
+  test("retrieval eval: matches a local brute-force replay of recall/MRR") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.qEmbRetrievalEval(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("recall_at_10"),
+          r.getAs[Double]("mrr_at_10"))).toMap
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 % Similarity.evalQueryMod == 0)
+    val corpus = emb.filter(_._1 % Similarity.evalQueryMod != 0)
+    val byLabel = queries.groupBy(_._2).map { case (lbl, qs) =>
+      var hits = 0L; var mrrNum = 0L
+      qs.foreach { case (qid, qLabel, qe) =>
+        val top = corpus.filter(_._1 != qid)
+          .map { case (cid, cLabel, ce) => (cid, cLabel, cos(qe, ce)) }
+          .sortBy { case (cid, _, s) => (-s, cid) }.take(Similarity.evalK)
+        val firstRel = top.zipWithIndex.collectFirst {
+          case ((_, cl, _), i) if cl == qLabel => i + 1 }
+        if (firstRel.isDefined) { hits += 1; mrrNum += Similarity.mrrLcm / firstRel.get }
+      }
+      lbl -> (qs.length.toLong, hits.toDouble / qs.length,
+        mrrNum.toDouble / (Similarity.mrrLcm * qs.length))
+    }
+    assert(out.keySet === byLabel.keySet)
+    byLabel.foreach { case (lbl, (n, recall, mrr)) =>
+      assert(out(lbl)._1 === n)
+      assert(out(lbl)._2 === recall, s"recall label $lbl")
+      assert(out(lbl)._3 === mrr, s"mrr label $lbl")
+      // per-query reciprocal rank ≤ hit indicator, so MRR ≤ recall
+      assert(out(lbl)._3 <= out(lbl)._2 + 1e-12)
+    }
+  }
 }

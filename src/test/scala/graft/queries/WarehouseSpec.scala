@@ -124,4 +124,70 @@ class WarehouseSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("cdc apply: every merge class lands correctly, last-wins proven") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[String]("c_name"), r.getAs[Double]("c_acctbal"))).toMap
+    val out = Warehouse.qCdcApplyCustomer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[String]("c_name"), r.getAs[Double]("c_acctbal"))).toMap
+    base.keys.foreach { k =>
+      if (k % 10 == 5) assert(!out.contains(k), s"deleted key $k survived")
+      else if (k % 20 == 0) // seq-2 update beats seq-1: last-wins
+        assert(out(k)._2 === base(k)._2 + 200, s"key $k")
+      else if (k % 10 == 0)
+        assert(out(k)._2 === base(k)._2 + 100, s"key $k")
+      else assert(out(k) === base(k), s"untouched key $k changed")
+      if (k % 25 == 0) {
+        assert(out(k + 1000000L)._1 === s"NEW ${base(k)._1}")
+        assert(out(k + 1000000L)._2 === 0.0)
+      }
+    }
+    // no keys materialize beyond base ∪ inserts
+    val expectedKeys = base.keys.filterNot(_ % 10 == 5).toSet ++
+      base.keys.filter(_ % 25 == 0).map(_ + 1000000L)
+    assert(out.keySet === expectedKeys)
+    // the last-wins reduction is an aggregate, not a row_number window
+    val p = Warehouse.qCdcApplyCustomer(spark, sf).queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
+  test("interp: matches a local bracketing replay, exact hits included") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qEventInterpDaily(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("grid_es")) ->
+        r.getAs[Double]("interp_value")).toMap
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("es"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es"), r.getAs[Double]("value")))
+    val local = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    purchases.groupBy(_._1).foreach { case (u, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val lo = pts.head._1; val hi = pts.last._1
+      var g = math.ceil(lo.toDouble / 86400).toLong * 86400
+      while (g <= hi) {
+        val prev = pts.filter(_._1 <= g).last
+        val next = pts.find(_._1 >= g).getOrElse(pts.last)
+        local((u, g)) =
+          if (next._1 == prev._1) prev._2
+          else prev._2 + (next._2 - prev._2) * (g - prev._1).toDouble / (next._1 - prev._1)
+        g += 86400
+      }
+    }
+    assert(out.keySet === local.keySet)
+    out.foreach { case (k, v) =>
+      assert(math.abs(v - local(k)) <= 1e-9 * math.max(1.0, math.abs(local(k))), k)
+    }
+    // interpolation stays inside its bracket's value envelope
+    val byUser = purchases.groupBy(_._1)
+    out.foreach { case ((u, _), v) =>
+      val vs = byUser(u).map(_._3)
+      assert(v >= vs.min - 1e-9 && v <= vs.max + 1e-9)
+    }
+  }
 }

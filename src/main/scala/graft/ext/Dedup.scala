@@ -852,4 +852,121 @@ object Dedup {
        |FROM ranked r LEFT JOIN corpus_hashes c ON r.h = c.h
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Prefix-filtering set-similarity join (AllPairs/PPJoin family)
+  // ------------------------------------------------------------------
+
+  /** The OTHER candidate-generation family for similarity joins: where
+    * [[qDocMinhashPairs]] buckets PROBABILISTICALLY (LSH bands, tunable
+    * recall), prefix filtering is EXACT — two sets with Jaccard ≥ τ must
+    * share an element within each one's (1−τ)-prefix under any common
+    * global element order, so joining only prefix elements loses no true
+    * pair. Elements are the per-doc DISTINCT 3-shingle hashes
+    * ([[hashSetExpr]] — the same similarity space minhash sketches and
+    * the verify step measures; WORD sets are non-discriminative, the
+    * whole synthetic corpus shares one vocabulary). Ordering elements by
+    * ascending document frequency makes prefixes maximally RARE: the
+    * equi-join fans out by the df of globally infrequent shingles, which
+    * is what bounds candidates (boilerplate shared by every doc never
+    * enters a non-trivial prefix).
+    *
+    * τ = 3/5 exactly; every threshold compare is integer (⌈3n/5⌉ =
+    * (3n+4) div 5, and the verify gate 8·common ≥ 3·(na+nb) rearranges
+    * J ≥ 3/5 with no division) — only the REPORTED jaccard divides, once,
+    * after the decision is made.
+    *
+    * Scale (100 TB): the shingle-hash sets are the narrow per-row
+    * [[hashSetExpr]] map (int64 through every shuffle, never strings);
+    * df ordering costs one element-keyed agg + one doc-keyed window; the
+    * candidate join is equi on rare elements (Zipf tail), then
+    * verification touches candidate pairs only — never the corpus cross
+    * product. Same fixture as [[qDocCurate]] (exact + perturbed
+    * near-copies) so true pairs provably exist at every SF.
+    */
+  def qDocSimJoinPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+    val toks = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(hashSetExpr)).as("tok"))
+      .persist()
+    toks.count() // eager: candidate generation + verification both consume it
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("tdf"), col("tok"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = toks.join(dfTab, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
+    val prefix = ranked
+      .filter(col("rk") <= col("nt") - expr("(3 * nt + 4) div 5") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(8) * col("common") >= lit(3) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDocSimJoinPrefixSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' near duplicate suffix'
+      |  FROM documents WHERE doc_id % 25 = 0
+      |),
+      |toks AS (
+      |  SELECT doc_id, unnest($hashSetSqlExpr) AS tok FROM corpus
+      |),
+      |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
+      |ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS rk,
+      |    count(*) OVER (PARTITION BY t.doc_id) AS nt
+      |  FROM toks t JOIN dft d ON d.tok = t.tok
+      |),
+      |prefix AS (
+      |  SELECT doc_id, tok FROM ranked
+      |  WHERE rk <= nt - ((3 * nt + 4) // 5) + 1
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM prefix a JOIN prefix b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |com AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.doc_a
+      |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+      |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM com
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 8 * common >= 3 * (sa.n + sb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -450,6 +450,59 @@ object TextOps {
        |LIMIT $vocabTopK""".stripMargin
 
   // ------------------------------------------------------------------
+  // Vocabulary head-coverage curve (Zipf head mass)
+  // ------------------------------------------------------------------
+
+  /** Rows of the head-coverage table. */
+  val coverageTopK = 25
+
+  /** How much of the token stream the top-k vocabulary head covers:
+    * rank tokens by frequency and report each rank's CUMULATIVE share of
+    * all token occurrences — the curve that sizes a tokenizer vocab /
+    * OOV budget (its complement at rank k is the OOV rate a k-entry
+    * vocab pays, the knob [[graft.ext.CorpusOps.qDocOov]] measures for
+    * one fixed k). Cumulative sums stay integer until one final division
+    * per row (exact longs in, correctly-rounded double out).
+    *
+    * Scale: the tf aggregate is the only corpus-scale step (map-side
+    * combined, distinct-token-bounded output); the top-[[coverageTopK]]
+    * cut plans as TakeOrdered (per-partition heaps — never a full vocab
+    * sort), and the running sum's single-partition window sees exactly
+    * [[coverageTopK]] rows, a plan constant.
+    */
+  def qDocVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total_tokens"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    tf.orderBy(col("tf").desc, col("token")).limit(coverageTopK)
+      .crossJoin(broadcast(total))
+      .select(row_number().over(wRank).as("rank"), col("token"), col("tf"),
+        (sum(col("tf")).over(wRank.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("total_tokens")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val qDocVocabCoverageSql: String =
+    s"""WITH tf AS (
+       |  SELECT token, count(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token
+       |),
+       |t AS (SELECT sum(tf) AS total_tokens FROM tf),
+       |head AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT $coverageTopK)
+       |SELECT CAST(row_number() OVER w AS INTEGER) AS rank, token, tf,
+       |  CAST(sum(tf) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE) / total_tokens AS cum_share
+       |FROM head CROSS JOIN t
+       |WINDOW w AS (ORDER BY tf DESC, token)
+       |ORDER BY rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Bigram-LM quality scoring (self-trained corpus model)
   // ------------------------------------------------------------------
 

@@ -1859,6 +1859,56 @@ object Analytics {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- Top user journeys: ordered 3-step sequence pattern mining ---
+
+  /** The 20 most-travelled 3-step event paths (s1 → s2 → s3 over
+    * consecutive events of one user) with each path's share of all
+    * journeys — sequence-pattern mining one level up from
+    * [[qEventTransitions]]' first-order matrix. Consecutive-step pairing
+    * is two `lead`s over ONE user-keyed window (same spec, one select →
+    * a single Window node); the global top-20 plans as TakeOrdered —
+    * never a full sort of the |types|³ path table. The share denominator
+    * is a 1-row broadcast; ties at the cut are broken by the path text,
+    * so the limit is deterministic cross-engine.
+    *
+    * Scale: one user exchange + per-user sort for the leads; the path
+    * aggregate is |types|³-bounded (a domain constant); TakeOrdered
+    * keeps per-partition heaps of 20.
+    */
+  def qEventJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type".as("s1"),
+        lead($"event_type", 1).over(w).as("s2"),
+        lead($"event_type", 2).over(w).as("s3"))
+      .filter($"s3".isNotNull)
+      .groupBy($"s1", $"s2", $"s3").agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum($"n").as("tot"))
+    paths.crossJoin(broadcast(total))
+      .select($"s1", $"s2", $"s3", $"n",
+        ($"n".cast("double") / $"tot").as("share"))
+      .orderBy($"n".desc, $"s1", $"s2", $"s3")
+      .limit(20)
+  }
+
+  val qEventJourneysSql: String =
+    """WITH seq3 AS (
+      |  SELECT s1, s2, s3 FROM (
+      |    SELECT event_type AS s1,
+      |      lead(event_type, 1) OVER w AS s2,
+      |      lead(event_type, 2) OVER w AS s3
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |  WHERE s3 IS NOT NULL
+      |),
+      |paths AS (SELECT s1, s2, s3, count(*) AS n FROM seq3 GROUP BY s1, s2, s3),
+      |t AS (SELECT sum(n) AS tot FROM paths)
+      |SELECT s1, s2, s3, n, CAST(n AS DOUBLE) / tot AS share
+      |FROM paths CROSS JOIN t
+      |ORDER BY n DESC, s1, s2, s3
+      |LIMIT 20""".stripMargin
+
   // --- Event-type co-occurrence mining (association / lift analysis) ---
 
   /** Which event types co-occur in the same user's history more than
@@ -1944,6 +1994,7 @@ object Analytics {
     "q_event_global_running" -> ((qEventGlobalRunning _, qEventGlobalRunningSql)),
     "q_event_hop_window" -> ((qEventHopWindow _, qEventHopWindowSql)),
     "q_event_cooccur" -> ((qEventCooccur _, qEventCooccurSql)),
+    "q_event_journeys" -> ((qEventJourneys _, qEventJourneysSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -188,4 +188,28 @@ class LlmOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("df") === df(key._1).toLong)
     }
   }
+
+  test("vocab coverage: cumulative head shares match a local count, monotone, bounded") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.qDocVocabCoverage(spark, sf).collect()
+    assert(out.length === TextOps.coverageTopK)
+    val counts = graft.model.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val head = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(TextOps.coverageTopK)
+    var cum = 0L
+    out.zip(head).zipWithIndex.foreach { case ((r, (tok, n)), i) =>
+      assert(r.getAs[Int]("rank") === i + 1)
+      assert(r.getAs[String]("token") === tok)
+      assert(r.getAs[Long]("tf") === n)
+      cum += n
+      assert(r.getAs[Double]("cum_share") === cum.toDouble / total)
+    }
+    // shares are a monotone curve inside (0, 1]
+    val shares = out.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(shares.last <= 1.0 && shares.head > 0.0)
+  }
 }

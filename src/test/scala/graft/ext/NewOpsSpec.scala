@@ -421,6 +421,48 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("prefix-filter sim join: finds EXACTLY the pairs an exhaustive local scan finds") {
+    import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, split}
+    val out = Dedup.qDocSimJoinPrefix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("na"), r.getAs[Long]("nb"))).toMap
+    // same corpus + shingle-hash sets via the same expression, then an
+    // EXHAUSTIVE local all-pairs Jaccard — prefix filtering claims
+    // exactness, so the distributed result must equal this, not ⊆ it
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+    val sets = corpus.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(Dedup.hashSetExpr).as("hs")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sets(a) & sets(b)).size.toLong
+      if 8 * c >= 3 * (sets(a).size + sets(b).size)
+    } yield (a, b) -> (c, sets(a).size.toLong, sets(b).size.toLong)).toMap
+    assert(out === expected)
+    // the injected exact copies are all found at jaccard 1
+    val exactIds = docs.select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    exactIds.foreach { id =>
+      val key = (id, id + 100000L)
+      // exact copy ⇒ identical sets, unless another doc shares the text
+      // (then the pair may appear under different partners) — require at
+      // least membership when the sets really are identical
+      if (sets(id) == sets(id + 100000L)) assert(out.contains(key), key)
+    }
+    // candidate generation is equi-join only
+    val p = Dedup.qDocSimJoinPrefix(spark, sf).queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("retrieval eval: matches a local brute-force replay of recall/MRR") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.qEmbRetrievalEval(spark, sf).collect()

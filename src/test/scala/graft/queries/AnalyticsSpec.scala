@@ -321,6 +321,28 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("journeys: top-20 trigram paths match a local ordered replay") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventJourneys(spark, sf).collect()
+      .map(r => ((r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[String]("s3")),
+        r.getAs[Long]("n"), r.getAs[Double]("share")))
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000, r.getAs[Long]("event_id"))
+      }
+    val paths = events.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2).toSeq
+      seq.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = paths.values.sum
+    val top = paths.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(out.map(t => (t._1, t._2)).toSeq === top.map { case (k, n) => (k, n) })
+    out.foreach { case (k, n, share) => assert(share === n.toDouble / total, k) }
+  }
+
   test("cohort retention: offset-0 cells cover each cohort fully") {
     val out = Analytics.qEventCohortRetention(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1859,6 +1859,161 @@ object Analytics {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- Q7: volume shipping between two nations (dual-direction star) ---
+
+  /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
+    * (AMERICA ↔ ASIA) by ship year — the fact joins BOTH its dimension
+    * paths (customer geography via orders, supplier geography directly)
+    * and keeps rows where the pair matches in either direction. The
+    * level is region rather than nation only because the harness's
+    * sf0.001 supplier sample covers every region but not every nation —
+    * the dual-path disjunctive-predicate shape is identical. The pair
+    * predicate evaluates on broadcast-joined dim columns, not as a join
+    * condition — the big join stays a plain equi-join on orderkey.
+    *
+    * Scale: lineitem⋈orders is the one real shuffle (orderkey-keyed);
+    * supplier/customer/nation→region chains are broadcast; year
+    * extraction and the pair filter are narrow.
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def geo(prefix: String) = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as(s"${prefix}_nk"), $"r_name".as(s"${prefix}_region"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(geo("c")), $"c_nationkey" === $"c_nk")
+      .join(broadcast(geo("s")), $"s_nationkey" === $"s_nk")
+      .filter(($"s_region" === "AMERICA" && $"c_region" === "ASIA") ||
+        ($"s_region" === "ASIA" && $"c_region" === "AMERICA"))
+      .groupBy($"s_region".as("supp_region"), $"c_region".as("cust_region"),
+        year($"l_shipdate").as("l_year"))
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("volume"))
+      .orderBy($"supp_region", $"cust_region", $"l_year")
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+      |  CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |    AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      |WHERE (rs.r_name = 'AMERICA' AND rc.r_name = 'ASIA')
+      |   OR (rs.r_name = 'ASIA' AND rc.r_name = 'AMERICA')
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // --- Q8: market share of one supplier nation within a region ---
+
+  /** TPC-H Q8 shape: NATION_3's share of PROMO-part revenue among
+    * region-1 customers, by order year — a conditional-aggregate ratio
+    * over a 5-table star. Both the numerator (revenue from NATION_1
+    * suppliers) and denominator (all revenue) come from ONE aggregation
+    * pass (a `when`-guarded decimal sum), and the share divides the two
+    * exact decimals once per year row.
+    *
+    * Scale: part is the selective filter — it prunes lineitem FIRST
+    * (broadcast semi-shape before the orderkey shuffle), so the
+    * fact-fact join moves only PROMO rows. Everything else broadcasts.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val regionNations = Tables.nation(spark, sfDir)
+      .filter($"n_regionkey" === 1).select($"n_nationkey".as("rc_nk"))
+    val promoParts = Tables.part(spark, sfDir)
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(regionNations), $"c_nationkey" === $"rc_nk")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        sum(when($"s_nationkey" === 3,
+          revenue($"l_extendedprice", $"l_discount"))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("nation_rev"),
+        sum(revenue($"l_extendedprice", $"l_discount")).as("total_rev"))
+      .select($"o_year",
+        ($"nation_rev".cast("double") / $"total_rev".cast("double")).as("mkt_share"),
+        $"total_rev".cast("double").as("total_rev"))
+      .orderBy($"o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH base AS (
+      |  SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+      |    s_nationkey,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem
+      |  JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey AND n_regionkey = 1
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |)
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN s_nationkey = 3 THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END)
+      |    AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+      |  CAST(sum(rev) AS DOUBLE) AS total_rev
+      |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // --- Q10: returned-item revenue ranking (top-20 global TakeOrdered) ---
+
+  /** TPC-H Q10 shape: the 20 customers who returned the most revenue in
+    * 1998Q1 — per-customer decimal revenue over an orderdate-pruned,
+    * returnflag-filtered join, ranked globally. The top-20 plans as
+    * TakeOrdered (per-partition heaps), never a full sort; the custkey
+    * tiebreak makes the cut deterministic.
+    *
+    * Scale: the orderdate range prunes orders BEFORE the join (pushed
+    * scan filter); returnflag prunes lineitem likewise; the join then
+    * shuffles only the quarter's rows. Customer/nation broadcast.
+    */
+  def q10ReturnedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10ReturnedCustomersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // --- Top user journeys: ordered 3-step sequence pattern mining ---
 
   /** The 20 most-travelled 3-step event paths (s1 → s2 → s3 over
@@ -1986,6 +2141,9 @@ object Analytics {
     "q22_dormant_rich" -> ((q22DormantRich _, q22DormantRichSql)),
     "q15_top_supplier" -> ((q15TopSupplier _, q15TopSupplierSql)),
     "q18_large_orders" -> ((q18LargeOrders _, q18LargeOrdersSql)),
+    "q7_nation_volume" -> ((q7NationVolume _, q7NationVolumeSql)),
+    "q8_market_share" -> ((q8MarketShare _, q8MarketShareSql)),
+    "q10_returned_customers" -> ((q10ReturnedCustomers _, q10ReturnedCustomersSql)),
     "q_event_winsorized" -> ((qEventWinsorized _, qEventWinsorizedSql)),
     "q_event_ohlc" -> ((qEventOhlc _, qEventOhlcSql)),
     "q_event_transitions" -> ((qEventTransitions _, qEventTransitionsSql)),

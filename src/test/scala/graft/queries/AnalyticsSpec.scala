@@ -321,6 +321,28 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q7/q8/q10: bilateral pairs, bounded shares, descending returned revenue") {
+    val q7 = Analytics.q7NationVolume(spark, sf).collect()
+    assert(q7.nonEmpty)
+    assert(q7.map(r => (r.getAs[String]("supp_region"), r.getAs[String]("cust_region")))
+      .toSet.subsetOf(Set(("AMERICA", "ASIA"), ("ASIA", "AMERICA"))))
+    assert(q7.forall(_.getAs[Double]("volume") > 0))
+
+    val q8 = Analytics.q8MarketShare(spark, sf).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("total_rev") > 0)
+    }
+
+    val q10 = Analytics.q10ReturnedCustomers(spark, sf).collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+    val revs = q10.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0))
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

@@ -277,10 +277,80 @@ object Quality {
       |FROM h CROSS JOIN t
       |ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Privacy: consistent pseudonymization preserving referential integrity
+  // ------------------------------------------------------------------
+
+  /** Salt for the pseudonymization demo — versioned so a salt rotation
+    * is an explicit, joint re-keying of every table (the operational
+    * contract of deterministic pseudonyms).
+    */
+  val pseudoSalt = "graft_pseudo_v1"
+
+  /** Keyed pseudonymization that PRESERVES referential integrity: the
+    * same salted deterministic hash ([[graft.ext.TextOps.portableHash]])
+    * replaces the customer key in BOTH `customer` and `orders`, so the
+    * released tables still join — the de-identification pattern for
+    * sharing user-adjacent relational data without raw ids (row-side
+    * companion to [[graft.ext.TextOps.qDocRedact]]'s content scrub and
+    * [[qKAnonCustomer]]'s QI audit). The query PROVES the property in
+    * its output: per-nation order counts through the pseudonymous join
+    * equal the true-key join, row for row.
+    *
+    * Scale: masking is a narrow projection on each side (the hash is
+    * md5-based, codegen'd, no UDF); the two joins are the same
+    * key-shuffle the true join always was — pseudonymization adds zero
+    * exchanges. Collision risk of the 60-bit hash is Birthday-bounded
+    * (~10⁻⁹ at 10⁶ keys) and deterministic across engines.
+    */
+  def qPseudonymizeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.TextOps.portableHash
+    def mask(c: Column): Column =
+      portableHash(concat_ws("", lit(pseudoSalt), c.cast("string")))
+    val cust = Tables.customer(spark, sfDir)
+      .select(mask(col("c_custkey")).as("pk"), col("c_nationkey"))
+    val ords = Tables.orders(spark, sfDir).select(mask(col("o_custkey")).as("pk"))
+    val viaPseudo = ords.join(cust, "pk")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("orders_via_pseudo"))
+    val viaTrue = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("orders_via_true"))
+    viaPseudo.join(viaTrue, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("orders_via_pseudo"), lit(0L)).as("orders_via_pseudo"),
+        coalesce(col("orders_via_true"), lit(0L)).as("orders_via_true"),
+        (coalesce(col("orders_via_pseudo"), lit(0L)) ===
+          coalesce(col("orders_via_true"), lit(0L))).as("ri_intact"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val qPseudonymizeJoinSql: String = {
+    import graft.ext.TextOps.portableHashSql
+    val mc = portableHashSql(s"'$pseudoSalt' || CAST(c_custkey AS VARCHAR)")
+    val mo = portableHashSql(s"'$pseudoSalt' || CAST(o_custkey AS VARCHAR)")
+    s"""WITH cust AS (SELECT $mc AS pk, c_nationkey FROM customer),
+       |ords AS (SELECT $mo AS pk FROM orders),
+       |via_pseudo AS (
+       |  SELECT c_nationkey, count(*) AS orders_via_pseudo
+       |  FROM ords JOIN cust USING (pk) GROUP BY c_nationkey
+       |),
+       |via_true AS (
+       |  SELECT c_nationkey, count(*) AS orders_via_true
+       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey
+       |)
+       |SELECT c_nationkey,
+       |  COALESCE(orders_via_pseudo, 0) AS orders_via_pseudo,
+       |  COALESCE(orders_via_true, 0) AS orders_via_true,
+       |  COALESCE(orders_via_pseudo, 0) = COALESCE(orders_via_true, 0) AS ri_intact
+       |FROM via_pseudo FULL OUTER JOIN via_true USING (c_nationkey)
+       |ORDER BY c_nationkey""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
     "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
     "q_kanon_customer" -> ((qKAnonCustomer _, qKAnonCustomerSql)),
-    "q_event_drift" -> ((qEventDrift _, qEventDriftSql))
+    "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
+    "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql))
   )
 }

@@ -47,8 +47,11 @@ object Graph {
     val spark = nodes.sparkSession
     val e = edges.select(col("src"), col("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // contributions depend only on (src rank, outdeg): pre-join once
-    val srcSide = e.join(outdeg, "src")
+    // contributions depend only on (src rank, outdeg): pre-join once, and
+    // MATERIALIZE — every iteration probes this frame, and without the
+    // checkpoint the caller's whole edge-construction pipeline (often a
+    // join+distinct) re-executes per round (measured 3× cost at iters=3)
+    val srcSide = e.join(outdeg, "src").localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(rankScale).as("r"))
     var it = 0
     while (it < iters) {
@@ -154,7 +157,9 @@ object Graph {
   def shortestPaths(nodes: DataFrame, edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, "shortestPaths needs at least one round")
-    val e = edges.select(col("src"), col("dst"))
+    // materialized once: each relaxation round re-probes the edge frame
+    // (see pageRank's srcSide note)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = nodes.select(col("id"))
       .join(sources.select(col("id"), lit(0L).as("s0")), Seq("id"), "left")
       .select(col("id"), coalesce(col("s0"), lit(unreached)).as("d"))

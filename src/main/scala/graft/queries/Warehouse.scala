@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -507,12 +508,99 @@ object Warehouse {
       |WHERE is_grid = 1 AND pv IS NOT NULL AND (nv IS NOT NULL OR pt = es)
       |ORDER BY user_id, grid_es""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Incremental aggregate maintenance (algebraic merge of a delta batch)
+  // ------------------------------------------------------------------
+
+  /** Incremental materialized-aggregate maintenance: a per-(day, type)
+    * metric table kept current by MERGING a new batch's partial
+    * aggregates into the stored ones — never re-scanning history. All
+    * four metrics are ALGEBRAIC (count/sum add; min/max least/greatest),
+    * so merge(agg(base), agg(delta)) ≡ agg(base ∪ delta); the query
+    * computes both sides and PROVES the equivalence per row in its
+    * `matches_full` column (decimal sums — exact, order-free — make it
+    * an equality, not a tolerance).
+    *
+    * Scale (100 TB): this is THE pattern that turns a daily O(history)
+    * recompute into O(batch): the delta aggregate touches only new
+    * files (partition-pruned by ingest date), the merge is a key-equi
+    * full-outer over two aggregate-sized tables (bucketed on the group
+    * key at write time → exchange-free). AVG-class metrics must be
+    * carried as (sum, count) pairs — the stored form here — and
+    * non-algebraic metrics (exact distinct) need sketch state (HLL,
+    * [[graft.ext.Similarity.qApproxDistinct]]).
+    */
+  def qIncrAggMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-26").cast("timestamp")
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val ev = Tables.events(spark, sfDir)
+    val base = aggOf(ev.filter(col("ts") < cut))
+      .withColumnsRenamed(Map("n" -> "n1", "s" -> "s1", "mn" -> "mn1", "mx" -> "mx1"))
+    val delta = aggOf(ev.filter(col("ts") >= cut))
+      .withColumnsRenamed(Map("n" -> "n2", "s" -> "s2", "mn" -> "mn2", "mx" -> "mx2"))
+    val merged = base.join(delta, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("s1"), lit(0).cast(DecimalType(18, 4))) +
+          coalesce(col("s2"), lit(0).cast(DecimalType(18, 4)))).as("s"),
+        // explicit null-coalescing: DuckDB's least/greatest NULL handling
+        // changed across versions — spell out the merge identically
+        least(coalesce(col("mn1"), col("mn2")),
+          coalesce(col("mn2"), col("mn1"))).as("mn"),
+        greatest(coalesce(col("mx1"), col("mx2")),
+          coalesce(col("mx2"), col("mx1"))).as("mx"))
+    val full = aggOf(ev)
+      .withColumnsRenamed(Map("n" -> "fn", "s" -> "fs", "mn" -> "fmn", "mx" -> "fmx"))
+    merged.join(full, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"), col("n"),
+        col("s").cast("double").as("total"),
+        col("mn"), col("mx"),
+        (col("n") === col("fn") && col("s") === col("fs") &&
+          col("mn") === col("fmn") && col("mx") === col("fmx")).as("matches_full"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val qIncrAggMaintainSql: String =
+    """WITH base AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n1,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s1, min(value) AS mn1, max(value) AS mx1
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-26' GROUP BY 1, 2
+      |),
+      |delta AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS n2,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS s2, min(value) AS mn2, max(value) AS mx2
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-26' GROUP BY 1, 2
+      |),
+      |merged AS (
+      |  SELECT day, event_type,
+      |    COALESCE(n1, 0) + COALESCE(n2, 0) AS n,
+      |    COALESCE(s1, CAST(0 AS DECIMAL(18,4))) + COALESCE(s2, CAST(0 AS DECIMAL(18,4))) AS s,
+      |    least(COALESCE(mn1, mn2), COALESCE(mn2, mn1)) AS mn,
+      |    greatest(COALESCE(mx1, mx2), COALESCE(mx2, mx1)) AS mx
+      |  FROM base FULL OUTER JOIN delta USING (day, event_type)
+      |),
+      |total AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day, event_type, count(*) AS fn,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS fs, min(value) AS fmn, max(value) AS fmx
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, CAST(n AS BIGINT) AS n, CAST(s AS DOUBLE) AS total,
+      |  mn, mx,
+      |  (n = fn AND s = fs AND mn = fmn AND mx = fmx) AS matches_full
+      |FROM merged FULL OUTER JOIN total USING (day, event_type)
+      |ORDER BY day, event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql)),
     "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql)),
     "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql)),
     "q_cdc_apply_customer" -> ((qCdcApplyCustomer _, qCdcApplyCustomerSql)),
-    "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql))
+    "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
+    "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql))
   )
 }

@@ -83,6 +83,29 @@ class QualitySpec extends SparkSuite {
     assert(tvd >= 0.0 && tvd <= 1.0)
   }
 
+  test("pseudonymization: referential integrity intact, no raw keys leak") {
+    val out = Quality.qPseudonymizeJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ri_intact"), s"nation ${r.get(0)}")
+      assert(r.getAs[Long]("orders_via_pseudo") === r.getAs[Long]("orders_via_true"))
+    }
+    // total through the pseudonymous join = the raw join cardinality
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+    assert(out.map(_.getAs[Long]("orders_via_pseudo")).sum === direct)
+    // the released key column carries hashes, not raw custkeys
+    import graft.ext.TextOps.portableHash
+    val masked = Tables.customer(spark, sf)
+      .select(portableHash(concat_ws("",
+        lit(Quality.pseudoSalt), col("c_custkey").cast("string"))).as("pk"),
+        col("c_custkey"))
+      .collect()
+    masked.foreach(r => assert(r.getAs[Long]("pk") !== r.getAs[Long]("c_custkey")))
+    // deterministic: same key always masks to the same pseudonym
+    assert(masked.map(_.getAs[Long]("pk")).distinct.length === masked.length)
+  }
+
   test("checks: injected violations flip exactly the right checks") {
     import spark.implicits._
     // corrupt a copy: one duplicated key, one null custkey, one bad

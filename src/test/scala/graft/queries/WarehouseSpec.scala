@@ -155,6 +155,22 @@ class WarehouseSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("incremental agg maintenance: algebraic merge equals the full recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qIncrAggMaintain(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the query carries its own proof column — every row must attest it
+    out.foreach(r => assert(r.getAs[Boolean]("matches_full"),
+      s"${r.get(0)}/${r.get(1)}"))
+    // group coverage: exactly the (day, type) groups of the full stream
+    val expectGroups = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("event_type")).distinct().count()
+    assert(out.length.toLong === expectGroups)
+    // conservation: merged counts sum to the stream size
+    assert(out.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+  }
+
   test("interp: matches a local bracketing replay, exact hits included") {
     import org.apache.spark.sql.functions.col
     val out = Warehouse.qEventInterpDaily(spark, sf).collect()

@@ -490,4 +490,52 @@ object CorpusOps {
       |  CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS temp_share
       |FROM weighted
       |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Per-source quota capping (domain-cap curation)
+  // ------------------------------------------------------------------
+
+  /** Per-source document cap. */
+  val sourceCapK = 15
+
+  /** Per-source quota capping: keep at most [[sourceCapK]] documents per
+    * source, best-quality-first — the "don't let one crawl domain
+    * dominate the mixture" cap every pretraining corpus applies after
+    * dedup (the cap is the blunt complement to
+    * [[qDocLangMixTemp]]'s smooth temperature reweighting). Quality is
+    * the shared [[TextOps.qualityScoreCol]] formula (one definition, the
+    * sampler/lang-quality/this cannot drift apart); ties break on
+    * doc_id, so the cut is total-ordered and engine-exact.
+    *
+    * The per-source selection runs on the native
+    * [[graft.plans.TopKPerKey]] heap operator — at a 100 TB corpus with
+    * millions of docs per hot domain, the row_number-window form sorts
+    * every domain's full posting before discarding all but K; the heap
+    * keeps K per source per task and ships only survivors into the one
+    * source-keyed exchange.
+    */
+  def qDocSourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreCol.as("quality"))
+    graft.functions.GraftOps.topKPerKey(scored,
+        keys = Seq("source"), order = Seq(("quality", true), ("doc_id", false)),
+        k = sourceCapK)
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
+  val qDocSourceCapSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, (${TextOps.qualityScoreSql}) AS quality
+       |  FROM documents
+       |),
+       |ranked AS (
+       |  SELECT doc_id, source, quality,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY quality DESC, doc_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, source, quality FROM ranked
+       |WHERE rk <= $sourceCapK
+       |ORDER BY source, quality DESC, doc_id""".stripMargin
 }

@@ -55,6 +55,24 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming HOP (sliding) windows: the overlapping-window form of
+    * [[hourlyStats]] — 1-hour windows advancing every 15 minutes, each
+    * event contributing to window/slide = 4 open windows. State is 4× the
+    * tumbling case (4 open windows per key instead of 1), evicted by the
+    * same watermark; the batch twin [[graft.queries.Analytics
+    * .qEventHopWindow]] computes identical frames for backfill, so a
+    * lambda cutover is a frame-aligned union.
+    */
+  def hopStats(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Stream-static enrichment: join the event stream against a STATIC
     * dimension (here: a user → segment lookup) — the standard streaming
     * star-schema probe. No watermark is needed on either side: the static

@@ -222,4 +222,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(minTemp > minRaw, s"minority $minRaw -> $minTemp")
     assert(maxTemp < maxRaw, s"majority $maxRaw -> $maxTemp")
   }
+
+  test("source cap: keeps the top-K per source, heap operator, no window") {
+    import org.apache.spark.sql.functions.col
+    val out = CorpusOps.qDocSourceCap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality")))
+    assert(out.nonEmpty)
+    val perSource = out.groupBy(_._1)
+    perSource.values.foreach(g => assert(g.length <= CorpusOps.sourceCapK))
+    // equals a local sort-and-take over the same scored frame
+    val scored = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreCol.as("quality")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality")))
+    val expected = scored.groupBy(_._1).values.flatMap(g =>
+      g.sortBy(t => (-t._3, t._2)).take(CorpusOps.sourceCapK)).toSet
+    assert(out.toSet === expected)
+    // a source with more docs than the cap exists (the cap actually cuts)
+    assert(scored.groupBy(_._1).values.exists(_.length > CorpusOps.sourceCapK))
+    // planned on the native heap operator, not a rank window
+    val p = CorpusOps.qDocSourceCap(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -49,6 +49,38 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("hop windows: every event lands in exactly window/slide = 4 finalized frames") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stats = EventStreams.hopStats(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val query = stats.writeStream
+      .format("memory").queryName("hop_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // clicks at +12 min and +24 min: window-start sets {0,-15,-30,-45}
+      // and {+15,0,-15,-30} minutes — 5 distinct frames, 3 shared
+      input.addData((ts(0.2), "click", 1.0), (ts(0.4), "click", 2.0))
+      query.processAllAvailable()
+      // far-future event pushes the watermark past every click frame
+      input.addData((ts(5.0), "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("hop_sink")
+        .filter(col("event_type") === "click")
+        .select("window_start", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      def m(min: Double) = ts(min / 60).getTime
+      assert(rows.toSet === Set(
+        (m(-45), 1L, 1.0), (m(-30), 2L, 3.0), (m(-15), 2L, 3.0),
+        (m(0), 2L, 3.0), (m(15), 1L, 2.0)))
+      // conservation: each of the 2 events counted exactly 4 times
+      assert(rows.map(_._2).sum === 8L)
+    } finally query.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim, unmatched stays null") {
     val spark0 = spark
     import spark0.implicits._

@@ -17,6 +17,7 @@ object LlmQueries {
     "q_doc_sample_weighted" -> ((TextOps.qDocSampleWeighted _, TextOps.qDocSampleWeightedSql)),
     "q_doc_vocab" -> ((TextOps.qDocVocab _, TextOps.qDocVocabSql)),
     "q_doc_vocab_coverage" -> ((TextOps.qDocVocabCoverage _, TextOps.qDocVocabCoverageSql)),
+    "q_doc_heavy_hitters" -> ((TextOps.qDocHeavyHitters _, TextOps.qDocHeavyHittersSql)),
     "q_doc_sim_join_prefix" -> ((Dedup.qDocSimJoinPrefix _, Dedup.qDocSimJoinPrefixSql)),
     "q_doc_bigram_lm" -> ((TextOps.qDocBigramLm _, TextOps.qDocBigramLmSql)),
     "q_doc_tfidf" -> ((TextOps.qDocTfidf _, TextOps.qDocTfidfSql)),

@@ -503,6 +503,59 @@ object TextOps {
        |ORDER BY rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // Exact heavy hitters via a Misra-Gries candidate sketch (two-pass)
+  // ------------------------------------------------------------------
+
+  /** Heavy-hitter threshold parameter: report tokens with frequency
+    * > N/[[mgK]] of the token stream.
+    */
+  val mgK = 30
+
+  /** The production two-pass exact heavy-hitters query: pass 1 runs the
+    * mergeable [[graft.functions.MisraGries]] sketch (≤ k−1 counters per
+    * task, ≤ k−1 rows per merge — NEVER the distinct-token shuffle a
+    * full groupBy pays); pass 2 exact-counts ONLY the broadcast
+    * candidates and keeps those strictly above N/k. MG's no-false-
+    * negative guarantee makes the candidate set a superset of the true
+    * heavy hitters, so the verified output is EXACT and deterministic
+    * even though sketch internals are merge-order-dependent — which is
+    * why this composite is oracle-checkable while the raw sketch is not
+    * (same two-pass discipline as [[Dedup.qDocMinhashPairs]]'s
+    * verify step). The threshold compare is integer (n·k > N); shares
+    * divide once, after the decision.
+    */
+  def qDocHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val mg = udaf(new graft.functions.MisraGries(mgK))
+    val cand = toks.agg(mg(col("tok")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * mgK > col("total"))
+      .select(col("tok"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  /** Oracle: the sketch is pass-1 plumbing only — ground truth is the
+    * plain exact count with the same integer threshold.
+    */
+  val qDocHeavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |tot AS (SELECT count(*) AS total FROM t),
+       |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+       |SELECT tok, n, CAST(n AS DOUBLE) / total AS share
+       |FROM c CROSS JOIN tot
+       |WHERE n * $mgK > total
+       |ORDER BY n DESC, tok""".stripMargin
+
+  // ------------------------------------------------------------------
   // Bigram-LM quality scoring (self-trained corpus model)
   // ------------------------------------------------------------------
 

@@ -464,6 +464,97 @@ object Dedup {
        |FROM labels ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Cluster representative selection (keep-best-of-cluster)
+  // ------------------------------------------------------------------
+
+  /** Keep-BEST-of-cluster: for every resolved near-dup cluster
+    * ([[qDocDupClusters]]' connected components), elect the
+    * highest-quality member (ties → lowest doc_id) as the canonical
+    * representative — the curation policy that replaces keep-lowest-id
+    * ([[qDocCurate]]) when members differ in quality (a re-crawl can be
+    * CLEANER than the original; id order would keep the dirty one).
+    * Quality is the shared [[TextOps.qualityScoreCol]] formula.
+    *
+    * The election is `max_by` over a (quality, −doc_id) struct — a
+    * map-side-combinable aggregate riding the same cluster_id exchange
+    * as the size count, NOT a per-cluster rank window (the oracle uses
+    * the window form, which is exactly why both formulations appearing
+    * here and agreeing hash-exact is worth checking).
+    *
+    * Scale: adds one narrow quality projection and one cluster-keyed
+    * aggregate on top of [[qDocDupClusters]]' cost — the label
+    * propagation dominates; the election is output-bounded.
+    */
+  def qDocClusterReps(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .select(col("doc_a"), col("doc_b")).persist()
+    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
+    val labels = connectedComponents(pairs)
+    val quality = nearCorpus(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.qualityScoreCol.as("q"))
+    labels.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id"), col("q")),
+          struct(col("q"), (-col("doc_id")).as("nd"))).as("rep"))
+      .select(col("cluster_id"), col("n_members"),
+        col("rep.doc_id").as("rep_doc_id"), col("rep.q").as("rep_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Oracle: same cluster resolution (recursive CTE), election via the
+    * rank-window formulation.
+    */
+  val qDocClusterRepsSql: String =
+    s"""WITH RECURSIVE $nearCorpusSql,
+       |shingled AS (
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minColsSql
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |$candSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+       |),
+       |labels AS (
+       |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+       |),
+       |scored AS (
+       |  SELECT l.cluster_id, l.doc_id, (${TextOps.qualityScoreSql}) AS q
+       |  FROM labels l JOIN corpus USING (doc_id)
+       |)
+       |SELECT cluster_id, n_members, doc_id AS rep_doc_id, q AS rep_quality
+       |FROM (
+       |  SELECT cluster_id, doc_id, q,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // SimHash: 16-bit frequency-weighted signature over token hashes
   // ------------------------------------------------------------------
 

@@ -27,6 +27,7 @@ object LlmQueries {
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
     "q_doc_dup_clusters" -> ((Dedup.qDocDupClusters _, Dedup.qDocDupClustersSql)),
+    "q_doc_cluster_reps" -> ((Dedup.qDocClusterReps _, Dedup.qDocClusterRepsSql)),
     "q_doc_curate" -> ((Dedup.qDocCurate _, Dedup.qDocCurateSql)),
     "q_doc_decontam" -> ((Dedup.qDocDecontam _, Dedup.qDocDecontamSql)),
     "q_doc_pack" -> ((TextOps.qDocPack _, TextOps.qDocPackSql)),
@@ -46,6 +47,7 @@ object LlmQueries {
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),
     "q_emb_near_dup" -> ((Similarity.qEmbNearDup _, Similarity.qEmbNearDupSql)),
     "q_emb_label_centroids" -> ((Similarity.qEmbLabelCentroids _, Similarity.qEmbLabelCentroidsSql)),
+    "q_emb_label_separation" -> ((Similarity.qEmbLabelSeparation _, Similarity.qEmbLabelSeparationSql)),
     "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
     "q_emb_kmeans_iter" -> ((Similarity.qEmbKmeansIter _, Similarity.qEmbKmeansIterSql)),
     "q_emb_quantize" -> ((Similarity.qEmbQuantize _, Similarity.qEmbQuantizeSql)),

@@ -1056,6 +1056,87 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Per-label separation audit (embedding-space health check)
+  // ------------------------------------------------------------------
+
+  /** Embedding-space health per label: mean squared distance of members
+    * to their OWN centroid (intra-class spread) vs the squared distance
+    * to the NEAREST OTHER centroid (inter-class margin), and the
+    * silhouette-style separation score (inter − intra)/max(inter, intra)
+    * — the per-checkpoint diagnostic that catches collapsed or entangled
+    * classes before [[qEmbRetrievalEval]]'s retrieval metrics degrade.
+    *
+    * Determinism: member distances use the expanded form v·v − 2 v·c +
+    * c·c with the sequential [[dot]] kernel (bit-identical cross-engine);
+    * the intra mean fixes float summation order by casting each distance
+    * to DECIMAL before the order-free exact sum (one double division at
+    * the end). Centroid pair distances are a k² computation on a
+    * |labels|-row frame.
+    *
+    * Scale: ONE narrow pass over the corpus against the 1-row broadcast
+    * centroid table (the [[centroidArrayDf]] quantizer — no N×k fan-out),
+    * one label-keyed partial aggregate; everything after is
+    * |labels|-sized.
+    */
+  def qEmbLabelSeparation(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidArrayDf(spark, sfDir, None)
+    val own = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(centArr))
+      .select(col("label"),
+        element_at(filter(col("cents"),
+          c => c.getField("c_label") === col("label")), 1).as("own"),
+        col("embedding"))
+      .select(col("label"),
+        (dot(col("embedding"), col("embedding"))
+          - lit(2) * dot(col("embedding"), col("own.cv")) + col("own.cc")).as("d2"))
+    val intra = own.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double") / count(lit(1)))
+          .as("intra_msd"))
+    val cents = centArr.select(explode(col("cents")).as("c"))
+      .select(col("c.c_label").as("lbl"), col("c.cv").as("cv"), col("c.cc").as("cc"))
+    val inter = cents.as("x").crossJoin(cents.as("y"))
+      .filter(col("x.lbl") =!= col("y.lbl"))
+      .select(col("x.lbl").as("label"),
+        (col("x.cc") - lit(2) * dot(col("x.cv"), col("y.cv")) + col("y.cc")).as("d2c"))
+      .groupBy(col("label")).agg(min(col("d2c")).as("inter_min_d2"))
+    intra.join(inter, "label")
+      .select(col("label"), col("n_members"), col("intra_msd"), col("inter_min_d2"),
+        ((col("inter_min_d2") - col("intra_msd"))
+          / greatest(col("inter_min_d2"), col("intra_msd"))).as("sep_score"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbLabelSeparationSql: String =
+    s"""WITH $centroidsLongSql,
+       |cvl AS (SELECT label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |own AS (
+       |  SELECT e.label,
+       |    list_dot_product(e.v, e.v)
+       |      - 2 * list_dot_product(e.v, cvl.cv)
+       |      + list_dot_product(cvl.cv, cvl.cv) AS d2
+       |  FROM e JOIN cvl USING (label)
+       |),
+       |intra AS (
+       |  SELECT label, count(*) AS n_members,
+       |    CAST(sum(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS intra_msd
+       |  FROM own GROUP BY label
+       |),
+       |inter AS (
+       |  SELECT x.label AS label,
+       |    min(list_dot_product(x.cv, x.cv)
+       |      - 2 * list_dot_product(x.cv, y.cv)
+       |      + list_dot_product(y.cv, y.cv)) AS inter_min_d2
+       |  FROM cvl x JOIN cvl y ON x.label <> y.label
+       |  GROUP BY x.label
+       |)
+       |SELECT label, n_members, intra_msd, inter_min_d2,
+       |  (inter_min_d2 - intra_msd) / greatest(inter_min_d2, intra_msd) AS sep_score
+       |FROM intra JOIN inter USING (label)
+       |ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
   // Retrieval evaluation (recall@k / MRR@k against label relevance)
   // ------------------------------------------------------------------
 

@@ -463,6 +463,51 @@ class NewOpsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cluster reps: the elected representative is the best-quality member") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.qDocClusterReps(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("rep_doc_id"),
+          r.getAs[Double]("rep_quality"))).toMap
+    assert(reps.nonEmpty)
+    val clusters = Dedup.qDocDupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(reps.keySet === clusters.keySet)
+    // quality of every cluster member, via the same shared formula over
+    // the same injected corpus
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          org.apache.spark.sql.functions.concat(col("text"),
+            org.apache.spark.sql.functions.lit(" near duplicate suffix")).as("text")))
+    val q = corpus.select(col("doc_id"), TextOps.qualityScoreCol.as("q")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q")).toMap
+    reps.foreach { case (cid, (n, repId, repQ)) =>
+      val members = clusters(cid)
+      assert(n === members.size.toLong)
+      assert(members.contains(repId), s"rep $repId outside cluster $cid")
+      val best = members.map(m => (-q(m), m)).min // max quality, min id tiebreak
+      assert(repId === best._2, s"cluster $cid")
+      assert(repQ === q(repId))
+    }
+  }
+
+  test("label separation: coverage, score bounds, and geometric sanity") {
+    val out = Similarity.qEmbLabelSeparation(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = graft.model.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum === total)
+    out.foreach { r =>
+      assert(r.getAs[Double]("intra_msd") >= 0.0)
+      assert(r.getAs[Double]("inter_min_d2") >= 0.0)
+      val s = r.getAs[Double]("sep_score")
+      assert(s >= -1.0 && s <= 1.0, s"label ${r.get(0)}")
+    }
+  }
+
   test("retrieval eval: matches a local brute-force replay of recall/MRR") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.qEmbRetrievalEval(spark, sf).collect()

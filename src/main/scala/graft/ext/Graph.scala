@@ -243,8 +243,113 @@ object Graph {
        |FROM d4 WHERE d < $unreached ORDER BY node_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Triangle counting (degree-ordered orientation)
+  // ------------------------------------------------------------------
+
+  /** Triangle counting over the part co-order graph (parts appearing in
+    * the same order are linked) with the DEGREE-ORDERED ORIENTATION
+    * trick: orient every undirected edge from its lower-degree endpoint
+    * to its higher-degree one (ties by id), then count wedges only at
+    * each edge's SOURCE and close them with one equi-join against the
+    * oriented edge set. Per-triangle work happens exactly once, and —
+    * the 100 TB point — the wedge join fans out by ORIENTED out-degree,
+    * which the orientation bounds at O(√|E|) even on power-law graphs
+    * where a hub's undirected degree is O(|V|) (the wedge count at an
+    * unoriented hub would be quadratic in its degree).
+    *
+    * The closure is a PURE two-column equi-join, never an OR of the two
+    * possible closing directions (an OR-of-equalities is not hashable —
+    * the planner falls back to a nested loop of wedges × edges,
+    * quadratic at any scale): wedge legs are ordered by the SAME
+    * (degree, id) total order that oriented the edges, so the closing
+    * edge x–y, if present, is oriented exactly x→dst=y and one hash
+    * probe on (src, dst) finds it. Each oriented edge therefore carries
+    * its dst's degree so the wedge join can compare legs without
+    * re-joining the degree table.
+    *
+    * Output: per-node triangle participation + the global count (the
+    * clustering-coefficient numerator).
+    */
+  def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    // per-order quadratic, bounded by order width (≤7 lineitems) — the
+    // standard co-occurrence edge build, same shape as qEventCooccur
+    val und = pairs.as("a")
+      .join(pairs.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .persist()
+    und.count() // eager: degree agg + both orientation probes consume it
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low→high by (degree, id): a total order, so each undirected
+    // edge appears exactly once; dst_d rides along for the wedge compare
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dst_d"))
+      .persist()
+    oriented.count() // eager: wedge build + closing probe
+    // legs ordered by (degree, id) — the orientation order — so x→y is
+    // the only direction the closing edge can have
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dst_d") < col("e2.dst_d") ||
+            (col("e1.dst_d") === col("e2.dst_d") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val tris = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("apex"), col("x"), col("y"))
+    tris.select(explode(array(col("apex"), col("x"), col("y"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("part_id"))
+  }
+
+  val qGraphTrianglesSql: String =
+    """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.p < b.p
+      |),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n
+      |),
+      |oriented AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dst_d
+      |  FROM und
+      |  JOIN deg du ON du.n = u
+      |  JOIN deg dv ON dv.n = v
+      |),
+      |wedges AS (
+      |  SELECT e1.src AS apex, e1.dst AS x, e2.dst AS y
+      |  FROM oriented e1 JOIN oriented e2
+      |    ON e1.src = e2.src
+      |   AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+      |),
+      |tris AS (
+      |  SELECT apex, x, y FROM wedges JOIN oriented o
+      |    ON x = o.src AND y = o.dst
+      |)
+      |SELECT part_id, count(*) AS n_triangles
+      |FROM (SELECT unnest([apex, x, y]) AS part_id FROM tris)
+      |GROUP BY part_id ORDER BY part_id""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
-    "q_graph_reach" -> ((qGraphReach _, qGraphReachSql))
+    "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
+    "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql))
   )
 }

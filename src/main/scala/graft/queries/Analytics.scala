@@ -1859,6 +1859,43 @@ object Analytics {
       |GROUP BY window_start
       |ORDER BY window_start""".stripMargin
 
+  // --- EWMA smoothing: per-key ordered fold over event values ---
+
+  /** Exponentially-weighted moving average of each user's purchase
+    * values (α = 1/4): the classic streaming smoother, computed as a
+    * PER-KEY SEQUENTIAL FOLD over the (ts, event_id)-ordered value list
+    * — EWMA is inherently order-sensitive recursive state, so unlike the
+    * module's decimal sums it cannot be a partial aggregate; the fold
+    * array is bounded by per-user activity (human-scale; the
+    * [[qEventLocf]] skew note applies). α = 0.25 and 1−α = 0.75 are
+    * EXACT binary doubles and the fold evaluates in one fixed order, so
+    * the result is bit-identical cross-engine and across partitionings
+    * (same discipline as [[graft.ext.TextOps.qDocBigramLm]]'s mean fold).
+    *
+    * Output: final smoothed level per user + the observation count —
+    * the state a feature store would checkpoint per entity.
+    */
+  def qEventEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(struct($"ts", $"event_id", $"value"))).as("seq"))
+      .select($"user_id", $"n_obs",
+        expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].value," +
+          " (acc, s) -> 0.25D * s.value + 0.75D * acc)").as("ewma"))
+      .orderBy($"user_id")
+  }
+
+  val qEventEwmaSql: String =
+    """SELECT user_id, count(*) AS n_obs,
+      |  list_reduce(list(value ORDER BY ts, event_id),
+      |    (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2153,6 +2190,7 @@ object Analytics {
     "q_event_hop_window" -> ((qEventHopWindow _, qEventHopWindowSql)),
     "q_event_cooccur" -> ((qEventCooccur _, qEventCooccurSql)),
     "q_event_journeys" -> ((qEventJourneys _, qEventJourneysSql)),
+    "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -85,6 +85,33 @@ class GraphSpec extends SparkSuite {
     assert(out.count(r => r.getAs[Long]("hops") == 0L) === nSources)
   }
 
+  test("triangles: per-part counts match a local brute-force enumeration") {
+    import org.apache.spark.sql.functions.col
+    val out = Graph.qGraphTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("n_triangles")).toMap
+    val pairs = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val local = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.length
+      if edges.contains((verts(i), verts(j)))
+      k <- (j + 1) until verts.length
+      if edges.contains((verts(j), verts(k))) && edges.contains((verts(i), verts(k)))
+    } {
+      local(verts(i)) += 1; local(verts(j)) += 1; local(verts(k)) += 1
+    }
+    assert(out === local.toMap)
+    // participation counts 3-cover the triangle set
+    assert(out.values.sum % 3 === 0)
+    assert(out.nonEmpty) // co-order graph is dense enough to have triangles
+  }
+
   test("determinism: two runs at different parallelism agree bit-for-bit") {
     import spark.implicits._
     val nodes = (1L to 40L).toDF("id")

@@ -343,6 +343,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(revs.forall(_ > 0))
   }
 
+  test("ewma: matches a local sequential fold in event order") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventEwma(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("ewma"))).toMap
+    val purchases = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getAs[Long]("event_id"), r.getAs[Double]("value"))
+      }
+    val local = purchases.groupBy(_._1).view.mapValues { rows =>
+      val vs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      (rows.length.toLong, vs.tail.foldLeft(vs.head)((acc, v) => 0.25 * v + 0.75 * acc))
+    }.toMap
+    assert(out.keySet === local.keySet)
+    local.foreach { case (u, (n, e)) =>
+      assert(out(u)._1 === n)
+      assert(out(u)._2 === e, s"user $u") // bit-exact: same fold, same order
+    }
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -90,7 +91,94 @@ object Layout {
        |FROM ev GROUP BY z_segment ORDER BY z_segment""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Compaction planning: running-total file grouping
+  // ------------------------------------------------------------------
+
+  /** Generic small-file compaction planner — the metadata pass behind
+    * `OPTIMIZE`/rewrite-data-files table maintenance: assign each file
+    * of a partition to a merge group by RUNNING TOTAL, group =
+    * bytes-accumulated-BEFORE-the-file integer-divided by the target
+    * size (then dense-renumbered per partition so group ids are
+    * consecutive even when one jumbo file spans several target
+    * stripes). The assignment is deterministic, one-pass, and
+    * ORDER-PRESERVING: merged files stay contiguous in the partition's
+    * file order, so a sort/Z-order layout ([[zValue8]]) laid down at
+    * write time survives compaction — a bin-packing assignment that
+    * mixes distant files would destroy it.
+    *
+    * Guarantees (asserted in LayoutSpec): group ids are consecutive
+    * from 0 and non-decreasing in file order; byte mass is conserved;
+    * and a group overshoots `targetBytes` by at most its own LAST file
+    * (the stripe's boundary file) — first-fit on the pre-sum can never
+    * close a group early.
+    *
+    * Scale (100 TB): the input is the FILE LISTING — one row per file,
+    * metadata-scale, millions of rows for a 100 TB table, not the data
+    * itself — and the plan is ONE window pass per partition (running
+    * sum + integer division + dense renumber on the same window
+    * partitioning, so a single exchange). The planner never touches
+    * data bytes; executing the plan is the separate (embarrassingly
+    * parallel, one task per group) rewrite job.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val order = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bytes_before", coalesce(sum(col(bytesCol)).over(before), lit(0L)))
+      .withColumn("grp_raw", expr(s"bytes_before div ${targetBytes}L"))
+      .withColumn("grp", (dense_rank().over(
+        Window.partitionBy(col(partCol)).orderBy(col("grp_raw"))) - 1).cast("long"))
+      .drop("bytes_before", "grp_raw")
+  }
+
+  /** Compaction plan over the event table's (event_type, day) "files" —
+    * the per-partition-per-day output a streaming ingest actually
+    * produces, with row count × an assumed 64-byte average row as the
+    * size proxy. Rolled up per merge group: files, bytes, covered day
+    * span (contiguous by construction — the order-preserving property
+    * made visible).
+    */
+  def qEventCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg((count(lit(1)) * 64L).as("bytes"))
+    compactionPlan(files, "event_type", "day", "bytes", targetBytes = 50000L)
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("grp_bytes"),
+        min(col("day")).as("day_lo"), max(col("day")).as("day_hi"))
+      .orderBy(col("event_type"), col("grp"))
+  }
+
+  val qEventCompactionSql: String =
+    """WITH files AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    count(*) * 64 AS bytes
+      |  FROM events GROUP BY event_type, day
+      |),
+      |assigned AS (
+      |  SELECT event_type, day, bytes,
+      |    COALESCE(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000 AS grp_raw
+      |  FROM files
+      |),
+      |renum AS (
+      |  SELECT event_type, day, bytes,
+      |    CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY grp_raw) - 1 AS BIGINT) AS grp
+      |  FROM assigned
+      |)
+      |SELECT event_type, grp, count(*) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+      |  min(day) AS day_lo, max(day) AS day_hi
+      |FROM renum GROUP BY event_type, grp
+      |ORDER BY event_type, grp""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "q_event_zorder" -> ((qEventZorder _, qEventZorderSql))
+    "q_event_zorder" -> ((qEventZorder _, qEventZorderSql)),
+    "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql))
   )
 }

@@ -1896,6 +1896,77 @@ object Analytics {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --- ACF: lag-k autocorrelation of the daily value series ---
+
+  /** Lag 1..7 autocorrelation of each event type's DAILY value total —
+    * the weekly-seasonality probe every metrics pipeline runs before
+    * trusting a trend. Estimator: Pearson correlation of the series
+    * against itself shifted k CALENDAR days (integer epoch-day join
+    * keys, so a missing day drops its pairs instead of silently
+    * compressing the lag the way an index-shift over observed rows
+    * would). Moments accumulate decimal-exact and the closing formula
+    * is one fixed-shape double expression — [[qEventValueStats]]'s
+    * determinism discipline, so the result hash-matches cross-engine at
+    * any parallelism.
+    *
+    * Scale (100 TB): the event corpus collapses to |types|×|days| rows
+    * in ONE partially-aggregated shuffle; the lag cross (broadcast
+    * 7-row literal), calendar self-join, and moment aggregation all run
+    * on that metadata-sized series table. Nothing downstream of the
+    * first aggregate ever sees a raw event.
+    */
+  def qEventAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+    val lags = spark.range(1, 8).select($"id".cast("int").as("lag"))
+    val a = daily.toDF("event_type", "dn", "x").as("acf_a")
+    val b = daily.toDF("event_type", "dn", "y").as("acf_b")
+    val m = a.crossJoin(broadcast(lags))
+      .join(b, col("acf_a.event_type") === col("acf_b.event_type") &&
+        col("acf_b.dn") === col("acf_a.dn") + col("lag"))
+      .select(col("acf_a.event_type").as("event_type"), col("lag"),
+        col("x"), col("y"))
+      .groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+        sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+    val nD = $"n_pairs".cast("double")
+    val sxD = $"sx".cast("double"); val sxxD = $"sxx".cast("double")
+    val syD = $"sy".cast("double"); val syyD = $"syy".cast("double")
+    val sxyD = $"sxy".cast("double")
+    m.select($"event_type", $"lag", $"n_pairs",
+        ((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  val qEventAcfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |m AS (
+      |  SELECT a.event_type, l.lag, count(*) AS n_pairs,
+      |    sum(a.v) AS sx, sum(a.v * a.v) AS sxx,
+      |    sum(b.v) AS sy, sum(b.v * b.v) AS syy,
+      |    sum(a.v * b.v) AS sxy
+      |  FROM daily a
+      |  CROSS JOIN lags l
+      |  JOIN daily b ON b.event_type = a.event_type AND b.dn = a.dn + l.lag
+      |  GROUP BY a.event_type, l.lag
+      |)
+      |SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |FROM m ORDER BY event_type, lag""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2191,6 +2262,7 @@ object Analytics {
     "q_event_cooccur" -> ((qEventCooccur _, qEventCooccurSql)),
     "q_event_journeys" -> ((qEventJourneys _, qEventJourneysSql)),
     "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
+    "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -71,6 +71,67 @@ class LayoutSpec extends SparkSuite {
       s"z-order lost locality: mean box $meanArea vs global $globalArea")
   }
 
+  test("compactionPlan matches a local running-total replay and honors its bounds") {
+    import spark.implicits._
+    // partition a: mixed sizes incl. a jumbo file spanning 2 target
+    // stripes (forces the dense renumber); partition b: one jumbo file
+    val rows = Seq(
+      ("a", 1L, 90L), ("a", 2L, 20L), ("a", 3L, 5L), ("a", 4L, 200L),
+      ("a", 5L, 150L), ("a", 6L, 10L), ("a", 7L, 150L), ("a", 8L, 99L),
+      ("a", 9L, 2L), ("a", 10L, 99L),
+      ("b", 1L, 1000L))
+    val target = 100L
+    val out = Layout.compactionPlan(
+        rows.toDF("part", "file", "bytes"), "part", "file", "bytes", target)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("file")) ->
+        r.getAs[Long]("grp")).toMap
+    // local replay of the documented rule: grp = before-sum div target,
+    // then dense renumber per partition
+    val local = rows.groupBy(_._1).flatMap { case (p, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val raw = sorted.scanLeft(0L)(_ + _._3).init.map(_ / target)
+      val renum = raw.distinct.sorted.zipWithIndex.toMap
+      sorted.zip(raw).map { case ((_, f, _), g) => (p, f) -> renum(g).toLong }
+    }
+    assert(out === local)
+    // invariants: consecutive group ids from 0, non-decreasing in file
+    // order, conservation, and overshoot bounded by the group's last file
+    rows.groupBy(_._1).foreach { case (p, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val grps = sorted.map { case (_, f, _) => out((p, f)) }
+      assert(grps.head === 0L)
+      assert(grps.zip(grps.tail).forall { case (x, y) => y == x || y == x + 1 })
+      grps.distinct.foreach { g =>
+        val members = sorted.filter { case (_, f, _) => out((p, f)) == g }
+        val total = members.map(_._3).sum
+        assert(total <= target + members.last._3,
+          s"part $p grp $g total $total overshoots past its boundary file")
+      }
+    }
+  }
+
+  test("event compaction groups are contiguous day stripes that conserve bytes") {
+    val out = Layout.qEventCompaction(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg((count(lit(1)) * 64L).as("bytes"))
+      .collect()
+    val totalBytes = daily.map(_.getAs[Long]("bytes")).sum
+    assert(out.map(_.getAs[Long]("grp_bytes")).sum === totalBytes)
+    assert(out.map(_.getAs[Long]("n_files")).sum === daily.length)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byGrp = rs.sortBy(_.getAs[Long]("grp"))
+      assert(byGrp.map(_.getAs[Long]("grp")).toSeq === byGrp.indices.map(_.toLong))
+      // order-preserving: day spans of successive groups do not overlap
+      byGrp.zip(byGrp.tail).foreach { case (g1, g2) =>
+        assert(g1.getAs[Long]("day_hi") < g2.getAs[Long]("day_lo"))
+      }
+    }
+  }
+
   test("curve segments in the audit query tile the z range in order") {
     val out = Layout.qEventZorder(spark, sf).collect()
     assert(out.nonEmpty)

@@ -368,6 +368,42 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("acf: matches a local exact-moment recompute; values bounded") {
+    import org.apache.spark.sql.functions.{col, count, datediff, lit, sum, to_date}
+    val out = Analytics.qEventAcf(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn")) ->
+        r.getAs[java.math.BigDecimal]("v")).toMap
+    val types = daily.keySet.map(_._1)
+    for (t <- types; l <- 1 to 7) {
+      val pairs = daily.collect {
+        case ((`t`, dn), x) if daily.contains((t, dn + l)) => (x, daily((t, dn + l)))
+      }.toSeq
+      val n = pairs.length.toLong
+      if (n > 0) {
+        import java.math.{BigDecimal => BD}
+        def s(f: ((BD, BD)) => BD): BD = pairs.map(f).reduce(_.add(_))
+        val (sx, sy) = (s(_._1), s(_._2))
+        val (sxx, syy, sxy) =
+          (s(p => p._1.multiply(p._1)), s(p => p._2.multiply(p._2)),
+            s(p => p._1.multiply(p._2)))
+        val nD = n.toDouble
+        val acf = (nD * sxy.doubleValue - sx.doubleValue * sy.doubleValue) /
+          math.sqrt((nD * sxx.doubleValue - sx.doubleValue * sx.doubleValue) *
+            (nD * syy.doubleValue - sy.doubleValue * sy.doubleValue))
+        assert(out((t, l))._1 === n)
+        assert(out((t, l))._2 === acf, s"type $t lag $l") // bit-exact: same moments, same shape
+        assert(math.abs(acf) <= 1.0 + 1e-9)
+      } else assert(!out.contains((t, l)))
+    }
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

@@ -26,6 +26,7 @@ object SparkEntry {
     graft.etl.Layout.registry,
     graft.ext.Graph.registry,
     graft.ext.LlmQueries.registry,
+    graft.sources.Interchange.registry,
     graft.etl.Dims.registry
   )
 

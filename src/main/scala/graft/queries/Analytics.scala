@@ -1967,6 +1967,58 @@ object Analytics {
       |         (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
       |FROM m ORDER BY event_type, lag""".stripMargin
 
+  // --- rolling 7-day distinct actives (WAU): explode, don't window ---
+
+  /** Trailing-7-day distinct active users per day — WAU, the metric
+    * every product dashboard carries. COUNT(DISTINCT) is not a window
+    * function in any engine (distinct state can't slide), so the
+    * standard rewrite: dedup to user-DAYS first, then each user-day
+    * contributes its user to the ≤ 7 window-end days it falls in
+    * (bounded explode, the [[qEventHopWindow]] trick for windows
+    * measured in days), then one exact distinct per window end. Window
+    * ends past the data's last day are clamped by a 1-row broadcast
+    * max; leading windows are partial by convention (a dashboard's
+    * first week always is).
+    *
+    * Scale (100 TB): the raw corpus collapses to distinct user-days in
+    * ONE partially-aggregated shuffle (the only pass over events); the
+    * ×7 fan-out happens AFTER that dedup, on the much smaller user-day
+    * table; the per-window distinct is Spark's two-phase
+    * distinct-aggregate on (day, user) — never a self-join of events
+    * against a day grid, which reshuffles the corpus once per window
+    * width.
+    */
+  def qEventRollingActive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .distinct()
+    val mx = ud.agg(max($"dn").as("mx"))
+    ud.withColumn("window_end", explode(sequence($"dn", $"dn" + 6)))
+      .crossJoin(broadcast(mx)).filter($"window_end" <= $"mx")
+      .groupBy($"window_end")
+      .agg(countDistinct($"user_id").as("active_users"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy($"window_end")
+  }
+
+  val qEventRollingActiveSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+      |  FROM events
+      |),
+      |bounds AS (SELECT max(dn) AS mx FROM ud),
+      |ex AS (
+      |  SELECT user_id, unnest(generate_series(dn, dn + 6)) AS window_end
+      |  FROM ud
+      |)
+      |SELECT window_end, count(DISTINCT user_id) AS active_users,
+      |  count(*) AS n_user_days
+      |FROM ex, bounds WHERE window_end <= mx
+      |GROUP BY window_end ORDER BY window_end""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2263,6 +2315,7 @@ object Analytics {
     "q_event_journeys" -> ((qEventJourneys _, qEventJourneysSql)),
     "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
     "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
+    "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

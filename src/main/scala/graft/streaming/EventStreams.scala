@@ -73,6 +73,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming heavy hitters: the [[graft.functions.MisraGries]] sketch
+    * as a watermarked WINDOWED streaming aggregate — per tumbling hour,
+    * the ≤ k−1 candidate heavy tokens with their estimated counts,
+    * finalized when the watermark passes the window. The batch side uses
+    * the same Aggregator as pass 1 of the two-pass exact query
+    * ([[graft.ext.TextOps.qDocHeavyHitters]]); MERGEABILITY is what
+    * makes it streamable — partial buffers merge associatively across
+    * tasks AND across micro-batches in the state store, so state per
+    * window is O(k) counters regardless of distinct-token cardinality,
+    * where a per-token streaming count would grow state with the token
+    * domain. The MG guarantees survive any merge tree: every token with
+    * true in-window frequency > N/k is present, and each estimate
+    * undershoots by at most N/k (asserted against exact per-window
+    * counts in EventStreamsSpec).
+    */
+  def windowHeavyHitters(tokens: DataFrame, k: Int,
+      delay: String = "1 hour"): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k))
+    tokens
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("token")).as("candidates"), count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("candidates"), col("n"))
+  }
+
   /** Stream-static enrichment: join the event stream against a STATIC
     * dimension (here: a user → segment lookup) — the standard streaming
     * star-schema probe. No watermark is needed on either side: the static

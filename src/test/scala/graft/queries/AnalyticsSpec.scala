@@ -404,6 +404,27 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("rolling actives: each trailing-7d window matches a local distinct replay") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val out = Analytics.qEventRollingActive(spark, sf).collect()
+      .map(r => r.getAs[Long]("window_end") ->
+        (r.getAs[Long]("active_users"), r.getAs[Long]("n_user_days"))).toMap
+    val ud = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("dn")))
+    val (lo, hi) = (ud.map(_._2).min, ud.map(_._2).max)
+    assert(out.keySet === (lo to hi).toSet)
+    for (e <- lo to hi) {
+      val inWin = ud.filter { case (_, d) => d >= e - 6 && d <= e }
+      assert(out(e) === ((inWin.map(_._1).distinct.length.toLong, inWin.length.toLong)), s"day $e")
+    }
+    // windows once fully inside the data range dominate single days
+    val daily = ud.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+    for (e <- (lo + 6) to hi) assert(out(e)._1 >= daily(e))
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

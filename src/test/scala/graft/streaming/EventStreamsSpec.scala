@@ -81,6 +81,56 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: MG guarantees hold per finalized window across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val k = 4
+    val input = MemoryStream[(Timestamp, String)]
+    val hh = EventStreams.windowHeavyHitters(
+      input.toDF().toDF("ts", "token"), k)
+    val query = hh.writeStream
+      .format("memory").queryName("hh_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    def w0(tok: String, n: Int) = Seq.fill(n)((ts(0.3), tok))
+    def w1(tok: String, n: Int) = Seq.fill(n)((ts(1.4), tok))
+    val window0 = w0("a", 10) ++ w0("b", 5) ++ w0("c", 1) ++ w0("d", 1) ++ w0("e", 1)
+    val window1 = w1("x", 7) ++ w1("y", 2) ++ w1("z", 1)
+    try {
+      // window 0 split across TWO micro-batches: the state store must
+      // MERGE partial MG buffers, not just accumulate within one batch
+      input.addData(window0.take(7): _*)
+      query.processAllAvailable()
+      input.addData(window0.drop(7) ++ window1: _*)
+      query.processAllAvailable()
+      assert(spark.table("hh_sink").count() == 0) // watermark below both ends
+      input.addData((ts(5.0), "late_driver"))
+      query.processAllAvailable()
+      val rows = spark.table("hh_sink").collect()
+        .map(r => r.getTimestamp(0) ->
+          (r.getAs[Map[String, Long]]("candidates"), r.getAs[Long]("n"))).toMap
+      assert(rows.keySet === Set(ts(0.0), ts(1.0)))
+      val exact = Map(
+        ts(0.0) -> Map("a" -> 10L, "b" -> 5L, "c" -> 1L, "d" -> 1L, "e" -> 1L),
+        ts(1.0) -> Map("x" -> 7L, "y" -> 2L, "z" -> 1L))
+      exact.foreach { case (w, truth) =>
+        val (cand, n) = rows(w)
+        val total = truth.values.sum
+        assert(n === total)
+        val bound = total.toDouble / k
+        // no false negatives among true heavy hitters
+        truth.filter(_._2 > bound).keys.foreach(t => assert(cand.contains(t), s"$w $t"))
+        // estimates undershoot by at most N/k, never overshoot
+        cand.foreach { case (t, est) =>
+          val tru = truth.getOrElse(t, 0L)
+          assert(est <= tru && tru - est <= bound, s"$w $t est=$est true=$tru")
+        }
+        assert(cand.size <= k - 1)
+      }
+    } finally query.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim, unmatched stays null") {
     val spark0 = spark
     import spark0.implicits._

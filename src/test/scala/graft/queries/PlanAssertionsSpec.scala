@@ -291,4 +291,54 @@ class PlanAssertionsSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size === 1, s"expected a single scan:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("triangle closure is hash-equi only — the OR-of-directions nested loop stays dead") {
+    // regression guard: closing wedges with (x=src AND y=dst) OR
+    // (y=src AND x=dst) is un-hashable and planned a wedges×edges nested
+    // loop (measured 9 min vs 20 s at sf0.01); the orientation-ordered
+    // legs make every join in the pipeline an equi-join
+    val p = plan(graft.ext.Graph.qGraphTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
+  test("EWMA is one user-keyed aggregate — no window, no join, fold stays in the projection") {
+    val p = plan(Analytics.qEventEwma(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p)
+  }
+
+  test("ACF joins only metadata-sized frames — no products beyond the 7-row lag broadcast") {
+    val p = plan(Analytics.qEventAcf(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the sanctioned broadcast cross with the
+    // constant 7-row lag table
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("rolling actives: fan-out is a generator after dedup; only the 1-row max clamp nests") {
+    val p = plan(Analytics.qEventRollingActive(spark, sf))
+    assert(p.contains("Generate"), s"expected the sequence/explode generator:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // exact distinct goes two-phase (partial before the exchange)
+    assert(p.contains("partial"), p)
+  }
+
+  test("compaction planner: both windows ride ONE partition-keyed exchange") {
+    import spark.implicits._
+    val files = (1 to 100).map(i => (s"p${i % 4}", i.toLong, 10L + i))
+      .toDF("part", "file", "bytes")
+    val executed = graft.etl.Layout
+      .compactionPlan(files, "part", "file", "bytes", 200L)
+      .queryExecution.executedPlan.toString
+    // running sum and dense renumber both partition by `part`: Catalyst
+    // must reuse the partitioning instead of exchanging twice, and the
+    // file listing never funnels through a single task
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size === 1, executed)
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+  }
 }

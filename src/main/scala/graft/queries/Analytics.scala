@@ -2019,6 +2019,53 @@ object Analytics {
       |FROM ex, bounds WHERE window_end <= mx
       |GROUP BY window_end ORDER BY window_end""".stripMargin
 
+  // --- behavioral segment bitmasks: audience overlap without re-scans ---
+
+  /** Audience-overlap ("Venn") report: each user's SET of event types
+    * packed into one integer bitmask — bit i set iff the user ever did
+    * the i-th type (alphabetical type index, derived from the data so
+    * the encoding is engine-independent) — then counted per exact
+    * combination. The bitmask is the compact segment encoding behind
+    * overlap dashboards: once users carry a mask, ANY intersection /
+    * union / exclusion cardinality is a bitwise filter over this
+    * |2^types|-row table, never another pass over events.
+    *
+    * Scale (100 TB): `bit_or` is idempotent, so no pre-distinct is
+    * needed — the per-user mask is ONE map-side-combinable aggregate
+    * over raw events (the shuffle carries one long per user per task),
+    * and the venn rollup aggregates the per-user masks. The type-index
+    * table is |types| rows, broadcast.
+    */
+  def qEventSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Tables.events(spark, sfDir).select($"event_type").distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy($"event_type")) - 1).cast("long"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(types), "event_type")
+      .groupBy($"user_id")
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("mask"))
+      .groupBy($"mask")
+      .agg(count(lit(1)).as("n_users"))
+      .select($"mask", bit_count($"mask").as("n_types"), $"n_users")
+      .orderBy($"mask")
+  }
+
+  val qEventSegmentsSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |),
+      |um AS (
+      |  SELECT user_id, bit_or(1 << idx) AS mask
+      |  FROM events JOIN t USING (event_type)
+      |  GROUP BY user_id
+      |)
+      |SELECT mask, CAST(bit_count(mask) AS INTEGER) AS n_types,
+      |  count(*) AS n_users
+      |FROM um GROUP BY mask ORDER BY mask""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2316,6 +2363,7 @@ object Analytics {
     "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
     "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
+    "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

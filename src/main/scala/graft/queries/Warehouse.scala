@@ -594,8 +594,76 @@ object Warehouse {
       |FROM merged FULL OUTER JOIN total USING (day, event_type)
       |ORDER BY day, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Time-weighted average: interval-weighted mean between observations
+  // ------------------------------------------------------------------
+
+  /** Time-weighted average of each user's purchase value — the TSDB
+    * estimator for irregularly-sampled signals, where the plain mean
+    * over-weights bursts: each observation's value counts for the time
+    * until the NEXT observation (left-constant / LOCF convention, the
+    * same carry rule as [[qEventLocf]]), normalized by the user's full
+    * observed span. Users with one observation have no span and are
+    * excluded (HAVING n ≥ 2) rather than given an arbitrary
+    * denominator.
+    *
+    * Determinism: observations order by the full MICROSECOND key, but
+    * weights are gaps truncated to MILLISECONDS — not a concession,
+    * a requirement: with µs weights the decimal mass's unscaled value
+    * passes 2⁵³, where DuckDB's decimal→double cast (double(unscaled) /
+    * double(scale), two roundings) and the JVM's correctly-rounded
+    * BigDecimal cast diverge in the last ulp. At ms weights the mass
+    * stays exactly castable on both engines; the normalizer is the SAME
+    * truncated-gap sum, so twa remains a true weighted mean. Values are
+    * exact DECIMAL(11,2); only the single final division runs in double
+    * — the [[graft.queries.Analytics.qEventValueStats]] discipline.
+    *
+    * Scale (100 TB): the lead pairing and the per-user aggregate key on
+    * the SAME column, so Catalyst plans one user exchange for both;
+    * state is one window row. Never a per-gap self-join.
+    */
+  def qEventTwa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        $"value".cast(DecimalType(11, 2)).as("v"),
+        unix_micros($"ts").as("tu"))
+      .withColumn("gap_ms", expr("(lead(tu, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY tu, event_id) - tu) div 1000"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        (max($"tu") - min($"tu")).as("span_us"),
+        (sum($"v" * $"gap_ms").cast("double") /
+          sum($"gap_ms").cast("double")).as("twa"),
+        sum($"gap_ms").as("den_ms"))
+      .filter($"n_obs" >= 2 && $"den_ms" > 0)
+      .drop("den_ms")
+      .orderBy($"user_id")
+  }
+
+  val qEventTwaSql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(11,2)) AS v,
+      |    epoch_us(ts) AS tu
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |d AS (
+      |  SELECT user_id, v, tu,
+      |    (lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) - tu) // 1000
+      |      AS gap_ms
+      |  FROM u
+      |)
+      |SELECT user_id, count(*) AS n_obs,
+      |  CAST(max(tu) - min(tu) AS BIGINT) AS span_us,
+      |  CAST(sum(v * gap_ms) AS DOUBLE) / CAST(sum(gap_ms) AS DOUBLE) AS twa
+      |FROM d GROUP BY user_id
+      |HAVING count(*) >= 2 AND sum(gap_ms) > 0
+      |ORDER BY user_id""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
+    "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
     "q_scd2_customer" -> ((qScd2Customer _, qScd2CustomerSql)),
     "q_table_diff_customer" -> ((qTableDiffCustomer _, qTableDiffCustomerSql)),
     "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql)),

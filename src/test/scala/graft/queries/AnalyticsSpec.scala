@@ -425,6 +425,26 @@ class AnalyticsSpec extends SparkSuite {
     for (e <- (lo + 6) to hi) assert(out(e)._1 >= daily(e))
   }
 
+  test("segments: venn counts match a local mask replay and conserve users") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventSegments(spark, sf).collect()
+      .map(r => r.getAs[Long]("mask") ->
+        (r.getAs[Int]("n_types"), r.getAs[Long]("n_users"))).toMap
+    val raw = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val idx = raw.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val masks = raw.groupBy(_._1).view
+      .mapValues(_.map(e => 1L << idx(e._2)).reduce(_ | _)).toMap
+    val venn = masks.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.keySet === venn.keySet)
+    venn.foreach { case (m, n) =>
+      assert(out(m)._2 === n)
+      assert(out(m)._1 === java.lang.Long.bitCount(m))
+    }
+    assert(out.values.map(_._2).sum === masks.size.toLong) // every user in exactly one cell
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

@@ -11,6 +11,42 @@ import graft.model.Tables
   */
 class WarehouseSpec extends SparkSuite {
 
+  test("twa: matches a local interval-weighted replay; bounded by observed extremes") {
+    val out = Warehouse.qEventTwa(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("span_us"), r.getAs[Double]("twa"))).toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getAs[Long]("event_id"),
+          BigDecimal(r.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+    val local = raw.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 2 &&
+          { val s = rows.sortBy(r => (r._2, r._3))
+            s.zip(s.tail).map { case (a, b) => (b._2 - a._2) / 1000 }.sum > 0 } =>
+        val s = rows.sortBy(r => (r._2, r._3))
+        val span = s.last._2 - s.head._2
+        val gaps = s.zip(s.tail).map { case (a, b) => (b._2 - a._2) / 1000 }
+        val mass = s.zip(gaps).map { case (a, g) => a._4 * BigDecimal(g) }.sum
+        u -> (rows.length.toLong, span, mass.toDouble / gaps.sum.toDouble)
+    }
+    assert(out.keySet === local.keySet)
+    local.foreach { case (u, (n, span, twa)) =>
+      assert(out(u)._1 === n)
+      assert(out(u)._2 === span)
+      assert(math.abs(out(u)._3 - twa) < 1e-9, s"user $u")
+      // a weighted mean stays inside the observed value envelope
+      val vs = raw.filter(_._1 == u).map(_._4.toDouble)
+      assert(out(u)._3 >= vs.min - 1e-9 && out(u)._3 <= vs.max + 1e-9)
+    }
+  }
+
   test("locf: matches a local per-user forward scan") {
     val out = Warehouse.qEventLocf(spark, sf).collect()
     // local recompute: per user ordered by (ts micros, event_id), carry

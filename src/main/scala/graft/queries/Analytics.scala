@@ -2066,6 +2066,65 @@ object Analytics {
       |  count(*) AS n_users
       |FROM um GROUP BY mask ORDER BY mask""".stripMargin
 
+  // --- chi-square contingency: is event type independent of weekday? ---
+
+  /** Pearson chi-square contingency audit of event_type × ISO weekday —
+    * the independence test behind "does behavior differ by day?"
+    * dashboards and drift alarms (the categorical complement of
+    * [[graft.etl.Quality.qEventDrift]]'s value histograms). Emitted
+    * PER CELL — observed count, expected count under independence
+    * (row·col/N), and the cell's χ² contribution — because the global
+    * statistic is a sum of doubles whose partition order an engine is
+    * free to choose: per-cell values are each ONE fixed-shape double
+    * expression over exact integer margins (correctly rounded, so
+    * hash-identical cross-engine), and consumers sum the 35 cells
+    * client-side (AnalyticsSpec does, against a local replay).
+    *
+    * Scale (100 TB): one partially-aggregated corpus scan down to the
+    * |types|×7 cell table; margins are window sums OVER THAT tiny
+    * frame. The single-partition total window touches 35 rows, never
+    * the corpus.
+    */
+  def qEventTypeDowChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy($"event_type", expr("weekday(ts) + 1").cast("int").as("isodow"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("r", sum($"o").over(Window.partitionBy($"event_type")))
+      .withColumn("c", sum($"o").over(Window.partitionBy($"isodow")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .select($"event_type", $"isodow", $"o",
+        (($"r".cast("double") * $"c".cast("double")) / $"n".cast("double"))
+          .as("expected"))
+    m.select($"event_type", $"isodow", $"o", $"expected",
+        (($"o".cast("double") - $"expected") * ($"o".cast("double") - $"expected") /
+          $"expected").as("chi2_contrib"))
+      .orderBy($"event_type", $"isodow")
+  }
+
+  val qEventTypeDowChisqSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow, count(*) AS o
+      |  FROM events GROUP BY event_type, isodow
+      |),
+      |m AS (
+      |  SELECT event_type, isodow, o,
+      |    sum(o) OVER (PARTITION BY event_type) AS r,
+      |    sum(o) OVER (PARTITION BY isodow) AS c,
+      |    sum(o) OVER () AS n
+      |  FROM cells
+      |),
+      |e AS (
+      |  SELECT event_type, isodow, o,
+      |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE) AS expected
+      |  FROM m
+      |)
+      |SELECT event_type, isodow, o, expected,
+      |  (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected) / expected
+      |    AS chi2_contrib
+      |FROM e ORDER BY event_type, isodow""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2364,6 +2423,7 @@ object Analytics {
     "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
+    "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

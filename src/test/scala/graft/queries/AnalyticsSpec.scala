@@ -445,6 +445,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.values.map(_._2).sum === masks.size.toLong) // every user in exactly one cell
   }
 
+  test("chisq: cells match a local contingency replay; margins consistent") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventTypeDowChisq(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("isodow")) ->
+        (r.getAs[Long]("o"), r.getAs[Double]("expected"), r.getAs[Double]("chi2_contrib")))
+      .toMap
+    val raw = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map { r =>
+        // TZ-free ISO weekday from epoch days (1970-01-01 = Thursday = 4)
+        val dn = Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 86400000L)
+        (r.getAs[String]("event_type"), (Math.floorMod(dn + 3, 7) + 1).toInt)
+      }
+    val local = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.keySet === local.keySet)
+    val n = raw.length.toDouble
+    val rowT = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    local.foreach { case (k @ (t, d), o) =>
+      val e = rowT(t).toDouble * colT(d).toDouble / n
+      assert(out(k)._1 === o)
+      assert(math.abs(out(k)._2 - e) < 1e-9 * e, s"cell $k")
+      val contrib = (o.toDouble - out(k)._2) * (o.toDouble - out(k)._2) / out(k)._2
+      assert(out(k)._3 === contrib, s"cell $k")
+    }
+    // margins: expected counts sum back to N, observed conserve the corpus
+    assert(out.values.map(_._1).sum === raw.length.toLong)
+    assert(math.abs(out.values.map(_._2).sum - n) < 1e-6 * n)
+  }
+
   test("journeys: top-20 trigram paths match a local ordered replay") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventJourneys(spark, sf).collect()

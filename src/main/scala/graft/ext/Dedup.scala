@@ -1060,4 +1060,133 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE 8 * common >= 3 * (sa.n + sb.n)
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Asymmetric containment join: excerpt / quote-inclusion dedup
+  // ------------------------------------------------------------------
+
+  /** CONTAINMENT near-dup join: pairs where the smaller doc's shingle set
+    * is ≥ 4/5 inside the other's — C(A,B) = |S_A ∩ S_B| / min(|S_A|,|S_B|).
+    * The duplication mode symmetric Jaccard is BLIND to: an excerpt
+    * carrying 40% of its source scores J ≈ 0.4 (under every threshold in
+    * [[qDocMinhashPairs]]/[[qDocSimJoinPrefix]]) yet is pure duplicated
+    * text — quote inclusion, article + its lead paragraph, page + its
+    * snippet. A curation pipeline that only runs symmetric dedup keeps
+    * both copies.
+    *
+    * Candidates by ONE-SIDED prefix filtering: if the smaller set A has
+    * common ≥ ⌈4|A|/5⌉ elements inside B, then A's df-ascending prefix of
+    * |A| − ⌈4|A|/5⌉ + 1 elements must hit B's FULL set (at most |A| −
+    * common < the prefix length of A's elements miss B). So every doc's
+    * prefix probes every doc's full postings — an equi-join whose fan-out
+    * is bounded by the df of PREFIX elements, which df-ascending ordering
+    * makes the doc's rarest (a rare probe against full postings is small
+    * by the definition of rare). Exact: no recall loss, like E114 and
+    * unlike banding. Thresholds all integer (⌈4n/5⌉ = (4n+4) div 5;
+    * verify gate 5·common ≥ 4·min(na,nb)); the reported containment and
+    * jaccard divide once each, after the decision.
+    *
+    * Fixture: every 11th doc re-appears (id+400000) as an excerpt of its
+    * first max(⌊2n/5⌋, 3) tokens — an excerpt's 3-shingles are a strict
+    * subset of its source's, so true containment-1.0 pairs provably exist
+    * at every SF while their Jaccard stays far below the symmetric
+    * thresholds (NewOpsSpec pins both facts).
+    *
+    * Scale (100 TB): same skeleton as [[qDocSimJoinPrefix]] — int64
+    * shingle hashes through every shuffle, df ordering = one element agg
+    * + one doc window, verification touches candidates only. The honest
+    * hazard is shared with every prefix scheme: a corpus whose PREFIX
+    * elements are themselves high-df (pathological boilerplate) fattens
+    * the probe join; the [[maxBandBucket]]-style posting cap is the
+    * standard mitigation and composes here unchanged (cap the full-posting
+    * side per token before the join; not applied at harness scale).
+    */
+  def qDocContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("toks", split(col("text"), " "))
+        .select((col("doc_id") + 400000).as("doc_id"),
+          expr("concat_ws(' ', slice(toks, 1, greatest((2 * size(toks)) div 5, 3)))")
+            .as("text")))
+    val toks = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(hashSetExpr)).as("tok"))
+      .persist()
+    toks.count() // eager: probe, index and verify branches all consume it
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tdf"), col("tok"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefix = toks.join(dfTab, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
+      .filter(col("rk") <= col("nt") - expr("(4 * nt + 4) div 5") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(5) * col("common") >= lit(4) * least(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        (col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDocContainmentSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest((2 * len(string_split(text, ' '))) // 5, 3)), ' ')
+      |  FROM documents WHERE doc_id % 11 = 0
+      |),
+      |toks AS (
+      |  SELECT doc_id, unnest($hashSetSqlExpr) AS tok FROM corpus
+      |),
+      |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
+      |prefix AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT t.doc_id, t.tok,
+      |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS rk,
+      |      count(*) OVER (PARTITION BY t.doc_id) AS nt
+      |    FROM toks t JOIN dft d ON d.tok = t.tok
+      |  ) WHERE rk <= nt - ((4 * nt + 4) // 5) + 1
+      |),
+      |cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |    greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM prefix a JOIN toks b
+      |    ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |com AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.doc_a
+      |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+      |  CAST(common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM com
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 5 * common >= 4 * least(sa.n, sb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -19,6 +19,7 @@ object LlmQueries {
     "q_doc_vocab_coverage" -> ((TextOps.qDocVocabCoverage _, TextOps.qDocVocabCoverageSql)),
     "q_doc_heavy_hitters" -> ((TextOps.qDocHeavyHitters _, TextOps.qDocHeavyHittersSql)),
     "q_doc_sim_join_prefix" -> ((Dedup.qDocSimJoinPrefix _, Dedup.qDocSimJoinPrefixSql)),
+    "q_doc_containment" -> ((Dedup.qDocContainment _, Dedup.qDocContainmentSql)),
     "q_doc_bigram_lm" -> ((TextOps.qDocBigramLm _, TextOps.qDocBigramLmSql)),
     "q_doc_tfidf" -> ((TextOps.qDocTfidf _, TextOps.qDocTfidfSql)),
     "q_doc_postings" -> ((TextOps.qDocPostings _, TextOps.qDocPostingsSql)),

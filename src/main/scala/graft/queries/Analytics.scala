@@ -2125,6 +2125,101 @@ object Analytics {
       |    AS chi2_contrib
       |FROM e ORDER BY event_type, isodow""".stripMargin
 
+  // --- Peak concurrency: sweep-line max over open interval counts ---
+
+  /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
+    * continuous-time maximum of "how many intervals are open right now",
+    * which no frame-aligned window ([[qEventHopWindow]]) can express: the
+    * peak can fall between any two frame edges. Classic sweep line,
+    * relationalized: each event opens an interval [s, s+1800) in epoch
+    * seconds; intervals emit a +1 marker at open and a −1 at close, an
+    * interval crossing midnight re-opens (+1) at the next midnight so
+    * every day's sweep is SELF-CONTAINED; markers collapse to one net
+    * delta per (day, second); the running prefix sum of net deltas ordered
+    * by second is the concurrency level, and its per-day max is the peak.
+    * Collapsing per second keeps the half-open semantics exact: within one
+    * second closes apply before opens, so the level attained there is
+    * max(prev, prev+net) — both prefixes the window emits. All integer,
+    * hash-exact cross-engine.
+    *
+    * Scale (100 TB): the marker explode is a bounded ×(2..3) narrow map;
+    * the (day, second) collapse partial-aggregates map-side, so the first
+    * exchange carries ≤ 86 400 rows per day REGARDLESS of corpus size —
+    * that pre-shrink is what makes the per-day sweep window safe (its
+    * day-keyed partition sorts a bounded frame, not the corpus; contrast
+    * [[qEventGlobalRunning]], whose two-phase offsets solve the unbounded
+    * per-key case). The final day agg reuses the window's partitioning.
+    *
+    * Output per day: peak concurrency and the number of intervals open at
+    * any point during the day (started in-day or carried over midnight).
+    */
+  def qEventPeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("e", $"s" + lit(1800L))
+    // the close marker lives in the day of the interval's LAST OPEN second,
+    // (e-1) div 86400 — placing it by e's day would, for an interval ending
+    // exactly at midnight, put an unbalanced −1 into a day the interval
+    // never touches (half-open [s, e) is closed at the midnight instant)
+    val markers = iv.select(explode(expr(
+      """filter(array(
+        |  struct(s div 86400 AS day, s AS t, 1L AS delta, 1L AS opens),
+        |  struct((e - 1) div 86400 AS day, e AS t, -1L AS delta, 0L AS opens),
+        |  IF((e - 1) div 86400 > s div 86400,
+        |     struct((e - 1) div 86400 AS day, ((e - 1) div 86400) * 86400L AS t,
+        |            1L AS delta, 1L AS opens),
+        |     NULL)), m -> m IS NOT NULL)""".stripMargin)).as("m"))
+      .select($"m.day", $"m.t", $"m.delta", $"m.opens")
+    val wSweep = Window.partitionBy($"day").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.groupBy($"day", $"t")
+      .agg(sum($"delta").as("net"), sum($"opens").as("opens"))
+      .select($"day", sum($"net").over(wSweep).as("conc"), $"opens")
+      .groupBy($"day")
+      .agg(max($"conc").as("peak_concurrency"), sum($"opens").as("n_open"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("d"),
+        $"peak_concurrency", $"n_open")
+      .orderBy($"d")
+  }
+
+  /** Oracle: the identical sweep — floor-to-second opens (flooring IS the
+    * operator's definition of the interval, not an approximation), UNION
+    * ALL markers, per-(day,second) net collapse, windowed prefix sum,
+    * per-day max. DuckDB's BIGINT sums widen to HUGEINT, so the outputs
+    * cast back (the registry-wide sum-type rule).
+    */
+  val qEventPeakConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+      |         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+      |  FROM events
+      |),
+      |m AS (
+      |  SELECT s // 86400 AS day, s AS t, CAST(1 AS BIGINT) AS delta,
+      |         CAST(1 AS BIGINT) AS opens
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT (e - 1) // 86400, e, -1, 0 FROM iv
+      |  UNION ALL
+      |  SELECT (e - 1) // 86400, ((e - 1) // 86400) * 86400, 1, 1
+      |  FROM iv WHERE (e - 1) // 86400 > s // 86400
+      |),
+      |c AS (
+      |  SELECT day, t, sum(delta) AS net, sum(opens) AS opens
+      |  FROM m GROUP BY day, t
+      |),
+      |r AS (
+      |  SELECT day, opens,
+      |    sum(net) OVER (PARTITION BY day ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM c
+      |)
+      |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS d,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+      |  CAST(sum(opens) AS BIGINT) AS n_open
+      |FROM r GROUP BY day ORDER BY d""".stripMargin
+
   // --- Q7: volume shipping between two nations (dual-direction star) ---
 
   /** TPC-H Q7 shape: bilateral trade volume between two REGIONS
@@ -2424,6 +2519,7 @@ object Analytics {
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
+    "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -463,6 +463,53 @@ class NewOpsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("containment join: equals an exhaustive local scan; catches Jaccard-blind excerpts") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val out = Dedup.qDocContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("common"), r.getAs[Double]("containment"),
+          r.getAs[Double]("jaccard"))).toMap
+    // same corpus (base docs + 2n/5-token excerpts of every 11th doc),
+    // same shingle-hash sets, then an EXHAUSTIVE local all-pairs scan —
+    // one-sided prefix filtering claims exactness, so equality, not ⊆
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("toks", split(col("text"), " "))
+        .select((col("doc_id") + 400000).as("doc_id"),
+          expr("concat_ws(' ', slice(toks, 1, greatest((2 * size(toks)) div 5, 3)))")
+            .as("text")))
+    val sets = corpus.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(Dedup.hashSetExpr).as("hs")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sets(a) & sets(b)).size.toLong
+      if 5 * c >= 4 * math.min(sets(a).size, sets(b).size)
+    } yield (a, b)).toSet
+    assert(out.keySet === expected)
+    // every excerpt is contained 1.0 in its source (its shingles are a
+    // subset of the source's), and — the operator's reason to exist —
+    // genuinely shortened excerpts sit BELOW the symmetric thresholds
+    val base = docs.select("doc_id").collect().map(_.getLong(0)).filter(_ % 11 == 0)
+    var jaccardBlind = 0
+    base.foreach { id =>
+      val key = (id, id + 400000L)
+      assert(sets(id + 400000L).subsetOf(sets(id)), s"excerpt $id not a subset")
+      assert(out.contains(key), key)
+      assert(out(key)._2 === 1.0, s"containment of $key")
+      if (out(key)._3 < Dedup.jaccardThreshold) jaccardBlind += 1
+    }
+    assert(jaccardBlind > 0, "no pair demonstrates the symmetric-Jaccard blind spot")
+    // candidate generation is equi-join only
+    val p = Dedup.qDocContainment(spark, sf).queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cluster reps: the elected representative is the best-quality member") {
     import org.apache.spark.sql.functions.col
     val reps = Dedup.qDocClusterReps(spark, sf).collect()

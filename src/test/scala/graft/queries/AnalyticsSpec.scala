@@ -445,6 +445,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.values.map(_._2).sum === masks.size.toLong) // every user in exactly one cell
   }
 
+  test("peak concurrency: per-day max matches a brute-force live count") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventPeakConcurrency(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_open"))).toMap
+    // independent replay from the DEFINITION, not the sweep: interval
+    // [s, s+1800); live(t) = #{i: s_i <= t < e_i}; a day's peak is
+    // attained at an in-day open or at midnight (level only rises there)
+    val iv = graft.model.Tables.events(spark, sf).select(col("ts")).collect()
+      .map { r =>
+        val s = Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L)
+        (s, s + 1800L)
+      }
+    def live(t: Long): Long = iv.count { case (s, e) => s <= t && t < e }.toLong
+    val expected = iv.flatMap { case (s, e) =>
+      val ds = Math.floorDiv(s, 86400L); val dc = Math.floorDiv(e - 1, 86400L)
+      if (dc > ds) Seq(ds, dc) else Seq(ds)
+    }.distinct.sorted.map { d =>
+      val starts = iv.map(_._1).filter(t => Math.floorDiv(t, 86400L) == d)
+      val candidates = (d * 86400L) +: starts
+      val opens = iv.count { case (s, e) =>
+        Math.floorDiv(s, 86400L) == d ||
+          (Math.floorDiv(e - 1, 86400L) == d && Math.floorDiv(s, 86400L) < d)
+      }.toLong
+      d -> (candidates.map(live).max, opens)
+    }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty && out.values.forall { case (p, o) => p >= 1 && p <= o })
+  }
+
   test("chisq: cells match a local contingency replay; margins consistent") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventTypeDowChisq(spark, sf).collect()

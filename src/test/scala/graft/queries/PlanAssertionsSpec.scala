@@ -341,4 +341,18 @@ class PlanAssertionsSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(executed).size === 1, executed)
     assert(!executed.contains("Exchange SinglePartition"), executed)
   }
+
+  test("peak concurrency: marker collapse partial-aggregates before any exchange; one sweep window") {
+    val qe = Analytics.qEventPeakConcurrency(spark, sf).queryExecution
+    val executed = qe.executedPlan.toString
+    // the (day, second) collapse must combine map-side so the first
+    // exchange carries <= 86400 rows/day, not 3x the corpus; the per-day
+    // sweep is ONE window; the day agg reuses the window's partitioning
+    // (two hash exchanges total: (day,t) collapse + day sweep)
+    assert(executed.contains("partial"), executed)
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size <= 2, executed)
+    assert("Window".r.findAllIn(qe.sparkPlan.toString).size === 1, executed)
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
 }

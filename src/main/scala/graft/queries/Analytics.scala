@@ -2153,16 +2153,21 @@ object Analytics {
     * Output per day: peak concurrency and the number of intervals open at
     * any point during the day (started in-day or carried over midnight).
     */
-  def qEventPeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Collapsed sweep markers for the 30-min visit intervals: one row per
+    * (day, second) with the net open/close delta and the count of interval
+    * opens (in-day starts + midnight carries) at that second. Shared by
+    * [[qEventPeakConcurrency]] and [[qEventCoverage]]. The close marker
+    * lives in the day of the interval's LAST OPEN second, (e−1) div 86400 —
+    * placing it by e's day would, for an interval ending exactly at
+    * midnight, put an unbalanced −1 into a day the interval never touches
+    * (half-open [s, e) is closed at the midnight instant).
+    */
+  private def sweepMarkers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val iv = Tables.events(spark, sfDir)
       .select(expr("unix_micros(ts) div 1000000").as("s"))
       .withColumn("e", $"s" + lit(1800L))
-    // the close marker lives in the day of the interval's LAST OPEN second,
-    // (e-1) div 86400 — placing it by e's day would, for an interval ending
-    // exactly at midnight, put an unbalanced −1 into a day the interval
-    // never touches (half-open [s, e) is closed at the midnight instant)
-    val markers = iv.select(explode(expr(
+    iv.select(explode(expr(
       """filter(array(
         |  struct(s div 86400 AS day, s AS t, 1L AS delta, 1L AS opens),
         |  struct((e - 1) div 86400 AS day, e AS t, -1L AS delta, 0L AS opens),
@@ -2171,10 +2176,15 @@ object Analytics {
         |            1L AS delta, 1L AS opens),
         |     NULL)), m -> m IS NOT NULL)""".stripMargin)).as("m"))
       .select($"m.day", $"m.t", $"m.delta", $"m.opens")
+      .groupBy($"day", $"t")
+      .agg(sum($"delta").as("net"), sum($"opens").as("opens"))
+  }
+
+  def qEventPeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val wSweep = Window.partitionBy($"day").orderBy($"t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    markers.groupBy($"day", $"t")
-      .agg(sum($"delta").as("net"), sum($"opens").as("opens"))
+    sweepMarkers(spark, sfDir)
       .select($"day", sum($"net").over(wSweep).as("conc"), $"opens")
       .groupBy($"day")
       .agg(max($"conc").as("peak_concurrency"), sum($"opens").as("n_open"))
@@ -2189,8 +2199,11 @@ object Analytics {
     * per-day max. DuckDB's BIGINT sums widen to HUGEINT, so the outputs
     * cast back (the registry-wide sum-type rule).
     */
-  val qEventPeakConcurrencySql: String =
-    """WITH iv AS (
+  /** Shared oracle CTEs mirroring [[sweepMarkers]] — both sweep oracles
+    * compose these so the marker semantics cannot drift between them.
+    */
+  private val sweepCteSql: String =
+    """iv AS (
       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
       |         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
       |  FROM events
@@ -2208,7 +2221,10 @@ object Analytics {
       |c AS (
       |  SELECT day, t, sum(delta) AS net, sum(opens) AS opens
       |  FROM m GROUP BY day, t
-      |),
+      |)""".stripMargin
+
+  val qEventPeakConcurrencySql: String =
+    s"""WITH $sweepCteSql,
       |r AS (
       |  SELECT day, opens,
       |    sum(net) OVER (PARTITION BY day ORDER BY t
@@ -2218,6 +2234,60 @@ object Analytics {
       |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS d,
       |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
       |  CAST(sum(opens) AS BIGINT) AS n_open
+      |FROM r GROUP BY day ORDER BY d""".stripMargin
+
+  /** Daily COVERAGE — seconds of the day covered by ≥1 open interval (the
+    * union length of the 30-min visit windows): "busy time", the
+    * concurrency-DEDUPLICATED utilization a billing or capacity dashboard
+    * wants where raw `count·1800` double-counts overlap. Same collapsed
+    * sweep as [[qEventPeakConcurrency]]; a covered stretch is a marker gap
+    * whose running level is positive, so coverage = Σ (next_t − t) over
+    * rows with conc > 0, the last gap closing at midnight (an interval
+    * still open there carries to the next day's midnight marker). The
+    * running sum and the lead ride ONE day-keyed exchange and sort (offset
+    * frame ≠ aggregate frame, so Spark plans two Window operators — but
+    * zero extra exchanges; plan-asserted). All integer until the one
+    * utilization division.
+    *
+    * Scale (100 TB): identical to the peak sweep — the (day, second)
+    * collapse bounds everything downstream at ≤ 86 400 rows/day.
+    */
+  def qEventCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"day").orderBy($"t")
+    val wSweep = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweepMarkers(spark, sfDir)
+      .select($"day", $"t",
+        sum($"net").over(wSweep).as("conc"),
+        lead($"t", 1).over(wOrd).as("nxt"))
+      .select($"day",
+        when($"conc" > 0,
+          coalesce($"nxt", ($"day" + 1) * 86400L) - $"t").otherwise(0L)
+          .as("covered"))
+      .groupBy($"day")
+      .agg(sum($"covered").as("covered_sec"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("d"),
+        $"covered_sec",
+        ($"covered_sec".cast("double") / 86400.0d).as("busy_ratio"))
+      .orderBy($"d")
+  }
+
+  val qEventCoverageSql: String =
+    s"""WITH $sweepCteSql,
+      |r AS (
+      |  SELECT day, t,
+      |    sum(net) OVER (PARTITION BY day ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+      |    lead(t, 1) OVER (PARTITION BY day ORDER BY t) AS nxt
+      |  FROM c
+      |)
+      |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS d,
+      |  CAST(sum(CASE WHEN conc > 0
+      |    THEN coalesce(nxt, (day + 1) * 86400) - t ELSE 0 END) AS BIGINT)
+      |    AS covered_sec,
+      |  CAST(sum(CASE WHEN conc > 0
+      |    THEN coalesce(nxt, (day + 1) * 86400) - t ELSE 0 END) AS DOUBLE)
+      |    / 86400 AS busy_ratio
       |FROM r GROUP BY day ORDER BY d""".stripMargin
 
   // --- Q7: volume shipping between two nations (dual-direction star) ---
@@ -2520,6 +2590,7 @@ object Analytics {
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
+    "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -475,6 +475,41 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.nonEmpty && out.values.forall { case (p, o) => p >= 1 && p <= o })
   }
 
+  test("coverage: per-day union length matches a local interval-merge replay") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventCoverage(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("covered_sec"), r.getAs[Double]("busy_ratio"))).toMap
+    // independent replay: clip intervals to the day, sort, MERGE overlaps,
+    // sum merged lengths — interval merging, not a sweep
+    val iv = graft.model.Tables.events(spark, sf).select(col("ts")).collect()
+      .map { r =>
+        val s = Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L)
+        (s, s + 1800L)
+      }
+    val expected = iv.flatMap { case (s, e) =>
+      val ds = Math.floorDiv(s, 86400L); val dc = Math.floorDiv(e - 1, 86400L)
+      if (dc > ds) Seq(ds, dc) else Seq(ds)
+    }.distinct.sorted.map { d =>
+      val lo = d * 86400L; val hi = lo + 86400L
+      val clipped = iv.map { case (s, e) => (math.max(s, lo), math.min(e, hi)) }
+        .filter { case (s, e) => s < e }.sorted
+      var covered = 0L; var curS = -1L; var curE = -1L
+      clipped.foreach { case (s, e) =>
+        if (curE < 0 || s > curE) { if (curE >= 0) covered += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE >= 0) covered += curE - curS
+      d -> covered
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (d, cov) =>
+      assert(out(d)._1 === cov, s"day $d")
+      assert(out(d)._1 <= 86400L)
+      assert(out(d)._2 === cov.toDouble / 86400.0)
+    }
+  }
+
   test("chisq: cells match a local contingency replay; margins consistent") {
     import org.apache.spark.sql.functions.col
     val out = Analytics.qEventTypeDowChisq(spark, sf).collect()

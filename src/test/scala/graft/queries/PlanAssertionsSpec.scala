@@ -355,4 +355,16 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!executed.contains("Exchange SinglePartition"), executed)
     assert(!executed.contains("CartesianProduct"), executed)
   }
+
+  test("coverage: running sum and lead share the day exchange — no third shuffle, one sort") {
+    val executed = Analytics.qEventCoverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    // offset frame (lead) and aggregate frame (running sum) plan as two
+    // Window operators, but both ride ONE day-keyed exchange and ONE sort:
+    // same 2-exchange budget as the peak sweep
+    assert(executed.contains("partial"), executed)
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size <= 2, executed)
+    assert("\\bSort\\b".r.findAllIn(executed).size <= 2, executed) // window sort + final orderBy
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+  }
 }

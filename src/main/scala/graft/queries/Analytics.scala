@@ -2162,11 +2162,13 @@ object Analytics {
     * midnight, put an unbalanced −1 into a day the interval never touches
     * (half-open [s, e) is closed at the midnight instant).
     */
-  private def sweepMarkers(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val iv = Tables.events(spark, sfDir)
-      .select(expr("unix_micros(ts) div 1000000").as("s"))
-      .withColumn("e", $"s" + lit(1800L))
+  /** Collapsed ±1 sweep markers for an arbitrary (s, e) interval frame
+    * (epoch seconds, half-open, each interval crossing AT MOST one
+    * midnight — one re-open marker; a multi-day generalization would
+    * explode one carry per crossed day). See [[sweepMarkers]] for the
+    * marker-placement reasoning.
+    */
+  private[graft] def sweepMarkersOf(iv: DataFrame): DataFrame =
     iv.select(explode(expr(
       """filter(array(
         |  struct(s div 86400 AS day, s AS t, 1L AS delta, 1L AS opens),
@@ -2175,19 +2177,37 @@ object Analytics {
         |     struct((e - 1) div 86400 AS day, ((e - 1) div 86400) * 86400L AS t,
         |            1L AS delta, 1L AS opens),
         |     NULL)), m -> m IS NOT NULL)""".stripMargin)).as("m"))
-      .select($"m.day", $"m.t", $"m.delta", $"m.opens")
-      .groupBy($"day", $"t")
-      .agg(sum($"delta").as("net"), sum($"opens").as("opens"))
+      .select(col("m.day").as("day"), col("m.t").as("t"),
+        col("m.delta").as("delta"), col("m.opens").as("opens"))
+      .groupBy(col("day"), col("t"))
+      .agg(sum(col("delta")).as("net"), sum(col("opens")).as("opens"))
+
+  private def sweepMarkers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sweepMarkersOf(Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("e", $"s" + lit(1800L)))
+  }
+
+  /** Interval-generic peak-concurrency kernel over an (s, e) epoch-second
+    * frame (half-open [s, e)) → (day, peak_concurrency, n_open).
+    * PropertiesSpec checks it against a brute-force live count on random
+    * interval sets including midnight-crossers and exact-midnight ends.
+    */
+  private[graft] def peakConcurrencyOf(iv: DataFrame): DataFrame = {
+    val wSweep = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweepMarkersOf(iv)
+      .select(col("day"), sum(col("net")).over(wSweep).as("conc"), col("opens"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"), sum(col("opens")).as("n_open"))
   }
 
   def qEventPeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wSweep = Window.partitionBy($"day").orderBy($"t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sweepMarkers(spark, sfDir)
-      .select($"day", sum($"net").over(wSweep).as("conc"), $"opens")
-      .groupBy($"day")
-      .agg(max($"conc").as("peak_concurrency"), sum($"opens").as("n_open"))
+    peakConcurrencyOf(Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("e", $"s" + lit(1800L)))
       .select(expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("d"),
         $"peak_concurrency", $"n_open")
       .orderBy($"d")
@@ -2252,20 +2272,29 @@ object Analytics {
     * Scale (100 TB): identical to the peak sweep — the (day, second)
     * collapse bounds everything downstream at ≤ 86 400 rows/day.
     */
+  /** Interval-generic coverage kernel over an (s, e) epoch-second frame →
+    * (day, covered_sec). Property-tested alongside [[peakConcurrencyOf]].
+    */
+  private[graft] def coverageOf(iv: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("day")).orderBy(col("t"))
+    val wSweep = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweepMarkersOf(iv)
+      .select(col("day"), col("t"),
+        sum(col("net")).over(wSweep).as("conc"),
+        lead(col("t"), 1).over(wOrd).as("nxt"))
+      .select(col("day"),
+        when(col("conc") > 0,
+          coalesce(col("nxt"), (col("day") + 1) * 86400L) - col("t")).otherwise(0L)
+          .as("covered"))
+      .groupBy(col("day"))
+      .agg(sum(col("covered")).as("covered_sec"))
+  }
+
   def qEventCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wOrd = Window.partitionBy($"day").orderBy($"t")
-    val wSweep = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sweepMarkers(spark, sfDir)
-      .select($"day", $"t",
-        sum($"net").over(wSweep).as("conc"),
-        lead($"t", 1).over(wOrd).as("nxt"))
-      .select($"day",
-        when($"conc" > 0,
-          coalesce($"nxt", ($"day" + 1) * 86400L) - $"t").otherwise(0L)
-          .as("covered"))
-      .groupBy($"day")
-      .agg(sum($"covered").as("covered_sec"))
+    coverageOf(Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("e", $"s" + lit(1800L)))
       .select(expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("d"),
         $"covered_sec",
         ($"covered_sec".cast("double") / 86400.0d).as("busy_ratio"))

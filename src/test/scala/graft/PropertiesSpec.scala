@@ -58,6 +58,51 @@ class PropertiesSpec extends SparkSuite {
     }, n = 8)
   }
 
+  test("sweep kernels equal brute force on random intervals incl. midnight edges") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 3-day universe; half the lengths are uniform, half snap e EXACTLY to
+    // the next midnight — the marker-placement edge case ((e-1) div 86400)
+    val genIv: Gen[List[(Long, Long)]] = Gen.choose(1, 20).flatMap(k =>
+      Gen.listOfN(k, for {
+        s <- Gen.choose(0L, 3L * 86400L - 1)
+        len <- Gen.oneOf(Gen.choose(1L, 5000L), Gen.const(86400L - s % 86400L))
+      } yield (s, s + len)))
+    check("sweep≡brute", Prop.forAll(genIv) { iv =>
+      val df = iv.toDF("s", "e")
+      val peak = graft.queries.Analytics.peakConcurrencyOf(df).collect()
+        .map(r => r.getAs[Long]("day") ->
+          (r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_open"))).toMap
+      val cov = graft.queries.Analytics.coverageOf(df).collect()
+        .map(r => r.getAs[Long]("day") -> r.getAs[Long]("covered_sec")).toMap
+      def live(t: Long) = iv.count { case (s, e) => s <= t && t < e }.toLong
+      val days = iv.flatMap { case (s, e) =>
+        val ds = Math.floorDiv(s, 86400L); val dc = Math.floorDiv(e - 1, 86400L)
+        if (dc > ds) Seq(ds, dc) else Seq(ds)
+      }.distinct
+      val expected = days.map { d =>
+        val lo = d * 86400L; val hi = lo + 86400L
+        val starts = iv.map(_._1).filter(t => Math.floorDiv(t, 86400L) == d)
+        val pk = (lo +: starts).map(live).max
+        val opens = iv.count { case (s, e) =>
+          Math.floorDiv(s, 86400L) == d ||
+            (Math.floorDiv(e - 1, 86400L) == d && Math.floorDiv(s, 86400L) < d)
+        }.toLong
+        val clipped = iv.map { case (s, e) => (math.max(s, lo), math.min(e, hi)) }
+          .filter { case (s, e) => s < e }.sorted
+        var covered = 0L; var cs = -1L; var ce = -1L
+        clipped.foreach { case (s, e) =>
+          if (ce < 0 || s > ce) { if (ce >= 0) covered += ce - cs; cs = s; ce = e }
+          else ce = math.max(ce, e)
+        }
+        if (ce >= 0) covered += ce - cs
+        d -> ((pk, opens), covered)
+      }.toMap
+      peak == expected.view.mapValues(_._1).toMap &&
+        cov == expected.view.mapValues(_._2).toMap
+    }, n = 15)
+  }
+
   test("distributed connected components equals local union-find on random graphs") {
     val spark0 = spark
     import spark0.implicits._

@@ -1967,6 +1967,81 @@ object Analytics {
       |         (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
       |FROM m ORDER BY event_type, lag""".stripMargin
 
+  // --- OLS daily trend: regression line + R² from exact integer moments ---
+
+  /** Per-type linear trend of daily revenue: OLS slope, intercept and R²
+    * of the (day-number, daily total) series — the "is this metric
+    * growing" primitive behind every dashboard sparkline, and the
+    * regression member missing from the exact-moment family
+    * ([[qEventValueStats]] mean/stddev/corr, [[qEventAcf]]
+    * autocorrelation). Determinism discipline goes one step further
+    * than ACF: the daily totals are floored to integer CENTS and the
+    * day numbers centered on the corpus min-day (a 1-row broadcast), so
+    * every OLS moment (n, Σx, Σx², Σy, Σxy, Σy²) is an exact BIGINT —
+    * int64→double conversion is single-rounding IEEE in every engine at
+    * ANY magnitude, unlike decimal→double which DuckDB rounds twice
+    * past 2⁵³ unscaled (the E136 trap). The closing slope / intercept /
+    * R² formulas are fixed-shape double expressions over those exact
+    * integers, so the hash matches cross-engine at any parallelism.
+    *
+    * Scale (100 TB): identical profile to [[qEventAcf]] — the corpus
+    * collapses to |types|×|days| daily points in ONE partially-
+    * aggregated shuffle; centering rides a broadcast 1-row min; the
+    * moment aggregation runs on the metadata-sized series. Centering
+    * is also what keeps the integer moments in int64 at century-long
+    * histories: x is days-since-first-day, not epoch days.
+    */
+  def qEventTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+    val mn = daily.agg(min($"dn").as("mn"))
+    val pts = daily.crossJoin(broadcast(mn))
+      .select($"event_type", ($"dn" - $"mn").as("x"),
+        floor($"v" * 100).cast("long").as("y"))
+    val m = pts.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+      sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+      sum($"y" * $"y").as("syy"))
+    // exact-int64 differences, cast ONCE to double; slope in cents/day
+    val det = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val syDet = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    m.select($"event_type", $"n".as("n_days"),
+        (num / det).as("slope_cents"),
+        (($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") / det).as("intercept_cents"),
+        (num * num / (det * syDet)).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  val qEventTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |mn AS (SELECT min(dn) AS mn FROM daily),
+      |pts AS (
+      |  SELECT event_type, dn - mn AS x, CAST(floor(v * 100) AS BIGINT) AS y
+      |  FROM daily, mn
+      |),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pts GROUP BY event_type
+      |)
+      |SELECT event_type, n AS n_days,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+      |  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents,
+      |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) /
+      |    (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+      |FROM m ORDER BY event_type""".stripMargin
+
   // --- rolling 7-day distinct actives (WAU): explode, don't window ---
 
   /** Trailing-7-day distinct active users per day — WAU, the metric
@@ -2615,6 +2690,7 @@ object Analytics {
     "q_event_journeys" -> ((qEventJourneys _, qEventJourneysSql)),
     "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
     "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
+    "q_event_trend" -> ((qEventTrend _, qEventTrendSql)),
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),

@@ -562,6 +562,44 @@ class AnalyticsSpec extends SparkSuite {
     out.foreach { case (k, n, share) => assert(share === n.toDouble / total, k) }
   }
 
+  test("trend: matches a local exact-integer-moment OLS; r2 in [0,1]") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, sum, to_date}
+    val out = Analytics.qEventTrend(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("slope_cents"),
+          r.getAs[Double]("intercept_cents"), r.getAs[Double]("r2"))).toMap
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn"),
+        r.getAs[java.math.BigDecimal]("v")))
+    val mn = daily.map(_._2).min
+    val byType = daily.groupBy(_._1)
+    assert(out.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      // same integer moments the query builds: x centered, y floored cents
+      val pts = rows.map { case (_, dn, v) =>
+        (dn - mn,
+          v.multiply(new java.math.BigDecimal(100))
+            .setScale(0, java.math.RoundingMode.FLOOR).longValueExact())
+      }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sxx = pts.map(p => p._1 * p._1).sum
+      val sy = pts.map(_._2).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val det = (n * sxx - sx * sx).toDouble
+      val num = (n * sxy - sx * sy).toDouble
+      val (nd, slope, icept, r2) = out(t)
+      assert(nd === n)
+      assert(slope === num / det, s"type $t") // bit-exact: same moments, same shape
+      assert(icept === (sy * sxx - sx * sxy).toDouble / det, s"type $t")
+      assert(r2 === num * num / (det * (n * syy - sy * sy).toDouble), s"type $t")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+    }
+  }
+
   test("cohort retention: offset-0 cells cover each cohort fully") {
     val out = Analytics.qEventCohortRetention(spark, sf).collect()
     assert(out.nonEmpty)

@@ -60,6 +60,7 @@ object LlmQueries {
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),
     "q_mm_sample_assembly" -> ((Multimodal.qMmSampleAssembly _, Multimodal.qMmSampleAssemblySql)),
+    "q_mm_phash_dedup" -> ((Multimodal.qMmPhashDedup _, Multimodal.qMmPhashDedupSql)),
     "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
   )
 }

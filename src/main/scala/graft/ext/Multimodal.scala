@@ -256,4 +256,100 @@ object Multimodal {
        |JOIN mm USING (doc_id)
        |LEFT JOIN embeddings e ON t.doc_id = e.vec_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Perceptual-hash near-dup: binary-code dedup for media assets
+  // ------------------------------------------------------------------
+
+  /** Max hamming distance considered "the same asset" (re-encode /
+    * resize / watermark survivors in a real pHash space).
+    */
+  val phashMaxHamming = 3
+
+  /** Perceptual-hash near-duplicate mining over the media corpus — the
+    * IMAGE/AUDIO member of the dedup family: where text near-dup compares
+    * token sets ([[graft.ext.Dedup]] MinHash/SimHash), media near-dup
+    * compares fixed-width binary codes (pHash/aHash for images,
+    * chromaprint for audio) under HAMMING distance. The decoder that
+    * would produce a real pHash is this container's stub (see class
+    * scaladoc): the 60-bit code here is the payload digest's head —
+    * uniform-random, so genuine near pairs are PLANTED as re-encodes
+    * (every 7th asset gets a twin in a disjoint id space — ids offset by
+    * a broadcast max+1, the [[graft.ext.Dedup]] injection rule — with 1-2
+    * code bits flipped at id-derived positions). The mining mechanics are
+    * the production ones and find EXACTLY the ≤ [[phashMaxHamming]]
+    * pairs.
+    *
+    * Multi-index (Minsky-style) banding: the 60-bit code splits into 4
+    * bands of 15 bits; hamming ≤ 3 can corrupt at most 3 bands, so every
+    * true pair shares AT LEAST one intact band (pigeonhole — the same
+    * exactness argument as MinHash banding, but deterministic, not
+    * probabilistic). Candidates come from ONE (band, value) equi-join —
+    * never an all-pairs hamming scan — then one narrow
+    * `bit_count(a XOR b)` pass verifies exactly.
+    *
+    * Scale (100 TB): the shuffle key is (band, 15-bit value) — 4×
+    * replication of an 8-byte code per asset, independent of media size;
+    * candidate fan-in per bucket is corpus/2¹⁵ per band (salt the band
+    * key wider for billion-asset corpora). The verify is codegen'd
+    * integer ops. This is the binary-code regime FAISS/SCANN use for
+    * web-scale image dedup.
+    */
+  def qMmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        conv(substring(sha2(col("text"), 256), 1, 15), 16, 10)
+          .cast("long").as("ph"))
+    val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+    val twins = base.filter(col("doc_id") % 7 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        expr("""ph ^ (shiftleft(1L, cast(doc_id * 13 % 60 as int)) |
+               |      shiftleft(1L, cast(doc_id * 29 % 60 as int)))""".stripMargin)
+          .as("ph"))
+    val allCodes = base.unionByName(twins)
+    val bands = allCodes
+      .select(col("doc_id"), col("ph"), explode(expr("array(0,1,2,3)")).as("b"))
+      .withColumn("bv", expr("shiftright(ph, b * 15) & 32767"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+      .filter(col("hamming") <= phashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qMmPhashDedupSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS ph
+       |  FROM documents
+       |),
+       |off AS (SELECT max(doc_id) + 1 AS off FROM base),
+       |twins AS (
+       |  SELECT doc_id + off AS doc_id,
+       |    xor(ph, (1::BIGINT << CAST(doc_id * 13 % 60 AS INTEGER)) |
+       |            (1::BIGINT << CAST(doc_id * 29 % 60 AS INTEGER))) AS ph
+       |  FROM base, off WHERE doc_id % 7 = 0
+       |),
+       |al AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+       |bands AS (
+       |  SELECT doc_id, ph, b, (ph >> (b * 15)) & 32767 AS bv
+       |  FROM al, (SELECT unnest([0,1,2,3]) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.ph AS ph_a, y.ph AS ph_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= $phashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -97,6 +97,34 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("phash dedup: banding is EXACT vs local brute-force hamming; twins all found") {
+    import org.apache.spark.sql.functions.{conv, expr, max, sha2, substring}
+    val out = Multimodal.qMmPhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val base = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        conv(substring(sha2(col("text"), 256), 1, 15), 16, 10).cast("long").as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val off = base.map(_._1).max + 1
+    val codes = base ++ base.collect { case (id, ph) if id % 7 == 0 =>
+      (id + off, ph ^ ((1L << (id * 13 % 60).toInt) | (1L << (id * 29 % 60).toInt)))
+    }
+    // exhaustive all-pairs hamming — the oracle banding must match exactly
+    val brute = (for {
+      (a, pa) <- codes; (b, pb) <- codes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= Multimodal.phashMaxHamming
+    } yield (a, b, h)).toSet
+    assert(out.toSet === brute)
+    // every planted twin pair present, at its planted distance (2 bit
+    // flips; 1 when both flip positions coincide)
+    base.filter(_._1 % 7 == 0).foreach { case (id, _) =>
+      val found = out.find(p => p._1 == id && p._2 == id + off)
+      assert(found.nonEmpty, s"twin of $id missing")
+      assert(found.get._3 === (if (id * 13 % 60 == id * 29 % 60) 1 else 2))
+    }
+    assert(out.nonEmpty)
+  }
+
   test("text stats: token invariants hold") {
     val rows = TextOps.qDocTextStats(spark, sf).collect()
     assert(rows.forall { r =>

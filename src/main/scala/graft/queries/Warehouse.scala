@@ -661,6 +661,103 @@ object Warehouse {
       |HAVING count(*) >= 2 AND sum(gap_ms) > 0
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Right-to-be-forgotten cascade erasure with audit
+  // ------------------------------------------------------------------
+
+  /** GDPR/CCPA cascade erasure audit: given an erasure-request list of
+    * customer keys (here a deterministic stand-in — every 97th key; in
+    * production the request table), delete the customers, their orders,
+    * and those orders' lineitems, and emit the per-table compliance
+    * report a data-protection officer signs off on: rows before /
+    * deleted / after, plus an orphan count proving referential closure
+    * (no surviving child row points at an erased parent). The lineitem
+    * orphan check deliberately takes the OTHER path to the deletion —
+    * retained lineitems joined through orders to the erased-customer
+    * predicate — so it validates that the two cascade routes (via the
+    * order-key list vs via the customer FK) erased identical sets.
+    *
+    * Mechanics: the erasure list and its derived order-key list ride
+    * broadcast semi/anti joins — deletion is subtraction, never a
+    * rewrite of the big table's values. Counts are 1-row aggregates
+    * cross-joined into the 3-row report.
+    *
+    * Scale (100 TB): erasure lists are small (thousands of subjects) —
+    * every cascade step is a broadcast anti/semi join, so each fact
+    * table is scanned ONCE with no shuffle; the derived order-key list
+    * is |subjects| × orders-per-customer, still broadcastable (spill to
+    * a shuffled anti join only past ~100M keys). In a lakehouse the
+    * subtraction materializes as copy-on-write of only the files whose
+    * min/max key stats intersect the list — the scan-prune layout
+    * [[graft.etl.Layout]] plans for.
+    */
+  def qGdprErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val delC = cust.filter($"c_custkey" % 97 === 0).select($"c_custkey")
+    val delO = ords.join(broadcast(delC), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey")
+    def one(name: String, before: DataFrame, deleted: DataFrame,
+            orphans: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("rows_deleted")))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphans_after")))
+        .select(lit(name).as("table_name"), $"rows_before", $"rows_deleted",
+          ($"rows_before" - $"rows_deleted").as("rows_after"), $"orphans_after")
+    // orders orphan check: retained orders still referencing an erased customer
+    val ordsOrphan = ords
+      .join(broadcast(delO), Seq("o_orderkey"), "left_anti")
+      .join(broadcast(delC), $"o_custkey" === $"c_custkey", "left_semi")
+    // lineitem orphan check via the OTHER path: retained lineitems whose
+    // order belongs to an erased customer (cross-validates the cascade)
+    val liOrphan = li
+      .join(broadcast(delO), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .join(ords.filter($"o_custkey" % 97 === 0).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+    one("customer", cust, delC, cust.limit(0))
+      .unionByName(one("orders", ords,
+        ords.join(broadcast(delC), $"o_custkey" === $"c_custkey", "left_semi"),
+        ordsOrphan))
+      .unionByName(one("lineitem", li,
+        li.join(broadcast(delO), $"l_orderkey" === $"o_orderkey", "left_semi"),
+        liOrphan))
+      .orderBy($"table_name")
+  }
+
+  val qGdprErasureSql: String =
+    """WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |del_o AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+      |)
+      |SELECT 'customer' AS table_name,
+      |  (SELECT count(*) FROM customer) AS rows_before,
+      |  (SELECT count(*) FROM del_c) AS rows_deleted,
+      |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_c) AS rows_after,
+      |  0 AS orphans_after
+      |UNION ALL
+      |SELECT 'orders',
+      |  (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM del_o),
+      |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o),
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+      |     AND o_custkey IN (SELECT c_custkey FROM del_c))
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem
+      |   WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+      |  (SELECT count(*) FROM lineitem) -
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+      |  (SELECT count(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+      |     AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0))
+      |ORDER BY table_name""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -669,6 +766,7 @@ object Warehouse {
     "q_cust_entity_match" -> ((qCustEntityMatch _, qCustEntityMatchSql)),
     "q_cdc_apply_customer" -> ((qCdcApplyCustomer _, qCdcApplyCustomerSql)),
     "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
-    "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql))
+    "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
+    "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql))
   )
 }

@@ -242,4 +242,34 @@ class WarehouseSpec extends SparkSuite {
       assert(v >= vs.min - 1e-9 && v <= vs.max + 1e-9)
     }
   }
+
+  test("gdpr erasure: cascade counts match local sets, conservation, zero orphans") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qGdprErasure(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_deleted"),
+          r.getAs[Long]("rows_after"), r.getAs[Long]("orphans_after"))).toMap
+    assert(out.keySet === Set("customer", "orders", "lineitem"))
+    // conservation + referential closure on every table
+    out.values.foreach { case (b, d, a, o) =>
+      assert(b === d + a); assert(o === 0L); assert(d > 0L, "erasure list hit nothing")
+    }
+    // local replay of the cascade
+    val custKeys = graft.model.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val delC = custKeys.filter(_ % 97 == 0).toSet
+    val orders = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delO = orders.collect { case (ok, ck) if delC(ck) => ok }.toSet
+    val liOrd = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(out("customer") === ((custKeys.length.toLong, delC.size.toLong,
+      (custKeys.length - delC.size).toLong, 0L)))
+    assert(out("orders") === ((orders.length.toLong, delO.size.toLong,
+      (orders.length - delO.size).toLong, 0L)))
+    val liDel = liOrd.count(delO).toLong
+    assert(out("lineitem") === ((liOrd.length.toLong, liDel,
+      liOrd.length - liDel, 0L)))
+  }
 }

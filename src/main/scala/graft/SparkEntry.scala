@@ -27,6 +27,7 @@ object SparkEntry {
     graft.ext.Graph.registry,
     graft.ext.LlmQueries.registry,
     graft.sources.Interchange.registry,
+    graft.sources.SeqSource.registry,
     graft.etl.Dims.registry
   )
 

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 table provider — the SOURCE side of the Catalyst
+  * extension ladder (Expression → Aggregator → LogicalPlan/Strategy →
+  * optimizer Rule → `TableProvider`): a synthetic monotone sequence table
+  * `[start, end)` with a cheap key column `n` and a deliberately wide
+  * derived column `n_str`, read through the full V2 scan protocol.
+  *
+  * What the implementation demonstrates, each load-bearing at 100 TB:
+  *   - `SupportsPushDownRequiredColumns`: the reader materializes ONLY the
+  *     columns the query needs — `n_str` is never built unless projected
+  *     (the ReadSchema discipline parquet gets for free, implemented by
+  *     hand the way any custom source — a REST pager, a KV snapshot, a
+  *     tensor store — must).
+  *   - `SupportsPushDownFilters`: range predicates on `n` (`=`, `<`, `<=`,
+  *     `>`, `>=`) tighten the generation bounds BEFORE any row exists —
+  *     scan-eliminated, not scan-then-filtered. Non-range residuals (e.g.
+  *     `n % 2 = 0`) are returned to Spark and evaluated post-scan, the
+  *     contract split every pushdown source follows.
+  *   - `planInputPartitions`: the surviving range splits into `slices`
+  *     contiguous sub-ranges, each an independent `PartitionReader` —
+  *     the parallel-read geometry (one task per partition, no driver
+  *     materialization, no shuffle to redistribute).
+  *
+  * Registered by class name (`format(classOf[SeqTableProvider].getName)`)
+  * — the no-services-file registration route.
+  */
+object SeqSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_str", StringType, nullable = false)))
+
+  /** Derived wide column (stands in for an expensive fetch/decode). */
+  def nStr(n: Long): String = s"seq-$n-${java.lang.Long.toHexString(n)}"
+
+  def read(spark: SparkSession, start: Long, end: Long, slices: Int): DataFrame =
+    spark.read.format(classOf[SeqTableProvider].getName)
+      .option("start", start).option("end", end).option("slices", slices)
+      .load()
+
+  /** Registry query: aggregate a pushed-down slice of the sequence into
+    * 7 residue buckets. The `between` bounds reach the source as
+    * generation bounds (no row outside them is ever created); the parity
+    * predicate stays a residual Spark filter; `n_str` is pruned at the
+    * reader. Oracle = DuckDB `range()` — the engine-native generator, so
+    * the V2 protocol's whole visible behavior (bounds, residual, values)
+    * is cross-checked.
+    */
+  def qSeqSource(spark: SparkSession, sfDir: String): DataFrame = {
+    read(spark, 0L, 100000L, 8)
+      .filter(col("n") >= 20000L && col("n") < 60000L && col("n") % 2 === 0)
+      .groupBy((col("n") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+        min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+      .orderBy(col("bucket"))
+  }
+
+  val qSeqSourceSql: String =
+    """SELECT n % 7 AS bucket, count(*) AS n_rows,
+      |  CAST(sum(n) AS BIGINT) AS sum_n, min(n) AS min_n, max(n) AS max_n
+      |FROM range(0, 100000) t(n)
+      |WHERE n >= 20000 AND n < 60000 AND n % 2 = 0
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q_seq_source" -> ((qSeqSource _, qSeqSourceSql)))
+}
+
+class SeqTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SeqSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.getOrDefault("start", "0").toLong,
+      properties.getOrDefault("end", "0").toLong,
+      properties.getOrDefault("slices", "1").toInt)
+}
+
+class SeqTable(start: Long, end: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"seq($start, $end)"
+  override def schema(): StructType = SeqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(start, end, slices)
+}
+
+/** Mutable per-scan state: bound tightening from pushed filters + column
+  * pruning. Only conjunctive top-level range shapes on `n` are consumed;
+  * everything else is handed back as a residual.
+  */
+class SeqScanBuilder(start: Long, end: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo: Long = start
+  private var hi: Long = end // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = SeqSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case EqualTo("n", _: java.lang.Long) => true
+      case GreaterThan("n", _: java.lang.Long) => true
+      case GreaterThanOrEqual("n", _: java.lang.Long) => true
+      case LessThan("n", _: java.lang.Long) => true
+      case LessThanOrEqual("n", _: java.lang.Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: java.lang.Long) => lo = math.max(lo, v)
+      case LessThan(_, v: java.lang.Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(_, v: java.lang.Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeqScan(lo, hi, slices, required)
+}
+
+class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqScan[$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    val k = math.max(1, math.min(slices.toLong, n).toInt)
+    Array.tabulate[InputPartition](k) { i =>
+      SeqRange(lo + i * n / k, lo + (i + 1) * n / k)
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqReaderFactory(required.fieldNames)
+}
+
+case class SeqRange(lo: Long, hi: Long) extends InputPartition
+
+case class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SeqRange]
+    new PartitionReader[InternalRow] {
+      private var cur = r.lo - 1
+      override def next(): Boolean = { cur += 1; cur < r.hi }
+      // materialize ONLY the pruned columns — n_str is never built unless asked
+      override def get(): InternalRow =
+        new GenericInternalRow(cols.map[Any] {
+          case "n" => cur
+          case "n_str" => UTF8String.fromString(SeqSource.nStr(cur))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

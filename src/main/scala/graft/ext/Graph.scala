@@ -306,8 +306,15 @@ object Graph {
           (col("e1.dst_d") < col("e2.dst_d") ||
             (col("e1.dst_d") === col("e2.dst_d") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.src").as("apex"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    // the closing probe's BUILD side is only |E| oriented pairs — broadcast
+    // it so the wedge stream (Σ C(outdeg,2) rows, the big side by orders of
+    // magnitude) flows through un-shuffled and UN-SORTED; a sort-merge here
+    // would sort every wedge on (x,y). Past broadcast range (billions of
+    // edges) the same no-sort property comes from hint("shuffle_hash"):
+    // hash-build the edges, stream the wedges.
     val tris = wedges
-      .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .join(broadcast(oriented.select(col("src").as("x"), col("dst").as("y"))),
+        Seq("x", "y"))
       .select(col("apex"), col("x"), col("y"))
     tris.select(explode(array(col("apex"), col("x"), col("y"))).as("part_id"))
       .groupBy(col("part_id")).agg(count(lit(1)).as("n_triangles"))

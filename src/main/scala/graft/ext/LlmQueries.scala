@@ -56,6 +56,7 @@ object LlmQueries {
     "q_emb_semdedup" -> ((Similarity.qEmbSemDedup _, Similarity.qEmbSemDedupSql)),
     "q_emb_rproj" -> ((Similarity.qEmbRproj _, Similarity.qEmbRprojSql)),
     "q_emb_retrieval_eval" -> ((Similarity.qEmbRetrievalEval _, Similarity.qEmbRetrievalEvalSql)),
+    "q_emb_dim_stats" -> ((Similarity.qEmbDimStats _, Similarity.qEmbDimStatsSql)),
     "q_doc_incr_dedup" -> ((Dedup.qDocIncrDedup _, Dedup.qDocIncrDedupSql)),
     "q_mm_decode" -> ((Multimodal.qMmDecode _, Multimodal.qMmDecodeSql)),
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),

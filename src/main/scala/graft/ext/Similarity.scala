@@ -1244,4 +1244,70 @@ object Similarity {
       .select(lit("embeddings.label").as("scope"), col("approx_nd"), col("exact_nd"))
     docs.unionAll(emb).orderBy(col("scope"))
   }
+
+  // ------------------------------------------------------------------
+  // Per-dimension corpus statistics: the feature-normalization pass
+  // ------------------------------------------------------------------
+
+  /** Per-DIMENSION corpus statistics over the embedding column — the
+    * stats a feature-normalization / whitening step (and any index
+    * trainer deciding rotation or OPQ) computes first: for each of the
+    * 64 dimensions, count, mean, population std, min and max.
+    *
+    * Determinism vs scale trade-off, solved differently from
+    * [[qEmbLabelCentroids]]: the centroid op gets bit-exact double sums
+    * from a SORTED per-group fold (`collect_list` + sequential
+    * `aggregate`), which buffers the whole group — fine at k×64 groups,
+    * wrong for 64 corpus-wide groups. Here values are QUANTIZED to
+    * integer micro-units (`floor(x·10⁶)` — exact double ops + floor,
+    * identical in every engine) so mean/std come from plain BIGINT
+    * `sum(y)`/`sum(y·y)` — map-side-combinable partial aggregation, the
+    * shape that survives a 10⁹-vector corpus (overflow headroom: |y| ≤
+    * 10⁶ ⇒ Σy² fits int64 to ~9×10⁶ vectors/dim at |x| ≤ 1; widen the
+    * accumulator to DECIMAL(38,0) past that). min/max are order-free on
+    * the raw doubles — exact with no trick. The 10⁻⁶ quantization is the
+    * documented price of cross-engine hash equality; a production run
+    * drops it and accepts float-tolerance comparison.
+    *
+    * Scale (100 TB): ONE posexplode (×64 narrow fan-out) + ONE partial
+    * agg shuffle of 64 groups. No lists, no windows, no second pass.
+    */
+  def qEmbDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).as("i"), col("x").cast("double").as("xd"))
+      .select(col("i"), col("xd"),
+        floor(col("xd") * 1000000d).cast("long").as("y"))
+    val m = q.groupBy(col("i")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      min(col("xd")).as("min_x"), max(col("xd")).as("max_x"))
+    val nD = col("n").cast("double")
+    val syD = col("sy").cast("double"); val syyD = col("syy").cast("double")
+    m.select(col("i").cast("int").as("i"), col("n"),
+        (syD / nD).as("mean_micro"),
+        sqrt((syyD - syD * syD / nD) / nD).as("std_micro"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("i"))
+  }
+
+  val qEmbDimStatsSql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |q AS (
+      |  SELECT i, v[i] AS xd, CAST(floor(v[i] * 1000000) AS BIGINT) AS y
+      |  FROM e, pos
+      |),
+      |m AS (
+      |  SELECT i, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    min(xd) AS min_x, max(xd) AS max_x
+      |  FROM q GROUP BY i
+      |)
+      |SELECT CAST(i AS INTEGER) AS i, n,
+      |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+      |  sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |       / CAST(n AS DOUBLE)) AS std_micro,
+      |  min_x, max_x
+      |FROM m ORDER BY i""".stripMargin
 }

@@ -994,6 +994,110 @@ object Analytics {
       |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, purchase_ts, purchase_event_id""".stripMargin
 
+  // --- multi-touch attribution: first / last / linear credit models ---
+
+  /** Marketing-attribution window in µs (7 days). */
+  val attribWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** Multi-touch attribution report — the three credit models every
+    * marketing warehouse reconciles, computed in ONE pass over the same
+    * purchase×touch join: for each purchase, its touches (view / click /
+    * signup acting as channels) in the strict 7-day lookback window;
+    * then per channel (a) FIRST-touch wins, (b) LAST-touch wins
+    * ([[qEventAttributionAsof]]'s model, here via the join form), and
+    * (c) LINEAR — each of a purchase's k touches gets 1/k credit.
+    *
+    * Determinism: first/last pick by the (µs, event_id) TOTAL order —
+    * `min_by`/`max_by` over a struct, mirrored in DuckDB as
+    * `arg_min`/`arg_max` on the HUGEINT-encoded scalar key (µs·10⁷+id;
+    * arg keys must be scalar). Linear credit is INTEGER
+    * parts-per-million, `1000000 div k` per touch — floor division both
+    * engines share; Σppm ≤ 10⁶·purchases with the remainder dropped, so
+    * no order-dependent double summation anywhere.
+    *
+    * Scale (100 TB): the lookback join is an equi-join on user_id with
+    * the window as residual — fan-out bounded by per-user activity in 7
+    * days (human-scale), never a time-bucketed cross of the corpus. The
+    * joined frame is persisted once and feeds both the per-purchase and
+    * per-(purchase,channel) aggregates; everything after is
+    * channel-cardinality-sized.
+    */
+  def qEventAttribMultiTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tu"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"tu".as("p_tu"))
+    val t = ev.filter($"event_type".isin("view", "click", "signup"))
+      .select($"user_id", $"event_id".as("t_id"), $"event_type".as("channel"),
+        $"tu".as("t_tu"))
+    val j = p.join(t, Seq("user_id"))
+      .filter($"t_tu" < $"p_tu" && $"t_tu" >= $"p_tu" - attribWindowUs)
+      .select($"p_id", $"channel", $"t_tu", $"t_id")
+      .persist()
+    j.count() // eager: both aggregates below consume it
+    val per = j.groupBy($"p_id").agg(
+      count(lit(1)).as("k"),
+      min_by($"channel", struct($"t_tu", $"t_id")).as("first_ch"),
+      max_by($"channel", struct($"t_tu", $"t_id")).as("last_ch"))
+    val perCh = j.groupBy($"p_id", $"channel").agg(count(lit(1)).as("c"))
+    val linear = perCh.join(per.select($"p_id", $"k"), "p_id")
+      .groupBy($"channel")
+      .agg(sum($"c").as("n_touches"),
+        sum($"c" * expr("1000000 div k")).as("linear_ppm"))
+    val firsts = per.groupBy($"first_ch".as("channel")).agg(count(lit(1)).as("n_first"))
+    val lasts = per.groupBy($"last_ch".as("channel")).agg(count(lit(1)).as("n_last"))
+    linear
+      .join(firsts, Seq("channel"), "left")
+      .join(lasts, Seq("channel"), "left")
+      .select($"channel", $"n_touches",
+        coalesce($"n_first", lit(0L)).as("n_first"),
+        coalesce($"n_last", lit(0L)).as("n_last"),
+        $"linear_ppm")
+      .orderBy($"channel")
+  }
+
+  val qEventAttribMultiTouchSql: String =
+    s"""WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_tu
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |t AS (
+      |  SELECT user_id, event_id AS t_id, event_type AS channel, epoch_us(ts) AS t_tu
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+      |),
+      |j AS (
+      |  SELECT p.p_id, t.channel, t.t_tu, t.t_id
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_tu < p.p_tu AND t.t_tu >= p.p_tu - $attribWindowUs
+      |),
+      |per AS (
+      |  SELECT p_id, CAST(count(*) AS BIGINT) AS k,
+      |    arg_min(channel, CAST(t_tu AS HUGEINT) * 10000000 + t_id) AS first_ch,
+      |    arg_max(channel, CAST(t_tu AS HUGEINT) * 10000000 + t_id) AS last_ch
+      |  FROM j GROUP BY p_id
+      |),
+      |per_ch AS (
+      |  SELECT p_id, channel, CAST(count(*) AS BIGINT) AS c
+      |  FROM j GROUP BY p_id, channel
+      |),
+      |lin AS (
+      |  SELECT channel, CAST(sum(c) AS BIGINT) AS n_touches,
+      |    CAST(sum(c * (1000000 // k)) AS BIGINT) AS linear_ppm
+      |  FROM per_ch JOIN per USING (p_id) GROUP BY channel
+      |),
+      |f AS (SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first
+      |      FROM per GROUP BY first_ch),
+      |l AS (SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last
+      |      FROM per GROUP BY last_ch)
+      |SELECT channel, n_touches,
+      |  coalesce(n_first, CAST(0 AS BIGINT)) AS n_first,
+      |  coalesce(n_last, CAST(0 AS BIGINT)) AS n_last, linear_ppm
+      |FROM lin
+      |LEFT JOIN f USING (channel)
+      |LEFT JOIN l USING (channel)
+      |ORDER BY channel""".stripMargin
+
   // --- keep-latest compaction (upsert semantics via max_by aggregation) ---
 
   /** Latest event per user — the compaction step of every upsert/CDC
@@ -2042,6 +2146,90 @@ object Analytics {
       |    (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
       |FROM m ORDER BY event_type""".stripMargin
 
+  // --- seasonal decomposition: DOW profile of the detrended series ---
+
+  /** Trend + seasonality decomposition, the step after [[qEventTrend]]:
+    * fit the per-type OLS line, then profile the RESIDUALS by day of
+    * week — the additive weekly-seasonal component (what [[qEventAcf]]
+    * detects, this op QUANTIFIES). The seasonal mean needs no per-day
+    * residual materialization: residuals are linear in (x, y), so
+    * mean(resid | dow) = mean(y|dow) − intercept − slope·mean(x|dow) —
+    * two more exact-BIGINT sums per (type, dow) cell and one
+    * fixed-shape double formula over them + the trend params. Day of
+    * week is pure integer epoch-day arithmetic ((dn+4) mod 7,
+    * 0=Monday): no engine week-truncation or locale rules anywhere.
+    *
+    * Scale (100 TB): shares [[qEventTrend]]'s profile — everything
+    * after the ONE corpus collapse runs on the |types|×|days| series;
+    * the params join is |types| rows broadcast onto 7·|types| cells.
+    */
+  def qEventSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+    val mn = daily.agg(min($"dn").as("mn"))
+    val pts = daily.crossJoin(broadcast(mn))
+      .select($"event_type", $"dn", ($"dn" - $"mn").as("x"),
+        floor($"v" * 100).cast("long").as("y"))
+      .persist()
+    pts.count() // eager: trend params + seasonal cells both consume it
+    val m = pts.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+      sum($"y").as("sy"), sum($"x" * $"y").as("sxy"))
+    val det = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val par = m.select($"event_type",
+      (($"n" * $"sxy" - $"sx" * $"sy").cast("double") / det).as("slope"),
+      (($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") / det).as("icept"))
+    val cells = pts
+      .groupBy($"event_type", (($"dn" + 4) % 7).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sxd"), sum($"y").as("syd"))
+    cells.join(broadcast(par), "event_type")
+      .select($"event_type", $"dow".cast("int").as("dow"), $"n_days",
+        ($"syd".cast("double") / $"n_days".cast("double")).as("mean_y_cents"),
+        ($"syd".cast("double") / $"n_days".cast("double") - $"icept"
+          - $"slope" * ($"sxd".cast("double") / $"n_days".cast("double")))
+          .as("mean_resid_cents"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val qEventSeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |mn AS (SELECT min(dn) AS mn FROM daily),
+      |pts AS (
+      |  SELECT event_type, dn, dn - mn AS x, CAST(floor(v * 100) AS BIGINT) AS y
+      |  FROM daily, mn
+      |),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY event_type
+      |),
+      |par AS (
+      |  SELECT event_type,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |    CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS icept
+      |  FROM m
+      |),
+      |cells AS (
+      |  SELECT event_type, (dn + 4) % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sxd, CAST(sum(y) AS BIGINT) AS syd
+      |  FROM pts GROUP BY event_type, dow
+      |)
+      |SELECT event_type, CAST(dow AS INTEGER) AS dow, n_days,
+      |  CAST(syd AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_y_cents,
+      |  CAST(syd AS DOUBLE) / CAST(n_days AS DOUBLE) - icept
+      |    - slope * (CAST(sxd AS DOUBLE) / CAST(n_days AS DOUBLE)) AS mean_resid_cents
+      |FROM cells JOIN par USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   // --- rolling 7-day distinct actives (WAU): explode, don't window ---
 
   /** Trailing-7-day distinct active users per day — WAU, the metric
@@ -2691,6 +2879,7 @@ object Analytics {
     "q_event_ewma" -> ((qEventEwma _, qEventEwmaSql)),
     "q_event_acf" -> ((qEventAcf _, qEventAcfSql)),
     "q_event_trend" -> ((qEventTrend _, qEventTrendSql)),
+    "q_event_seasonality" -> ((qEventSeasonality _, qEventSeasonalitySql)),
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
@@ -2712,6 +2901,7 @@ object Analytics {
     "q_hourly_event_stats" -> ((qHourlyEventStats _, qHourlyEventStatsSql)),
     "q_event_sessions" -> ((qEventSessions _, qEventSessionsSql)),
     "q_event_attribution_asof" -> ((qEventAttributionAsof _, qEventAttributionAsofSql)),
+    "q_event_attrib_multitouch" -> ((qEventAttribMultiTouch _, qEventAttribMultiTouchSql)),
     "q_event_latest_per_user" -> ((qEventLatestPerUser _, qEventLatestPerUserSql)),
     "q_event_cube" -> ((qEventCube _, qEventCubeSql)),
     "q_event_funnel" -> ((qEventFunnel _, qEventFunnelSql)),

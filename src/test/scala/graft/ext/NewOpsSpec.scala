@@ -594,4 +594,29 @@ class NewOpsSpec extends SparkSuite {
       assert(out(lbl)._3 <= out(lbl)._2 + 1e-12)
     }
   }
+
+  test("dim stats: bit-exact vs local micro-quantized moments; full coverage") {
+    val out = Similarity.qEmbDimStats(spark, sf).collect()
+      .map(r => r.getAs[Int]("i") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_micro"),
+          r.getAs[Double]("std_micro"), r.getAs[Double]("min_x"),
+          r.getAs[Double]("max_x"))).toMap
+    assert(out.keySet === (1 to 64).toSet)
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0))
+    assert(out.values.forall(_._1 === vecs.length.toLong))
+    for (i <- 1 to 64) {
+      val xs = vecs.map(v => v(i - 1).toDouble)
+      val ys = xs.map(x => math.floor(x * 1000000d).toLong)
+      val n = xs.length.toLong; val nD = n.toDouble
+      val sy = ys.sum; val syy = ys.map(y => y * y).sum
+      val (on, omean, ostd, omin, omax) = out(i)
+      assert(on === n)
+      assert(omean === sy.toDouble / nD, s"dim $i") // bit-exact: same moments
+      assert(ostd === math.sqrt((syy.toDouble - sy.toDouble * sy.toDouble / nD) / nD), s"dim $i")
+      assert(omin === xs.min && omax === xs.max, s"dim $i")
+      assert(ostd >= 0.0 && omin <= omax)
+    }
+  }
 }

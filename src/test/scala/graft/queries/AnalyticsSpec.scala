@@ -600,6 +600,87 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("seasonality: residual means match a local replay; weighted residuals sum to ~0") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, sum, to_date}
+    val out = Analytics.qEventSeasonality(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("dow")) ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("mean_y_cents"),
+          r.getAs[Double]("mean_resid_cents"))).toMap
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn"),
+        r.getAs[java.math.BigDecimal]("v")
+          .multiply(new java.math.BigDecimal(100))
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()))
+    val mn = daily.map(_._2).min
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val pts = rows.map { case (_, dn, y) => (dn, dn - mn, y) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._2).sum; val sxx = pts.map(p => p._2 * p._2).sum
+      val sy = pts.map(_._3).sum; val sxy = pts.map(p => p._2 * p._3).sum
+      val det = (n * sxx - sx * sx).toDouble
+      val slope = (n * sxy - sx * sy).toDouble / det
+      val icept = (sy * sxx - sx * sxy).toDouble / det
+      pts.groupBy(p => ((p._1 + 4) % 7).toInt).foreach { case (dow, cell) =>
+        val nd = cell.length.toLong
+        val (on, omy, omr) = out((t, dow))
+        assert(on === nd)
+        assert(omy === cell.map(_._3).sum.toDouble / nd, s"$t dow $dow")
+        assert(omr === cell.map(_._3).sum.toDouble / nd - icept
+          - slope * (cell.map(_._2).sum.toDouble / nd), s"$t dow $dow")
+      }
+      // OLS residuals sum to ~0 over the full series → the day-weighted
+      // seasonal means must too (up to double rounding)
+      val weighted = (0 to 6).flatMap(d => out.get((t, d)))
+        .map { case (nd, _, mr) => nd.toDouble * mr }.sum
+      assert(math.abs(weighted) < 1e-4, s"type $t")
+    }
+  }
+
+  test("multi-touch attribution: matches a local replay of all three models") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.qEventAttribMultiTouch(spark, sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("n_first"),
+          r.getAs[Long]("n_last"), r.getAs[Long]("linear_ppm"))).toMap
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000)
+      }
+    val touches = ev.filter(e => Set("view", "click", "signup")(e._3))
+      .groupBy(_._1).withDefaultValue(Array.empty[(Long, Long, String, Long)])
+    val local = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L, 0L))
+    ev.filter(_._3 == "purchase").foreach { case (u, _, _, ptu) =>
+      val w = touches(u)
+        .filter(t => t._4 < ptu && t._4 >= ptu - Analytics.attribWindowUs)
+        .sortBy(t => (t._4, t._2))
+      if (w.nonEmpty) {
+        val k = w.length
+        val ppm = 1000000L / k
+        w.groupBy(_._3).foreach { case (ch, ts) =>
+          val (nt, nf, nl, lp) = local(ch)
+          local(ch) = (nt + ts.length, nf, nl, lp + ts.length * ppm)
+        }
+        val (ntf, nff, nlf, lpf) = local(w.head._3)
+        local(w.head._3) = (ntf, nff + 1, nlf, lpf)
+        val (ntl, nfl, nll, lpl) = local(w.last._3)
+        local(w.last._3) = (ntl, nfl, nll + 1, lpl)
+      }
+    }
+    assert(out.keySet === local.keySet)
+    local.foreach { case (ch, v) => assert(out(ch) === v, s"channel $ch") }
+    // linear credit never exceeds 1e6 per attributed purchase in total
+    assert(out.values.map(_._4).sum <= 1000000L * out.values.map(_._2).sum)
+  }
+
   test("cohort retention: offset-0 cells cover each cohort fully") {
     val out = Analytics.qEventCohortRetention(spark, sf).collect()
     assert(out.nonEmpty)

@@ -2848,6 +2848,168 @@ object Analytics {
     * JVM/Spark warmup (~3-8 s), so a cheap query leads and headline entries
     * stay comparable across rounds.
     */
+  // ------------------------------------------------------------------
+  // Saturating running balance in closed form (E149)
+  // ------------------------------------------------------------------
+
+  /** Per-user prepaid-wallet ledger with a ZERO FLOOR: purchases top the
+    * wallet up by their value in cents, every other interaction bills a
+    * flat 25¢ fee, and the balance saturates at zero (a fee against an
+    * empty wallet is forfeited, not owed). The recurrence is
+    *
+    *   b_k = max(0, b_{k-1} + x_k)
+    *
+    * — order-dependent state that LOOKS like it needs a sequential fold
+    * (the [[qEventEwma]] treatment). It doesn't: clamp-at-zero has the
+    * closed form  b_k = s_k − min(0, min_{j≤k} s_j)  over the plain
+    * running sum s, because the clamp only ever adds back exactly the
+    * depth the unclamped sum sank below zero. So the whole ledger is two
+    * stacked windows — running sum, then running min of it — sharing ONE
+    * user-keyed exchange and ONE (ts, event_id) sort, fully parallel
+    * across users. Per user it reports the final balance, the peak, and
+    * the total forfeited (= −min(0, s_min), the clamp's lifetime bite).
+    *
+    * All integer cents (purchase credit = floor(value·100), an IEEE
+    * multiply+floor identical in both engines), so every balance is
+    * hash-exact at any parallelism.
+    *
+    * Scale (100 TB): one shuffle keyed on user_id, windows stream
+    * per-user in sort order with O(1) state, final agg rides the same
+    * exchange. No collect, no fold, no state store.
+    */
+  def qUserBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val deltas = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase",
+          floor($"value" * 100).cast("long")).otherwise(lit(-25L)).as("delta_c"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = deltas.select($"user_id", $"ts", $"event_id", $"delta_c",
+      sum($"delta_c").over(w).as("s"))
+    withS
+      .select($"user_id", $"delta_c", $"s",
+        ($"s" - least(lit(0L), min($"s").over(w))).as("b"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"delta_c") - least(lit(0L), min($"s"))).as("final_balance_c"),
+        max($"b").as("peak_balance_c"),
+        (-least(lit(0L), min($"s"))).as("forfeited_c"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle: the identical two stacked windows + closed-form clamp. */
+  val qUserBalanceSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT)
+      |      ELSE CAST(-25 AS BIGINT) END AS delta_c
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT user_id, ts, event_id, delta_c,
+      |    sum(delta_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM d
+      |),
+      |b AS (
+      |  SELECT user_id, delta_c, s,
+      |    s - least(0, min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS b
+      |  FROM r
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(delta_c) - least(0, min(s)) AS BIGINT) AS final_balance_c,
+      |  CAST(max(b) AS BIGINT) AS peak_balance_c,
+      |  CAST(-least(0, min(s)) AS BIGINT) AS forfeited_c
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // CUSUM change-point detection (E150)
+  // ------------------------------------------------------------------
+
+  /** Single change-point locator over each type's daily-revenue series:
+    * the day k* maximizing the CUSUM deviation |S_k − (k/n)·T| — the
+    * largest gap between observed cumulative mass and the uniform-rate
+    * line (Page's statistic with known totals; the offline "where did
+    * the level shift" question behind regression detection in metrics
+    * pipelines). Kept EXACT by scaling out the division: D_k =
+    * n·S_k − k·T in BIGINT cents (|D| < n·T ≈ 2⁶⁰ headroom at sf1000),
+    * so the argmax and the tie-break (earliest day on equal |D|) are
+    * integer-deterministic; the one normalized double, |D*|/(n·T) ∈
+    * [0,1), is a single fixed-shape division at the very end.
+    *
+    * The argmax rides the composite-key pattern ([[qEventAttribMultiTouch]]):
+    * Spark `max_by` on the struct (|D|, −k); DuckDB `arg_max` needs a
+    * SCALAR key, so the same order is encoded as the HUGEINT
+    * |D|·2²⁰ + (2²⁰−1−k) (k < 2²⁰ always — it counts distinct days).
+    *
+    * Scale (100 TB): the corpus collapses to the |types|×|days| daily
+    * series in ONE partial-agg shuffle ([[qEventTrend]]'s profile); the
+    * running sum, row_number and whole-partition totals share one
+    * type-keyed exchange over ≤ thousands of rows.
+    */
+  def qEventChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+      .select($"event_type", $"dn", floor($"v" * 100).cast("long").as("y"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"dn")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.select($"event_type", $"dn",
+        sum($"y").over(wRun).as("sk"),
+        row_number().over(wOrd).cast("long").as("k"),
+        sum($"y").over(wAll).as("tot"),
+        count(lit(1)).over(wAll).as("n"))
+      .select($"event_type", $"dn", $"k", $"tot", $"n",
+        abs($"n" * $"sk" - $"k" * $"tot").as("absd"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"), max($"tot").as("total_c"),
+        expr("max_by(dn, struct(absd, -k))").as("cp_dn"),
+        max($"absd").as("d_stat"))
+      .select($"event_type", $"n_days", $"total_c",
+        expr("date_add(DATE '1970-01-01', CAST(cp_dn AS INT))").as("change_day"),
+        $"d_stat",
+        ($"d_stat".cast("double") /
+          ($"n_days".cast("double") * $"total_c".cast("double"))).as("cusum_ratio"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: identical scaled-integer CUSUM; arg_max on the HUGEINT
+    * composite so the earliest-day tie-break matches the struct order.
+    */
+  val qEventChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |r AS (
+      |  SELECT event_type, dn,
+      |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY dn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dn) AS BIGINT) AS k,
+      |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM daily
+      |),
+      |s AS (
+      |  SELECT event_type, dn, k, tot, n, abs(n * sk - k * tot) AS absd
+      |  FROM r
+      |)
+      |SELECT event_type, max(n) AS n_days, max(tot) AS total_c,
+      |  DATE '1970-01-01' + CAST(arg_max(dn,
+      |    CAST(absd AS HUGEINT) * 1048576 + (1048575 - k)) AS INTEGER) AS change_day,
+      |  CAST(max(absd) AS BIGINT) AS d_stat,
+      |  CAST(max(absd) AS DOUBLE) /
+      |    (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE)) AS cusum_ratio
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -2885,6 +3047,8 @@ object Analytics {
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
+    "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),
+    "q_event_changepoint" -> ((qEventChangepoint _, qEventChangepointSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

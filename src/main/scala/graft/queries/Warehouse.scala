@@ -758,6 +758,81 @@ object Warehouse {
       |     AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0))
       |ORDER BY table_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Pareto frontier / skyline (E148)
+  // ------------------------------------------------------------------
+
+  /** SKYLINE (Pareto frontier) per supplier nation over the two-criteria
+    * space (price ↓ minimize, quantity ↑ maximize): the distinct
+    * (price, quantity) offers no other offer from the same nation
+    * dominates — domination being ≤ price AND ≥ quantity with at least
+    * one strict. The multi-criteria "best offers" query (Börzsönyi et
+    * al., ICDE 2001) that no single ORDER BY can answer.
+    *
+    * The 2-D frontier needs NO pairwise comparison: sort each nation's
+    * distinct offers by (price ASC, qty DESC); an offer is on the
+    * frontier iff its qty strictly exceeds the running max over all
+    * PRECEDING rows. Every preceding row has ≤ price, so a preceding
+    * qty ≥ current means domination (price-tied rows sort qty-desc, so
+    * the tied max reaches the running max first); conversely a
+    * dominating offer always precedes its victim in this order. One
+    * window, one filter — O(n log n), not O(n²).
+    *
+    * Exactness: prices enter as DECIMAL(18,4) cents (the registry-wide
+    * money rule) and quantities as floored BIGINT, so sort order,
+    * running max and the strict compare are integer-identical in both
+    * engines — a double-typed frontier could differ at ulp-tied prices.
+    *
+    * Scale (100 TB): the distinct collapse is the only corpus-sized
+    * shuffle (map-side combinable, keyed on (nation, price, qty));
+    * the window runs on |distinct offers| — bounded by the price×qty
+    * value domain, not the row count — partitioned 25 ways by nation.
+    * Frontier size is ≤ |distinct qty values|, tiny. The supplier→
+    * nation dimension chain rides broadcast; the fact never shuffles
+    * before the distinct.
+    */
+  def qLineSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        ($"l_extendedprice".cast(DecimalType(18, 4)) * 100).cast("long")
+          .as("price_c"),
+        floor($"l_quantity").cast("long").as("qty"))
+      .distinct()
+    val wPrev = Window.partitionBy($"nation")
+      .orderBy($"price_c".asc, $"qty".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.select($"nation", $"price_c", $"qty",
+        max($"qty").over(wPrev).as("best_prev"))
+      .filter($"best_prev".isNull || $"qty" > $"best_prev")
+      .select($"nation", $"price_c", $"qty")
+      .orderBy($"nation", $"price_c")
+  }
+
+  /** Oracle: the identical sort-and-running-max formulation. */
+  val qLineSkylineSql: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT n_name AS nation,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS price_c,
+      |    CAST(floor(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |),
+      |r AS (
+      |  SELECT nation, price_c, qty,
+      |    max(qty) OVER (PARTITION BY nation ORDER BY price_c ASC, qty DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      |  FROM pts
+      |)
+      |SELECT nation, price_c, qty FROM r
+      |WHERE best_prev IS NULL OR qty > best_prev
+      |ORDER BY nation, price_c""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -767,6 +842,7 @@ object Warehouse {
     "q_cdc_apply_customer" -> ((qCdcApplyCustomer _, qCdcApplyCustomerSql)),
     "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
-    "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql))
+    "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
+    "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql))
   )
 }

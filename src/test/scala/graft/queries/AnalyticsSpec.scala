@@ -700,4 +700,75 @@ class AnalyticsSpec extends SparkSuite {
       .map(_.getAs[Long]("n_cohort")).sum
     assert(cohortTotal === users)
   }
+
+  test("user balance: closed form matches the sequential clamped fold") {
+    val out = Analytics.qUserBalance(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("final_balance_c"),
+          r.getAs[Long]("peak_balance_c"), r.getAs[Long]("forfeited_c"))).toMap
+    val ev = graft.model.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"),
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))
+      }
+    val byUser = ev.groupBy(_._1)
+    assert(out.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      // the RECURSIVE definition the closed form must reproduce
+      var b = 0L; var peak = 0L; var forfeited = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        val delta = if (r._4 == "purchase") math.floor(r._5 * 100).toLong else -25L
+        val raw = b + delta
+        if (raw < 0) { forfeited += -raw; b = 0L } else b = raw
+        peak = math.max(peak, b)
+      }
+      assert(out(u) === ((rows.length.toLong, b, peak, forfeited)), s"user $u")
+    }
+    // clamp never manufactures money: final + all fees paid ≤ total credits
+    out.values.foreach { case (_, fin, peak, forf) =>
+      assert(fin >= 0L && peak >= fin && forf >= 0L)
+    }
+  }
+
+  test("changepoint: argmax and stat match a brute-force CUSUM replay") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, sum, to_date}
+    val out = Analytics.qEventChangepoint(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("total_c"),
+          r.getAs[java.sql.Date]("change_day").toLocalDate.toEpochDay,
+          r.getAs[Long]("d_stat"), r.getAs[Double]("cusum_ratio"))).toMap
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn"),
+        r.getAs[java.math.BigDecimal]("v")
+          .multiply(new java.math.BigDecimal(100))
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()))
+    val byType = daily.groupBy(_._1)
+    assert(out.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val ys = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val n = ys.length.toLong
+      val tot = ys.map(_._2).sum
+      var sk = 0L; var best = -1L; var bestDn = Long.MaxValue
+      ys.zipWithIndex.foreach { case ((dn, y), i) =>
+        sk += y
+        val d = math.abs(n * sk - (i + 1).toLong * tot)
+        if (d > best) { best = d; bestDn = dn } // earliest day wins ties
+      }
+      val (nd, totQ, cpDn, dStat, ratio) = out(t)
+      assert(nd === n, s"type $t")
+      assert(totQ === tot, s"type $t")
+      assert(dStat === best, s"type $t")
+      assert(cpDn === bestDn, s"type $t")
+      assert(ratio === best.toDouble / (n.toDouble * tot.toDouble), s"type $t")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
 }

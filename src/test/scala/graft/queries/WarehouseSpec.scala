@@ -272,4 +272,38 @@ class WarehouseSpec extends SparkSuite {
     assert(out("lineitem") === ((liOrd.length.toLong, liDel,
       liOrd.length - liDel, 0L)))
   }
+
+  test("skyline: exactly the non-dominated offers per nation (brute force)") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qLineSkyline(spark, sf).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("qty"))).toSet
+    // same distinct point set the query builds, replayed in exact integers
+    val pts = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.model.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 100).cast("long"),
+        org.apache.spark.sql.functions.floor(col("l_quantity")).cast("long"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute-force O(n²) dominance: (≤ price, ≥ qty, one strict)
+    val frontier = pts.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+      grp.toSeq.filterNot { p =>
+        grp.exists(q => q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+      }
+    }.toSet
+    assert(out === frontier)
+    assert(out.nonEmpty)
+    // frontier is a strict staircase: within a nation, more quantity always
+    // costs strictly more (qty strictly rises with price)
+    out.groupBy(_._1).foreach { case (_, grp) =>
+      val stair = grp.toSeq.sortBy(_._2).map(_._3)
+      assert(stair === stair.sorted)
+      assert(stair.distinct.length === stair.length)
+    }
+  }
 }

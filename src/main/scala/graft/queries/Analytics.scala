@@ -3010,6 +3010,152 @@ object Analytics {
       |    (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE)) AS cusum_ratio
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Consecutive-day activity streaks, gaps-and-islands (E151)
+  // ------------------------------------------------------------------
+
+  /** Per-user CONSECUTIVE-DAY activity streaks — the gaps-and-islands
+    * idiom on calendar integers: dedup to (user, epoch-day), then
+    * `dn − row_number()` is CONSTANT exactly within a run of consecutive
+    * days (both advance by 1), so grouping on that difference labels each
+    * island with no self-join and no iteration. Reports per user the
+    * active-day count, number of streaks, the longest streak and the day
+    * it started (earliest start on ties — argmax over the composite
+    * (len, −start), [[qEventChangepoint]]'s pattern, here small enough
+    * for a plain BIGINT key since both parts are < 2²⁰).
+    *
+    * Scale (100 TB): the user-day dedup is the only corpus-sized shuffle
+    * (map-side combinable); the window + island agg ride one user-keyed
+    * exchange over ≤ |users|×|days| rows. Everything integer epoch-day
+    * arithmetic — no engine week/locale rules, hash-exact.
+    */
+  def qUserStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"dn")
+    val islands = days
+      .select($"user_id", $"dn", ($"dn" - row_number().over(w)).as("grp"))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"dn").as("start_dn"))
+    islands.groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"),
+        expr("max_by(start_dn, len * 1048576 + (1048575 - start_dn))")
+          .as("longest_start_dn"))
+      .select($"user_id", $"n_active_days", $"n_streaks", $"longest_streak",
+        expr("date_add(DATE '1970-01-01', CAST(longest_start_dn AS INT))")
+          .as("longest_start"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle: identical islands via dn − row_number(); arg_max on the
+    * same composite key.
+    */
+  val qUserStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+      |  FROM events
+      |),
+      |lab AS (
+      |  SELECT user_id, dn,
+      |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      |  FROM days
+      |),
+      |isl AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |    min(dn) AS start_dn
+      |  FROM lab GROUP BY user_id, grp
+      |)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  DATE '1970-01-01' + CAST(arg_max(start_dn,
+      |    len * 1048576 + (1048575 - start_dn)) AS INTEGER) AS longest_start
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cooldown debounce / rate-limit dedup (E152)
+  // ------------------------------------------------------------------
+
+  /** Cooldown interval for [[qEventDebounce]], seconds. */
+  val debounceGapSec: Long = 3600L
+
+  /** State-encoding base for the debounce fold: state = last_kept_sec ·
+    * 2²⁰ + kept_count. Epoch-seconds (< 2³¹) times 2²⁰ stays well inside
+    * int64; kept counts per (user, type) are human-bounded ≪ 2²⁰.
+    */
+  val debounceEnc: Long = 1048576L
+
+  /** Notification-throttle dedup: keep an event only if at least
+    * [[debounceGapSec]] has elapsed since the last KEPT event of the same
+    * (user, type) — the "at most one push per hour" rule. This is NOT a
+    * window query: whether an event is kept depends on which earlier
+    * events were KEPT, an irreducibly sequential recurrence (a
+    * fixed-window `lag` against the previous RAW event misclassifies
+    * bursts longer than the window). So it gets the [[qEventEwma]]
+    * treatment — a per-key sequential fold over the (ts, id)-ordered
+    * list, with the (last_kept, count) state packed into ONE BIGINT
+    * ([[debounceEnc]]) because DuckDB's `list_reduce` accumulator must
+    * have the element type: both engines then run the identical integer
+    * fold, hash-exact. Timestamps enter at SECOND granularity (µs·2²⁰
+    * would overflow int64); same-second repeats fall inside any positive
+    * cooldown by construction.
+    *
+    * Scale (100 TB): one shuffle on (user, type); per-group state is one
+    * BIGINT and the list is a human session history (the collect_list
+    * boundedness argument of the EWMA op). The debounce itself never
+    * re-scans — O(events per key) exactly once.
+    */
+  def qEventDebounce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = debounceEnc
+    val enc = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts", $"event_id",
+        (expr("unix_micros(ts) div 1000000") * m).as("x"))
+    enc.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        array_sort(collect_list(struct($"ts", $"event_id", $"x"))).as("seq"))
+      .select($"user_id", $"event_type", $"n_total",
+        expr(s"""aggregate(slice(seq, 2, size(seq) - 1), seq[0].x,
+                 (acc, s) -> IF(s.x div ${m}L - acc div ${m}L >= $debounceGapSec,
+                              s.x + acc % ${m}L + 1L, acc))""").as("st"))
+      .select($"user_id", $"event_type", $"n_total",
+        (expr(s"st % ${m}L") + 1L).as("n_kept"),
+        expr(s"st div ${m}L").as("last_kept_sec"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Oracle: the identical packed-integer fold — `list_reduce` seeds the
+    * accumulator with the first element (kept count 0), exactly like the
+    * Spark side's seq[0] seed, so both add the +1 at the end.
+    */
+  val qEventDebounceSql: String =
+    s"""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(list_reduce(
+       |      list(CAST(floor(epoch(ts)) AS BIGINT) * $debounceEnc
+       |           ORDER BY ts, event_id),
+       |      (acc, x) -> CASE WHEN x // $debounceEnc - acc // $debounceEnc
+       |                          >= $debounceGapSec
+       |                       THEN x + acc % $debounceEnc + 1
+       |                       ELSE acc END) % $debounceEnc + 1 AS BIGINT)
+       |    AS n_kept,
+       |  CAST(list_reduce(
+       |      list(CAST(floor(epoch(ts)) AS BIGINT) * $debounceEnc
+       |           ORDER BY ts, event_id),
+       |      (acc, x) -> CASE WHEN x // $debounceEnc - acc // $debounceEnc
+       |                          >= $debounceGapSec
+       |                       THEN x + acc % $debounceEnc + 1
+       |                       ELSE acc END) // $debounceEnc AS BIGINT)
+       |    AS last_kept_sec
+       |FROM events
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -3049,6 +3195,8 @@ object Analytics {
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),
     "q_event_changepoint" -> ((qEventChangepoint _, qEventChangepointSql)),
+    "q_user_streaks" -> ((qUserStreaks _, qUserStreaksSql)),
+    "q_event_debounce" -> ((qEventDebounce _, qEventDebounceSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -771,4 +771,64 @@ class AnalyticsSpec extends SparkSuite {
       assert(ratio >= 0.0 && ratio < 1.0)
     }
   }
+
+  test("streaks: islands match a local consecutive-day replay") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val out = Analytics.qUserStreaks(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"),
+          r.getAs[java.sql.Date]("longest_start").toLocalDate.toEpochDay)).toMap
+    val days = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("dn")))
+    val byUser = days.groupBy(_._1)
+    assert(out.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val ds = rows.map(_._2).sorted
+      // local island split: break where the day step exceeds 1
+      val islands = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) if acc.nonEmpty && d == acc.head.head + 1 =>
+          (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }.map(_.reverse).reverse
+      val longest = islands.map(_.length).max.toLong
+      // earliest start among the longest islands
+      val start = islands.filter(_.length.toLong == longest).map(_.head).min
+      assert(out(u) === ((ds.length.toLong, islands.length.toLong, longest, start)),
+        s"user $u")
+    }
+  }
+
+  test("debounce: packed fold matches a sequential cooldown replay") {
+    val out = Analytics.qEventDebounce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("last_kept_sec"))).toMap
+    val ev = graft.model.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val us = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), us,
+          r.getAs[Long]("event_id"))
+      }
+    val byKey = ev.groupBy(e => (e._1, e._2))
+    assert(out.keySet === byKey.keySet)
+    byKey.foreach { case (k, rows) =>
+      // the throttle rule, replayed naively: keep iff ≥ gap since last KEPT
+      var lastKept = Long.MinValue; var kept = 0L
+      rows.sortBy(r => (r._3, r._4)).foreach { r =>
+        val sec = Math.floorDiv(r._3, 1000000L)
+        if (lastKept == Long.MinValue || sec - lastKept >= Analytics.debounceGapSec) {
+          lastKept = sec; kept += 1
+        }
+      }
+      assert(out(k) === ((rows.length.toLong, kept, lastKept)), s"key $k")
+      // throttle invariant: kept ≥ 1 and never more than total
+      assert(kept >= 1L && kept <= rows.length.toLong)
+    }
+  }
 }

@@ -149,7 +149,32 @@ object EventStreams {
     * an OOM-bound attribution stream at production volume.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      delay: String = "1 hour", lookback: String = "2 hours"): DataFrame = {
+      delay: String = "1 hour", lookback: String = "2 hours"): DataFrame =
+    attributionJoinImpl(clicks, purchases, delay, lookback, "inner")
+
+  /** LEFT OUTER stream-stream interval join (E153): [[attributionJoin]]
+    * that ALSO accounts for every unconverted purchase — the row a
+    * conversion-rate dashboard needs and the inner join silently drops.
+    * A purchase emits joined to each qualifying click as matches arrive;
+    * if none exists, it emits exactly ONCE with null click columns — and
+    * only when the JOINT watermark has passed the end of its lookback
+    * interval, because until then a qualifying late click could still
+    * arrive. That deferred null is the fundamental outer-join-on-streams
+    * trade: completeness costs watermark latency, never correctness.
+    *
+    * Same state-eviction story as the inner form — the two-sided range
+    * condition bounds both state stores; the outer side additionally
+    * holds each unmatched purchase only until its null-emission horizon.
+    * (Spark REQUIRES the watermark + time constraint for outer
+    * stream-stream joins for exactly this reason: without them the
+    * "no match" verdict is undecidable and state is unbounded.)
+    */
+  def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour", lookback: String = "2 hours"): DataFrame =
+    attributionJoinImpl(clicks, purchases, delay, lookback, "left_outer")
+
+  private def attributionJoinImpl(clicks: DataFrame, purchases: DataFrame,
+      delay: String, lookback: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_event_id"))
@@ -161,7 +186,8 @@ object EventStreams {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_event_id"),
         col("purchase_ts"), col("click_event_id"), col("click_ts"))
   }

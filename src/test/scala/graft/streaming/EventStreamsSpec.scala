@@ -250,6 +250,53 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted purchases exactly once, after the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.attributionJoinLeftOuter(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id"),
+      delay = "1 hour", lookback = "2 hours")
+    val query = joined.writeStream
+      .format("memory").queryName("attr_outer_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // u1: matched purchase (inner semantics preserved);
+      // u2: click AFTER the purchase → unmatched → must surface as null;
+      // u3: no click at all → unmatched → must surface as null.
+      clicks.addData((1L, ts(1.0), 100L), (2L, ts(2.0), 300L))
+      purchases.addData((1L, ts(1.5), 200L), (2L, ts(1.0), 301L), (3L, ts(1.2), 400L))
+      query.processAllAvailable()
+      // the null verdicts are UNDECIDABLE until the watermark passes the
+      // lookback horizon: only the matched row may exist yet
+      val early = spark.table("attr_outer_sink").collect()
+      assert(early.forall(!_.isNullAt(3)), "null row emitted before the watermark allows it")
+      // push both watermarks far past every horizon; one more batch
+      // cycle lets the outer state flush
+      clicks.addData((9L, ts(50.0), 998L))
+      purchases.addData((9L, ts(50.0), 999L))
+      query.processAllAvailable()
+      clicks.addData((9L, ts(51.0), 996L))
+      purchases.addData((9L, ts(51.0), 997L))
+      query.processAllAvailable()
+      val rows = spark.table("attr_outer_sink").collect()
+      val matched = rows.filter(!_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val nulls = rows.filter(_.isNullAt(3)).map(r => (r.getLong(0), r.getLong(1)))
+      // inner matches unchanged; 9L's flush purchases match their own clicks
+      assert(matched.filter(_._1 <= 3L) == Set((1L, 200L, 100L)))
+      // both unconverted purchases emitted with null clicks, exactly once
+      assert(nulls.toSet == Set((2L, 301L), (3L, 400L)))
+      assert(nulls.length == 2, s"duplicate null emission: ${nulls.mkString(",")}")
+      // a null row means NO click column survives, not a partial row
+      rows.filter(_.isNullAt(3)).foreach(r => assert(r.isNullAt(4)))
+    } finally query.stop()
+  }
+
   test("hourlyStats on a static frame re-aggregates to the batch hourly query") {
     // the SAME streaming transform evaluates in batch (Spark's unified
     // model); rolled up over event_type it must equal qHourlyEventStats

@@ -3156,6 +3156,157 @@ object Analytics {
        |GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Item-item cosine similarity over co-engagement vectors (E155)
+  // ------------------------------------------------------------------
+
+  /** Item-item collaborative-filtering similarity at the event-type
+    * level: each type is a |users|-dimensional count vector (how often
+    * each user did it), and the output is the cosine between every type
+    * pair — the "users who do A also do B" signal behind co-engagement
+    * recommenders, here exact rather than sketched.
+    *
+    * Everything until the final cosine is INTEGER: dot products are
+    * Σ_user n_a·n_b via a user-keyed self-join of the (user, type, n)
+    * profile (fan-out bounded by |types|² per user), norms are Σ n² per
+    * type. The one double expression is fixed-shape
+    * dot / sqrt(double(nrm_a)·double(nrm_b)) — int64→double is
+    * single-rounding IEEE at any magnitude (the E141 rule) and sqrt is
+    * correctly rounded, so the hash matches cross-engine; sqrt(a·b) as
+    * an INTEGER product is avoided because Σn² pairs can pass 2⁵³ at
+    * large scale while each factor converts exactly.
+    *
+    * Scale (100 TB): the profile collapse is the only corpus-sized
+    * shuffle; the self-join runs on |users|·|types| rows with |types|²
+    * fan-out, and the norms table (|types| rows) broadcasts onto the
+    * |types|² pair table.
+    */
+  def qTypeCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val dots = prof.as("a")
+      .join(prof.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(sum($"a.n" * $"b.n").as("dot"), count(lit(1)).as("n_users_both"))
+    val norms = prof.groupBy($"event_type").agg(sum($"n" * $"n").as("nrm2"))
+    dots
+      .join(broadcast(norms.select($"event_type".as("type_a"), $"nrm2".as("na2"))),
+        "type_a")
+      .join(broadcast(norms.select($"event_type".as("type_b"), $"nrm2".as("nb2"))),
+        "type_b")
+      .select($"type_a", $"type_b", $"dot", $"n_users_both",
+        ($"dot".cast("double") /
+          sqrt($"na2".cast("double") * $"nb2".cast("double"))).as("cosine"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Oracle: identical integer moments and the identical one-division,
+    * one-sqrt closing shape.
+    */
+  val qTypeCosineSql: String =
+    """WITH prof AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id, event_type
+      |),
+      |dots AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(sum(a.n * b.n) AS BIGINT) AS dot,
+      |    CAST(count(*) AS BIGINT) AS n_users_both
+      |  FROM prof a JOIN prof b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY type_a, type_b
+      |),
+      |norms AS (
+      |  SELECT event_type, CAST(sum(n * n) AS BIGINT) AS nrm2
+      |  FROM prof GROUP BY event_type
+      |)
+      |SELECT d.type_a, d.type_b, d.dot, d.n_users_both,
+      |  CAST(d.dot AS DOUBLE) /
+      |    sqrt(CAST(na.nrm2 AS DOUBLE) * CAST(nb.nrm2 AS DOUBLE)) AS cosine
+      |FROM dots d
+      |JOIN norms na ON na.event_type = d.type_a
+      |JOIN norms nb ON nb.event_type = d.type_b
+      |ORDER BY d.type_a, d.type_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Theil–Sen robust slope (E156)
+  // ------------------------------------------------------------------
+
+  /** Theil–Sen estimator over each type's daily-revenue series: the
+    * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), the robust
+    * complement to [[qEventTrend]]'s OLS — a handful of outlier days
+    * move OLS arbitrarily but shift a slope median by at most one rank.
+    *
+    * Pairwise slopes are IEEE divisions of exact integers (cent deltas
+    * over day deltas — both engines divide the same int64s, one
+    * rounding), and the median is selected by ROW RANK over the total
+    * order (slope, x_i, x_j) — identical doubles order identically, and
+    * the integer tie-break pins rank even among equal slopes, so the
+    * lower median (rank ⌈m/2⌉) is deterministic cross-engine. No
+    * averaging of the two middle elements: that would add a second
+    * double op for even m without changing the estimator's breakdown
+    * point.
+    *
+    * Scale (100 TB): the corpus collapses to the |types|×|days| series
+    * first (E141's profile); the O(days²) pair build runs per type on
+    * that METADATA-sized table — ~250k pairs per 700-day type, a plan
+    * constant independent of corpus size. The per-type sort for rank
+    * selection is the only super-linear step, again on pairs of days.
+    */
+  def qEventTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+      .select($"event_type", $"dn", floor($"v" * 100).cast("long").as("y"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.dn" < $"b.dn")
+      .select($"a.event_type".as("event_type"), $"a.dn".as("x1"), $"b.dn".as("x2"),
+        (($"b.y" - $"a.y").cast("double") / ($"b.dn" - $"a.dn").cast("double"))
+          .as("slope"))
+    val wOrd = Window.partitionBy($"event_type")
+      .orderBy($"slope", $"x1", $"x2")
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs.select($"event_type", $"slope",
+        row_number().over(wOrd).cast("long").as("rk"),
+        count(lit(1)).over(wAll).as("m"))
+      .filter($"rk" === expr("(m + 1) div 2"))
+      .select($"event_type", $"m".as("n_pairs"),
+        $"slope".as("theil_sen_slope_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: identical pair build, identical (slope, x1, x2) rank
+    * selection of the lower median.
+    */
+  val qEventTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |pairs AS (
+      |  SELECT a.event_type, a.dn AS x1, b.dn AS x2,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.dn - a.dn AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.dn < b.dn
+      |),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, x1, x2) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      |  FROM pairs
+      |)
+      |SELECT event_type, m AS n_pairs, slope AS theil_sen_slope_cents
+      |FROM r WHERE rk = (m + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -3197,6 +3348,8 @@ object Analytics {
     "q_event_changepoint" -> ((qEventChangepoint _, qEventChangepointSql)),
     "q_user_streaks" -> ((qUserStreaks _, qUserStreaksSql)),
     "q_event_debounce" -> ((qEventDebounce _, qEventDebounceSql)),
+    "q_type_cosine" -> ((qTypeCosine _, qTypeCosineSql)),
+    "q_event_theil_sen" -> ((qEventTheilSen _, qEventTheilSenSql)),
     "q_supplier_rank_family" -> ((qSupplierRankFamily _, qSupplierRankFamilySql)),
     "q_top_orders_per_priority" -> ((qTopOrdersPerPriority _, qTopOrdersPerPrioritySql)),
     "q_top_orders_native" -> ((qTopOrdersNative _, qTopOrdersNativeSql)),

@@ -833,6 +833,74 @@ object Warehouse {
       |WHERE best_prev IS NULL OR qty > best_prev
       |ORDER BY nation, price_c""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Exact weighted median (E154)
+  // ------------------------------------------------------------------
+
+  /** Exact QUANTITY-WEIGHTED median unit price per supplier nation — the
+    * "typical price actually paid" statistic, where the unweighted
+    * median ([[graft.queries.Analytics]]'s percentile family) answers
+    * the weaker "typical offer". Lower weighted median: the smallest
+    * price p with 2·W(≤p) ≥ W_total over integer cent prices and
+    * integer quantity weights.
+    *
+    * Shape: collapse to (nation, price) with summed weight — the only
+    * corpus-sized shuffle, map-side combinable — then ONE per-nation
+    * cumulative window and a min over the qualifying suffix. All
+    * integer compares (2·cumw vs tot as BIGINT), so the selected price
+    * is engine-exact including at weight ties, where an interpolating
+    * definition would go non-deterministic.
+    *
+    * Scale (100 TB): the window runs on |nations|×|distinct prices|
+    * (value-domain-bounded, like [[qLineSkyline]]); nothing after the
+    * first aggregate sees a raw row.
+    */
+  def qWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        ($"l_extendedprice".cast(DecimalType(18, 4)) * 100).cast("long")
+          .as("price_c"),
+        floor($"l_quantity").cast("long").as("w"))
+      .groupBy($"nation", $"price_c").agg(sum($"w").as("w"))
+    val wCum = Window.partitionBy($"nation").orderBy($"price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"nation")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts.select($"nation", $"price_c",
+        sum($"w").over(wCum).as("cumw"), sum($"w").over(wAll).as("tot"))
+      .filter(lit(2) * $"cumw" >= $"tot")
+      .groupBy($"nation")
+      .agg(min($"price_c").as("w_median_price_c"), max($"tot").as("total_qty"))
+      .orderBy($"nation")
+  }
+
+  /** Oracle: identical cumulative-weight selection. */
+  val qWeightedMedianSql: String =
+    """WITH pts AS (
+      |  SELECT n_name AS nation,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS price_c,
+      |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT nation, price_c,
+      |    CAST(sum(w) OVER (PARTITION BY nation ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+      |    CAST(sum(w) OVER (PARTITION BY nation) AS BIGINT) AS tot
+      |  FROM pts
+      |)
+      |SELECT nation, min(price_c) AS w_median_price_c, max(tot) AS total_qty
+      |FROM r WHERE 2 * cumw >= tot
+      |GROUP BY nation ORDER BY nation""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -843,6 +911,7 @@ object Warehouse {
     "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
-    "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql))
+    "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
+    "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql))
   )
 }

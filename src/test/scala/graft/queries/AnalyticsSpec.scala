@@ -831,4 +831,77 @@ class AnalyticsSpec extends SparkSuite {
       assert(kept >= 1L && kept <= rows.length.toLong)
     }
   }
+
+  test("type cosine: integer moments match a local replay; cosine in (0,1]") {
+    val out = Analytics.qTypeCosine(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("n_users_both"),
+          r.getAs[Double]("cosine"))).toMap
+    val prof = graft.model.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n")))
+    val byUser = prof.groupBy(_._1)
+    val types = prof.map(_._2).distinct.sorted
+    val norms = prof.groupBy(_._2).map { case (t, rs) =>
+      t -> rs.map(r => r._3 * r._3).sum }
+    val localPairs = for {
+      a <- types; b <- types if a < b
+      dots = byUser.valuesIterator.map { rs =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        (m.get(a), m.get(b)) match {
+          case (Some(x), Some(y)) => (x * y, 1L)
+          case _ => (0L, 0L)
+        }
+      }.toSeq
+      if dots.map(_._2).sum > 0
+    } yield (a, b) -> (dots.map(_._1).sum, dots.map(_._2).sum)
+    val local = localPairs.toMap
+    assert(out.keySet === local.keySet)
+    local.foreach { case (k, (dot, both)) =>
+      val (dq, bq, cos) = out(k)
+      assert(dq === dot, s"pair $k")
+      assert(bq === both, s"pair $k")
+      assert(cos === dot.toDouble /
+        math.sqrt(norms(k._1).toDouble * norms(k._2).toDouble), s"pair $k")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12)
+    }
+  }
+
+  test("theil-sen: lower median of pairwise slopes, exact rank replay") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, sum, to_date}
+    val out = Analytics.qEventTheilSen(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("theil_sen_slope_cents"))).toMap
+    val daily = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn"),
+        r.getAs[java.math.BigDecimal]("v")
+          .multiply(new java.math.BigDecimal(100))
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()))
+    val byType = daily.groupBy(_._1)
+    assert(out.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield ((pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1).toDouble,
+        pts(i)._1, pts(j)._1)
+      val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+      val m = sorted.length.toLong
+      val med = sorted(((m + 1) / 2 - 1).toInt)._1
+      val (mq, slope) = out(t)
+      assert(mq === m, s"type $t")
+      assert(slope === med, s"type $t")
+      // robustness sanity: the median sits inside the slope envelope
+      assert(slope >= sorted.head._1 && slope <= sorted.last._1)
+    }
+  }
 }

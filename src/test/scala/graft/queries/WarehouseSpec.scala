@@ -306,4 +306,36 @@ class WarehouseSpec extends SparkSuite {
       assert(stair.distinct.length === stair.length)
     }
   }
+
+  test("weighted median: matches a local cumulative-weight scan") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qWeightedMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (r.getAs[Long]("w_median_price_c"), r.getAs[Long]("total_qty"))).toMap
+    val pts = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.model.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 100).cast("long"),
+        org.apache.spark.sql.functions.floor(col("l_quantity")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byNation = pts.groupBy(_._1)
+    assert(out.keySet === byNation.keySet)
+    byNation.foreach { case (nat, rows) =>
+      val tot = rows.map(_._3).sum
+      // lower weighted median: first price where 2·cumw ≥ total
+      var cum = 0L
+      val med = rows.map(r => (r._2, r._3)).groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (p, ws) => (p, ws.map(_._2).sum) }
+        .collectFirst { case (p, w) if { cum += w; 2 * cum >= tot } => p }.get
+      assert(out(nat) === ((med, tot)), s"nation $nat")
+      // at least half the quantity mass sits at or below the median price
+      val below = rows.filter(_._2 <= med).map(_._3).sum
+      assert(2 * below >= tot)
+    }
+  }
 }

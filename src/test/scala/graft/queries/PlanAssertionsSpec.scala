@@ -367,4 +367,76 @@ class PlanAssertionsSpec extends SparkSuite {
     assert("\\bSort\\b".r.findAllIn(executed).size <= 2, executed) // window sort + final orderBy
     assert(!executed.contains("Exchange SinglePartition"), executed)
   }
+
+  test("skyline: distinct collapse combines map-side; ONE nation-keyed frontier window") {
+    val qe = Warehouse.qLineSkyline(spark, sf).queryExecution
+    val p = qe.sparkPlan.toString
+    assert("Window".r.findAllIn(p).size === 1, p)
+    assert("windowspecdefinition\\(nation".r.findFirstIn(p).isDefined,
+      s"frontier window lost its nation partition:\n$p")
+    val executed = qe.executedPlan.toString
+    // a function-less distinct prints no "partial" tag; two-phase combine
+    // shows as the HashAggregate pair straddling the exchange
+    assert("HashAggregate".r.findAllIn(executed).size >= 2,
+      s"distinct not map-side combined:\n$executed")
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
+
+  test("weighted median: both weight windows ride ONE nation exchange after the collapse") {
+    val executed = Warehouse.qWeightedMedian(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (nation, price) collapse + nation window = two hash exchanges total;
+    // cumulative and whole-partition frames must not add a third
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size <= 2, executed)
+    assert(executed.contains("partial"), executed)
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+  }
+
+  test("user balance: stacked windows and the final agg share ONE user exchange and ONE sort") {
+    val executed = Analytics.qUserBalance(spark, sf)
+      .queryExecution.executedPlan.toString
+    // running sum, running min and the user groupBy all cluster on user_id:
+    // EnsureRequirements must reuse the window's partitioning for the agg
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size === 1, executed)
+    assert("\\bSort\\b".r.findAllIn(executed).size <= 2, executed) // window sort + final orderBy
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+    assert(!executed.contains("Join"), executed)
+  }
+
+  test("changepoint and theil-sen run on the collapsed daily series — corpus partial-aggs first") {
+    val cp = Analytics.qEventChangepoint(spark, sf).queryExecution.executedPlan.toString
+    assert(cp.contains("partial"), s"daily collapse not map-side combined:\n$cp")
+    assert(!cp.contains("Join"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+    val ts = Analytics.qEventTheilSen(spark, sf).queryExecution.executedPlan.toString
+    assert(ts.contains("partial"), ts)
+    // the day-pair build is an equi-join on event_type, never a product
+    assert(!ts.contains("CartesianProduct") && !ts.contains("BroadcastNestedLoopJoin"), ts)
+  }
+
+  test("streaks: user-day dedup combines map-side; island aggs reuse the window's user partitioning") {
+    val executed = Analytics.qUserStreaks(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (user, dn) dedup + user window; the island and per-user aggs cluster
+    // on user-prefixed keys, so neither may add a third hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(executed).size <= 2, executed)
+    assert(executed.contains("partial"), executed)
+    assert(!executed.contains("Exchange SinglePartition"), executed)
+    assert(!executed.contains("Join"), executed)
+  }
+
+  test("type cosine: profile self-join is user-keyed equi; norms broadcast onto the pair table") {
+    val p = plan(Analytics.qTypeCosine(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("debounce: one (user,type)-keyed aggregate — fold in the projection, no window, no join") {
+    val p = plan(Analytics.qEventDebounce(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p)
+  }
 }

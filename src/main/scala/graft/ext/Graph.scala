@@ -354,9 +354,95 @@ object Graph {
       |FROM (SELECT unnest([apex, x, y]) AS part_id FROM tris)
       |GROUP BY part_id ORDER BY part_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bounded-round k-core peeling (E158)
+  // ------------------------------------------------------------------
+
+  /** Iterative k-CORE PEELING: repeatedly delete nodes of degree < k
+    * (with the edges they anchor) — after enough rounds only the k-core
+    * survives, the standard "dense engagement nucleus" extraction
+    * behind community seeding and spam-ring mining. `rounds` BOUNDS the
+    * iteration exactly like [[pageRank]]'s `iters`: each round is one
+    * degree aggregate + two semi joins, per-round lineage truncated, so
+    * the plan stays O(1) deep; a fixpoint run would iterate until a
+    * round deletes nothing (the peel sequence is confluent — deletion
+    * order can't change the final core, which is what makes the
+    * bounded prefix well-defined too).
+    *
+    * `edges` must carry each undirected edge in BOTH directions, so
+    * out-degree IS undirected degree and every round stays a src-keyed
+    * aggregate — no union per round.
+    *
+    * Scale (100 TB): degree agg is map-side combinable on src; the
+    * kept-set semi joins are key-only (node id), broadcastable once the
+    * peel shrinks the survivor set; round count is a plan constant.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kCorePeel needs at least one round")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var it = 0
+    while (it < rounds) {
+      val kept = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+      e = e
+        .join(kept.select(col("n").as("src")), Seq("src"), "left_semi")
+        .join(kept.select(col("n").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      it += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
+
+  /** 3-core of the undirected customer↔supplier purchase graph after 4
+    * peel rounds: the mutually-reinforcing trading nucleus — customers
+    * kept only while ≥3 of their suppliers survive, and vice versa.
+    * Surviving nodes report their within-core degree.
+    */
+  def qGraphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val fwd = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierIdOffset).as("dst"))
+      .distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    kCorePeel(edges, k = 3, rounds = 4)
+      .select(col("id").as("node_id"),
+        when(col("id") >= supplierIdOffset, lit("supplier"))
+          .otherwise(lit("customer")).as("kind"),
+        col("deg"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Oracle: the identical 4 unrolled peel rounds. */
+  val qGraphKcoreSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""k$i AS (SELECT src AS n FROM $prev GROUP BY src HAVING count(*) >= 3),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE e.src IN (SELECT n FROM k$i) AND e.dst IN (SELECT n FROM k$i))""".stripMargin
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |e0 AS (
+       |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+       |),
+       |${round("e0", 1)},
+       |${round("e1", 2)},
+       |${round("e2", 3)},
+       |${round("e3", 4)}
+       |SELECT src AS node_id,
+       |  CASE WHEN src >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  CAST(count(*) AS BIGINT) AS deg
+       |FROM e4 GROUP BY src ORDER BY node_id""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
     "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
-    "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql))
+    "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql)),
+    "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql))
   )
 }

@@ -901,6 +901,82 @@ object Warehouse {
       |FROM r WHERE 2 * cumw >= tot
       |GROUP BY nation ORDER BY nation""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Benford first-digit audit (E157)
+  // ------------------------------------------------------------------
+
+  /** Benford probabilities log₁₀(1+1/d) as STRING literals, parsed to
+    * double identically by the JVM and by DuckDB's VARCHAR→DOUBLE cast
+    * (both correctly-rounded decimal parses). A native SQL decimal
+    * literal would enter as DECIMAL and take a different
+    * decimal→double conversion path — the [[graft.queries.Analytics]]
+    * registry's 2⁵³ rule in miniature.
+    */
+  private[queries] val benfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  /** Benford's-law first-digit audit over line-item amounts — the
+    * classic forensic-accounting screen: naturally-arising amounts
+    * spread over orders of magnitude put digit d first with probability
+    * log₁₀(1+1/d); fabricated or capped data shows up as per-digit χ²
+    * excess. First digits are taken from the integer CENT string (same
+    * leading digit as the decimal amount, and integer→string rendering
+    * is engine-identical where double formatting is not). Output: one
+    * row per digit with observed count, Benford-expected count and the
+    * χ² contribution — fixed-shape doubles over exact integer counts.
+    *
+    * Scale (100 TB): one 9-group map-side-combinable aggregate over the
+    * fact; everything after runs on 9 rows (the single-partition window
+    * is over those 9, never the corpus).
+    */
+  def qBenfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.lineitem(spark, sfDir)
+      .select(substring(($"l_extendedprice".cast(DecimalType(18, 4)) * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("o"))
+    val pf = benfordP.map { case (d, s) => (d, s.toDouble) }.toDF("digit", "p")
+    pf.join(obs, Seq("digit"), "left")
+      .select($"digit", coalesce($"o", lit(0L)).as("obs"), $"p")
+      .withColumn("n", sum($"obs").over(Window.partitionBy()))
+      .select($"digit", $"obs",
+        ($"n".cast("double") * $"p").as("expected"),
+        (($"obs".cast("double") - $"n".cast("double") * $"p") *
+          ($"obs".cast("double") - $"n".cast("double") * $"p") /
+          ($"n".cast("double") * $"p")).as("chi2_contrib"))
+      .orderBy($"digit")
+  }
+
+  /** Oracle: identical digit extraction and literal-string probability
+    * parse; the 9-row VALUES frame mirrors the Spark literal relation.
+    */
+  val qBenfordAuditSql: String = {
+    val values = benfordP
+      .map { case (d, s) => s"($d, CAST('$s' AS DOUBLE))" }.mkString(", ")
+    s"""WITH pf(digit, p) AS (VALUES $values),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM lineitem GROUP BY 1
+       |),
+       |j AS (
+       |  SELECT pf.digit, COALESCE(o.o, 0) AS obs, pf.p,
+       |    CAST(sum(COALESCE(o.o, 0)) OVER () AS BIGINT) AS n
+       |  FROM pf LEFT JOIN obs o ON o.digit = pf.digit
+       |)
+       |SELECT digit, CAST(obs AS BIGINT) AS obs,
+       |  CAST(n AS DOUBLE) * p AS expected,
+       |  (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p) *
+       |    (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p) /
+       |    (CAST(n AS DOUBLE) * p) AS chi2_contrib
+       |FROM j ORDER BY digit""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -912,6 +988,7 @@ object Warehouse {
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
-    "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql))
+    "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),
+    "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql))
   )
 }

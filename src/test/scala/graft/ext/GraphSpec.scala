@@ -122,4 +122,41 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("k-core peel matches a local round-by-round replay; invariants hold") {
+    import org.apache.spark.sql.functions.col
+    val out = Graph.qGraphKcore(spark, sf).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("deg")).toMap
+    val fwd = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + Graph.supplierIdOffset))
+    // local replay: 4 peel rounds over the doubled edge set
+    var es = (fwd ++ fwd.map(e => (e._2, e._1))).toSet
+    for (_ <- 1 to 4) {
+      val deg = es.groupBy(_._1).map { case (n, g) => n -> g.size }
+      val kept = deg.filter(_._2 >= 3).keySet
+      es = es.filter(e => kept(e._1) && kept(e._2))
+    }
+    val local = es.groupBy(_._1).map { case (n, g) => n -> g.size.toLong }
+    assert(out === local)
+    // the peel is monotone: survivors are a subset of round-0 nodes and
+    // within-core degree never exceeds the raw degree
+    val raw = (fwd ++ fwd.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (n, g) => n -> g.map(_._2).distinct.size.toLong }
+    out.foreach { case (n, d) => assert(d <= raw(n), s"node $n") }
+  }
+
+  test("fixpoint property on a crafted graph: a clique core survives, pendants peel off") {
+    import spark.implicits._
+    // K5 clique (ids 1-5) + a pendant chain 6-7-8 hanging off node 1:
+    // the chain must peel away within 3 rounds, the clique must remain
+    // intact with degree 4
+    val clique = for { i <- 1L to 5L; j <- 1L to 5L if i != j } yield (i, j)
+    val chain = Seq((1L, 6L), (6L, 1L), (6L, 7L), (7L, 6L), (7L, 8L), (8L, 7L))
+    val out = Graph.kCorePeel((clique ++ chain).toDF("src", "dst"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === (1L to 5L).map(_ -> 4L).toMap)
+  }
 }

@@ -338,4 +338,29 @@ class WarehouseSpec extends SparkSuite {
       assert(2 * below >= tot)
     }
   }
+
+  test("benford: digit histogram matches a local count; chi2 shape exact") {
+    val out = Warehouse.qBenfordAudit(spark, sf).collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("obs"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2_contrib"))).toMap
+    assert(out.keySet === (1 to 9).toSet)
+    val cents = graft.model.Tables.lineitem(spark, sf)
+      .select((org.apache.spark.sql.functions.col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val local = cents.groupBy(_.toString.head.asDigit)
+      .map { case (d, g) => d -> g.length.toLong }.withDefaultValue(0L)
+    val n = cents.length.toLong
+    Warehouse.benfordP.foreach { case (d, ps) =>
+      val p = ps.toDouble
+      val (obs, exp, chi2) = out(d)
+      assert(obs === local(d), s"digit $d")
+      assert(exp === n.toDouble * p, s"digit $d")
+      val dev = obs.toDouble - n.toDouble * p
+      assert(chi2 === dev * dev / (n.toDouble * p), s"digit $d")
+    }
+    // counts conserve
+    assert(out.values.map(_._1).sum === n)
+  }
 }

@@ -19,6 +19,7 @@ object SparkEntry {
 
   private def registries: Seq[Seq[(String, ((SparkSession, String) => DataFrame, String))]] = Seq(
     Analytics.registry,
+    graft.queries.TpchTail.registry,
     graft.queries.Joins.registry,
     graft.queries.Warehouse.registry,
     EtlQueries.registry,

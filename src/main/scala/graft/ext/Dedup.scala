@@ -882,8 +882,13 @@ object Dedup {
     *
     * Fixture: corpus = doc_id % 10 ≠ 3; batch = doc_id % 10 = 3 (fresh
     * docs) + every corpus doc with doc_id % 20 = 0 re-submitted under a
-    * new id (+200000, the re-crawl) + doc_id % 30 = 3 docs duplicated
-    * once more inside the batch (+300000, the intra-batch dup).
+    * new id (+2⁴⁰, the re-crawl) + doc_id % 30 = 3 docs duplicated once
+    * more inside the batch (+2⁴¹, the intra-batch dup). The two offsets
+    * are distinct powers of two far above any plausible corpus id, so the
+    * injected spaces stay disjoint from real doc_ids AND from each other
+    * at any corpus size (a small fixed offset like +300000 collides once
+    * the corpus passes 300k docs, silently merging injected and genuine
+    * rows under one id).
     *
     * Scale (100 TB): the corpus side reduces to its DISTINCT 60-bit hash
     * column — in production that index is persisted at ingest time
@@ -898,9 +903,9 @@ object Dedup {
     val corpus = docs.filter(col("doc_id") % 10 =!= 3)
     val batch = docs.filter(col("doc_id") % 10 === 3)
       .unionAll(corpus.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
       .unionAll(docs.filter(col("doc_id") % 30 === 3)
-        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text")))
     val corpusHashes = corpus
       .select(TextOps.portableHash(col("text")).as("h")).distinct()
       .withColumn("in_corpus", lit(true))
@@ -924,9 +929,9 @@ object Dedup {
        |batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
        |  UNION ALL
-       |  SELECT doc_id + 200000, text FROM corpus WHERE doc_id % 20 = 0
+       |  SELECT doc_id + 1099511627776, text FROM corpus WHERE doc_id % 20 = 0
        |  UNION ALL
-       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 30 = 3
+       |  SELECT doc_id + 2199023255552, text FROM documents WHERE doc_id % 30 = 3
        |),
        |corpus_hashes AS (
        |  SELECT DISTINCT $h AS h FROM corpus

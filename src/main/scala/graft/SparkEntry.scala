@@ -27,6 +27,7 @@ object SparkEntry {
     graft.etl.Layout.registry,
     graft.ext.Graph.registry,
     graft.ext.LlmQueries.registry,
+    graft.ext.Sketches.registry,
     graft.sources.Interchange.registry,
     graft.sources.SeqSource.registry,
     graft.etl.Dims.registry

@@ -439,4 +439,41 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
       p.contains("SortAggregate"), p)
   }
+
+  test("TPC-H tail is product-free; Q2/Q20 prune the fact through broadcast dims") {
+    for ((name, df) <- Seq(
+        "q2" -> TpchTail.q2MinCostSupplier(spark, sf),
+        "q12" -> TpchTail.q12ShipPriority(spark, sf),
+        "q13" -> TpchTail.q13OrderCountDist(spark, sf),
+        "q20" -> TpchTail.q20DominantSupplier(spark, sf),
+        "q21" -> TpchTail.q21SoleLateSupplier(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name nested loop:\n$p")
+    }
+    // Q2: the part/supplier filters reach the fact as broadcast probes
+    val q2 = plan(TpchTail.q2MinCostSupplier(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(q2).size >= 2, q2)
+    // Q20: the qualifying-supplier list enters supplier as a SEMI join
+    val q20 = plan(TpchTail.q20DominantSupplier(spark, sf))
+    assert(q20.contains("LeftSemi"), q20)
+  }
+
+  test("Q6 pushes all three predicates into the lineitem scan and reads 4 columns") {
+    val p = plan(TpchTail.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      p)
+  }
+
+  test("Q11's global threshold rides a 1-row broadcast; the fact aggregates once") {
+    val p = plan(TpchTail.q11ImportantStock(spark, sf))
+    // scalar side: 1-row cross broadcast (the q22 pattern)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-part aggregate combines map-side before its exchange
+    assert(p.contains("partial_sum"), p)
+  }
 }

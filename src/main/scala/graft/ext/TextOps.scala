@@ -752,4 +752,106 @@ object TextOps {
        |FROM toks JOIN head USING (term)
        |GROUP BY term, doc_id
        |ORDER BY term, doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // BM25 ranked retrieval
+  // ------------------------------------------------------------------
+
+  /** BM25 shape parameters — the textbook defaults (k1 = 1.2, b = 0.75).
+    * Both engines see them as explicit DOUBLE literals inside the
+    * identical operand tree: a bare SQL `1.2` is DECIMAL(2,1) in Spark
+    * AND DuckDB, and each engine's decimal-mixing rules would take a
+    * different arithmetic path.
+    */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** Query = this many highest-df terms (deterministic df/term tiebreak). */
+  val bm25QueryTerms = 5
+  val bm25TopDocs = 20
+
+  /** BM25 ranked retrieval: score every document against a fixed
+    * [[bm25QueryTerms]]-term query (the df head — deterministic, corpus-
+    * derived) and return the [[bm25TopDocs]] best — the ranking function
+    * behind the retrieval side of a RAG/eval pipeline, one level up from
+    * [[qDocTfidf]] (adds document-length normalization and tf
+    * saturation).
+    *
+    * Two cross-engine disciplines:
+    *   - the idf factor is the RATIONAL (N+1)/(df+1) — same monotone
+    *     ranking as the log form without libm's last-ulp variance (the
+    *     [[qDocTfidf]] rule); the saturation term is division/multiply
+    *     only, and both engines evaluate the IDENTICAL operand tree, so
+    *     scores are bit-equal;
+    *   - the per-document sum over query terms folds in TERM ORDER
+    *     (`aggregate(array_sort(collect_list(...)))`, the [[qDocBigramLm]]
+    *     pattern) — a bare `sum(score)` would accumulate doubles in
+    *     partition order and drift between engines.
+    *
+    * Scale (100 TB): tf is the one corpus-sized shuffle ((doc, term)
+    * partial agg); document length DERIVES from tf (aggregate of the
+    * aggregate — no second pass over the corpus); df, avgdl and N are
+    * aggregate-sized and ride broadcasts (query terms explicitly, the
+    * two scalars as 1-row cross joins). The top-20 plans as TakeOrdered
+    * — per-partition heaps, never a global sort.
+    */
+  def qDocBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfTab.orderBy(col("df").desc, col("term")).limit(bm25QueryTerms)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
+    val idf = (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")
+    val sat = (col("tf").cast("double") * (lit(1.0) + lit(bm25K1))) /
+      (col("tf").cast("double") + lit(bm25K1) *
+        ((lit(1.0) - lit(bm25B)) + lit(bm25B) *
+          (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), col("term"), (idf * sat).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        aggregate(array_sort(collect_list(struct(col("term"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(bm25TopDocs)
+  }
+
+  val qDocBm25Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qterms AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT $bm25QueryTerms),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) *
+       |    ((CAST(tf AS DOUBLE) * (CAST(1.0 AS DOUBLE) + CAST($bm25K1 AS DOUBLE))) /
+       |     (CAST(tf AS DOUBLE) + CAST($bm25K1 AS DOUBLE) *
+       |      ((CAST(1.0 AS DOUBLE) - CAST($bm25B AS DOUBLE)) +
+       |       CAST($bm25B AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+       |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN n CROSS JOIN ad
+       |)
+       |SELECT doc_id, count(*) AS n_matched,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY term)),
+       |    (acc, s) -> acc + s) AS bm25
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $bm25TopDocs""".stripMargin
 }

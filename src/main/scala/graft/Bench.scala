@@ -8,7 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate either events.ts footer era; Tables.events branches on loaded type
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,9 +17,13 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
-    def runAll(): Seq[(String, Double)] = selected.toSeq.map { case (name, fn) =>
+    // (name, elapsed, error): a failed query records the failure itself, not
+    // its time-to-crash — r6 post-mortem: 57 broken queries "completed" in
+    // ~0.06s each and produced a plausible-looking (fictional) total.
+    def runAll(): Seq[(String, Double, Option[String])] = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // several registry queries persist() an intermediate (minhash
       // signatures, LSH corpus, IVF centroids) under the lazy contract;
@@ -28,7 +32,7 @@ object Bench {
       // OUTSIDE the timed window — teardown is inter-query hygiene, not
       // query cost.
       spark.catalog.clearCache()
-      name -> elapsed
+      (name, elapsed, err)
     }
     // Discarded warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the
     // first execution of each query pays one-time JVM costs — Janino
@@ -46,9 +50,16 @@ object Bench {
     // SPARK_GRAFT_PASSES overrides (1 restores the old behavior).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val recorded = Seq.fill(passes)(runAll())
+    // A query that failed in ANY pass records the sentinel -1 (never a time)
+    // and lands in the "errors" list — a broken query must visibly poison
+    // the artifact, not speed it up.
     val results = recorded.head.indices.map { i =>
       val name = recorded.head(i)._1
-      name -> recorded.map(_(i)._2).min
+      val failed = recorded.exists(_(i)._3.isDefined)
+      name -> (if (failed) -1.0 else recorded.map(_(i)._2).min)
+    }
+    val errors = recorded.head.indices.flatMap { i =>
+      recorded.flatMap(_(i)._3).headOption.map(e => recorded.head(i)._1 + ":" + e)
     }
     // The harness captures only the last ~2000 chars of stdout and (from
     // the parsed:null evidence of rounds 1-5) parses the LAST line. Two
@@ -58,14 +69,17 @@ object Bench {
     // Adaptive shrink: 2-decimals → 1-decimal → drop the FASTEST entries
     // (sub-second noise at ±50% VM jitter) with an explicit "omitted"
     // count. bench_latest.json keeps the full set at full precision.
-    val total = results.map(_._2).sum
+    // total sums SUCCESSFUL queries only; failures are flagged in "errors".
+    val total = results.map(_._2).filter(_ >= 0).sum
     def fmtN(d: Int)(v: Double): String = BigDecimal(v)
       .setScale(d, BigDecimal.RoundingMode.HALF_UP).toString
     def line(rs: Seq[(String, Double)], f: Double => String, omitted: Int): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f(v)) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      val er = if (errors.nonEmpty)
+        errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$om$er,"sf":"$sfDir"}"""
     }
     // full-precision copy as a repo artifact, immune to stdout truncation
     try {

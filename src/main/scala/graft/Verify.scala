@@ -16,17 +16,19 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate either events.ts footer era; Tables.events branches on loaded type
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // several registry queries persist() an intermediate (minhash
@@ -50,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud STDOUT failure summary (r6 post-mortem: per-query stderr lines
+    // went unread while 57 entries silently vanished from CORRECTNESS).
+    if (failures.nonEmpty)
+      println(s"[verify] ${failures.size} QUERIES FAILED: ${failures.sorted.mkString(", ")}")
+    else
+      println(s"[verify] all queries dumped OK")
     spark.stop()
   }
 }

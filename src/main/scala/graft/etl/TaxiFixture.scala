@@ -76,8 +76,9 @@ object TaxiFixture {
   }
 
   /** DuckDB CTEs producing the identical raw frame from events.parquet.
-    * `ev` truncates TIMESTAMP_NS → TIMESTAMP exactly like Tables.events does
-    * on the Spark side (nanos div 1000).
+    * `ev` casts ts to TIMESTAMP — a truncation on a TIMESTAMP_NS-era footer
+    * (matching Tables.events' nanos div 1000 branch) and a no-op on the
+    * current TIMESTAMP_US footer, so both engines agree in either era.
     */
   val rawSql: String =
     """ev AS (

@@ -17,7 +17,7 @@ object SparkSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts TIMESTAMP(NANOS)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate either events.ts footer era; Tables.events branches on loaded type
     .config("spark.sql.warehouse.dir", "target/spark-warehouse") // keep saveAsTable out of the repo root
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -404,16 +404,21 @@ class NewOpsSpec extends SparkSuite {
         (r.getAs[String]("status"), r.getAs[Long]("content_hash"))).toMap
     val docs = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getAs[Long]("doc_id")).toSet
-    // every re-submitted corpus doc (id+200000) must be dup_of_corpus
+    // re-submitted copies carry collision-proof offsets (1<<40 / 1<<41 —
+    // far above any real doc_id at every SF; the old +200000/+300000
+    // offsets collided with genuine ids at sf0.1)
+    val reCrawl = 1L << 40
+    val inBatch = 1L << 41
+    // every re-submitted corpus doc (id + 1<<40) must be dup_of_corpus
     docs.filter(id => id % 10 != 3 && id % 20 == 0).foreach { id =>
-      assert(out(id + 200000)._1 === "dup_of_corpus", s"recrawl of $id")
+      assert(out(id + reCrawl)._1 === "dup_of_corpus", s"recrawl of $id")
     }
-    // every +300000 copy duplicates a batch doc (id % 30 == 3 implies
+    // every (id + 1<<41) copy duplicates a batch doc (id % 30 == 3 implies
     // id % 10 == 3): the SMALLER doc_id keeps 'new', the copy is flagged
     docs.filter(_ % 30 == 3).foreach { id =>
       assert(out(id)._1 === "new", s"original $id")
-      assert(out(id + 300000)._1 === "dup_in_batch", s"copy of $id")
-      assert(out(id)._2 === out(id + 300000)._2) // same content hash
+      assert(out(id + inBatch)._1 === "dup_in_batch", s"copy of $id")
+      assert(out(id)._2 === out(id + inBatch)._2) // same content hash
     }
     // fresh batch docs not duplicated anywhere stay 'new'
     docs.filter(id => id % 10 == 3 && id % 30 != 3).foreach { id =>

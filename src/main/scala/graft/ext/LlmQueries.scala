@@ -23,6 +23,7 @@ object LlmQueries {
     "q_doc_bigram_lm" -> ((TextOps.qDocBigramLm _, TextOps.qDocBigramLmSql)),
     "q_doc_tfidf" -> ((TextOps.qDocTfidf _, TextOps.qDocTfidfSql)),
     "q_doc_postings" -> ((TextOps.qDocPostings _, TextOps.qDocPostingsSql)),
+    "q_doc_bm25" -> ((TextOps.qDocBm25 _, TextOps.qDocBm25Sql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),

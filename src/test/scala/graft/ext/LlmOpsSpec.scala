@@ -240,4 +240,49 @@ class LlmOpsSpec extends SparkSuite {
     assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
     assert(shares.last <= 1.0 && shares.head > 0.0)
   }
+
+  test("bm25: top-20 matches a bit-exact local recompute in term-fold order") {
+    val out = TextOps.qDocBm25(spark, sf).collect()
+    assert(out.length <= TextOps.bm25TopDocs)
+    // local full recompute, mirroring the query's exact arithmetic: the
+    // rational (N+1)/(df+1) idf, the k1/b saturation, and the per-doc sum
+    // folded in ASCENDING TERM ORDER (the query folds
+    // array_sort(struct(term, score)) left-to-right)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val n = docs.length
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = docs.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val avgdl = dl.values.sum.toDouble / dl.size.toDouble
+    val qterms = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(TextOps.bm25QueryTerms).map(_._1)
+    val scored = tf.toSeq.flatMap { case (id, terms) =>
+      val matched = qterms.filter(terms.contains).sorted
+      if (matched.isEmpty) None
+      else {
+        var acc = 0.0
+        matched.foreach { t =>
+          val idf = (n + 1).toDouble / (df(t) + 1).toDouble
+          val sat = (terms(t).toDouble * (1.0 + TextOps.bm25K1)) /
+            (terms(t).toDouble + TextOps.bm25K1 *
+              ((1.0 - TextOps.bm25B) + TextOps.bm25B * (dl(id).toDouble / avgdl)))
+          acc += idf * sat
+        }
+        Some((id, matched.length.toLong, acc))
+      }
+    }
+    val expect = scored.sortBy { case (id, _, s) => (-s, id) }
+      .take(TextOps.bm25TopDocs)
+    assert(out.length === expect.length)
+    out.zip(expect).foreach { case (r, (id, m, s)) =>
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Long]("n_matched") === m)
+      assert(r.getAs[Double]("bm25") === s, s"doc $id")
+    }
+  }
 }

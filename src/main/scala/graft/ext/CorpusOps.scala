@@ -538,4 +538,126 @@ object CorpusOps {
        |SELECT doc_id, source, quality FROM ranked
        |WHERE rk <= $sourceCapK
        |ORDER BY source, quality DESC, doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // DSIR-style importance weighting (hashed n-gram likelihood ratio)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size for hashed-bigram importance weighting. Small on
+    * purpose: the bucket tables are what get broadcast, and 256 buckets
+    * already separates target-like from target-unlike text on this
+    * corpus; production DSIR uses 10k-1M buckets — same plan, bigger
+    * broadcast, still metadata-sized. */
+  val dsirBuckets = 256L
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its hashed-bigram distribution is, where the target
+    * is the `lang = 'en'` slice. Features are bigrams hashed into
+    * [[dsirBuckets]] buckets ([[h31]] mod B — cross-engine); each bucket
+    * gets an add-one-smoothed probability under the target and under the
+    * full corpus, and a document scores the count-weighted sum of its
+    * buckets' likelihood ratios.
+    *
+    * DELIBERATE DEVIATION from the paper's log form: the weight is the
+    * SUM of per-bucket probability ratios, not the sum of their logs
+    * (= log of product). Ranking quality is equivalent for selection
+    * thresholds, and it keeps the module's libm-free discipline — ln()
+    * differs between JVM and DuckDB in the last ulp, while the ratio
+    * tree here is nothing but int→double conversions, divisions and
+    * multiplies, each IEEE-correctly-rounded and therefore bit-identical
+    * in both engines. The per-doc sum folds in ascending bucket order
+    * (the [[TextOps.qDocBigramLm]] rule) so accumulation order is fixed.
+    *
+    * Scale (100 TB): bigram extraction is the narrow per-row `transform`
+    * (no position self-join); per-doc bucket counts are the ONE
+    * corpus-sized shuffle ((doc_id, bucket) partial agg, map-side
+    * combined); the target and corpus bucket tables aggregate to ≤ B
+    * rows each and the totals to 1 row — all four ride explicit
+    * broadcasts, so scoring never reshuffles the corpus. The fold state
+    * is ≤ B (bucket, term) structs per doc, bounded regardless of
+    * document length.
+    */
+  def qDocDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> concat_ws(' ', slice(toks, i, 2)))"
+    val grams = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(bgExpr)).as("bg"))
+      .select(col("doc_id"), col("lang"), (h31(col("bg")) % dsirBuckets).as("bucket"))
+    val docBuckets = grams
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val targetTab = grams.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t"))
+    val corpusTab = grams
+      .groupBy(col("bucket")).agg(count(lit(1)).as("u"))
+    val totals = grams.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("bigT"),
+      count(lit(1)).as("bigU"))
+    // add-one smoothing: buckets absent from the target read t = 0 via the
+    // left join's null → coalesce, then +1 like every other bucket
+    val ratio =
+      ((coalesce(col("t"), lit(0L)) + 1L).cast("double") /
+        (col("bigT") + dsirBuckets).cast("double")) /
+      ((col("u") + 1L).cast("double") /
+        (col("bigU") + dsirBuckets).cast("double"))
+    docBuckets
+      .join(broadcast(targetTab), Seq("bucket"), "left")
+      .join(broadcast(corpusTab), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("bucket"), col("c"),
+        (col("c").cast("double") * ratio).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("bucket"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocDsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |    (${h31Sql("tk[pos] || ' ' || tk[pos + 1]")}) % $dsirBuckets AS bucket
+       |  FROM (SELECT doc_id, lang, tk,
+       |          unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS pos
+       |        FROM toks)
+       |),
+       |doc_buckets AS (
+       |  SELECT doc_id, bucket, count(*) AS c FROM grams GROUP BY doc_id, bucket
+       |),
+       |target_tab AS (
+       |  SELECT bucket, count(*) AS t FROM grams WHERE lang = 'en' GROUP BY bucket
+       |),
+       |corpus_tab AS (
+       |  SELECT bucket, count(*) AS u FROM grams GROUP BY bucket
+       |),
+       |totals AS (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS bigT,
+       |         count(*) AS bigU
+       |  FROM grams
+       |),
+       |scored AS (
+       |  SELECT doc_id, bucket, c,
+       |    CAST(c AS DOUBLE) *
+       |      ((CAST(COALESCE(t, 0) + 1 AS DOUBLE) /
+       |        CAST(bigT + $dsirBuckets AS DOUBLE)) /
+       |       (CAST(u + 1 AS DOUBLE) /
+       |        CAST(bigU + $dsirBuckets AS DOUBLE))) AS term
+       |  FROM doc_buckets
+       |  LEFT JOIN target_tab USING (bucket)
+       |  JOIN corpus_tab USING (bucket)
+       |  CROSS JOIN totals
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bucket)),
+       |    (acc, s) -> acc + s) AS dsir_weight
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

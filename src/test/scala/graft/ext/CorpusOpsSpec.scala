@@ -247,4 +247,52 @@ class CorpusOpsSpec extends SparkSuite {
     assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("dsir weights: bit-exact local recompute; target slice scores higher on average") {
+    val out = CorpusOps.qDocDsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("dsir_weight"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ")))
+    val b = CorpusOps.dsirBuckets
+    // mirror h31: first 15 hex chars of md5, mod the int32 prime, mod B
+    def bucket(bg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP) % b
+    }
+    val grams = docs.filter(_._3.length >= 2).map { case (id, lang, ts) =>
+      (id, lang, ts.sliding(2).map(w => bucket(w.mkString(" "))).toSeq)
+    }
+    val target = grams.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val corpus = grams.flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bigT = target.values.sum
+    val bigU = corpus.values.sum
+    assert(out.size === grams.length)
+    grams.foreach { case (id, _, gs) =>
+      val byBucket = gs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      // identical operand tree: (t+1)/(T+B) over (u+1)/(U+B), folded in
+      // ascending bucket order
+      var acc = 0.0
+      byBucket.foreach { case (bk, c) =>
+        val r = ((target.getOrElse(bk, 0L) + 1L).toDouble / (bigT + b).toDouble) /
+          ((corpus(bk) + 1L).toDouble / (bigU + b).toDouble)
+        acc += c.toDouble * r
+      }
+      assert(out(id)._1 === gs.length.toLong, s"doc $id n_bigrams")
+      assert(out(id)._2 === acc, s"doc $id weight")
+    }
+    // the semantic point of DSIR: normalized by length, target-language
+    // docs must look more target-like than the rest on average
+    val (en, rest) = grams.partition(_._2 == "en")
+    def meanPerGram(g: Seq[(Long, String, Seq[Long])]): Double =
+      g.map(d => out(d._1)._2 / out(d._1)._1).sum / g.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(meanPerGram(en.toSeq) > meanPerGram(rest.toSeq))
+  }
 }

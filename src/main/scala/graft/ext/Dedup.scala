@@ -300,6 +300,146 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // LSH recall evaluation: banded candidates vs the exact join
+  // ------------------------------------------------------------------
+
+  /** Recall audit of the banded-minhash path against EXACT ground truth —
+    * the validation a production pipeline runs on a sample before
+    * trusting LSH over a 100 TB corpus. Ground truth is every pair with
+    * Jaccard ≥ [[jaccardThreshold]] over the SAME near-dup corpus and the
+    * SAME shingle-hash space, found by lossless prefix filtering (the
+    * [[qDocSimJoinPrefix]] family at τ = 1/2: prefix length
+    * nt − ⌈nt/2⌉ + 1, verify gate 3·common ≥ na + nb, which is J ≥ 1/2
+    * in exact integers). The LSH side is [[minhashVerifiedPairs]] —
+    * banded candidates, exactly verified — so every difference is a
+    * BANDING miss, never a verification disagreement: with 4 bands of 4
+    * rows a true pair at J ≈ 0.5 collides with probability
+    * 1−(1−0.5⁴)⁴ ≈ 23%, rising steeply toward J = 1, and the fixture's
+    * J ≈ 0.95 near-dups nearly all collide. One summary row:
+    * n_true_pairs, n_lsh_pairs (⊆ truth by construction), n_missed, and
+    * recall.
+    *
+    * Scale (100 TB): both arms reuse the persisted shingle table; the
+    * truth arm is the prefix join's bounded-fan-out equi-join (run on a
+    * SAMPLE at production scale — the recall estimate needs pairs, not
+    * the full corpus); the final stats are three 1-row aggregates
+    * cross-joined as broadcasts. Both pair frames are persisted eagerly
+    * before the multi-consumer stats fan-out (the CC-loop lesson).
+    */
+  def qDocMinhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = nearDupShingled(spark, sfDir)
+    val mh = minhashVerifiedPairs(shingled)
+      .select(col("doc_a"), col("doc_b")).persist()
+    mh.count()
+    val toks = shingled.select(col("doc_id"), explode(col("hs")).as("tok")).persist()
+    toks.count() // eager: df table, ranking, candidate join, verify all consume it
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tdf"), col("tok"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = toks.join(dfTab, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
+    val prefix = ranked
+      .filter(col("rk") <= col("nt") - expr("(nt + 1) div 2") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    val truth = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(3) * col("common") >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b")).persist()
+    truth.count()
+    val truthC = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val mhC = mh.agg(count(lit(1)).as("n_lsh_pairs"))
+    val foundC = truth.join(mh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_found"))
+    truthC.crossJoin(broadcast(mhC)).crossJoin(broadcast(foundC))
+      .select(col("n_true_pairs"), col("n_lsh_pairs"), col("n_found"),
+        (col("n_true_pairs") - col("n_found")).as("n_missed"),
+        (col("n_found").cast("double") / col("n_true_pairs").cast("double"))
+          .as("recall"))
+  }
+
+  val qDocMinhashEvalSql: String = {
+    val minCols = minColsSql
+    val bandSelects = bandSelectsSql
+    s"""WITH $nearCorpusSql,
+       |shingled AS (
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |$candSql,
+       |mh AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest(hs) AS tok FROM shingled
+       |),
+       |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
+       |ranked AS (
+       |  SELECT t.doc_id, t.tok,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.tdf, t.tok) AS rk,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS nt
+       |  FROM toks t JOIN dft d ON d.tok = t.tok
+       |),
+       |prefix AS (
+       |  SELECT doc_id, tok FROM ranked
+       |  WHERE rk <= nt - ((nt + 1) // 2) + 1
+       |),
+       |tcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM tcand c
+       |  JOIN toks ta ON ta.doc_id = c.doc_a
+       |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM com
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE 3 * common >= sa.n + sb.n
+       |),
+       |counts AS (
+       |  SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+       |         (SELECT count(*) FROM mh) AS n_lsh_pairs,
+       |         (SELECT count(*) FROM truth JOIN mh USING (doc_a, doc_b)) AS n_found
+       |)
+       |SELECT n_true_pairs, n_lsh_pairs, n_found,
+       |  n_true_pairs - n_found AS n_missed,
+       |  CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) AS recall
+       |FROM counts""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Duplicate-cluster resolution: connected components over verified pairs
   // ------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ object LlmQueries {
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
+    "q_doc_minhash_eval" -> ((Dedup.qDocMinhashEval _, Dedup.qDocMinhashEvalSql)),
     "q_doc_dup_clusters" -> ((Dedup.qDocDupClusters _, Dedup.qDocDupClustersSql)),
     "q_doc_cluster_reps" -> ((Dedup.qDocClusterReps _, Dedup.qDocClusterRepsSql)),
     "q_doc_curate" -> ((Dedup.qDocCurate _, Dedup.qDocCurateSql)),

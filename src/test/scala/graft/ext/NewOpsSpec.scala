@@ -426,6 +426,31 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
+    val r = Dedup.qDocMinhashEval(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nTrue = row.getAs[Long]("n_true_pairs")
+    val nLsh = row.getAs[Long]("n_lsh_pairs")
+    val nFound = row.getAs[Long]("n_found")
+    val nMissed = row.getAs[Long]("n_missed")
+    val recall = row.getAs[Double]("recall")
+    // LSH verifies candidates with the SAME exact threshold on the SAME
+    // hash sets, so it can only ever be a subset of the exact join
+    assert(nLsh === nFound)
+    assert(nMissed === nTrue - nFound)
+    assert(recall === nFound.toDouble / nTrue.toDouble)
+    assert(recall > 0.0 && recall <= 1.0)
+    // the fixture plants one J≈0.95 near-dup per 25 docs; truth must hold
+    // at least those pairs
+    val planted = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(nTrue >= planted)
+    // at J≈0.95, 4x4 banding collides with prob 1-(1-0.95^4)^4 ≈ 0.9988 —
+    // near-total recall is the designed property, not luck
+    assert(recall > 0.8, s"recall $recall")
+  }
+
   test("prefix-filter sim join: finds EXACTLY the pairs an exhaustive local scan finds") {
     import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, split}
     val out = Dedup.qDocSimJoinPrefix(spark, sf).collect()

@@ -539,6 +539,60 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // ANN recall audit: IVF probe vs the exact brute-force top-k
+  // ------------------------------------------------------------------
+
+  /** Recall audit of the IVF ANN path against the exact brute-force
+    * top-[[topK]] — the embedding-side twin of
+    * [[graft.ext.Dedup.qDocMinhashEval]], and the measurement that decides
+    * an IVF index's nprobe setting before it serves a 100 TB corpus. Both
+    * arms run over the SAME query/candidate split ([[nQueryVecs]]) with
+    * the SAME cosine and (cosine DESC, vec_id) tiebreak, so every missing
+    * pair is a CELL miss (the true neighbor was assigned to a cell the
+    * query didn't probe), never a scoring disagreement. One summary row:
+    * n_queries, n_exact, n_ann (≤ n_exact lists can be SHORTER than k
+    * when a probed cell holds < k candidates — itself a recall signal),
+    * n_overlap, recall_at_k = overlap / exact.
+    *
+    * Scale (100 TB): the exact arm is the brute-force scan — at
+    * production scale it runs on a query SAMPLE (the estimate needs
+    * queries, not the corpus; the candidate side is one full scan per
+    * audit either way); the ANN arm is the indexed path being audited.
+    * Stats are three 1-row aggregates cross-joined as broadcasts; both
+    * pair frames persist eagerly before the stats fan-out.
+    */
+  def qEmbAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = qEmbCosineTopk(spark, sfDir)
+      .select(col("q_id"), col("vec_id")).persist()
+    exact.count()
+    val ann = qEmbAnnIvf(spark, sfDir)
+      .select(col("q_id"), col("vec_id")).persist()
+    ann.count()
+    val exC = exact.agg(countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val annC = ann.agg(count(lit(1)).as("n_ann"))
+    val ovC = exact.join(ann, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    exC.crossJoin(broadcast(annC)).crossJoin(broadcast(ovC))
+      .select(col("n_queries"), col("n_exact"), col("n_ann"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_k"))
+  }
+
+  val qEmbAnnRecallSql: String =
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($qEmbCosineTopkSql)),
+       |ann AS (SELECT q_id, vec_id FROM ($qEmbAnnIvfSql)),
+       |counts AS (
+       |  SELECT (SELECT count(DISTINCT q_id) FROM ex) AS n_queries,
+       |         (SELECT count(*) FROM ex) AS n_exact,
+       |         (SELECT count(*) FROM ann) AS n_ann,
+       |         (SELECT count(*) FROM ex JOIN ann USING (q_id, vec_id)) AS n_overlap
+       |)
+       |SELECT n_queries, n_exact, n_ann, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_k
+       |FROM counts""".stripMargin
+
+  // ------------------------------------------------------------------
   // Product quantization: per-subspace codebooks + ADC probe
   // ------------------------------------------------------------------
 

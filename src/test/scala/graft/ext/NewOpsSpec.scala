@@ -426,6 +426,23 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("ann recall audit: counts agree with a local intersection of its two arms") {
+    val row = Similarity.qEmbAnnRecall(spark, sf).collect().head
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.qEmbCosineTopk(spark, sf))
+    val ann = pairs(Similarity.qEmbAnnIvf(spark, sf))
+    assert(row.getAs[Long]("n_queries") === exact.map(_._1).size.toLong)
+    assert(row.getAs[Long]("n_exact") === exact.size.toLong)
+    assert(row.getAs[Long]("n_ann") === ann.size.toLong)
+    assert(row.getAs[Long]("n_overlap") === (exact intersect ann).size.toLong)
+    val recall = row.getAs[Double]("recall_at_k")
+    assert(recall === (exact intersect ann).size.toDouble / exact.size.toDouble)
+    assert(recall >= 0.0 && recall <= 1.0)
+    spark.catalog.clearCache()
+  }
+
   test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
     val r = Dedup.qDocMinhashEval(spark, sf).collect()
     assert(r.length === 1)

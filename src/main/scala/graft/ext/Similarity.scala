@@ -593,6 +593,135 @@ object Similarity {
        |FROM counts""".stripMargin
 
   // ------------------------------------------------------------------
+  // MMR diversified retrieval
+  // ------------------------------------------------------------------
+
+  /** MMR trade-off λ (0.5 = equal weight on relevance and diversity) and
+    * geometry: re-rank the [[mmrPoolK]]-candidate pool down to [[mmrK]]
+    * picks for the single query vec 0. */
+  val mmrLambda = 0.5
+  val mmrPoolK = 10
+  val mmrK = 5
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    * retrieval: greedily pick [[mmrK]] results from the top-[[mmrPoolK]]
+    * cosine pool, each round maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) — the re-ranking step that stops a RAG retriever returning
+    * five copies of the same passage. Ties break on vec_id; round 1 has
+    * an empty selected set, so msim is literal 0.0 and the pick reduces
+    * to plain argmax relevance.
+    *
+    * Scale (100 TB): the DISTRIBUTED work is the pool cut — one
+    * broadcast-query scan and a TakeOrdered top-[[mmrPoolK]]; everything
+    * after operates on the constant-size pool (persisted), with each
+    * round one ≤k-row broadcast cross, a pool-keyed max and a 1-row
+    * TakeOrdered. The greedy loop is inherently sequential in [[mmrK]]
+    * (each pick conditions the next round's diversity term) — rounds are
+    * materialized eagerly like [[qEmbKmeansIter]]'s iterations so plan
+    * depth stays flat, and every materialization is pool-sized, never
+    * corpus-sized.
+    *
+    * Determinism: sims reuse the sequential [[dot]] fold (bit-equal to
+    * `list_dot_product`); each round's argmax orders by (mmr DESC,
+    * vec_id) in both engines; λ enters as the same DOUBLE cast on both
+    * sides.
+    */
+  def qEmbMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val pool = emb.filter(col("vec_id") >= nQueryVecs)
+      .crossJoin(broadcast(q))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("simq",
+        dot(col("qe"), col("e")) / (col("q_norm") * col("norm")))
+      .select(col("vec_id"), col("e"), col("norm"), col("simq"))
+      .orderBy(col("simq").desc, col("vec_id")).limit(mmrPoolK)
+      .persist()
+    pool.count() // eager: every round reads the pool at least twice
+    var selected: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to mmrK).foreach { r =>
+      val scored =
+        if (selected == null) pool.withColumn("msim", lit(0.0))
+        else {
+          val m = pool
+            .crossJoin(broadcast(
+              selected.select(col("e").as("se"), col("norm").as("snorm"))))
+            .groupBy(col("vec_id"))
+            .agg(max(dot(col("e"), col("se")) / (col("norm") * col("snorm")))
+              .as("msim"))
+          pool.join(m, "vec_id")
+            .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        }
+      val pick = scored
+        .select(col("vec_id"), col("e"), col("norm"), col("simq"), col("msim"),
+          (lit(mmrLambda) * col("simq") - lit(1.0 - mmrLambda) * col("msim"))
+            .as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .withColumn("pick_rank", lit(r))
+        .persist()
+      pick.count() // materialize the round: next round's plan starts here
+      picks += pick
+      selected = if (selected == null) pick else selected.unionAll(pick)
+    }
+    picks.reduce(_ unionAll _)
+      .select(col("pick_rank"), col("vec_id"), col("simq"), col("msim"), col("mmr"))
+      .orderBy(col("pick_rank"))
+  }
+
+  /** Oracle: the greedy rounds unrolled as CTEs (the [[graft.ext.Graph]]
+    * min-plus pattern), each round a pool-vs-selected max + a LIMIT 1
+    * argmax on the identical (mmr DESC, vec_id) order. */
+  val qEmbMmrSql: String = {
+    val lam = s"CAST($mmrLambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1.0 - mmrLambda} AS DOUBLE)"
+    def round(r: Int): String = {
+      val prevSel = s"s${r - 1}"
+      s"""m$r AS (
+         |  SELECT p.vec_id, max(list_dot_product(p.v, s.v) / (p.norm * s.norm)) AS msim
+         |  FROM pool p, $prevSel s GROUP BY p.vec_id
+         |),
+         |sc$r AS (
+         |  SELECT p.vec_id, p.simq, m.msim FROM pool p JOIN m$r m USING (vec_id)
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM $prevSel)
+         |),
+         |p$r AS (
+         |  SELECT vec_id, simq, msim, $lam * simq - $oneMinus * msim AS mmr
+         |  FROM sc$r ORDER BY mmr DESC, vec_id LIMIT 1
+         |),
+         |s$r AS (
+         |  SELECT * FROM $prevSel
+         |  UNION ALL SELECT pool.vec_id, v, norm FROM pool JOIN p$r USING (vec_id)
+         |)""".stripMargin
+    }
+    val rounds = (2 to mmrK).map(round).mkString(",\n")
+    val finalSel = (1 to mmrK)
+      .map(r => s"SELECT $r AS pick_rank, vec_id, simq, msim, mmr FROM p$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qe, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+       |    list_dot_product(qe, v) / (qn * sqrt(list_dot_product(v, v))) AS simq
+       |  FROM e, q WHERE vec_id >= $nQueryVecs
+       |  ORDER BY simq DESC, vec_id LIMIT $mmrPoolK
+       |),
+       |sc1 AS (SELECT vec_id, simq, CAST(0.0 AS DOUBLE) AS msim FROM pool),
+       |p1 AS (
+       |  SELECT vec_id, simq, msim, $lam * simq - $oneMinus * msim AS mmr
+       |  FROM sc1 ORDER BY mmr DESC, vec_id LIMIT 1
+       |),
+       |s1 AS (SELECT pool.vec_id, v, norm FROM pool JOIN p1 USING (vec_id)),
+       |$rounds
+       |SELECT pick_rank, vec_id, simq, msim, mmr FROM (
+       |  $finalSel
+       |) ORDER BY pick_rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Product quantization: per-subspace codebooks + ADC probe
   // ------------------------------------------------------------------
 

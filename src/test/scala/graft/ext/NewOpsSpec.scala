@@ -443,6 +443,52 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("mmr: picks match a local greedy replay; diversity term actually defers") {
+    val out = Similarity.qEmbMmr(spark, sf).collect()
+    assert(out.length === Similarity.mmrK)
+    // local replay with the same sequential-dot arithmetic
+    val embs = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qe = embs(0L); val qn = math.sqrt(dotd(qe, qe))
+    val cands = embs.toSeq.filter(_._1 >= Similarity.nQueryVecs)
+      .map { case (id, e) =>
+        val n = math.sqrt(dotd(e, e))
+        (id, e, n, dotd(qe, e) / (qn * n))
+      }
+    val pool = cands.sortBy { case (id, _, _, sq) => (-sq, id) }
+      .take(Similarity.mmrPoolK)
+    var sel = Vector.empty[(Long, Array[Double], Double)]
+    val lam = Similarity.mmrLambda
+    out.zipWithIndex.foreach { case (r, i) =>
+      val scored = pool.filterNot(p => sel.exists(_._1 == p._1)).map {
+        case (id, e, n, sq) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => dotd(e, s._2) / (n * s._3)).max
+          (id, sq, ms, lam * sq - (1.0 - lam) * ms)
+      }
+      val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+      assert(r.getAs[Int]("pick_rank") === i + 1)
+      assert(r.getAs[Long]("vec_id") === best._1, s"round ${i + 1}")
+      assert(r.getAs[Double]("simq") === best._2)
+      assert(r.getAs[Double]("msim") === best._3)
+      assert(r.getAs[Double]("mmr") === best._4)
+      val p = pool.find(_._1 == best._1).get
+      sel = sel :+ ((p._1, p._2, p._3))
+    }
+    // the diversity term must matter: some later pick has HIGHER relevance
+    // than an earlier one (pure top-k would never produce that inversion)
+    val sims = out.map(_.getAs[Double]("simq"))
+    assert(sims.zip(sims.tail).exists { case (a, b) => b > a },
+      "expected at least one relevance inversion from the diversity term")
+    spark.catalog.clearCache()
+  }
+
   test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
     val r = Dedup.qDocMinhashEval(spark, sf).collect()
     assert(r.length === 1)

@@ -476,4 +476,37 @@ class PlanAssertionsSpec extends SparkSuite {
     // per-part aggregate combines map-side before its exchange
     assert(p.contains("partial_sum"), p)
   }
+
+  test("bm25 top-20 plans as TakeOrdered heaps, never a global sort") {
+    val p = plan(graft.ext.TextOps.qDocBm25(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir model tables ride broadcasts; the corpus never nested-loops") {
+    val p = plan(graft.ext.CorpusOps.qDocDsirWeights(spark, sf))
+    // bucket tables + totals: two broadcast hash probes and the 1-row cross
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // smoothing must tolerate target-absent buckets: a LEFT outer probe
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("mmr pool cut is a TakeOrdered top-k over a broadcast-q scan") {
+    val p = plan(graft.ext.Similarity.qEmbMmr(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // qEmbMmr persists its pool + round picks
+  }
+
+  test("recall audits keep both arms shuffle-joined/broadcast — no products") {
+    for (df <- Seq(
+        graft.ext.Dedup.qDocMinhashEval(spark, sf),
+        graft.ext.Similarity.qEmbAnnRecall(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    spark.catalog.clearCache()
+  }
 }

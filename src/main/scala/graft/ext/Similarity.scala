@@ -612,19 +612,19 @@ object Similarity {
     * to plain argmax relevance.
     *
     * Scale (100 TB): the DISTRIBUTED work is the pool cut — one
-    * broadcast-query scan and a TakeOrdered top-[[mmrPoolK]]; everything
-    * after operates on the constant-size pool (persisted), with each
-    * round one ≤k-row broadcast cross, a pool-keyed max and a 1-row
-    * TakeOrdered. The greedy loop is inherently sequential in [[mmrK]]
-    * (each pick conditions the next round's diversity term) — rounds are
-    * materialized eagerly like [[qEmbKmeansIter]]'s iterations so plan
-    * depth stays flat, and every materialization is pool-sized, never
-    * corpus-sized.
+    * broadcast-query scan and a TakeOrdered top-[[mmrPoolK]]; the greedy
+    * loop then runs on the COLLECTED pool, which is constant-size model
+    * state (mmrPoolK × dim doubles, identical at every corpus scale) —
+    * the [[kmeans]] precedent, NOT a driver-side data loop. A
+    * DataFrame-per-round formulation was measured 10× slower (≈ 5 s at
+    * sf0.1): eleven scheduler round-trips for a 10-row pool is pure
+    * fixed job overhead.
     *
-    * Determinism: sims reuse the sequential [[dot]] fold (bit-equal to
-    * `list_dot_product`); each round's argmax orders by (mmr DESC,
-    * vec_id) in both engines; λ enters as the same DOUBLE cast on both
-    * sides.
+    * Determinism: the pool's sims reuse the sequential [[dot]] fold
+    * (bit-equal to `list_dot_product`); the driver greedy repeats the
+    * exact operand trees (sequential dot, /, ×, IEEE-exact) in pool
+    * order, so every double matches the oracle's unrolled CTEs bit for
+    * bit; argmax breaks ties on vec_id in both.
     */
   def qEmbMmr(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -639,36 +639,31 @@ object Similarity {
         dot(col("qe"), col("e")) / (col("q_norm") * col("norm")))
       .select(col("vec_id"), col("e"), col("norm"), col("simq"))
       .orderBy(col("simq").desc, col("vec_id")).limit(mmrPoolK)
-      .persist()
-    pool.count() // eager: every round reads the pool at least twice
-    var selected: DataFrame = null
-    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    (1 to mmrK).foreach { r =>
-      val scored =
-        if (selected == null) pool.withColumn("msim", lit(0.0))
-        else {
-          val m = pool
-            .crossJoin(broadcast(
-              selected.select(col("e").as("se"), col("norm").as("snorm"))))
-            .groupBy(col("vec_id"))
-            .agg(max(dot(col("e"), col("se")) / (col("norm") * col("snorm")))
-              .as("msim"))
-          pool.join(m, "vec_id")
-            .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        }
-      val pick = scored
-        .select(col("vec_id"), col("e"), col("norm"), col("simq"), col("msim"),
-          (lit(mmrLambda) * col("simq") - lit(1.0 - mmrLambda) * col("msim"))
-            .as("mmr"))
-        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        .withColumn("pick_rank", lit(r))
-        .persist()
-      pick.count() // materialize the round: next round's plan starts here
-      picks += pick
-      selected = if (selected == null) pick else selected.unionAll(pick)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray,
+        r.getAs[Double]("norm"), r.getAs[Double]("simq")))
+    // strict left-to-right fold — the same association as [[dot]] /
+    // list_dot_product, so cross-candidate sims are bit-identical to what
+    // the in-plan expression would produce
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
     }
-    picks.reduce(_ unionAll _)
-      .select(col("pick_rank"), col("vec_id"), col("simq"), col("msim"), col("mmr"))
+    var sel = Vector.empty[(Long, Array[Double], Double)]
+    val out = (1 to mmrK).map { r =>
+      val scored = pool.filter(p => !sel.exists(_._1 == p._1)).map {
+        case (id, e, n, sq) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => dotd(e, s._2) / (n * s._3)).max
+          (id, e, n, sq, ms, mmrLambda * sq - (1.0 - mmrLambda) * ms)
+      }
+      val best = scored.minBy { case (id, _, _, _, _, m) => (-m, id) }
+      sel = sel :+ ((best._1, best._2, best._3))
+      (r, best._1, best._4, best._5, best._6)
+    }
+    import spark.implicits._
+    out.toDF("pick_rank", "vec_id", "simq", "msim", "mmr")
       .orderBy(col("pick_rank"))
   }
 

@@ -493,11 +493,13 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("LeftOuter"), p)
   }
 
-  test("mmr pool cut is a TakeOrdered top-k over a broadcast-q scan") {
+  test("mmr result is constant-size model state; greedy ran on the driver") {
+    // the distributed pool cut happens inside the collect; what the caller
+    // receives is the mmrK-row local result — LocalTableScan, zero
+    // exchanges, nothing corpus-sized survives into the returned plan
     val p = plan(graft.ext.Similarity.qEmbMmr(spark, sf))
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    spark.catalog.clearCache() // qEmbMmr persists its pool + round picks
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange"), p)
   }
 
   test("recall audits keep both arms shuffle-joined/broadcast — no products") {

@@ -55,6 +55,7 @@ object LlmQueries {
     "q_emb_ann_ivf" -> ((Similarity.qEmbAnnIvf _, Similarity.qEmbAnnIvfSql)),
     "q_emb_ann_recall" -> ((Similarity.qEmbAnnRecall _, Similarity.qEmbAnnRecallSql)),
     "q_emb_mmr" -> ((Similarity.qEmbMmr _, Similarity.qEmbMmrSql)),
+    "q_emb_ann_nprobe_sweep" -> ((Similarity.qEmbAnnNprobeSweep _, Similarity.qEmbAnnNprobeSweepSql)),
     "q_emb_kmeans_iter" -> ((Similarity.qEmbKmeansIter _, Similarity.qEmbKmeansIterSql)),
     "q_emb_quantize" -> ((Similarity.qEmbQuantize _, Similarity.qEmbQuantizeSql)),
     "q_emb_pq_adc" -> ((Similarity.qEmbPqAdc _, Similarity.qEmbPqAdcSql)),

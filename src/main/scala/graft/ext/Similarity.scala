@@ -593,6 +593,98 @@ object Similarity {
        |FROM counts""".stripMargin
 
   // ------------------------------------------------------------------
+  // IVF nprobe sweep: the recall knob, measured
+  // ------------------------------------------------------------------
+
+  /** nprobe settings the sweep measures (1 = the oracle-checked IVF
+    * default; rising values probe more cells per query). */
+  val sweepNprobes = Seq(1, 2, 4)
+
+  /** The actionable form of [[qEmbAnnRecall]]: recall@k for each nprobe
+    * in [[sweepNprobes]] against the same exact brute-force arm — the
+    * table an index operator reads to pick the cost/recall point before
+    * deploying IVF over a 100 TB corpus. Candidate sets grow as supersets
+    * with nprobe (NewOpsSpec pins monotone recall), so the sweep shows
+    * exactly what each extra probed cell buys.
+    *
+    * Scale: the exact arm computes ONCE (persisted pairs, query-sample
+    * sized); each sweep point re-runs only the indexed probe; per-point
+    * stats are 1-row broadcast aggregates unioned into the 3-row result.
+    */
+  def qEmbAnnNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = qEmbCosineTopk(spark, sfDir)
+      .select(col("q_id"), col("vec_id")).persist()
+    exact.count()
+    val rows = sweepNprobes.map { n =>
+      val ann = qEmbAnnIvfNprobe(spark, sfDir, n)
+        .select(col("q_id"), col("vec_id")).persist()
+      ann.count()
+      val exC = exact.agg(count(lit(1)).as("n_exact"))
+      val annC = ann.agg(count(lit(1)).as("n_ann"))
+      val ovC = exact.join(ann, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      exC.crossJoin(broadcast(annC)).crossJoin(broadcast(ovC))
+        .select(lit(n).as("nprobe"), col("n_exact"), col("n_ann"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_k"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  /** Oracle: one assignment CTE (rn over distance-ordered cells), a qn/sc/
+    * rk chain per sweep point, counts unioned — the same operand trees as
+    * [[qEmbAnnIvfSql]] with `rn <= n` in place of `rn = 1` on the query
+    * side. */
+  val qEmbAnnNprobeSweepSql: String = {
+    def point(n: Int): String =
+      s"""qn$n AS (
+         |  SELECT vec_id AS q_id, v AS qe, cell, norm AS q_norm FROM assigned
+         |  WHERE rn <= $n AND vec_id < $nQueryVecs
+         |),
+         |sc$n AS (
+         |  SELECT q_id, c.vec_id,
+         |    list_dot_product(qe, v) / (q_norm * norm) AS cosine
+         |  FROM cand c JOIN qn$n q ON c.cell = q.cell
+         |),
+         |rk$n AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM sc$n
+         |),
+         |ann$n AS (SELECT q_id, vec_id FROM rk$n WHERE rank <= $topK),
+         |cnt$n AS (
+         |  SELECT $n AS nprobe,
+         |    (SELECT count(*) FROM ex) AS n_exact,
+         |    (SELECT count(*) FROM ann$n) AS n_ann,
+         |    (SELECT count(*) FROM ex JOIN ann$n USING (q_id, vec_id)) AS n_overlap
+         |)""".stripMargin
+    val points = sweepNprobes.map(point).mkString(",\n")
+    val unions = sweepNprobes
+      .map(n => s"SELECT nprobe, n_exact, n_ann, n_overlap, CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_k FROM cnt$n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($qEmbCosineTopkSql)),
+       |$centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, c_label AS cell,
+       |    sqrt(list_dot_product(v, v)) AS norm,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |cand AS (
+       |  SELECT vec_id, v, cell, norm FROM assigned
+       |  WHERE rn = 1 AND vec_id >= $nQueryVecs
+       |),
+       |$points
+       |SELECT * FROM (
+       |  $unions
+       |) ORDER BY nprobe""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // MMR diversified retrieval
   // ------------------------------------------------------------------
 

@@ -489,6 +489,23 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("nprobe sweep: recall monotone in nprobe; point 1 equals the single audit") {
+    val rows = Similarity.qEmbAnnNprobeSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq === Similarity.sweepNprobes)
+    val recalls = rows.map(_.getAs[Double]("recall_at_k"))
+    // candidate sets are supersets as nprobe grows -> recall cannot drop
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls.toSeq)
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // the nprobe=1 sweep point must agree exactly with qEmbAnnRecall
+    val single = Similarity.qEmbAnnRecall(spark, sf).collect().head
+    val p1 = rows.head
+    assert(p1.getAs[Long]("n_exact") === single.getAs[Long]("n_exact"))
+    assert(p1.getAs[Long]("n_ann") === single.getAs[Long]("n_ann"))
+    assert(p1.getAs[Long]("n_overlap") === single.getAs[Long]("n_overlap"))
+    assert(p1.getAs[Double]("recall_at_k") === single.getAs[Double]("recall_at_k"))
+    spark.catalog.clearCache()
+  }
+
   test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
     val r = Dedup.qDocMinhashEval(spark, sf).collect()
     assert(r.length === 1)

@@ -774,6 +774,92 @@ object Dedup {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS): windowed-min selection + pair mining
+  // ------------------------------------------------------------------
+
+  /** Winnowing window: the min gram hash of every [[winnowW]]-consecutive-
+    * gram window is selected, guaranteeing any shared run of
+    * winnowW + 2 = 6 tokens (w + k − 1 grams) yields at least one shared
+    * fingerprint — the MOSS guarantee. */
+  val winnowW = 4
+
+  /** Fingerprint document-frequency cap (the [[maxBandBucket]] rationale:
+    * a boilerplate fingerprint shared by 10⁵ docs would go quadratic in
+    * the pair join) and the min shared-fingerprint count to report a
+    * pair. */
+  val winnowMaxDf = 100
+  val winnowMinShared = 3
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): slide a [[winnowW]]-gram window over the
+    * POSITIONAL 3-shingle hash stream, select each window's minimum, and
+    * mine doc pairs sharing ≥ [[winnowMinShared]] selected fingerprints.
+    * Where [[qDocMinhashPairs]] estimates WHOLE-DOC similarity and
+    * [[qDocFingerprint]]'s single min-shingle is an all-or-nothing key,
+    * winnowing detects LOCAL shared runs (the guarantee: any ≥ 6-token
+    * verbatim overlap shares a fingerprint) while keeping the selected
+    * set ~2/(w+1) the gram count — position-robust, density-bounded.
+    *
+    * Scale (100 TB): selection is a NARROW per-row transform (no explode
+    * until the selected set, already w-fold smaller than the gram
+    * stream); the pair join is an equi-join on fingerprint keyed by a
+    * df-capped, df≥2 posting list ([[winnowMaxDf]] bounds per-key fan-out
+    * exactly like the minhash bucket cap; df=1 fingerprints — the vast
+    * majority — never enter the join); the pair aggregate is map-side
+    * combinable. Same near-dup fixture as minhash so true pairs provably
+    * exist at every SF.
+    */
+  def qDocWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val hLambda = TextOps.h31ExprSql("s")
+    val fpExpr =
+      s"array_distinct(transform(sequence(1, greatest(size(gs) - ${winnowW - 1}, 1))," +
+        s" j -> array_min(slice(gs, j, $winnowW))))"
+    val fps = nearCorpus(docs)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gs", expr(s"transform($shinglesExpr, s -> $hLambda)"))
+      .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
+      .persist()
+    fps.count() // eager: df table + both pair-join sides consume it
+    val okFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= winnowMaxDf)
+      .select(col("fp"))
+    val filtered = fps.join(okFp, "fp")
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDocWinnowSql: String =
+    s"""WITH $nearCorpusSql,
+       |gss AS (
+       |  SELECT doc_id, list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}) AS gs
+       |  FROM corpus
+       |),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(gs) - ${winnowW - 1}, 1)),
+       |    j -> list_min(gs[j:j + ${winnowW - 1}])))) AS fp
+       |  FROM gss
+       |),
+       |ok_fp AS (
+       |  SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) >= 2 AND count(*) <= $winnowMaxDf
+       |),
+       |filtered AS (SELECT f.* FROM fps f JOIN ok_fp USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM filtered a JOIN filtered b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $winnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // Benchmark decontamination: n-gram overlap against a held-out eval set
   // ------------------------------------------------------------------
 

@@ -26,6 +26,7 @@ object LlmQueries {
     "q_doc_bm25" -> ((TextOps.qDocBm25 _, TextOps.qDocBm25Sql)),
     "q_doc_exact_dedup" -> ((Dedup.qDocExactDedup _, Dedup.qDocExactDedupSql)),
     "q_doc_fingerprint" -> ((Dedup.qDocFingerprint _, Dedup.qDocFingerprintSql)),
+    "q_doc_winnow" -> ((Dedup.qDocWinnow _, Dedup.qDocWinnowSql)),
     "q_doc_simhash" -> ((Dedup.qDocSimhash _, Dedup.qDocSimhashSql)),
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
     "q_doc_minhash_eval" -> ((Dedup.qDocMinhashEval _, Dedup.qDocMinhashEvalSql)),

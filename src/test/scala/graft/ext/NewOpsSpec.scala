@@ -506,6 +506,48 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("winnow: pairs match a full local MOSS replay; planted near-dups hit") {
+    val out = Dedup.qDocWinnow(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // near-dup fixture: every 25th doc re-appears with a suffix token
+    val corpus = docs ++ docs.filter(_._1 % 25 == 0)
+      .map { case (id, t) => (id + 100000) -> (t + " near duplicate suffix") }
+    def h31(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val w = Dedup.winnowW
+    val fps = corpus.map { case (id, text) =>
+      val toks = text.split(" ")
+      val n = math.max(toks.length - 2, 1)
+      val gs = (1 to n).map(i =>
+        h31(toks.slice(i - 1, math.min(i + 2, toks.length)).mkString(" ")))
+      val sel = (1 to math.max(gs.length - (w - 1), 1))
+        .map(j => gs.slice(j - 1, math.min(j - 1 + w, gs.length)).min).distinct
+      id -> sel
+    }
+    val df = fps.flatMap { case (id, sel) => sel.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val ok = fps.map { case (id, sel) =>
+      id -> sel.filter(f => df(f) >= 2 && df(f) <= Dedup.winnowMaxDf).toSet
+    }
+    val expect = (for {
+      (a, fa) <- ok; (b, fb) <- ok if a < b
+      shared = (fa intersect fb).size if shared >= Dedup.winnowMinShared
+    } yield (a, b) -> shared.toLong).toMap
+    assert(out === expect)
+    // MOSS guarantee on the fixture: a J≈0.95 near-dup shares nearly every
+    // fingerprint with its source — every planted pair must be reported
+    docs.filter(_._1 % 25 == 0).foreach { case (id, _) =>
+      assert(out.contains((id, id + 100000)), s"planted pair $id missing")
+    }
+  }
+
   test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
     val r = Dedup.qDocMinhashEval(spark, sf).collect()
     assert(r.length === 1)

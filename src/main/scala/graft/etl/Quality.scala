@@ -346,10 +346,64 @@ object Quality {
        |ORDER BY c_nationkey""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // l-diversity: attribute-disclosure risk k-anonymity misses
+  // ------------------------------------------------------------------
+
+  /** l-diversity audit over the [[qKAnonCustomer]] equivalence classes at
+    * the finest generalization — quasi-identifiers (c_nationkey,
+    * bal_bucket), sensitive attribute c_mktsegment. A class can satisfy
+    * k-anonymity (size ≥ k) while every member shares ONE sensitive value:
+    * re-identification is prevented but the attribute still leaks
+    * (homogeneity attack). The report histograms classes by their
+    * DISTINCT-sensitive-value count: a class with diversity < l is an
+    * l-diversity violation; `row_share` weights the exposure by
+    * population.
+    *
+    * Scale: one (qi)-keyed aggregate (count + count-distinct over a
+    * 5-value attribute — map-side combinable), then a diversity-keyed
+    * re-aggregate whose output is bounded by |mktsegment| = 5 rows; the
+    * population total rides a 1-row broadcast cross.
+    */
+  def qLDivCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.customer(spark, sfDir)
+      .withColumn("bal_bucket", floor(col("c_acctbal") / 1000))
+      .groupBy(col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("diversity"))
+    val total = classes.agg(sum(col("sz")).as("n_total"))
+    classes.groupBy(col("diversity"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class_size"),
+        sum(col("sz")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("diversity"), col("n_classes"), col("min_class_size"),
+        col("n_rows"),
+        (col("n_rows").cast("double") / col("n_total").cast("double"))
+          .as("row_share"))
+      .orderBy(col("diversity"))
+  }
+
+  val qLDivCustomerSql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_bucket,
+      |    count(*) AS sz, count(DISTINCT c_mktsegment) AS diversity
+      |  FROM customer
+      |  GROUP BY c_nationkey, floor(c_acctbal / 1000)
+      |),
+      |total AS (SELECT CAST(sum(sz) AS BIGINT) AS n_total FROM classes)
+      |SELECT diversity, count(*) AS n_classes, min(sz) AS min_class_size,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(sum(sz) AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share
+      |FROM classes CROSS JOIN total
+      |GROUP BY diversity, n_total
+      |ORDER BY diversity""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
     "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
     "q_kanon_customer" -> ((qKAnonCustomer _, qKAnonCustomerSql)),
+    "q_ldiv_customer" -> ((qLDivCustomer _, qLDivCustomerSql)),
     "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
     "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql))
   )

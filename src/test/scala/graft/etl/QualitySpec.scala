@@ -150,4 +150,29 @@ class QualitySpec extends SparkSuite {
     // clean-data oracle entry guarantees.)
     assert(dangling === 2L)
   }
+  test("l-diversity: histogram matches a local class replay; conservation holds") {
+    val out = Quality.qLDivCustomer(spark, sf).collect()
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")).collect()
+      .map(r => ((r.getAs[Int]("c_nationkey").toLong,
+        math.floor(r.getAs[Double]("c_acctbal") / 1000).toLong),
+        r.getAs[String]("c_mktsegment")))
+    val classes = rows.groupBy(_._1).values
+      .map(g => (g.length.toLong, g.map(_._2).distinct.length.toLong)).toSeq
+    val byDiv = classes.groupBy(_._2)
+    assert(out.length === byDiv.size)
+    val total = rows.length.toLong
+    out.foreach { r =>
+      val d = r.getAs[Long]("diversity")
+      val g = byDiv(d)
+      assert(r.getAs[Long]("n_classes") === g.length.toLong)
+      assert(r.getAs[Long]("min_class_size") === g.map(_._1).min)
+      assert(r.getAs[Long]("n_rows") === g.map(_._1).sum)
+      assert(r.getAs[Double]("row_share") === g.map(_._1).sum.toDouble / total.toDouble)
+    }
+    // every customer lands in exactly one diversity band
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total)
+    // diversity is bounded by the sensitive-attribute domain
+    assert(out.map(_.getAs[Long]("diversity")).forall(d => d >= 1 && d <= 5))
+  }
 }

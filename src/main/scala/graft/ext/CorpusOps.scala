@@ -540,6 +540,138 @@ object CorpusOps {
        |ORDER BY source, quality DESC, doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Content-defined chunking: storage-dedup savings estimate
+  // ------------------------------------------------------------------
+
+  /** CDC rolling window (tokens) and boundary divisor: a chunk boundary
+    * falls after token i+3 wherever the 4-token window hash ≡ 0 mod 8,
+    * giving ~8-token average chunks whose CUT POINTS move with the
+    * content, not the offset. */
+  val cdcWindow = 4
+  val cdcDivisor = 8
+
+  /** Content-defined chunking dedup estimate (the rsync/LBFS/backup-dedup
+    * method applied to corpus storage): chunk every document at
+    * content-determined boundaries (rolling-hash ≡ 0 mod [[cdcDivisor]]),
+    * hash each chunk, and report what chunk-level dedup would save.
+    * Fixed-width passages ([[qDocPassageDedup]]) lose all alignment after
+    * ONE inserted token; CDC boundaries are functions of local content,
+    * so an edit perturbs only the chunks it touches — the near-dup
+    * fixture's appended suffix leaves every earlier chunk shared with its
+    * source, which is exactly the savings this measures.
+    *
+    * All arithmetic is integer ([[TextOps.h31]] token hashes, base-31
+    * window polynomial kept < 2⁶³, the [[graft.ext.Dedup.rollingBase]]
+    * fold per chunk), subscripts via 1-based element_at on BOTH engines.
+    * Same-hash chunks are counted identical (a 60-bit-hash collision is
+    * negligible and, being the same hash both sides, cannot cause a
+    * cross-engine diff); per-hash token width uses min() so even a
+    * collision stays deterministic.
+    *
+    * Scale (100 TB): chunking is a NARROW per-row transform (no explode
+    * until chunk rows, already ~divisor-fold smaller than tokens); the
+    * only shuffle is the chunk-hash aggregate (map-side combined,
+    * int64-keyed); the summary is a 1-row reaggregate. This is the
+    * estimator a storage layer runs BEFORE committing to content-
+    * addressed chunk storage.
+    */
+  def qDocCdcSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+    val h = TextOps.h31ExprSql("t")
+    val P = HashP
+    val b3 = 31L * 31L * 31L
+    val b2 = 31L * 31L
+    val chunks = corpus
+      .withColumn("ths", expr(s"transform(split(text, ' '), t -> $h)"))
+      .withColumn("n", size(col("ths")))
+      // cut after token i+3 where the window hash divides; last position
+      // excluded so no zero-length tail chunk
+      .withColumn("cuts", expr(
+        s"IF(n >= $cdcWindow, transform(filter(sequence(1, n - ${cdcWindow - 1}), " +
+          s"i -> (element_at(ths, i) * ${b3}L + element_at(ths, i + 1) * ${b2}L + " +
+          s"element_at(ths, i + 2) * 31L + element_at(ths, i + 3)) % $P % $cdcDivisor = 0 " +
+          s"AND i + ${cdcWindow - 1} < n), i -> i + ${cdcWindow - 1}), " +
+          "array())"))
+      .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(n))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(starts)), k -> struct(" +
+          s"aggregate(slice(ths, element_at(starts, k), element_at(ends, k) - element_at(starts, k) + 1), " +
+          s"0L, (acc, x) -> (acc * ${Dedup.rollingBase} + x) % $P) AS chunk_hash, " +
+          "element_at(ends, k) - element_at(starts, k) + 1 AS n_tokens))")).as("ch"))
+      .select(col("ch.chunk_hash").as("chunk_hash"), col("ch.n_tokens").as("n_tokens"))
+    val perHash = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("n_tokens")).as("tok_one"))
+    perHash.agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("tok_sum")).as("total_tokens"),
+        sum(col("tok_sum") - col("tok_one")).as("dup_tokens"))
+      .select(col("n_chunks"), col("n_distinct_chunks"), col("total_tokens"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("savings_share"))
+  }
+
+  val qDocCdcSavingsSql: String = {
+    val h = TextOps.h31Sql("t")
+    val P = HashP
+    val b3 = 31L * 31L * 31L
+    val b2 = 31L * 31L
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' near duplicate suffix'
+       |  FROM documents WHERE doc_id % 25 = 0
+       |),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $h) AS ths,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM corpus
+       |),
+       |cut AS (
+       |  SELECT doc_id, ths, n,
+       |    CASE WHEN n >= $cdcWindow THEN
+       |      list_transform(list_filter(generate_series(1, n - ${cdcWindow - 1}),
+       |        i -> (ths[i] * $b3 + ths[i + 1] * $b2 + ths[i + 2] * 31 + ths[i + 3])
+       |               % $P % $cdcDivisor = 0 AND i + ${cdcWindow - 1} < n),
+       |        i -> i + ${cdcWindow - 1})
+       |    ELSE [] END AS cuts
+       |  FROM hashed
+       |),
+       |spans AS (
+       |  SELECT doc_id, ths,
+       |    list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+       |    list_append(cuts, n) AS ends
+       |  FROM cut
+       |),
+       |chunks AS (
+       |  SELECT
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), ths[starts[k]:ends[k]]),
+       |      (acc, x) -> (acc * ${Dedup.rollingBase} + x) % $P) AS chunk_hash,
+       |    ends[k] - starts[k] + 1 AS n_tokens
+       |  FROM spans, unnest(generate_series(1, len(starts))) AS u(k)
+       |),
+       |per_hash AS (
+       |  SELECT chunk_hash, count(*) AS cnt,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       |    min(n_tokens) AS tok_one
+       |  FROM chunks GROUP BY chunk_hash
+       |)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_distinct_chunks,
+       |  CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
+       |  CAST(sum(tok_sum - tok_one) AS BIGINT) AS dup_tokens,
+       |  CAST(sum(tok_sum - tok_one) AS DOUBLE) / CAST(sum(tok_sum) AS DOUBLE) AS savings_share
+       |FROM per_hash""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // DSIR-style importance weighting (hashed n-gram likelihood ratio)
   // ------------------------------------------------------------------
 

@@ -47,6 +47,7 @@ object LlmQueries {
     "q_doc_lang_mix_temp" -> ((CorpusOps.qDocLangMixTemp _, CorpusOps.qDocLangMixTempSql)),
     "q_doc_source_cap" -> ((CorpusOps.qDocSourceCap _, CorpusOps.qDocSourceCapSql)),
     "q_doc_dsir_weights" -> ((CorpusOps.qDocDsirWeights _, CorpusOps.qDocDsirWeightsSql)),
+    "q_doc_cdc_savings" -> ((CorpusOps.qDocCdcSavings _, CorpusOps.qDocCdcSavingsSql)),
     "q_emb_cosine_topk" -> ((Similarity.qEmbCosineTopk _, Similarity.qEmbCosineTopkSql)),
     "q_emb_hard_negatives" -> ((Similarity.qEmbHardNegatives _, Similarity.qEmbHardNegativesSql)),
     "q_emb_ann_lsh" -> ((Similarity.qEmbAnnLsh _, Similarity.qEmbAnnLshSql)),

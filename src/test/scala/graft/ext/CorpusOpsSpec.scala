@@ -248,6 +248,60 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("cdc savings: summary matches a full local chunking replay") {
+    val row = CorpusOps.qDocCdcSavings(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val corpus = docs ++ docs.filter(_._1 % 25 == 0)
+      .map { case (id, t) => (id + 100000) -> (t + " near duplicate suffix") }
+    def h31(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val P = TextOps.HashP
+    val w = CorpusOps.cdcWindow
+    def chunksOf(text: String): Seq[(Long, Int)] = {
+      val ths = text.split(" ").map(h31).toIndexedSeq
+      val n = ths.length
+      val cuts =
+        if (n < w) Seq.empty
+        else (1 to n - (w - 1)).filter { i =>
+          val wh = (ths(i - 1) * 29791L + ths(i) * 961L + ths(i + 1) * 31L +
+            ths(i + 2)) % P
+          wh % CorpusOps.cdcDivisor == 0 && i + (w - 1) < n
+        }.map(_ + (w - 1))
+      val starts = 1 +: cuts.map(_ + 1)
+      val ends = cuts :+ n
+      starts.zip(ends).map { case (a, b) =>
+        val fold = ths.slice(a - 1, b).foldLeft(0L)((acc, x) =>
+          (acc * graft.ext.Dedup.rollingBase + x) % P)
+        (fold, b - a + 1)
+      }
+    }
+    val all = corpus.flatMap { case (_, t) => chunksOf(t) }
+    val perHash = all.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2.toLong).sum, g.map(_._2.toLong).min))
+    assert(row.getAs[Long]("n_chunks") === all.length.toLong)
+    assert(row.getAs[Long]("n_distinct_chunks") === perHash.size.toLong)
+    assert(row.getAs[Long]("total_tokens") === all.map(_._2.toLong).sum)
+    val dup = perHash.values.map { case (_, ts, one) => ts - one }.sum
+    assert(row.getAs[Long]("dup_tokens") === dup)
+    assert(row.getAs[Double]("savings_share") ===
+      dup.toDouble / all.map(_._2.toLong).sum.toDouble)
+    // shift-robustness: a near-dup's appended suffix perturbs only the
+    // TAIL chunk(s) — every planted copy shares all but a bounded few
+    // chunks with its source
+    docs.filter(_._1 % 25 == 0).foreach { case (id, t) =>
+      val src = chunksOf(t).map(_._1)
+      val cp = chunksOf(t + " near duplicate suffix").map(_._1)
+      val shared = src.toSet intersect cp.toSet
+      assert(shared.size >= src.length - 2,
+        s"doc $id: only ${shared.size}/${src.length} chunks survive the edit")
+    }
+  }
+
   test("dsir weights: bit-exact local recompute; target slice scores higher on average") {
     val out = CorpusOps.qDocDsirWeights(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

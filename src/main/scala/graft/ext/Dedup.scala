@@ -604,6 +604,110 @@ object Dedup {
        |FROM labels ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Leakage-free train/val/test split (cluster-aware)
+  // ------------------------------------------------------------------
+
+  /** Dedup-aware corpus splitting: hash-split documents into train/val/
+    * test ([[graft.ext.CorpusOps.trainPct]]/[[graft.ext.CorpusOps.valPct]]
+    * boundaries), but key the split hash by the near-dup CLUSTER id
+    * (falling back to doc_id for unclustered docs) so every member of a
+    * resolved duplicate cluster lands in the SAME fold. A naive per-doc
+    * split ([[graft.ext.CorpusOps.qDocSplit]]) puts a train doc's
+    * near-copy into test with probability ≈ (1 − trainPct) per pair —
+    * silent eval contamination that decontamination-by-n-gram then has to
+    * catch downstream; splitting by cluster key prevents it at the
+    * source.
+    *
+    * Output is the per-fold summary (docs, clustered docs, clusters);
+    * the INVARIANT — no cluster straddles folds — is what DedupSpec pins
+    * (it is true by construction: the fold is a function of the cluster
+    * id).
+    *
+    * Scale: the dominant cost is the cluster resolution this composes
+    * ([[qDocDupClusters]]' pipeline); the split itself adds one hash
+    * projection and a left join of the (clustered-docs-only) label table
+    * — label tables are dup-bounded, far smaller than the corpus, and
+    * AQE broadcast-promotes them when small enough.
+    */
+  def qDocSplitLeakfree(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .select(col("doc_a"), col("doc_b")).persist()
+    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
+    val labels = connectedComponents(pairs)
+    val corpus = nearCorpus(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val h = portableHash(
+      concat(col("split_key").cast("string"), lit("|leakfree"))) % 100
+    corpus.join(labels, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("fold",
+        when(h < CorpusOps.trainPct, "train")
+          .when(h < CorpusOps.valPct, "val")
+          .otherwise("test"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("fold"))
+  }
+
+  val qDocSplitLeakfreeSql: String = {
+    val h = TextOps.portableHashSql("CAST(split_key AS VARCHAR) || '|leakfree'")
+    s"""WITH RECURSIVE $nearCorpusSql,
+       |shingled AS (
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minColsSql
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |$candSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |),
+       |reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+       |),
+       |labels AS (
+       |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+       |),
+       |assign AS (
+       |  SELECT c.doc_id, l.cluster_id,
+       |    COALESCE(l.cluster_id, c.doc_id) AS split_key
+       |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+       |),
+       |folds AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN $h % 100 < ${CorpusOps.trainPct} THEN 'train'
+       |         WHEN $h % 100 < ${CorpusOps.valPct} THEN 'val'
+       |         ELSE 'test' END AS fold
+       |  FROM assign
+       |)
+       |SELECT fold, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered_docs,
+       |  count(DISTINCT cluster_id) AS n_clusters
+       |FROM folds GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Cluster representative selection (keep-best-of-cluster)
   // ------------------------------------------------------------------
 

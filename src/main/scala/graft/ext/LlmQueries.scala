@@ -3,10 +3,12 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-facing registry for the LLM-training-data operator surface
-  * (north-star set): text analysis, dedup (exact / MinHash-LSH / SimHash /
-  * fingerprint), similarity search (brute-force + LSH ANN), multimodal
-  * decode plumbing, sketched distincts. All oracle-checked except the HLL
-  * sketch (engine-specific; rows-only).
+  * (north-star set): text analysis, retrieval (TF-IDF / BM25 / postings /
+  * MMR), dedup (exact / MinHash-LSH / SimHash / fingerprint / winnowing /
+  * CDC), data selection (DSIR), recall audits (LSH and IVF vs their exact
+  * arms, nprobe sweep), similarity search (brute-force / LSH / IVF / PQ
+  * ANN), multimodal decode plumbing, sketched distincts. All
+  * oracle-checked except the HLL sketch (engine-specific; rows-only).
   */
 object LlmQueries {
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -31,6 +33,7 @@ object LlmQueries {
     "q_doc_minhash_pairs" -> ((Dedup.qDocMinhashPairs _, Dedup.qDocMinhashPairsSql)),
     "q_doc_minhash_eval" -> ((Dedup.qDocMinhashEval _, Dedup.qDocMinhashEvalSql)),
     "q_doc_dup_clusters" -> ((Dedup.qDocDupClusters _, Dedup.qDocDupClustersSql)),
+    "q_doc_split_leakfree" -> ((Dedup.qDocSplitLeakfree _, Dedup.qDocSplitLeakfreeSql)),
     "q_doc_cluster_reps" -> ((Dedup.qDocClusterReps _, Dedup.qDocClusterRepsSql)),
     "q_doc_curate" -> ((Dedup.qDocCurate _, Dedup.qDocCurateSql)),
     "q_doc_decontam" -> ((Dedup.qDocDecontam _, Dedup.qDocDecontamSql)),

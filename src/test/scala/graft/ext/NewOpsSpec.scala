@@ -548,6 +548,55 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("leak-free split: no cluster straddles folds; summary consistent; naive split leaks") {
+    val out = Dedup.qDocSplitLeakfree(spark, sf).collect()
+      .map(r => r.getAs[String]("fold") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clustered_docs"),
+          r.getAs[Long]("n_clusters"))).toMap
+    // totals: every corpus doc (incl. the near-dup copies) in exactly one fold
+    val base = graft.model.Tables.documents(spark, sf).count()
+    val copies = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(out.values.map(_._1).sum === base + copies)
+    // the invariant: recompute each cluster's fold set via the same
+    // pipeline pieces — a cluster id maps to exactly ONE fold because the
+    // fold is a function of the cluster id; verify against the clustered
+    // doc/cluster counts the summary reports
+    val clusters = Dedup.qDocDupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    def foldOf(key: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key|leakfree".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16) % 100
+      if (h < CorpusOps.trainPct) "train" else if (h < CorpusOps.valPct) "val" else "test"
+    }
+    val byFold = clusters.groupBy { case (_, cid) => foldOf(cid) }
+    out.foreach { case (fold, (_, nClusteredDocs, nClusters)) =>
+      val g = byFold.getOrElse(fold, Array.empty[(Long, Long)])
+      assert(nClusteredDocs === g.length.toLong, s"fold $fold clustered docs")
+      assert(nClusters === g.map(_._2).distinct.length.toLong, s"fold $fold clusters")
+    }
+    // and the naive per-doc split WOULD leak on this corpus: at least one
+    // cluster has members whose per-doc hashes land in different folds
+    val docsById = {
+      val d = graft.model.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      d ++ d.filter(_._1 % 25 == 0).map { case (id, t) =>
+        (id + 100000) -> (t + " near duplicate suffix") }
+    }
+    def naiveFold(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((text + "|split").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16) % 100
+      if (h < CorpusOps.trainPct) "train" else if (h < CorpusOps.valPct) "val" else "test"
+    }
+    val leaky = clusters.groupBy(_._2).values.exists { members =>
+      members.map { case (id, _) => naiveFold(docsById(id)) }.distinct.length > 1
+    }
+    assert(leaky, "fixture should demonstrate naive-split leakage")
+  }
+
   test("minhash recall eval: LSH pairs are a subset of exact truth; fixture dups found") {
     val r = Dedup.qDocMinhashEval(spark, sf).collect()
     assert(r.length === 1)

@@ -33,7 +33,7 @@ object CorpusOps {
     * (the suffix-array method's practical stand-in): boilerplate repeats
     * at passage scale long before whole documents collide.
     */
-  val passageTokens = 16
+  final val passageTokens = 16
 
   /** Passage-level exact dedup: chunk every document into non-overlapping
     * [[passageTokens]]-token passages, keep only the globally FIRST
@@ -108,8 +108,8 @@ object CorpusOps {
   // ------------------------------------------------------------------
 
   /** Percent boundaries: [0,80) train, [80,90) val, [90,100) test. */
-  val trainPct = 80
-  val valPct = 90
+  final val trainPct = 80
+  final val valPct = 90
 
   /** Deterministic 3-way dataset split with per-stratum accounting — the
     * split every training pipeline needs BEFORE tokenization, made a pure

@@ -845,7 +845,7 @@ object Dedup {
   /** Rabin–Karp base for [[qDocFingerprint]]'s rolling hash; acc < P and
     * 31·P + P < 2⁶³ keeps the fold in-range for both engines.
     */
-  val rollingBase = 31L
+  final val rollingBase = 31L
 
   def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

@@ -31,7 +31,7 @@ object TextOps {
     * (DuckDB raises on BIGINT overflow rather than wrapping — portable
     * arithmetic must stay in range, not rely on wraparound).
     */
-  val HashP = 2147483647L
+  final val HashP = 2147483647L
 
   /** 60-bit non-negative content hash: first 15 hex chars of md5. */
   def portableHash(c: Column): Column =

@@ -548,6 +548,22 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("oracle SQL constants are inlined, not init-order-dependent zeros") {
+    // regression for the Dedup<->CorpusOps object-initialization cycle:
+    // cross-object constants referenced inside top-level SQL vals read 0
+    // when the referenced object was mid-initialization, silently
+    // corrupting two oracles (r7). The constants are now compile-time
+    // `final val`s; these literal pins fail if anyone reintroduces an
+    // order-dependent reference.
+    assert(CorpusOps.qDocCdcSavingsSql.contains("acc * 31 + x"))
+    assert(!CorpusOps.qDocCdcSavingsSql.contains("acc * 0"))
+    assert(CorpusOps.qDocPassageDedupSql.contains("acc * 31 + x"))
+    assert(!CorpusOps.qDocPassageDedupSql.contains("acc * 0"))
+    assert(Dedup.qDocSplitLeakfreeSql.contains("% 100 < 80"))
+    assert(Dedup.qDocSplitLeakfreeSql.contains("% 100 < 90"))
+    assert(Dedup.qDocWinnowSql.contains("% 2147483647"))
+  }
+
   test("leak-free split: no cluster straddles folds; summary consistent; naive split leaks") {
     val out = Dedup.qDocSplitLeakfree(spark, sf).collect()
       .map(r => r.getAs[String]("fold") ->

@@ -20,10 +20,24 @@ object Bench {
     // (name, elapsed, error): a failed query records the failure itself, not
     // its time-to-crash — r6 post-mortem: 57 broken queries "completed" in
     // ~0.06s each and produced a plausible-looking (fictional) total.
+    // Failure labels carry the full class name PLUS a truncated message
+    // fragment (getSimpleName is empty for anonymous classes and a bare
+    // class name can't pinpoint which of 175 queries' many joins threw);
+    // escaped here so the label can be embedded in the JSON artifact raw.
+    def describe(e: Throwable): String = {
+      val msg = Option(e.getMessage).getOrElse("").take(120)
+        .flatMap {
+          case '"'           => "\\\""
+          case '\\'          => "\\\\"
+          case c if c < ' '  => " "
+          case c             => c.toString
+        }
+      e.getClass.getName + (if (msg.isEmpty) "" else ": " + msg)
+    }
     def runAll(): Seq[(String, Double, Option[String])] = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+                catch { case e: Throwable => Some(describe(e)) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // several registry queries persist() an intermediate (minhash
       // signatures, LSH corpus, IVF centroids) under the lazy contract;

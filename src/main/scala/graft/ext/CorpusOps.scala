@@ -547,8 +547,8 @@ object CorpusOps {
     * falls after token i+3 wherever the 4-token window hash ≡ 0 mod 8,
     * giving ~8-token average chunks whose CUT POINTS move with the
     * content, not the offset. */
-  val cdcWindow = 4
-  val cdcDivisor = 8
+  final val cdcWindow = 4
+  final val cdcDivisor = 8
 
   /** Content-defined chunking dedup estimate (the rsync/LBFS/backup-dedup
     * method applied to corpus storage): chunk every document at
@@ -577,10 +577,9 @@ object CorpusOps {
     */
   def qDocCdcSavings(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val corpus = docs.unionAll(
-      docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" near duplicate suffix")).as("text")))
+    // the shared minhash/winnow near-dup fixture — ONE definition
+    // (ADVICE r7: a private re-inline here desynchronized silently)
+    val corpus = Dedup.nearCorpus(docs)
     val h = TextOps.h31ExprSql("t")
     val P = HashP
     val b3 = 31L * 31L * 31L
@@ -618,17 +617,14 @@ object CorpusOps {
           .as("savings_share"))
   }
 
-  val qDocCdcSavingsSql: String = {
+  // lazy: reads Dedup.nearCorpusSql (a non-folded val in another object) —
+  // same init-cycle defense as TextOps.qDocRepetitionSql
+  lazy val qDocCdcSavingsSql: String = {
     val h = TextOps.h31Sql("t")
     val P = HashP
     val b3 = 31L * 31L * 31L
     val b2 = 31L * 31L
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000, text || ' near duplicate suffix'
-       |  FROM documents WHERE doc_id % 25 = 0
-       |),
+    s"""WITH ${Dedup.nearCorpusSql},
        |hashed AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $h) AS ths,
        |    len(string_split(text, ' ')) AS n
@@ -680,7 +676,7 @@ object CorpusOps {
     * already separates target-like from target-unlike text on this
     * corpus; production DSIR uses 10k-1M buckets — same plan, bigger
     * broadcast, still metadata-sized. */
-  val dsirBuckets = 256L
+  final val dsirBuckets = 256L
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by

@@ -91,6 +91,24 @@ object Dedup {
     */
   val maxBandBucket = 100
 
+  /** Truth-arm sample for [[qDocMinhashEval]]: an LCG hash of the doc's
+    * BASE id (`doc_id % 100000` — injected near-dups share their source's
+    * base, so true pairs never straddle the sample boundary) keeps
+    * evalSampleKeep/evalSampleMod ≈ 50% of keys. `final val` + literal
+    * RHS: these interpolate into oracle SQL, so they must be
+    * constant-folded (the object-init-cycle rule, .claude/skills/verify).
+    * Max intermediate 99999 × 1103515245 ≈ 1.1e14 — well inside int64 in
+    * both engines.
+    */
+  final val evalSampleMul = 1103515245L
+  final val evalSampleAdd = 12345L
+  final val evalSampleMod = 2048L
+  final val evalSampleKeep = 1024L
+  private def evalKeep(c: Column): Column =
+    ((c % 100000L) * evalSampleMul + evalSampleAdd) % evalSampleMod < evalSampleKeep
+  private def evalKeepSqlOn(c: String): String =
+    s"(($c % 100000) * $evalSampleMul + $evalSampleAdd) % $evalSampleMod < $evalSampleKeep"
+
   /** Word 3-shingles (min 1 shingle for tiny docs). Shared with
     * [[TextOps.qDocRepetition]]. Reads a pre-split `toks` column, NOT an
     * inline `split(text)`: a subtree inside a lambda re-evaluates per
@@ -109,13 +127,13 @@ object Dedup {
   /** Near-dup corpus: every 25th doc re-appears (id+100000) with a token
     * appended — Jaccard ≈ 0.95 against its source.
     */
-  private def nearCorpus(docs: DataFrame): DataFrame =
+  private[ext] def nearCorpus(docs: DataFrame): DataFrame =
     docs.unionAll(
       docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" near duplicate suffix")).as("text")))
 
-  private val nearCorpusSql =
+  private[ext] val nearCorpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -306,32 +324,45 @@ object Dedup {
   /** Recall audit of the banded-minhash path against EXACT ground truth —
     * the validation a production pipeline runs on a sample before
     * trusting LSH over a 100 TB corpus. Ground truth is every pair with
-    * Jaccard ≥ [[jaccardThreshold]] over the SAME near-dup corpus and the
-    * SAME shingle-hash space, found by lossless prefix filtering (the
-    * [[qDocSimJoinPrefix]] family at τ = 1/2: prefix length
-    * nt − ⌈nt/2⌉ + 1, verify gate 3·common ≥ na + nb, which is J ≥ 1/2
-    * in exact integers). The LSH side is [[minhashVerifiedPairs]] —
-    * banded candidates, exactly verified — so every difference is a
-    * BANDING miss, never a verification disagreement: with 4 bands of 4
+    * Jaccard ≥ [[jaccardThreshold]] over a deterministic SAMPLE of the
+    * near-dup corpus in the SAME shingle-hash space, found by lossless
+    * prefix filtering (the [[qDocSimJoinPrefix]] family at τ = 1/2:
+    * prefix length nt − ⌈nt/2⌉ + 1, verify gate 3·common ≥ na + nb,
+    * which is J ≥ 1/2 in exact integers). The LSH side is
+    * [[minhashVerifiedPairs]] restricted to the same sample — banded
+    * candidates, exactly verified — so every difference is a BANDING
+    * miss, never a verification disagreement: with 4 bands of 4
     * rows a true pair at J ≈ 0.5 collides with probability
     * 1−(1−0.5⁴)⁴ ≈ 23%, rising steeply toward J = 1, and the fixture's
     * J ≈ 0.95 near-dups nearly all collide. One summary row:
-    * n_true_pairs, n_lsh_pairs (⊆ truth by construction), n_missed, and
-    * recall.
+    * n_true_pairs, n_lsh_pairs, n_found, n_missed and recall — all
+    * within the sample.
+    *
+    * The sample is keyed on the doc's BASE id ([[evalKeep]]: an LCG hash
+    * of `doc_id % 100000`, keeping ~[[evalSampleKeep]]/[[evalSampleMod]]
+    * of keys), so an injected near-dup (k+100000) samples in or out
+    * WITH its source k — a recall audit whose sample splits true pairs
+    * across the boundary would systematically undercount truth (same
+    * cluster-consistency argument as [[qDocSplitLeakfree]]). Pure int64
+    * arithmetic → bit-identical in any engine, any row order.
     *
     * Scale (100 TB): both arms reuse the persisted shingle table; the
-    * truth arm is the prefix join's bounded-fan-out equi-join (run on a
-    * SAMPLE at production scale — the recall estimate needs pairs, not
-    * the full corpus); the final stats are three 1-row aggregates
-    * cross-joined as broadcasts. Both pair frames are persisted eagerly
-    * before the multi-consumer stats fan-out (the CC-loop lesson).
+    * quadratic-shaped truth arm runs only on the sample (the sample
+    * fraction is the knob — recall needs enough PAIRS, not the corpus),
+    * while the LSH arm's pair set is filtered by the same predicate as
+    * plain column arithmetic, no join; the final stats are three 1-row
+    * aggregates cross-joined as broadcasts. Both pair frames are
+    * persisted eagerly before the multi-consumer stats fan-out (the
+    * CC-loop lesson).
     */
   def qDocMinhashEval(spark: SparkSession, sfDir: String): DataFrame = {
     val shingled = nearDupShingled(spark, sfDir)
     val mh = minhashVerifiedPairs(shingled)
+      .filter(evalKeep(col("doc_a")) && evalKeep(col("doc_b")))
       .select(col("doc_a"), col("doc_b")).persist()
     mh.count()
-    val toks = shingled.select(col("doc_id"), explode(col("hs")).as("tok")).persist()
+    val toks = shingled.filter(evalKeep(col("doc_id")))
+      .select(col("doc_id"), explode(col("hs")).as("tok")).persist()
     toks.count() // eager: df table, ranking, candidate join, verify all consume it
     val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -393,9 +424,11 @@ object Dedup {
        |  JOIN shingled sb ON cand.doc_b = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
+       |    AND ${evalKeepSqlOn("doc_a")} AND ${evalKeepSqlOn("doc_b")}
        |),
        |toks AS (
        |  SELECT doc_id, unnest(hs) AS tok FROM shingled
+       |  WHERE ${evalKeepSqlOn("doc_id")}
        |),
        |dft AS (SELECT tok, count(*) AS tdf FROM toks GROUP BY tok),
        |ranked AS (
@@ -885,14 +918,14 @@ object Dedup {
     * gram window is selected, guaranteeing any shared run of
     * winnowW + 2 = 6 tokens (w + k − 1 grams) yields at least one shared
     * fingerprint — the MOSS guarantee. */
-  val winnowW = 4
+  final val winnowW = 4
 
   /** Fingerprint document-frequency cap (the [[maxBandBucket]] rationale:
     * a boilerplate fingerprint shared by 10⁵ docs would go quadratic in
     * the pair join) and the min shared-fingerprint count to report a
     * pair. */
-  val winnowMaxDf = 100
-  val winnowMinShared = 3
+  final val winnowMaxDf = 100
+  final val winnowMinShared = 3
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS algorithm): slide a [[winnowW]]-gram window over the

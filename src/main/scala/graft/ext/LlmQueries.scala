@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * CDC), data selection (DSIR), recall audits (LSH and IVF vs their exact
   * arms, nprobe sweep), similarity search (brute-force / LSH / IVF / PQ
   * ANN), multimodal decode plumbing, sketched distincts. All
-  * oracle-checked except the HLL sketch (engine-specific; rows-only).
+  * oracle-checked (the HLL entry checks exact two-phase counts plus a
+  * tolerance flag; the raw sketch value is asserted in NewOpsSpec).
   */
 object LlmQueries {
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -73,6 +74,6 @@ object LlmQueries {
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),
     "q_mm_sample_assembly" -> ((Multimodal.qMmSampleAssembly _, Multimodal.qMmSampleAssemblySql)),
     "q_mm_phash_dedup" -> ((Multimodal.qMmPhashDedup _, Multimodal.qMmPhashDedupSql)),
-    "q_approx_distinct" -> ((Similarity.qApproxDistinct _, "")) // oracle-exempt: HLL sketch
+    "q_approx_distinct" -> ((Similarity.qApproxDistinct _, Similarity.qApproxDistinctSql))
   )
 }

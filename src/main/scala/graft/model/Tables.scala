@@ -35,27 +35,42 @@ object Tables {
     * If the footer is NANOS and the session lacks the legacy conf, the
     * initial footer read throws; we then set the runtime-settable conf and
     * retry (the driver contract passes arbitrary sessions, so the loader
-    * must self-heal rather than require() — ADVICE r2). The conf is only
-    * touched on that fallback path, so micros-era sessions carry no
-    * side effect.
+    * must self-heal rather than require() — ADVICE r2). Spark wraps
+    * footer errors unpredictably (AnalysisException directly, or a
+    * SparkException with the Illegal-Parquet-type text buried in the
+    * cause chain), so rather than string-match messages at every level
+    * the retry fires on ANY initial failure — the conf is runtime-
+    * settable and harmless to micros-era files, and if NANOS wasn't the
+    * problem the retry rethrows the ORIGINAL error (retry error attached
+    * as suppressed) so the real cause isn't masked (ADVICE r7).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw =
       try load(spark, sfDir, "events")
       catch {
-        case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        case e: Exception =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(spark, sfDir, "events")
+          try load(spark, sfDir, "events")
+          catch { case e2: Exception => e.addSuppressed(e2); throw e }
       }
     val tsCol = raw.schema("ts").dataType match {
       case LongType        => expr("timestamp_micros(ts div 1000)") // nanos-as-long era
       case TimestampType   => col("ts")                             // micros, UTC-adjusted
       // micros, no-UTC-flag footer: reinterpret the naive datetime in the
-      // session zone (all in-repo sessions pin UTC) so downstream instant
-      // functions (unix_micros, windows, watermarks) keep working and the
-      // values match DuckDB's naive read micro-for-micro.
-      case TimestampNTZType => col("ts").cast(TimestampType)
+      // session zone so downstream instant functions (unix_micros,
+      // windows, watermarks) keep working and the values match DuckDB's
+      // naive read micro-for-micro. Sound ONLY in a UTC session — the
+      // driver contract allows externally-built sessions, and a non-UTC
+      // zone would silently shift every instant vs the oracle, so fail
+      // loudly instead (ADVICE r7). All in-repo sessions pin UTC.
+      case TimestampNTZType =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: reinterpreting it requires " +
+            s"spark.sql.session.timeZone=UTC, got '$tz' — set the session " +
+            "zone to UTC (all graft mains do) before loading events")
+        col("ts").cast(TimestampType)
       case other =>
         throw new IllegalStateException(
           s"events.ts loaded as unexpected type $other (expected long nanos or a timestamp type)")

@@ -13,6 +13,23 @@ import graft.queries.Analytics
   */
 class NewOpsSpec extends SparkSuite {
 
+  test("HLL sketch lands within tolerance of the exact distinct counts") {
+    // The oracle-checked columns of q_approx_distinct are the exact
+    // two-phase counts plus a within-±15% flag; the quantitative
+    // sketch-vs-exact claim lives here. At these cardinalities (20
+    // sources, 10 labels) HLL++ runs in sparse mode and the estimate
+    // should be EXACT; assert the tight bound, not just the 15% band.
+    val rows = Similarity.qApproxDistinct(spark, sf).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+    val approx = Tables.documents(spark, sf)
+      .agg(approx_count_distinct(col("source"), 0.05)).head.getLong(0)
+    val exact = rows.find(_.getAs[String]("scope") == "documents.source")
+      .get.getAs[Long]("exact_nd")
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"HLL estimate $approx vs exact $exact")
+  }
+
   test("embedding near-dup: only injected pairs survive, cosine above threshold") {
     val pairs = Similarity.qEmbNearDup(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cosine")))

@@ -3,7 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, Dataset}
 
@@ -213,6 +214,84 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions(gapMs))
+  }
+
+  /** Gap sessionization on Spark 4's `transformWithState` (the
+    * StatefulProcessor replacement for the legacy
+    * `flatMapGroupsWithState` arbitrary-state API) — same transition
+    * function, same exact-emission guarantee, asserted equal to both the
+    * legacy operator and batch `session_window` in EventStreamsSpec.
+    *
+    * Differences that matter operationally, and why BOTH operators stay:
+    *   - State lives in named typed handles (a [[ListState]] of open
+    *     sessions) instead of one opaque blob — evolvable schema,
+    *     inspectable via the state data source.
+    *   - Timeouts are explicit TIMERS: the processor re-registers the
+    *     earliest possible seal point (min open `lastMs + gap`) each
+    *     transition, deleting stale timers — one live timer per key, the
+    *     direct analog of `setTimeoutTimestamp`.
+    *   - `transformWithState` REQUIRES the RocksDB state store provider
+    *     (callers set `spark.sql.streaming.stateStore.providerClass` to
+    *     `...state.RocksDBStateStoreProvider`); the legacy operator runs
+    *     on any provider, so it remains the default surface and this is
+    *     the forward path — adopt-when-RocksDB-is-on rather than a
+    *     breaking switch.
+    *
+    * Scale: identical to [[sessionize]] — one shuffle on the key per
+    * micro-batch, O(open sessions) state per user, watermark-driven
+    * eviction; RocksDB additionally takes state off-heap, which at
+    * production key cardinality is the difference between GC pressure
+    * and a disk-backed store.
+    */
+  def sessionizeTws(events: Dataset[StreamEvent], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] processor: one [[ListState]] of open sessions
+    * per user, one live timer at the earliest seal point. Data batches
+    * and timer firings run the SAME transition ([[updateSessions]]'
+    * invariant carried over), so out-of-order arrivals merge correctly
+    * in either path.
+    */
+  private[streaming] class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, StreamEvent, SessionOut] {
+    @transient private var open: ListState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[SessionState](
+        "open_sessions", Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def transition(userId: Long, incoming: Iterator[StreamEvent],
+        wm: Long): Iterator[SessionOut] = {
+      val merged = mergeAdjacent(
+        (open.get().toVector ++
+          incoming.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+          .sortBy(s => (s.startMs, s.lastMs)), gapMs)
+      val (sealed_, stillOpen) = merged.partition(s => s.lastMs + gapMs <= wm)
+      // single-timer discipline: timers are not implicitly replaced like
+      // setTimeoutTimestamp was — drop stale ones before re-registering
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (stillOpen.isEmpty) open.clear()
+      else {
+        open.put(stillOpen.toArray)
+        getHandle.registerTimer(stillOpen.map(_.lastMs).min + gapMs)
+      }
+      // qualified: StatefulProcessor inherits a nullary `close()` hook
+      // that shadows the outer helper
+      sealed_.iterator.map(EventStreams.close(userId, _, gapMs))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+        tv: TimerValues): Iterator[SessionOut] =
+      transition(key, rows, tv.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      transition(key, Iterator.empty, tv.getCurrentWatermarkInMs())
   }
 
   private def close(userId: Long, s: SessionState, gapMs: Long): SessionOut =

@@ -194,6 +194,51 @@ class EventStreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("transformWithState sessionization matches the legacy operator batch-for-batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to this test's queries and restore the default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMs = 12L * 3600 * 1000
+    val input = MemoryStream[StreamEvent]
+    val sessions = EventStreams.sessionizeTws(
+      input.toDS().withWatermark("ts", "1 hour").as[StreamEvent], gapMs)
+    val query = sessions.writeStream
+      .format("memory").queryName("session_tws_sink")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // the exact feed of the flatMapGroupsWithState test: same sessions
+      // must seal at the same watermarks (gap close + timer close, with
+      // an out-of-order second batch exercising the merge path)
+      input.addData(
+        StreamEvent(1L, ts(0.0), 1.0), StreamEvent(1L, ts(1.0), 2.0),
+        StreamEvent(2L, ts(0.5), 7.0))
+      query.processAllAvailable()
+      assert(spark.table("session_tws_sink").count() == 0) // all still open
+      input.addData(StreamEvent(1L, ts(31.0), 4.0))
+      query.processAllAvailable()
+      input.addData(StreamEvent(3L, ts(32.0), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("session_tws_sink").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+      assert(rows == Set(
+        (1L, ts(0.0), new Timestamp(ts(1.0).getTime + gapMs), 2L, 3.0),
+        (2L, ts(0.5), new Timestamp(ts(0.5).getTime + gapMs), 1L, 7.0)))
+    } finally {
+      query.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the horizon, re-emits after eviction") {
     val spark0 = spark
     import spark0.implicits._

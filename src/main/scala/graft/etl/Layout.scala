@@ -177,8 +177,107 @@ object Layout {
       |FROM renum GROUP BY event_type, grp
       |ORDER BY event_type, grp""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Join-key skew diagnosis: the shuffle-planning pre-flight
+  // ------------------------------------------------------------------
+
+  /** Exact order-statistic percentiles over the key-frequency table for
+    * one relation/key: frequency histogram → freq-of-freq histogram →
+    * cumulative-count thresholding. Returns ONE row of skew stats.
+    *
+    * Scale (100 TB): the percentile runs over the freq-OF-freq histogram
+    * — bounded by the number of DISTINCT frequency values (heavy-tailed
+    * key distributions have few), never the key cardinality — so the
+    * only corpus-scale work is the one map-side-combined key count; the
+    * single-partition cumulative window sees a handful of rows. This is
+    * what lets the diagnosis run as a cheap pre-flight before every big
+    * join rather than a sampled guess.
+    */
+  private def keySkew(df: DataFrame, key: String, relName: String): DataFrame = {
+    val freq = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+    val ff = freq.groupBy(col("f")).agg(count(lit(1)).as("nk"))
+    val wCum = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ff.select(col("f"), col("nk"), sum(col("nk")).over(wCum).as("cum"))
+    val tot = cum.agg(sum(col("nk")).as("n_keys"), max(col("f")).as("max_freq"),
+      sum(col("f") * col("nk")).as("n_rows"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+        max(col("max_freq")).as("max_freq"),
+        min(when(col("cum") * 2 >= col("n_keys"), col("f"))).as("p50_freq"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("f"))).as("p99_freq"))
+      .select(lit(relName).as("rel"), col("n_rows"), col("n_keys"),
+        col("max_freq"), col("p50_freq"), col("p99_freq"),
+        (col("max_freq").cast("double") / col("n_rows").cast("double")).as("top1_share"),
+        ((col("max_freq") * col("n_keys")).cast("double") / col("n_rows").cast("double"))
+          .as("skew_ratio"),
+        expr("(max_freq * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+  }
+
+  private def keySkewSql(rel: String, key: String, relName: String): String =
+    s"""SELECT '$relName' AS rel, n_rows, n_keys, max_freq,
+       |  (SELECT min(f) FROM cum_$relName c WHERE c.cum * 2 >= t.n_keys) AS p50_freq,
+       |  (SELECT min(f) FROM cum_$relName c WHERE c.cum * 100 >= t.n_keys * 99) AS p99_freq,
+       |  CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+       |  CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio,
+       |  CAST((max_freq * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_factor
+       |FROM t_$relName t""".stripMargin
+
+  private def keySkewCtes(rel: String, key: String, relName: String): String =
+    s"""ff_$relName AS (
+       |  SELECT f, count(*) AS nk
+       |  FROM (SELECT $key AS k, count(*) AS f FROM $rel GROUP BY $key)
+       |  GROUP BY f
+       |),
+       |cum_$relName AS (
+       |  SELECT f, nk, CAST(sum(nk) OVER (ORDER BY f
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM ff_$relName
+       |),
+       |t_$relName AS (
+       |  SELECT CAST(sum(f * nk) AS BIGINT) AS n_rows,
+       |    CAST(sum(nk) AS BIGINT) AS n_keys, max(f) AS max_freq
+       |  FROM ff_$relName
+       |)""".stripMargin
+
+  /** The relation/key pairs the skew report audits — the three join keys
+    * every TPC-H-shaped workload shuffles on.
+    */
+  private def skewTargets(spark: SparkSession, sfDir: String) = Seq(
+    (Tables.lineitem(spark, sfDir), "l_partkey", "lineitem_partkey"),
+    (Tables.lineitem(spark, sfDir), "l_suppkey", "lineitem_suppkey"),
+    (Tables.orders(spark, sfDir), "o_custkey", "orders_custkey"))
+
+  /** Join-key skew diagnosis — the pre-shuffle report that decides
+    * whether a join needs AQE skew handling, salting (the
+    * [[graft.queries.Joins]] salted-enrich path), or a broadcast: for
+    * each audited key, exact row/key counts, the max and exact-p50/p99
+    * key frequencies, the heaviest key's row share, the skew ratio
+    * (max/avg frequency), and the integer salt factor
+    * (ceil(max_freq/avg_freq)) a salted repartition would need to level
+    * the heaviest key — the actionable knob, computed exactly, not from
+    * a sample. See [[keySkew]] for why this costs one aggregate per key
+    * at any scale.
+    */
+  def qSkewDiagnosis(spark: SparkSession, sfDir: String): DataFrame =
+    skewTargets(spark, sfDir)
+      .map { case (df, key, name) => keySkew(df, key, name) }
+      .reduce(_.unionAll(_))
+      .orderBy(col("rel"))
+
+  val qSkewDiagnosisSql: String = {
+    val targets = Seq(("lineitem", "l_partkey", "lineitem_partkey"),
+      ("lineitem", "l_suppkey", "lineitem_suppkey"),
+      ("orders", "o_custkey", "orders_custkey"))
+    s"""WITH ${targets.map { case (r, k, n) => keySkewCtes(r, k, n) }.mkString(",\n")}
+       |${targets.map { case (r, k, n) => keySkewSql(r, k, n) }.mkString("\nUNION ALL\n")}
+       |ORDER BY rel""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_zorder" -> ((qEventZorder _, qEventZorderSql)),
-    "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql))
+    "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql)),
+    "q_skew_diagnosis" -> ((qSkewDiagnosis _, qSkewDiagnosisSql))
   )
 }

@@ -399,11 +399,85 @@ object Quality {
       |GROUP BY diversity, n_total
       |ORDER BY diversity""".stripMargin
 
+  // ------------------------------------------------------------------
+  // t-closeness: distribution-disclosure risk l-diversity misses
+  // ------------------------------------------------------------------
+
+  /** t threshold as an exact rational: tvd ≤ tCloseNum/tCloseDen. */
+  final val tCloseNum = 1L
+  final val tCloseDen = 5L
+
+  /** t-closeness audit completing the [[qKAnonCustomer]] →
+    * [[qLDivCustomer]] privacy ladder: a class can be k-anonymous AND
+    * l-diverse while its sensitive-value DISTRIBUTION still differs
+    * sharply from the population's (skewness attack — "this nation's
+    * customers are 80% AUTOMOBILE" leaks even with all 5 segments
+    * present). Per QI class (c_nationkey), the total-variation distance
+    * between the class's c_mktsegment distribution and the global one
+    * — the EMD specialization for an unordered sensitive attribute —
+    * with the t ≤ [[tCloseNum]]/[[tCloseDen]] verdict decided in EXACT
+    * integer arithmetic: tvd = Σ|cnt·N − tot·n_g| / (2·n_g·N), so the
+    * comparison multiplies through by the denominators instead of
+    * trusting a double.
+    *
+    * Scale: one (qi, sensitive)-keyed count (map-side combined), a
+    * |QI|×|sensitive| grid completion via a broadcast cross of the two
+    * value dictionaries (absent combinations must still contribute
+    * |0 − q_i|), then a qi-keyed re-aggregate — output bounded by |QI|.
+    */
+  def qTCloseCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val cnt = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val ng = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_g"))
+    val tot = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("tot"))
+    val nAll = cust.agg(count(lit(1)).as("n_all"))
+    val grid = ng.crossJoin(broadcast(tot.select(col("c_mktsegment"), col("tot"))))
+      .join(cnt, Seq("c_nationkey", "c_mktsegment"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("c_nationkey"), col("n_g"), col("n_all"),
+        abs(coalesce(col("cnt"), lit(0L)) * col("n_all") -
+          col("tot") * col("n_g")).as("num"))
+    grid.groupBy(col("c_nationkey"))
+      .agg(max(col("n_g")).as("n"), max(col("n_all")).as("n_all"),
+        sum(col("num")).as("tvd_num"))
+      .select(col("c_nationkey"), col("n"),
+        (col("tvd_num").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("n_all").cast("double"))).as("tvd"),
+        (col("tvd_num") * tCloseDen <= col("n") * col("n_all") * (2L * tCloseNum))
+          .as("t_ok"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val qTCloseCustomerSql: String =
+    s"""WITH cnt AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+       |  FROM customer GROUP BY c_nationkey, c_mktsegment
+       |),
+       |ng AS (SELECT c_nationkey, count(*) AS n_g FROM customer GROUP BY c_nationkey),
+       |tot AS (SELECT c_mktsegment, count(*) AS tot FROM customer GROUP BY c_mktsegment),
+       |na AS (SELECT count(*) AS n_all FROM customer),
+       |grid AS (
+       |  SELECT ng.c_nationkey, ng.n_g, na.n_all,
+       |    abs(COALESCE(cnt.cnt, 0) * na.n_all - tot.tot * ng.n_g) AS num
+       |  FROM ng CROSS JOIN tot CROSS JOIN na
+       |  LEFT JOIN cnt ON cnt.c_nationkey = ng.c_nationkey
+       |    AND cnt.c_mktsegment = tot.c_mktsegment
+       |)
+       |SELECT c_nationkey, CAST(max(n_g) AS BIGINT) AS n,
+       |  CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) /
+       |    (CAST(2.0 AS DOUBLE) * CAST(max(n_g) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)) AS tvd,
+       |  CAST(sum(num) AS BIGINT) * $tCloseDen <= max(n_g) * max(n_all) * (2 * $tCloseNum)
+       |    AS t_ok
+       |FROM grid GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
     "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
     "q_kanon_customer" -> ((qKAnonCustomer _, qKAnonCustomerSql)),
     "q_ldiv_customer" -> ((qLDivCustomer _, qLDivCustomerSql)),
+    "q_tclose_customer" -> ((qTCloseCustomer _, qTCloseCustomerSql)),
     "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
     "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql))
   )

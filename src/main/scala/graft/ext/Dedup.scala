@@ -1557,4 +1557,106 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE 5 * common >= 4 * least(sa.n, sb.n)
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact-substring dedup: duplicated k-gram islands (suffix-array-free)
+  // ------------------------------------------------------------------
+
+  /** Word width of the exact-substring grams. */
+  final val dupSpanK = 5
+
+  /** Exact-substring duplication report at [[dupSpanK]]-word granularity
+    * — the distributed stand-in for suffix-array exact-substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a span of text is "duplicated" when every k-gram in it
+    * also appears in ANOTHER document. Per document: positional k-grams
+    * → grams whose doc-frequency ≥ 2 → adjacent duplicated positions
+    * (gap ≤ k, i.e. overlapping or touching spans) merged into maximal
+    * islands by the gaps-and-islands window — reporting span count,
+    * duplicated-token mass and the duplicated fraction per doc. Runs on
+    * the [[nearCorpus]] fixture so planted near-dups surface as
+    * full-document spans while organic cross-doc k-gram repeats show as
+    * short ones.
+    *
+    * Scale (100 TB): this is why the suffix array is NOT needed on a
+    * cluster — the whole computation is (1) a narrow positional-gram
+    * explode, (2) ONE gram-hash-keyed aggregate (map-side combined;
+    * 60-bit portable hashes, so grams ship as int64s, never strings),
+    * (3) one equi-join of positions against the df≥2 gram set, and
+    * (4) a per-doc window. No all-pairs stage, no global sort of the
+    * corpus (the suffix array's cost); the gram aggregate is the only
+    * corpus-scale shuffle. Both window expressions share one
+    * partition/order → one exchange + one sort.
+    */
+  def qDocDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = nearCorpus(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .withColumn("toks", split(col("text"), " "))
+    val gramsExpr =
+      s"transform(sequence(1, size(toks) - ${dupSpanK - 1}), i -> struct(i AS pos, " +
+        s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, $dupSpanK))), 1, 15), 16, 10) AS BIGINT) AS gh))"
+    val grams = corpus.filter(size(col("toks")) >= dupSpanK)
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = grams.join(dupGrams, "gh")
+      .select(col("doc_id"), col("pos"),
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > dupSpanK, 1)
+          .otherwise(0).as("brk"))
+      .select(col("doc_id"), col("pos"), sum(col("brk")).over(wCum).as("island"))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + dupSpanK).cast("long").as("span_tokens"))
+    val totals = corpus.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("total_tokens"),
+        (col("dup_tokens").cast("double") / col("total_tokens").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocDupSpansSql: String =
+    s"""WITH $nearCorpusSql,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(w[i:i+${dupSpanK - 1}], ' ')), 1, 15)) AS BIGINT) AS gh
+       |  FROM toks, UNNEST(range(1, len(w) - ${dupSpanK - 2})) AS t(i)
+       |  WHERE len(w) >= $dupSpanK
+       |),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER dw IS NULL
+       |           OR pos - lag(pos) OVER dw > $dupSpanK THEN 1 ELSE 0 END AS brk
+       |  FROM grams JOIN dup USING (gh)
+       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+       |),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk
+       |),
+       |spans AS (
+       |  SELECT doc_id, island,
+       |    CAST(max(pos) - min(pos) + $dupSpanK AS BIGINT) AS span_tokens
+       |  FROM isl GROUP BY doc_id, island
+       |),
+       |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS total_tokens FROM toks)
+       |SELECT s.doc_id, count(*) AS n_spans,
+       |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       |  any_value(total_tokens) AS total_tokens,
+       |  CAST(CAST(sum(span_tokens) AS BIGINT) AS DOUBLE) /
+       |    CAST(any_value(total_tokens) AS DOUBLE) AS dup_frac
+       |FROM spans s JOIN tot USING (doc_id)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 }

@@ -447,10 +447,83 @@ object Graph {
        |FROM e4 GROUP BY src ORDER BY node_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Link prediction: common-neighbor / Jaccard candidate scoring
+  // ------------------------------------------------------------------
+
+  /** Reported candidate links. */
+  final val linkPredTopK = 20
+
+  /** Minimum shared neighbors for a candidate pair. */
+  final val linkPredMinCommon = 2
+
+  /** Common-neighbor link prediction over the bipartite purchase graph:
+    * score supplier pairs by the Jaccard similarity of their customer
+    * neighborhoods — |N(a)∩N(b)| / |N(a)∪N(b)| — and report the top
+    * [[linkPredTopK]] non-trivial candidates (≥ [[linkPredMinCommon]]
+    * shared buyers). The classic "who-should-trade-next" /
+    * account-linking primitive: a high-Jaccard supplier pair serves the
+    * same buyer population without (necessarily) any direct tie.
+    *
+    * Scale (100 TB): the wedge generation is per-CUSTOMER quadratic in
+    * that customer's distinct-supplier width — the same bounded
+    * co-occurrence build as [[qGraphTriangles]]'s edge stage; on graphs
+    * with unbounded hub widths, cap or sample hub neighborhoods, or
+    * switch candidate generation to the prefix-filter AllPairs plan
+    * ([[Dedup.qDocSimJoinPrefix]] — neighborhoods ARE sets, the same
+    * algorithm applies verbatim). Counting is one (s_a, s_b)-keyed
+    * map-side-combined aggregate; degrees join in supplier-keyed
+    * (broadcastable — |suppliers| ≪ |edges|); the top-k plans as
+    * TakeOrdered. Jaccard divides two exact BIGINTs once at the end, so
+    * scores and the (score DESC, s_a, s_b) cut are engine-identical.
+    */
+  def qGraphLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist()
+    edges.count() // eager: wedge self-join + degree agg consume it
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val pairs = edges.as("a")
+      .join(edges.as("b"), col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= linkPredMinCommon)
+    pairs
+      .join(broadcast(deg.select(col("s").as("s_a"), col("d").as("deg_a"))), "s_a")
+      .join(broadcast(deg.select(col("s").as("s_b"), col("d").as("deg_b"))), "s_b")
+      .select(col("s_a"), col("s_b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s_a"), col("s_b"))
+      .limit(linkPredTopK)
+  }
+
+  val qGraphLinkpredSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+       |pairs AS (
+       |  SELECT a.s AS s_a, b.s AS s_b, count(*) AS common
+       |  FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY a.s, b.s
+       |  HAVING count(*) >= $linkPredMinCommon
+       |)
+       |SELECT s_a, s_b, common, da.d AS deg_a, db.d AS deg_b,
+       |  CAST(common AS DOUBLE) / CAST(da.d + db.d - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN deg da ON da.s = s_a JOIN deg db ON db.s = s_b
+       |ORDER BY jaccard DESC, s_a, s_b
+       |LIMIT $linkPredTopK""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
     "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
     "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql)),
-    "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql))
+    "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql)),
+    "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql))
   )
 }

@@ -74,6 +74,11 @@ object LlmQueries {
     "q_mm_resize_sample" -> ((Multimodal.qMmResizeSample _, Multimodal.qMmResizeSampleSql)),
     "q_mm_sample_assembly" -> ((Multimodal.qMmSampleAssembly _, Multimodal.qMmSampleAssemblySql)),
     "q_mm_phash_dedup" -> ((Multimodal.qMmPhashDedup _, Multimodal.qMmPhashDedupSql)),
-    "q_approx_distinct" -> ((Similarity.qApproxDistinct _, Similarity.qApproxDistinctSql))
+    "q_approx_distinct" -> ((Similarity.qApproxDistinct _, Similarity.qApproxDistinctSql)),
+    "q_doc_zipf" -> ((TextOps.qDocZipf _, TextOps.qDocZipfSql)),
+    "q_doc_heaps" -> ((TextOps.qDocHeaps _, TextOps.qDocHeapsSql)),
+    "q_doc_bpe_pairs" -> ((TextOps.qDocBpePairs _, TextOps.qDocBpePairsSql)),
+    "q_doc_dupspans" -> ((Dedup.qDocDupSpans _, Dedup.qDocDupSpansSql)),
+    "q_emb_matryoshka" -> ((Similarity.qEmbMatryoshka _, Similarity.qEmbMatryoshkaSql))
   )
 }

@@ -1623,4 +1623,89 @@ object Similarity {
       |       / CAST(n AS DOUBLE)) AS std_micro,
       |  min_x, max_x
       |FROM m ORDER BY i""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Matryoshka truncation audit: recall of prefix-dimension retrieval
+  // ------------------------------------------------------------------
+
+  /** Prefix widths the truncation audit measures against the full-width
+    * exact top-k. Seq, not a literal — consume via local code only (the
+    * object-init-cycle rule, .claude/skills/verify).
+    */
+  final val matryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** Matryoshka-truncation retrieval audit: recall@[[topK]] when cosine
+    * runs on only the FIRST d dimensions of each embedding, for each d
+    * in [[matryoshkaDims]], against the full-width exact top-k — the
+    * measurement behind MRL-style two-stage retrieval (rank cheaply on a
+    * prefix, re-rank survivors at full width) and the table that decides
+    * how narrow the first stage can go. Same query/candidate split and
+    * (cosine DESC, vec_id) tiebreak as every other arm, so differences
+    * are pure truncation loss.
+    *
+    * Scale (100 TB): the payoff being measured is bandwidth — a d=8
+    * prefix scan reads 1/8th of the vector bytes (with vectors stored
+    * dim-major/chunked, the scan prunes to the prefix columns), and the
+    * full-width exact arm runs once regardless of how many widths the
+    * sweep compares. Per-width stats are 1-row broadcast aggregates;
+    * the exact arm persists once (owner: this query).
+    */
+  def qEmbMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = qEmbCosineTopk(spark, sfDir)
+      .select(col("q_id"), col("vec_id")).persist()
+    exact.count()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val rows = matryoshkaDims.map { d =>
+      val q = emb.filter(col("vec_id") < nQueryVecs)
+        .select(col("vec_id").as("q_id"), slice(col("embedding"), 1, d).as("qe"))
+        .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+      val c = emb.filter(col("vec_id") >= nQueryVecs)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("ce"))
+        .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val trunc = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("q_id"), col("vec_id"))
+      val ov = exact.join(trunc, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      nExact.crossJoin(broadcast(ov))
+        .select(lit(d).as("dim"), col("n_exact"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_k"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(col("dim"))
+  }
+
+  val qEmbMatryoshkaSql: String = {
+    def truncCte(d: Int): String =
+      s"""t$d AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM (
+         |      SELECT q_id, vec_id,
+         |        list_dot_product(qe, ce) /
+         |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cosine
+         |      FROM (SELECT vec_id AS q_id, (CAST(embedding AS DOUBLE[]))[1:$d] AS qe
+         |            FROM embeddings WHERE vec_id < $nQueryVecs) q,
+         |           (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$d] AS ce
+         |            FROM embeddings WHERE vec_id >= $nQueryVecs) c
+         |    )
+         |  ) WHERE rank <= $topK
+         |)""".stripMargin
+    def armRow(d: Int): String =
+      s"""SELECT $d AS dim,
+         |  (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM ex JOIN t$d USING (q_id, vec_id)) AS n_overlap,
+         |  CAST((SELECT count(*) FROM ex JOIN t$d USING (q_id, vec_id)) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_at_k""".stripMargin
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($qEmbCosineTopkSql)),
+       |${matryoshkaDims.map(truncCte).mkString(",\n")}
+       |${matryoshkaDims.map(armRow).mkString("\nUNION ALL\n")}
+       |ORDER BY dim""".stripMargin
+  }
 }

@@ -854,4 +854,237 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id
        |LIMIT $bm25TopDocs""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Corpus-law fits: Zipf slope and Heaps vocabulary-growth exponent
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for quantized natural logs: log values become
+    * BIGINT micro-log units (floor(ln(v)·10⁶)), so the least-squares
+    * sums below are EXACT integer arithmetic — order-free under any
+    * partitioning and identical across engines. (The only cross-engine
+    * exposure left is ln itself: JVM Math.log and libm log may disagree
+    * in the last ulp, which flips a floor only when ln(v)·10⁶ sits
+    * within ~1e-10 of an integer — negligible for integer-valued inputs.)
+    */
+  final val logScale = 1000000L
+
+  /** floor(ln(c)·10⁶) as BIGINT — the quantized-log x/y of the fits. */
+  private def quantLog(c: Column): Column =
+    floor(log(c.cast("double")) * logScale).cast("long")
+
+  private def quantLogSql(e: String): String =
+    s"CAST(floor(ln(CAST($e AS DOUBLE)) * $logScale) AS BIGINT)"
+
+  /** Ordinary least squares over quantized-log points `(x, y)`:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept de-scaled back to
+    * natural-log units. All five sums are exact BIGINTs (magnitudes
+    * bounded by n·(ln(max)·10⁶)² — int64-safe past 10⁹ points at any
+    * realistic value range); the two casts to double and one division
+    * happen once, on identical exact integers in every engine, so the
+    * emitted doubles are bit-identical. Single mergeable aggregate —
+    * map-side combined, no shuffle beyond the 1-row reduce.
+    */
+  private def logLogFit(pts: DataFrame): DataFrame =
+    pts.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        col("sx"), col("sy"))
+
+  /** The intercept/slope SELECT shared by the two oracle fits: expects a
+    * CTE `pts(x, y)`; DuckDB widens the BIGINT products to HUGEINT, so
+    * each product term is narrowed back before the double boundary
+    * (magnitudes are int64-safe, see [[logLogFit]]).
+    */
+  private def logLogFitSql: String =
+    s"""SELECT count(*) AS n,
+       |    CAST(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS DOUBLE) /
+       |      CAST(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS DOUBLE) AS slope,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+       |  FROM pts""".stripMargin
+
+  /** Ranks entering the Zipf fit. */
+  final val zipfRanks = 50
+
+  /** Zipf's-law fit over the corpus frequency head: rank tokens by
+    * frequency, fit ln(tf) against ln(rank) over the top [[zipfRanks]]
+    * ranks, and report the power-law slope (Zipf's law predicts ≈ −1)
+    * plus the de-scaled intercept. The vocabulary-shape diagnostic a
+    * tokenizer/corpus-health pass runs: a slope far from −1 flags
+    * boilerplate-heavy or template-generated text.
+    *
+    * Scale: one vocab-bounded tf aggregate (map-side combined), a
+    * TakeOrdered top-[[zipfRanks]] cut (per-partition heaps, never a
+    * full vocab sort), then the fit runs on a plan-constant 50 rows via
+    * [[logLogFit]]'s exact-integer sums.
+    */
+  def qDocZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    val pts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(zipfRanks)
+      .select(row_number().over(wRank).as("rank"), col("tf"))
+      .select(quantLog(col("rank")).as("x"), quantLog(col("tf")).as("y"))
+    logLogFit(pts)
+      .select(col("n").cast("long").as("n_ranks"), col("slope"),
+        (col("sy").cast("double") / col("n") / logScale -
+          col("slope") * (col("sx").cast("double") / col("n") / logScale))
+          .as("intercept"))
+  }
+
+  val qDocZipfSql: String =
+    s"""WITH tf AS (
+       |  SELECT token, count(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token
+       |),
+       |head AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank, tf
+       |  FROM (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT $zipfRanks)
+       |),
+       |pts AS (
+       |  SELECT ${quantLogSql("rank")} AS x, ${quantLogSql("tf")} AS y FROM head
+       |),
+       |fit AS (
+       |  $logLogFitSql
+       |)
+       |SELECT n AS n_ranks, slope,
+       |  CAST(sy AS DOUBLE) / n / $logScale -
+       |    slope * (CAST(sx AS DOUBLE) / n / $logScale) AS intercept
+       |FROM fit""".stripMargin
+
+  /** Corpus-prefix checkpoints for the Heaps fit. */
+  final val heapsBuckets = 10
+
+  /** Heaps'-law vocabulary-growth curve: split the corpus into
+    * [[heapsBuckets]] doc-id-ordered prefixes, report cumulative token
+    * and distinct-vocabulary counts at each checkpoint, and fit
+    * ln(vocab) against ln(tokens) — the exponent β (typically 0.4–0.6
+    * for natural text) that forecasts how big a tokenizer vocabulary a
+    * 100 TB crawl needs from a prefix sample.
+    *
+    * Scale: "first doc containing each token" is one vocab-bounded
+    * min-aggregate — the cumulative vocab curve needs NO per-prefix
+    * rescan (the naive form re-counts distinct tokens per checkpoint,
+    * [[heapsBuckets]] corpus scans). Token totals are one bucket-keyed
+    * count; the cumulative window and fit then see exactly
+    * [[heapsBuckets]] rows, a plan constant.
+    */
+  def qDocHeaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("mx"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val bucketOf = (c: Column) => expr(s"(${c.toString()} * $heapsBuckets) div mx")
+    val tokCum = toks.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val vocabCum = toks.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // LEFT join: a prefix bucket that introduces no new tokens still
+    // checkpoints the curve (its new_vocab is 0, not a dropped row)
+    val curve = tokCum.join(vocabCum, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("toks")).over(wCum).as("cum_tokens"),
+        sum(coalesce(col("new_vocab"), lit(0L))).over(wCum).as("cum_vocab"))
+    val fit = logLogFit(
+      curve.select(quantLog(col("cum_tokens")).as("x"), quantLog(col("cum_vocab")).as("y")))
+      .select(col("slope").as("heaps_beta"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("bucket").cast("long").as("bucket"), col("cum_tokens"),
+        col("cum_vocab"), col("heaps_beta"))
+      .orderBy(col("bucket"))
+  }
+
+  val qDocHeapsSql: String =
+    s"""WITH m AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |),
+       |tok_b AS (
+       |  SELECT (doc_id * $heapsBuckets) // mx AS bucket, count(*) AS toks
+       |  FROM toks CROSS JOIN m GROUP BY 1
+       |),
+       |voc_b AS (
+       |  SELECT (first_doc * $heapsBuckets) // mx AS bucket, count(*) AS new_vocab
+       |  FROM (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token)
+       |  CROSS JOIN m GROUP BY 1
+       |),
+       |curve AS (
+       |  SELECT bucket,
+       |    CAST(sum(toks) OVER w AS BIGINT) AS cum_tokens,
+       |    CAST(sum(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+       |  FROM tok_b LEFT JOIN voc_b USING (bucket)
+       |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |pts AS (
+       |  SELECT ${quantLogSql("cum_tokens")} AS x, ${quantLogSql("cum_vocab")} AS y
+       |  FROM curve
+       |),
+       |fit AS (
+       |  $logLogFitSql
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, cum_tokens, cum_vocab,
+       |  slope AS heaps_beta
+       |FROM curve CROSS JOIN fit
+       |ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // BPE merge induction: adjacent-pair statistics over the vocabulary
+  // ------------------------------------------------------------------
+
+  /** Merge candidates reported per round. */
+  final val bpeTopK = 20
+
+  /** The first round of BPE tokenizer training: count adjacent
+    * character-pair frequencies across the corpus — weighted by word
+    * frequency — and report the top [[bpeTopK]] merge candidates. This is
+    * the step a sentencepiece/BPE trainer iterates; one round is the
+    * deterministic, oracle-checkable kernel (later rounds re-run it on
+    * the re-segmented vocab).
+    *
+    * Scale: the trick that makes BPE trainable on a 100 TB corpus is in
+    * the plan — pairs are generated over the DISTINCT word table (vocab-
+    * bounded, millions of rows) with the corpus contributing only the
+    * word-frequency weight via one map-side-combined aggregate. The
+    * corpus itself is scanned once and never re-shuffled; the pair
+    * explode touches |vocab|·avg_word_len rows, not corpus tokens.
+    */
+  def qDocBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wcount"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcount")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(bpeTopK)
+
+  val qDocBpePairsSql: String =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |pairs AS (
+       |  SELECT substr(word, i, 2) AS pair, wcount
+       |  FROM words, UNNEST(range(1, length(word))) AS t(i)
+       |  WHERE length(word) >= 2
+       |)
+       |SELECT pair, CAST(sum(wcount) AS BIGINT) AS weight
+       |FROM pairs GROUP BY pair
+       |ORDER BY weight DESC, pair
+       |LIMIT $bpeTopK""".stripMargin
 }

@@ -472,6 +472,82 @@ object Quality {
        |FROM grid GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Functional-dependency mining (schema profiling)
+  // ------------------------------------------------------------------
+
+  /** Functional-dependency audit over a FIXED candidate list — the
+    * profiling pass (TANE/Metanome-shaped, restricted to declared
+    * candidates rather than lattice search) that discovers which
+    * column→column determinations actually hold in the data: the input
+    * to normalization decisions, surrogate-key validation, and "is this
+    * join key actually a key?" checks before a pipeline trusts it.
+    * Candidates deliberately mix true keys (o_orderkey→o_custkey),
+    * plausible-but-false FDs (c_nationkey→c_mktsegment), and the
+    * TPC-H composite PK ((l_orderkey,l_linenumber)→l_partkey) — which
+    * the synthetic generator does NOT enforce, so the audit reports it
+    * VIOLATED: exactly the silent-assumption catch this op exists for
+    * (a pipeline keying merges on that pair would corrupt data).
+    *
+    * Per candidate: distinct determinant values, how many of them map to
+    * >1 dependent value (violating groups), and the holds verdict. All
+    * exact integer counts.
+    *
+    * Scale (100 TB): each candidate is ONE determinant-keyed partial
+    * agg (count(distinct dep) per det collapses map-side for low-
+    * cardinality deps via partial distinct) followed by a |det|-group
+    * rollup to a single row; candidates on the same table still scan it
+    * independently — a production profiler would fuse same-table
+    * candidates into one grouping-sets pass, traded here for per-
+    * candidate plan clarity. No windows, no driver collects.
+    */
+  def qFdMine(spark: SparkSession, sfDir: String): DataFrame = {
+    def cand(df: DataFrame, table: String, det: Seq[String], dep: String): DataFrame =
+      df.groupBy(det.map(col): _*)
+        .agg(countDistinct(col(dep)).as("n_dep"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(table).as("tbl"), lit(det.mkString(",")).as("det"),
+          lit(dep).as("dep"), col("n_det"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    cand(Tables.nation(spark, sfDir), "nation", Seq("n_nationkey"), "n_name")
+      .unionAll(cand(Tables.customer(spark, sfDir), "customer",
+        Seq("c_custkey"), "c_mktsegment"))
+      .unionAll(cand(Tables.customer(spark, sfDir), "customer",
+        Seq("c_nationkey"), "c_mktsegment"))
+      .unionAll(cand(Tables.orders(spark, sfDir), "orders",
+        Seq("o_orderkey"), "o_custkey"))
+      .unionAll(cand(Tables.orders(spark, sfDir), "orders",
+        Seq("o_custkey"), "o_orderpriority"))
+      .unionAll(cand(Tables.lineitem(spark, sfDir), "lineitem",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+      .unionAll(cand(Tables.lineitem(spark, sfDir), "lineitem",
+        Seq("l_partkey"), "l_suppkey"))
+      .orderBy(col("tbl"), col("det"), col("dep"))
+  }
+
+  val qFdMineSql: String = {
+    def cand(table: String, det: Seq[String], dep: String): String = {
+      val detCols = det.mkString(", ")
+      val detLbl = det.mkString(",")
+      s"""SELECT '$table' AS tbl, '$detLbl' AS det, '$dep' AS dep,
+         |  count(*) AS n_det,
+         |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+         |FROM (SELECT $detCols, count(DISTINCT $dep) AS n_dep
+         |      FROM $table GROUP BY $detCols)""".stripMargin
+    }
+    Seq(
+      cand("nation", Seq("n_nationkey"), "n_name"),
+      cand("customer", Seq("c_custkey"), "c_mktsegment"),
+      cand("customer", Seq("c_nationkey"), "c_mktsegment"),
+      cand("orders", Seq("o_orderkey"), "o_custkey"),
+      cand("orders", Seq("o_custkey"), "o_orderpriority"),
+      cand("lineitem", Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+      cand("lineitem", Seq("l_partkey"), "l_suppkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, det, dep")
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
     "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
@@ -479,6 +555,7 @@ object Quality {
     "q_ldiv_customer" -> ((qLDivCustomer _, qLDivCustomerSql)),
     "q_tclose_customer" -> ((qTCloseCustomer _, qTCloseCustomerSql)),
     "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
-    "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql))
+    "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql)),
+    "q_fd_mine" -> ((qFdMine _, qFdMineSql))
   )
 }

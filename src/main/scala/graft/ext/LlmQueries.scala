@@ -79,6 +79,9 @@ object LlmQueries {
     "q_doc_heaps" -> ((TextOps.qDocHeaps _, TextOps.qDocHeapsSql)),
     "q_doc_bpe_pairs" -> ((TextOps.qDocBpePairs _, TextOps.qDocBpePairsSql)),
     "q_doc_dupspans" -> ((Dedup.qDocDupSpans _, Dedup.qDocDupSpansSql)),
-    "q_emb_matryoshka" -> ((Similarity.qEmbMatryoshka _, Similarity.qEmbMatryoshkaSql))
+    "q_emb_matryoshka" -> ((Similarity.qEmbMatryoshka _, Similarity.qEmbMatryoshkaSql)),
+    "q_doc_perplexity" -> ((TextOps.qDocPerplexity _, TextOps.qDocPerplexitySql)),
+    "q_doc_ngram_novelty" -> ((TextOps.qDocNgramNovelty _, TextOps.qDocNgramNoveltySql)),
+    "q_emb_knn_classify" -> ((Similarity.qEmbKnnClassify _, Similarity.qEmbKnnClassifySql))
   )
 }

@@ -1516,6 +1516,106 @@ object Similarity {
        |FROM hits GROUP BY q_label ORDER BY label""".stripMargin
 
   // ------------------------------------------------------------------
+  // k-NN classification eval (leave-one-out majority vote)
+  // ------------------------------------------------------------------
+
+  /** Votes per query for [[qEmbKnnClassify]] (odd would avoid exact ties;
+    * 5 keeps ties possible on a 4+-label corpus, so the deterministic
+    * tie-break below is load-bearing and exercised).
+    */
+  final val knnK = 5
+
+  /** Leave-one-out k-NN CLASSIFICATION accuracy of the embedding space:
+    * every [[evalQueryMod]]-th vector is a held-out query, its [[knnK]]
+    * nearest corpus neighbors by exact cosine vote on its label, and the
+    * majority label (ties broken by smaller label id — deterministic) is
+    * scored against the truth. Reported per true label: query count,
+    * correct count, accuracy, and mean votes the winning label received.
+    * This is the standard intrinsic-quality probe for an embedding model
+    * (kNN-probe accuracy), complementing [[qEmbRetrievalEval]]'s
+    * ranking-quality view with a decision-quality one.
+    *
+    * Scale: scoring reuses the broadcast-queries × corpus scan of
+    * [[qEmbRetrievalEval]] (queries are a curated sample by
+    * construction); the top-k window partitions by query; the vote /
+    * argmax windows run over ≤[[knnK]] rows per query — bounded frames,
+    * never the corpus. For corpus-scale query sets swap the scorer for
+    * the IVF probe; the vote arithmetic composes unchanged.
+    */
+  def qEmbKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % evalQueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") % evalQueryMod =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val votes = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= knnK)
+      .groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    val preds = votes.withColumn("vrank", row_number().over(wVote))
+      .filter(col("vrank") === 1)
+      .select(col("q_id"), col("q_label"), col("label").as("pred"),
+        col("n_votes"))
+    preds.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("n_votes")).as("win_votes"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"),
+        (col("win_votes").cast("double") / col("n_queries").cast("double"))
+          .as("mean_win_votes"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbKnnClassifySql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod = 0
+       |),
+       |c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod <> 0
+       |),
+       |ranked AS (
+       |  SELECT q_id, q_label, label,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_dot_product(qe, ce) / (q_norm * c_norm) DESC, vec_id) AS rank
+       |  FROM c, q WHERE q_id <> vec_id
+       |),
+       |votes AS (
+       |  SELECT q_id, q_label, label, count(*) AS n_votes
+       |  FROM ranked WHERE rank <= $knnK
+       |  GROUP BY q_id, q_label, label
+       |),
+       |preds AS (
+       |  SELECT q_id, q_label, label AS pred, n_votes
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY n_votes DESC, label) AS vrank FROM votes)
+       |  WHERE vrank = 1
+       |)
+       |SELECT q_label AS label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS accuracy,
+       |  CAST(CAST(sum(n_votes) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mean_win_votes
+       |FROM preds GROUP BY q_label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
   // Distinct-cardinality audit: exact two-phase counts (oracle-checked)
   // plus an HLL-sketch sanity flag. The raw HLL estimate is
   // engine-specific so it cannot be a checked column; instead the query

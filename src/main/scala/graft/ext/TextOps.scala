@@ -1087,4 +1087,148 @@ object TextOps {
        |FROM pairs GROUP BY pair
        |ORDER BY weight DESC, pair
        |LIMIT $bpeTopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Unigram-LM cross-entropy per source (perplexity filtering)
+  // ------------------------------------------------------------------
+
+  /** Per-source unigram cross-entropy under the corpus's own add-one-
+    * smoothed unigram LM — the aggregate form of the perplexity filter
+    * every web-scale curation pipeline runs (CCNet/FineWeb score each
+    * document under a reference LM and drop the high-perplexity tail;
+    * here the reference LM is the corpus itself and the score is rolled
+    * up per source, exposing which source is most "surprising" to the
+    * corpus-wide token distribution).
+    *
+    * Determinism: per-token log-probability ln((tf+1)/(T+V)) is split
+    * into floor-quantized micro-nat integers ([[logScale]], the
+    * [[qDocZipf]] rule) — `floor(ln(tf+1)·S) − floor(ln(T+V)·S)` — so the
+    * per-source accumulation is EXACT BIGINT arithmetic in any engine;
+    * the only float steps are one correctly-rounded `ln` per DISTINCT
+    * token and the final one-shot division.
+    *
+    * Scale (100 TB): tokens partial-aggregate to (source, token) term
+    * frequencies map-side (first and only corpus-sized shuffle); the LM
+    * join is then VOCABULARY-sized — (source, token) ⋈ token — never
+    * instance-level, and the (T, V) totals ride a broadcast 1-row frame
+    * (never `.count()` into the driver). The final agg is |sources| rows.
+    * At trillion-token scale the corpus tf table is Zipf-bounded and the
+    * same plan holds; no windows, no driver collects.
+    */
+  def qDocPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val bySrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf_sw"))
+    val uni = bySrc.groupBy(col("w")).agg(sum(col("tf_sw")).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val scored = bySrc.join(uni, "w").crossJoin(broadcast(totals))
+      .select(col("source"), col("tf_sw"),
+        (quantLog(col("tf") + 1) - quantLog(col("t") + col("v"))).as("qlp"))
+    scored.groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("n_tokens"),
+        sum(col("tf_sw") * col("qlp")).as("sum_qlp"))
+      .select(col("source"), col("n_tokens"),
+        (-col("sum_qlp").cast("double") / col("n_tokens").cast("double") / logScale)
+          .as("xent_nats"))
+      .orderBy(col("source"))
+  }
+
+  val qDocPerplexitySql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |by_src AS (
+       |  SELECT source, w, count(*) AS tf_sw FROM toks GROUP BY source, w
+       |),
+       |uni AS (
+       |  SELECT w, CAST(sum(tf_sw) AS BIGINT) AS tf FROM by_src GROUP BY w
+       |),
+       |totals AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni
+       |),
+       |scored AS (
+       |  SELECT source, tf_sw,
+       |    ${quantLogSql("tf + 1")} - ${quantLogSql("t + v")} AS qlp
+       |  FROM by_src JOIN uni USING (w) CROSS JOIN totals
+       |)
+       |SELECT source, CAST(sum(tf_sw) AS BIGINT) AS n_tokens,
+       |  -CAST(sum(tf_sw * qlp) AS DOUBLE) / CAST(sum(tf_sw) AS DOUBLE) / $logScale
+       |    AS xent_nats
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // N-gram novelty: first-introduction rate per source
+  // ------------------------------------------------------------------
+
+  /** Token-gram width for the novelty audit: wide enough that a repeated
+    * gram signals copied phrasing, narrow enough to fire on the testdata.
+    */
+  final val noveltyN = 5
+
+  /** Per-source n-gram NOVELTY: of each source's [[noveltyN]]-token gram
+    * instances, how many are that gram's FIRST introduction to the corpus
+    * (by doc_id ingest order) vs repeats of phrasing some earlier document
+    * already contributed. The corpus-health counterpart of near-dup
+    * removal: a source whose novelty rate collapses is re-serving existing
+    * phrasing (template/boilerplate farms, mirrored content) even when no
+    * whole document crosses a dedup threshold — the signal RefinedWeb-
+    * style pipelines use to down-weight a crawl slice.
+    *
+    * A gram instance is "novel" iff its doc_id equals the gram's corpus-
+    * wide min(doc_id); ties are impossible within a doc (instances of one
+    * gram in the SAME first doc all count novel — introduction is
+    * per-gram-per-doc, so repeated grams inside one doc count once:
+    * instances collapse to (gram, doc) before scoring).
+    *
+    * Scale (100 TB): gram generation is a narrow ×(len−n+1) fan-out;
+    * instances collapse map-side to (gram, doc_id) then to per-gram
+    * (first_doc, per-source presence counts) in ONE gram-keyed partial
+    * agg — the only corpus-sized exchange; scoring joins presence against
+    * first_doc AT GRAM GRANULARITY. In production the gram string is
+    * replaced by a 64-bit content hash before the shuffle (collision odds
+    * ~n²/2⁶⁴) — kept textual here for oracle parity ([[portableHash]]
+    * note).
+    */
+  def qDocNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = noveltyN
+    val gramsExpr = "transform(sequence(1, size(toks) - " + (n - 1) +
+      s"), i -> concat_ws(' ', slice(toks, i, $n)))"
+    val gd = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"), explode(expr(gramsExpr)).as("g"))
+      .select(col("doc_id"), col("source"), col("g")).distinct()
+    val firsts = gd.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    gd.join(firsts, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_rate"))
+      .orderBy(col("source"))
+  }
+
+  val qDocNgramNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |),
+       |gd AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    array_to_string(t[i:i+${noveltyN - 1}], ' ') AS g
+       |  FROM toks, UNNEST(range(1, len(t) - ${noveltyN - 2})) AS r(i)
+       |  WHERE len(t) >= $noveltyN
+       |),
+       |firsts AS (
+       |  SELECT g, min(doc_id) AS first_doc FROM gd GROUP BY g
+       |)
+       |SELECT source, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty_rate
+       |FROM gd JOIN firsts USING (g)
+       |GROUP BY source ORDER BY source""".stripMargin
 }

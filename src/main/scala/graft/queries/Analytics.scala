@@ -2388,6 +2388,93 @@ object Analytics {
       |    AS chi2_contrib
       |FROM e ORDER BY event_type, isodow""".stripMargin
 
+  // --- Mutual information: event_type × ISO weekday, exact micro-nats ---
+
+  /** Micro-nat quantization scale for [[qEventMi]] (the
+    * [[graft.ext.TextOps]] `logScale` rule: one correctly-rounded `ln`
+    * per distinct count, floor-quantized to integers so every
+    * accumulation is exact BIGINT arithmetic in any engine).
+    */
+  final val miScale = 1000000L
+
+  private def qln(c: Column): Column =
+    floor(log(c.cast("double")) * miScale).cast("long")
+
+  private def qlnSql(e: String): String =
+    s"CAST(floor(ln(CAST($e AS DOUBLE)) * $miScale) AS BIGINT)"
+
+  /** MUTUAL INFORMATION between event_type and ISO weekday — the
+    * effect-SIZE companion to [[qEventTypeDowChisq]]'s significance test
+    * (χ² says whether dependence exists; MI says how many nats of
+    * weekday information an event's type carries — the quantity feature-
+    * selection and drift dashboards actually rank by), plus both marginal
+    * entropies and the normalized MI = MI / min(H_type, H_dow).
+    *
+    * Determinism: every log rides the [[miScale]] micro-nat quantization
+    * — per-cell/per-margin integer terms `n·(qln(n)+qln(N)−qln(r)−qln(c))`
+    * accumulate in exact BIGINT; the only float steps are one `ln` per
+    * distinct count and the final one-shot divisions (exposed alongside
+    * the integer numerators so the checked columns include the exact
+    * form).
+    *
+    * Scale (100 TB): ONE corpus-sized partial agg down to the
+    * |types|×7 cell table; margins and totals are |cells|-sized
+    * re-aggregations of that tiny frame (joins, not windows — same
+    * result, no sort); the output is a single row. Nothing after the
+    * first agg ever touches the corpus.
+    */
+  def qEventMi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy($"event_type", expr("weekday(ts) + 1").cast("int").as("isodow"))
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+    val colm = cells.groupBy($"isodow").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("n"), count(lit(1)).as("n_cells"))
+    val mi = cells.join(rowm, "event_type").join(colm, "isodow")
+      .crossJoin(broadcast(tot.select($"n")))
+      .agg(sum($"o" * (qln($"o") + qln($"n") - qln($"r") - qln($"c")))
+        .as("mi_num"))
+    val hx = rowm.crossJoin(broadcast(tot.select($"n".as("nx"))))
+      .agg(sum($"r" * (qln($"nx") - qln($"r"))).as("hx_num"))
+    val hy = colm.crossJoin(broadcast(tot.select($"n".as("ny"))))
+      .agg(sum($"c" * (qln($"ny") - qln($"c"))).as("hy_num"))
+    tot.crossJoin(mi).crossJoin(hx).crossJoin(hy)
+      .select($"n_cells", $"n".as("n_total"),
+        ($"hx_num".cast("double") / $"n".cast("double") / miScale).as("h_type"),
+        ($"hy_num".cast("double") / $"n".cast("double") / miScale).as("h_dow"),
+        ($"mi_num".cast("double") / $"n".cast("double") / miScale).as("mi_nats"),
+        ($"mi_num".cast("double") / least($"hx_num", $"hy_num").cast("double"))
+          .as("nmi"))
+  }
+
+  val qEventMiSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow, count(*) AS o
+       |  FROM events GROUP BY event_type, isodow
+       |),
+       |rowm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+       |colm AS (SELECT isodow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY isodow),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells FROM cells),
+       |mi AS (
+       |  SELECT CAST(sum(o * (${qlnSql("o")} + ${qlnSql("n")} - ${qlnSql("r")} - ${qlnSql("c")})) AS BIGINT) AS mi_num
+       |  FROM cells JOIN rowm USING (event_type) JOIN colm USING (isodow) CROSS JOIN tot
+       |),
+       |hx AS (
+       |  SELECT CAST(sum(r * (${qlnSql("n")} - ${qlnSql("r")})) AS BIGINT) AS hx_num
+       |  FROM rowm CROSS JOIN tot
+       |),
+       |hy AS (
+       |  SELECT CAST(sum(c * (${qlnSql("n")} - ${qlnSql("c")})) AS BIGINT) AS hy_num
+       |  FROM colm CROSS JOIN tot
+       |)
+       |SELECT n_cells, n AS n_total,
+       |  CAST(hx_num AS DOUBLE) / CAST(n AS DOUBLE) / $miScale AS h_type,
+       |  CAST(hy_num AS DOUBLE) / CAST(n AS DOUBLE) / $miScale AS h_dow,
+       |  CAST(mi_num AS DOUBLE) / CAST(n AS DOUBLE) / $miScale AS mi_nats,
+       |  CAST(mi_num AS DOUBLE) / CAST(least(hx_num, hy_num) AS DOUBLE) AS nmi
+       |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3342,6 +3429,7 @@ object Analytics {
     "q_event_rolling_active" -> ((qEventRollingActive _, qEventRollingActiveSql)),
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
+    "q_event_mi" -> ((qEventMi _, qEventMiSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Scaling-evidence runner: times the bench heavies at sf0.001 / sf0.01 /
+# sf0.1 via graft.Bench (same warmup + min-of-passes discipline as the
+# per-round artifact) and leaves one JSON file per SF in /tmp/scaling/.
+# tools/scaling_report.py turns those into SCALING.md with per-query
+# time-vs-SF exponents. Runs the compiled classes directly (no sbt) so it
+# can run alongside an sbt session; build first: `sbt compile`.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+HEAVIES="${SCALING_ONLY:-q_graph_triangles,q_doc_minhash_eval,q_doc_sim_join_prefix,q_doc_containment,q_doc_cluster_reps,q_graph_kcore,q_doc_split_leakfree,q_graph_reach,q_doc_dup_clusters,q_emb_ann_nprobe_sweep,q_graph_pagerank,q_doc_decontam}"
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+mkdir -p /tmp/scaling
+for sf in 0.001 0.01 0.1; do
+  echo "=== sf$sf ==="
+  SPARK_GRAFT_SF_DIR="/root/testdata/sf$sf" \
+  SPARK_GRAFT_ONLY="$HEAVIES" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  SPARK_GRAFT_PASSES="${SPARK_GRAFT_PASSES:-2}" \
+  java $ADD_OPENS -Xmx32g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+    graft.Bench | tail -1 > "/tmp/scaling/sf$sf.json"
+  # Bench writes bench_latest.json in cwd on every run; the scaling run
+  # must not clobber the round artifact, so restore it from git.
+  git checkout -- bench_latest.json 2>/dev/null || true
+done
+python3 tools/scaling_report.py /tmp/scaling > SCALING.md
+echo "wrote SCALING.md"

@@ -82,6 +82,11 @@ object LlmQueries {
     "q_emb_matryoshka" -> ((Similarity.qEmbMatryoshka _, Similarity.qEmbMatryoshkaSql)),
     "q_doc_perplexity" -> ((TextOps.qDocPerplexity _, TextOps.qDocPerplexitySql)),
     "q_doc_ngram_novelty" -> ((TextOps.qDocNgramNovelty _, TextOps.qDocNgramNoveltySql)),
-    "q_emb_knn_classify" -> ((Similarity.qEmbKnnClassify _, Similarity.qEmbKnnClassifySql))
+    "q_emb_knn_classify" -> ((Similarity.qEmbKnnClassify _, Similarity.qEmbKnnClassifySql)),
+    "q_doc_loo_influence" -> ((TextOps.qDocLooInfluence _, TextOps.qDocLooInfluenceSql)),
+    "q_doc_source_overlap" -> ((TextOps.qDocSourceOverlap _, TextOps.qDocSourceOverlapSql)),
+    "q_doc_phrase_search" -> ((TextOps.qDocPhraseSearch _, TextOps.qDocPhraseSearchSql)),
+    "q_emb_knn_confusion" -> ((Similarity.qEmbKnnConfusion _, Similarity.qEmbKnnConfusionSql)),
+    "q_emb_gram" -> ((Similarity.qEmbGram _, Similarity.qEmbGramSql))
   )
 }

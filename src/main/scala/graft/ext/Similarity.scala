@@ -1542,7 +1542,7 @@ object Similarity {
     * never the corpus. For corpus-scale query sets swap the scorer for
     * the IVF probe; the vote arithmetic composes unchanged.
     */
-  def qEmbKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+  private def knnPreds(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % evalQueryMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1562,25 +1562,18 @@ object Similarity {
       .agg(count(lit(1)).as("n_votes"))
     val wVote = Window.partitionBy(col("q_id"))
       .orderBy(col("n_votes").desc, col("label"))
-    val preds = votes.withColumn("vrank", row_number().over(wVote))
+    votes.withColumn("vrank", row_number().over(wVote))
       .filter(col("vrank") === 1)
       .select(col("q_id"), col("q_label"), col("label").as("pred"),
         col("n_votes"))
-    preds.groupBy(col("q_label").as("label"))
-      .agg(count(lit(1)).as("n_queries"),
-        sum(when(col("pred") === col("q_label"), 1L).otherwise(0L))
-          .as("n_correct"),
-        sum(col("n_votes")).as("win_votes"))
-      .select(col("label"), col("n_queries"), col("n_correct"),
-        (col("n_correct").cast("double") / col("n_queries").cast("double"))
-          .as("accuracy"),
-        (col("win_votes").cast("double") / col("n_queries").cast("double"))
-          .as("mean_win_votes"))
-      .orderBy(col("label"))
   }
 
-  val qEmbKnnClassifySql: String =
-    s"""WITH q AS (
+  /** The q/c/ranked/votes/preds CTE chain shared by the kNN-probe oracle
+    * SQLs ([[qEmbKnnClassifySql]], [[qEmbKnnConfusionSql]]) — the SQL
+    * mirror of [[knnPreds]].
+    */
+  private val knnPredsSqlCte: String =
+    s"""q AS (
        |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
        |  FROM embeddings WHERE vec_id % $evalQueryMod = 0
@@ -1606,7 +1599,23 @@ object Similarity {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
        |          ORDER BY n_votes DESC, label) AS vrank FROM votes)
        |  WHERE vrank = 1
-       |)
+       |)""".stripMargin
+
+  def qEmbKnnClassify(spark: SparkSession, sfDir: String): DataFrame =
+    knnPreds(spark, sfDir).groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("n_votes")).as("win_votes"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"),
+        (col("win_votes").cast("double") / col("n_queries").cast("double"))
+          .as("mean_win_votes"))
+      .orderBy(col("label"))
+
+  val qEmbKnnClassifySql: String =
+    s"""WITH $knnPredsSqlCte
        |SELECT q_label AS label, count(*) AS n_queries,
        |  CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1614,6 +1623,157 @@ object Similarity {
        |  CAST(CAST(sum(n_votes) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
        |    AS mean_win_votes
        |FROM preds GROUP BY q_label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // k-NN confusion matrix (which labels the space conflates)
+  // ------------------------------------------------------------------
+
+  /** CONFUSION MATRIX of the leave-one-out kNN probe — the per-PAIR view
+    * behind [[qEmbKnnClassify]]'s per-label accuracy: which true label is
+    * mistaken for which predicted label, how often, and what share of
+    * each side's total that cell is (recall share of the true label's
+    * row, precision share of the predicted label's column). The matrix is
+    * what you read to decide whether two labels should be MERGED (dense
+    * symmetric off-diagonal block = the embedding space cannot separate
+    * them) vs whether the model just needs more data for one label —
+    * per-label accuracy alone can't distinguish those.
+    *
+    * Only realized (true, pred) cells are emitted — at mixture-width
+    * label counts the dense zero cells are noise, and absence IS the
+    * signal the sparse form carries.
+    *
+    * Scale: the prediction pipeline is [[knnPreds]] (see
+    * [[qEmbKnnClassify]] scale notes); everything after it aggregates
+    * |queries| rows to ≤|labels|² cells with two broadcast joins of
+    * |labels|-row margin frames. Output is labels²-bounded.
+    */
+  def qEmbKnnConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = knnPreds(spark, sfDir)
+    val cells = preds.groupBy(col("q_label").as("true_label"),
+        col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("true_label"))
+      .agg(sum(col("n")).as("row_total"))
+    val colTot = cells.groupBy(col("pred_label"))
+      .agg(sum(col("n")).as("col_total"))
+    cells.join(broadcast(rowTot), "true_label")
+      .join(broadcast(colTot), "pred_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        col("row_total"), col("col_total"),
+        (col("n").cast("double") / col("row_total").cast("double"))
+          .as("recall_share"),
+        (col("n").cast("double") / col("col_total").cast("double"))
+          .as("precision_share"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val qEmbKnnConfusionSql: String =
+    s"""WITH $knnPredsSqlCte,
+       |cells AS (
+       |  SELECT q_label AS true_label, pred AS pred_label, count(*) AS n
+       |  FROM preds GROUP BY q_label, pred
+       |),
+       |row_tot AS (
+       |  SELECT true_label, CAST(sum(n) AS BIGINT) AS row_total
+       |  FROM cells GROUP BY true_label
+       |),
+       |col_tot AS (
+       |  SELECT pred_label, CAST(sum(n) AS BIGINT) AS col_total
+       |  FROM cells GROUP BY pred_label
+       |)
+       |SELECT true_label, pred_label, n, row_total, col_total,
+       |  CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS recall_share,
+       |  CAST(n AS DOUBLE) / CAST(col_total AS DOUBLE) AS precision_share
+       |FROM cells JOIN row_tot USING (true_label) JOIN col_tot USING (pred_label)
+       |ORDER BY true_label, pred_label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quantized second-moment (gram) matrix — the PCA/whitening input
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for [[qEmbGram]]: embeddings land in [-1, 1], so
+    * 3 decimal digits keep the per-coordinate quantization error ≤ 5e-4
+    * while the largest |pair product| stays ≤ 1e6 — corpus sums overflow
+    * BIGINT only past ~9e12 vectors.
+    */
+  final val gramScale = 1000L
+
+  /** The SECOND-MOMENT (gram) MATRIX of the embedding corpus — the d×d
+    * sufficient statistic every linear-algebra downstream starts from
+    * (PCA, whitening, low-rank projection for [[qEmbRproj]]-style
+    * compression, anisotropy diagnostics): upper-triangle entries
+    * Σ qᵢ·qⱼ over FIXED-POINT coordinates (floor(x·[[gramScale]])), plus
+    * per-dimension sums, so mean-centering to a covariance is one
+    * closed-form step the query also emits. Quantizing first makes every
+    * accumulation EXACT BIGINT arithmetic — the float-sum-order trap that
+    * makes naive gram matrices engine- and partitioning-dependent is
+    * structurally gone (the repo-wide micro-unit rule applied to linear
+    * algebra).
+    *
+    * Scale (100 TB): the expansion is a NARROW per-row transform — each
+    * vector emits its own d(d+1)/2 products via nested array transforms
+    * inside codegen, no join, no corpus shuffle — and the only exchange
+    * is the final groupBy over d² cells, which partial-aggregates
+    * map-side to ≤2 080 rows per task (d=64). This is the map-reduce
+    * gram-matrix pattern (one pass, mergeable partials) that at 100 TB
+    * runs embarrassingly parallel; the driver never sees more than the
+    * d×d result. Output is d²-bounded, corpus-size-independent.
+    */
+  def qEmbGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
+          .as("q"))
+    val cells = emb
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1),
+          |  i -> transform(sequence(i, size(q) - 1),
+          |    j -> struct(i AS di, j AS dj, q[i] * q[j] AS p))))""".stripMargin))
+        .as("c"))
+      .select(col("c.di"), col("c.dj"), col("c.p"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+    val dims = emb.select(posexplode(col("q")).as(Seq("d", "qv")))
+      .groupBy(col("d")).agg(sum(col("qv")).as("s_d"))
+    cells
+      .join(broadcast(dims.select(col("d").as("di"), col("s_d").as("s_i"))), "di")
+      .join(broadcast(dims.select(col("d").as("dj"), col("s_d").as("s_j"))), "dj")
+      .select(col("di"), col("dj"), col("n"), col("s_ij"), col("s_i"), col("s_j"),
+        ((col("s_ij").cast("double") / col("n").cast("double") -
+          (col("s_i").cast("double") / col("n").cast("double")) *
+            (col("s_j").cast("double") / col("n").cast("double")))
+          / (gramScale.toDouble * gramScale.toDouble)).as("cov"))
+      .orderBy(col("di"), col("dj"))
+  }
+
+  val qEmbGramSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $gramScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |flat AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d, q[i] AS qv
+       |  FROM q, UNNEST(range(1, len(q) + 1)) AS r(i)
+       |),
+       |cells AS (
+       |  SELECT a.d AS di, b.d AS dj, count(*) AS n,
+       |    CAST(sum(a.qv * b.qv) AS BIGINT) AS s_ij
+       |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY a.d, b.d
+       |),
+       |dims AS (
+       |  SELECT d, CAST(sum(qv) AS BIGINT) AS s_d FROM flat GROUP BY d
+       |)
+       |SELECT di, dj, n, s_ij, si.s_d AS s_i, sj.s_d AS s_j,
+       |  (CAST(s_ij AS DOUBLE) / n
+       |    - (CAST(si.s_d AS DOUBLE) / n) * (CAST(sj.s_d AS DOUBLE) / n))
+       |    / (${gramScale}.0 * ${gramScale}.0) AS cov
+       |FROM cells
+       |JOIN dims si ON si.d = di
+       |JOIN dims sj ON sj.d = dj
+       |ORDER BY di, dj""".stripMargin
 
   // ------------------------------------------------------------------
   // Distinct-cardinality audit: exact two-phase counts (oracle-checked)

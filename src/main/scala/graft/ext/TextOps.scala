@@ -1231,4 +1231,229 @@ object TextOps {
        |    / CAST(count(*) AS DOUBLE) AS novelty_rate
        |FROM gd JOIN firsts USING (g)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Leave-one-source-out influence (data valuation)
+  // ------------------------------------------------------------------
+
+  /** LEAVE-ONE-SOURCE-OUT data valuation: for each source, its tokens'
+    * cross-entropy under the FULL corpus unigram LM (which has seen the
+    * source — the self-fit score [[qDocPerplexity]] reports) and under
+    * the LM retrained WITHOUT the source, plus the delta. The delta is
+    * the source's influence on its own modelability — the cheap,
+    * closed-form member of the data-valuation family (datamodels /
+    * influence functions): a source whose LOO entropy barely moves is
+    * redundant with the rest of the corpus (its mass is covered by other
+    * sources); a large positive delta marks a source contributing
+    * distribution mass nothing else provides — the ranking a curation
+    * pipeline uses to decide what to keep when shrinking a mixture.
+    *
+    * Closed form: leaving source s out shifts every add-one-smoothed
+    * probability to (tf−tf_s+1)/((T−T_s)+(V−U_s)) where U_s is the count
+    * of words ONLY s contributes — all computable from the same
+    * (source, token) tf table with no retraining loop. All log terms ride
+    * the [[logScale]] micro-nat quantization, so both entropies accumulate
+    * in exact BIGINT; floats appear only in one `ln` per distinct
+    * (count-value) and the final divisions.
+    *
+    * Scale (100 TB): identical plan shape to [[qDocPerplexity]] — one
+    * corpus-sized partial agg to (source, token), then vocabulary-sized
+    * joins; the per-source scalar table (T_s, U_s) is |sources| rows and
+    * broadcasts. ALL sources are scored in one pass — the naive form
+    * retrains |sources| LMs; this is the same rewrite DSIR-style pipelines
+    * use to make valuation O(corpus) instead of O(corpus·sources).
+    */
+  def qDocLooInfluence(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val bySrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf_sw"))
+    val uni = bySrc.groupBy(col("w")).agg(sum(col("tf_sw")).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    // per-source scalars: token mass T_s and sole-contributor vocab U_s
+    val srcTot = bySrc.join(uni, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("ts"),
+        sum(when(col("tf_sw") === col("tf"), 1L).otherwise(0L)).as("us"))
+    val scored = bySrc.join(uni, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("tf_sw"),
+        (quantLog(col("tf") + 1) - quantLog(col("t") + col("v"))).as("q_full"),
+        (quantLog(col("tf") - col("tf_sw") + 1) -
+          quantLog(col("t") - col("ts") + col("v") - col("us"))).as("q_loo"))
+    scored.groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("n_tokens"),
+        sum(col("tf_sw") * col("q_full")).as("s_full"),
+        sum(col("tf_sw") * col("q_loo")).as("s_loo"))
+      .select(col("source"), col("n_tokens"),
+        (-col("s_full").cast("double") / col("n_tokens").cast("double") / logScale)
+          .as("xent_full"),
+        (-col("s_loo").cast("double") / col("n_tokens").cast("double") / logScale)
+          .as("xent_loo"),
+        ((col("s_full") - col("s_loo")).cast("double")
+          / col("n_tokens").cast("double") / logScale).as("influence_nats"))
+      .orderBy(col("source"))
+  }
+
+  val qDocLooInfluenceSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |by_src AS (
+       |  SELECT source, w, count(*) AS tf_sw FROM toks GROUP BY source, w
+       |),
+       |uni AS (
+       |  SELECT w, CAST(sum(tf_sw) AS BIGINT) AS tf FROM by_src GROUP BY w
+       |),
+       |totals AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni
+       |),
+       |src_tot AS (
+       |  SELECT source, CAST(sum(tf_sw) AS BIGINT) AS ts,
+       |    CAST(sum(CASE WHEN tf_sw = tf THEN 1 ELSE 0 END) AS BIGINT) AS us
+       |  FROM by_src JOIN uni USING (w) GROUP BY source
+       |),
+       |scored AS (
+       |  SELECT source, tf_sw,
+       |    ${quantLogSql("tf + 1")} - ${quantLogSql("t + v")} AS q_full,
+       |    ${quantLogSql("tf - tf_sw + 1")} - ${quantLogSql("t - ts + v - us")}
+       |      AS q_loo
+       |  FROM by_src JOIN uni USING (w) JOIN src_tot USING (source)
+       |  CROSS JOIN totals
+       |)
+       |SELECT source, CAST(sum(tf_sw) AS BIGINT) AS n_tokens,
+       |  -CAST(sum(tf_sw * q_full) AS DOUBLE) / CAST(sum(tf_sw) AS DOUBLE)
+       |    / $logScale AS xent_full,
+       |  -CAST(sum(tf_sw * q_loo) AS DOUBLE) / CAST(sum(tf_sw) AS DOUBLE)
+       |    / $logScale AS xent_loo,
+       |  CAST(sum(tf_sw * q_full) - sum(tf_sw * q_loo) AS DOUBLE)
+       |    / CAST(sum(tf_sw) AS DOUBLE) / $logScale AS influence_nats
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cross-source vocabulary overlap (mixture redundancy matrix)
+  // ------------------------------------------------------------------
+
+  /** Pairwise VOCABULARY OVERLAP between sources — exact Jaccard of each
+    * source pair's distinct-token sets, the redundancy matrix a mixture
+    * designer reads next to [[qDocLooInfluence]]'s per-source view: two
+    * sources with near-1 vocabulary Jaccard are candidates to merge or
+    * down-weight; a source with low overlap against every other is the
+    * diversity it would hurt most to drop.
+    *
+    * Scale (100 TB): the (source, token) presence table is vocabulary-
+    * sized (one corpus shuffle collapses instances map-side); the pair
+    * expansion joins that table WITH ITSELF ON TOKEN, so fan-out per
+    * token is C(sources-containing-it, 2) ≤ C(|sources|, 2) — bounded by
+    * the mixture width (tens), never the corpus. With millions of fine-
+    * grained sources (per-domain) the exact pair join is replaced by
+    * per-source MinHash signatures ([[graft.ext.Dedup]] machinery applied
+    * at source granularity); at mixture granularity exact is the right
+    * call.
+    */
+  def qDocSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vs"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("vs").as("va"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("vs").as("vb"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("va"), col("vb"), col("n_inter"),
+        (col("va") + col("vb") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("va") + col("vb") - col("n_inter")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qDocSourceOverlapSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |),
+      |sizes AS (
+      |  SELECT source, count(*) AS vs FROM vocab GROUP BY source
+      |),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY a.source, b.source
+      |)
+      |SELECT src_a, src_b, sa.vs AS va, sb.vs AS vb, n_inter,
+      |  sa.vs + sb.vs - n_inter AS n_union,
+      |  CAST(n_inter AS DOUBLE) / CAST(sa.vs + sb.vs - n_inter AS DOUBLE)
+      |    AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Positional phrase search (ordered-adjacency postings join)
+  // ------------------------------------------------------------------
+
+  /** The exact phrase [[qDocPhraseSearch]] retrieves, as ordered tokens.
+    * Common corpus tokens so the query matches by chance in the synthetic
+    * bag-of-words text — the MATCH MECHANICS (ordered adjacency), not the
+    * phrase, are the operator.
+    */
+  final val phraseTerms: Seq[String] = Seq("table", "scan")
+
+  /** Exact PHRASE SEARCH over a positional posting list — the retrieval
+    * primitive TF-IDF/BM25 ranking can't express (both treat documents as
+    * bags): find every occurrence of the ordered token sequence
+    * [[phraseTerms]] by intersecting per-term positional postings with a
+    * fixed offset between consecutive terms (occurrence at p requires
+    * term_i at p+i for all i). Output: per-document occurrence counts,
+    * most occurrences first.
+    *
+    * Scale (100 TB): the positional index (doc, pos, term) is built once
+    * (narrow fan-out, one term-keyed shuffle if persisted as an index —
+    * here filtered per term directly, which prunes to the QUERY terms at
+    * the scan). The adjacency join chains k−1 equi-joins on
+    * (doc_id, pos±offset) whose sides are single-term posting lists —
+    * df-bounded, never corpus-sized; rarest-term-first ordering would cut
+    * the intermediate further (omitted for a 2-term phrase). This is the
+    * standard positional-index query plan (Manning IR ch.2) expressed as
+    * Catalyst equi-joins.
+    */
+  def qDocPhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val occ = phraseTerms.zipWithIndex.map { case (term, i) =>
+      pos.filter(col("w") === term)
+        .select(col("doc_id"), (col("p") - i).as("base"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+    occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+  }
+
+  val qDocPhraseSearchSql: String = {
+    val arms = phraseTerms.zipWithIndex.map { case (term, i) =>
+      s"""t$i AS (
+         |  SELECT doc_id, i - 1 - $i AS base
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+         |  WHERE t[i] = '$term'
+         |)""".stripMargin
+    }
+    val joins = (1 until phraseTerms.size)
+      .map(i => s"JOIN t$i USING (doc_id, base)").mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |${arms.mkString(",\n")}
+       |SELECT doc_id, count(*) AS n_occurrences
+       |FROM t0
+       |$joins
+       |GROUP BY doc_id
+       |ORDER BY n_occurrences DESC, doc_id""".stripMargin
+  }
 }

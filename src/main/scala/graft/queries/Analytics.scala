@@ -2475,6 +2475,144 @@ object Analytics {
        |  CAST(mi_num AS DOUBLE) / CAST(least(hx_num, hy_num) AS DOUBLE) AS nmi
        |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 
+  // --- Cross-type correlation of daily volumes (co-movement matrix) ---
+
+  /** PEARSON CORRELATION MATRIX of daily event volumes across event
+    * types — do clicks and purchases co-move day over day, or does the
+    * error stream spike independently? The co-movement view drift
+    * dashboards pair with [[qEventMi]]'s within-event dependence: MI asks
+    * "does one event's type predict its timing", this asks "do the
+    * SERIES move together" — leading indicators, shared seasonality,
+    * incident correlation.
+    *
+    * Correctness guard: the day×type grid is ZERO-FILLED before
+    * correlating (a day where a type is absent is a 0 observation, not a
+    * missing row) — correlating only co-present days is the classic
+    * silent bias. All five Pearson sums (Σx, Σy, Σxy, Σx², Σy²) are over
+    * INTEGER counts, so every accumulation is exact; the only float math
+    * is the final one-shot formula.
+    *
+    * Scale (100 TB): ONE corpus-sized partial agg to |days|×|types|
+    * cells; the grid fill is a broadcast cross of two tiny distinct
+    * frames; the pair expansion self-joins the CELL table on day (fan-out
+    * C(|types|,2) per day — type-count-bounded, never corpus); output is
+    * |types|²-bounded. Nothing after the first agg touches the corpus.
+    */
+  def qEventTypeCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val grid = cells.select($"day").distinct()
+      .crossJoin(broadcast(cells.select($"event_type").distinct()))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+    val pairs = grid.as("a")
+      .join(grid.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n").as("x"), col("b.n").as("y"))
+    pairs.groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"type_a", $"type_b", $"n_days", $"sx", $"sy", $"sxy",
+        (($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n_days" * $"syy" - $"sy" * $"sy").cast("double"))).as("pearson_r"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val qEventTypeCorrSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT day FROM cells) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+      |  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+      |),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.n AS x, b.n AS y
+      |  FROM grid a JOIN grid b
+      |    ON a.day = b.day AND a.event_type < b.event_type
+      |)
+      |SELECT type_a, type_b, count(*) AS n_days,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x * y) AS BIGINT) AS sxy,
+      |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+      |    / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+      |         * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))
+      |    AS pearson_r
+      |FROM pairs GROUP BY type_a, type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // --- Cross-type audience overlap (distinct-user Jaccard matrix) ---
+
+  /** AUDIENCE OVERLAP between event types — for each type pair, how many
+    * distinct users emitted both, with the Jaccard of their user sets.
+    * The segmentation primitive behind funnel design and feature-flag
+    * targeting ("what share of purchasers also hit errors?"), and the
+    * exact counterpart the [[graft.ext.Sketches]] approximate set ops
+    * would estimate at extreme cardinalities.
+    *
+    * Scale (100 TB): instances collapse map-side to the distinct
+    * (user, type) PRESENCE table — the only corpus-sized exchange; the
+    * pair expansion self-joins presence ON USER with fan-out
+    * C(types-per-user, 2) ≤ C(|types|, 2) — type-count-bounded per user,
+    * never corpus-shaped. Per-type audience sizes ride a |types|-row
+    * broadcast. At billions of users this exact plan still holds (the
+    * shuffle key is user_id, perfectly spreadable); only at
+    * trillion-scale set sizes would the sketch path take over.
+    */
+  def qEventUserOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct()
+    val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("nu"))
+    val both = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select($"event_type".as("type_a"), $"nu".as("n_a"))),
+        "type_a")
+      .join(broadcast(sizes.select($"event_type".as("type_b"), $"nu".as("n_b"))),
+        "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        ($"n_both".cast("double") /
+          ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val qEventUserOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |),
+      |sizes AS (
+      |  SELECT event_type, count(*) AS nu FROM ut GROUP BY event_type
+      |),
+      |overlap AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type
+      |)
+      |SELECT type_a, type_b, sa.nu AS n_a, sb.nu AS n_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(sa.nu + sb.nu - n_both AS DOUBLE)
+      |    AS jaccard
+      |FROM overlap
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3430,6 +3568,8 @@ object Analytics {
     "q_event_segments" -> ((qEventSegments _, qEventSegmentsSql)),
     "q_event_type_dow_chisq" -> ((qEventTypeDowChisq _, qEventTypeDowChisqSql)),
     "q_event_mi" -> ((qEventMi _, qEventMiSql)),
+    "q_event_type_corr" -> ((qEventTypeCorr _, qEventTypeCorrSql)),
+    "q_event_user_overlap" -> ((qEventUserOverlap _, qEventUserOverlapSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

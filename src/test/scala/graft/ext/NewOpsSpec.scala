@@ -1156,6 +1156,197 @@ class NewOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("mean_win_votes") === winVotes.toDouble / n)
     }
   }
+
+  test("LOO influence: exact replay; delta non-negative and consistent with entropies") {
+    import graft.ext.TextOps
+    val toks = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val bySrc = toks.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val tf = toks.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val t = tf.values.sum; val v = tf.size.toLong
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val expected = toks.groupBy(_._1).map { case (s, xs) =>
+      val ts = xs.length.toLong
+      val us = tf.count { case (w, c) => bySrc.getOrElse((s, w), 0L) == c }.toLong
+      val sFull = xs.map { case (_, w) => qln(tf(w) + 1) - qln(t + v) }.sum
+      val sLoo = xs.map { case (_, w) =>
+        qln(tf(w) - bySrc((s, w)) + 1) - qln(t - ts + v - us) }.sum
+      s -> (ts, -sFull.toDouble / ts / 1e6, -sLoo.toDouble / ts / 1e6,
+        (sFull - sLoo).toDouble / ts / 1e6)
+    }
+    val rows = TextOps.qDocLooInfluence(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, xf, xl, inf) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Double]("xent_full") === xf)
+      assert(r.getAs[Double]("xent_loo") === xl)
+      assert(r.getAs[Double]("influence_nats") === inf)
+      // removing a source can only make its own tokens rarer under the LM
+      // (up to the 2-ulp quantization slack of the four floor'd logs)
+      assert(inf >= -4e-6, s"influence must be ~non-negative: $inf")
+    }
+  }
+
+  test("source vocab overlap: exact Jaccard replay, symmetric-complete pair set") {
+    import graft.ext.TextOps
+    val pairs: Set[(String, String)] = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+      .toSet
+    val vocab: Map[String, Set[String]] =
+      pairs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val rows = TextOps.qDocSourceOverlap(spark, sf).collect()
+    val srcs = vocab.keys.toSeq.sorted
+    assert(rows.length === srcs.size * (srcs.size - 1) / 2, "all pairs present")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val (va, vb) = (vocab(a), vocab(b))
+      val inter = (va & vb).size.toLong
+      val union = (va | vb).size.toLong
+      assert(r.getAs[Long]("va") === va.size.toLong)
+      assert(r.getAs[Long]("vb") === vb.size.toLong)
+      assert(r.getAs[Long]("n_inter") === inter)
+      assert(r.getAs[Long]("n_union") === union)
+      assert(r.getAs[Double]("jaccard") === inter.toDouble / union)
+    }
+  }
+
+  test("phrase search: occurrence counts replay; only true adjacent matches") {
+    import graft.ext.TextOps
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val phrase = TextOps.phraseTerms
+    val expected = docs.map { case (id, ws) =>
+      id -> ws.indices.count(i => i + phrase.size <= ws.length &&
+        phrase.indices.forall(k => ws(i + k) == phrase(k))).toLong
+    }.filter(_._2 > 0).toMap
+    val rows = TextOps.qDocPhraseSearch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences"))
+    assert(rows.toMap === expected)
+    assert(rows.nonEmpty, "phrase must occur in the synthetic corpus")
+    // sorted by occurrences desc, then doc_id
+    val keys = rows.map { case (id, n) => (-n, id) }
+    assert(keys.zip(keys.tail).forall { case (x, y) =>
+      implicitly[Ordering[(Long, Long)]].lteq(x, y) })
+  }
+
+  test("kNN confusion: cells replay from classify-identical preds; margins consistent") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qs = emb.filter(_._1 % Similarity.evalQueryMod == 0)
+    val cs = emb.filter(_._1 % Similarity.evalQueryMod != 0)
+    val preds = qs.map { case (qid, qlab, qe) =>
+      val qn = math.sqrt(dotd(qe, qe))
+      val top = cs.map { case (cid, clab, ce) =>
+        (dotd(qe, ce) / (qn * math.sqrt(dotd(ce, ce))), cid, clab) }
+        .sortBy { case (cos, cid, _) => (-cos, cid) }.take(Similarity.knnK)
+      val votes = top.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+      (qlab, votes.toSeq.sortBy { case (l, n) => (-n, l) }.head._1)
+    }
+    val cells = preds.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rowTot = preds.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val colTot = preds.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Similarity.qEmbKnnConfusion(spark, sf).collect()
+    assert(rows.length === cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label"))
+      assert(r.getAs[Long]("n") === cells(k))
+      assert(r.getAs[Long]("row_total") === rowTot(k._1))
+      assert(r.getAs[Long]("col_total") === colTot(k._2))
+      assert(r.getAs[Double]("recall_share") === cells(k).toDouble / rowTot(k._1))
+      assert(r.getAs[Double]("precision_share") === cells(k).toDouble / colTot(k._2))
+    }
+    // diagonal mass must equal classify's total correct count
+    val diag = rows.filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .map(_.getAs[Long]("n")).sum
+    val classifyCorrect = Similarity.qEmbKnnClassify(spark, sf).collect()
+      .map(_.getAs[Long]("n_correct")).sum
+    assert(diag === classifyCorrect)
+  }
+
+  test("gram matrix: exact quantized replay on sampled cells, full shape") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val d = emb.head.length
+    val rows = Similarity.qEmbGram(spark, sf).collect()
+      .map(r => (r.getAs[Int]("di"), r.getAs[Int]("dj")) -> r).toMap
+    assert(rows.size === d * (d + 1) / 2, "upper triangle complete")
+    val dimSum = Array.tabulate(d)(i => emb.map(_(i)).sum)
+    // exact replay on a deterministic sample of cells (full d² replay is
+    // an O(n·d²) driver loop — the diagonal + one off-diagonal band
+    // exercises every dimension twice)
+    val sample = (0 until d).map(i => (i, i)) ++ (0 until d - 1).map(i => (i, i + 1))
+    sample.foreach { case (i, j) =>
+      val r = rows((i, j))
+      val sij = emb.map(q => q(i) * q(j)).sum
+      assert(r.getAs[Long]("n") === emb.length.toLong)
+      assert(r.getAs[Long]("s_ij") === sij, s"cell ($i,$j)")
+      assert(r.getAs[Long]("s_i") === dimSum(i))
+      assert(r.getAs[Long]("s_j") === dimSum(j))
+      val n = emb.length.toDouble
+      assert(r.getAs[Double]("cov") ===
+        (sij / n - (dimSum(i) / n) * (dimSum(j) / n)) / 1e6)
+    }
+  }
+
+  test("event type corr: exact integer sums, zero-filled grid, r in [-1,1]") {
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getString(1)))
+    val days = ev.map(_._1).distinct.sorted
+    val types = ev.map(_._2).distinct.sorted
+    val cnt = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val series = types.map(t => t -> days.map(dy => cnt.getOrElse((dy, t), 0L))).toMap
+    val rows = Analytics.qEventTypeCorr(spark, sf).collect()
+    assert(rows.length === types.size * (types.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (xs, ys) = (series(a), series(b))
+      val n = days.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("sx") === sx && r.getAs[Long]("sy") === sy)
+      assert(r.getAs[Long]("sxy") === sxy)
+      val expR = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      assert(r.getAs[Double]("pearson_r") === expR)
+      assert(math.abs(expR) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("event user overlap: exact set replay, jaccard bounds") {
+    val ut = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val byType = ut.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1) }
+    val types = byType.keys.toSeq.sorted
+    val rows = Analytics.qEventUserOverlap(spark, sf).collect()
+    assert(rows.length === types.size * (types.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val inter = (byType(a) & byType(b)).size.toLong
+      assert(r.getAs[Long]("n_a") === byType(a).size.toLong)
+      assert(r.getAs[Long]("n_b") === byType(b).size.toLong)
+      assert(r.getAs[Long]("n_both") === inter)
+      val union = (byType(a) | byType(b)).size.toLong
+      assert(r.getAs[Double]("jaccard") === inter.toDouble / union)
+      assert(r.getAs[Double]("jaccard") >= 0.0 && r.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
 }
 
 /** Tuple adapters keeping the specs free of Row plumbing. */

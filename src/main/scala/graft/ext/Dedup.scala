@@ -357,10 +357,37 @@ object Dedup {
     */
   def qDocMinhashEval(spark: SparkSession, sfDir: String): DataFrame = {
     val shingled = nearDupShingled(spark, sfDir)
+    val mh = evalSampledMh(shingled)
+    val truth = evalTruthPairs(shingled)
+    val truthC = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val mhC = mh.agg(count(lit(1)).as("n_lsh_pairs"))
+    val foundC = truth.join(mh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_found"))
+    truthC.crossJoin(broadcast(mhC)).crossJoin(broadcast(foundC))
+      .select(col("n_true_pairs"), col("n_lsh_pairs"), col("n_found"),
+        (col("n_true_pairs") - col("n_found")).as("n_missed"),
+        (col("n_found").cast("double") / col("n_true_pairs").cast("double"))
+          .as("recall"))
+  }
+
+  /** The sampled LSH arm of the audits — [[minhashVerifiedPairs]]
+    * restricted to [[evalKeep]] endpoints. Persisted eagerly (stats
+    * fan-out); released by the registry's clearCache contract.
+    */
+  private def evalSampledMh(shingled: DataFrame): DataFrame = {
     val mh = minhashVerifiedPairs(shingled)
       .filter(evalKeep(col("doc_a")) && evalKeep(col("doc_b")))
       .select(col("doc_a"), col("doc_b")).persist()
     mh.count()
+    mh
+  }
+
+  /** Exact ground-truth pairs (3-gram Jaccard ≥ 1/2 via lossless prefix
+    * filtering) over the [[evalKeep]] sample — the shared reference arm
+    * of [[qDocMinhashEval]] and [[qDocDedupEnsemble]]. Persisted eagerly
+    * (multi-consumer stats fan-out).
+    */
+  private def evalTruthPairs(shingled: DataFrame): DataFrame = {
     val toks = shingled.filter(evalKeep(col("doc_id")))
       .select(col("doc_id"), explode(col("hs")).as("tok")).persist()
     toks.count() // eager: df table, ranking, candidate join, verify all consume it
@@ -390,31 +417,25 @@ object Dedup {
       .filter(lit(3) * col("common") >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b")).persist()
     truth.count()
-    val truthC = truth.agg(count(lit(1)).as("n_true_pairs"))
-    val mhC = mh.agg(count(lit(1)).as("n_lsh_pairs"))
-    val foundC = truth.join(mh, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_found"))
-    truthC.crossJoin(broadcast(mhC)).crossJoin(broadcast(foundC))
-      .select(col("n_true_pairs"), col("n_lsh_pairs"), col("n_found"),
-        (col("n_true_pairs") - col("n_found")).as("n_missed"),
-        (col("n_found").cast("double") / col("n_true_pairs").cast("double"))
-          .as("recall"))
+    truth
   }
 
-  val qDocMinhashEvalSql: String = {
-    val minCols = minColsSql
-    val bandSelects = bandSelectsSql
-    s"""WITH $nearCorpusSql,
-       |shingled AS (
+  /** Shared oracle CTE chain: shingled corpus → minhash bands → capped
+    * candidates → exact-verified, [[evalKeep]]-sampled LSH pairs (`mh`).
+    * Factored so [[qDocMinhashEvalSql]] and [[qDocDedupEnsembleSql]]
+    * cannot drift. Expects the `corpus` CTE in scope.
+    */
+  private lazy val evalMhSqlCtes: String =
+    s"""shingled AS (
        |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
        |),
        |sig AS (
        |  SELECT doc_id,
-       |    $minCols
+       |    $minColsSql
        |  FROM shingled
        |),
        |bands AS (
-       |  $bandSelects
+       |  $bandSelectsSql
        |),
        |$candSql,
        |mh AS (
@@ -425,8 +446,14 @@ object Dedup {
        |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) >= $jaccardThreshold
        |    AND ${evalKeepSqlOn("doc_a")} AND ${evalKeepSqlOn("doc_b")}
-       |),
-       |toks AS (
+       |)""".stripMargin
+
+  /** Shared oracle CTE chain for the exact sampled ground truth (`truth`):
+    * prefix-filtered 3-gram Jaccard ≥ 1/2 over the [[evalKeep]] sample.
+    * Expects the `shingled` CTE ([[evalMhSqlCtes]]) in scope.
+    */
+  private lazy val evalTruthSqlCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(hs) AS tok FROM shingled
        |  WHERE ${evalKeepSqlOn("doc_id")}
        |),
@@ -460,7 +487,12 @@ object Dedup {
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |  WHERE 3 * common >= sa.n + sb.n
-       |),
+       |)""".stripMargin
+
+  val qDocMinhashEvalSql: String =
+    s"""WITH $nearCorpusSql,
+       |$evalMhSqlCtes,
+       |$evalTruthSqlCtes,
        |counts AS (
        |  SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
        |         (SELECT count(*) FROM mh) AS n_lsh_pairs,
@@ -470,7 +502,6 @@ object Dedup {
        |  n_true_pairs - n_found AS n_missed,
        |  CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) AS recall
        |FROM counts""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // Duplicate-cluster resolution: connected components over verified pairs
@@ -995,6 +1026,225 @@ object Dedup {
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= $winnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Dedup-method ensemble audit: precision/recall of every detector
+  // against the same exact ground truth
+  // ------------------------------------------------------------------
+
+  /** SimHash pair mining parameters for [[qDocDedupEnsemble]]: a 60-bit
+    * signature (every bit of [[TextOps.portableHash]] — PRODUCTION width,
+    * unlike [[qDocSimhash]]'s deliberately small 16-bit teaching form,
+    * whose 4-bit bands would put 1/16th of any corpus in each bucket and
+    * go quadratic) split into 4 bands of 15 bits, pairs reported at
+    * Hamming distance ≤ 3. Banding is EXACT for this radius: ≤ 3
+    * differing bits over 4 bands leave some band untouched — the
+    * multi-index pigeonhole ([[graft.ext.Multimodal]] pHash dedup uses
+    * the same argument) — and 2¹⁵ buckets per band keep the candidate
+    * join df-bounded at corpus scale.
+    */
+  final val ensSimhashBits = 60
+  final val simhashBands = 4
+  final val simhashBandBits = 15
+  final val simhashMaxHam = 3
+
+  /** METHOD-COMPARISON AUDIT of the near-dup detector family: minhash-LSH
+    * (banded, exact-verified), winnowing/MOSS (≥ [[winnowMinShared]]
+    * shared fingerprints) and simhash (Hamming ≤ [[simhashMaxHam]] via
+    * exact band indexing) all run over the SAME [[evalKeep]] sample of
+    * the near-dup corpus, each scored against the SAME exact ground truth
+    * (3-gram Jaccard ≥ 1/2, lossless prefix filtering — the
+    * [[qDocMinhashEval]] reference arm). One row per method: predicted /
+    * true / found pair counts, precision, recall, F1. This is the table
+    * an operator reads before choosing which detector to run over
+    * 100 TB — the methods deliberately target DIFFERENT similarity
+    * notions (whole-doc set overlap vs local shared runs vs weighted
+    * token profile), and the audit quantifies how each diverges from the
+    * set-overlap truth definition instead of leaving it folklore.
+    *
+    * Scale (100 TB): each arm keeps its production shape (banded/capped
+    * joins, df-capped posting lists, band-indexed Hamming candidates) and
+    * only the TRUTH arm is quadratic-shaped — which is why all arms run
+    * on the deterministic sample; the sample fraction is the audit's cost
+    * knob exactly as in [[qDocMinhashEval]]. Final stats are 1-row
+    * broadcast cross-joins.
+    */
+  def qDocDedupEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = nearDupShingled(spark, sfDir)
+    val truth = evalTruthPairs(shingled)
+    val mh = evalSampledMh(shingled)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val sampled = nearCorpus(docs).filter(evalKeep(col("doc_id")))
+    val hLambda = TextOps.h31ExprSql("s")
+    // winnow arm (the qDocWinnow pipeline, sample-restricted)
+    val fpExpr =
+      s"array_distinct(transform(sequence(1, greatest(size(gs) - ${winnowW - 1}, 1))," +
+        s" j -> array_min(slice(gs, j, $winnowW))))"
+    val fps = sampled
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gs", expr(s"transform($shinglesExpr, s -> $hLambda)"))
+      .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
+      .persist()
+    fps.count() // eager: df table + both pair-join sides
+    val okFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= winnowMaxDf).select(col("fp"))
+    val filtered = fps.join(okFp, "fp")
+    val wPairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .select(col("doc_a"), col("doc_b"))
+    // simhash arm: signature → band index → exact Hamming verify
+    val bitAggs = (0 until ensSimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"s$j")
+    }
+    val sigExpr = (0 until ensSimhashBits)
+      .map(j => when(col(s"s$j") >= 0, 1L << j).otherwise(0L))
+      .reduce((a, b) => a + b)
+    val sigs = sampled
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), TextOps.portableHash(col("t")).as("h"))
+      .groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig")).persist()
+    sigs.count() // eager: band build + both verify probes
+    val bandCols = (0 until simhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("sig"), b * simhashBandBits)
+          .bitwiseAND(lit((1L << simhashBandBits) - 1)).as("band_key"))
+    }
+    val sbands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+    val scand = sbands.as("a")
+      .join(sbands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sPairs = scand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(expr(s"bit_count(sig_a ^ sig_b) <= $simhashMaxHam"))
+      .select(col("doc_a"), col("doc_b"))
+    def statsOf(method: String, pred: DataFrame): DataFrame = {
+      val nPred = pred.agg(count(lit(1)).as("n_pred"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val found = truth.join(pred, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_found"))
+      nPred.crossJoin(broadcast(nTrue)).crossJoin(broadcast(found))
+        .select(lit(method).as("method"), col("n_pred"), col("n_true"),
+          col("n_found"),
+          when(col("n_pred") === 0, 0.0)
+            .otherwise(col("n_found").cast("double") / col("n_pred").cast("double"))
+            .as("prec"),
+          when(col("n_true") === 0, 0.0)
+            .otherwise(col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("rec"))
+        .withColumn("f1",
+          when(col("prec") + col("rec") === 0.0, 0.0)
+            .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
+    }
+    statsOf("minhash_lsh", mh)
+      .unionAll(statsOf("simhash", sPairs))
+      .unionAll(statsOf("winnow", wPairs))
+      .orderBy(col("method"))
+  }
+
+  val qDocDedupEnsembleSql: String = {
+    val bitSums = (0 until ensSimhashBits).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    val sigSql = (0 until ensSimhashBits)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until simhashBands).map { b =>
+      s"SELECT doc_id, $b AS band_id, (sig >> ${b * simhashBandBits}) & ${(1L << simhashBandBits) - 1} AS band_key FROM ssig"
+    }.mkString("\n  UNION ALL\n  ")
+    def arm(name: String, rel: String): String =
+      s"""SELECT '$name' AS method,
+         |    (SELECT count(*) FROM $rel) AS n_pred,
+         |    (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM truth JOIN $rel USING (doc_a, doc_b)) AS n_found""".stripMargin
+    s"""WITH $nearCorpusSql,
+       |$evalMhSqlCtes,
+       |$evalTruthSqlCtes,
+       |samp AS (
+       |  SELECT doc_id, text FROM corpus WHERE ${evalKeepSqlOn("doc_id")}
+       |),
+       |wgss AS (
+       |  SELECT doc_id, list_transform($shinglesSqlExpr, s -> ${h31Sql("s")}) AS gs
+       |  FROM samp
+       |),
+       |wfps AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(gs) - ${winnowW - 1}, 1)),
+       |    j -> list_min(gs[j:j + ${winnowW - 1}])))) AS fp
+       |  FROM wgss
+       |),
+       |wok AS (
+       |  SELECT fp FROM wfps GROUP BY fp
+       |  HAVING count(*) >= 2 AND count(*) <= $winnowMaxDf
+       |),
+       |wfil AS (SELECT f.* FROM wfps f JOIN wok USING (fp)),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM wfil a JOIN wfil b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING count(*) >= $winnowMinShared
+       |),
+       |stoks AS (
+       |  SELECT doc_id, ${TextOps.portableHashSql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM samp)
+       |),
+       |ssums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM stoks GROUP BY doc_id
+       |),
+       |ssig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS sig FROM ssums),
+       |sbands AS (
+       |  $bandSelects
+       |),
+       |scand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sbands a JOIN sbands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |),
+       |spairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM scand
+       |  JOIN ssig sa ON sa.doc_id = doc_a
+       |  JOIN ssig sb ON sb.doc_id = doc_b
+       |  WHERE bit_count(xor(sa.sig, sb.sig)) <= $simhashMaxHam
+       |),
+       |stats AS (
+       |  ${arm("minhash_lsh", "mh")}
+       |  UNION ALL
+       |  ${arm("simhash", "spairs")}
+       |  UNION ALL
+       |  ${arm("winnow", "wpairs")}
+       |)
+       |SELECT method, n_pred, n_true, n_found,
+       |  CASE WHEN n_pred = 0 THEN 0.0
+       |       ELSE CAST(n_found AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS prec,
+       |  CASE WHEN n_true = 0 THEN 0.0
+       |       ELSE CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) END AS rec,
+       |  CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0
+       |               ELSE CAST(n_found AS DOUBLE) / CAST(n_pred AS DOUBLE) END)
+       |          + (CASE WHEN n_true = 0 THEN 0.0
+       |               ELSE CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) END) = 0.0
+       |       THEN 0.0
+       |       ELSE 2.0 * (CAST(n_found AS DOUBLE) / CAST(n_pred AS DOUBLE))
+       |              * (CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE))
+       |            / ((CAST(n_found AS DOUBLE) / CAST(n_pred AS DOUBLE))
+       |              + (CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE))) END AS f1
+       |FROM stats ORDER BY method""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Benchmark decontamination: n-gram overlap against a held-out eval set

@@ -595,6 +595,103 @@ object Warehouse {
       |ORDER BY day, event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental JOIN maintenance (delta-join algebra)
+  // ------------------------------------------------------------------
+
+  /** Incremental materialized-JOIN maintenance — the join-view companion
+    * of [[qIncrAggMaintain]]: a per-nation revenue view over
+    * orders ⋈ customer kept current under SIMULTANEOUS deltas on both
+    * sides with the classic three-term delta algebra
+    * Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (each join-key-partitioned,
+    * none rescans history twice). Old orders = before the 1996-01-01
+    * ingest cut; "late-arriving" customers = every 17th key. The query
+    * computes the view as old-view partials merged with the three delta
+    * terms' partials and PROVES per row (`matches_full`) that it equals
+    * the full recompute — decimal sums make the check exact equality.
+    *
+    * Scale (100 TB): the production win is that ΔA and ΔB are
+    * partition-pruned file sets (a day's ingest), so maintenance cost is
+    * O(Δ·|B|-probe) not O(|A⋈B|): ΔA⋈B_old and A_old⋈ΔB are equi-joins
+    * where one side is batch-sized (broadcast or bucket-pruned probe)
+    * and ΔA⋈ΔB is batch×batch. The four partial aggregates are algebraic
+    * (count/decimal-sum), so the merge is a tiny key-equi re-aggregation
+    * — the same mergeability [[qIncrAggMaintain]] proves, now composed
+    * through a join.
+    */
+  def qIncrJoinMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("timestamp")
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val aOld = orders.filter(col("o_orderdate") < cut)
+    val aDelta = orders.filter(col("o_orderdate") >= cut)
+    val bOld = cust.filter(col("c_custkey") % 17 =!= 0)
+    val bDelta = cust.filter(col("c_custkey") % 17 === 0)
+    def partsOf(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("s"))
+    // V_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, merged algebraically
+    val merged = partsOf(aOld, bOld)
+      .unionAll(partsOf(aDelta, bOld))
+      .unionAll(partsOf(aOld, bDelta))
+      .unionAll(partsOf(aDelta, bDelta))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val full = partsOf(orders, cust)
+      .withColumnsRenamed(Map("n" -> "fn", "s" -> "fs"))
+    merged.join(full, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"), col("n"),
+        col("s").cast("double").as("revenue"),
+        (col("n") === col("fn") && col("s") === col("fs")).as("matches_full"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val qIncrJoinMaintainSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders
+      |),
+      |c AS (SELECT c_custkey, c_nationkey FROM customer),
+      |parts AS (
+      |  SELECT 'oo' AS term, c_nationkey, count(*) AS n, sum(price) AS s
+      |  FROM o JOIN c ON o_custkey = c_custkey
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01' AND c_custkey % 17 <> 0
+      |  GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT 'do', c_nationkey, count(*), sum(price)
+      |  FROM o JOIN c ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND c_custkey % 17 <> 0
+      |  GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT 'od', c_nationkey, count(*), sum(price)
+      |  FROM o JOIN c ON o_custkey = c_custkey
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01' AND c_custkey % 17 = 0
+      |  GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT 'dd', c_nationkey, count(*), sum(price)
+      |  FROM o JOIN c ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND c_custkey % 17 = 0
+      |  GROUP BY c_nationkey
+      |),
+      |merged AS (
+      |  SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+      |  FROM parts GROUP BY c_nationkey
+      |),
+      |total AS (
+      |  SELECT c_nationkey, count(*) AS fn, sum(price) AS fs
+      |  FROM o JOIN c ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey
+      |)
+      |SELECT c_nationkey, n, CAST(s AS DOUBLE) AS revenue,
+      |  (n = fn AND s = fs) AS matches_full
+      |FROM merged FULL OUTER JOIN total USING (c_nationkey)
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // Time-weighted average: interval-weighted mean between observations
   // ------------------------------------------------------------------
 
@@ -986,6 +1083,7 @@ object Warehouse {
     "q_cdc_apply_customer" -> ((qCdcApplyCustomer _, qCdcApplyCustomerSql)),
     "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
+    "q_incr_join_maintain" -> ((qIncrJoinMaintain _, qIncrJoinMaintainSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),

@@ -1328,6 +1328,45 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("incremental join maintenance: delta algebra equals full recompute") {
+    val rows = graft.queries.Warehouse.qIncrJoinMaintain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the op's own per-row proof column must hold everywhere
+    assert(rows.forall(_.getAs[Boolean]("matches_full")), "delta-merge must equal recompute")
+    // and the maintained view must equal a direct independent join
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("c_nationkey") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === direct(r.getAs[Int]("c_nationkey")))
+    }
+  }
+
+  test("dedup ensemble: metrics replay, minhash row agrees with the recall audit") {
+    val rows = Dedup.qDocDedupEnsemble(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet === Set("minhash_lsh", "simhash", "winnow"))
+    rows.values.foreach { r =>
+      val (p, rec, f1) = (r.getAs[Double]("prec"), r.getAs[Double]("rec"),
+        r.getAs[Double]("f1"))
+      assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      val expF1 = if (p + rec == 0.0) 0.0 else 2.0 * p * rec / (p + rec)
+      assert(f1 === expF1)
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_pred"))
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"))
+    }
+    // the minhash arm is the same pipeline as q_doc_minhash_eval — its
+    // counts must agree exactly with that audit's output
+    val eval = Dedup.qDocMinhashEval(spark, sf).collect().head
+    val mh = rows("minhash_lsh")
+    assert(mh.getAs[Long]("n_true") === eval.getAs[Long]("n_true_pairs"))
+    assert(mh.getAs[Long]("n_pred") === eval.getAs[Long]("n_lsh_pairs"))
+    assert(mh.getAs[Long]("n_found") === eval.getAs[Long]("n_found"))
+    // injected near-dups guarantee a non-degenerate audit at every SF
+    assert(rows("minhash_lsh").getAs[Long]("n_true") > 0)
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -92,6 +92,102 @@ object Layout {
   }
 
   // ------------------------------------------------------------------
+  // Zone-map pruning audit: arrival vs value-sorted layout
+  // ------------------------------------------------------------------
+
+  /** Rows per simulated row group for [[qLayoutZonemap]] (small enough
+    * that even the sf0.001 smoke table spans several zones) and the
+    * audited range predicate on `value` (≈2% selectivity on the
+    * synthetic distribution).
+    */
+  final val zonemapRows = 128L
+  final val zonemapLo = 50.0
+  final val zonemapHi = 60.0
+
+  /** ZONE-MAP (min/max footer) PRUNING AUDIT — the quantified version of
+    * "sort your data so scans can skip": assign every event to a
+    * [[zonemapRows]]-row zone under two layouts, ARRIVAL order (ingest
+    * as-is) and VALUE-SORTED (the write-time clustering
+    * [[qEventZorder]] generalizes), compute each zone's min/max exactly
+    * as a parquet footer would, and report per layout how many zones a
+    * `value BETWEEN` scan skips and how many rows it must still read.
+    * The sorted layout concentrates the predicate range into few zones
+    * (rows_scanned → matched rows rounded up to zone size); the arrival
+    * layout's zones all straddle the range and prune nothing — THE
+    * reason layout maintenance exists.
+    *
+    * Scale (100 TB): the audit itself is one pass per layout (zone id is
+    * a narrow projection for arrival; one range-exchange sort for the
+    * sorted variant — the exact cost a real re-layout pays at write
+    * time, which is the point) plus a zones-sized rollup. The
+    * production decision this feeds: whether paying that one sort is
+    * worth the per-query skip rate, answered by `rows_scanned` here.
+    */
+  def qLayoutZonemap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val arrival = ev.select(expr(s"event_id div $zonemapRows").as("zone"),
+      col("value"))
+    val sorted = ev
+      .withColumn("rn",
+        (row_number().over(Window.orderBy(col("value"), col("event_id"))) - 1)
+          .cast("long"))
+      .select(expr(s"rn div $zonemapRows").as("zone"), col("value"))
+    def audit(name: String, zoned: DataFrame): DataFrame = {
+      val zones = zoned.groupBy(col("zone"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+          count(lit(1)).as("n"))
+      zones.agg(
+        count(lit(1)).as("n_zones"),
+        sum(when(col("mx") < zonemapLo || col("mn") > zonemapHi, 1L).otherwise(0L))
+          .as("n_pruned"),
+        sum(when(col("mx") < zonemapLo || col("mn") > zonemapHi, 0L)
+          .otherwise(col("n"))).as("rows_scanned"))
+        .crossJoin(broadcast(
+          zoned.filter(col("value").between(zonemapLo, zonemapHi))
+            .agg(count(lit(1)).as("rows_matched"))))
+        .select(lit(name).as("layout"), col("n_zones"), col("n_pruned"),
+          (col("n_pruned").cast("double") / col("n_zones").cast("double"))
+            .as("prune_frac"),
+          col("rows_scanned"), col("rows_matched"),
+          (col("rows_scanned").cast("double") / col("rows_matched").cast("double"))
+            .as("read_amplification"))
+    }
+    audit("arrival", arrival).unionAll(audit("value_sorted", sorted))
+      .orderBy(col("layout"))
+  }
+
+  val qLayoutZonemapSql: String = {
+    def audit(name: String, zonedRel: String): String =
+      s"""SELECT '$name' AS layout,
+         |  count(*) AS n_zones,
+         |  CAST(sum(CASE WHEN mx < $zonemapLo OR mn > $zonemapHi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pruned,
+         |  CAST(sum(CASE WHEN mx < $zonemapLo OR mn > $zonemapHi THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS prune_frac,
+         |  CAST(sum(CASE WHEN mx < $zonemapLo OR mn > $zonemapHi THEN 0 ELSE n END) AS BIGINT)
+         |    AS rows_scanned,
+         |  (SELECT count(*) FROM events WHERE value BETWEEN $zonemapLo AND $zonemapHi)
+         |    AS rows_matched,
+         |  CAST(sum(CASE WHEN mx < $zonemapLo OR mn > $zonemapHi THEN 0 ELSE n END) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM events WHERE value BETWEEN $zonemapLo AND $zonemapHi) AS DOUBLE)
+         |    AS read_amplification
+         |FROM (SELECT zone, min(value) AS mn, max(value) AS mx, count(*) AS n
+         |      FROM $zonedRel GROUP BY zone) z""".stripMargin
+    s"""WITH arrival AS (
+       |  SELECT event_id // $zonemapRows AS zone, value FROM events
+       |),
+       |sorted AS (
+       |  SELECT (row_number() OVER (ORDER BY value, event_id) - 1) // $zonemapRows
+       |    AS zone, value
+       |  FROM events
+       |)
+       |${audit("arrival", "arrival")}
+       |UNION ALL
+       |${audit("value_sorted", "sorted")}
+       |ORDER BY layout""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Compaction planning: running-total file grouping
   // ------------------------------------------------------------------
 
@@ -277,6 +373,7 @@ object Layout {
 
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_zorder" -> ((qEventZorder _, qEventZorderSql)),
+    "q_layout_zonemap" -> ((qLayoutZonemap _, qLayoutZonemapSql)),
     "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql)),
     "q_skew_diagnosis" -> ((qSkewDiagnosis _, qSkewDiagnosisSql))
   )

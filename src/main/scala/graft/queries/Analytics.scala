@@ -2613,6 +2613,165 @@ object Analytics {
       |JOIN sizes sb ON sb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // --- Markov next-event prediction with a leakage-free temporal split ---
+
+  /** First-order MARKOV next-event-type prediction, evaluated with a
+    * LEAKAGE-FREE TEMPORAL SPLIT: transition counts are fit on
+    * transitions completing before the cut (2024-01-25), the per-state
+    * argmax (ties → lexicographically smaller type, deterministic) is the
+    * model, and accuracy is scored only on transitions completing at or
+    * after the cut. The protocol — not the tiny model — is the operator:
+    * a temporal split where the EVALUATION events never feed the fitted
+    * counts is exactly the contamination discipline [[graft.ext.Dedup]]'s
+    * decontamination op enforces for corpora, applied to behavioral
+    * modeling; the skyline accuracy of a one-step Markov chain is also
+    * the baseline any sequence model must beat to justify itself.
+    *
+    * Scale (100 TB): transition extraction is ONE user-keyed window
+    * (lead over (ts, event_id) — the sessionization exchange, perfectly
+    * key-spread); the fitted model is |types|² counts, broadcast to the
+    * test arm; scoring is a map-side join. Per-state output.
+    */
+  def qEventMarkovEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-25").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"),
+        lead($"ts", 1).over(w).as("next_ts"))
+      .filter($"next_type".isNotNull)
+    val train = pairs.filter($"next_ts" < cut)
+      .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy($"prev_type")
+      .orderBy($"n".desc, $"next_type")
+    val model = train.withColumn("rk", row_number().over(wArg))
+      .filter($"rk" === 1)
+      .select($"prev_type", $"next_type".as("predicted"), $"n".as("n_train_wins"))
+    pairs.filter($"next_ts" >= cut)
+      .join(broadcast(model), Seq("prev_type"))
+      .groupBy($"prev_type", $"predicted")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"next_type" === $"predicted", 1L).otherwise(0L)).as("n_correct"))
+      .select($"prev_type", $"predicted", $"n_test", $"n_correct",
+        ($"n_correct".cast("double") / $"n_test".cast("double")).as("accuracy"))
+      .orderBy($"prev_type")
+  }
+
+  val qEventMarkovEvalSql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type AS prev_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(ts) OVER w AS next_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |train AS (
+      |  SELECT prev_type, next_type, count(*) AS n
+      |  FROM pairs
+      |  WHERE next_type IS NOT NULL AND next_ts < TIMESTAMP '2024-01-25'
+      |  GROUP BY prev_type, next_type
+      |),
+      |model AS (
+      |  SELECT prev_type, next_type AS predicted
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY prev_type
+      |          ORDER BY n DESC, next_type) AS rk FROM train)
+      |  WHERE rk = 1
+      |)
+      |SELECT prev_type, predicted, count(*) AS n_test,
+      |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM pairs JOIN model USING (prev_type)
+      |WHERE next_type IS NOT NULL AND next_ts >= TIMESTAMP '2024-01-25'
+      |GROUP BY prev_type, predicted
+      |ORDER BY prev_type""".stripMargin
+
+  // --- Market-basket association rules over order line items ---
+
+  /** Minimum pair co-occurrence count for [[qBasketRules]] — the
+    * classic min-support cut that keeps the rule table signal, not
+    * noise (and bounds output size at any corpus scale).
+    */
+  final val basketMinSupport = 3
+
+  /** MARKET-BASKET ASSOCIATION RULES over order baskets: part pairs
+    * co-purchased in ≥ [[basketMinSupport]] orders, emitted as DIRECTED
+    * rules with the three standard measures — support (share of all
+    * baskets), confidence (P(consequent | antecedent)) and lift
+    * (observed co-rate over independence). The frequent-itemset
+    * primitive (Apriori at k=2) behind recommendations and cross-sell
+    * analytics; lift > 1 marks genuinely associated parts, and both
+    * directions of a pair are emitted because confidence is asymmetric.
+    *
+    * Everything up to the final three ratios is exact integer counting.
+    *
+    * Scale (100 TB): the basket table collapses to distinct
+    * (order, part) map-side; the pair join is per-order with fan-out
+    * C(basket width, 2) — width-bounded (≤ 7 here; real baskets tens),
+    * never corpus-shaped, and the min-support filter is pushed into the
+    * pair aggregate. Item and basket totals ride broadcast frames.
+    * k > 2 itemsets iterate the same join-prune loop (Apriori) with
+    * support-pruned candidates.
+    */
+  def qBasketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val nBaskets = items.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemN = items.groupBy($"p").agg(count(lit(1)).as("np"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter($"n_both" >= basketMinSupport)
+    val directed = pairs.select($"pa".as("antecedent"), $"pb".as("consequent"), $"n_both")
+      .unionAll(pairs.select($"pb".as("antecedent"), $"pa".as("consequent"), $"n_both"))
+    directed
+      .join(broadcast(itemN.select($"p".as("antecedent"), $"np".as("n_ante"))),
+        "antecedent")
+      .join(broadcast(itemN.select($"p".as("consequent"), $"np".as("n_cons"))),
+        "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select($"antecedent", $"consequent", $"n_ante", $"n_cons", $"n_both",
+        ($"n_both".cast("double") / $"n_baskets".cast("double")).as("support"),
+        ($"n_both".cast("double") / $"n_ante".cast("double")).as("confidence"),
+        (($"n_both" * $"n_baskets").cast("double") /
+          ($"n_ante" * $"n_cons").cast("double")).as("lift"))
+      .orderBy($"antecedent", $"consequent")
+  }
+
+  val qBasketRulesSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |),
+       |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+       |item_n AS (SELECT p, count(*) AS np FROM items GROUP BY p),
+       |pairs AS (
+       |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_both
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING count(*) >= $basketMinSupport
+       |),
+       |directed AS (
+       |  SELECT pa AS antecedent, pb AS consequent, n_both FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS antecedent, pa AS consequent, n_both FROM pairs
+       |)
+       |SELECT antecedent, consequent,
+       |  na.np AS n_ante, nc.np AS n_cons, n_both,
+       |  CAST(n_both AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+       |  CAST(n_both AS DOUBLE) / CAST(na.np AS DOUBLE) AS confidence,
+       |  CAST(n_both * n_baskets AS DOUBLE) / CAST(na.np * nc.np AS DOUBLE)
+       |    AS lift
+       |FROM directed
+       |JOIN item_n na ON na.p = antecedent
+       |JOIN item_n nc ON nc.p = consequent
+       |CROSS JOIN nb
+       |ORDER BY antecedent, consequent""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3570,6 +3729,8 @@ object Analytics {
     "q_event_mi" -> ((qEventMi _, qEventMiSql)),
     "q_event_type_corr" -> ((qEventTypeCorr _, qEventTypeCorrSql)),
     "q_event_user_overlap" -> ((qEventUserOverlap _, qEventUserOverlapSql)),
+    "q_event_markov_eval" -> ((qEventMarkovEval _, qEventMarkovEvalSql)),
+    "q_basket_rules" -> ((qBasketRules _, qBasketRulesSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -692,6 +692,76 @@ object Warehouse {
       |ORDER BY c_nationkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // Join cardinality estimation audit (optimizer-statistics quality)
+  // ------------------------------------------------------------------
+
+  /** JOIN-CARDINALITY ESTIMATION AUDIT: for each core equi-join of the
+    * schema, the System-R textbook estimate |A|·|B| / max(ndv_A, ndv_B)
+    * next to the ACTUAL join cardinality and their ratio — the
+    * statistics-quality check behind every cost-based join-order
+    * decision (Spark CBO uses exactly these row-count × NDV stats from
+    * ANALYZE TABLE). A ratio far from 1 on a production schema means the
+    * optimizer is flying blind on that join (skew or correlation the
+    * independence assumption misses) and is the trigger for histogram
+    * stats or a manual broadcast/strategy hint.
+    *
+    * The estimate is computed with integer division (both engines
+    * truncate identically); products stay well inside int64 at any
+    * harness SF and inside exact-double range far beyond.
+    *
+    * Scale (100 TB): each arm is two single-pass (count, NDV) aggregates
+    * — at real scale the NDVs come from HLL sketches
+    * ([[graft.ext.Similarity.qApproxDistinct]] documents that trade) —
+    * plus one count-only join whose plan Catalyst collapses to a
+    * partial-count merge; output is one row per audited join.
+    */
+  def qJoinCardEst(spark: SparkSession, sfDir: String): DataFrame = {
+    def arm(name: String, a: DataFrame, ka: String, b: DataFrame, kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("n_a"), countDistinct(col(ka)).as("d_a"))
+      val sb = b.agg(count(lit(1)).as("n_b"), countDistinct(col(kb)).as("d_b"))
+      val actual = a.join(b, col(ka) === col(kb)).agg(count(lit(1)).as("actual"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+        .select(lit(name).as("join_name"), col("n_a"), col("n_b"),
+          col("d_a"), col("d_b"),
+          expr("(n_a * n_b) div greatest(d_a, d_b)").as("estimated"),
+          col("actual"),
+          (col("actual").cast("double") /
+            expr("(n_a * n_b) div greatest(d_a, d_b)").cast("double"))
+            .as("actual_over_est"))
+    }
+    arm("customer_orders", Tables.customer(spark, sfDir), "c_custkey",
+        Tables.orders(spark, sfDir), "o_custkey")
+      .unionAll(arm("lineitem_orders", Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey"))
+      .unionAll(arm("lineitem_part", Tables.lineitem(spark, sfDir), "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val qJoinCardEstSql: String = {
+    def arm(name: String, ta: String, ka: String, tb: String, kb: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT count(*) FROM $ta) AS n_a,
+         |  (SELECT count(*) FROM $tb) AS n_b,
+         |  (SELECT count(DISTINCT $ka) FROM $ta) AS d_a,
+         |  (SELECT count(DISTINCT $kb) FROM $tb) AS d_b,
+         |  (SELECT count(*) FROM $ta) * (SELECT count(*) FROM $tb)
+         |    // greatest((SELECT count(DISTINCT $ka) FROM $ta),
+         |               (SELECT count(DISTINCT $kb) FROM $tb)) AS estimated,
+         |  (SELECT count(*) FROM $ta JOIN $tb ON $ka = $kb) AS actual,
+         |  CAST((SELECT count(*) FROM $ta JOIN $tb ON $ka = $kb) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM $ta) * (SELECT count(*) FROM $tb)
+         |        // greatest((SELECT count(DISTINCT $ka) FROM $ta),
+         |                   (SELECT count(DISTINCT $kb) FROM $tb)) AS DOUBLE)
+         |    AS actual_over_est""".stripMargin
+    Seq(
+      arm("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      arm("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+  }
+
+  // ------------------------------------------------------------------
   // Time-weighted average: interval-weighted mean between observations
   // ------------------------------------------------------------------
 
@@ -1084,6 +1154,7 @@ object Warehouse {
     "q_event_interp_daily" -> ((qEventInterpDaily _, qEventInterpDailySql)),
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
     "q_incr_join_maintain" -> ((qIncrJoinMaintain _, qIncrJoinMaintainSql)),
+    "q_join_card_est" -> ((qJoinCardEst _, qJoinCardEstSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),

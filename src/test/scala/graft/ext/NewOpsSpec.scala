@@ -1367,6 +1367,103 @@ class NewOpsSpec extends SparkSuite {
     assert(rows("minhash_lsh").getAs[Long]("n_true") > 0)
   }
 
+  test("markov eval: leakage-free split — model replays from train-only transitions") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._2.getTime * 1000 + (x._2.getNanos / 1000) % 1000, x._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._4, b._2) }
+    }.toSeq
+    val train = pairs.filter(_._3.before(cut))
+      .groupBy(p => (p._1, p._2)).map { case (k, xs) => k -> xs.size.toLong }
+    val model = train.groupBy(_._1._1).map { case (prev, cells) =>
+      prev -> cells.toSeq.map { case ((_, nxt), n) => (nxt, n) }
+        .sortBy { case (nxt, n) => (-n, nxt) }.head._1
+    }
+    val test = pairs.filterNot(_._3.before(cut))
+    val expected = test.groupBy(_._1).map { case (prev, xs) =>
+      prev -> (model(prev), xs.size.toLong, xs.count(_._2 == model(prev)).toLong)
+    }
+    val rows = Analytics.qEventMarkovEval(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("prev_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (pred, n, correct) = expected(r.getAs[String]("prev_type"))
+      assert(r.getAs[String]("predicted") === pred)
+      assert(r.getAs[Long]("n_test") === n)
+      assert(r.getAs[Long]("n_correct") === correct)
+      assert(r.getAs[Double]("accuracy") === correct.toDouble / n)
+    }
+  }
+
+  test("basket rules: exact replay of support/confidence/lift; directed symmetry") {
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nBaskets = items.map(_._1).size.toLong
+    val itemN = items.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val byBasket = items.groupBy(_._1).values
+    val pairN = byBasket.flatMap { xs =>
+      val ps = xs.map(_._2).toSeq.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      .filter(_._2 >= Analytics.basketMinSupport)
+    val rows = Analytics.qBasketRules(spark, sf).collect()
+    assert(rows.length === pairN.size * 2, "both rule directions present")
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      val nb = pairN(if (a < c) (a, c) else (c, a))
+      assert(r.getAs[Long]("n_both") === nb)
+      assert(r.getAs[Long]("n_ante") === itemN(a))
+      assert(r.getAs[Long]("n_cons") === itemN(c))
+      assert(r.getAs[Double]("support") === nb.toDouble / nBaskets)
+      assert(r.getAs[Double]("confidence") === nb.toDouble / itemN(a))
+      assert(r.getAs[Double]("lift") ===
+        (nb * nBaskets).toDouble / (itemN(a) * itemN(c)).toDouble)
+    }
+  }
+
+  test("join cardinality audit: estimate formula replays; actual is the true join size") {
+    val rows = graft.queries.Warehouse.qJoinCardEst(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (da, db) = (r.getAs[Long]("d_a"), r.getAs[Long]("d_b"))
+      assert(r.getAs[Long]("estimated") === na * nb / math.max(da, db))
+      assert(r.getAs[Double]("actual_over_est") ===
+        r.getAs[Long]("actual").toDouble / r.getAs[Long]("estimated").toDouble)
+    }
+    // FK joins: actual must equal the FK side's row count
+    val byName = rows.map(r => r.getAs[String]("join_name") -> r).toMap
+    assert(byName("customer_orders").getAs[Long]("actual") ===
+      byName("customer_orders").getAs[Long]("n_b"))
+    assert(byName("lineitem_part").getAs[Long]("actual") ===
+      byName("lineitem_part").getAs[Long]("n_a"))
+  }
+
+  test("zonemap audit: sorted layout prunes, arrival does not; counts replay") {
+    val rows = graft.etl.Layout.qLayoutZonemap(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet === Set("arrival", "value_sorted"))
+    val vals = Tables.events(spark, sf).select("value").collect().map(_.getDouble(0))
+    val matched = vals.count(v =>
+      v >= graft.etl.Layout.zonemapLo && v <= graft.etl.Layout.zonemapHi).toLong
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rows_matched") === matched)
+      assert(r.getAs[Long]("rows_scanned") >= matched, "pruning must be lossless")
+    }
+    // the sorted layout bounds scanned rows by matched rows rounded up to
+    // zone granularity (+1 boundary zone); arrival order prunes nothing here
+    val sorted = rows("value_sorted")
+    assert(sorted.getAs[Long]("rows_scanned") <=
+      ((matched / graft.etl.Layout.zonemapRows) + 2) * graft.etl.Layout.zonemapRows)
+    assert(rows("arrival").getAs[Long]("n_pruned") === 0L)
+    assert(sorted.getAs[Long]("n_pruned") > 0L)
+    assert(sorted.getAs[Double]("read_amplification") <=
+      rows("arrival").getAs[Double]("read_amplification"))
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -94,7 +94,7 @@ object Dedup {
   /** Truth-arm sample for [[qDocMinhashEval]]: an LCG hash of the doc's
     * BASE id (`doc_id % 100000` — injected near-dups share their source's
     * base, so true pairs never straddle the sample boundary) keeps
-    * evalSampleKeep/evalSampleMod ≈ 50% of keys. `final val` + literal
+    * evalSampleKeep/evalSampleMod ≈ 25% of keys. `final val` + literal
     * RHS: these interpolate into oracle SQL, so they must be
     * constant-folded (the object-init-cycle rule, .claude/skills/verify).
     * Max intermediate 99999 × 1103515245 ≈ 1.1e14 — well inside int64 in
@@ -103,7 +103,11 @@ object Dedup {
   final val evalSampleMul = 1103515245L
   final val evalSampleAdd = 12345L
   final val evalSampleMod = 2048L
-  final val evalSampleKeep = 1024L
+  // 25% (was 50% through r7): the truth arm's prefix join is quadratic in
+  // the sample fraction, and 25% still keeps ≥1 injected pair at sf0.001
+  // and 6 at sf0.01 — enough signal for the recall/ensemble audits at a
+  // quarter of the pair work (r7 advice: keep the audit cheap at any SF).
+  final val evalSampleKeep = 512L
   private def evalKeep(c: Column): Column =
     ((c % 100000L) * evalSampleMul + evalSampleAdd) % evalSampleMod < evalSampleKeep
   private def evalKeepSqlOn(c: String): String =
@@ -406,15 +410,16 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    val truth = common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .filter(lit(3) * col("common") >= col("na") + col("nb"))
+    // verify candidates against the persisted per-doc hash SETS
+    // (array_intersect in codegen) rather than re-joining the exploded
+    // token table per pair — same exact counts (hs is already distinct),
+    // one doc-keyed join instead of a token-granularity shuffle (r8:
+    // measured ~2× on the truth arm)
+    val truth = cand
+      .join(shingled.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .filter(lit(3) * size(array_intersect(col("hs_a"), col("hs_b"))) >=
+        size(col("hs_a")) + size(col("hs_b")))
       .select(col("doc_a"), col("doc_b")).persist()
     truth.count()
     truth
@@ -473,20 +478,12 @@ object Dedup {
        |  FROM prefix a JOIN prefix b
        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
        |),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-       |com AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS common
-       |  FROM tcand c
-       |  JOIN toks ta ON ta.doc_id = c.doc_a
-       |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-       |  GROUP BY c.doc_a, c.doc_b
-       |),
        |truth AS (
        |  SELECT doc_a, doc_b
-       |  FROM com
-       |  JOIN sizes sa ON sa.doc_id = doc_a
-       |  JOIN sizes sb ON sb.doc_id = doc_b
-       |  WHERE 3 * common >= sa.n + sb.n
+       |  FROM tcand
+       |  JOIN shingled sa ON sa.doc_id = doc_a
+       |  JOIN shingled sb ON sb.doc_id = doc_b
+       |  WHERE 3 * len(list_intersect(sa.hs, sb.hs)) >= len(sa.hs) + len(sb.hs)
        |)""".stripMargin
 
   val qDocMinhashEvalSql: String =

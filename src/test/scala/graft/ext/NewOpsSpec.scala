@@ -646,9 +646,13 @@ class NewOpsSpec extends SparkSuite {
     assert(recall === nFound.toDouble / nTrue.toDouble)
     assert(recall > 0.0 && recall <= 1.0)
     // the fixture plants one J≈0.95 near-dup per 25 docs; truth must hold
-    // at least those pairs
+    // at least the planted pairs INSIDE the truth-arm sample (the sample
+    // is keyed on the base id, so a planted pair is in or out atomically)
     val planted = graft.model.Tables.documents(spark, sf)
-      .filter(col("doc_id") % 25 === 0).count()
+      .filter(col("doc_id") % 25 === 0).collect().map(_.getAs[Long]("doc_id"))
+      .count(id => ((id % 100000L) * Dedup.evalSampleMul + Dedup.evalSampleAdd)
+        % Dedup.evalSampleMod < Dedup.evalSampleKeep)
+    assert(planted > 0, "sample must retain at least one planted pair")
     assert(nTrue >= planted)
     // at J≈0.95, 4x4 banding collides with prob 1-(1-0.95^4)^4 ≈ 0.9988 —
     // near-total recall is the designed property, not luck

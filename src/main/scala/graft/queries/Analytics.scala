@@ -2772,6 +2772,154 @@ object Analytics {
        |CROSS JOIN nb
        |ORDER BY antecedent, consequent""".stripMargin
 
+  // --- Watermark-lateness audit under a deterministic arrival model ---
+
+  /** Max synthetic network delay (seconds) for [[qEventLateness]]'s
+    * arrival model, and the candidate watermark delays the audit prices.
+    */
+  final val latenessMaxDelay = 120L
+
+  /** WATERMARK-SETTING AUDIT: how late do events arrive relative to the
+    * event-time frontier, and what fraction would each candidate
+    * watermark delay drop? The shipped events table is perfectly
+    * time-ordered (generator artifact), so the audit applies a
+    * DETERMINISTIC arrival model — per-event network delay =
+    * hash(event_id) mod [[latenessMaxDelay]] seconds — and measures each
+    * event's lateness against the frontier (max event time among
+    * earlier-ARRIVING events, at one-second granularity). Output: one
+    * row with the lateness distribution (on-time / ≤10 s / ≤30 s /
+    * ≤60 s / beyond) and the drop count at watermark delays 10/30/60 s —
+    * the exact table you read before choosing `withWatermark`
+    * ([[graft.streaming.EventStreams]] consumes the resulting bound).
+    *
+    * Scale (100 TB): the frontier is computed on a per-ARRIVAL-SECOND
+    * bucket table — max event-time per second, then one running-max
+    * window over the bucket table, whose cardinality is the TIME SPAN in
+    * seconds, independent of corpus size (2.6 M rows per month at any
+    * SF); events join their bucket's previous-second frontier by key.
+    * No corpus-wide window, no per-event sort; the one corpus shuffle is
+    * the second-bucket aggregate.
+    */
+  def qEventLateness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("et_us"))
+      .withColumn("delay_s",
+        pmod(graft.ext.TextOps.portableHash($"event_id".cast("string")),
+          lit(latenessMaxDelay)))
+      .withColumn("asec", expr("(et_us + delay_s * 1000000L) div 1000000L"))
+    val buckets = ev.groupBy($"asec").agg(max($"et_us").as("mx"))
+    val wRun = Window.orderBy($"asec")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = buckets
+      .select($"asec", max($"mx").over(wRun).as("frontier_us"))
+    ev.join(frontier, "asec")
+      .select(
+        greatest(lit(0L), $"frontier_us" - $"et_us").as("late_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(when($"late_us" > 0 && $"late_us" <= 10000000L, 1L).otherwise(0L))
+          .as("late_10s"),
+        sum(when($"late_us" > 10000000L && $"late_us" <= 30000000L, 1L).otherwise(0L))
+          .as("late_10_30s"),
+        sum(when($"late_us" > 30000000L && $"late_us" <= 60000000L, 1L).otherwise(0L))
+          .as("late_30_60s"),
+        sum(when($"late_us" > 60000000L, 1L).otherwise(0L)).as("late_over_60s"),
+        sum(when($"late_us" > 10000000L, 1L).otherwise(0L)).as("dropped_at_10s"),
+        sum(when($"late_us" > 30000000L, 1L).otherwise(0L)).as("dropped_at_30s"),
+        sum(when($"late_us" > 60000000L, 1L).otherwise(0L)).as("dropped_at_60s"),
+        expr("max(late_us) div 1000000L").as("max_lateness_s"))
+  }
+
+  val qEventLatenessSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_us(ts) AS et_us,
+       |    (${graft.ext.TextOps.portableHashSql("CAST(event_id AS VARCHAR)")}) % $latenessMaxDelay AS delay_s
+       |  FROM events
+       |),
+       |ev2 AS (
+       |  SELECT *, (et_us + delay_s * 1000000) // 1000000 AS asec FROM ev
+       |),
+       |buckets AS (SELECT asec, max(et_us) AS mx FROM ev2 GROUP BY asec),
+       |frontier AS (
+       |  SELECT asec, max(mx) OVER (ORDER BY asec
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier_us
+       |  FROM buckets
+       |),
+       |lat AS (
+       |  SELECT greatest(0, frontier_us - et_us) AS late_us
+       |  FROM ev2 JOIN frontier USING (asec)
+       |)
+       |SELECT count(*) AS n_events,
+       |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  CAST(sum(CASE WHEN late_us > 0 AND late_us <= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_10s,
+       |  CAST(sum(CASE WHEN late_us > 10000000 AND late_us <= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_10_30s,
+       |  CAST(sum(CASE WHEN late_us > 30000000 AND late_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_30_60s,
+       |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_over_60s,
+       |  CAST(sum(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_10s,
+       |  CAST(sum(CASE WHEN late_us > 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_30s,
+       |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_at_60s,
+       |  max(late_us) // 1000000 AS max_lateness_s
+       |FROM lat""".stripMargin
+
+  // --- Arrival-process dispersion: Fano factor per event type ---
+
+  /** ARRIVAL-PROCESS DISPERSION audit: per event type, the mean and
+    * variance of DAILY counts over the zero-filled day grid and their
+    * ratio (the Fano factor). A Poisson arrival process has Fano ≈ 1;
+    * materially above means bursty/overdispersed arrivals — and every
+    * alarm threshold, capacity plan or anomaly score that assumes
+    * Poisson (√n noise bands) is miscalibrated for that stream. This is
+    * the one-row-per-type check you run BEFORE trusting
+    * [[qEventAnomalies]]-style z-scores.
+    *
+    * Variance numerator n·Σx²−(Σx)² is exact integer arithmetic; the
+    * final divisions are the only float steps.
+    *
+    * Scale: same cell table as [[qEventTypeCorr]] (one corpus agg to
+    * |days|×|types|), then a |types|-row rollup.
+    */
+  def qEventDispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val grid = cells.select($"day").distinct()
+      .crossJoin(broadcast(cells.select($"event_type").distinct()))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select($"event_type", coalesce($"n", lit(0L)).as("x"))
+    grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n_days", $"sx".as("total"),
+        ($"sx".cast("double") / $"n_days".cast("double")).as("mean_daily"),
+        (($"n_days" * $"sxx" - $"sx" * $"sx").cast("double") /
+          ($"n_days" * ($"n_days" - 1)).cast("double")).as("var_daily"),
+        ((($"n_days" * $"sxx" - $"sx" * $"sx") * lit(1L)).cast("double") /
+          (($"n_days" - 1) * $"sx").cast("double")).as("fano"))
+      .orderBy($"event_type")
+  }
+
+  val qEventDispersionSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT t.event_type, COALESCE(c.n, 0) AS x
+      |  FROM (SELECT DISTINCT day FROM cells) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+      |  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+      |)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(sum(x) AS BIGINT) AS total,
+      |  CAST(sum(x) AS DOUBLE) / count(*) AS mean_daily,
+      |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+      |    / CAST(count(*) * (count(*) - 1) AS DOUBLE) AS var_daily,
+      |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+      |    / CAST((count(*) - 1) * sum(x) AS DOUBLE) AS fano
+      |FROM grid GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3731,6 +3879,8 @@ object Analytics {
     "q_event_user_overlap" -> ((qEventUserOverlap _, qEventUserOverlapSql)),
     "q_event_markov_eval" -> ((qEventMarkovEval _, qEventMarkovEvalSql)),
     "q_basket_rules" -> ((qBasketRules _, qBasketRulesSql)),
+    "q_event_lateness" -> ((qEventLateness _, qEventLatenessSql)),
+    "q_event_dispersion" -> ((qEventDispersion _, qEventDispersionSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -692,6 +692,72 @@ object Warehouse {
       |ORDER BY c_nationkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // RFM customer segmentation (quartile scores per dimension)
+  // ------------------------------------------------------------------
+
+  /** RFM SEGMENTATION — the classic warehouse customer scoring: per
+    * purchasing customer, Recency (days from last order to the corpus
+    * horizon), Frequency (order count) and Monetary (exact decimal
+    * revenue), each quartile-scored 1–4 by `ntile` with a deterministic
+    * (metric, custkey) total order — 4 is always the best quartile
+    * (recency sorts descending so most-recent lands in tile 4). Output:
+    * the 4×4×4 segment grid with customer counts and revenue mass — what
+    * a retention team reads to find champions (444) and at-risk big
+    * spenders (1x4).
+    *
+    * Scale (100 TB): R/F/M collapse out of the fact table in ONE
+    * customer-keyed partial agg; the ntile windows run over the
+    * CUSTOMER-grain aggregate (dim-sized, not fact-sized). The three
+    * windows share one global sort requirement each — at extreme
+    * customer cardinality production swaps them for approx-percentile
+    * breakpoints (one pass, no sort), trading exact quartile boundaries
+    * for scalability; the segment grid is 64 rows regardless.
+    */
+  def qCustRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val horizon = Tables.orders(spark, sfDir)
+      .agg(max(to_date(col("o_orderdate"))).as("h"))
+    val rfm = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("monetary"))
+      .crossJoin(broadcast(horizon))
+      .select(col("o_custkey"), datediff(col("h"), col("last_day")).as("recency"),
+        col("freq"), col("monetary"))
+    val scored = rfm.select(col("o_custkey"), col("monetary"),
+      ntile(4).over(Window.orderBy(col("recency").desc, col("o_custkey")))
+        .as("r_score"),
+      ntile(4).over(Window.orderBy(col("freq"), col("o_custkey"))).as("f_score"),
+      ntile(4).over(Window.orderBy(col("monetary"), col("o_custkey")))
+        .as("m_score"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("revenue"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val qCustRfmSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS recency,
+      |    count(*) AS freq,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |scored AS (
+      |  SELECT o_custkey, monetary,
+      |    CAST(ntile(4) OVER (ORDER BY recency DESC, o_custkey) AS INTEGER) AS r_score,
+      |    CAST(ntile(4) OVER (ORDER BY freq, o_custkey) AS INTEGER) AS f_score,
+      |    CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
+      |  FROM rfm
+      |)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  CAST(sum(monetary) AS DOUBLE) AS revenue
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
+  // ------------------------------------------------------------------
   // Join cardinality estimation audit (optimizer-statistics quality)
   // ------------------------------------------------------------------
 
@@ -1155,6 +1221,7 @@ object Warehouse {
     "q_incr_agg_maintain" -> ((qIncrAggMaintain _, qIncrAggMaintainSql)),
     "q_incr_join_maintain" -> ((qIncrJoinMaintain _, qIncrJoinMaintainSql)),
     "q_join_card_est" -> ((qJoinCardEst _, qJoinCardEstSql)),
+    "q_cust_rfm" -> ((qCustRfm _, qCustRfmSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),

@@ -1468,6 +1468,80 @@ class NewOpsSpec extends SparkSuite {
       rows("arrival").getAs[Double]("read_amplification"))
   }
 
+  test("lateness audit: exact replay of the bucket-frontier arrival model") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_micros(ts)").as("et")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Analytics.latenessMaxDelay
+    }
+    val arr = ev.map { case (id, et) => (et, (et + h(id) * 1000000L) / 1000000L) }
+    val bucketMax = arr.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).max }
+    val secs = bucketMax.keys.toSeq.sorted
+    val frontier = secs.zipWithIndex.map { case (s, i) =>
+      s -> (if (i == 0) None else Some(secs.take(i).map(bucketMax).max))
+    }.toMap
+    val lates = arr.map { case (et, s) =>
+      frontier(s).map(f => math.max(0L, f - et)).getOrElse(0L)
+    }
+    val row = Analytics.qEventLateness(spark, sf).collect().head
+    assert(row.getAs[Long]("n_events") === ev.length.toLong)
+    assert(row.getAs[Long]("n_late") === lates.count(_ > 0).toLong)
+    assert(row.getAs[Long]("dropped_at_30s") === lates.count(_ > 30000000L).toLong)
+    assert(row.getAs[Long]("max_lateness_s") === lates.max / 1000000L)
+    // the synthetic delay is bounded, so lateness must be too
+    assert(row.getAs[Long]("max_lateness_s") <= Analytics.latenessMaxDelay)
+    // sanity: the arrival model actually creates lateness to audit
+    assert(row.getAs[Long]("n_late") > 0)
+  }
+
+  test("dispersion: variance/fano replay exactly from integer sums") {
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("event_type")).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getString(1)))
+    val days = ev.map(_._1).distinct
+    val types = ev.map(_._2).distinct
+    val cnt = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Analytics.qEventDispersion(spark, sf).collect()
+    assert(rows.length === types.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = days.map(d => cnt.getOrElse((d, t), 0L))
+      val n = xs.size.toLong
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("total") === sx)
+      assert(r.getAs[Double]("var_daily") ===
+        (n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble)
+      assert(r.getAs[Double]("fano") ===
+        (n * sxx - sx * sx).toDouble / ((n - 1) * sx).toDouble)
+      assert(r.getAs[Double]("fano") > 0)
+    }
+  }
+
+  test("RFM: quartile scores conserve customers; revenue mass conserved") {
+    val rows = graft.queries.Warehouse.qCustRfm(spark, sf).collect()
+    val purchasers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === purchasers)
+    // each score dimension partitions customers into near-equal quartiles
+    for (dim <- Seq("r_score", "f_score", "m_score")) {
+      val byScore = rows.groupBy(_.getAs[Int](dim))
+        .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_customers")).sum }
+      assert(byScore.keySet === Set(1, 2, 3, 4), s"$dim tiles")
+      val (mx, mn) = (byScore.values.max, byScore.values.min)
+      assert(mx - mn <= 1, s"$dim ntile balance: $byScore")
+    }
+    // revenue conservation vs direct recompute (decimal-exact then one cast)
+    val direct = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(rows.map(_.getAs[Double]("revenue")).sum - direct) < 1e-4)
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -88,6 +88,7 @@ object LlmQueries {
     "q_doc_phrase_search" -> ((TextOps.qDocPhraseSearch _, TextOps.qDocPhraseSearchSql)),
     "q_emb_knn_confusion" -> ((Similarity.qEmbKnnConfusion _, Similarity.qEmbKnnConfusionSql)),
     "q_emb_gram" -> ((Similarity.qEmbGram _, Similarity.qEmbGramSql)),
-    "q_doc_dedup_ensemble" -> ((Dedup.qDocDedupEnsemble _, Dedup.qDocDedupEnsembleSql))
+    "q_doc_dedup_ensemble" -> ((Dedup.qDocDedupEnsemble _, Dedup.qDocDedupEnsembleSql)),
+    "q_emb_power_iter" -> ((Similarity.qEmbPowerIter _, Similarity.qEmbPowerIterSql))
   )
 }

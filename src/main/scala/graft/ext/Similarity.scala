@@ -1719,7 +1719,11 @@ object Similarity {
     * runs embarrassingly parallel; the driver never sees more than the
     * d×d result. Output is d²-bounded, corpus-size-independent.
     */
-  def qEmbGram(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Upper-triangle quantized second-moment cells (di ≤ dj, n, Σqᵢqⱼ) and
+    * per-dimension sums — the shared sufficient statistic of [[qEmbGram]]
+    * and [[qEmbPowerIter]].
+    */
+  private def gramCells(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
@@ -1735,6 +1739,37 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
     val dims = emb.select(posexplode(col("q")).as(Seq("d", "qv")))
       .groupBy(col("d")).agg(sum(col("qv")).as("s_d"))
+    (cells, dims)
+  }
+
+  /** Shared oracle CTEs producing the same `cells` / `dims` relations.
+    * MATERIALIZED: DuckDB inlines CTEs by default, and the power-iteration
+    * oracle references these through a 5-deep CTE chain — un-materialized,
+    * the O(n·d²) self-join would re-expand once per reference.
+    */
+  private lazy val gramCellsSqlCtes: String =
+    s"""q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $gramScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |flat AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d, q[i] AS qv
+       |  FROM q, UNNEST(range(1, len(q) + 1)) AS r(i)
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT a.d AS di, b.d AS dj, count(*) AS n,
+       |    CAST(sum(a.qv * b.qv) AS BIGINT) AS s_ij
+       |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY a.d, b.d
+       |),
+       |dims AS MATERIALIZED (
+       |  SELECT d, CAST(sum(qv) AS BIGINT) AS s_d FROM flat GROUP BY d
+       |)""".stripMargin
+
+  def qEmbGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cells, dims) = gramCells(spark, sfDir)
     cells
       .join(broadcast(dims.select(col("d").as("di"), col("s_d").as("s_i"))), "di")
       .join(broadcast(dims.select(col("d").as("dj"), col("s_d").as("s_j"))), "dj")
@@ -1747,25 +1782,7 @@ object Similarity {
   }
 
   val qEmbGramSql: String =
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> CAST(floor(x * $gramScale) AS BIGINT)) AS q
-       |  FROM embeddings
-       |),
-       |flat AS (
-       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d, q[i] AS qv
-       |  FROM q, UNNEST(range(1, len(q) + 1)) AS r(i)
-       |),
-       |cells AS (
-       |  SELECT a.d AS di, b.d AS dj, count(*) AS n,
-       |    CAST(sum(a.qv * b.qv) AS BIGINT) AS s_ij
-       |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.d <= b.d
-       |  GROUP BY a.d, b.d
-       |),
-       |dims AS (
-       |  SELECT d, CAST(sum(qv) AS BIGINT) AS s_d FROM flat GROUP BY d
-       |)
+    s"""WITH $gramCellsSqlCtes
        |SELECT di, dj, n, s_ij, si.s_d AS s_i, sj.s_d AS s_j,
        |  (CAST(s_ij AS DOUBLE) / n
        |    - (CAST(si.s_d AS DOUBLE) / n) * (CAST(sj.s_d AS DOUBLE) / n))
@@ -1774,6 +1791,139 @@ object Similarity {
        |JOIN dims si ON si.d = di
        |JOIN dims sj ON sj.d = dj
        |ORDER BY di, dj""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Power iteration: top principal direction in exact integer arithmetic
+  // ------------------------------------------------------------------
+
+  /** Iterations and fixed-point scales for [[qEmbPowerIter]]. Five
+    * iterations separate the top eigenvalue decisively on this spectrum;
+    * the matrix and vector rescales keep every matvec product inside
+    * int64 at any corpus size (|m| ≤ matScale, |v| ≤ vecScale →
+    * |Σ m·v| ≤ d·matScale·vecScale = 64·10⁶·10³ « 2⁶³).
+    */
+  final val powerIters = 5
+  final val powerMatScale = 1000000L
+  final val powerVecScale = 1000L
+
+  /** TOP PRINCIPAL DIRECTION of the embedding covariance by POWER
+    * ITERATION carried out ENTIRELY in fixed-point integer arithmetic —
+    * distributed linear algebra with bit-identical results in any
+    * engine, any partitioning, any summation order. The integer
+    * covariance numerator M = n·Σqᵢqⱼ − ΣqᵢΣqⱼ is rescaled once to
+    * |m| ≤ [[powerMatScale]] (integer division by the broadcast max);
+    * each iteration is a matvec over the d² cell table (exact BIGINT
+    * products) followed by an integer renormalization to
+    * |v| ≤ [[powerVecScale]]. The float-accumulation order-dependence
+    * that makes naive distributed PCA engine-specific never appears.
+    * Output: the converged direction (sign-fixed: v[0] ≥ 0) plus the
+    * quantized Rayleigh quotient — the "how much variance does the top
+    * axis hold" number that decides [[qEmbRproj]]-style compression.
+    *
+    * Scale (100 TB): the corpus is touched ONCE (the [[gramCells]]
+    * pass — one narrow expansion + d²-cell partial agg); all
+    * [[powerIters]] iterations run on d²-bounded metadata frames with
+    * broadcast scalars — corpus-size-independent, exactly how one runs
+    * power iteration on a 100 TB table without a distributed-matrix
+    * library. More components = deflate and repeat.
+    */
+  def qEmbPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cells, dims) = gramCells(spark, sfDir)
+    // full symmetric integer covariance numerator M = n·s_ij − s_i·s_j
+    val upper = cells
+      .join(broadcast(dims.select(col("d").as("di"), col("s_d").as("s_i"))), "di")
+      .join(broadcast(dims.select(col("d").as("dj"), col("s_d").as("s_j"))), "dj")
+      .select(col("di"), col("dj"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("m0"))
+    val full = upper.unionAll(
+      upper.filter(col("di") =!= col("dj"))
+        .select(col("dj").as("di"), col("di").as("dj"), col("m0")))
+    val maxM = full.agg(max(abs(col("m0"))).as("mm"))
+    // rescale by DIVIDING (m0 div ceil-ish(mm/scale)), never multiplying:
+    // m0·scale would overflow int64 past ~10⁴ vectors
+    val mat = full.crossJoin(broadcast(maxM))
+      .select(col("di"), col("dj"),
+        expr(s"m0 div greatest(1L, mm div $powerMatScale)").as("m"))
+      .persist()
+    mat.count() // eager: powerIters matvec consumers
+    var v = mat.select(col("di").as("d")).distinct()
+      .select(col("d"), lit(powerVecScale).as("v"))
+    for (_ <- 1 to powerIters) {
+      val w = mat.join(broadcast(v.select(col("d").as("dj"), col("v"))), "dj")
+        .groupBy(col("di").as("d")).agg(sum(col("m") * col("v")).as("w"))
+      val mw = w.agg(max(abs(col("w"))).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("d"), expr(s"(w * $powerVecScale) div mw").as("v"))
+    }
+    // sign fix: flip so the first coordinate is non-negative
+    val sign = v.filter(col("d") === 0)
+      .select(when(col("v") < 0, -1L).otherwise(1L).as("sgn"))
+    val vFixed = v.crossJoin(broadcast(sign))
+      .select(col("d"), (col("v") * col("sgn")).as("v")).persist()
+    vFixed.count() // eager: Rayleigh numerator + denominator + output
+    val num = mat
+      .join(broadcast(vFixed.select(col("d").as("di"), col("v").as("vi"))), "di")
+      .join(broadcast(vFixed.select(col("d").as("dj"), col("v").as("vj"))), "dj")
+      .agg(sum(col("m") * col("vi") * col("vj")).as("vmv"))
+    val den = vFixed.agg(sum(col("v") * col("v")).as("vv"))
+    vFixed.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("d"), col("v"),
+        (col("vmv").cast("double") / col("vv").cast("double") / powerMatScale)
+          .as("rayleigh_scaled"))
+      .orderBy(col("d"))
+  }
+
+  val qEmbPowerIterSql: String = {
+    val iters = (1 to powerIters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (
+         |  SELECT di AS d, CAST(sum(m * v) AS BIGINT) AS w
+         |  FROM mat JOIN $prev ON $prev.d = mat.dj
+         |  GROUP BY di
+         |),
+         |v$k AS (
+         |  SELECT d, (w * $powerVecScale) // (SELECT max(abs(w)) FROM w$k) AS v
+         |  FROM w$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gramCellsSqlCtes,
+       |upper_m AS (
+       |  SELECT di, dj, n * s_ij - si.s_d * sj.s_d AS m0
+       |  FROM cells
+       |  JOIN dims si ON si.d = di
+       |  JOIN dims sj ON sj.d = dj
+       |),
+       |full_m AS (
+       |  SELECT di, dj, m0 FROM upper_m
+       |  UNION ALL
+       |  SELECT dj AS di, di AS dj, m0 FROM upper_m WHERE di <> dj
+       |),
+       |mat AS MATERIALIZED (
+       |  SELECT di, dj,
+       |    m0 // greatest(1, (SELECT max(abs(m0)) FROM full_m) // $powerMatScale)
+       |      AS m
+       |  FROM full_m
+       |),
+       |v0 AS (SELECT DISTINCT di AS d, $powerVecScale AS v FROM mat),
+       |$iters,
+       |sgn AS (
+       |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+       |  FROM v$powerIters WHERE d = 0
+       |),
+       |vf AS (SELECT d, CAST(v * sgn AS BIGINT) AS v FROM v$powerIters CROSS JOIN sgn),
+       |ray AS (
+       |  SELECT CAST(sum(m * vi.v * vj.v) AS BIGINT) AS vmv
+       |  FROM mat
+       |  JOIN vf vi ON vi.d = mat.di
+       |  JOIN vf vj ON vj.d = mat.dj
+       |),
+       |den AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM vf)
+       |SELECT d, v,
+       |  CAST(vmv AS DOUBLE) / CAST(vv AS DOUBLE) / $powerMatScale
+       |    AS rayleigh_scaled
+       |FROM vf CROSS JOIN ray CROSS JOIN den
+       |ORDER BY d""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Distinct-cardinality audit: exact two-phase counts (oracle-checked)

@@ -2920,6 +2920,119 @@ object Analytics {
       |    / CAST((count(*) - 1) * sum(x) AS DOUBLE) AS fano
       |FROM grid GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- A/B experiment readout with CUPED variance reduction ---
+
+  /** A/B EXPERIMENT READOUT with CUPED variance reduction — the
+    * experimentation-platform core: users are deterministically hashed
+    * into two arms (the real assignment mechanism — stable, uniform,
+    * join-free), per-user PRE-period (before 2024-01-15) and POST-period
+    * spend are aggregated in exact integer cents, and the readout emits
+    * per arm the user count, mean post spend, post variance, and the
+    * CUPED-adjusted variance var(Y)·(1−ρ²) using the pooled
+    * θ = cov(post, pre)/var(pre) — the Deng et al. 2013 estimator in its
+    * closed algebraic form, so no per-user float adjustment pass exists
+    * at all. `var_reduction_pct` is the fraction of readout noise the
+    * pre-period covariate removes — the number that decides how long the
+    * experiment must run.
+    *
+    * All moment numerators (n·Σxy − Σx·Σy etc.) accumulate in exact
+    * BIGINT cents²; the only float steps are the final closed-form
+    * divisions. (Past ~10⁹ users × large spend the cents² sums need
+    * DECIMAL(38) partials — same mergeability, wider lanes.)
+    *
+    * Scale (100 TB): ONE user-keyed partial agg over the fact stream
+    * (pre/post conditional sums collapse map-side), then a 2-row arm
+    * rollup. No joins, no windows, no second corpus pass.
+    */
+  def qEventAbCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-15").cast("timestamp")
+    val perUser = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < cut, $"cents").otherwise(0L)).as("pre"),
+        sum(when($"ts" >= cut, $"cents").otherwise(0L)).as("post"))
+      .withColumn("arm",
+        pmod(graft.ext.TextOps.portableHash($"user_id".cast("string")), lit(2L))
+          .cast("int"))
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"post").as("sy"), sum($"post" * $"post").as("syy"),
+        sum($"pre").as("sx"), sum($"pre" * $"pre").as("sxx"),
+        sum($"pre" * $"post").as("sxy"))
+    // pooled theta from BOTH arms (standard CUPED practice: the
+    // covariate relationship is assignment-independent by design)
+    val pooled = perUser
+      .agg(count(lit(1)).as("n"),
+        sum($"post").as("py"), sum($"pre").as("px"),
+        sum($"pre" * $"post").as("pxy"), sum($"pre" * $"pre").as("pxx"))
+      .select($"n", $"px", $"pxx", $"pxy", $"py",
+        (($"n" * $"pxy" - $"px" * $"py").cast("double") /
+          ($"n" * $"pxx" - $"px" * $"px").cast("double")).as("theta"))
+    arms.crossJoin(broadcast(pooled.select($"theta")))
+      .select($"arm", $"n_users",
+        ($"sy".cast("double") / $"n_users".cast("double") / 100.0)
+          .as("mean_post"),
+        (($"n_users" * $"syy" - $"sy" * $"sy").cast("double") /
+          ($"n_users" * ($"n_users" - 1)).cast("double") / 10000.0)
+          .as("var_post"),
+        $"theta",
+        ((($"n_users" * $"syy" - $"sy" * $"sy").cast("double") -
+          lit(2.0) * $"theta" * ($"n_users" * $"sxy" - $"sx" * $"sy").cast("double") +
+          $"theta" * $"theta" * ($"n_users" * $"sxx" - $"sx" * $"sx").cast("double")) /
+          ($"n_users" * ($"n_users" - 1)).cast("double") / 10000.0)
+          .as("var_cuped"))
+      .withColumn("var_reduction_pct",
+        (lit(1.0) - $"var_cuped" / $"var_post") * 100.0)
+      .orderBy($"arm")
+  }
+
+  val qEventAbCupedSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+       |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS pre,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+       |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS post,
+       |    CAST((${graft.ext.TextOps.portableHashSql("CAST(user_id AS VARCHAR)")}) % 2
+       |      AS INTEGER) AS arm
+       |  FROM events GROUP BY user_id
+       |),
+       |arms AS (
+       |  SELECT arm, count(*) AS n_users,
+       |    CAST(sum(post) AS BIGINT) AS sy, CAST(sum(post * post) AS BIGINT) AS syy,
+       |    CAST(sum(pre) AS BIGINT) AS sx, CAST(sum(pre * pre) AS BIGINT) AS sxx,
+       |    CAST(sum(pre * post) AS BIGINT) AS sxy
+       |  FROM per_user GROUP BY arm
+       |),
+       |pooled AS (
+       |  SELECT CAST(count(*) * sum(pre * post) - sum(pre) * sum(post) AS DOUBLE)
+       |       / CAST(count(*) * sum(pre * pre) - sum(pre) * sum(pre) AS DOUBLE)
+       |       AS theta
+       |  FROM per_user
+       |)
+       |SELECT arm, n_users,
+       |  CAST(sy AS DOUBLE) / n_users / 100.0 AS mean_post,
+       |  CAST(n_users * syy - sy * sy AS DOUBLE)
+       |    / CAST(n_users * (n_users - 1) AS DOUBLE) / 10000.0 AS var_post,
+       |  theta,
+       |  (CAST(n_users * syy - sy * sy AS DOUBLE)
+       |    - 2.0 * theta * CAST(n_users * sxy - sx * sy AS DOUBLE)
+       |    + theta * theta * CAST(n_users * sxx - sx * sx AS DOUBLE))
+       |    / CAST(n_users * (n_users - 1) AS DOUBLE) / 10000.0 AS var_cuped,
+       |  (1.0 - ((CAST(n_users * syy - sy * sy AS DOUBLE)
+       |    - 2.0 * theta * CAST(n_users * sxy - sx * sy AS DOUBLE)
+       |    + theta * theta * CAST(n_users * sxx - sx * sx AS DOUBLE))
+       |    / CAST(n_users * (n_users - 1) AS DOUBLE) / 10000.0)
+       |    / (CAST(n_users * syy - sy * sy AS DOUBLE)
+       |    / CAST(n_users * (n_users - 1) AS DOUBLE) / 10000.0)) * 100.0
+       |    AS var_reduction_pct
+       |FROM arms CROSS JOIN pooled
+       |ORDER BY arm""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3881,6 +3994,7 @@ object Analytics {
     "q_basket_rules" -> ((qBasketRules _, qBasketRulesSql)),
     "q_event_lateness" -> ((qEventLateness _, qEventLatenessSql)),
     "q_event_dispersion" -> ((qEventDispersion _, qEventDispersionSql)),
+    "q_event_ab_cuped" -> ((qEventAbCuped _, qEventAbCupedSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1542,6 +1542,84 @@ class NewOpsSpec extends SparkSuite {
     assert(math.abs(rows.map(_.getAs[Double]("revenue")).sum - direct) < 1e-4)
   }
 
+  test("power iteration: exact integer replay of matrix, iterations and Rayleigh") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val d = emb.head.length
+    val n = emb.length.toLong
+    val sij = Array.tabulate(d, d)((i, j) => emb.map(q => q(i) * q(j)).sum)
+    val sd = Array.tabulate(d)(i => emb.map(_(i)).sum)
+    val m0 = Array.tabulate(d, d)((i, j) => n * sij(i)(j) - sd(i) * sd(j))
+    val mm = m0.flatten.map(math.abs).max
+    val divisor = math.max(1L, mm / Similarity.powerMatScale)
+    val m = m0.map(_.map(_ / divisor))
+    var v = Array.fill(d)(Similarity.powerVecScale)
+    for (_ <- 1 to Similarity.powerIters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mw = w.map(math.abs).max
+      v = w.map(x => x * Similarity.powerVecScale / mw)
+    }
+    val sgn = if (v(0) < 0) -1L else 1L
+    val vf = v.map(_ * sgn)
+    val vmv = (for (i <- 0 until d; j <- 0 until d) yield m(i)(j) * vf(i) * vf(j)).sum
+    val vv = vf.map(x => x * x).sum
+    val rows = Similarity.qEmbPowerIter(spark, sf).collect()
+    assert(rows.length === d)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("v") === vf(r.getAs[Int]("d")), s"dim ${r.getAs[Int]("d")}")
+      assert(r.getAs[Double]("rayleigh_scaled") ===
+        vmv.toDouble / vv.toDouble / Similarity.powerMatScale)
+    }
+    // the dominant covariance direction must carry positive variance
+    assert(rows.head.getAs[Double]("rayleigh_scaled") > 0)
+  }
+
+  test("CUPED: moments replay exactly; adjusted variance never exceeds raw by theory") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getDouble(2)))
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      val pre = xs.filter(_._2.before(cut)).map(x => cents(x._3)).sum
+      val post = xs.filterNot(_._2.before(cut)).map(x => cents(x._3)).sum
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val arm = (java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16) % 2).toInt
+      (u, arm, pre, post)
+    }.toSeq
+    val pn = perUser.size.toLong
+    val (px, py) = (perUser.map(_._3).sum, perUser.map(_._4).sum)
+    val pxy = perUser.map(x => x._3 * x._4).sum
+    val pxx = perUser.map(x => x._3 * x._3).sum
+    val theta = (pn * pxy - px * py).toDouble / (pn * pxx - px * px).toDouble
+    val rows = Analytics.qEventAbCuped(spark, sf).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("n_users")).sum === pn)
+    rows.foreach { r =>
+      val arm = r.getAs[Int]("arm")
+      val xs = perUser.filter(_._2 == arm)
+      val na = xs.size.toLong
+      val (sx, sy) = (xs.map(_._3).sum, xs.map(_._4).sum)
+      val (sxx, syy, sxy) =
+        (xs.map(x => x._3 * x._3).sum, xs.map(x => x._4 * x._4).sum,
+          xs.map(x => x._3 * x._4).sum)
+      assert(r.getAs[Long]("n_users") === na)
+      assert(r.getAs[Double]("theta") === theta)
+      assert(r.getAs[Double]("mean_post") === sy.toDouble / na / 100.0)
+      val varPost = (na * syy - sy * sy).toDouble / (na * (na - 1)).toDouble / 10000.0
+      assert(r.getAs[Double]("var_post") === varPost)
+      val varCuped = ((na * syy - sy * sy).toDouble -
+        2.0 * theta * (na * sxy - sx * sy).toDouble +
+        theta * theta * (na * sxx - sx * sx).toDouble) /
+        (na * (na - 1)).toDouble / 10000.0
+      assert(r.getAs[Double]("var_cuped") === varCuped)
+      assert(varCuped > 0, "adjusted variance must stay positive")
+    }
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

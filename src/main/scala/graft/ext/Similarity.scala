@@ -1852,8 +1852,13 @@ object Similarity {
       val w = mat.join(broadcast(v.select(col("d").as("dj"), col("v"))), "dj")
         .groupBy(col("di").as("d")).agg(sum(col("m") * col("v")).as("w"))
       val mw = w.agg(max(abs(col("w"))).as("mw"))
+      // localCheckpoint (the CC-loop rule): each iterate references its
+      // predecessor several times (matvec + its own normalizer), so an
+      // un-truncated loop frame DOUBLES the logical plan per round —
+      // measured ~25k join nodes in the 5-round plan before this
       v = w.crossJoin(broadcast(mw))
         .select(col("d"), expr(s"(w * $powerVecScale) div mw").as("v"))
+        .localCheckpoint()
     }
     // sign fix: flip so the first coordinate is non-negative
     val sign = v.filter(col("d") === 0)

@@ -1244,6 +1244,105 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Jaccard-threshold sweep: dedup aggressiveness vs corpus savings
+  // ------------------------------------------------------------------
+
+  /** Verified-Jaccard cutoffs [[qDocDedupSweep]] prices, as exact
+    * (numerator, denominator) rationals so the comparison
+    * `den·|A∩B| ≥ num·|A∪B|` stays in integers.
+    */
+  final val sweepThresholds: Seq[(Int, Int)] = Seq((1, 2), (7, 10), (9, 10))
+
+  /** DEDUP-THRESHOLD SWEEP — the aggressiveness/savings table an
+    * operator reads before fixing the near-dup Jaccard cutoff (the
+    * [[qDocMinhashEval]]-family "sweep" pattern, applied to the
+    * threshold axis the way [[graft.ext.Similarity.qEmbAnnNprobeSweep]]
+    * applies it to probe count): ONE banded-candidate pass, then each
+    * candidate pair's exact Jaccard gated at τ ∈ {0.5, 0.7, 0.9} with
+    * pure integer arithmetic. Per τ: surviving pair count, docs touched,
+    * and the dedup savings estimate (docs that would drop keeping one
+    * representative per pair-component, upper-bounded by touched −
+    * components... reported here as touched − distinct-reps via the
+    * cheap pair-minimum rule). Monotone by construction: each row's
+    * pairs are a superset of the next — the sweep exposes the cliff
+    * between "near-identical only" (0.9) and "template-level" (0.5)
+    * dedup on THIS corpus.
+    *
+    * Scale (100 TB): the candidate set and hash sets are computed once
+    * (persisted shingle table, capped band join — [[bandedCandidates]]
+    * scale notes); each τ-arm is a pure filter over the SAME verified
+    * pair frame, no re-banding, no re-shuffle. Output is |τ| rows.
+    */
+  def qDocDedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = nearDupShingled(spark, sfDir)
+    val cand = bandedCandidates(shingled)
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val scored = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("uni"))
+      .persist()
+    scored.count() // eager: one consumer per threshold arm
+    val arms = sweepThresholds.map { case (num, den) =>
+      val pairs = scored.filter(col("inter") * den >= col("uni") * num)
+      val touched = pairs.select(col("doc_a").as("d"))
+        .unionAll(pairs.select(col("doc_b").as("d"))).distinct()
+      val reps = pairs.groupBy(col("doc_b")).agg(count(lit(1)).as("n"))
+      val stats = pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(touched.agg(count(lit(1)).as("n_docs_touched"))))
+        .crossJoin(broadcast(reps.agg(count(lit(1)).as("n_droppable"))))
+      stats.select(
+        lit(num.toDouble / den.toDouble).as("tau"),
+        col("n_pairs"), col("n_docs_touched"),
+        // pair-minimum rule: every doc_b of a surviving pair has a
+        // lower-id near-dup, so dropping all distinct doc_b values keeps
+        // ≥1 representative per duplicate component
+        col("n_droppable"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy(col("tau"))
+  }
+
+  val qDocDedupSweepSql: String = {
+    val arms = sweepThresholds.map { case (num, den) =>
+      s"""SELECT CAST(${num.toDouble / den.toDouble} AS DOUBLE) AS tau,
+         |  (SELECT count(*) FROM scored WHERE inter * $den >= uni * $num)
+         |    AS n_pairs,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT d FROM (
+         |       SELECT doc_a AS d FROM scored WHERE inter * $den >= uni * $num
+         |       UNION ALL
+         |       SELECT doc_b AS d FROM scored WHERE inter * $den >= uni * $num)))
+         |    AS n_docs_touched,
+         |  (SELECT count(DISTINCT doc_b) FROM scored
+         |   WHERE inter * $den >= uni * $num) AS n_droppable""".stripMargin
+    }
+    s"""WITH $nearCorpusSql,
+       |shingled AS MATERIALIZED (
+       |  SELECT doc_id, $hashSetSqlExpr AS hs FROM corpus
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minColsSql
+       |  FROM shingled
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |$candSql,
+       |scored AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(list_distinct(list_concat(sa.hs, sb.hs))) AS uni
+       |  FROM cand
+       |  JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |  JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY tau""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Benchmark decontamination: n-gram overlap against a held-out eval set
   // ------------------------------------------------------------------
 

@@ -1931,6 +1931,59 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Variance energy spectrum: how many dimensions carry the signal
+  // ------------------------------------------------------------------
+
+  /** PER-DIMENSION VARIANCE ENERGY SPECTRUM of the embedding space —
+    * the compression decision table next to [[qEmbPowerIter]]'s top
+    * direction and [[qEmbMatryoshka]]'s prefix-truncation audit:
+    * dimensions ranked by variance (exact integer numerators
+    * n·Σq²−(Σq)² from the [[gramCells]] diagonal), each with its energy
+    * share and the RUNNING CUMULATIVE share. Read off "k dims hold 90%"
+    * directly — the number that sizes an [[qEmbRproj]] target dimension
+    * or a PQ codebook budget honestly instead of by convention.
+    *
+    * Scale (100 TB): corpus touched once via the shared gram pass; the
+    * ranking window runs over exactly d rows. Output d rows.
+    */
+  def qEmbEnergySpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cells, dims) = gramCells(spark, sfDir)
+    val diag = cells.filter(col("di") === col("dj"))
+      .join(broadcast(dims.select(col("d").as("di"), col("s_d"))), "di")
+      .select(col("di").as("d"),
+        (col("n") * col("s_ij") - col("s_d") * col("s_d")).as("var_num"))
+    val tot = diag.agg(sum(col("var_num")).as("tv"))
+    val wRank = Window.orderBy(col("var_num").desc, col("d"))
+    val wCum = Window.orderBy(col("var_num").desc, col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diag.crossJoin(broadcast(tot))
+      .select(col("d"), col("var_num"),
+        row_number().over(wRank).as("rank"),
+        (col("var_num").cast("double") / col("tv").cast("double"))
+          .as("energy_share"),
+        (sum(col("var_num")).over(wCum).cast("double") / col("tv").cast("double"))
+          .as("cum_energy"))
+      .orderBy(col("rank"))
+  }
+
+  val qEmbEnergySpectrumSql: String =
+    s"""WITH $gramCellsSqlCtes,
+       |diag AS (
+       |  SELECT di AS d, n * s_ij - s_d * s_d AS var_num
+       |  FROM cells JOIN dims ON dims.d = cells.di
+       |  WHERE di = dj
+       |),
+       |tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tv FROM diag)
+       |SELECT d, var_num,
+       |  CAST(row_number() OVER (ORDER BY var_num DESC, d) AS INTEGER) AS rank,
+       |  CAST(var_num AS DOUBLE) / CAST(tv AS DOUBLE) AS energy_share,
+       |  CAST(sum(var_num) OVER (ORDER BY var_num DESC, d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(tv AS DOUBLE) AS cum_energy
+       |FROM diag CROSS JOIN tot
+       |ORDER BY rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Distinct-cardinality audit: exact two-phase counts (oracle-checked)
   // plus an HLL-sketch sanity flag. The raw HLL estimate is
   // engine-specific so it cannot be a checked column; instead the query

@@ -3033,6 +3033,68 @@ object Analytics {
        |FROM arms CROSS JOIN pooled
        |ORDER BY arm""".stripMargin
 
+  // --- User-lifetime survival curve (retention beyond cohort grids) ---
+
+  /** USER-LIFETIME SURVIVAL CURVE: for each day offset t, the share of
+    * users whose observed lifetime (days between first and last event)
+    * reaches at least t — S(t) — plus the discrete hazard
+    * h(t) = P(lifetime = t | lifetime ≥ t), the churn-risk-by-age view
+    * that [[qEventCohortRetention]]'s cohort×week grid cannot show
+    * directly. The standard caveat applies and is part of the operator's
+    * contract: lifetimes here are right-censored by the stream horizon
+    * (a user still active at the last observed day has lifetime ≥
+    * observed), so S(t) is the EMPIRICAL curve over observed spans —
+    * Kaplan–Meier censor-weighting is the extension once a real
+    * "still-subscribed" flag exists.
+    *
+    * All counts exact integers; survival/hazard are one-shot divisions.
+    *
+    * Scale (100 TB): ONE user-keyed partial agg (min/max day collapse
+    * map-side) to the user-grain lifetime table, one |lifetimes|-sized
+    * histogram agg, then a window over ≤|distinct lifetimes| rows
+    * (days-bounded, corpus-size-independent) for the tail-cumulative
+    * sum. No corpus-wide window.
+    */
+  def qEventSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lifetimes = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(datediff(max(to_date($"ts")), min(to_date($"ts"))).as("lt"))
+    val hist = lifetimes.groupBy($"lt").agg(count(lit(1)).as("n_end"))
+    val wTail = Window.orderBy($"lt")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.orderBy($"lt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select($"lt".as("t_days"), $"n_end",
+        sum($"n_end").over(wTail).as("n_at_risk"),
+        sum($"n_end").over(wAll).as("n_users"))
+      .select($"t_days", $"n_end", $"n_at_risk",
+        ($"n_at_risk".cast("double") / $"n_users".cast("double")).as("survival"),
+        ($"n_end".cast("double") / $"n_at_risk".cast("double")).as("hazard"))
+      .orderBy($"t_days")
+  }
+
+  val qEventSurvivalSql: String =
+    """WITH lt AS (
+      |  SELECT user_id,
+      |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS lt
+      |  FROM events GROUP BY user_id
+      |),
+      |hist AS (SELECT lt, count(*) AS n_end FROM lt GROUP BY lt)
+      |SELECT CAST(lt AS INTEGER) AS t_days, n_end,
+      |  CAST(sum(n_end) OVER (ORDER BY lt
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |    AS n_at_risk,
+      |  CAST(sum(n_end) OVER (ORDER BY lt
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    / CAST(sum(n_end) OVER () AS DOUBLE) AS survival,
+      |  CAST(n_end AS DOUBLE)
+      |    / CAST(sum(n_end) OVER (ORDER BY lt
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+      |    AS hazard
+      |FROM hist ORDER BY t_days""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -3995,6 +4057,7 @@ object Analytics {
     "q_event_lateness" -> ((qEventLateness _, qEventLatenessSql)),
     "q_event_dispersion" -> ((qEventDispersion _, qEventDispersionSql)),
     "q_event_ab_cuped" -> ((qEventAbCuped _, qEventAbCupedSql)),
+    "q_event_survival" -> ((qEventSurvival _, qEventSurvivalSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

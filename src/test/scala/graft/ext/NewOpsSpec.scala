@@ -1620,6 +1620,70 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("survival curve: exact lifetime replay; S(t) monotone, hazard bounded") {
+    val lts = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate.toEpochDay))
+      .groupBy(_._1).map { case (_, xs) =>
+        val ds = xs.map(_._2); (ds.max - ds.min).toInt
+      }.toSeq
+    val nUsers = lts.size.toLong
+    val rows = Analytics.qEventSurvival(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_end")).sum === nUsers)
+    rows.foreach { r =>
+      val t = r.getAs[Int]("t_days")
+      val atRisk = lts.count(_ >= t).toLong
+      assert(r.getAs[Long]("n_end") === lts.count(_ == t).toLong)
+      assert(r.getAs[Long]("n_at_risk") === atRisk)
+      assert(r.getAs[Double]("survival") === atRisk.toDouble / nUsers)
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    // S is non-increasing in t
+    val surv = rows.sortBy(_.getAs[Int]("t_days")).map(_.getAs[Double]("survival"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("dedup threshold sweep: monotone pair counts; planted dups survive tau=0.9") {
+    val rows = Dedup.qDocDedupSweep(spark, sf).collect()
+      .sortBy(_.getAs[Double]("tau"))
+    assert(rows.map(_.getAs[Double]("tau")).toSeq ===
+      Dedup.sweepThresholds.map { case (n, d) => n.toDouble / d })
+    // lower tau admits a superset of pairs — counts must be monotone
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (lo, hi) => lo >= hi })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_droppable") <= r.getAs[Long]("n_docs_touched"))
+      assert(r.getAs[Long]("n_docs_touched") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+    // the planted J≈0.95 near-dups must survive even the strictest cut
+    assert(rows.last.getAs[Long]("n_pairs") > 0)
+  }
+
+  test("energy spectrum: exact variance numerators; cumulative share reaches 1") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val d = emb.head.length
+    val n = emb.length.toLong
+    val varNum = Array.tabulate(d) { i =>
+      val s = emb.map(_(i)).sum
+      n * emb.map(q => q(i) * q(i)).sum - s * s
+    }
+    val rows = Similarity.qEmbEnergySpectrum(spark, sf).collect()
+    assert(rows.length === d)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_num") === varNum(r.getAs[Int]("d")))
+    }
+    // ranked descending; cumulative share ends at 1
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    val vs = byRank.map(_.getAs[Long]("var_num"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    assert(math.abs(byRank.last.getAs[Double]("cum_energy") - 1.0) < 1e-9)
+    assert(byRank.head.getAs[Double]("energy_share") ===
+      varNum.max.toDouble / varNum.sum.toDouble)
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -3095,6 +3095,85 @@ object Analytics {
       |    AS hazard
       |FROM hist ORDER BY t_days""".stripMargin
 
+  // --- Lead–lag cross-correlation between event-type series ---
+
+  /** Max day offset for [[qEventCrossCorr]]. */
+  final val xcorrMaxLag = 3
+
+  /** LEAD–LAG CROSS-CORRELATION between daily event-type volumes: for
+    * every ORDERED type pair and lag ℓ ∈ 0..[[xcorrMaxLag]], the Pearson
+    * correlation of x(day) against y(day+ℓ) over the zero-filled grid —
+    * the leading-indicator scan [[qEventTypeCorr]]'s contemporaneous
+    * matrix cannot see (signups today correlating with purchases in two
+    * days is invisible at lag 0). Ordered pairs because lead–lag is
+    * asymmetric; the overlap shrinks by ℓ days and `n_days` reports it.
+    * All five Pearson sums are exact integers.
+    *
+    * Scale (100 TB): one corpus agg to |days|×|types| cells; the lag
+    * join shifts the grid on the day key (cell-sized equi-join per lag,
+    * unioned); output is |types|²·(lags+1) rows.
+    */
+  def qEventCrossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val grid = cells.select($"day").distinct()
+      .crossJoin(broadcast(cells.select($"event_type").distinct()))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .persist()
+    grid.count() // eager: one join pair per lag
+    val arms = (0 to xcorrMaxLag).map { lag =>
+      grid.as("a")
+        .join(grid.as("b"),
+          expr(s"date_add(a.day, $lag)") === col("b.day") &&
+            col("a.event_type") =!= col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          lit(lag).as("lag"), col("a.n").as("x"), col("b.n").as("y"))
+    }
+    arms.reduce(_.unionAll(_))
+      .groupBy($"type_a", $"type_b", $"lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"type_a", $"type_b", $"lag", $"n_days",
+        (($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n_days" * $"syy" - $"sy" * $"sy").cast("double"))).as("xcorr"))
+      .orderBy($"type_a", $"type_b", $"lag")
+  }
+
+  val qEventCrossCorrSql: String = {
+    val arms = (0 to xcorrMaxLag).map { lag =>
+      s"""SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  $lag AS lag, a.n AS x, b.n AS y
+         |FROM grid a JOIN grid b
+         |  ON a.day + INTERVAL $lag DAY = b.day
+         | AND a.event_type <> b.event_type""".stripMargin
+    }
+    s"""WITH cells AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |),
+       |grid AS MATERIALIZED (
+       |  SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT day FROM cells) d
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+       |  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+       |),
+       |arms AS (
+       |${arms.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag, count(*) AS n_days,
+       |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+       |    / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+       |         * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))
+       |    AS xcorr
+       |FROM arms GROUP BY type_a, type_b, lag
+       |ORDER BY type_a, type_b, lag""".stripMargin
+  }
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -4058,6 +4137,7 @@ object Analytics {
     "q_event_dispersion" -> ((qEventDispersion _, qEventDispersionSql)),
     "q_event_ab_cuped" -> ((qEventAbCuped _, qEventAbCupedSql)),
     "q_event_survival" -> ((qEventSurvival _, qEventSurvivalSql)),
+    "q_event_cross_corr" -> ((qEventCrossCorr _, qEventCrossCorrSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -758,6 +758,83 @@ object Warehouse {
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
   // ------------------------------------------------------------------
+  // ABC / Pareto revenue classification (inventory analytics)
+  // ------------------------------------------------------------------
+
+  /** ABC (Pareto) CLASSIFICATION of parts by discounted revenue — the
+    * inventory-analytics standard: rank parts by revenue, classify the
+    * prefix holding ≤80% of cumulative revenue as A, the next ≤15% as B
+    * (cumulative ≤95%), the tail as C, and report each class's part
+    * count, revenue mass and share. The "80/20" concentration readout
+    * that prioritizes stocking, auditing and forecast effort.
+    *
+    * Exactness: revenue terms and the cumulative prefix sum are DECIMAL
+    * (order-free, engine-identical); the class boundaries are DECIMAL
+    * comparisons scaled to integers (cum·5 ≤ tot·4, cum·20 ≤ tot·19) —
+    * no float enters until the reported share.
+    *
+    * Scale (100 TB): revenue collapses out of the fact table in one
+    * part-keyed partial agg; the ranking window runs over the PART-grain
+    * aggregate (dim-sized). At extreme part cardinality the exact prefix
+    * sum gives way to approx-quantile revenue breakpoints (the
+    * [[qCustRfm]] trade); the 3-row class rollup is unchanged.
+    */
+  def qPartAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec18 = (c: Column) => c.cast(DecimalType(18, 4))
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec18(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec18(col("l_discount"))))
+        .cast(DecimalType(21, 4)).as("rev"))
+    val tot = rev.agg(sum(col("rev")).cast(DecimalType(25, 4)).as("tot"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classed = rev
+      .withColumn("cum", sum(col("rev")).over(wCum).cast(DecimalType(25, 4)))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+    classed.groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast(DecimalType(25, 4)).cast("double").as("revenue"))
+      .join(broadcast(tot))
+      .withColumn("revenue_share", col("revenue") / col("tot").cast("double"))
+      .drop("tot")
+      .orderBy(col("abc_class"))
+  }
+
+  val qPartAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |      AS DECIMAL(21,4)) AS rev
+      |  FROM lineitem GROUP BY l_partkey
+      |),
+      |tot AS (SELECT CAST(sum(rev) AS DECIMAL(25,4)) AS tot FROM rev),
+      |classed AS (
+      |  SELECT l_partkey, rev,
+      |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,4))
+      |      AS cum,
+      |    tot
+      |  FROM rev CROSS JOIN tot
+      |)
+      |SELECT
+      |  CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+      |       WHEN cum * 20 <= tot * 19 THEN 'B'
+      |       ELSE 'C' END AS abc_class,
+      |  count(*) AS n_parts,
+      |  CAST(CAST(sum(rev) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(rev) AS DECIMAL(25,4)) AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS revenue_share
+      |FROM classed
+      |GROUP BY abc_class, tot
+      |ORDER BY abc_class""".stripMargin
+
+  // ------------------------------------------------------------------
   // Join cardinality estimation audit (optimizer-statistics quality)
   // ------------------------------------------------------------------
 
@@ -1222,6 +1299,7 @@ object Warehouse {
     "q_incr_join_maintain" -> ((qIncrJoinMaintain _, qIncrJoinMaintainSql)),
     "q_join_card_est" -> ((qJoinCardEst _, qJoinCardEstSql)),
     "q_cust_rfm" -> ((qCustRfm _, qCustRfmSql)),
+    "q_part_abc" -> ((qPartAbc _, qPartAbcSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),

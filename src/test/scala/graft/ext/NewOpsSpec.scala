@@ -1684,6 +1684,62 @@ class NewOpsSpec extends SparkSuite {
       varNum.max.toDouble / varNum.sum.toDouble)
   }
 
+  test("cross correlation: lag-0 symmetric, exact replay on one shifted pair") {
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate.toEpochDay, r.getString(1)))
+    val days = ev.map(_._1).distinct.sorted
+    val types = ev.map(_._2).distinct.sorted
+    val cnt = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Analytics.qEventCrossCorr(spark, sf).collect()
+    assert(rows.length === types.size * (types.size - 1) * (Analytics.xcorrMaxLag + 1))
+    val get = rows.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+      r.getAs[Int]("lag")) -> r).toMap
+    // lag 0 is symmetric
+    for (a <- types; b <- types if a != b) {
+      assert(get((a, b, 0)).getAs[Double]("xcorr") ===
+        get((b, a, 0)).getAs[Double]("xcorr"))
+    }
+    // exact replay for one ordered pair across all lags
+    val (ta, tb) = (types.head, types.last)
+    for (lag <- 0 to Analytics.xcorrMaxLag) {
+      val obs = days.flatMap { d =>
+        if (days.contains(d + lag))
+          Some((cnt.getOrElse((d, ta), 0L), cnt.getOrElse((d + lag, tb), 0L)))
+        else None
+      }
+      val n = obs.size.toLong
+      val (sx, sy) = (obs.map(_._1).sum, obs.map(_._2).sum)
+      val sxy = obs.map(o => o._1 * o._2).sum
+      val sxx = obs.map(o => o._1 * o._1).sum
+      val syy = obs.map(o => o._2 * o._2).sum
+      val r = get((ta, tb, lag))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Double]("xcorr") ===
+        (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    }
+  }
+
+  test("ABC classification: partition by cumulative share; masses conserve") {
+    val rows = graft.queries.Warehouse.qPartAbc(spark, sf).collect()
+      .map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val nParts = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_parts")).sum === nParts)
+    val shares = rows.values.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9, s"shares sum to $shares")
+    // A holds at most 80% of revenue + one boundary part; its per-part
+    // revenue must exceed C's (Pareto ordering)
+    if (rows.contains("C")) {
+      val perA = rows("A").getAs[Double]("revenue") / rows("A").getAs[Long]("n_parts")
+      val perC = rows("C").getAs[Double]("revenue") / rows("C").getAs[Long]("n_parts")
+      assert(perA > perC)
+    }
+    assert(rows("A").getAs[Double]("revenue_share") <= 0.8 + 1e-9)
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -1436,6 +1436,88 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Corpus distribution drift: KL divergence between ingest halves
+  // ------------------------------------------------------------------
+
+  /** CORPUS DRIFT AUDIT: symmetric pair of KL divergences between the
+    * unigram distributions of the EARLY and LATE ingest halves (split at
+    * max(doc_id)/2 — ingest order is the doc_id order), each add-one
+    * smoothed over the joint vocabulary. This is [[qDocPerplexity]]'s
+    * machinery pointed at the question every refreshed training corpus
+    * raises: has the token distribution of new data drifted from what
+    * the model was fit on (vocabulary shift, topic shift, spam influx)?
+    * KL(early‖late) prices surprise of old patterns under the new mix;
+    * the reverse direction prices novelty. Both in exact micro-nats:
+    * Σ (a_w+1)·[qln(a_w+1)−qln(A+V)−qln(b_w+1)+qln(B+V)] accumulates in
+    * BIGINT, divided once by (A+V).
+    *
+    * Scale (100 TB): one corpus shuffle to (half, token) counts; the KL
+    * join is vocabulary-sized; totals ride a 1-row broadcast. Same plan
+    * at any refresh size.
+    */
+  def qDocKlDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mid = docs.agg((max(col("doc_id")) / 2).cast("long").as("mid"))
+    val toks = docs.crossJoin(broadcast(mid))
+      .select(when(col("doc_id") <= col("mid"), "early").otherwise("late")
+        .as("half"),
+        explode(split(col("text"), " ")).as("w"))
+    val byHalf = toks.groupBy(col("w"))
+      .agg(sum(when(col("half") === "early", 1L).otherwise(0L)).as("a"),
+        sum(when(col("half") === "late", 1L).otherwise(0L)).as("b"))
+    val totals = byHalf.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("v"))
+    byHalf.crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("ta"), col("tb"), col("v"),
+        ((col("a") + 1) * (quantLog(col("a") + 1) - quantLog(col("ta") + col("v")) -
+          quantLog(col("b") + 1) + quantLog(col("tb") + col("v")))).as("kl_ab_num"),
+        ((col("b") + 1) * (quantLog(col("b") + 1) - quantLog(col("tb") + col("v")) -
+          quantLog(col("a") + 1) + quantLog(col("ta") + col("v")))).as("kl_ba_num"))
+      .groupBy(col("ta"), col("tb"), col("v"))
+      .agg(sum(col("kl_ab_num")).as("sab"), sum(col("kl_ba_num")).as("sba"))
+      .select(col("ta").as("tokens_early"), col("tb").as("tokens_late"),
+        col("v").as("joint_vocab"),
+        (col("sab").cast("double") / (col("ta") + col("v")).cast("double") / logScale)
+          .as("kl_early_late"),
+        (col("sba").cast("double") / (col("tb") + col("v")).cast("double") / logScale)
+          .as("kl_late_early"))
+  }
+
+  val qDocKlDriftSql: String =
+    s"""WITH mid AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS mid FROM documents),
+       |toks AS (
+       |  SELECT CASE WHEN doc_id <= mid THEN 'early' ELSE 'late' END AS half,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents CROSS JOIN mid
+       |),
+       |by_half AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM toks GROUP BY w
+       |),
+       |totals AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+       |    count(*) AS v
+       |  FROM by_half
+       |),
+       |nums AS (
+       |  SELECT ta, tb, v,
+       |    CAST(sum((a + 1) * (${quantLogSql("a + 1")} - ${quantLogSql("ta + v")}
+       |      - ${quantLogSql("b + 1")} + ${quantLogSql("tb + v")})) AS BIGINT) AS sab,
+       |    CAST(sum((b + 1) * (${quantLogSql("b + 1")} - ${quantLogSql("tb + v")}
+       |      - ${quantLogSql("a + 1")} + ${quantLogSql("ta + v")})) AS BIGINT) AS sba
+       |  FROM by_half CROSS JOIN totals
+       |  GROUP BY ta, tb, v
+       |)
+       |SELECT ta AS tokens_early, tb AS tokens_late, v AS joint_vocab,
+       |  CAST(sab AS DOUBLE) / CAST(ta + v AS DOUBLE) / $logScale
+       |    AS kl_early_late,
+       |  CAST(sba AS DOUBLE) / CAST(tb + v AS DOUBLE) / $logScale
+       |    AS kl_late_early
+       |FROM nums""".stripMargin
+
   val qDocPhraseSearchSql: String = {
     val arms = phraseTerms.zipWithIndex.map { case (term, i) =>
       s"""t$i AS (

@@ -3174,6 +3174,121 @@ object Analytics {
        |ORDER BY type_a, type_b, lag""".stripMargin
   }
 
+  // --- Markov entropy rate: how predictable is the next event ---
+
+  /** CONDITIONAL NEXT-EVENT ENTROPY per state — the information-theoretic
+    * companion to [[qEventMarkovEval]]: for each current event type, the
+    * entropy H(next | prev) of the full-stream transition distribution
+    * in exact micro-nats, plus each state's share of transitions. A
+    * state with near-log₂|types| entropy is unpredictable no matter the
+    * model; near-zero entropy states are where a sequence model earns
+    * accuracy for free — reading this table NEXT TO the eval's accuracy
+    * separates "model is weak" from "signal isn't there" (the skyline
+    * [[qEventMi]] gives for the type↔time pair, here for type↔type).
+    *
+    * H_p = Σ_t n_pt·(qln(n_p) − qln(n_pt)) / n_p — BIGINT accumulation,
+    * one division.
+    *
+    * Scale: one user-keyed window for transitions (the sessionization
+    * exchange), one |types|²-cell agg, |types|-row output.
+    */
+  def qEventEntropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .filter($"next_type".isNotNull)
+      .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n_pt"))
+    val byPrev = trans.groupBy($"prev_type").agg(sum($"n_pt").as("n_p"))
+    val tot = byPrev.agg(sum($"n_p").as("n_all"))
+    trans.join(broadcast(byPrev), "prev_type")
+      .groupBy($"prev_type", $"n_p")
+      .agg(sum($"n_pt" * (qln($"n_p") - qln($"n_pt"))).as("h_num"),
+        count(lit(1)).as("n_branches"))
+      .crossJoin(broadcast(tot))
+      .select($"prev_type", $"n_p".as("n_transitions"), $"n_branches",
+        ($"h_num".cast("double") / $"n_p".cast("double") / miScale)
+          .as("h_next_nats"),
+        ($"n_p".cast("double") / $"n_all".cast("double")).as("state_share"))
+      .orderBy($"prev_type")
+  }
+
+  val qEventEntropyRateSql: String =
+    s"""WITH pairs AS (
+       |  SELECT event_type AS prev_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_type
+       |  FROM events
+       |),
+       |trans AS (
+       |  SELECT prev_type, next_type, count(*) AS n_pt
+       |  FROM pairs WHERE next_type IS NOT NULL
+       |  GROUP BY prev_type, next_type
+       |),
+       |by_prev AS (
+       |  SELECT prev_type, CAST(sum(n_pt) AS BIGINT) AS n_p
+       |  FROM trans GROUP BY prev_type
+       |),
+       |tot AS (SELECT CAST(sum(n_p) AS BIGINT) AS n_all FROM by_prev)
+       |SELECT prev_type, n_p AS n_transitions, count(*) AS n_branches,
+       |  CAST(sum(n_pt * (${qlnSql("n_p")} - ${qlnSql("n_pt")})) AS DOUBLE)
+       |    / CAST(n_p AS DOUBLE) / $miScale AS h_next_nats,
+       |  CAST(n_p AS DOUBLE) / CAST(n_all AS DOUBLE) AS state_share
+       |FROM trans JOIN by_prev USING (prev_type) CROSS JOIN tot
+       |GROUP BY prev_type, n_p, n_all
+       |ORDER BY prev_type""".stripMargin
+
+  // --- Order-to-ship lead time distribution per priority ---
+
+  /** ORDER-TO-SHIP LEAD TIME per order priority: exact day-difference
+    * statistics (count, min/max, integer-exact mean) plus a fixed
+    * 30/60/90-day bucket histogram — the fulfillment-SLA view of the
+    * star schema, and the operational metric behind [[q4_late_orders]]'s
+    * late-flag count. Bucket edges are business constants, so the
+    * histogram is engine-stable integers end to end.
+    *
+    * Scale: one fact-side join to orders on the orderkey (the schema's
+    * natural co-partition key), one priority-keyed rollup; output is
+    * |priorities| rows.
+    */
+  def qOrderLeadTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lt = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).as("days"))
+    lt.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min($"days").as("min_days"), max($"days").as("max_days"),
+        sum($"days").as("sum_days"),
+        sum(when($"days" <= 30, 1L).otherwise(0L)).as("d0_30"),
+        sum(when($"days" > 30 && $"days" <= 60, 1L).otherwise(0L)).as("d31_60"),
+        sum(when($"days" > 60 && $"days" <= 90, 1L).otherwise(0L)).as("d61_90"),
+        sum(when($"days" > 90, 1L).otherwise(0L)).as("d_over_90"))
+      .select($"o_orderpriority", $"n_lines", $"min_days", $"max_days",
+        ($"sum_days".cast("double") / $"n_lines".cast("double")).as("mean_days"),
+        $"d0_30", $"d31_60", $"d61_90", $"d_over_90")
+      .orderBy($"o_orderpriority")
+  }
+
+  val qOrderLeadTimeSql: String =
+    """WITH lt AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |      AS days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(min(days) AS INTEGER) AS min_days,
+      |  CAST(max(days) AS INTEGER) AS max_days,
+      |  CAST(sum(days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_days,
+      |  CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d0_30,
+      |  CAST(sum(CASE WHEN days > 30 AND days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+      |  CAST(sum(CASE WHEN days > 60 AND days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+      |  CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_over_90
+      |FROM lt GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- Peak concurrency: sweep-line max over open interval counts ---
 
   /** Daily PEAK CONCURRENCY of open 30-minute visit windows — the
@@ -4138,6 +4253,8 @@ object Analytics {
     "q_event_ab_cuped" -> ((qEventAbCuped _, qEventAbCupedSql)),
     "q_event_survival" -> ((qEventSurvival _, qEventSurvivalSql)),
     "q_event_cross_corr" -> ((qEventCrossCorr _, qEventCrossCorrSql)),
+    "q_event_entropy_rate" -> ((qEventEntropyRate _, qEventEntropyRateSql)),
+    "q_order_lead_time" -> ((qOrderLeadTime _, qOrderLeadTimeSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1740,6 +1740,87 @@ class NewOpsSpec extends SparkSuite {
     assert(rows("A").getAs[Double]("revenue_share") <= 0.8 + 1e-9)
   }
 
+  test("KL drift: exact micro-nat replay; both directions non-negative") {
+    import graft.ext.TextOps
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mid = docs.map(_._1).max / 2
+    def counts(p: ((Long, String)) => Boolean): Map[String, Long] =
+      docs.filter(p).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val ca = counts(_._1 <= mid)
+    val cb = counts(_._1 > mid)
+    val vocab = (ca.keySet | cb.keySet)
+    val (ta, tb, v) = (ca.values.sum, cb.values.sum, vocab.size.toLong)
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val sab = vocab.toSeq.map { w =>
+      val (a, b) = (ca.getOrElse(w, 0L), cb.getOrElse(w, 0L))
+      (a + 1) * (qln(a + 1) - qln(ta + v) - qln(b + 1) + qln(tb + v))
+    }.sum
+    val sba = vocab.toSeq.map { w =>
+      val (a, b) = (ca.getOrElse(w, 0L), cb.getOrElse(w, 0L))
+      (b + 1) * (qln(b + 1) - qln(tb + v) - qln(a + 1) + qln(ta + v))
+    }.sum
+    val row = TextOps.qDocKlDrift(spark, sf).collect().head
+    assert(row.getAs[Long]("tokens_early") === ta)
+    assert(row.getAs[Long]("tokens_late") === tb)
+    assert(row.getAs[Long]("joint_vocab") === v)
+    assert(row.getAs[Double]("kl_early_late") === sab.toDouble / (ta + v) / 1e6)
+    assert(row.getAs[Double]("kl_late_early") === sba.toDouble / (tb + v) / 1e6)
+    // KL ≥ 0 up to the micro-nat quantization slack
+    assert(row.getAs[Double]("kl_early_late") > -1e-5)
+    assert(row.getAs[Double]("kl_late_early") > -1e-5)
+  }
+
+  test("entropy rate: exact replay; bounded by log of branch count") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._2.getTime * 1000 + (x._2.getNanos / 1000) % 1000, x._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._4) }
+    }.toSeq
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val rows = Analytics.qEventEntropyRate(spark, sf).collect()
+    val byPrev = trans.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("prev_type")).toSet === byPrev.keySet)
+    rows.foreach { r =>
+      val xs = byPrev(r.getAs[String]("prev_type"))
+      val np = xs.size.toLong
+      val cells = xs.groupBy(_._2).map { case (_, g) => g.size.toLong }
+      val hNum = cells.map(npt => npt * (qln(np) - qln(npt))).sum
+      assert(r.getAs[Long]("n_transitions") === np)
+      assert(r.getAs[Long]("n_branches") === cells.size.toLong)
+      assert(r.getAs[Double]("h_next_nats") === hNum.toDouble / np / 1e6)
+      assert(r.getAs[Double]("h_next_nats") <=
+        math.log(cells.size.toDouble) + 1e-6, "H bounded by ln(branches)")
+      assert(r.getAs[Double]("state_share") === np.toDouble / trans.size)
+    }
+  }
+
+  test("lead time: exact day-diff replay; histogram conserves lines") {
+    val rows = Analytics.qOrderLeadTime(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val byP = direct.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("o_orderpriority")).toSet === byP.keySet)
+    rows.foreach { r =>
+      val ds = byP(r.getAs[String]("o_orderpriority")).map(_._2)
+      assert(r.getAs[Long]("n_lines") === ds.size.toLong)
+      assert(r.getAs[Int]("min_days") === ds.min)
+      assert(r.getAs[Int]("max_days") === ds.max)
+      assert(r.getAs[Double]("mean_days") === ds.map(_.toLong).sum.toDouble / ds.size)
+      val buckets = Seq(r.getAs[Long]("d0_30"), r.getAs[Long]("d31_60"),
+        r.getAs[Long]("d61_90"), r.getAs[Long]("d_over_90"))
+      assert(buckets.sum === ds.size.toLong, "histogram conserves")
+      assert(r.getAs[Long]("d0_30") === ds.count(_ <= 30).toLong)
+    }
+  }
+
   test("event user overlap: exact set replay, jaccard bounds") {
     val ut = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

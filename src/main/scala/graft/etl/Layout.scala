@@ -371,10 +371,96 @@ object Layout {
        |ORDER BY rel""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Capacity advisor: file counts and shuffle partitions from data size
+  // ------------------------------------------------------------------
+
+  /** Sizing constants (bytes): parquet target file 128 MiB, shuffle
+    * partition target 64 MiB, broadcast ceiling 10 MiB (Spark's
+    * `autoBroadcastJoinThreshold` default). Literal-RHS `final` per the
+    * init-cycle rule.
+    */
+  final val advFileBytes = 134217728L
+  final val advShuffleBytes = 67108864L
+  final val advBroadcastBytes = 10485760L
+
+  /** Layout/capacity advisor: per table, an uncompressed in-memory size
+    * estimate measured FROM THE DATA (fixed-width columns at their type
+    * width, strings at actual summed length) and the three numbers every
+    * write/join decision needs — target parquet file count (128 MiB),
+    * shuffle partition count (64 MiB), and the broadcast-vs-shuffle join
+    * verdict (10 MiB, Spark's default `autoBroadcastJoinThreshold`).
+    * The settings half of [[qSkewDiagnosis]]: that op says how to KEY a
+    * shuffle, this one says how MANY partitions to give it — together
+    * they replace the folklore `spark.sql.shuffle.partitions=200` with
+    * numbers derived from the bytes actually present.
+    *
+    * Exactness: every estimate is exact integer arithmetic (string
+    * lengths sum as BIGINTs; ceilings are add-and-integer-divide, never
+    * float ceil), so the advice is bit-identical cross-engine.
+    *
+    * Scale (100 TB): ONE single-row aggregate per table (map-side
+    * combined) over a narrow projection — the advisor costs one column
+    * scan of the string columns and nothing else; at real scale the
+    * same query runs over parquet footer statistics instead, same
+    * output shape.
+    */
+  def qLayoutAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    def advise(df: DataFrame, tbl: String, fixedWidth: Long,
+        strCols: Seq[String]): DataFrame = {
+      val strBytes = strCols
+        .map(c => sum(length(col(c)).cast("long")).as(s"len_$c"))
+      val agg = df.agg(count(lit(1)).as("n_rows"), strBytes: _*)
+      agg.select(lit(tbl).as("tbl"), col("n_rows"),
+          (col("n_rows") * fixedWidth +
+            strCols.map(c => col(s"len_$c")).reduce(_ + _)).as("est_bytes"))
+        .select(col("tbl"), col("n_rows"), col("est_bytes"),
+          expr(s"(est_bytes + ${advFileBytes - 1}) div $advFileBytes")
+            .as("files_128mb"),
+          expr(s"(est_bytes + ${advShuffleBytes - 1}) div $advShuffleBytes")
+            .as("shuffle_parts_64mb"),
+          when(col("est_bytes") < advBroadcastBytes, lit("broadcast"))
+            .otherwise(lit("shuffle")).as("join_side_advice"))
+    }
+    // fixed widths: 8 per long/double/timestamp, 4 per int
+    advise(Tables.customer(spark, sfDir), "customer", 8 + 4 + 8,
+        Seq("c_name", "c_mktsegment"))
+      .unionAll(advise(Tables.orders(spark, sfDir), "orders", 8 + 8 + 8 + 8,
+        Seq("o_orderstatus", "o_orderpriority")))
+      .unionAll(advise(Tables.lineitem(spark, sfDir), "lineitem",
+        8 + 8 + 8 + 4 + 8 * 4 + 8, Seq("l_returnflag", "l_linestatus")))
+      .orderBy(col("tbl"))
+  }
+
+  val qLayoutAdvisorSql: String = {
+    def arm(tbl: String, fixedWidth: Long, strCols: Seq[String]): String = {
+      val strSum = strCols.map(c => s"CAST(sum(length($c)) AS BIGINT)").mkString(" + ")
+      s"""SELECT '$tbl' AS tbl, count(*) AS n_rows,
+         |  count(*) * $fixedWidth + $strSum AS est_bytes
+         |FROM $tbl""".stripMargin
+    }
+    s"""WITH sized AS (
+       |  ${arm("customer", 8 + 4 + 8, Seq("c_name", "c_mktsegment"))}
+       |  UNION ALL
+       |  ${arm("orders", 8 + 8 + 8 + 8, Seq("o_orderstatus", "o_orderpriority"))}
+       |  UNION ALL
+       |  ${arm("lineitem", 8 + 8 + 8 + 4 + 8 * 4 + 8, Seq("l_returnflag", "l_linestatus"))}
+       |)
+       |SELECT tbl, n_rows, CAST(est_bytes AS BIGINT) AS est_bytes,
+       |  CAST((est_bytes + ${advFileBytes - 1}) // $advFileBytes AS BIGINT) AS files_128mb,
+       |  CAST((est_bytes + ${advShuffleBytes - 1}) // $advShuffleBytes AS BIGINT)
+       |    AS shuffle_parts_64mb,
+       |  CASE WHEN est_bytes < $advBroadcastBytes THEN 'broadcast' ELSE 'shuffle' END
+       |    AS join_side_advice
+       |FROM sized
+       |ORDER BY tbl""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_zorder" -> ((qEventZorder _, qEventZorderSql)),
     "q_layout_zonemap" -> ((qLayoutZonemap _, qLayoutZonemapSql)),
     "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql)),
-    "q_skew_diagnosis" -> ((qSkewDiagnosis _, qSkewDiagnosisSql))
+    "q_skew_diagnosis" -> ((qSkewDiagnosis _, qSkewDiagnosisSql)),
+    "q_layout_advisor" -> ((qLayoutAdvisor _, qLayoutAdvisorSql))
   )
 }

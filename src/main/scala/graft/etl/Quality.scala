@@ -548,6 +548,98 @@ object Quality {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, det, dep")
   }
 
+  // ------------------------------------------------------------------
+  // Dataset fingerprint: order-invariant content hash for run-to-run diff
+  // ------------------------------------------------------------------
+
+  /** Modulus keeping the additive fingerprint component int64-safe. */
+  final val fpSumMod = 1000000007L
+
+  /** Order-invariant dataset fingerprint over customer/orders/lineitem:
+    * one row-content hash per row ([[graft.ext.TextOps.portableHash]]
+    * of a canonical '|'-joined rendering), folded per table — and for
+    * the dataset as a whole — with two COMMUTATIVE combiners (bit-XOR,
+    * and sum of 30-bit reductions mod [[fpSumMod]]): the cheap "did
+    * anything change since the last run" gate. [[qTableDiffCustomer]]
+    * answers WHICH rows changed at O(rows) compare cost; this answers
+    * WHETHER anything changed at O(1) compare cost, which is the check
+    * every pipeline run does first. Two independent combiners because
+    * XOR alone is blind to any row duplicated an even number of times
+    * and mod-sum alone to compensating swaps — jointly they catch both.
+    *
+    * Canonical rendering: every float-typed column enters as an exact
+    * scaled BIGINT (money/quantity/rates ×10⁴ via DECIMAL — the
+    * registry money rule; a raw double's string form is NOT
+    * engine-portable), timestamps as epoch micros, ids/strings as-is.
+    *
+    * Scale (100 TB): narrow per-row hash projections (codegen'd md5 —
+    * no UDF), ONE partial aggregate per table with commutative merge —
+    * that commutativity is exactly what makes the fingerprint
+    * partition- and order-invariant at any parallelism. Output: 4 rows.
+    */
+  def qDatasetFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.TextOps.portableHash
+    def money(c: Column): Column =
+      (c.cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000).cast("long")
+    def rowHash(parts: Seq[Column]): Column =
+      portableHash(concat_ws("|", parts.map(_.cast("string")): _*))
+    val cust = Tables.customer(spark, sfDir).select(lit("customer").as("tbl"),
+      rowHash(Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        money(col("c_acctbal")), col("c_mktsegment"))).as("h"))
+    val ords = Tables.orders(spark, sfDir).select(lit("orders").as("tbl"),
+      rowHash(Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        money(col("o_totalprice")), unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderpriority"))).as("h"))
+    val line = Tables.lineitem(spark, sfDir).select(lit("lineitem").as("tbl"),
+      rowHash(Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), money(col("l_quantity")), money(col("l_extendedprice")),
+        money(col("l_discount")), money(col("l_tax")), col("l_returnflag"),
+        col("l_linestatus"), unix_micros(col("l_shipdate").cast("timestamp")))).as("h"))
+    val u = cust.unionAll(ords).unionAll(line)
+    def fold(df: DataFrame, label: Column): DataFrame =
+      df.groupBy(label.as("tbl"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_hash"),
+          sum(col("h") % fpSumMod).as("sum_mod"))
+    fold(u, col("tbl"))
+      .unionAll(fold(u, lit("zz_dataset")))
+      .orderBy(col("tbl"))
+  }
+
+  val qDatasetFingerprintSql: String = {
+    import graft.ext.TextOps.portableHashSql
+    def money(e: String): String =
+      s"CAST(CAST($e AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    def rowHash(parts: Seq[String]): String =
+      portableHashSql("concat_ws('|', " + parts.mkString(", ") + ")")
+    val cust = s"SELECT 'customer' AS tbl, ${rowHash(Seq("c_custkey", "c_name",
+      "c_nationkey", money("c_acctbal"), "c_mktsegment"))} AS h FROM customer"
+    val ords = s"SELECT 'orders' AS tbl, ${rowHash(Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", money("o_totalprice"), "epoch_us(o_orderdate)",
+      "o_orderpriority"))} AS h FROM orders"
+    val line = s"SELECT 'lineitem' AS tbl, ${rowHash(Seq("l_orderkey",
+      "l_linenumber", "l_partkey", "l_suppkey", money("l_quantity"),
+      money("l_extendedprice"), money("l_discount"), money("l_tax"),
+      "l_returnflag", "l_linestatus", "epoch_us(l_shipdate)"))} AS h FROM lineitem"
+    s"""WITH u AS (
+       |  $cust
+       |  UNION ALL
+       |  $ords
+       |  UNION ALL
+       |  $line
+       |)
+       |SELECT tbl, n_rows, xor_hash, sum_mod FROM (
+       |  SELECT tbl, count(*) AS n_rows, bit_xor(h) AS xor_hash,
+       |    CAST(sum(h % $fpSumMod) AS BIGINT) AS sum_mod
+       |  FROM u GROUP BY tbl
+       |  UNION ALL
+       |  SELECT 'zz_dataset', count(*), bit_xor(h),
+       |    CAST(sum(h % $fpSumMod) AS BIGINT)
+       |  FROM u
+       |)
+       |ORDER BY tbl""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_profile_orders" -> ((qProfileOrders _, qProfileOrdersSql)),
     "q_check_orders" -> ((qCheckOrders _, qCheckOrdersSql)),
@@ -556,6 +648,7 @@ object Quality {
     "q_tclose_customer" -> ((qTCloseCustomer _, qTCloseCustomerSql)),
     "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
     "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql)),
-    "q_fd_mine" -> ((qFdMine _, qFdMineSql))
+    "q_fd_mine" -> ((qFdMine _, qFdMineSql)),
+    "q_dataset_fingerprint" -> ((qDatasetFingerprint _, qDatasetFingerprintSql))
   )
 }

@@ -2,7 +2,7 @@ package graft.ext
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -788,4 +788,177 @@ object CorpusOps {
        |FROM scored
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Split-balance audit: is the val/test covariate mix representative?
+  // ------------------------------------------------------------------
+
+  /** Covariate-balance audit of the [[qDocSplit]] train/val/test folds:
+    * per SOURCE, the fold document counts plus the STANDARDIZED MEAN
+    * DIFFERENCE of document length (n_chars) between train and each
+    * holdout fold — SMD = (μ₁−μ₂)/√((σ₁²+σ₂²)/2), the covariate-shift
+    * measure used in observational-study balance checks, with the
+    * conventional |SMD| < 0.1 "balanced" gate. A hash split is unbiased
+    * IN EXPECTATION; this measures what this corpus actually drew, per
+    * stratum — the check that catches "the val set happens to hold the
+    * long documents of source X" before a perplexity eval silently
+    * drifts.
+    *
+    * Exactness: per-(source, fold) moments (n, Σx, Σx²) are exact
+    * BIGINTs from ONE conditional aggregate; μ, σ² and SMD are a fixed
+    * double tree over them (one sqrt) — bit-equal cross-engine. The
+    * balanced verdict compares the identical doubles. Folds with no
+    * rows in a stratum yield NULL SMD (and a false verdict) rather than
+    * a divide-by-zero. Int64 bound: n·Σx² ≤ n²·maxlen² — safe past 10⁶
+    * docs per stratum at 10⁵-char docs; quantize lengths beyond.
+    *
+    * Scale (100 TB): one source-keyed conditional-count aggregate over
+    * one corpus scan (9 sums per group, map-side combined), output
+    * |sources|-bounded. No windows, no second pass.
+    */
+  def qDocSplitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = portableHash(concat(col("text"), lit("|split"))) % 100
+    val tagged = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        when(bucket < trainPct, "train").when(bucket < valPct, "val")
+          .otherwise("test").as("fold"))
+    def m(fold: String, e: Column): Column =
+      sum(when(col("fold") === fold, e).otherwise(0L))
+    val grid = tagged.groupBy(col("source")).agg(
+      m("train", lit(1L)).as("n_tr"), m("train", col("n_chars")).as("s_tr"),
+      m("train", col("n_chars") * col("n_chars")).as("ss_tr"),
+      m("val", lit(1L)).as("n_va"), m("val", col("n_chars")).as("s_va"),
+      m("val", col("n_chars") * col("n_chars")).as("ss_va"),
+      m("test", lit(1L)).as("n_te"), m("test", col("n_chars")).as("s_te"),
+      m("test", col("n_chars") * col("n_chars")).as("ss_te"))
+    def mean(n: Column, s: Column): Column = s.cast("double") / n.cast("double")
+    def vr(n: Column, s: Column, ss: Column): Column =
+      (n * ss - s * s).cast("double") / (n * n).cast("double")
+    def smd(n1: Column, s1: Column, ss1: Column,
+        n2: Column, s2: Column, ss2: Column): Column =
+      when(n1 > 0 && n2 > 0 && (vr(n1, s1, ss1) + vr(n2, s2, ss2)) > 0,
+        (mean(n1, s1) - mean(n2, s2)) /
+          sqrt((vr(n1, s1, ss1) + vr(n2, s2, ss2)) / lit(2.0)))
+    val smdVal = smd(col("n_tr"), col("s_tr"), col("ss_tr"),
+      col("n_va"), col("s_va"), col("ss_va"))
+    val smdTest = smd(col("n_tr"), col("s_tr"), col("ss_tr"),
+      col("n_te"), col("s_te"), col("ss_te"))
+    grid.select(col("source"), col("n_tr"), col("n_va"), col("n_te"),
+        mean(col("n_tr"), col("s_tr")).as("mean_chars_train"),
+        smdVal.as("smd_val"), smdTest.as("smd_test"),
+        (smdVal.isNotNull && smdTest.isNotNull &&
+          abs(smdVal) < 0.1 && abs(smdTest) < 0.1).as("balanced"))
+      .orderBy(col("source"))
+  }
+
+  val qDocSplitBalanceSql: String = {
+    def m(fold: String, e: String): String =
+      s"CAST(sum(CASE WHEN fold = '$fold' THEN $e ELSE 0 END) AS BIGINT)"
+    def mean(n: String, s: String): String = s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+    def vr(n: String, s: String, ss: String): String =
+      s"(CAST($n * $ss - $s * $s AS DOUBLE) / CAST($n * $n AS DOUBLE))"
+    def smd(f: String): String =
+      s"""CASE WHEN n_tr > 0 AND n_$f > 0 AND
+         |    (${vr("n_tr", "s_tr", "ss_tr")} + ${vr(s"n_$f", s"s_$f", s"ss_$f")}) > 0 THEN
+         |    (${mean("n_tr", "s_tr")} - ${mean(s"n_$f", s"s_$f")}) /
+         |    sqrt((${vr("n_tr", "s_tr", "ss_tr")} + ${vr(s"n_$f", s"s_$f", s"ss_$f")}) / CAST(2.0 AS DOUBLE))
+         |  ELSE NULL END""".stripMargin
+    s"""WITH tagged AS (
+       |  SELECT source, n_chars,
+       |    CASE WHEN ${portableHashSql("text || '|split'")} % 100 < $trainPct THEN 'train'
+       |         WHEN ${portableHashSql("text || '|split'")} % 100 < $valPct THEN 'val'
+       |         ELSE 'test' END AS fold
+       |  FROM documents
+       |),
+       |grid AS (
+       |  SELECT source,
+       |    ${m("train", "1")} AS n_tr, ${m("train", "n_chars")} AS s_tr,
+       |    ${m("train", "n_chars * n_chars")} AS ss_tr,
+       |    ${m("val", "1")} AS n_va, ${m("val", "n_chars")} AS s_va,
+       |    ${m("val", "n_chars * n_chars")} AS ss_va,
+       |    ${m("test", "1")} AS n_te, ${m("test", "n_chars")} AS s_te,
+       |    ${m("test", "n_chars * n_chars")} AS ss_te
+       |  FROM tagged GROUP BY source
+       |)
+       |SELECT source, n_tr, n_va, n_te,
+       |  ${mean("n_tr", "s_tr")} AS mean_chars_train,
+       |  ${smd("va")} AS smd_val,
+       |  ${smd("te")} AS smd_test,
+       |  (${smd("va")} IS NOT NULL AND ${smd("te")} IS NOT NULL AND
+       |   abs(${smd("va")}) < 0.1 AND abs(${smd("te")}) < 0.1) AS balanced
+       |FROM grid
+       |ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Source-concentration audit: Lorenz curve + Gini coefficient
+  // ------------------------------------------------------------------
+
+  /** Source-concentration audit of the corpus byte mix: the Lorenz
+    * curve (sources ranked by contributed characters, ascending, with
+    * cumulative share) plus the exact Gini coefficient — the standard
+    * inequality readout. [[qDocSourceMix]] reports WHAT each source
+    * contributes; this op reports HOW CONCENTRATED the mix is as one
+    * number a mixture policy can threshold ("no training run where one
+    * source family exceeds Gini 0.6"), the same way [[qDocSourceCap]]
+    * enforces per-source ceilings.
+    *
+    * Gini from the rank form: with sources sorted ascending by bytes
+    * y₁ ≤ … ≤ yₙ, G = (2·Σ i·yᵢ − (n+1)·Σ yᵢ) / (n·Σ yᵢ). Both sums
+    * accumulate as exact BIGINTs; the single double division happens
+    * once on identical integers in each engine, so the emitted doubles
+    * are bit-equal. Ties in y sort by source name — total order,
+    * engine-independent ranks.
+    *
+    * Scale (100 TB): ONE corpus-sized pass (the source-keyed byte sum,
+    * map-side combined); everything after runs on the |sources|-grain
+    * frame — the ranking window and cumulative sums are dim-sized by
+    * construction (source taxonomies are thousands at most), and the
+    * Gini totals ride a broadcast cross join, not a second pass.
+    */
+  def qDocSourceGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val w = Window.orderBy(col("bytes").asc, col("source").asc)
+    val ranked = bySource
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_bytes",
+        sum(col("bytes")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val totals = ranked.agg(
+      count(lit(1)).as("n_src"),
+      sum(col("bytes")).as("s0"),
+      sum(col("rnk") * col("bytes")).as("s1"))
+    ranked.crossJoin(broadcast(totals))
+      .select(col("source"), col("bytes"), col("rnk"), col("cum_bytes"),
+        (col("cum_bytes").cast("double") / col("s0").cast("double"))
+          .as("cum_share"),
+        ((lit(2L) * col("s1") - (col("n_src") + 1L) * col("s0")).cast("double") /
+          (col("n_src") * col("s0")).cast("double")).as("gini"))
+      .orderBy(col("rnk"))
+  }
+
+  val qDocSourceGiniSql: String =
+    """WITH by_source AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY source
+      |),
+      |ranked AS (
+      |  SELECT source, bytes,
+      |    CAST(row_number() OVER (ORDER BY bytes ASC, source ASC) AS BIGINT) AS rnk,
+      |    CAST(sum(bytes) OVER (ORDER BY bytes ASC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+      |  FROM by_source
+      |),
+      |totals AS (
+      |  SELECT count(*) AS n_src, CAST(sum(bytes) AS BIGINT) AS s0,
+      |    CAST(sum(rnk * bytes) AS BIGINT) AS s1
+      |  FROM ranked
+      |)
+      |SELECT source, bytes, rnk, cum_bytes,
+      |  CAST(cum_bytes AS DOUBLE) / CAST(s0 AS DOUBLE) AS cum_share,
+      |  CAST(2 * s1 - (n_src + 1) * s0 AS DOUBLE) /
+      |    CAST(n_src * s0 AS DOUBLE) AS gini
+      |FROM ranked CROSS JOIN totals
+      |ORDER BY rnk""".stripMargin
 }

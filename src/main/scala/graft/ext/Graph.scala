@@ -519,11 +519,82 @@ object Graph {
        |ORDER BY jaccard DESC, s_a, s_b
        |LIMIT $linkPredTopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Degree assortativity: do hubs trade with hubs?
+  // ------------------------------------------------------------------
+
+  /** Degree-assortativity coefficient of the customer→supplier trade
+    * graph: Pearson correlation of (deg(src), deg(dst)) over the edge
+    * list — positive means high-degree customers concentrate on
+    * high-degree suppliers (hub-hub coupling: fragile to hub loss),
+    * negative means hubs fan out to the periphery. The one-number
+    * mixing summary next to [[qGraphLinkpred]]'s per-pair view, and a
+    * direct input to skew planning: strong positive assortativity says
+    * the join's heavy keys COLLIDE (hub customers join hub suppliers),
+    * exactly when [[graft.queries.Analytics]]'s salted-join path earns
+    * its keep.
+    *
+    * Exactness: all six correlation sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as exact BIGINTs over the edge list (degrees are
+    * integers); the coefficient performs TWO correctly-rounded sqrts
+    * and one division on identical exact integers in both engines —
+    * bit-equal output. Int64 bounds: Σx² ≤ |E|·maxdeg² — safe past
+    * 10⁹ edges at maxdeg 10³; beyond that, quantize degrees first.
+    *
+    * Scale (100 TB): the edge distinct is the one corpus-sized shuffle
+    * (shared shape with [[qGraphPagerank]]); the two degree tables are
+    * node-grain aggregates of it, joined back edge-keyed (src then dst
+    * — two shuffles of the |E|-row frame; co-partition by src at write
+    * time to drop the first), and the correlation is ONE mergeable
+    * 1-row aggregate, map-side combined.
+    */
+  def qGraphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("x"))
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("y"))
+    edges.join(outdeg, "src").join(indeg, "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_edges"), col("sx"), col("sy"), col("sxy"),
+        ((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
+  val qGraphAssortativitySql: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |),
+      |outdeg AS (SELECT src, count(*) AS x FROM edges GROUP BY src),
+      |indeg AS (SELECT dst, count(*) AS y FROM edges GROUP BY dst),
+      |sums AS (
+      |  SELECT count(*) AS n_edges,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM edges JOIN outdeg USING (src) JOIN indeg USING (dst)
+      |)
+      |SELECT n_edges, sx, sy, sxy,
+      |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
+      |FROM sums""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
     "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
     "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql)),
     "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql)),
-    "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql))
+    "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql)),
+    "q_graph_assortativity" -> ((qGraphAssortativity _, qGraphAssortativitySql))
   )
 }

@@ -1793,6 +1793,94 @@ object Similarity {
        |ORDER BY di, dj""".stripMargin
 
   // ------------------------------------------------------------------
+  // Anisotropy audit: does the embedding cloud live in a narrow cone?
+  // ------------------------------------------------------------------
+
+  /** Anisotropy audit of the embedding corpus — the diagnostic behind
+    * the "always mean-center before cosine" rule (Ethayarajh 2019:
+    * contextual embeddings concentrate in a narrow cone, inflating all
+    * cosines; an anisotropic corpus makes raw-cosine thresholds like
+    * [[nearDupThreshold]] meaningless). Reports, from EXACT integer
+    * statistics:
+    *
+    *   - `avg_pair_dot`: mean dot product over all ordered pairs i≠j —
+    *     the cone signal (isotropic ⇒ ≈ 0), computed WITHOUT pairwise
+    *     work as (Σ_d S_d² − trace) / (n(n−1)) where S_d are per-dim
+    *     sums and trace = Σᵢ‖xᵢ‖²;
+    *   - `mean_sq_norm`: trace / n, the normalizer;
+    *   - `anisotropy`: their ratio — the fraction of vector energy
+    *     aligned with the common direction (0 isotropic, →1 cone);
+    *   - `mean_norm_share`: ‖x̄‖² / mean ‖x‖² = n·‖x̄‖²-vs-energy form
+    *     = Σ_d S_d² / (n·trace), the centering-gain readout.
+    *
+    * Exactness: reuses [[gramCells]]'s fixed-point quantization — S_d,
+    * Σ_d S_d² and the trace are exact BIGINTs under any partitioning;
+    * the three ratios are single double divisions of identical integers
+    * in both engines (the quantization bias is shared by numerator and
+    * denominator and cancels to first order).
+    *
+    * Scale (100 TB): needs only the DIAGONAL cells and the per-dim sums
+    * — one narrow per-row transform + a d-cell partial agg (NOT the
+    * full d² gram); output is one row, corpus-size-independent.
+    */
+  def qEmbAnisotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
+          .as("q"))
+    val flat = emb.select(posexplode(col("q")).as(Seq("d", "qv")))
+    val dims = flat.groupBy(col("d"))
+      .agg(sum(col("qv")).as("s_d"), sum(col("qv") * col("qv")).as("s_dd"))
+    val stats = dims.agg(
+      sum(col("s_d") * col("s_d")).as("ssq"),
+      sum(col("s_dd")).as("trace"))
+    val n = emb.agg(count(lit(1)).as("n_vecs"))
+    stats.crossJoin(broadcast(n))
+      .select(col("n_vecs"), col("trace"), col("ssq"),
+        ((col("ssq") - col("trace")).cast("double") /
+          (col("n_vecs") * (col("n_vecs") - 1)).cast("double") /
+          (gramScale.toDouble * gramScale.toDouble)).as("avg_pair_dot"),
+        (col("trace").cast("double") / col("n_vecs").cast("double") /
+          (gramScale.toDouble * gramScale.toDouble)).as("mean_sq_norm"),
+        ((col("ssq") - col("trace")).cast("double") /
+          ((col("n_vecs") - 1) * col("trace")).cast("double")).as("anisotropy"),
+        (col("ssq").cast("double") /
+          (col("n_vecs") * col("trace")).cast("double")).as("mean_norm_share"))
+  }
+
+  val qEmbAnisotropySql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $gramScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |flat AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d, q[i] AS qv
+       |  FROM q, UNNEST(range(1, len(q) + 1)) AS r(i)
+       |),
+       |dims AS (
+       |  SELECT d, CAST(sum(qv) AS BIGINT) AS s_d,
+       |    CAST(sum(qv * qv) AS BIGINT) AS s_dd
+       |  FROM flat GROUP BY d
+       |),
+       |stats AS (
+       |  SELECT CAST(sum(s_d * s_d) AS BIGINT) AS ssq,
+       |    CAST(sum(s_dd) AS BIGINT) AS trace
+       |  FROM dims
+       |),
+       |nv AS (SELECT count(*) AS n_vecs FROM q)
+       |SELECT n_vecs, trace, ssq,
+       |  CAST(ssq - trace AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) /
+       |    (${gramScale}.0 * ${gramScale}.0) AS avg_pair_dot,
+       |  CAST(trace AS DOUBLE) / CAST(n_vecs AS DOUBLE) /
+       |    (${gramScale}.0 * ${gramScale}.0) AS mean_sq_norm,
+       |  CAST(ssq - trace AS DOUBLE) /
+       |    CAST((n_vecs - 1) * trace AS DOUBLE) AS anisotropy,
+       |  CAST(ssq AS DOUBLE) / CAST(n_vecs * trace AS DOUBLE) AS mean_norm_share
+       |FROM stats CROSS JOIN nv""".stripMargin
+
+  // ------------------------------------------------------------------
   // Power iteration: top principal direction in exact integer arithmetic
   // ------------------------------------------------------------------
 
@@ -2175,5 +2263,198 @@ object Similarity {
        |${matryoshkaDims.map(truncCte).mkString(",\n")}
        |${matryoshkaDims.map(armRow).mkString("\nUNION ALL\n")}
        |ORDER BY dim""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Semantic decontamination: embedding-cosine eval-set screen
+  // ------------------------------------------------------------------
+
+  /** Contamination flag threshold — cosine ≥ this against ANY eval
+    * vector marks a training vector contaminated. Literal RHS `final`
+    * per the repo's init-cycle rule (it is interpolated into oracle
+    * SQL below).
+    */
+  final val decontamCos = 0.8
+
+  /** SEMANTIC decontamination of a training corpus against a held-out
+    * eval set — the embedding-space counterpart of
+    * [[Dedup.qDocDecontam]]'s n-gram screen. N-gram decontamination
+    * misses paraphrases (same content, different surface form); cosine
+    * against the eval set's embeddings catches exactly those, and
+    * production pipelines run BOTH screens before training. Eval set =
+    * the [[nQueryVecs]] probe vectors; a train vector is contaminated
+    * if its cosine to any eval vector ≥ [[decontamCos]]. Output is the
+    * flagged (eval, train) pairs with their cosine — the removal list
+    * plus the evidence for each removal.
+    *
+    * The synthetic corpus has no natural paraphrases, so the train side
+    * plants the [[qEmbNearDup]] injection (every 25th vector perturbed,
+    * cosine ≈ 0.88–0.91 vs its source): eval vector 0's copy is
+    * guaranteed to be caught at every SF.
+    *
+    * Scale (100 TB): the eval set is BROADCAST (eval sets are
+    * benchmark-sized — thousands, not billions); the training corpus is
+    * scanned once, never shuffled, and the threshold filter collapses
+    * the Q×N score stream to the (rare) contaminated pairs before
+    * anything else touches it. Norms are hoisted per side (N+Q sqrts,
+    * not N×Q). At extreme eval-set sizes, route the probe through the
+    * [[qEmbAnnIvf]] cell index instead — the filter composes unchanged.
+    */
+  def qEmbDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val ev = base.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("eval_id"), col("e").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    // the synthetic corpus has no natural eval paraphrases, so the train
+    // side carries the [[qEmbNearDup]] injection (every 25th vector
+    // perturbed, +100000 id) — vector 0 is an eval vector, so its planted
+    // paraphrase (cosine ≈ 0.89) MUST be flagged at every SF
+    val perturbed = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.5)),
+          slice(col("e"), 2, embDim - 1)).as("e"))
+    val train = base.filter(col("vec_id") >= nQueryVecs).unionAll(perturbed)
+      .select(col("vec_id"), col("e").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    train.crossJoin(broadcast(ev))
+      .select(col("eval_id"), col("vec_id"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+      .filter(col("cosine") >= decontamCos)
+      .orderBy(col("eval_id"), col("vec_id"))
+  }
+
+  val qEmbDecontamSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |ev AS (
+       |  SELECT vec_id AS eval_id, e AS qe, sqrt(list_dot_product(e, e)) AS q_norm
+       |  FROM base WHERE vec_id < $nQueryVecs
+       |),
+       |train AS (
+       |  SELECT vec_id, e AS ce, sqrt(list_dot_product(e, e)) AS c_norm
+       |  FROM (
+       |    SELECT vec_id, e FROM base WHERE vec_id >= $nQueryVecs
+       |    UNION ALL
+       |    SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) AS e
+       |    FROM base WHERE vec_id % 25 = 0
+       |  )
+       |)
+       |SELECT eval_id, vec_id,
+       |  list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |FROM train, ev
+       |WHERE list_dot_product(qe, ce) / (q_norm * c_norm) >= $decontamCos
+       |ORDER BY eval_id, vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+  // ------------------------------------------------------------------
+
+  /** RRF constant (the canonical 60 from Cormack/Clarke/Büttcher 2009)
+    * and pool/output sizes. Literal-RHS `final` per the init-cycle rule.
+    */
+  final val rrfK = 60
+  final val rrfPoolN = 20
+  final val rrfTopN = 10
+
+  /** HYBRID retrieval via reciprocal-rank fusion: the lexical ranking
+    * ([[TextOps.qDocBm25]]'s top-[[rrfPoolN]]) and the dense ranking
+    * (cosine against probe vector 0, top-[[rrfPoolN]]) fused as
+    * Σ 1/([[rrfK]]+rank) over the lists an item appears in — the
+    * standard hybrid-search combiner in RAG stacks (lexical catches
+    * exact terms dense misses; dense catches paraphrase lexical
+    * misses; RRF needs no score calibration because it only consumes
+    * RANKS). Item space: doc_id ≡ vec_id where both tables cover the
+    * id (the sf alignment convention); ids ranked by only one arm
+    * simply lack the other term, per standard RRF.
+    *
+    * Exactness: each RRF term is one double division of exact integers
+    * (rank, k) and the two-term sum folds in fixed lex→dense order —
+    * bit-identical cross-engine. Absent ranks are emitted as 0 (ranks
+    * start at 1), keeping the output null-free.
+    *
+    * Scale (100 TB): both arms end in TakeOrdered top-[[rrfPoolN]]
+    * (per-partition heaps — no global sort of corpus-sized frames);
+    * ranking windows and the full-outer fusion join run on the two
+    * POOL frames (≤ 2·[[rrfPoolN]] rows — driver-trivial by
+    * construction, not by luck). The corpus-sized work is exactly the
+    * two arms' own: BM25's one tf shuffle and the dense arm's
+    * broadcast-probe scan.
+    */
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    def rrfTerm(r: Column): Column =
+      when(r > 0, lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")))
+        .otherwise(lit(0.0))
+    // lexical arm: BM25 pool (20 rows), ranked on the pool frame
+    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextOps.qDocBm25(spark, sfDir)
+      .select(col("doc_id"), col("bm25"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .select(col("doc_id").as("item_id"), col("lex_rank"))
+    // dense arm: cosine vs probe vector 0, TakeOrdered pool, ranked on it
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val wd = Window.orderBy(col("cosine").desc, col("vec_id"))
+    val dense = c.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(rrfPoolN)
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .select(col("vec_id").as("item_id"), col("dense_rank"))
+    lex.join(dense, Seq("item_id"), "full_outer")
+      .select(col("item_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf", rrfTerm(col("lex_rank")) + rrfTerm(col("dense_rank")))
+      .orderBy(col("rrf").desc, col("item_id"))
+      .limit(rrfTopN)
+  }
+
+  val qHybridRrfSql: String = {
+    def rrfTerm(r: String): String =
+      s"CASE WHEN $r > 0 THEN CAST(1.0 AS DOUBLE) / (CAST($rrfK AS DOUBLE) + CAST($r AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END"
+    s"""WITH lexbase AS (SELECT doc_id, bm25 FROM (${TextOps.qDocBm25Sql})),
+       |lex AS (
+       |  SELECT doc_id AS item_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lexbase
+       |),
+       |q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id = 0
+       |),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id <> 0
+       |),
+       |densepool AS (
+       |  SELECT vec_id, list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |  FROM c, q
+       |  ORDER BY cosine DESC, vec_id LIMIT $rrfPoolN
+       |),
+       |dense AS (
+       |  SELECT vec_id AS item_id,
+       |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS dense_rank
+       |  FROM densepool
+       |),
+       |fused AS (
+       |  SELECT COALESCE(lex.item_id, dense.item_id) AS item_id,
+       |    COALESCE(lex_rank, 0) AS lex_rank,
+       |    COALESCE(dense_rank, 0) AS dense_rank
+       |  FROM lex FULL OUTER JOIN dense ON lex.item_id = dense.item_id
+       |)
+       |SELECT item_id, lex_rank, dense_rank,
+       |  ${rrfTerm("lex_rank")} + ${rrfTerm("dense_rank")} AS rrf
+       |FROM fused
+       |ORDER BY rrf DESC, item_id
+       |LIMIT $rrfTopN""".stripMargin
   }
 }

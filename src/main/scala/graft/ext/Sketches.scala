@@ -251,8 +251,70 @@ object Sketches {
        |ORDER BY exact_n DESC, user_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // HLL sketch MERGE: daily distinct-user sketches rolled up losslessly
+  // ------------------------------------------------------------------
+
+  /** Relative-error band the sketch estimates must land in (±15%, the
+    * [[Similarity.qApproxDistinct]] contract; at these cardinalities the
+    * Datasketches HLL is near-exact and NewOpsSpec asserts much tighter).
+    */
+  final val hllTolNum = 15L
+  final val hllTolDen = 100L
+
+  /** Daily distinct-user counts WITH mergeable HLL sketches, rolled up
+    * to the month by UNIONING THE DAILY SKETCHES — the operation exact
+    * distinct counts cannot do (distincts don't add: Σ daily ND ≠
+    * monthly ND). This is THE sketch pattern that matters at 100 TB:
+    * materialize one tiny sketch per partition/day at ingest, answer
+    * any coarser-grain distinct question later by merging sketches —
+    * no rescan, no re-shuffle of history. Each row carries the exact
+    * count (oracle-checked), the within-tolerance verdict for the
+    * sketch estimate, and the month row's verdict covers the MERGED
+    * estimate vs the exact month-wide distinct.
+    *
+    * Determinism: HLL register updates are max-merges — commutative and
+    * associative — so estimates are partitioning-independent; the
+    * verdict compares against exact counts with an integer-rational
+    * tolerance gate. The raw estimates are asserted (tightly) in
+    * NewOpsSpec rather than emitted, keeping every oracle column
+    * engine-exact (the [[Similarity.qApproxDistinct]] discipline).
+    *
+    * Scale (100 TB): one day-keyed agg computes exact count + sketch
+    * side by side (the exact arm is the audit — production keeps only
+    * the sketch arm); the month rollup is an agg over |days| sketch
+    * rows. Nothing but aggregates and a 1-row broadcast cross.
+    */
+  def qEventHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    def okCol(est: Column, exact: Column): Column =
+      abs(est - exact) * hllTolDen <= exact * hllTolNum
+    val daily = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_nd"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val dailyOut = daily.select(col("day"), col("exact_nd"),
+      okCol(hll_sketch_estimate(col("sk")), col("exact_nd")).as("sketch_ok"))
+    val monthExact = ev.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("exact_nd"))
+    val monthRow = daily.agg(hll_union_agg(col("sk")).as("msk"))
+      .crossJoin(broadcast(monthExact))
+      .select(lit("zz_month").as("day"), col("exact_nd"),
+        okCol(hll_sketch_estimate(col("msk")), col("exact_nd")).as("sketch_ok"))
+    dailyOut.unionAll(monthRow).orderBy(col("day"))
+  }
+
+  val qEventHllMergeSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(DISTINCT user_id) AS exact_nd, TRUE AS sketch_ok
+      |FROM events GROUP BY day
+      |UNION ALL
+      |SELECT 'zz_month', count(DISTINCT user_id), TRUE FROM events
+      |ORDER BY day""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_bloom_prejoin" -> ((qBloomPrejoin _, qBloomPrejoinSql)),
-    "q_cms_user_counts" -> ((qCmsUserCounts _, qCmsUserCountsSql))
+    "q_cms_user_counts" -> ((qCmsUserCounts _, qCmsUserCountsSql)),
+    "q_event_hll_merge" -> ((qEventHllMerge _, qEventHllMergeSql))
   )
 }

@@ -1538,4 +1538,94 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY n_occurrences DESC, doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Per-source quality share with Wilson confidence intervals
+  // ------------------------------------------------------------------
+
+  /** Low-quality gate on the shared [[qualityScoreCol]] score (the one
+    * score definition — this op cannot drift from the scorer), and the
+    * z² for the 95% Wilson interval (1.96², an explicit double literal
+    * so both engines build the identical operand tree).
+    */
+  final val lowQualityCut = 0.35
+  final val wilsonZsq = 3.8416
+
+  /** Per-source LOW-QUALITY share with 95% Wilson score intervals — the
+    * statistical layer the point estimates in [[qDocLangQuality]] lack.
+    * A mixture decision ("drop source X, its low-quality share is
+    * double source Y's") made on point estimates is noise-chasing when
+    * the per-source doc counts are small; the Wilson interval is the
+    * standard small-n-safe bound (never leaves [0,1], no normality
+    * assumption on p̂ itself), so the emitted lo/hi columns are exactly
+    * what a curation policy thresholds. `distinct_ci` marks sources
+    * whose interval excludes the corpus-wide share — the statistically
+    * defensible outliers.
+    *
+    * Exactness: k and n are exact integer conditional counts; every
+    * Wilson term is double arithmetic on those identical integers in a
+    * fixed tree (one sqrt, correctly rounded in both engines) — bit-
+    * equal output. The gate compare (score < [[lowQualityCut]]) runs on
+    * the engines' identical score doubles.
+    *
+    * Scale (100 TB): ONE source-keyed conditional-count aggregate over
+    * one corpus scan (map-side combined); the global share rides a
+    * 1-row broadcast cross; output is |sources|-bounded.
+    */
+  def qSrcQualityCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        when(qualityScoreCol < lowQualityCut, 1L).otherwise(0L).as("low"))
+    val bySrc = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("low")).as("n_low"))
+    val global = bySrc.agg(sum(col("n_docs")).as("gn"), sum(col("n_low")).as("gk"))
+    val p = col("n_low").cast("double") / col("n_docs").cast("double")
+    val nD = col("n_docs").cast("double")
+    val z2 = lit(wilsonZsq)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = sqrt(z2) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    val gp = col("gk").cast("double") / col("gn").cast("double")
+    bySrc.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"), col("n_low"),
+        p.as("low_share"),
+        (center - half).as("wilson_lo"),
+        (center + half).as("wilson_hi"),
+        gp.as("global_share"),
+        (gp < center - half || gp > center + half).as("distinct_ci"))
+      .orderBy(col("source"))
+  }
+
+  val qSrcQualityCiSql: String = {
+    val p = "(CAST(n_low AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val nD = "CAST(n_docs AS DOUBLE)"
+    val z2 = s"CAST($wilsonZsq AS DOUBLE)"
+    val denom = s"(CAST(1.0 AS DOUBLE) + $z2 / $nD)"
+    val center = s"(($p + $z2 / (CAST(2.0 AS DOUBLE) * $nD)) / $denom)"
+    val half = s"(sqrt($z2) * sqrt($p * (CAST(1.0 AS DOUBLE) - $p) / $nD + " +
+      s"$z2 / (CAST(4.0 AS DOUBLE) * $nD * $nD)) / $denom)"
+    val gp = "(CAST(gk AS DOUBLE) / CAST(gn AS DOUBLE))"
+    s"""WITH flagged AS (
+       |  SELECT source,
+       |    CASE WHEN $qualityScoreSql < $lowQualityCut THEN 1 ELSE 0 END AS low
+       |  FROM documents
+       |),
+       |by_src AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(low) AS BIGINT) AS n_low
+       |  FROM flagged GROUP BY source
+       |),
+       |gtot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS gn, CAST(sum(n_low) AS BIGINT) AS gk
+       |  FROM by_src
+       |)
+       |SELECT source, n_docs, n_low,
+       |  $p AS low_share,
+       |  $center - $half AS wilson_lo,
+       |  $center + $half AS wilson_hi,
+       |  $gp AS global_share,
+       |  ($gp < $center - $half OR $gp > $center + $half) AS distinct_ci
+       |FROM by_src CROSS JOIN gtot
+       |ORDER BY source""".stripMargin
+  }
 }

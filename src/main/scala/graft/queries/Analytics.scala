@@ -4208,6 +4208,82 @@ object Analytics {
       |FROM r WHERE rk = (m + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Burstiness index: are arrivals clocklike, Poisson, or bursty?
+  // ------------------------------------------------------------------
+
+  /** Burstiness index per event type (Goh & Barabási 2008):
+    * B = (σ−μ)/(σ+μ) over WITHIN-USER inter-arrival gaps — −1 is a
+    * perfect clock, 0 memoryless Poisson, →1 heavy-tailed bursts. The
+    * inter-arrival-domain companion of [[qEventDispersion]]'s count-
+    * domain Fano factor: dispersion says whether daily VOLUMES are
+    * Poisson, burstiness says whether the arrival PROCESS is — a bursty
+    * process breaks sessionization timeout tuning and rate-limiter
+    * sizing even when daily counts look tame.
+    *
+    * Exactness: gaps quantize to whole seconds (floored micro diffs —
+    * identical in both engines); n, Σg, Σg² accumulate as exact BIGINTs
+    * per type; μ, σ and B are a fixed double tree over those integers
+    * (one sqrt, correctly rounded) — bit-equal output. Int64 bound:
+    * Σg² ≤ n·maxgap² — safe past 10⁹ gaps at day-scale gaps; quantize
+    * to minutes beyond.
+    *
+    * Scale (100 TB): the lag window is (user, type)-keyed — thousands
+    * of rows per partition, never a per-type global sort; the moment
+    * roll-up is ONE map-side-combinable agg to |types| rows.
+    */
+  def qEventBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val gaps = Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .filter($"prev_us".isNotNull)
+      .select($"event_type",
+        expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_s").as("sg"),
+        sum($"gap_s" * $"gap_s").as("sgg"))
+      .select($"event_type", $"n_gaps", $"sg", $"sgg",
+        ($"sg".cast("double") / $"n_gaps".cast("double")).as("mean_gap_s"),
+        (sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
+          $"n_gaps".cast("double")).as("sd_gap_s"),
+        ((sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
+          $"n_gaps".cast("double") -
+          $"sg".cast("double") / $"n_gaps".cast("double")) /
+          (sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
+            $"n_gaps".cast("double") +
+            $"sg".cast("double") / $"n_gaps".cast("double"))).as("burstiness"))
+      .orderBy($"event_type")
+  }
+
+  val qEventBurstinessSql: String = {
+    val sd = "(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE))"
+    val mu = "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+    s"""WITH gaps AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) - prev_us) // 1000000 AS gap_s
+       |  FROM (
+       |    SELECT event_type, ts,
+       |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+       |        ORDER BY ts, event_id) AS prev_us
+       |    FROM events)
+       |  WHERE prev_us IS NOT NULL
+       |),
+       |moments AS (
+       |  SELECT event_type, count(*) AS n_gaps,
+       |    CAST(sum(gap_s) AS BIGINT) AS sg,
+       |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+       |  FROM gaps GROUP BY event_type
+       |)
+       |SELECT event_type, n_gaps, sg, sgg,
+       |  $mu AS mean_gap_s,
+       |  $sd AS sd_gap_s,
+       |  ($sd - $mu) / ($sd + $mu) AS burstiness
+       |FROM moments
+       |ORDER BY event_type""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -4255,6 +4331,7 @@ object Analytics {
     "q_event_cross_corr" -> ((qEventCrossCorr _, qEventCrossCorrSql)),
     "q_event_entropy_rate" -> ((qEventEntropyRate _, qEventEntropyRateSql)),
     "q_order_lead_time" -> ((qOrderLeadTime _, qOrderLeadTimeSql)),
+    "q_event_burstiness" -> ((qEventBurstiness _, qEventBurstinessSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

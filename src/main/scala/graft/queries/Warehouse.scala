@@ -1287,6 +1287,103 @@ object Warehouse {
        |FROM j ORDER BY digit""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Supplier-concentration audit: Herfindahl–Hirschman index per nation
+  // ------------------------------------------------------------------
+
+  /** Revenue quantization for the HHI: k$ units, as integer division of
+    * exact 10⁻⁴-dollar units (DECIMAL cents-of-cents → BIGINT). Literal
+    * RHS `final` per the init-cycle rule (interpolated into oracle SQL).
+    */
+  final val hhiKusdUnit = 10000000L
+
+  /** Supplier-revenue concentration per nation as the Herfindahl–
+    * Hirschman index — the antitrust-standard concentration measure
+    * (HHI = 10⁴·Σ shareᵢ², 10⁴ = monopoly), here answering the
+    * supply-chain question "which nations' supply depends on one or two
+    * suppliers": the risk readout [[qPartAbc]] gives for parts and
+    * [[graft.ext.CorpusOps.qDocSourceGini]] gives for corpus sources,
+    * at the supplier grain.
+    *
+    * Exactness: revenue accumulates as exact DECIMAL
+    * (extprice·(1−discount), the registry money rule), converts to
+    * integral 10⁻⁴-dollar BIGINT units, then quantizes to k$ by integer
+    * division ([[hhiKusdUnit]]) — identical floors in both engines.
+    * HHI numerator Σrᵢ² and denominator (Σrᵢ)² stay exact BIGINTs; the
+    * one double division happens on identical integers, and the
+    * DOJ-threshold class (2500 / 1500) is decided by INTEGER cross-
+    * multiplication, never a float compare. Bounds: at k$ resolution
+    * int64 carries Σr² past 10⁶ suppliers × 10⁹ k$ each — raise
+    * [[hhiKusdUnit]] with SF if a nation's revenue nears 3·10⁹ k$.
+    *
+    * Scale (100 TB): ONE corpus-sized shuffle (the suppkey-keyed
+    * partial agg — map-side combined); the nation roll-up runs on the
+    * supplier-grain frame (dim-sized), and the supplier→nation
+    * dimension chain rides a broadcast into the first agg's output,
+    * never the fact scan.
+    */
+  def qSuppHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1).cast(DecimalType(18, 4)) -
+            col("l_discount").cast(DecimalType(18, 4)))).as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(((sum(col("rev")) * 10000).cast("long")).as("units"))
+      .select(col("l_suppkey"), expr(s"units div $hhiKusdUnit").as("r"))
+    val byNation = bySupp
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("rev_kusd"),
+        sum(col("r") * col("r")).as("hhi_num"))
+    byNation
+      .select(col("nation"), col("n_suppliers"), col("rev_kusd"), col("hhi_num"),
+        when(col("rev_kusd") > 0,
+          (lit(10000.0) * col("hhi_num").cast("double")) /
+            (col("rev_kusd") * col("rev_kusd")).cast("double"))
+          .otherwise(lit(0.0)).as("hhi"),
+        when(col("hhi_num") * 10000L > col("rev_kusd") * col("rev_kusd") * 2500L,
+            lit("high"))
+          .when(col("hhi_num") * 10000L > col("rev_kusd") * col("rev_kusd") * 1500L,
+            lit("moderate"))
+          .otherwise(lit("low")).as("conc_class"))
+      .orderBy(col("nation"))
+  }
+
+  val qSuppHhiSql: String =
+    s"""WITH by_supp AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 10000
+       |      AS BIGINT) // $hhiKusdUnit AS r
+       |  FROM lineitem GROUP BY l_suppkey
+       |),
+       |by_nation AS (
+       |  SELECT n_name AS nation, count(*) AS n_suppliers,
+       |    CAST(sum(r) AS BIGINT) AS rev_kusd,
+       |    CAST(sum(r * r) AS BIGINT) AS hhi_num
+       |  FROM by_supp
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |)
+       |SELECT nation, n_suppliers, rev_kusd, hhi_num,
+       |  CASE WHEN rev_kusd > 0
+       |    THEN (CAST(10000.0 AS DOUBLE) * CAST(hhi_num AS DOUBLE)) /
+       |         CAST(rev_kusd * rev_kusd AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS hhi,
+       |  CASE WHEN hhi_num * 10000 > rev_kusd * rev_kusd * 2500 THEN 'high'
+       |       WHEN hhi_num * 10000 > rev_kusd * rev_kusd * 1500 THEN 'moderate'
+       |       ELSE 'low' END AS conc_class
+       |FROM by_nation
+       |ORDER BY nation""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -1303,6 +1400,7 @@ object Warehouse {
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),
-    "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql))
+    "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql)),
+    "q_supp_hhi" -> ((qSuppHhi _, qSuppHhiSql))
   )
 }

@@ -1840,6 +1840,371 @@ class NewOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("jaccard") >= 0.0 && r.getAs[Double]("jaccard") <= 1.0)
     }
   }
+
+  /** Sequential-fold cosine matching VectorDot's float→double widening. */
+  private def localCos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double =
+    localCosD(a.map(_.toDouble), b.map(_.toDouble))
+
+  private def localCosD(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Double = {
+    def dot(x: scala.collection.Seq[Double], y: scala.collection.Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("semantic decontam: exact pair replay; planted eval paraphrase caught") {
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)).toMap
+    val train = base.filter(_._1 >= Similarity.nQueryVecs) ++
+      base.filter(_._1 % 25 == 0).map { case (id, e) =>
+        (id + 100000L) -> (Seq(e.head + 0.5) ++ e.tail)
+      }
+    val expected = for {
+      (ev, qe) <- base.toSeq if ev < Similarity.nQueryVecs
+      (tv, ce) <- train.toSeq
+      c = localCosD(qe, ce) if c >= Similarity.decontamCos
+    } yield (ev, tv, c)
+    val rows = Similarity.qEmbDecontam(spark, sf).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    assert(rows.toSet === expected.toSet, "flagged pairs replay exactly")
+    // the testdata injection copies vector 0 (an eval vector) to id
+    // 100000 at cosine ~0.89 — the paraphrase this op exists to catch
+    assert(rows.exists { case (ev, tv, _) => ev === 0L && tv === 100000L })
+    assert(rows.forall { case (ev, tv, c) =>
+      ev < Similarity.nQueryVecs && tv >= Similarity.nQueryVecs &&
+        c >= Similarity.decontamCos && c <= 1.0 + 1e-12
+    })
+  }
+
+  test("hybrid RRF: full local fusion replay of both arms") {
+    val k = Similarity.rrfK
+    // lexical arm: ranks derived from the (oracle-green) BM25 pool
+    val lexRanks = TextOps.qDocBm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense arm: local cosine vs vector 0, top-20 pool
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    val q0 = embs(0L)
+    val denseRanks = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, localCos(q0, e)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Similarity.rrfPoolN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def term(r: Long): Double = if (r > 0) 1.0 / (k.toDouble + r.toDouble) else 0.0
+    val expected = (lexRanks.keySet ++ denseRanks.keySet).toSeq
+      .map { id =>
+        val (lr, dr) = (lexRanks.getOrElse(id, 0L), denseRanks.getOrElse(id, 0L))
+        (id, lr, dr, term(lr) + term(dr))
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(Similarity.rrfTopN)
+    val rows = Similarity.qHybridRrf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("dense_rank"), r.getAs[Double]("rrf")))
+    assert(rows.toSeq === expected, "fusion replays bit-exactly")
+    assert(rows.forall { case (_, lr, dr, _) =>
+      lr >= 0 && lr <= Similarity.rrfPoolN && dr >= 0 && dr <= Similarity.rrfPoolN &&
+        (lr > 0 || dr > 0)
+    })
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "output ranked by fused score")
+  }
+
+  test("source gini: exact rank-form replay; Lorenz curve closes at 1") {
+    val bytes = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (s, b) => (b, s) }
+    val n = bytes.length.toLong
+    val s0 = bytes.map(_._2).sum
+    val s1 = bytes.zipWithIndex.map { case ((_, b), i) => (i + 1L) * b }.sum
+    val gini = (2L * s1 - (n + 1L) * s0).toDouble / (n * s0).toDouble
+    val rows = CorpusOps.qDocSourceGini(spark, sf).collect()
+    assert(rows.length.toLong === n)
+    var cum = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (src, b) = bytes(i)
+      cum += b
+      assert(r.getAs[String]("source") === src)
+      assert(r.getAs[Long]("bytes") === b)
+      assert(r.getAs[Long]("rnk") === i + 1L)
+      assert(r.getAs[Long]("cum_bytes") === cum)
+      assert(r.getAs[Double]("cum_share") === cum.toDouble / s0.toDouble)
+      assert(r.getAs[Double]("gini") === gini)
+    }
+    assert(rows.last.getAs[Double]("cum_share") === 1.0, "Lorenz closes at 1")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("supplier HHI: exact decimal/k$ replay; DOJ class consistent") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val li = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+    val revBySupp = li.groupBy(_.getLong(0)).map { case (sk, rows) =>
+      val sum = rows.map { r =>
+        val p = new JBD(r.get(1).toString).setScale(4, RoundingMode.HALF_UP)
+        val d = new JBD(r.get(2).toString).setScale(4, RoundingMode.HALF_UP)
+        p.multiply(JBD.ONE.subtract(d))
+      }.reduce(_.add(_))
+      sk -> sum.movePointRight(4).toBigInteger.longValueExact / graft.queries.Warehouse.hhiKusdUnit
+    }
+    val nationOfSupp = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val nationName = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val byNation = revBySupp.toSeq
+      .groupBy { case (sk, _) => nationName(nationOfSupp(sk)) }
+    val rows = graft.queries.Warehouse.qSuppHhi(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("nation")).toSet === byNation.keySet)
+    rows.foreach { r =>
+      val rs = byNation(r.getAs[String]("nation")).map(_._2)
+      val (num, den) = (rs.map(x => x * x).sum, rs.sum * rs.sum)
+      assert(r.getAs[Long]("n_suppliers") === rs.size.toLong)
+      assert(r.getAs[Long]("rev_kusd") === rs.sum)
+      assert(r.getAs[Long]("hhi_num") === num)
+      val hhi = r.getAs[Double]("hhi")
+      if (rs.sum > 0) {
+        assert(hhi === 10000.0 * num.toDouble / den.toDouble)
+        // HHI is bounded by [10⁴/n, 10⁴] for n equal shares vs monopoly
+        assert(hhi <= 10000.0 + 1e-9 && hhi >= 10000.0 / rs.size - 1e-9)
+      }
+      val cls = r.getAs[String]("conc_class")
+      assert(cls === (if (num * 10000L > den * 2500L) "high"
+        else if (num * 10000L > den * 1500L) "moderate" else "low"))
+    }
+  }
+
+  test("anisotropy: exact quantized replay; identities between the ratios hold") {
+    val qs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0)
+        .map(x => math.floor(x.toDouble * Similarity.gramScale).toLong))
+    val n = qs.length.toLong
+    val d = qs.head.length
+    val sD = (0 until d).map(i => qs.map(_(i)).sum)
+    val ssq = sD.map(s => s * s).sum
+    val trace = qs.map(q => q.map(v => v * v).sum).sum
+    val row = Similarity.qEmbAnisotropy(spark, sf).head
+    assert(row.getAs[Long]("n_vecs") === n)
+    assert(row.getAs[Long]("trace") === trace)
+    assert(row.getAs[Long]("ssq") === ssq)
+    val sc2 = Similarity.gramScale.toDouble * Similarity.gramScale.toDouble
+    assert(row.getAs[Double]("avg_pair_dot") ===
+      (ssq - trace).toDouble / (n * (n - 1)).toDouble / sc2)
+    assert(row.getAs[Double]("mean_sq_norm") === trace.toDouble / n.toDouble / sc2)
+    val aniso = row.getAs[Double]("anisotropy")
+    assert(aniso === (ssq - trace).toDouble / ((n - 1) * trace).toDouble)
+    assert(math.abs(aniso) <= 1.0, "energy share bounded")
+    assert(row.getAs[Double]("mean_norm_share") ===
+      ssq.toDouble / (n * trace).toDouble)
+  }
+
+  test("quality CI: exact counts; Wilson interval brackets the share") {
+    val rows = TextOps.qSrcQualityCi(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = TextOps.stopwords.toSet
+    def score(text: String): Double = {
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toDouble
+      0.5 * (toks.distinct.length.toDouble / nTok) +
+        0.3 * (toks.count(stop).toDouble / nTok) +
+        0.2 * math.min(1.0, nTok / 100.0)
+    }
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet === bySrc.keySet)
+    val gk = docs.count(dd => score(dd._2) < TextOps.lowQualityCut).toLong
+    rows.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val k = ds.count(dd => score(dd._2) < TextOps.lowQualityCut).toLong
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      assert(r.getAs[Long]("n_low") === k)
+      val (lo, hi) = (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      val p = r.getAs[Double]("low_share")
+      assert(p === k.toDouble / ds.length.toDouble)
+      assert(lo >= 0.0 - 1e-12 && hi <= 1.0 + 1e-12, "Wilson stays in [0,1]")
+      assert(lo <= p && p <= hi, "interval brackets the point estimate")
+      assert(r.getAs[Double]("global_share") === gk.toDouble / docs.length.toDouble)
+      assert(r.getAs[Boolean]("distinct_ci") ===
+        (r.getAs[Double]("global_share") < lo || r.getAs[Double]("global_share") > hi))
+    }
+  }
+
+  test("dataset fingerprint: customer arm replays; dataset row folds the tables") {
+    import java.security.MessageDigest
+    def portable(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val custHashes = Tables.customer(spark, sf).collect().map { r =>
+      val cents = new java.math.BigDecimal(r.getAs[Double]("c_acctbal").toString)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).toBigInteger.longValueExact
+      portable(Seq(r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+        r.getAs[Int]("c_nationkey"), cents, r.getAs[String]("c_mktsegment"))
+        .mkString("|"))
+    }
+    val rows = graft.etl.Quality.qDatasetFingerprint(spark, sf).collect()
+      .map(r => r.getAs[String]("tbl") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_hash"), r.getAs[Long]("sum_mod")))
+      .toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem", "zz_dataset"))
+    val (cn, cx, cs) = rows("customer")
+    assert(cn === custHashes.length.toLong)
+    assert(cx === custHashes.reduce(_ ^ _))
+    assert(cs === custHashes.map(_ % graft.etl.Quality.fpSumMod).sum)
+    // the dataset row is the commutative fold of the three table rows
+    val tables = Seq("customer", "orders", "lineitem").map(rows)
+    assert(rows("zz_dataset")._1 === tables.map(_._1).sum)
+    assert(rows("zz_dataset")._2 === tables.map(_._2).reduce(_ ^ _))
+    assert(rows("zz_dataset")._3 === tables.map(_._3).sum)
+  }
+
+  test("burstiness: exact within-user gap-moment replay; B within (-1, 1)") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).getTime * 1000 +
+          (r.getAs[java.sql.Timestamp](2).getNanos / 1000) % 1000,
+        r.getLong(3)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._4)).toList
+      sorted.sliding(2).collect {
+        case a :: b :: Nil => (a._2, (b._3 - a._3) / 1000000L)
+      }
+    }
+    val byType = gaps.groupBy(_._1)
+    val rows = Analytics.qEventBurstiness(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === byType.keySet)
+    rows.foreach { r =>
+      val gs = byType(r.getAs[String]("event_type")).map(_._2)
+      val (n, sg, sgg) = (gs.size.toLong, gs.sum, gs.map(g => g * g).sum)
+      assert(r.getAs[Long]("n_gaps") === n)
+      assert(r.getAs[Long]("sg") === sg)
+      assert(r.getAs[Long]("sgg") === sgg)
+      val sd = math.sqrt((n * sgg - sg * sg).toDouble) / n.toDouble
+      val mu = sg.toDouble / n.toDouble
+      assert(r.getAs[Double]("burstiness") === (sd - mu) / (sd + mu))
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0)
+    }
+  }
+
+  test("HLL merge: exact daily counts; sketch and merged estimates tight") {
+    val evs = Tables.events(spark, sf).select("ts", "user_id").collect()
+      .map(r => (new java.text.SimpleDateFormat("yyyy-MM-dd") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(r.getAs[java.sql.Timestamp](0)), r.getLong(1)))
+    val byDay = evs.groupBy(_._1).map { case (dd, xs) => dd -> xs.map(_._2).toSet }
+    val rows = Sketches.qEventHllMerge(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("day")).toSet === byDay.keySet + "zz_month")
+    rows.foreach { r =>
+      val dd = r.getAs[String]("day")
+      val exact = if (dd == "zz_month") evs.map(_._2).toSet.size else byDay(dd).size
+      assert(r.getAs[Long]("exact_nd") === exact.toLong)
+      assert(r.getAs[Boolean]("sketch_ok"), s"sketch within tolerance for $dd")
+    }
+    // mergeability, asserted tighter than the emitted 15% band: the
+    // merged-daily estimate must sit within 1% of the exact month count
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+    val est = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head.getLong(0)
+    val exactMonth = evs.map(_._2).toSet.size.toLong
+    assert(math.abs(est - exactMonth) <= math.max(1L, exactMonth / 100))
+  }
+
+  test("layout advisor: sizes replay; ceilings and join advice consistent") {
+    val rows = graft.etl.Layout.qLayoutAdvisor(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("tbl")).toSeq === Seq("customer", "lineitem", "orders"))
+    val cust = Tables.customer(spark, sf)
+      .select("c_name", "c_mktsegment").collect()
+    val expBytes = cust.length.toLong * 20L +
+      cust.map(r => r.getString(0).length.toLong + r.getString(1).length.toLong).sum
+    val cr = rows.find(_.getAs[String]("tbl") == "customer").get
+    assert(cr.getAs[Long]("n_rows") === cust.length.toLong)
+    assert(cr.getAs[Long]("est_bytes") === expBytes)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("est_bytes")
+      def ceil(d: Long) = (b + d - 1) / d
+      assert(r.getAs[Long]("files_128mb") === ceil(graft.etl.Layout.advFileBytes))
+      assert(r.getAs[Long]("shuffle_parts_64mb") === ceil(graft.etl.Layout.advShuffleBytes))
+      assert(r.getAs[String]("join_side_advice") ===
+        (if (b < graft.etl.Layout.advBroadcastBytes) "broadcast" else "shuffle"))
+    }
+  }
+
+  test("split balance: exact moment replay; SMD formula and verdict hold") {
+    import java.security.MessageDigest
+    def portable(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "n_chars", "text").collect()
+      .map { r =>
+        val b = portable(r.getString(2) + "|split") % 100
+        val fold = if (b < CorpusOps.trainPct) "train"
+          else if (b < CorpusOps.valPct) "val" else "test"
+        (r.getString(0), fold, r.getLong(1))
+      }
+    def mom(xs: Seq[Long]): (Long, Long, Long) =
+      (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+    val rows = CorpusOps.qDocSplitBalance(spark, sf).collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val folds = Map("train" -> "n_tr", "val" -> "n_va", "test" -> "n_te")
+      val moms = folds.keys.map(f => f -> mom(ds.filter(_._2 == f).map(_._3))).toMap
+      folds.foreach { case (f, cn) => assert(r.getAs[Long](cn) === moms(f)._1) }
+      def smd(f: String): Option[Double] = {
+        val (n1, s1, ss1) = moms("train"); val (n2, s2, ss2) = moms(f)
+        def vr(n: Long, s: Long, ss: Long) =
+          (n * ss - s * s).toDouble / (n * n).toDouble
+        if (n1 > 0 && n2 > 0 && vr(n1, s1, ss1) + vr(n2, s2, ss2) > 0)
+          Some((s1.toDouble / n1 - s2.toDouble / n2) /
+            math.sqrt((vr(n1, s1, ss1) + vr(n2, s2, ss2)) / 2.0))
+        else None
+      }
+      val (sv, st) = (smd("val"), smd("test"))
+      assert(Option(r.getAs[Any]("smd_val")).map(_.asInstanceOf[Double]) === sv)
+      assert(Option(r.getAs[Any]("smd_test")).map(_.asInstanceOf[Double]) === st)
+      assert(r.getAs[Boolean]("balanced") ===
+        (sv.exists(v => math.abs(v) < 0.1) && st.exists(v => math.abs(v) < 0.1)))
+    }
+  }
+
+  test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
+    val edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outdeg = edges.groupBy(_._1).map { case (kk, xs) => kk -> xs.size.toLong }
+    val indeg = edges.groupBy(_._2).map { case (kk, xs) => kk -> xs.size.toLong }
+    val xy = edges.map { case (s, d) => (outdeg(s), indeg(d)) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val (sxx, syy) = (xy.map(x => x._1 * x._1).sum, xy.map(x => x._2 * x._2).sum)
+    val row = Graph.qGraphAssortativity(spark, sf).head
+    assert(row.getAs[Long]("n_edges") === n)
+    assert(row.getAs[Long]("sx") === sx)
+    assert(row.getAs[Long]("sy") === sy)
+    assert(row.getAs[Long]("sxy") === sxy)
+    val r = row.getAs[Double]("assortativity")
+    assert(r === (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
+    assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
+  }
 }
 
 /** Tuple adapters keeping the specs free of Row plumbing. */

@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 
@@ -549,6 +550,95 @@ object Quality {
   }
 
   // ------------------------------------------------------------------
+  // Feature-correlation grid: which numeric columns are redundant?
+  // ------------------------------------------------------------------
+
+  /** Pearson correlation grid over the lineitem numeric features
+    * (quantity, price, discount, tax) — the feature-redundancy profile
+    * a modeling pipeline reads before one-hot/scale decisions, and the
+    * COLUMN-pair counterpart of the event-type correlation matrix
+    * (E187): a |r| ≈ 1 pair means one column is carrying no new signal
+    * (drop it) and an unexpected r ≈ 0 on a believed-coupled pair
+    * (price vs quantity) flags a data bug.
+    *
+    * Exactness: each feature quantizes to exact BIGINTs first (quantity
+    * floored units, price floored HUNDRED-dollar units, discount/tax in
+    * basis points via DECIMAL — never a raw-double moment); ALL
+    * six-sum statistics for all pairs come from ONE aggregate, and
+    * each r is a fixed double tree (two sqrts) over those integers.
+    * Int64 bound: the r numerators multiply n·Σx², which scales as n²
+    * — 100-dollar units hold to ~10⁶ rows; coarsen the unit with n
+    * (the audit measures association, not magnitude, so the unit is
+    * free).
+    *
+    * Scale (100 TB): ONE map-side-combinable aggregate over one pruned
+    * scan of four columns; the pair fan-out is C(4,2) struct literals
+    * on the single result row. Output 6 rows, corpus-independent.
+    */
+  def qLineFeatureCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats: Seq[(String, Column)] = Seq(
+      "qty" -> floor(col("l_quantity")).cast("long"),
+      "price_h" -> expr("CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))) AS BIGINT) div 100"),
+      "disc_bp" -> (col("l_discount").cast(DecimalType(18, 4)) * 10000).cast("long"),
+      "tax_bp" -> (col("l_tax").cast(DecimalType(18, 4)) * 10000).cast("long"))
+    val proj = Tables.lineitem(spark, sfDir)
+      .select(feats.map { case (nm, c) => c.as(nm) }: _*)
+    val names = feats.map(_._1)
+    val moments: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(nm => sum(col(nm)).as(s"s_$nm")) ++
+        names.map(nm => sum(col(nm) * col(nm)).as(s"ss_$nm")) ++
+        names.combinations(2).toSeq.map { case Seq(a, b) =>
+          sum(col(a) * col(b)).as(s"sp_${a}_$b")
+        }
+    val grid = proj.agg(moments.head, moments.tail: _*)
+    val pairRows = array(names.combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val den = sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")) *
+        sqrt((col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+          .cast("double"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n_rows"),
+        col(s"sp_${a}_$b").as("sxy"), (num / den).as("pearson_r"))
+    }: _*)
+    grid.select(explode(pairRows).as("p")).select(col("p.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val qLineFeatureCorrSql: String = {
+    val q = Map(
+      "qty" -> "CAST(floor(l_quantity) AS BIGINT)",
+      "price_h" -> "CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))) AS BIGINT) // 100",
+      "disc_bp" -> "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)",
+      "tax_bp" -> "CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+    val names = Seq("qty", "price_h", "disc_bp", "tax_bp")
+    val sums =
+      names.map(nm => s"CAST(sum($nm) AS BIGINT) AS s_$nm") ++
+        names.map(nm => s"CAST(sum($nm * $nm) AS BIGINT) AS ss_$nm") ++
+        names.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"CAST(sum($a * $b) AS BIGINT) AS sp_${a}_$b"
+        }
+    val arms = names.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n AS n_rows, sp_${a}_$b AS sxy,
+         |  CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |    (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |     sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) AS pearson_r
+         |FROM grid""".stripMargin
+    }
+    s"""WITH proj AS (
+       |  SELECT ${names.map(nm => s"${q(nm)} AS $nm").mkString(", ")}
+       |  FROM lineitem
+       |),
+       |grid AS (
+       |  SELECT count(*) AS n, ${sums.mkString(",\n    ")}
+       |  FROM proj
+       |)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Dataset fingerprint: order-invariant content hash for run-to-run diff
   // ------------------------------------------------------------------
 
@@ -649,6 +739,7 @@ object Quality {
     "q_event_drift" -> ((qEventDrift _, qEventDriftSql)),
     "q_pseudonymize_join" -> ((qPseudonymizeJoin _, qPseudonymizeJoinSql)),
     "q_fd_mine" -> ((qFdMine _, qFdMineSql)),
-    "q_dataset_fingerprint" -> ((qDatasetFingerprint _, qDatasetFingerprintSql))
+    "q_dataset_fingerprint" -> ((qDatasetFingerprint _, qDatasetFingerprintSql)),
+    "q_line_feature_corr" -> ((qLineFeatureCorr _, qLineFeatureCorrSql))
   )
 }

@@ -790,6 +790,75 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Charset profile: code vs prose vs tables, per source
+  // ------------------------------------------------------------------
+
+  /** Per-source character-class profile: exact counts of digits,
+    * uppercase letters, whitespace, and non-alphanumeric symbols, with
+    * their shares of total characters — the cheap modality signal that
+    * separates prose (low symbol/digit share) from code, tables and
+    * markup (high) BEFORE any tokenizer runs, feeding the same mixture
+    * decisions as [[qDocSourceMix]]. A source whose symbol share jumps
+    * between ingests is the classic "scraper started catching nav
+    * bars" regression.
+    *
+    * Exactness: every class count is `length(text) − length(strip)`
+    * over an identical regex class in both engines (ASCII classes only
+    * — no locale-dependent `\\w`/`\\s` metaclasses, whose Unicode
+    * behavior differs between RE2 and Java regex); sums are exact
+    * BIGINTs and each share is one double division.
+    *
+    * Scale (100 TB): the class counts are NARROW per-row projections
+    * (codegen'd regex over the scan, no UDF) feeding one source-keyed
+    * partial aggregate — one pass, |sources| output rows.
+    */
+  def qSrcCharsetProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def classCount(cls: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    val counted = Tables.documents(spark, sfDir).select(col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      classCount("[0-9]").as("n_digit"),
+      classCount("[A-Z]").as("n_upper"),
+      classCount("[ ]").as("n_space"),
+      classCount("[^a-zA-Z0-9 ]").as("n_symbol"))
+    counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_digit")).as("n_digit"), sum(col("n_upper")).as("n_upper"),
+        sum(col("n_space")).as("n_space"), sum(col("n_symbol")).as("n_symbol"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_digit"), col("n_upper"), col("n_space"), col("n_symbol"),
+        (col("n_digit").cast("double") / col("n_chars").cast("double"))
+          .as("digit_share"),
+        (col("n_symbol").cast("double") / col("n_chars").cast("double"))
+          .as("symbol_share"))
+      .orderBy(col("source"))
+  }
+
+  val qSrcCharsetProfileSql: String = {
+    def cc(cls: String): String =
+      s"len(text) - len(regexp_replace(text, '$cls', '', 'g'))"
+    s"""WITH counted AS (
+       |  SELECT source, len(text) AS n_chars,
+       |    ${cc("[0-9]")} AS n_digit,
+       |    ${cc("[A-Z]")} AS n_upper,
+       |    ${cc("[ ]")} AS n_space,
+       |    ${cc("[^a-zA-Z0-9 ]")} AS n_symbol
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_digit) AS BIGINT) AS n_digit,
+       |  CAST(sum(n_upper) AS BIGINT) AS n_upper,
+       |  CAST(sum(n_space) AS BIGINT) AS n_space,
+       |  CAST(sum(n_symbol) AS BIGINT) AS n_symbol,
+       |  CAST(sum(n_digit) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS digit_share,
+       |  CAST(sum(n_symbol) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS symbol_share
+       |FROM counted
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Split-balance audit: is the val/test covariate mix representative?
   // ------------------------------------------------------------------
 

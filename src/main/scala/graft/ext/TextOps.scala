@@ -1540,6 +1540,119 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Fuzzy vocabulary merge: SymSpell deletion-neighborhood join
+  // ------------------------------------------------------------------
+
+  /** Candidate gates for the fuzzy merge: minimum term length (short
+    * tokens collide constantly at distance 1) and the injected-typo
+    * count divisor. Literal RHS `final` per the init-cycle rule.
+    */
+  final val fuzzyMinLen = 5
+  final val fuzzyTypoDiv = 10
+
+  /** Fuzzy vocabulary merge via the SYMSPELL deletion-neighborhood
+    * join: find all term pairs within edit distance 1 WITHOUT a
+    * quadratic all-pairs scan, and map each low-count variant to its
+    * high-count canonical — the typo-normalization pass that shrinks a
+    * web-scale token vocabulary before BPE training (typo tokens waste
+    * merges) and the string cousin of [[Dedup]]'s document-level
+    * near-dup family. Mechanics: every term emits itself plus its
+    * single-character deletions as join keys; two terms within edit
+    * distance ≤ 1 MUST share a key (Symmetric Delete invariant), so an
+    * EQUI-join on the key finds all candidates and an exact
+    * `levenshtein` check (same builtin in both engines) discards the
+    * false ones (e.g. transposition pairs sharing a deletion at
+    * distance 2). Canonical = higher count, ties to the
+    * lexicographically smaller term.
+    *
+    * The synthetic vocabulary has no natural typos, so every qualifying
+    * term injects one deterministic variant (second character deleted,
+    * count = df/[[fuzzyTypoDiv]]+1) — the [[qEmbNearDup]] injection
+    * discipline applied to strings; the merge demonstrably reclaims
+    * each one at every SF.
+    *
+    * Scale (100 TB): the term-count aggregate is the one corpus-sized
+    * shuffle (shared with [[qDocVocab]]); everything after is
+    * VOCAB-sized — the deletion fan-out is |vocab|·(len+1) keys, the
+    * join is equi on those keys with bucket-bounded fan-out, and the
+    * verify touches candidates only. The all-pairs formulation this
+    * replaces is |vocab|² — the difference between feasible and not at
+    * a 10⁸-term web vocabulary.
+    */
+  def qVocabFuzzyMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(length(col("term")) >= fuzzyMinLen)
+    val typos = base.select(
+      concat(substring(col("term"), 1, 1), substring(col("term"), 3, 1000000))
+        .as("term"),
+      (expr(s"c div $fuzzyTypoDiv") + 1).as("c"))
+    val vocab = base.unionAll(typos)
+      .groupBy(col("term")).agg(sum(col("c")).as("c"))
+    val keyed = vocab.select(col("term"), col("c"),
+      explode(expr(
+        """array_union(array(term),
+          |  transform(sequence(1, length(term)),
+          |    i -> concat(substring(term, 1, i - 1),
+          |                substring(term, i + 1, 1000000))))""".stripMargin))
+        .as("k"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.term") < col("b.term"))
+      .select(col("a.term").as("term_a"), col("a.c").as("c_a"),
+        col("b.term").as("term_b"), col("b.c").as("c_b"))
+      .distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
+    pairs.select(
+        when(col("c_a") > col("c_b") ||
+          (col("c_a") === col("c_b") && col("term_a") < col("term_b")),
+          col("term_b")).otherwise(col("term_a")).as("variant"),
+        when(col("c_a") > col("c_b") ||
+          (col("c_a") === col("c_b") && col("term_a") < col("term_b")),
+          col("term_a")).otherwise(col("term_b")).as("canonical"),
+        least(col("c_a"), col("c_b")).as("c_variant"),
+        greatest(col("c_a"), col("c_b")).as("c_canonical"))
+      .orderBy(col("canonical"), col("variant"))
+  }
+
+  val qVocabFuzzyMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT term, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term HAVING len(term) >= $fuzzyMinLen
+       |),
+       |vocab AS (
+       |  SELECT term, CAST(sum(c) AS BIGINT) AS c FROM (
+       |    SELECT term, c FROM base
+       |    UNION ALL
+       |    SELECT substr(term, 1, 1) || substr(term, 3) AS term,
+       |      c // $fuzzyTypoDiv + 1 AS c
+       |    FROM base
+       |  ) GROUP BY term
+       |),
+       |keyed AS (
+       |  SELECT term, c, unnest(list_distinct(list_append(
+       |    list_transform(range(1, len(term) + 1),
+       |      i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+       |    term))) AS k
+       |  FROM vocab
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.term AS term_a, a.c AS c_a, b.term AS term_b, b.c AS c_b
+       |  FROM keyed a JOIN keyed b ON a.k = b.k AND a.term < b.term
+       |)
+       |SELECT
+       |  CASE WHEN c_a > c_b OR (c_a = c_b AND term_a < term_b)
+       |    THEN term_b ELSE term_a END AS variant,
+       |  CASE WHEN c_a > c_b OR (c_a = c_b AND term_a < term_b)
+       |    THEN term_a ELSE term_b END AS canonical,
+       |  least(c_a, c_b) AS c_variant,
+       |  greatest(c_a, c_b) AS c_canonical
+       |FROM pairs
+       |WHERE levenshtein(term_a, term_b) <= 1
+       |ORDER BY canonical, variant""".stripMargin
+
+  // ------------------------------------------------------------------
   // Per-source quality share with Wilson confidence intervals
   // ------------------------------------------------------------------
 

@@ -4224,9 +4224,10 @@ object Analytics {
     * Exactness: gaps quantize to whole seconds (floored micro diffs —
     * identical in both engines); n, Σg, Σg² accumulate as exact BIGINTs
     * per type; μ, σ and B are a fixed double tree over those integers
-    * (one sqrt, correctly rounded) — bit-equal output. Int64 bound:
-    * Σg² ≤ n·maxgap² — safe past 10⁹ gaps at day-scale gaps; quantize
-    * to minutes beyond.
+    * — σ via Σg²/n − μ² rather than (nΣg²−Σg²)/n², because the n·Σg²
+    * product overflows int64 at sf0.1 month-scale gaps (measured) while
+    * the sum itself stays exact. Int64 bound on Σg²: safe past 10⁸
+    * month-span gaps at second resolution; quantize to minutes beyond.
     *
     * Scale (100 TB): the lag window is (user, type)-keyed — thousands
     * of rows per partition, never a per-type global sort; the moment
@@ -4240,26 +4241,21 @@ object Analytics {
       .filter($"prev_us".isNotNull)
       .select($"event_type",
         expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+    val mu = $"sg".cast("double") / $"n_gaps".cast("double")
+    val sd = sqrt($"sgg".cast("double") / $"n_gaps".cast("double") - mu * mu)
     gaps.groupBy($"event_type")
       .agg(count(lit(1)).as("n_gaps"),
         sum($"gap_s").as("sg"),
         sum($"gap_s" * $"gap_s").as("sgg"))
       .select($"event_type", $"n_gaps", $"sg", $"sgg",
-        ($"sg".cast("double") / $"n_gaps".cast("double")).as("mean_gap_s"),
-        (sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
-          $"n_gaps".cast("double")).as("sd_gap_s"),
-        ((sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
-          $"n_gaps".cast("double") -
-          $"sg".cast("double") / $"n_gaps".cast("double")) /
-          (sqrt(($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double")) /
-            $"n_gaps".cast("double") +
-            $"sg".cast("double") / $"n_gaps".cast("double"))).as("burstiness"))
+        mu.as("mean_gap_s"), sd.as("sd_gap_s"),
+        ((sd - mu) / (sd + mu)).as("burstiness"))
       .orderBy($"event_type")
   }
 
   val qEventBurstinessSql: String = {
-    val sd = "(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE))"
     val mu = "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+    val sd = s"(sqrt(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - $mu * $mu))"
     s"""WITH gaps AS (
        |  SELECT event_type,
        |    (epoch_us(ts) - prev_us) // 1000000 AS gap_s

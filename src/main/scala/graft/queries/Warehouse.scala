@@ -1288,6 +1288,87 @@ object Warehouse {
   }
 
   // ------------------------------------------------------------------
+  // Customer lifecycle migration: who was retained, churned, acquired?
+  // ------------------------------------------------------------------
+
+  /** Period boundary for the lifecycle split (orders strictly before = early
+    * period; testdata orders span 1995–2001, so both periods are populated). */
+  final val lifecycleBoundary = "1998-01-01"
+
+  /** Customer lifecycle migration matrix across the
+    * [[lifecycleBoundary]] split: every customer classified by order
+    * presence in the early vs late period — `retained` (both),
+    * `churned` (early only), `acquired` (late only), `never` (on the
+    * customer file, zero orders) — with order counts and exact-decimal
+    * revenue per state. The period-over-period movement table behind
+    * every retention dashboard, and the state layer the [[qCustRfm]]
+    * scores snapshot at a single instant cannot show: RFM says who is
+    * valuable NOW, this says which way they are MOVING.
+    *
+    * Exactness: presence flags and order counts are exact integer
+    * conditional aggregates; revenue sums as DECIMAL(18,4) cents-exact
+    * money (the registry rule) and is emitted ×100 as BIGINT cents.
+    *
+    * Scale (100 TB): ONE custkey-keyed conditional aggregate over the
+    * orders scan (map-side combined — the period predicate is a pushed
+    * column compare, not two scans), a RIGHT OUTER probe of the
+    * customer dimension to surface the `never` rows, then a 4-row
+    * state rollup. No windows; the fact never shuffles twice.
+    */
+  def qCustLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundary = lit(lifecycleBoundary).cast("timestamp")
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate").cast("timestamp") < boundary, 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("o_orderdate").cast("timestamp") >= boundary, 1L).otherwise(0L)).as("n_late"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+    val states = Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        when(col("n_early").isNull, "never")
+          .when(col("n_early") > 0 && col("n_late") > 0, "retained")
+          .when(col("n_early") > 0, "churned")
+          .otherwise("acquired").as("state"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        coalesce(col("rev"), lit(0).cast(DecimalType(18, 4))).as("rev"))
+    states.groupBy(col("state"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_early")).as("early_orders"),
+        sum(col("n_late")).as("late_orders"),
+        (sum(col("rev")) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("state"))
+  }
+
+  val qCustLifecycleSql: String =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey,
+       |    sum(CASE WHEN o_orderdate < TIMESTAMP '$lifecycleBoundary' THEN 1 ELSE 0 END) AS n_early,
+       |    sum(CASE WHEN o_orderdate >= TIMESTAMP '$lifecycleBoundary' THEN 1 ELSE 0 END) AS n_late,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |states AS (
+       |  SELECT
+       |    CASE WHEN n_early IS NULL THEN 'never'
+       |         WHEN n_early > 0 AND n_late > 0 THEN 'retained'
+       |         WHEN n_early > 0 THEN 'churned'
+       |         ELSE 'acquired' END AS state,
+       |    COALESCE(n_early, 0) AS n_early,
+       |    COALESCE(n_late, 0) AS n_late,
+       |    COALESCE(rev, CAST(0 AS DECIMAL(18,4))) AS rev
+       |  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+       |)
+       |SELECT state, count(*) AS n_customers,
+       |  CAST(sum(n_early) AS BIGINT) AS early_orders,
+       |  CAST(sum(n_late) AS BIGINT) AS late_orders,
+       |  CAST(sum(rev) * 100 AS BIGINT) AS revenue_cents
+       |FROM states
+       |GROUP BY state
+       |ORDER BY state""".stripMargin
+
+  // ------------------------------------------------------------------
   // Supplier-concentration audit: Herfindahl–Hirschman index per nation
   // ------------------------------------------------------------------
 
@@ -1401,6 +1482,7 @@ object Warehouse {
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),
     "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql)),
-    "q_supp_hhi" -> ((qSuppHhi _, qSuppHhiSql))
+    "q_supp_hhi" -> ((qSuppHhi _, qSuppHhiSql)),
+    "q_cust_lifecycle" -> ((qCustLifecycle _, qCustLifecycleSql))
   )
 }

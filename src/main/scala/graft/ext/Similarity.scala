@@ -1793,6 +1793,100 @@ object Similarity {
        |ORDER BY di, dj""".stripMargin
 
   // ------------------------------------------------------------------
+  // Greedy k-center: farthest-point prototype / coreset selection
+  // ------------------------------------------------------------------
+
+  /** Number of prototypes the greedy k-center pass selects (the seed
+    * plus kcenterM−1 farthest-point rounds).
+    */
+  final val kcenterM = 5
+
+  /** Greedy k-center (farthest-point) PROTOTYPE SELECTION — the
+    * 2-approximate coreset cover (Gonzalez 1985) data-curation uses to
+    * pick maximally-diverse exemplars: where [[qEmbKmeansIter]] finds
+    * density centers and [[qEmbMmr]] diversifies a retrieval pool,
+    * k-center covers the SPACE — each new prototype is the point
+    * farthest from everything chosen so far, and the final coverage
+    * radius (max distance of any point to its nearest prototype, last
+    * output row) is the certificate: every vector lies within √r² of a
+    * prototype. Deterministic seed = vec 0; ties break to the smaller
+    * vec_id.
+    *
+    * Exactness: squared distances in quantized integer coordinates
+    * ([[gramScale]] fixed point) — Σ(qᵢ−cᵢ)² is exact BIGINT under any
+    * partitioning (bounded by d·(2·scale·‖x‖∞)² ≈ 2.6·10⁸ — int64-safe
+    * at ANY corpus size since it never multiplies by n), so argmax
+    * selection is engine- and order-exact at every round.
+    *
+    * Scale (100 TB): per round ONE corpus scan — a broadcast 1-row
+    * join updating the running min-distance plus a TakeOrdered(1)
+    * argmax (per-partition heaps); rounds are a plan constant m, and
+    * per-round `localCheckpoint` truncates lineage (the
+    * [[qEmbPowerIter]] loop discipline). No windows, no pairwise work:
+    * m·N distance evaluations total, the textbook bound.
+    */
+  def qEmbKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d2 = expr(
+      "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
+          .as("q"))
+    val seed = corpus.filter(col("vec_id") === 0)
+    var state = corpus
+      .crossJoin(broadcast(seed.select(col("q").as("cq"))))
+      .select(col("vec_id"), col("q"), d2.as("d"))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seed.select(lit(0).as("sel_order"), col("vec_id"), lit(0L).as("d2_at_pick")))
+    for (k <- 1 until kcenterM) {
+      val next = state.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .localCheckpoint(true)
+      picks += next.select(lit(k).as("sel_order"), col("vec_id"),
+        col("d").as("d2_at_pick"))
+      state = state
+        .crossJoin(broadcast(next.select(col("q").as("cq"))))
+        .select(col("vec_id"), col("q"), least(col("d"), d2).as("d"))
+        .localCheckpoint(true)
+    }
+    val radius = state.agg(max(col("d")).as("d2_at_pick"))
+      .select(lit(kcenterM).as("sel_order"), lit(-1L).as("vec_id"),
+        col("d2_at_pick"))
+    picks.reduce(_ unionAll _).unionAll(radius).orderBy(col("sel_order"))
+  }
+
+  val qEmbKcenterSql: String = {
+    val dist =
+      "CAST(list_sum(list_transform(range(1, len(q) + 1), i -> (q[i] - cq[i]) * (q[i] - cq[i]))) AS BIGINT)"
+    def round(k: Int): String =
+      s"""c$k AS (SELECT vec_id, q, d FROM d${k - 1} ORDER BY d DESC, vec_id LIMIT 1),
+         |d$k AS (
+         |  SELECT a.vec_id, a.q, least(a.d, $dist) AS d
+         |  FROM d${k - 1} a CROSS JOIN (SELECT q AS cq FROM c$k) c
+         |)""".stripMargin
+    val pickRows = (1 until kcenterM)
+      .map(k => s"SELECT $k AS sel_order, vec_id, d AS d2_at_pick FROM c$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH corpus AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $gramScale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |d0 AS (
+       |  SELECT a.vec_id, a.q, $dist AS d
+       |  FROM corpus a CROSS JOIN (SELECT q AS cq FROM corpus WHERE vec_id = 0) s
+       |),
+       |${(1 until kcenterM).map(round).mkString(",\n")}
+       |SELECT 0 AS sel_order, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d2_at_pick
+       |UNION ALL
+       |$pickRows
+       |UNION ALL
+       |SELECT $kcenterM, -1, max(d) FROM d${kcenterM - 1}
+       |ORDER BY sel_order""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Anisotropy audit: does the embedding cloud live in a narrow cone?
   // ------------------------------------------------------------------
 
@@ -2263,6 +2357,121 @@ object Similarity {
        |${matryoshkaDims.map(truncCte).mkString(",\n")}
        |${matryoshkaDims.map(armRow).mkString("\nUNION ALL\n")}
        |ORDER BY dim""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // nDCG@k: rank-discounted retrieval quality
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for the nDCG discount table. The per-rank
+    * discounts floor(SCALE/log2(1+r)) for r = 1..[[evalK]] are computed
+    * ONCE builder-side and interpolated as integer literals into BOTH
+    * engines' plans — libm never runs inside either engine, so the
+    * whole metric is exact integer arithmetic until one final division.
+    */
+  final val ndcgScale = 1000000L
+
+  /** Integer discount table w(r) = floor(SCALE / log2(1+r)), 1-indexed. */
+  private lazy val ndcgW: Seq[Long] =
+    (1 to evalK).map(r => (ndcgScale / (math.log(1.0 + r) / math.log(2.0))).toLong)
+
+  /** Cumulative ideal-DCG table: idcg(m) = Σ_{r≤m} w(r), 1-indexed. */
+  private lazy val ndcgIdeal: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
+  /** nDCG@[[evalK]] per label — the rank-DISCOUNTED retrieval metric
+    * completing [[qEmbRetrievalEval]]'s recall/MRR panel: recall says
+    * whether anything relevant surfaced, MRR where the FIRST hit was,
+    * nDCG how the WHOLE top-k is ordered (a hit at rank 2 vs rank 9
+    * moves nDCG, not recall). Binary relevance = label match; the ideal
+    * normalizer uses min(k, R) with R the query's total relevant
+    * candidates, so partially-satisfiable queries aren't penalized for
+    * fewer than k relevants existing.
+    *
+    * Exactness: DCG accumulates the integer discount literals (order-
+    * free BIGINT sums); R is label-grain (candidate labels are query-
+    * independent here) and indexes the literal cumulative-ideal table;
+    * per-label mean nDCG divides two exact integers once — queries of
+    * one label share an idcg, so Σ dcg/(n·idcg) IS the mean.
+    *
+    * Scale (100 TB): identical shape to [[qEmbRetrievalEval]] —
+    * broadcast-query scoring scan, per-query rank window bounded by
+    * |queries| partitions, label-grain arithmetic after the top-k cut.
+    */
+  def qEmbNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % evalQueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") % evalQueryMod =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    // R per label: total relevant candidates (label-grain, query-independent)
+    val relTab = c.groupBy(col("label").as("q_label")).agg(count(lit(1)).as("n_rel"))
+    val wExpr = (1 to evalK).foldRight(lit(0L): Column) { (r, other) =>
+      when(col("rank") === r, lit(ndcgW(r - 1))).otherwise(other)
+    }
+    val idealArr = array(ndcgIdeal.map(lit): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val perQuery = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= evalK)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label"), wExpr).otherwise(0L))
+        .as("dcg_num"))
+    perQuery.join(broadcast(relTab), "q_label")
+      .select(col("q_label"), col("dcg_num"),
+        element_at(idealArr, greatest(lit(1L), least(col("n_rel"), lit(evalK.toLong))).cast("int"))
+          .as("idcg_num"), col("n_rel"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"), max(col("n_rel")).as("n_rel"),
+        sum(col("dcg_num")).as("sum_dcg"), max(col("idcg_num")).as("idcg"))
+      .select(col("label"), col("n_queries"), col("n_rel"),
+        (col("sum_dcg").cast("double") /
+          (col("n_queries") * col("idcg")).cast("double")).as(s"ndcg_at_$evalK"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbNdcgSql: String = {
+    val wCase = (1 to evalK)
+      .map(r => s"WHEN rank = $r THEN ${ndcgW(r - 1)}").mkString(" ")
+    val idealList = ndcgIdeal.mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod = 0
+       |),
+       |c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod <> 0
+       |),
+       |rel AS (SELECT label AS q_label, count(*) AS n_rel FROM c GROUP BY label),
+       |ranked AS (
+       |  SELECT q_id, q_label, label,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_dot_product(qe, ce) / (q_norm * c_norm) DESC, vec_id)
+       |      AS INTEGER) AS rank
+       |  FROM c, q WHERE q_id <> vec_id
+       |),
+       |per_query AS (
+       |  SELECT q_id, q_label,
+       |    CAST(sum(CASE WHEN label = q_label THEN
+       |      CASE $wCase ELSE 0 END ELSE 0 END) AS BIGINT) AS dcg_num
+       |  FROM ranked WHERE rank <= $evalK
+       |  GROUP BY q_id, q_label
+       |)
+       |SELECT q_label AS label, count(*) AS n_queries,
+       |  CAST(max(n_rel) AS BIGINT) AS n_rel,
+       |  CAST(sum(dcg_num) AS DOUBLE) /
+       |    CAST(count(*) * max(($idealList)[greatest(1, least(n_rel, $evalK))]) AS DOUBLE)
+       |    AS ndcg_at_$evalK
+       |FROM per_query JOIN rel USING (q_label)
+       |GROUP BY q_label
+       |ORDER BY label""".stripMargin
   }
 
   // ------------------------------------------------------------------

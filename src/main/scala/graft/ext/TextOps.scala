@@ -1540,6 +1540,104 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Windowed co-occurrence PMI: which tokens travel together?
+  // ------------------------------------------------------------------
+
+  /** Skip-gram window radius, minimum pair count, and output size for
+    * the PMI scan. Literal RHS `final` per the init-cycle rule.
+    */
+  final val pmiWindow = 3
+  final val pmiMinCount = 5
+  final val pmiTopN = 20
+
+  /** Windowed co-occurrence PMI over the token stream — the word2vec-
+    * era association statistic (SGNS factorizes shifted PMI): for every
+    * unordered token pair within [[pmiWindow]] positions,
+    * PMI = ln(c_ab·N / (c_a·c_b)), ranked to surface collocations the
+    * unigram counts cannot see. Next to [[qDocBigramLm]] (ADJACENT-pair
+    * conditional probabilities) this measures ASSOCIATION at distance —
+    * the statistic behind phrase detection, tokenizer-merge priors, and
+    * compositionality checks on the training corpus.
+    *
+    * Exactness: counts are exact BIGINTs; PMI accumulates as quantized
+    * micro-nat logs ([[logScale]] floor discipline — both engines floor
+    * identical doubles), so ranking and the emitted values are
+    * bit-equal; pair marginals use token OCCURRENCE counts (the usual
+    * skip-gram convention, constant-shifted from pair marginals).
+    *
+    * Scale (100 TB): pair generation is NARROW — each document emits
+    * its own windowed pairs via array transforms inside codegen (fan-
+    * out ×[[pmiWindow]]), no positional self-join; the (ta,tb)-keyed
+    * count is the one corpus shuffle (map-side combined), marginals
+    * ride a broadcast, and the top-N is a TakeOrdered heap.
+    */
+  def qDocTokenPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("toks"))
+    val pairArms = (1 to pmiWindow).map { d =>
+      s"""filter(transform(sequence(1, size(toks)),
+         |  i -> CASE WHEN i + $d <= size(toks) THEN
+         |    struct(least(element_at(toks, i), element_at(toks, i + $d)) AS ta,
+         |           greatest(element_at(toks, i), element_at(toks, i + $d)) AS tb)
+         |  END), x -> x IS NOT NULL)""".stripMargin
+    }.mkString("concat(", ", ", ")")
+    val pairs = docs.select(explode(expr(pairArms)).as("p"))
+      .select(col("p.ta"), col("p.tb"))
+      .filter(col("ta") =!= col("tb"))
+    val cAb = pairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= pmiMinCount)
+    val marg = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val nTot = pairs.agg(count(lit(1)).as("n_pairs"))
+    cAb
+      .join(broadcast(marg.select(col("t").as("ta"), col("c_t").as("c_a"))), "ta")
+      .join(broadcast(marg.select(col("t").as("tb"), col("c_t").as("c_b"))), "tb")
+      .crossJoin(broadcast(nTot))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"),
+        (quantLog(col("c_ab")) + quantLog(col("n_pairs")) -
+          quantLog(col("c_a")) - quantLog(col("c_b"))).as("pmi_micro"))
+      .withColumn("pmi_nats", col("pmi_micro").cast("double") / logScale)
+      .orderBy(col("pmi_micro").desc, col("ta"), col("tb"))
+      .limit(pmiTopN)
+  }
+
+  val qDocTokenPmiSql: String =
+    s"""WITH flat AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |    UNNEST(range(1, len(t) + 1)) AS r(i)
+       |),
+       |pairs AS (
+       |  SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb
+       |  FROM flat a JOIN flat b
+       |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $pmiWindow
+       |  WHERE a.tok <> b.tok
+       |),
+       |cab AS (
+       |  SELECT ta, tb, count(*) AS c_ab FROM pairs GROUP BY ta, tb
+       |  HAVING count(*) >= $pmiMinCount
+       |),
+       |marg AS (
+       |  SELECT t AS tok, count(*) AS c_t
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY t
+       |),
+       |n_tot AS (SELECT count(*) AS n_pairs FROM pairs)
+       |SELECT ta, tb, c_ab, ma.c_t AS c_a, mb.c_t AS c_b,
+       |  ${quantLogSql("c_ab")} + ${quantLogSql("n_pairs")} -
+       |    ${quantLogSql("ma.c_t")} - ${quantLogSql("mb.c_t")} AS pmi_micro,
+       |  CAST(${quantLogSql("c_ab")} + ${quantLogSql("n_pairs")} -
+       |    ${quantLogSql("ma.c_t")} - ${quantLogSql("mb.c_t")} AS DOUBLE) / $logScale
+       |    AS pmi_nats
+       |FROM cab
+       |JOIN marg ma ON ma.tok = cab.ta
+       |JOIN marg mb ON mb.tok = cab.tb
+       |CROSS JOIN n_tot
+       |ORDER BY pmi_micro DESC, ta, tb
+       |LIMIT $pmiTopN""".stripMargin
+
+  // ------------------------------------------------------------------
   // Fuzzy vocabulary merge: SymSpell deletion-neighborhood join
   // ------------------------------------------------------------------
 

@@ -2303,6 +2303,95 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("nDCG: integer-discount replay; bounded by 1; rank-sensitivity holds") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)))
+    val wTab = (1 to Similarity.evalK)
+      .map(r => (Similarity.ndcgScale / (math.log(1.0 + r) / math.log(2.0))).toLong)
+    val ideal = wTab.scanLeft(0L)(_ + _).tail
+    val qs = embs.filter(_._1 % Similarity.evalQueryMod == 0)
+    val cs = embs.filter(_._1 % Similarity.evalQueryMod != 0)
+    val relByLabel = cs.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val perLabel = qs.groupBy(_._2).map { case (lbl, lqs) =>
+      val dcgs = lqs.map { case (qid, _, qe) =>
+        val top = cs.filter(_._1 != qid)
+          .map { case (cid, cl, ce) => (cid, cl, localCosD(qe, ce)) }
+          .sortBy { case (cid, _, cos) => (-cos, cid) }.take(Similarity.evalK)
+        top.zipWithIndex.collect {
+          case ((_, cl, _), i) if cl == lbl => wTab(i)
+        }.sum
+      }
+      val idcg = ideal((relByLabel(lbl) min Similarity.evalK.toLong).toInt - 1)
+      lbl -> (dcgs.length.toLong, dcgs.sum.toDouble / (dcgs.length * idcg).toDouble)
+    }
+    val rows = Similarity.qEmbNdcg(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet === perLabel.keySet)
+    rows.foreach { r =>
+      val (nq, nd) = perLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_queries") === nq)
+      val v = r.getAs[Double](s"ndcg_at_${Similarity.evalK}")
+      assert(v === nd)
+      assert(v >= 0.0 && v <= 1.0 + 1e-12)
+    }
+  }
+
+  test("token PMI: quantized-log replay of the top collocations") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val toks = t.split(" ", -1)
+      for {
+        i <- toks.indices
+        d <- 1 to TextOps.pmiWindow
+        if i + d < toks.length && toks(i) != toks(i + d)
+      } yield {
+        val (a, b) = (toks(i), toks(i + d))
+        if (a < b) (a, b) else (b, a)
+      }
+    }
+    val nPairs = pairs.length.toLong
+    val cAb = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= TextOps.pmiMinCount)
+    val marg = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1000000L).toLong
+    val expected = cAb.toSeq.map { case ((a, b), c) =>
+      (a, b, c, qlog(c) + qlog(nPairs) - qlog(marg(a)) - qlog(marg(b)))
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(TextOps.pmiTopN)
+    val rows = TextOps.qDocTokenPmi(spark, sf).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("pmi_micro")))
+    assert(rows.toSeq === expected)
+  }
+
+  test("k-center: greedy farthest-point replay; coverage radius certificate") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * Similarity.gramScale).toLong))
+    def d2(a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = embs.find(_._1 == 0L).get._2
+    var minD = embs.map { case (id, q) => id -> d2(q, seed) }.toMap
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]((0, 0L, 0L))
+    for (k <- 1 until Similarity.kcenterM) {
+      val (nid, nd) = minD.toSeq.sortBy { case (id, dd) => (-dd, id) }.head
+      picks += ((k, nid, nd))
+      val nq = embs.find(_._1 == nid).get._2
+      minD = minD.map { case (id, dd) =>
+        id -> math.min(dd, d2(embs.find(_._1 == id).get._2, nq))
+      }
+    }
+    val radius = minD.values.max
+    val rows = Similarity.qEmbKcenter(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sel_order"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2_at_pick")))
+    assert(rows.toSeq === picks.toSeq :+ ((Similarity.kcenterM, -1L, radius)))
+    // certificate: the radius is no larger than any pick distance after it
+    assert(picks.drop(1).map(_._3).forall(_ >= radius))
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

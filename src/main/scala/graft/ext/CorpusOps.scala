@@ -790,6 +790,115 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Mixture waterfilling: allocate a token budget under source caps
+  // ------------------------------------------------------------------
+
+  /** Budget as an exact fraction of total corpus tokens (numerator /
+    * denominator). Literal RHS `final` per the init-cycle rule.
+    */
+  final val wfBudgetNum = 1L
+  final val wfBudgetDen = 2L
+
+  /** Token-budget WATERFILLING under per-source capacities — the
+    * allocator that turns mixture POLICY into an executable plan:
+    * [[qDocSourceMix]] reports what each source has, [[qDocSourceCap]]
+    * clips the over-represented, this solves the full problem ("spend
+    * B = half the corpus as equally as possible across sources; a
+    * source smaller than its fair share contributes everything, the
+    * slack re-spreads over the rest"). Waterfilling is the max-min-fair
+    * allocation — the same algorithm as network bandwidth sharing.
+    *
+    * Exact integer mechanics: sources sort ascending by capacity;
+    * source i is SATURATED iff Pᵢ + cᵢ·(m−i) ≤ B (prefix Pᵢ and the
+    * remaining sources at level cᵢ already fit) — the saturated set is
+    * a prefix of the sort; the residual budget spreads as
+    * base = R div (m−j) with the first R mod (m−j) unsaturated sources
+    * (capacity order) taking one extra token. Every quantity is an
+    * exact BIGINT; conservation Σ allocated = B holds EXACTLY (asserted
+    * in spec), which float waterfilling cannot promise.
+    *
+    * Scale (100 TB): one corpus-sized token count (source-keyed,
+    * map-side combined); the solve runs entirely on the |sources|-grain
+    * frame — windows and broadcast totals over dim-sized rows.
+    */
+  def qDocMixWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val caps = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("cap_tokens"))
+    val w = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+    val ranked = caps
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        sum(col("cap_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = ranked.agg(count(lit(1)).as("m"), sum(col("cap_tokens")).as("total"))
+      .select(col("m"), col("total"),
+        expr(s"(total * $wfBudgetNum) div $wfBudgetDen").as("b"))
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("saturated",
+        col("prefix") + col("cap_tokens") * (col("m") - col("rnk")) <= col("b"))
+    val sat = flagged.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("j"),
+      sum(when(col("saturated"), col("cap_tokens")).otherwise(0L)).as("p_j"))
+    flagged.crossJoin(broadcast(sat))
+      .withColumn("r_budget", col("b") - col("p_j"))
+      .withColumn("n_unsat", col("m") - col("j"))
+      .withColumn("allocated",
+        when(col("saturated"), col("cap_tokens"))
+          .when(col("n_unsat") === 0, col("cap_tokens"))
+          .otherwise(expr("r_budget div n_unsat") +
+            when(col("rnk") - col("j") <= col("r_budget") % col("n_unsat"), 1L)
+              .otherwise(0L)))
+      .select(col("source"), col("cap_tokens"), col("rnk"), col("saturated"),
+        col("allocated"),
+        (col("allocated").cast("double") / col("cap_tokens").cast("double"))
+          .as("utilization"),
+        col("b").as("budget_tokens"))
+      .orderBy(col("rnk"))
+  }
+
+  val qDocMixWaterfillSql: String =
+    s"""WITH caps AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap_tokens
+       |  FROM documents GROUP BY source
+       |),
+       |ranked AS (
+       |  SELECT source, cap_tokens,
+       |    CAST(row_number() OVER (ORDER BY cap_tokens ASC, source ASC) AS BIGINT) AS rnk,
+       |    CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+       |  FROM caps
+       |),
+       |tot AS (
+       |  SELECT count(*) AS m, CAST(sum(cap_tokens) AS BIGINT) AS total,
+       |    CAST((sum(cap_tokens) * $wfBudgetNum) // $wfBudgetDen AS BIGINT) AS b
+       |  FROM ranked
+       |),
+       |flagged AS (
+       |  SELECT ranked.*, m, b,
+       |    prefix + cap_tokens * (m - rnk) <= b AS saturated
+       |  FROM ranked CROSS JOIN tot
+       |),
+       |sat AS (
+       |  SELECT CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS j,
+       |    CAST(sum(CASE WHEN saturated THEN cap_tokens ELSE 0 END) AS BIGINT) AS p_j
+       |  FROM flagged
+       |)
+       |SELECT source, cap_tokens, rnk, saturated,
+       |  CAST(CASE WHEN saturated THEN cap_tokens
+       |       WHEN m - j = 0 THEN cap_tokens
+       |       ELSE (b - p_j) // (m - j) +
+       |         (CASE WHEN rnk - j <= (b - p_j) % (m - j) THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS allocated,
+       |  CAST(CASE WHEN saturated THEN cap_tokens
+       |       WHEN m - j = 0 THEN cap_tokens
+       |       ELSE (b - p_j) // (m - j) +
+       |         (CASE WHEN rnk - j <= (b - p_j) % (m - j) THEN 1 ELSE 0 END)
+       |  END AS DOUBLE) / CAST(cap_tokens AS DOUBLE) AS utilization,
+       |  b AS budget_tokens
+       |FROM flagged CROSS JOIN sat
+       |ORDER BY rnk""".stripMargin
+
+  // ------------------------------------------------------------------
   // Charset profile: code vs prose vs tables, per source
   // ------------------------------------------------------------------
 

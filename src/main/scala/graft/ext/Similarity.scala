@@ -236,6 +236,143 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // Multi-probe LSH: recall back without more tables
+  // ------------------------------------------------------------------
+
+  /** Probe-count arms for the multi-probe sweep (1 = plain single-bucket
+    * LSH, 3 = base + the two lowest-margin bit flips).
+    */
+  final val multiprobeArms: Seq[Int] = Seq(1, 3)
+
+  /** MULTI-PROBE LSH sweep (Lv et al., VLDB 2007): instead of paying
+    * more hash TABLES for recall (the [[qEmbNearDup]] L-table route —
+    * L× the index size), probe the buckets most likely to hide near
+    * neighbors: flip the sign bits with the SMALLEST |margin| (the
+    * planes the query sits closest to). Each arm reports candidates
+    * touched and recall@k against the exact cosine arm — the
+    * index-size-vs-recall decision table next to the IVF nprobe sweep
+    * (same contract, orthogonal knob: nprobe widens a coarse-quantizer
+    * probe, multi-probe widens a sign-hash probe at ZERO extra index
+    * bytes).
+    *
+    * Determinism: margins are the engines' identical dot-product
+    * doubles; the flip order sorts (|margin|, plane) — total order, so
+    * probe sets are engine-exact; everything downstream is the
+    * [[qEmbAnnLsh]] equi-join shape.
+    *
+    * Scale (100 TB): probes multiply the QUERY side only (T rows per
+    * query); candidates never re-shuffle (pre-bucketed by
+    * [[lshBucketCol]] at write time → exchange-free probe), and
+    * per-arm cost is measured, not guessed — the n_candidates column
+    * IS the scan-cost model.
+    */
+  def qEmbLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = qEmbCosineTopk(spark, sfDir)
+      .select(col("q_id"), col("vec_id")).persist()
+    exact.count()
+    val emb = Tables.embeddings(spark, sfDir)
+    val q0 = emb.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), _.cast("double")).as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("bucket", bucketCol(col("qe")))
+    val planes = array((0 until lshPlanes).map(p =>
+      struct(abs(dot(col("qe"), planeLit(p))).as("am"), lit(p).as("p"))): _*)
+    val q = q0.withColumn("sorted", array_sort(planes))
+      .withColumn("f1", element_at(col("sorted"), 1).getField("p"))
+      .withColumn("f2", element_at(col("sorted"), 2).getField("p"))
+      .select(col("q_id"), col("qe"), col("q_norm"), col("bucket"),
+        col("f1"), col("f2"))
+    val c = emb.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+      .withColumn("bucket", bucketCol(col("ce")))
+    val arms = multiprobeArms.map { t =>
+      val probes =
+        if (t == 1) expr("array(bucket)")
+        else expr("array(bucket, bucket ^ shiftleft(1, f1), bucket ^ shiftleft(1, f2))")
+      val qp = q.select(col("q_id"), col("qe"), col("q_norm"),
+        explode(probes).as("pb"))
+      val scored = c.join(broadcast(qp), col("bucket") === col("pb"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+        .persist()
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val ann = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK).select(col("q_id"), col("vec_id"))
+      val nCand = scored.agg(count(lit(1)).as("n_candidates"))
+      val exC = exact.agg(count(lit(1)).as("n_exact"))
+      val ovC = exact.join(ann, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      nCand.crossJoin(broadcast(exC)).crossJoin(broadcast(ovC))
+        .select(lit(t).as("n_probes"), col("n_candidates"), col("n_exact"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_k"))
+    }
+    arms.reduce(_ unionAll _).orderBy(col("n_probes"))
+  }
+
+  val qEmbLshMultiprobeSql: String = {
+    val margins = (0 until lshPlanes).map(p =>
+      s"{'am': abs(list_dot_product(qe, CAST(${planeSqlList(p)} AS DOUBLE[]))), 'p': $p}")
+      .mkString("[", ", ", "]")
+    def arm(t: Int): String = {
+      val probeList =
+        if (t == 1) "[bucket]"
+        else "[bucket, xor(bucket, 1 << f1), xor(bucket, 1 << f2)]"
+      s"""qp$t AS (
+         |  SELECT q_id, qe, q_norm, unnest($probeList) AS pb FROM q
+         |),
+         |sc$t AS (
+         |  SELECT q_id, c.vec_id,
+         |    list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+         |  FROM c JOIN qp$t ON c.bucket = qp$t.pb
+         |),
+         |rk$t AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM sc$t
+         |),
+         |ann$t AS (SELECT q_id, vec_id FROM rk$t WHERE rank <= $topK),
+         |cnt$t AS (
+         |  SELECT $t AS n_probes,
+         |    (SELECT count(*) FROM sc$t) AS n_candidates,
+         |    (SELECT count(*) FROM ex) AS n_exact,
+         |    (SELECT count(*) FROM ex JOIN ann$t USING (q_id, vec_id)) AS n_overlap
+         |)""".stripMargin
+    }
+    val unions = multiprobeArms.map(t =>
+      s"""SELECT n_probes, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_exact AS BIGINT) AS n_exact, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_k
+         |FROM cnt$t""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($qEmbCosineTopkSql)),
+       |qm AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm,
+       |    ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket,
+       |    list_sort($margins) AS sorted
+       |  FROM embeddings WHERE vec_id < $nQueryVecs
+       |),
+       |q AS (
+       |  SELECT q_id, qe, q_norm, bucket, sorted[1].p AS f1, sorted[2].p AS f2
+       |  FROM qm
+       |),
+       |c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm,
+       |    ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |  FROM embeddings WHERE vec_id >= $nQueryVecs
+       |),
+       |${multiprobeArms.map(arm).mkString(",\n")}
+       |$unions
+       |ORDER BY n_probes""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Embedding-cosine near-dup (LSH-bucketed pair mining)
   // ------------------------------------------------------------------
 

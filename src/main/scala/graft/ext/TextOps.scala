@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -1538,6 +1539,78 @@ object TextOps {
        |GROUP BY doc_id
        |ORDER BY n_occurrences DESC, doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Hill tail-index estimator: how heavy is the length tail?
+  // ------------------------------------------------------------------
+
+  /** Order statistics used by the Hill estimator (top-k over the
+    * threshold x_(k+1)). Literal RHS `final` per the init-cycle rule.
+    */
+  final val hillK = 100
+
+  /** HILL ESTIMATOR of the document-length tail index: α̂ = k / Σ_{i≤k}
+    * (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) over the top-k order statistics — the
+    * heavy-tail exponent that decides whether mean-based capacity
+    * planning is even meaningful (α < 2 ⇒ infinite variance: size
+    * packing bins and skew-salting by QUANTILES, never by mean±σ).
+    * Complements [[qDocZipf]]/[[qDocHeaps]] (term-frequency laws) with
+    * the LENGTH-distribution law, and feeds [[qDocPack]]'s bin budget
+    * and [[graft.etl.Layout.qSkewDiagnosis]]'s salt factor with a
+    * principled tail reading.
+    *
+    * Exactness: the top-(k+1) cut is a TakeOrdered with (length,
+    * doc_id) total order; log excesses accumulate as quantized
+    * micro-nat BIGINTs (the [[logScale]] floor discipline), so the sum
+    * is order-free and α̂ is one double division of exact integers.
+    *
+    * Scale (100 TB): TakeOrdered(k+1) is per-partition heaps — no
+    * global sort; everything after runs on the (k+1)-row frame
+    * (metadata scale by construction). Output is one row.
+    */
+  def qDocTailHill(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(hillK + 1)
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val xmin = ranked.filter(col("rn") === hillK + 1)
+      .select(col("n_chars").as("x_min"))
+    ranked.filter(col("rn") <= hillK)
+      .crossJoin(broadcast(xmin))
+      .select((quantLog(col("n_chars")) - quantLog(col("x_min"))).as("excess"),
+        col("x_min"))
+      .agg(count(lit(1)).as("k"), max(col("x_min")).as("x_min"),
+        sum(col("excess")).as("sum_log_excess_micro"))
+      .select(col("k"), col("x_min"), col("sum_log_excess_micro"),
+        ((col("k") * logScale).cast("double") /
+          col("sum_log_excess_micro").cast("double")).as("alpha_hill"))
+      .withColumn("heavy_tail", col("alpha_hill") < 2.0)
+  }
+
+  val qDocTailHillSql: String =
+    s"""WITH top AS (
+       |  SELECT doc_id, n_chars FROM documents
+       |  ORDER BY n_chars DESC, doc_id ASC LIMIT ${hillK + 1}
+       |),
+       |ranked AS (
+       |  SELECT n_chars,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM top
+       |),
+       |xmin AS (SELECT n_chars AS x_min FROM ranked WHERE rn = ${hillK + 1}),
+       |exc AS (
+       |  SELECT ${quantLogSql("n_chars")} - ${quantLogSql("x_min")} AS excess, x_min
+       |  FROM ranked CROSS JOIN xmin WHERE rn <= $hillK
+       |)
+       |SELECT count(*) AS k, CAST(max(x_min) AS BIGINT) AS x_min,
+       |  CAST(sum(excess) AS BIGINT) AS sum_log_excess_micro,
+       |  CAST(count(*) * $logScale AS DOUBLE) /
+       |    CAST(sum(excess) AS DOUBLE) AS alpha_hill,
+       |  CAST(count(*) * $logScale AS DOUBLE) /
+       |    CAST(sum(excess) AS DOUBLE) < 2.0 AS heavy_tail
+       |FROM exc""".stripMargin
 
   // ------------------------------------------------------------------
   // Windowed co-occurrence PMI: which tokens travel together?

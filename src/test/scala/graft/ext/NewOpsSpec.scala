@@ -2392,6 +2392,79 @@ class NewOpsSpec extends SparkSuite {
     assert(picks.drop(1).map(_._3).forall(_ >= radius))
   }
 
+  test("multi-probe LSH: probe-set replay; recall and candidates monotone in probes") {
+    val rows = Similarity.qEmbLshMultiprobe(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_probes"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_overlap"), r.getAs[Double]("recall_at_k")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Similarity.multiprobeArms)
+    // local replay of the probe machinery
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble))
+    def dotp(a: scala.collection.Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val planes = (0 until Similarity.lshPlanes)
+      .map(p => (0 until Similarity.embDim).map(i => Similarity.planeSign(p, i).toDouble))
+    def bucket(e: scala.collection.Seq[Double]): Int =
+      planes.zipWithIndex.map { case (pl, p) => if (dotp(e, pl) >= 0) 1 << p else 0 }.sum
+    val cands = embs.filter(_._1 >= Similarity.nQueryVecs)
+      .map { case (id, e) => (id, bucket(e)) }
+    val counts = Similarity.multiprobeArms.map { t =>
+      embs.filter(_._1 < Similarity.nQueryVecs).map { case (_, qe) =>
+        val base = bucket(qe)
+        val flips = planes.zipWithIndex
+          .map { case (pl, p) => (math.abs(dotp(qe, pl)), p) }.sorted.take(2).map(_._2)
+        val probes = if (t == 1) Set(base)
+          else Set(base, base ^ (1 << flips(0)), base ^ (1 << flips(1)))
+        cands.count(c => probes(c._2)).toLong
+      }.sum
+    }
+    assert(rows.map(_._2).toSeq === counts, "candidate counts replay")
+    assert(rows(1)._2 >= rows(0)._2 && rows(1)._3 >= rows(0)._3 &&
+      rows(1)._4 >= rows(0)._4, "more probes never hurt")
+  }
+
+  test("waterfilling: exact conservation, caps respected, saturated prefix") {
+    val rows = CorpusOps.qDocMixWaterfill(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("cap_tokens"),
+        r.getAs[Long]("rnk"), r.getAs[Boolean]("saturated"),
+        r.getAs[Long]("allocated"), r.getAs[Long]("budget_tokens")))
+      .sortBy(_._3)
+    val budget = rows.head._6
+    assert(budget ===
+      rows.map(_._2).sum * CorpusOps.wfBudgetNum / CorpusOps.wfBudgetDen)
+    assert(rows.map(_._5).sum === budget, "allocation conserves the budget EXACTLY")
+    rows.foreach { case (_, cap, _, satd, alloc, _) =>
+      assert(alloc <= cap, "no source over-allocated")
+      if (satd) assert(alloc === cap, "saturated sources contribute everything")
+    }
+    // saturated set is a prefix of the capacity-ascending order
+    val flags = rows.map(_._4)
+    assert(!flags.dropWhile(identity).contains(true), "saturation is a prefix")
+    // max-min fairness: unsaturated allocations differ by at most one token
+    val unsat = rows.filterNot(_._4).map(_._5)
+    if (unsat.nonEmpty) assert(unsat.max - unsat.min <= 1L)
+  }
+
+  test("Hill estimator: quantized-log order-stat replay") {
+    val lens = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    val top = lens.take(TextOps.hillK)
+    val xmin = lens(TextOps.hillK)._2
+    def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1000000L).toLong
+    val sumExcess = top.map { case (_, n) => qlog(n) - qlog(xmin) }.sum
+    val row = TextOps.qDocTailHill(spark, sf).head
+    assert(row.getAs[Long]("k") === TextOps.hillK.toLong)
+    assert(row.getAs[Long]("x_min") === xmin)
+    assert(row.getAs[Long]("sum_log_excess_micro") === sumExcess)
+    val alpha = row.getAs[Double]("alpha_hill")
+    assert(alpha === (TextOps.hillK.toLong * 1000000L).toDouble / sumExcess.toDouble)
+    assert(alpha > 0.0)
+    assert(row.getAs[Boolean]("heavy_tail") === (alpha < 2.0))
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

@@ -486,6 +486,129 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Margin-based mutual nearest neighbors: bitext-style pair mining
+  // ------------------------------------------------------------------
+
+  /** Cosine fixed-point scale and output cap for the mutual-NN miner. */
+  final val mutualCosScale = 1000000L
+  final val mutualTopN = 20
+
+  /** MARGIN-BASED MUTUAL NEAREST NEIGHBORS (the Artetxe–Schwenk bitext-
+    * mining criterion): a candidate pair survives only if each side is
+    * the other's best match (mutuality kills hub vectors that are
+    * "everyone's neighbor") and the RUNNER-UP MARGIN — pair cosine
+    * minus the better of the two sides' second-best cosines (the
+    * "margin = a − b" variant) — is positive: the pair must beat every
+    * alternative either side has, which is what absolute thresholds
+    * cannot express when similarity scales drift per vector. The
+    * standard high-precision pair miner for parallel-corpus alignment
+    * and cross-dataset record matching, layered here over the
+    * [[qEmbNearDup]] injected corpus so the planted pairs dominate the
+    * margin ranking.
+    *
+    * Determinism: per-pair cosines quantize to exact micro-units, so
+    * best/second-best selection and the margin are pure BIGINT
+    * arithmetic (vectors with no runner-up get the cosine floor −1 as
+    * sentinel); ordering is (quantized cosine, partner id) — total
+    * order, engine-exact. No division anywhere.
+    *
+    * Scale (100 TB): candidates come from the single-table LSH bucket
+    * equi-join (pre-bucketable at write time); per-vector bests are
+    * src-keyed windows over bucket-bounded fan-out; means are one
+    * src-keyed agg. No all-pairs term anywhere.
+    */
+  def qEmbMutualNn(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val perturbed = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.5)),
+          slice(col("e"), 2, embDim - 1)).as("e"))
+    val corpus = base.unionAll(perturbed)
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("bucket", bucketCol(col("e")))
+    val a = corpus.select(col("vec_id").as("src"), col("e").as("ea"),
+      col("norm").as("na"), col("bucket"))
+    val b = corpus.select(col("vec_id").as("dst"), col("e").as("eb"),
+      col("norm").as("nb"), col("bucket"))
+    val directed = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        floor(dot(col("ea"), col("eb")) / (col("na") * col("nb")) *
+          mutualCosScale).cast("long").as("qcos"))
+    val wBest = Window.partitionBy(col("src"))
+      .orderBy(col("qcos").desc, col("dst").asc)
+    val ranked = directed.withColumn("rn", row_number().over(wBest))
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("qcos"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("src"), col("qcos").as("q2"))
+    val mutual = best.as("x")
+      .join(best.as("y"), col("x.src") === col("y.dst") &&
+        col("x.dst") === col("y.src") && col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.qcos").as("qcos"))
+    mutual
+      .join(second.select(col("src").as("vec_a"), col("q2").as("q2_a")),
+        Seq("vec_a"), "left")
+      .join(second.select(col("src").as("vec_b"), col("q2").as("q2_b")),
+        Seq("vec_b"), "left")
+      .select(col("vec_a"), col("vec_b"),
+        (col("qcos").cast("double") / mutualCosScale).as("cosine"),
+        (col("qcos") - greatest(coalesce(col("q2_a"), lit(-mutualCosScale)),
+          coalesce(col("q2_b"), lit(-mutualCosScale)))).as("margin_q"))
+      .withColumn("margin", col("margin_q").cast("double") / mutualCosScale)
+      .orderBy(col("margin_q").desc, col("vec_a"), col("vec_b"))
+      .limit(mutualTopN)
+  }
+
+  val qEmbMutualNnSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |corpus AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_dot_product(e, e)) AS norm,
+       |    ${bucketSql("e")} AS bucket
+       |  FROM (
+       |    SELECT vec_id, e FROM base
+       |    UNION ALL
+       |    SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) AS e
+       |    FROM base WHERE vec_id % 25 = 0
+       |  )
+       |),
+       |directed AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    CAST(floor(list_dot_product(a.e, b.e) / (a.norm * b.norm) *
+       |      $mutualCosScale) AS BIGINT) AS qcos
+       |  FROM corpus a JOIN corpus b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |),
+       |ranked AS (
+       |  SELECT src, dst, qcos,
+       |    row_number() OVER (PARTITION BY src ORDER BY qcos DESC, dst ASC) AS rn
+       |  FROM directed
+       |),
+       |best AS (SELECT src, dst, qcos FROM ranked WHERE rn = 1),
+       |second AS (SELECT src, qcos AS q2 FROM ranked WHERE rn = 2),
+       |mutual AS (
+       |  SELECT x.src AS vec_a, x.dst AS vec_b, x.qcos AS qcos
+       |  FROM best x JOIN best y
+       |    ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+       |)
+       |SELECT vec_a, vec_b,
+       |  CAST(qcos AS DOUBLE) / $mutualCosScale AS cosine,
+       |  CAST(qcos - greatest(COALESCE(sa.q2, -$mutualCosScale),
+       |    COALESCE(sb.q2, -$mutualCosScale)) AS BIGINT) AS margin_q,
+       |  CAST(qcos - greatest(COALESCE(sa.q2, -$mutualCosScale),
+       |    COALESCE(sb.q2, -$mutualCosScale)) AS DOUBLE) / $mutualCosScale AS margin
+       |FROM mutual
+       |LEFT JOIN second sa ON sa.src = vec_a
+       |LEFT JOIN second sb ON sb.src = vec_b
+       |ORDER BY margin_q DESC, vec_a, vec_b
+       |LIMIT $mutualTopN""".stripMargin
+
+  // ------------------------------------------------------------------
   // IVF ANN: per-label centroids as coarse quantizer, nprobe cell probe
   // ------------------------------------------------------------------
 

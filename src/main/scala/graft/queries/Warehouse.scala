@@ -1288,6 +1288,97 @@ object Warehouse {
   }
 
   // ------------------------------------------------------------------
+  // Bitemporal as-of: what did we believe, and when did we learn it?
+  // ------------------------------------------------------------------
+
+  /** Transaction-time stamps (epoch-day integers) and the two audit
+    * observation points. Literal RHS `final` per the init-cycle rule.
+    */
+  final val btTxBase = 19700L
+  final val btTxCorrection = 19731L
+  final val btAsOfT1 = 19715L
+  final val btAsOfT2 = 19760L
+
+  /** BITEMPORAL as-of readout — the audit question SCD2 alone cannot
+    * answer: [[qScd2Customer]] tracks when a value was TRUE (valid
+    * time); this adds when we KNEW it (transaction time), so
+    * "reproduce the report exactly as it looked on date T" works even
+    * after retroactive corrections land. The version store is the
+    * customer file plus injected retroactive corrections (every 10th
+    * customer restates the SAME valid period with +100 balance at a
+    * later transaction time — the classic late-arriving correction).
+    * The query reads the ledger at [[btAsOfT1]] (before corrections
+    * arrived) and [[btAsOfT2]] (after), per nation: identical valid
+    * time, different knowledge time — the T2−T1 delta IS the restated
+    * money, and a regulator asking "what did you report in January"
+    * gets the T1 numbers back bit-for-bit.
+    *
+    * Exactness: balances as DECIMAL→BIGINT cents; as-of version pick is
+    * `max_by(bal, tx) FILTER (WHERE tx ≤ T)` — transaction stamps are
+    * unique per key, so the argmax is total-ordered; both engines
+    * support the standard FILTER clause.
+    *
+    * Scale (100 TB): version stores shuffle once on the entity key
+    * (both as-of picks are ONE conditional aggregate in that pass);
+    * the nation rollup is dim-grain. No windows over the ledger, no
+    * per-T rescans — add observation points as extra agg columns, not
+    * extra passes.
+    */
+  def qCustBitemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast(DecimalType(18, 4)) * 100).cast("long")
+    val baseV = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_c"),
+        lit(btTxBase).as("tx"))
+    val corrections = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (cents + 10000L).as("bal_c"), lit(btTxCorrection).as("tx"))
+    val ledger = baseV.unionAll(corrections)
+    val perCust = ledger.groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(
+        expr(s"max_by(bal_c, tx) FILTER (WHERE tx <= $btAsOfT1)").as("bal_t1"),
+        expr(s"max_by(bal_c, tx) FILTER (WHERE tx <= $btAsOfT2)").as("bal_t2"))
+    perCust.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("bal_t1") =!= col("bal_t2"), 1L).otherwise(0L))
+          .as("n_restated"),
+        sum(col("bal_t1")).as("total_t1_cents"),
+        sum(col("bal_t2")).as("total_t2_cents"))
+      .select(col("c_nationkey"), col("n_customers"), col("n_restated"),
+        col("total_t1_cents"), col("total_t2_cents"),
+        (col("total_t2_cents") - col("total_t1_cents")).as("restated_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val qCustBitemporalSql: String =
+    s"""WITH ledger AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) AS bal_c,
+       |    $btTxBase AS tx
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) + 10000 AS bal_c,
+       |    $btTxCorrection AS tx
+       |  FROM customer WHERE c_custkey % 10 = 0
+       |),
+       |per_cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    arg_max(bal_c, tx) FILTER (WHERE tx <= $btAsOfT1) AS bal_t1,
+       |    arg_max(bal_c, tx) FILTER (WHERE tx <= $btAsOfT2) AS bal_t2
+       |  FROM ledger GROUP BY c_custkey, c_nationkey
+       |)
+       |SELECT c_nationkey, count(*) AS n_customers,
+       |  CAST(sum(CASE WHEN bal_t1 <> bal_t2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_restated,
+       |  CAST(sum(bal_t1) AS BIGINT) AS total_t1_cents,
+       |  CAST(sum(bal_t2) AS BIGINT) AS total_t2_cents,
+       |  CAST(sum(bal_t2) - sum(bal_t1) AS BIGINT) AS restated_cents
+       |FROM per_cust
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // Customer lifecycle migration: who was retained, churned, acquired?
   // ------------------------------------------------------------------
 
@@ -1483,6 +1574,7 @@ object Warehouse {
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),
     "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql)),
     "q_supp_hhi" -> ((qSuppHhi _, qSuppHhiSql)),
-    "q_cust_lifecycle" -> ((qCustLifecycle _, qCustLifecycleSql))
+    "q_cust_lifecycle" -> ((qCustLifecycle _, qCustLifecycleSql)),
+    "q_cust_bitemporal" -> ((qCustBitemporal _, qCustBitemporalSql))
   )
 }

@@ -2465,6 +2465,51 @@ class NewOpsSpec extends SparkSuite {
     assert(row.getAs[Boolean]("heavy_tail") === (alpha < 2.0))
   }
 
+  test("mutual NN: planted pairs lead the margin ranking; mutuality and margin hold") {
+    val rows = Similarity.qEmbMutualNn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("margin_q")))
+    assert(rows.nonEmpty)
+    // margins strictly ordered (modulo ties broken by ids)
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // every planted pair that appears must be (x, x+100000); the TOP entry
+    // must be a planted pair (background cosine tops out ~0.5, planted ~0.9)
+    val planted = rows.filter { case (a, b, _, _) => b == a + 100000 }
+    assert(planted.nonEmpty, "no planted pair surfaced")
+    planted.foreach { case (a, _, c, _) =>
+      assert(a % 25 === 0L)
+      assert(c > 0.8, "planted pairs carry near-dup cosine")
+    }
+    assert(rows.head._2 === rows.head._1 + 100000, "top match is a planted pair")
+    // margin can never exceed cosine-floor distance bounds
+    rows.foreach { case (_, _, c, mq) =>
+      assert(mq <= ((c + 1.0) * Similarity.mutualCosScale).toLong + 1)
+    }
+  }
+
+  test("bitemporal: T1 pre-correction, T2 post; restatement is exactly the injection") {
+    val rows = graft.queries.Warehouse.qCustBitemporal(spark, sf).collect()
+    val custs = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2)))
+    val byNation = custs.groupBy(_._2)
+    assert(rows.map(_.getAs[Number]("c_nationkey").longValue).toSet === byNation.keySet)
+    rows.foreach { r =>
+      val ds = byNation(r.getAs[Number]("c_nationkey").longValue)
+      val restated = ds.count(_._1 % 10 == 0).toLong
+      def cents(x: Double) = new java.math.BigDecimal(x.toString)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).setScale(0, java.math.RoundingMode.FLOOR).longValueExact
+      val t1 = ds.map(d => cents(d._3)).sum
+      assert(r.getAs[Long]("n_customers") === ds.size.toLong)
+      assert(r.getAs[Long]("n_restated") === restated)
+      assert(r.getAs[Long]("total_t1_cents") === t1, "T1 reproduces the original report")
+      assert(r.getAs[Long]("total_t2_cents") === t1 + restated * 10000L)
+      assert(r.getAs[Long]("restated_cents") === restated * 10000L,
+        "the knowledge-time delta is exactly the injected correction")
+    }
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

@@ -1288,6 +1288,175 @@ object Warehouse {
   }
 
   // ------------------------------------------------------------------
+  // Revenue bridge: price effect vs volume effect vs joint
+  // ------------------------------------------------------------------
+
+  /** Period-over-period REVENUE BRIDGE (price/volume/joint waterfall)
+    * per nation across the [[lifecycleBoundary]] split — the FP&A
+    * decomposition ΔR = (p₂−p₁)·v₁ + p₁·(v₂−v₁) + (p₂−p₁)·(v₂−v₁)
+    * with p = revenue/volume, answering "did revenue move because we
+    * charged more or because we sold more": the explanation layer on
+    * top of [[qCustLifecycle]]'s who-moved view. The three effects are
+    * the Laspeyres price term, the volume term, and the joint
+    * (interaction) term — kept separate, not folded, so the bridge
+    * closes EXACTLY: effects sum to the exact-cent Δrevenue (spec-
+    * asserted to the double ulp).
+    *
+    * Exactness: r and v accumulate as exact BIGINTs (DECIMAL cents,
+    * floored units); the effects are fixed double trees over those four
+    * integers — bit-equal cross-engine. `delta_cents` itself stays an
+    * exact integer column.
+    *
+    * Scale (100 TB): ONE conditional aggregate over the orders⋈lineitem
+    * join (period predicate pushed, both periods in one pass), customer
+    * →nation dims on broadcasts, |nations| output rows.
+    */
+  def qRevBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundary = lit(lifecycleBoundary).cast("timestamp")
+    val isEarly = col("o_orderdate").cast("timestamp") < boundary
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val grid = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("is_early", isEarly)
+      .withColumn("rev", rev)
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        // integralize at 10^-4 dollars (rev carries 4 decimals), THEN
+        // integer-divide to cents — a bare *100 cast is truncate-vs-round
+        // divergent cross-engine on the 2 residual decimals
+        expr("CAST(sum(CASE WHEN is_early THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) div 100")
+          .as("r1"),
+        expr("CAST(sum(CASE WHEN NOT is_early THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) div 100")
+          .as("r2"),
+        sum(when(isEarly, floor(col("l_quantity")).cast("long")).otherwise(0L))
+          .as("v1"),
+        sum(when(!isEarly, floor(col("l_quantity")).cast("long")).otherwise(0L))
+          .as("v2"))
+    val p1 = col("r1").cast("double") / col("v1").cast("double")
+    val p2 = col("r2").cast("double") / col("v2").cast("double")
+    grid.select(col("nation"), col("r1"), col("r2"), col("v1"), col("v2"),
+        (col("r2") - col("r1")).as("delta_cents"),
+        when(col("v1") > 0 && col("v2") > 0,
+          (p2 - p1) * col("v1").cast("double")).as("price_effect"),
+        when(col("v1") > 0 && col("v2") > 0,
+          p1 * (col("v2") - col("v1")).cast("double")).as("volume_effect"),
+        when(col("v1") > 0 && col("v2") > 0,
+          (p2 - p1) * (col("v2") - col("v1")).cast("double")).as("joint_effect"))
+      .orderBy(col("nation"))
+  }
+
+  val qRevBridgeSql: String = {
+    val p1 = "(CAST(r1 AS DOUBLE) / CAST(v1 AS DOUBLE))"
+    val p2 = "(CAST(r2 AS DOUBLE) / CAST(v2 AS DOUBLE))"
+    s"""WITH grid AS (
+       |  SELECT n_name AS nation,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$lifecycleBoundary'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+       |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) // 100 AS r1,
+       |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$lifecycleBoundary'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+       |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) // 100 AS r2,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$lifecycleBoundary'
+       |      THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$lifecycleBoundary'
+       |      THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS v2
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |)
+       |SELECT nation, r1, r2, v1, v2, r2 - r1 AS delta_cents,
+       |  CASE WHEN v1 > 0 AND v2 > 0
+       |    THEN ($p2 - $p1) * CAST(v1 AS DOUBLE) ELSE NULL END AS price_effect,
+       |  CASE WHEN v1 > 0 AND v2 > 0
+       |    THEN $p1 * CAST(v2 - v1 AS DOUBLE) ELSE NULL END AS volume_effect,
+       |  CASE WHEN v1 > 0 AND v2 > 0
+       |    THEN ($p2 - $p1) * CAST(v2 - v1 AS DOUBLE) ELSE NULL END AS joint_effect
+       |FROM grid
+       |ORDER BY nation""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Cohort lifetime-value curve
+  // ------------------------------------------------------------------
+
+  /** Cohort LTV curve: customers grouped by FIRST-ORDER year, and for
+    * every cohort age (order year − cohort year) the cohort's revenue
+    * that year plus the RUNNING cumulative revenue per cohort member —
+    * the curve whose flattening point answers "how long until a
+    * customer has paid back acquisition", the longitudinal companion
+    * of [[qCustRfm]] (point-in-time value) and
+    * [[graft.queries.Analytics.qEventCohortRetention]] (activity
+    * retention; this is the MONEY retention).
+    *
+    * Exactness: cohort assignment is an exact min over order years;
+    * revenue sums as DECIMAL→BIGINT cents; the cumulative division is
+    * one double per row over exact integers.
+    *
+    * Scale (100 TB): one custkey-keyed aggregate for cohort assignment,
+    * one broadcast-joined (cohort, age) aggregate over the orders scan,
+    * and a window over the |years|² cohort-age grid (dim-sized by
+    * construction — years, not customers).
+    */
+  def qCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("timestamp")).as("yr"),
+        (col("o_totalprice").cast(DecimalType(18, 4)) * 100).cast("long").as("cents"))
+    val cohorts = orders.groupBy(col("o_custkey"))
+      .agg(min(col("yr")).cast("long").as("cohort_year"))
+    val sizes = cohorts.groupBy(col("cohort_year"))
+      .agg(count(lit(1)).as("n_customers"))
+    val grid = orders.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_year"), (col("yr").cast("long") - col("cohort_year")).as("age"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_year")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(broadcast(sizes), "cohort_year")
+      .select(col("cohort_year"), col("age"), col("n_customers"),
+        col("revenue_cents"),
+        (sum(col("revenue_cents")).over(w).cast("double") /
+          (col("n_customers") * 100L).cast("double")).as("cum_ltv_usd"))
+      .orderBy(col("cohort_year"), col("age"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |cohorts AS (
+      |  SELECT o_custkey, CAST(min(yr) AS BIGINT) AS cohort_year
+      |  FROM o GROUP BY o_custkey
+      |),
+      |sizes AS (
+      |  SELECT cohort_year, count(*) AS n_customers FROM cohorts GROUP BY cohort_year
+      |),
+      |grid AS (
+      |  SELECT cohort_year, CAST(yr - cohort_year AS BIGINT) AS age,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM o JOIN cohorts USING (o_custkey)
+      |  GROUP BY cohort_year, yr - cohort_year
+      |)
+      |SELECT cohort_year, age, n_customers, revenue_cents,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_year ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    CAST(n_customers * 100 AS DOUBLE) AS cum_ltv_usd
+      |FROM grid JOIN sizes USING (cohort_year)
+      |ORDER BY cohort_year, age""".stripMargin
+
+  // ------------------------------------------------------------------
   // Bitemporal as-of: what did we believe, and when did we learn it?
   // ------------------------------------------------------------------
 
@@ -1575,6 +1744,8 @@ object Warehouse {
     "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql)),
     "q_supp_hhi" -> ((qSuppHhi _, qSuppHhiSql)),
     "q_cust_lifecycle" -> ((qCustLifecycle _, qCustLifecycleSql)),
-    "q_cust_bitemporal" -> ((qCustBitemporal _, qCustBitemporalSql))
+    "q_cust_bitemporal" -> ((qCustBitemporal _, qCustBitemporalSql)),
+    "q_rev_bridge" -> ((qRevBridge _, qRevBridgeSql)),
+    "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql))
   )
 }

@@ -2510,6 +2510,55 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("revenue bridge: the three effects close the exact-cent delta") {
+    val rows = graft.queries.Warehouse.qRevBridge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r1, r2) = (r.getAs[Long]("r1"), r.getAs[Long]("r2"))
+      val (v1, v2) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+      assert(r.getAs[Long]("delta_cents") === r2 - r1)
+      if (v1 > 0 && v2 > 0) {
+        val (p1, p2) = (r1.toDouble / v1, r2.toDouble / v2)
+        assert(r.getAs[Double]("price_effect") === (p2 - p1) * v1.toDouble)
+        assert(r.getAs[Double]("volume_effect") === p1 * (v2 - v1).toDouble)
+        assert(r.getAs[Double]("joint_effect") === (p2 - p1) * (v2 - v1).toDouble)
+        // the waterfall closes: effects sum to the delta (fp tolerance only)
+        val closed = r.getAs[Double]("price_effect") +
+          r.getAs[Double]("volume_effect") + r.getAs[Double]("joint_effect")
+        assert(math.abs(closed - (r2 - r1).toDouble) <=
+          math.max(1.0, math.abs(r2 - r1).toDouble * 1e-9))
+      }
+    }
+  }
+
+  test("cohort LTV: cumulative curve is monotone and conserves revenue") {
+    val rows = graft.queries.Warehouse.qCohortLtv(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_year"), r.getAs[Long]("age"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("revenue_cents"),
+        r.getAs[Double]("cum_ltv_usd")))
+    assert(rows.nonEmpty)
+    // exact conservation: Σ revenue over the grid = Σ order totals in cents
+    val totalCents = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => new java.math.BigDecimal(r.getDouble(0).toString)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).setScale(0, java.math.RoundingMode.FLOOR).longValueExact)
+      .sum
+    assert(rows.map(_._4).sum === totalCents)
+    // per cohort: ages contiguous from 0, LTV monotone nondecreasing
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 === 0L, "every cohort starts at age 0")
+      assert(sorted.map(_._5).sliding(2).forall(p => p.length < 2 || p(1) >= p(0)),
+        "cumulative LTV never decreases")
+      val (cohortYear, n) = (sorted.head._1, sorted.head._3)
+      assert(n > 0)
+      // replay the final cumulative value exactly
+      assert(sorted.last._5 ===
+        sorted.map(_._4).sum.toDouble / (n * 100L).toDouble)
+      assert(cohortYear >= 1995L && cohortYear <= 2001L)
+    }
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

@@ -312,9 +312,92 @@ object Sketches {
       |SELECT 'zz_month', count(DISTINCT user_id), TRUE FROM events
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Q-digest quantile sketch: mergeable rank queries, exactly audited
+  // ------------------------------------------------------------------
+
+  /** Universe bits (values quantize to floor(value·[[qdScale]]) <
+    * 2^[[qdBits]]), compression parameter, and the probed quantiles.
+    * Rank-error guarantee: ≤ [[qdBits]]·n/[[qdK]] (≈ 5% here).
+    */
+  final val qdBits = 13
+  final val qdK = 256L
+  final val qdScale = 8L
+  final val qdPs: Seq[Int] = Seq(25, 50, 75, 95)
+
+  /** Quantiles via the custom MERGEABLE [[graft.functions.QDigest]]
+    * aggregator, exactly audited: pass 1 builds one q-digest of
+    * `events.value` (quantized to the fixed integer grid) through
+    * ordinary map-side partial aggregation — the sketch ships between
+    * tasks, values never re-shuffle; pass 2 computes, RELATIONALLY and
+    * exactly, each probed quantile (the oracle-checked column) and the
+    * exact rank of the sketch's estimate, deciding the
+    * rank-error-within-log₂(U)·n/k verdict by integer cross-
+    * multiplication. The [[Similarity.qApproxDistinct]] discipline:
+    * every emitted column is engine-exact; the merge-order-dependent
+    * digest internals stay out of the output (NewOpsSpec asserts the
+    * quantitative bound).
+    *
+    * The digest itself is CONSTANT-SIZE MODEL STATE (≤ ~4k nodes), so
+    * the quantile read-off happens on the collected digest — the
+    * kmeans-centroid precedent, not a data collect.
+    *
+    * Scale (100 TB): this op exists FOR that scale — an exact quantile
+    * needs a sort or a value-grain shuffle of the full column; the
+    * digest needs one pass, constant memory per task, and digests
+    * merge across days/partitions like the HLL rollup
+    * ([[qEventHllMerge]]). The exact arm here is the audit, not the
+    * production path.
+    */
+  def qValueQdigest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.events(spark, sfDir)
+      .select(floor(col("value") * qdScale).cast("long").as("vq"))
+    val grain = vals.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+    val qd = udaf(new graft.functions.QDigest(qdBits, qdK))
+    val digest = vals.agg(qd(col("vq"))).head
+      .getAs[scala.collection.Map[Long, Long]](0).toMap
+    val estDf = qdPs
+      .map(p => (p, graft.functions.QDigest.quantile(digest, qdBits, p.toLong, 100L)))
+      .toDF("p", "est")
+    val n = grain.agg(sum(col("cnt")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grain.withColumn("cum", sum(col("cnt")).over(w))
+    val exact = estDf.crossJoin(broadcast(n))
+      .join(cum, col("cum") >= expr("(p * n + 99) div 100"))
+      .groupBy(col("p"), col("n"), col("est"))
+      .agg(min(col("vq")).as("exact_q"))
+    val ranks = estDf
+      .join(grain, col("vq") <= col("est"), "left")
+      .groupBy(col("p").as("p2"))
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("rank_est"))
+    exact.join(ranks, col("p") === col("p2"))
+      .select(col("p"), col("exact_q"), col("n"),
+        (abs(col("rank_est") * 100L - col("p") * col("n")) * qdK <=
+          lit(qdBits.toLong) * col("n") * 100L).as("sketch_ok"))
+      .orderBy(col("p"))
+  }
+
+  val qValueQdigestSql: String =
+    s"""WITH g AS (
+       |  SELECT CAST(floor(value * $qdScale) AS BIGINT) AS vq, count(*) AS cnt
+       |  FROM events GROUP BY vq
+       |),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+       |cum AS (
+       |  SELECT vq, CAST(sum(cnt) OVER (ORDER BY vq) AS BIGINT) AS cum FROM g
+       |),
+       |ps AS (SELECT unnest([${qdPs.mkString(", ")}]) AS p)
+       |SELECT p, min(vq) AS exact_q, n, TRUE AS sketch_ok
+       |FROM ps CROSS JOIN tot JOIN cum ON cum >= (p * n + 99) // 100
+       |GROUP BY p, n
+       |ORDER BY p""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_bloom_prejoin" -> ((qBloomPrejoin _, qBloomPrejoinSql)),
     "q_cms_user_counts" -> ((qCmsUserCounts _, qCmsUserCountsSql)),
-    "q_event_hll_merge" -> ((qEventHllMerge _, qEventHllMergeSql))
+    "q_event_hll_merge" -> ((qEventHllMerge _, qEventHllMergeSql)),
+    "q_value_qdigest" -> ((qValueQdigest _, qValueQdigestSql))
   )
 }

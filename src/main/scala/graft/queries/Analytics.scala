@@ -4209,6 +4209,92 @@ object Analytics {
       |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // Funnel time-to-convert: how long does the journey take?
+  // ------------------------------------------------------------------
+
+  /** Funnel TIME-TO-CONVERT distribution — the duration layer
+    * [[qEventFunnel]]'s step-count view lacks: two funnels with the
+    * same conversion RATE are different products if one converts in
+    * minutes and the other in weeks (campaign attribution windows,
+    * cart-abandonment timers and re-targeting delays are all set from
+    * this table). Over users completing the full
+    * signup→click→purchase journey: exact count, mean seconds, and
+    * the quartiles of signup→purchase time at MINUTE grain
+    * (percentile_disc semantics — the smallest minute whose cumulative
+    * count reaches ⌈p·n⌉, exact integer arithmetic end to end).
+    *
+    * Exactness: step times come from the same min-over-window chain as
+    * [[qEventFunnel]]; gaps floor to integer seconds/minutes
+    * identically in both engines; the quartile selection is a
+    * cumulative-count compare — no interpolation, no doubles except
+    * the one mean division.
+    *
+    * Scale (100 TB): user-keyed windows (the funnel shape), then ONE
+    * minute-grain aggregate whose cardinality is the time SPAN in
+    * minutes — corpus-size-independent by construction — so the
+    * quartile windows never see a corpus-sized frame.
+    */
+  def qEventFunnelTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val stepped = Tables.events(spark, sfDir)
+      .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" &&
+        $"ts" > $"t1", $"ts")).over(w))
+    val gaps = stepped.groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t3").as("t3"))
+      .filter($"t3".isNotNull)
+      .select(expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").as("gap_s"))
+      .select($"gap_s", expr("gap_s div 60").as("gap_min"))
+    val tot = gaps.agg(count(lit(1)).as("n_converted"), sum($"gap_s").as("sum_s"))
+    val grain = gaps.groupBy($"gap_min").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy($"gap_min")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grain.withColumn("cum", sum($"cnt").over(wc))
+    def quartile(pNum: Int): Column = min(when(
+      col("cum") * 4 >= col("n_converted") * pNum, col("gap_min")))
+    cum.crossJoin(broadcast(tot))
+      .agg(max($"n_converted").as("n_converted"),
+        (max($"sum_s").cast("double") / max($"n_converted").cast("double"))
+          .as("mean_gap_s"),
+        quartile(1).as("p25_min"), quartile(2).as("p50_min"),
+        quartile(3).as("p75_min"))
+  }
+
+  val qEventFunnelTimeSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events
+      |),
+      |s3 AS (
+      |  SELECT user_id, t1,
+      |    min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t3
+      |  FROM s1
+      |),
+      |gaps AS (
+      |  SELECT (epoch_us(min(t3)) - epoch_us(min(t1))) // 1000000 AS gap_s,
+      |    ((epoch_us(min(t3)) - epoch_us(min(t1))) // 1000000) // 60 AS gap_min
+      |  FROM s3 GROUP BY user_id
+      |  HAVING min(t3) IS NOT NULL
+      |),
+      |tot AS (
+      |  SELECT count(*) AS n_converted, CAST(sum(gap_s) AS BIGINT) AS sum_s FROM gaps
+      |),
+      |cum AS (
+      |  SELECT gap_min, CAST(sum(count(*)) OVER (ORDER BY gap_min) AS BIGINT) AS cum
+      |  FROM gaps GROUP BY gap_min
+      |)
+      |SELECT max(n_converted) AS n_converted,
+      |  CAST(max(sum_s) AS DOUBLE) / CAST(max(n_converted) AS DOUBLE) AS mean_gap_s,
+      |  CAST(min(CASE WHEN cum * 4 >= n_converted * 1 THEN gap_min END) AS BIGINT) AS p25_min,
+      |  CAST(min(CASE WHEN cum * 4 >= n_converted * 2 THEN gap_min END) AS BIGINT) AS p50_min,
+      |  CAST(min(CASE WHEN cum * 4 >= n_converted * 3 THEN gap_min END) AS BIGINT) AS p75_min
+      |FROM cum CROSS JOIN tot""".stripMargin
+
+  // ------------------------------------------------------------------
   // Burstiness index: are arrivals clocklike, Poisson, or bursty?
   // ------------------------------------------------------------------
 
@@ -4328,6 +4414,7 @@ object Analytics {
     "q_event_entropy_rate" -> ((qEventEntropyRate _, qEventEntropyRateSql)),
     "q_order_lead_time" -> ((qOrderLeadTime _, qOrderLeadTimeSql)),
     "q_event_burstiness" -> ((qEventBurstiness _, qEventBurstinessSql)),
+    "q_event_funnel_time" -> ((qEventFunnelTime _, qEventFunnelTimeSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

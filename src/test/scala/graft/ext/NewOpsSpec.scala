@@ -2559,6 +2559,71 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("q-digest: rank-error bound holds quantitatively under any merge split") {
+    import graft.functions.QDigest
+    val vals = Tables.events(spark, sf).select("value").collect()
+      .map(r => math.floor(r.getDouble(0) * Sketches.qdScale).toLong)
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val agg = new QDigest(Sketches.qdBits, Sketches.qdK)
+    // two different merge trees over the same data
+    def build(chunks: Seq[Seq[Long]]): Map[Long, Long] = {
+      val bufs = chunks.map { ch =>
+        ch.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      }
+      agg.finish(bufs.reduce(agg.merge))
+    }
+    val d1 = build(vals.grouped(1000).map(_.toSeq).toSeq)
+    val d2 = build(vals.reverse.grouped(333).map(_.toSeq).toSeq)
+    for (d <- Seq(d1, d2); p <- Sketches.qdPs) {
+      assert(d.values.sum === n, "digest conserves total weight")
+      val est = QDigest.quantile(d, Sketches.qdBits, p.toLong, 100L)
+      val rank = sorted.count(_ <= est).toLong
+      val err = math.abs(rank * 100L - p * n)
+      assert(err * Sketches.qdK <= Sketches.qdBits.toLong * n * 100L,
+        s"p=$p est=$est rank=$rank err=$err exceeds the log2(U)n/k bound")
+    }
+    // compression actually bounds the summary
+    assert(d1.size <= 8 * Sketches.qdK.toInt, s"digest grew to ${d1.size} nodes")
+    // the registry op's verdicts must all be green
+    val rows = Sketches.qValueQdigest(spark, sf).collect()
+    assert(rows.length === Sketches.qdPs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_ok"))
+      // exact arm replay: smallest grid value whose rank reaches ceil(p n / 100)
+      val p = r.getAs[Int]("p")
+      val target = (p * n + 99) / 100
+      assert(r.getAs[Long]("exact_q") === sorted((target - 1).toInt))
+      assert(r.getAs[Long]("n") === n)
+    }
+  }
+
+  test("funnel time-to-convert: exact gap replay; quartiles are rank-correct") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).getTime * 1000 +
+          (r.getAs[java.sql.Timestamp](2).getNanos / 1000) % 1000))
+    val gaps = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val t1 = xs.filter(_._2 == "signup").map(_._3).sorted.headOption
+      t1.flatMap { s =>
+        val t3 = xs.filter(e => e._2 == "purchase" && e._3 > s).map(_._3)
+          .sorted.headOption
+        t3.map(p => (p - s) / 1000000L)
+      }
+    }
+    val row = Analytics.qEventFunnelTime(spark, sf).head
+    val n = gaps.size.toLong
+    assert(row.getAs[Long]("n_converted") === n)
+    assert(row.getAs[Double]("mean_gap_s") === gaps.sum.toDouble / n.toDouble)
+    val mins = gaps.map(_ / 60L).sorted
+    def q(pNum: Int): Long = mins(((n * pNum + 3) / 4 - 1).toInt)
+    assert(row.getAs[Long]("p25_min") === q(1))
+    assert(row.getAs[Long]("p50_min") === q(2))
+    assert(row.getAs[Long]("p75_min") === q(3))
+    assert(q(1) <= q(2) && q(2) <= q(3))
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

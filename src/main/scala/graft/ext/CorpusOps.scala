@@ -790,6 +790,71 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Simpson diversity: effective source count per language
+  // ------------------------------------------------------------------
+
+  /** Per-language SOURCE DIVERSITY as the Simpson index — λ = the
+    * probability two random docs of a language share a source,
+    * computed EXACTLY as Σ n_s(n_s−1) / (N(N−1)) — and its inverse,
+    * the EFFECTIVE source count ("this language really draws from ~3
+    * sources, whatever the nominal list says"). The per-language
+    * refinement of [[qDocSourceGini]]'s corpus-wide concentration: a
+    * language can look well-sourced globally while every one of its
+    * documents comes from a single scrape — the monoculture a
+    * multilingual mixture policy must catch per language, not on
+    * average.
+    *
+    * Exactness: both the numerator and denominator are exact BIGINTs
+    * (pair counts, not shares — no float powers anywhere); λ and the
+    * effective count are single divisions of those integers.
+    * Degenerate cells stay honest: N < 2 or zero same-source pairs emit
+    * NULL instead of a fabricated number.
+    *
+    * Scale (100 TB): one (lang, source)-keyed count (map-side
+    * combined), then a lang-keyed rollup of the |langs|·|sources| grid
+    * — dim-sized from the first shuffle on.
+    */
+  def qDocLangDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_ls"))
+    cells.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n_ls")).as("n_docs"),
+        sum(col("n_ls") * (col("n_ls") - 1)).as("same_pairs"))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("same_pairs"),
+        when(col("n_docs") >= 2,
+          col("same_pairs").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+          .as("simpson_lambda"),
+        when(col("n_docs") >= 2 && col("same_pairs") > 0,
+          (col("n_docs") * (col("n_docs") - 1)).cast("double") /
+            col("same_pairs").cast("double"))
+          .as("effective_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val qDocLangDiversitySql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS n_ls
+      |  FROM documents GROUP BY lang, source
+      |),
+      |rolled AS (
+      |  SELECT lang, count(*) AS n_sources,
+      |    CAST(sum(n_ls) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_ls * (n_ls - 1)) AS BIGINT) AS same_pairs
+      |  FROM cells GROUP BY lang
+      |)
+      |SELECT lang, n_docs, n_sources, same_pairs,
+      |  CASE WHEN n_docs >= 2
+      |    THEN CAST(same_pairs AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+      |    ELSE NULL END AS simpson_lambda,
+      |  CASE WHEN n_docs >= 2 AND same_pairs > 0
+      |    THEN CAST(n_docs * (n_docs - 1) AS DOUBLE) / CAST(same_pairs AS DOUBLE)
+      |    ELSE NULL END AS effective_sources
+      |FROM rolled
+      |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // Mixture waterfilling: allocate a token budget under source caps
   // ------------------------------------------------------------------
 

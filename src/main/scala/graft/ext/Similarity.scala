@@ -34,8 +34,8 @@ import graft.model.Tables
   */
 object Similarity {
 
-  val topK = 5
-  val nQueryVecs = 3
+  final val topK = 5
+  final val nQueryVecs = 3
 
   /** Sequential-fold dot product of two vector columns, in double. */
   private def dot(a: Column, b: Column): Column =
@@ -150,8 +150,8 @@ object Similarity {
   // LSH-bucketed ANN (random-hyperplane signs; IVF-style scale path)
   // ------------------------------------------------------------------
 
-  val lshPlanes = 4
-  val embDim = 64
+  final val lshPlanes = 4
+  final val embDim = 64
 
   /** Deterministic ±1 hyperplane components, shared verbatim with the
     * oracle SQL (pseudo-random via a fixed integer mix — no RNG, so both
@@ -376,14 +376,14 @@ object Similarity {
   // Embedding-cosine near-dup (LSH-bucketed pair mining)
   // ------------------------------------------------------------------
 
-  val nearDupThreshold = 0.8
+  final val nearDupThreshold = 0.8
 
   /** Independent LSH tables OR'd together for near-dup mining: a pair is a
     * candidate if it collides in ANY table — the classic L-table
     * construction (recall 1-(1-p^b)^L vs p^b for one table). Table t uses
     * hyperplanes t*lshPlanes .. t*lshPlanes+lshPlanes-1.
     */
-  val lshTables = 6
+  final val lshTables = 6
 
   private def tableBucketCol(t: Int, emb: Column): Column =
     (0 until lshPlanes)
@@ -483,6 +483,89 @@ object Similarity {
        |JOIN normed sb ON cand.vec_b = sb.vec_id
        |WHERE list_dot_product(sa.e, sb.e) / (sa.norm * sb.norm) >= $nearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Score calibration: is cosine a trustworthy relevance probability?
+  // ------------------------------------------------------------------
+
+  /** Number of fixed-width cosine bins over [−1, 1] for the
+    * calibration table.
+    */
+  final val calibBins = 20
+
+  /** RETRIEVAL SCORE CALIBRATION (the reliability diagram for cosine):
+    * every eval-query/candidate pair binned by cosine into
+    * [[calibBins]] fixed-width cells with the measured label-match
+    * precision per cell — the table that turns a raw similarity into
+    * an operating threshold honestly ("above 0.4 the match rate is
+    * 80%") where [[qEmbRetrievalEval]]/[[qEmbNdcg]] grade RANKINGS
+    * without saying what any absolute score means. A score that is
+    * monotone-in-precision calibrates into a cutoff; one that isn't
+    * tells you cosine cannot gate this corpus and the threshold knobs
+    * ([[nearDupThreshold]], [[decontamCos]]) need per-corpus tuning.
+    *
+    * Exactness: bins partition on the engines' identical cosine
+    * doubles (one multiply + floor, clamped); counts are exact
+    * BIGINTs; precision is one division per cell.
+    *
+    * Scale (100 TB): the scoring scan is the [[qEmbCosineTopk]]
+    * broadcast-queries shape (Q×N stream, never materialized); the
+    * bin aggregate collapses it map-side to ≤ [[calibBins]] rows per
+    * task — the whole reliability diagram costs one pass.
+    */
+  def qEmbScoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % evalQueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = emb.filter(col("vec_id") % evalQueryMod =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("ce"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val half = calibBins / 2
+    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(
+        least(lit((calibBins - 1).toLong), greatest(lit(0L),
+          floor((dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm")) +
+            lit(1.0)) * half).cast("long"))).as("bin"),
+        when(col("label") === col("q_label"), 1L).otherwise(0L).as("m"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m")).as("n_match"))
+      .select(col("bin"),
+        (col("bin").cast("double") / half - 1.0).as("cos_lo"),
+        col("n_pairs"), col("n_match"),
+        (col("n_match").cast("double") / col("n_pairs").cast("double"))
+          .as("precision"))
+      .orderBy(col("bin"))
+  }
+
+  val qEmbScoreCalibrationSql: String = {
+    val half = calibBins / 2
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qe,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod = 0
+       |),
+       |c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+       |  FROM embeddings WHERE vec_id % $evalQueryMod <> 0
+       |),
+       |binned AS (
+       |  SELECT
+       |    least(${calibBins - 1}, greatest(0, CAST(floor(
+       |      (list_dot_product(qe, ce) / (q_norm * c_norm) + CAST(1.0 AS DOUBLE))
+       |        * $half) AS BIGINT))) AS bin,
+       |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS m
+       |  FROM c, q WHERE q_id <> vec_id
+       |)
+       |SELECT bin, CAST(bin AS DOUBLE) / $half - 1.0 AS cos_lo,
+       |  count(*) AS n_pairs, CAST(sum(m) AS BIGINT) AS n_match,
+       |  CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS precision
+       |FROM binned
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -1691,7 +1774,7 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Queries for the retrieval-eval harness: every 10th vector. */
-  val evalQueryMod = 10
+  final val evalQueryMod = 10
   /** Eval cutoff; [[mrrLcm]] = lcm(1..evalK) makes per-query reciprocal
     * ranks EXACT integers (2520/rank), so the MRR numerator sums in
     * integer arithmetic — order-free — and only the final division
@@ -1699,8 +1782,8 @@ object Similarity {
     * cross-engine). A double `sum(1.0/rank)` would depend on partition
     * merge order.
     */
-  val evalK = 10
-  val mrrLcm = 2520L
+  final val evalK = 10
+  final val mrrLcm = 2520L
 
   /** Offline retrieval-quality evaluation of the embedding space: treat
     * every [[evalQueryMod]]-th vector as a query, SAME LABEL as the

@@ -579,6 +579,12 @@ class NewOpsSpec extends SparkSuite {
     assert(Dedup.qDocSplitLeakfreeSql.contains("% 100 < 80"))
     assert(Dedup.qDocSplitLeakfreeSql.contains("% 100 < 90"))
     assert(Dedup.qDocWinnowSql.contains("% 2147483647"))
+    // r8: qEmbScoreCalibration's SQL initializes BEFORE the eval
+    // constants' definition site in Similarity — a non-final
+    // evalQueryMod interpolated `% 0` (caught live); pin the inline
+    assert(Similarity.qEmbScoreCalibrationSql.contains("% 10 = 0"))
+    assert(!Similarity.qEmbScoreCalibrationSql.contains("% 0"))
+    assert(Similarity.qEmbNdcgSql.contains("% 10 = 0"))
   }
 
   test("leak-free split: no cluster straddles folds; summary consistent; naive split leaks") {
@@ -2622,6 +2628,63 @@ class NewOpsSpec extends SparkSuite {
     assert(row.getAs[Long]("p50_min") === q(2))
     assert(row.getAs[Long]("p75_min") === q(3))
     assert(q(1) <= q(2) && q(2) <= q(3))
+  }
+
+  test("language diversity: exact Simpson replay; effective sources bounded") {
+    val docs = Tables.documents(spark, sf).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    val rows = CorpusOps.qDocLangDiversity(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val ds = byLang(r.getAs[String]("lang"))
+      val cells = ds.groupBy(_._2).map(_._2.size.toLong)
+      val n = ds.size.toLong
+      val same = cells.map(c => c * (c - 1)).sum
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_sources") === cells.size.toLong)
+      assert(r.getAs[Long]("same_pairs") === same)
+      if (n >= 2 && same > 0) {
+        val eff = r.getAs[Double]("effective_sources")
+        assert(eff === (n * (n - 1)).toDouble / same.toDouble)
+        // effective count can never exceed the nominal source count... of
+        // equal shares; it IS bounded by n(n-1)/max(0 pairs) — sanity only
+        assert(eff >= 1.0)
+      }
+    }
+  }
+
+  test("score calibration: exact bin replay; planted high-cosine bins exist") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    val qs = embs.filter(_._1 % Similarity.evalQueryMod == 0)
+    val cs = embs.filter(_._1 % Similarity.evalQueryMod != 0)
+    val half = Similarity.calibBins / 2
+    val pairs = for {
+      (qid, ql, qe) <- qs
+      (cid, cl, ce) <- cs if cid != qid
+    } yield {
+      val bin = math.min(Similarity.calibBins - 1L,
+        math.max(0L, math.floor((localCos(qe, ce) + 1.0) * half).toLong))
+      (bin, if (cl == ql) 1L else 0L)
+    }
+    val expected = pairs.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    val rows = Similarity.qEmbScoreCalibration(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (np, nm) = expected(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_pairs") === np)
+      assert(r.getAs[Long]("n_match") === nm)
+      assert(r.getAs[Double]("precision") === nm.toDouble / np.toDouble)
+      assert(r.getAs[Double]("cos_lo") ===
+        r.getAs[Long]("bin").toDouble / half - 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === pairs.size.toLong,
+      "bins partition every scored pair")
   }
 
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {

@@ -4209,6 +4209,74 @@ object Analytics {
       |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // Open-order backlog: the work-in-progress time series
+  // ------------------------------------------------------------------
+
+  /** OPEN-ORDER BACKLOG time series — work-in-progress by day: +1 when
+    * an order is placed, −1 on the day its LAST line ships, running
+    * sum = orders open that day. The operations counterpart of
+    * [[qOrderLeadTime]]: lead time says how long one order takes,
+    * backlog says how much is in flight at once — the number capacity
+    * planning and SLA staffing actually consume, and the exact
+    * interval-stabbing shape of [[qEventPeakConcurrency]] applied to
+    * the order lifecycle (never a per-day × per-order range join).
+    *
+    * Exactness: day stamps are exact epoch-day integers (DATE
+    * subtraction — no timezone arithmetic); deltas, daily nets and the
+    * running backlog are pure BIGINT sums.
+    *
+    * Scale (100 TB): completion is ONE orderkey-keyed max over
+    * lineitem (map-side combined — the only corpus-sized shuffle); the
+    * delta union aggregates to DAY grain immediately, so the running-
+    * sum window spans |days| rows — the TIME SPAN, corpus-size-
+    * independent by construction.
+    */
+  def qOrderBacklog(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val placed = Tables.orders(spark, sfDir)
+      .select(datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+        .cast("long").as("day"))
+      .select($"day", lit(1L).as("placed"), lit(0L).as("completed"))
+    val completed = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(max(to_date($"l_shipdate".cast("timestamp"))).as("last_ship"))
+      .select(datediff($"last_ship", epoch).cast("long").as("day"))
+      .select($"day", lit(0L).as("placed"), lit(1L).as("completed"))
+    val daily = placed.unionAll(completed)
+      .groupBy($"day")
+      .agg(sum($"placed").as("n_placed"), sum($"completed").as("n_completed"))
+    val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .select($"day", $"n_placed", $"n_completed",
+        sum($"n_placed" - $"n_completed").over(w).as("backlog"))
+      .orderBy($"day")
+  }
+
+  val qOrderBacklogSql: String =
+    """WITH placed AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    1 AS placed, 0 AS completed
+      |  FROM orders
+      |),
+      |completed AS (
+      |  SELECT CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    0 AS placed, 1 AS completed
+      |  FROM lineitem GROUP BY l_orderkey
+      |),
+      |daily AS (
+      |  SELECT day, CAST(sum(placed) AS BIGINT) AS n_placed,
+      |    CAST(sum(completed) AS BIGINT) AS n_completed
+      |  FROM (SELECT * FROM placed UNION ALL SELECT * FROM completed)
+      |  GROUP BY day
+      |)
+      |SELECT day, n_placed, n_completed,
+      |  CAST(sum(n_placed - n_completed) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
   // Funnel time-to-convert: how long does the journey take?
   // ------------------------------------------------------------------
 
@@ -4415,6 +4483,7 @@ object Analytics {
     "q_order_lead_time" -> ((qOrderLeadTime _, qOrderLeadTimeSql)),
     "q_event_burstiness" -> ((qEventBurstiness _, qEventBurstinessSql)),
     "q_event_funnel_time" -> ((qEventFunnelTime _, qEventFunnelTimeSql)),
+    "q_order_backlog" -> ((qOrderBacklog _, qOrderBacklogSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

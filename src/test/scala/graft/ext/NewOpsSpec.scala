@@ -2687,6 +2687,36 @@ class NewOpsSpec extends SparkSuite {
       "bins partition every scored pair")
   }
 
+  test("order backlog: exact delta replay; never negative; ends at open count") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+    val completed = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(_._1).map { case (ok, xs) => (ok, xs.map(_._2).max) }
+    val placedByDay = placed.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    val doneByDay = completed.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    val rows = Analytics.qOrderBacklog(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_placed"),
+        r.getAs[Long]("n_completed"), r.getAs[Long]("backlog")))
+    assert(rows.map(_._1).toSet === placedByDay.keySet ++ doneByDay.keySet)
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (d, np, nc, b) =>
+      assert(np === placedByDay.getOrElse(d, 0L))
+      assert(nc === doneByDay.getOrElse(d, 0L))
+      cum += np - nc
+      assert(b === cum)
+      assert(b >= 0L, "an order can never complete before it was placed")
+    }
+    assert(rows.map(_._4).last === placed.length.toLong - completed.size.toLong,
+      "final backlog = orders that never fully shipped")
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

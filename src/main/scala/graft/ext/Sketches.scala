@@ -394,10 +394,95 @@ object Sketches {
        |GROUP BY p, n
        |ORDER BY p""".stripMargin
 
+  // ------------------------------------------------------------------
+  // AMS (Alon-Matias-Szegedy) second-frequency-moment sketch
+  // ------------------------------------------------------------------
+
+  /** AMS lane count: 16 averaged estimators give relative std
+    * ≈ √(2/16) ≈ 35%; the measured error on this corpus is asserted
+    * tighter in NewOpsSpec. `final` with a literal RHS per the
+    * init-cycle rule (verify skill).
+    */
+  final val amsLanes = 16
+
+  /** AMS F2 SKETCH audit — estimates the second frequency moment
+    * F2 = Σ_k f_k² (the self-join size / repeat-concentration of
+    * orders-per-customer) from 16 single-BIGINT sign counters
+    * Z_j = Σ_k f_k·s_j(k), s_j(k) ∈ {−1,+1}, est = mean(Z_j²), next to
+    * the EXACT two-phase F2 so the estimate is auditable in place. F2
+    * is what a join planner needs to size `orders ⋈ orders` on custkey
+    * and what a skew monitor tracks (F2/n² is the Simpson concentration
+    * [[CorpusOps.qDocLangDiversity]] reports for sources); the sketch
+    * form is what survives when keys don't fit anywhere — 16 BIGINTs
+    * ship instead of the key dictionary, and counters merge across
+    * partitions/streams by ADDITION (sum of sums), unlike the exact
+    * form's key-wise merge.
+    *
+    * Signs come from the registry's portable md5 hash (parity of
+    * h31(key#lane)) — pairwise- rather than 4-wise-independent, which
+    * affects the textbook variance CONSTANT only; both engines compute
+    * bit-identical signs, so the ORACLE checks the sketch itself
+    * (every Z_j exact), not just its summary.
+    *
+    * Scale (100 TB): one custkey groupBy (map-side combined — the only
+    * corpus shuffle; the streaming form skips even that, updating the
+    * 16 counters per arrival), then a 1-row global aggregate. Z_j is
+    * bounded by n, so Z² crosses 2^63 near n ≈ 3·10⁹ — past that,
+    * square into DECIMAL(38,0); the counters themselves stay BIGINT.
+    */
+  def qAmsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("f"))
+    val lanes = (0 until amsLanes).map { j =>
+      sum(col("f") *
+        (lit(1L) - lit(2L) * (saltedH(col("o_custkey").cast("string"), j) % 2)))
+        .as(s"z$j")
+    }
+    val moments = f.agg(
+      sum(col("f") * col("f")).as("f2_exact"),
+      (count(lit(1)).as("n_keys") +: lanes): _*)
+    val estSum = (0 until amsLanes)
+      .map(j => col(s"z$j") * col(s"z$j"))
+      .reduce(_ + _).as("est_sum")
+    moments
+      .select((col("f2_exact") :: col("n_keys") :: estSum ::
+        (0 until amsLanes).map(j => col(s"z$j")).toList): _*)
+      .select(col("f2_exact"), col("n_keys"), col("est_sum"),
+        (col("est_sum").cast("double") / lit(amsLanes)).as("est_mean"),
+        (abs(col("est_sum").cast("double") / lit(amsLanes) -
+          col("f2_exact").cast("double")) / col("f2_exact").cast("double"))
+          .as("rel_err"))
+  }
+
+  val qAmsF2Sql: String = {
+    val laneCols = (0 until amsLanes).map { j =>
+      s"    CAST(sum(f * (1 - 2 * (${saltedHSql("(CAST(k AS VARCHAR))", j)} % 2))) AS BIGINT) AS z$j"
+    }.mkString(",\n")
+    val estSum = (0 until amsLanes).map(j => s"z$j * z$j").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |z AS (
+       |  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |$laneCols
+       |  FROM f
+       |),
+       |e AS (SELECT f2_exact, n_keys, $estSum AS est_sum FROM z)
+       |SELECT f2_exact, n_keys, est_sum,
+       |  CAST(est_sum AS DOUBLE) / $amsLanes AS est_mean,
+       |  abs(CAST(est_sum AS DOUBLE) / $amsLanes - CAST(f2_exact AS DOUBLE)) /
+       |    CAST(f2_exact AS DOUBLE) AS rel_err
+       |FROM e""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_bloom_prejoin" -> ((qBloomPrejoin _, qBloomPrejoinSql)),
     "q_cms_user_counts" -> ((qCmsUserCounts _, qCmsUserCountsSql)),
     "q_event_hll_merge" -> ((qEventHllMerge _, qEventHllMergeSql)),
-    "q_value_qdigest" -> ((qValueQdigest _, qValueQdigestSql))
+    "q_value_qdigest" -> ((qValueQdigest _, qValueQdigestSql)),
+    "q_ams_f2" -> ((qAmsF2 _, qAmsF2Sql))
   )
 }

@@ -1912,4 +1912,76 @@ object TextOps {
        |FROM by_src CROSS JOIN gtot
        |ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Readability profile (Flesch-style, heuristic syllables)
+  // ------------------------------------------------------------------
+
+  /** READABILITY PROFILE per language — word, letter and heuristic
+    * syllable totals (a syllable ≈ one maximal vowel run `[aeiouy]+`,
+    * the standard dictionary-free approximation) plus the Flesch
+    * reading-ease score. The corpus carries no sentence punctuation
+    * (checked: zero `[.!?]` across all SFs), so the score uses the
+    * DOC-AS-SENTENCE fallback real pipelines use when segmentation
+    * fails: words-per-sentence := words-per-document. Complements
+    * [[qDocLangQuality]] (stopword/diversity axis) with the PHONETIC
+    * complexity axis — syllables-per-word is the component that
+    * actually separates languages here, and the per-lang profile is
+    * the drift baseline a curation run re-checks after each ingest.
+    *
+    * Exactness: counts are exact BIGINTs (regex run-counting is
+    * identical in Java regex and DuckDB's RE2 for these
+    * character-class patterns — greedy maximal runs, no overlap);
+    * each ratio is one double division of exact BIGINTs and the
+    * Flesch combination is written in the same left-associated shape
+    * in both engines, so the hash compare is byte-stable.
+    *
+    * Scale (100 TB): per-doc counting is NARROW (regexp_count — one
+    * pass over the text, no token explode, nothing wider than 3
+    * BIGINTs leaves the row); the only exchange is the 5-group
+    * partial-aggregated rollup. This is the cheap shape: the explode
+    * path ([[qDocVocab]]) costs a corpus-sized shuffle; this costs
+    * none.
+    */
+  def qDocReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = lower(col("text"))
+    val perDoc = Tables.documents(spark, sfDir).select($"lang",
+      regexp_count(t, lit("[a-z]+")).cast("long").as("w"),
+      regexp_count(t, lit("[aeiouy]+")).cast("long").as("s"),
+      length(regexp_replace(t, "[^a-z]", "")).cast("long").as("l"))
+    val agg = perDoc.groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"), sum($"w").as("words"),
+      sum($"s").as("syllables"), sum($"l").as("letters"))
+    val wpd = $"words".cast("double") / $"n_docs"
+    val spw = $"syllables".cast("double") / $"words"
+    agg.select($"lang", $"n_docs", $"words", $"syllables", $"letters",
+        wpd.as("words_per_doc"), spw.as("sylls_per_word"),
+        ($"letters".cast("double") / $"words").as("letters_per_word"),
+        (lit(206.835) - lit(1.015) * wpd - lit(84.6) * spw).as("flesch"))
+      .orderBy($"lang")
+  }
+
+  val qDocReadabilitySql: String =
+    """WITH per_doc AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS s,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS l
+      |  FROM documents
+      |),
+      |agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS words, CAST(sum(s) AS BIGINT) AS syllables,
+      |    CAST(sum(l) AS BIGINT) AS letters
+      |  FROM per_doc GROUP BY lang
+      |)
+      |SELECT lang, n_docs, words, syllables, letters,
+      |  CAST(words AS DOUBLE) / n_docs AS words_per_doc,
+      |  CAST(syllables AS DOUBLE) / words AS sylls_per_word,
+      |  CAST(letters AS DOUBLE) / words AS letters_per_word,
+      |  206.835 - 1.015 * (CAST(words AS DOUBLE) / n_docs) -
+      |    84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
+      |FROM agg
+      |ORDER BY lang""".stripMargin
 }

@@ -4277,6 +4277,110 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Little's law audit: L = λW over the order lifecycle
+  // ------------------------------------------------------------------
+
+  /** LITTLE'S LAW flow audit — the one-row sanity check tying the three
+    * flow numbers the ops queries report separately: time-averaged WIP
+    * `L` (area under [[qOrderBacklog]]'s curve / horizon), arrival rate
+    * `λ` (orders / horizon day), and mean lead time `W`
+    * ([[qOrderLeadTime]]'s family). Little's law says L = λW for a
+    * system observed start-empty to end-empty; the reported `rel_gap`
+    * is EXACTLY the share of WIP-area contributed by orders that never
+    * fully ship inside the horizon (area identity: Σ backlog·gap =
+    * Σ_orders (min(ship_day, horizon_end) − placed_day), asserted in
+    * NewOpsSpec) — a direct measure of how censored the lead-time
+    * number is, which is what anyone quoting `W` at a review needs.
+    *
+    * Exactness: the WIP area, lead-time sum and horizon are pure BIGINT
+    * day arithmetic; every double is a single division (or subtraction
+    * then division) of exact BIGINTs, written identically in both
+    * engines, so the hash compare is byte-stable.
+    *
+    * Scale (100 TB): one orderkey-keyed max over lineitem (map-side
+    * combined) + one orderkey equi-join for the lead sum — the only
+    * corpus-sized exchanges; the area/lead window work runs at DAY
+    * grain (|days| rows, corpus-size-independent). The single-partition
+    * day-grain window is the documented [[qOrderBacklog]] trade.
+    */
+  def qLittlesLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val placed = Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+          .cast("long").as("placed_day"))
+    val done = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(max(to_date($"l_shipdate".cast("timestamp"))).as("last_ship"))
+      .select($"l_orderkey", datediff($"last_ship", epoch).cast("long").as("done_day"))
+    val deltas = placed.select($"placed_day".as("day"), lit(1L).as("d"))
+      .unionAll(done.select($"done_day".as("day"), lit(-1L).as("d")))
+      .groupBy($"day").agg(sum($"d").as("net"))
+    val runW = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    val offW = Window.orderBy($"day")
+    val series = deltas.select($"day",
+      sum($"net").over(runW).as("backlog"),
+      lead($"day", 1).over(offW).as("next_day"))
+    val area = series.where($"next_day".isNotNull)
+      .agg(sum($"backlog" * ($"next_day" - $"day")).as("area"))
+    val span = deltas.agg((max($"day") - min($"day")).as("horizon_days"))
+    val leads = placed.join(done, $"o_orderkey" === $"l_orderkey")
+      .agg(count(lit(1)).as("n_completed"),
+        sum($"done_day" - $"placed_day").as("lead_sum"))
+    val tot = placed.agg(count(lit(1)).as("n_orders"))
+    tot.crossJoin(span).crossJoin(area).crossJoin(leads)
+      .select($"n_orders", $"n_completed", $"horizon_days", $"area", $"lead_sum",
+        ($"area".cast("double") / $"horizon_days").as("wip_avg"),
+        ($"n_orders".cast("double") / $"horizon_days").as("arrivals_per_day"),
+        ($"lead_sum".cast("double") / $"n_completed").as("lead_avg_days"),
+        ($"lead_sum".cast("double") / $"horizon_days").as("wip_pred"),
+        (($"area" - $"lead_sum").cast("double") / $"area".cast("double")).as("rel_gap"))
+  }
+
+  val qLittlesLawSql: String =
+    """WITH placed AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS placed_day
+      |  FROM orders
+      |),
+      |done AS (
+      |  SELECT l_orderkey,
+      |    CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS done_day
+      |  FROM lineitem GROUP BY l_orderkey
+      |),
+      |deltas AS (
+      |  SELECT day, CAST(sum(d) AS BIGINT) AS net FROM (
+      |    SELECT placed_day AS day, 1 AS d FROM placed
+      |    UNION ALL SELECT done_day AS day, -1 AS d FROM done)
+      |  GROUP BY day
+      |),
+      |series AS (
+      |  SELECT day,
+      |    sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog,
+      |    lead(day) OVER (ORDER BY day) AS next_day
+      |  FROM deltas
+      |),
+      |areat AS (
+      |  SELECT CAST(sum(backlog * (next_day - day)) AS BIGINT) AS area
+      |  FROM series WHERE next_day IS NOT NULL
+      |),
+      |span AS (SELECT CAST(max(day) - min(day) AS BIGINT) AS horizon_days FROM deltas),
+      |leads AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_completed,
+      |    CAST(sum(done_day - placed_day) AS BIGINT) AS lead_sum
+      |  FROM placed JOIN done ON o_orderkey = l_orderkey
+      |),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM placed)
+      |SELECT n_orders, n_completed, horizon_days, area, lead_sum,
+      |  CAST(area AS DOUBLE) / horizon_days AS wip_avg,
+      |  CAST(n_orders AS DOUBLE) / horizon_days AS arrivals_per_day,
+      |  CAST(lead_sum AS DOUBLE) / n_completed AS lead_avg_days,
+      |  CAST(lead_sum AS DOUBLE) / horizon_days AS wip_pred,
+      |  CAST(area - lead_sum AS DOUBLE) / CAST(area AS DOUBLE) AS rel_gap
+      |FROM tot CROSS JOIN span CROSS JOIN areat CROSS JOIN leads""".stripMargin
+
+  // ------------------------------------------------------------------
   // Funnel time-to-convert: how long does the journey take?
   // ------------------------------------------------------------------
 
@@ -4484,6 +4588,7 @@ object Analytics {
     "q_event_burstiness" -> ((qEventBurstiness _, qEventBurstinessSql)),
     "q_event_funnel_time" -> ((qEventFunnelTime _, qEventFunnelTimeSql)),
     "q_order_backlog" -> ((qOrderBacklog _, qOrderBacklogSql)),
+    "q_littles_law" -> ((qLittlesLaw _, qLittlesLawSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1725,6 +1725,85 @@ object Warehouse {
        |FROM by_nation
        |ORDER BY nation""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Discount elasticity: does a deeper discount actually move volume?
+  // ------------------------------------------------------------------
+
+  /** DISCOUNT ELASTICITY per brand — the OLS slope of quantity on
+    * discount depth across a brand's line items, plus the midpoint
+    * elasticity (slope · x̄/ȳ) that turns the slope into the
+    * dimensionless "1% deeper discount ⇒ e% more units" number pricing
+    * teams quote. The exact-moments form of the ordinary-least-squares
+    * fit: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), with every moment an
+    * exact BIGINT (discount snapped to integer points via
+    * floor(d·100 + 0.5) — the 0–10 point grid is exact under that
+    * rounding in both engines; quantity is integral by construction).
+    * Companion to [[graft.queries.Analytics]]'s Theil-Sen slope: this
+    * is the parametric fit, that one the robust fit.
+    *
+    * Exactness: all five moments are BIGINT; slope and elasticity are
+    * formed from the moments in the SAME expression shape in both
+    * engines (one integer numerator/denominator pair, then one double
+    * division; elasticity = slope · (Σx/Σy) as a second double product)
+    * so the hash compare is byte-stable.
+    *
+    * Scale (100 TB): one partkey equi-join (brand lookup; part is ~1/30
+    * of lineitem and only (partkey, brand) survives pruning — broadcast
+    * at bench SF, shuffle-join under AQE beyond that) and one 25-group
+    * aggregate with map-side partials. Moment magnitude: nΣxy grows as
+    * n², crossing 2^63 near n≈10⁹ rows per brand — at that scale widen
+    * the moment sums to DECIMAL(38,0) before the products (the formula
+    * is unchanged); at bench SFs BIGINT is exact with 10⁶× headroom.
+    */
+  def qDiscountElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_partkey",
+      floor($"l_discount" * 100 + 0.5).cast("long").as("x"),
+      floor($"l_quantity" + 0.5).cast("long").as("y"))
+    val brands = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    val m = li.join(broadcast(brands), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    m.select($"p_brand", $"n", $"sx", $"sy",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("numer"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("denom"))
+      .select($"p_brand", $"n",
+        ($"sx".cast("double") / $"n").as("mean_disc_pts"),
+        ($"sy".cast("double") / $"n").as("mean_qty"),
+        ($"numer".cast("double") / $"denom".cast("double")).as("slope_qty_per_pt"),
+        (($"numer".cast("double") / $"denom".cast("double")) *
+          ($"sx".cast("double") / $"sy".cast("double"))).as("elasticity"))
+      .orderBy($"p_brand")
+  }
+
+  val qDiscountElasticitySql: String =
+    """WITH pts AS (
+      |  SELECT p_brand,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |),
+      |m AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM pts GROUP BY p_brand
+      |),
+      |nd AS (
+      |  SELECT p_brand, n, sx, sy,
+      |    n * sxy - sx * sy AS numer, n * sxx - sx * sx AS denom
+      |  FROM m
+      |)
+      |SELECT p_brand, n,
+      |  CAST(sx AS DOUBLE) / n AS mean_disc_pts,
+      |  CAST(sy AS DOUBLE) / n AS mean_qty,
+      |  CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE) AS slope_qty_per_pt,
+      |  (CAST(numer AS DOUBLE) / CAST(denom AS DOUBLE)) *
+      |    (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) AS elasticity
+      |FROM nd
+      |ORDER BY p_brand""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -1746,6 +1825,7 @@ object Warehouse {
     "q_cust_lifecycle" -> ((qCustLifecycle _, qCustLifecycleSql)),
     "q_cust_bitemporal" -> ((qCustBitemporal _, qCustBitemporalSql)),
     "q_rev_bridge" -> ((qRevBridge _, qRevBridgeSql)),
-    "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql))
+    "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql)),
+    "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql))
   )
 }

@@ -2717,6 +2717,130 @@ class NewOpsSpec extends SparkSuite {
       "final backlog = orders that never fully shipped")
   }
 
+  test("little's law: WIP area equals clipped per-order intervals; gap is the censoring share") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1)))).toMap
+    val done = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(_._1).map { case (ok, xs) => (ok, xs.map(_._2).max) }
+    val allDays = placed.values ++ done.values
+    val (dMin, dMax) = (allDays.min, allDays.max)
+    val r = Analytics.qLittlesLaw(spark, sf).collect() match {
+      case Array(only) => only
+      case other       => fail(s"expected 1 row, got ${other.length}")
+    }
+    // area identity: Σ backlog·gap over the day series == Σ_orders of the
+    // order's open interval clipped at the horizon end
+    val areaDirect = placed.toSeq.map { case (ok, p) =>
+      done.getOrElse(ok, dMax) - p
+    }.sum
+    assert(r.getAs[Long]("area") === areaDirect)
+    assert(r.getAs[Long]("n_orders") === placed.size.toLong)
+    assert(r.getAs[Long]("n_completed") === done.size.toLong)
+    assert(r.getAs[Long]("horizon_days") === dMax - dMin)
+    val leadSum = done.toSeq.map { case (ok, dd) => dd - placed(ok) }.sum
+    assert(r.getAs[Long]("lead_sum") === leadSum)
+    assert(r.getAs[Double]("wip_avg") === areaDirect.toDouble / (dMax - dMin))
+    assert(r.getAs[Double]("wip_pred") === leadSum.toDouble / (dMax - dMin))
+    // rel_gap is exactly the never-shipped share of the WIP area
+    assert(r.getAs[Double]("rel_gap") ===
+      (areaDirect - leadSum).toDouble / areaDirect.toDouble)
+    assert(r.getAs[Double]("rel_gap") >= 0.0 && r.getAs[Double]("rel_gap") < 1.0)
+  }
+
+  test("discount elasticity: exact five-moment OLS replay per brand") {
+    val brandOf = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_discount"), col("l_quantity")).collect()
+      .map(r => (brandOf(r.getLong(0)),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) + 0.5).toLong))
+    val expected = pts.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+      val sxy = xs.map(p => p._2 * p._3).sum
+      val sxx = xs.map(p => p._2 * p._2).sum
+      val numer = n * sxy - sx * sy
+      val denom = n * sxx - sx * sx
+      b -> (n, sx, sy, numer.toDouble / denom.toDouble)
+    }
+    val got = graft.queries.Warehouse.qDiscountElasticity(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, sx, sy, slope) = expected(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("slope_qty_per_pt") === slope)
+      assert(r.getAs[Double]("elasticity") === slope * (sx.toDouble / sy.toDouble))
+      assert(r.getAs[Double]("mean_disc_pts") === sx.toDouble / n)
+      assert(r.getAs[Double]("mean_qty") === sy.toDouble / n)
+    }
+  }
+
+  test("AMS F2: estimate matches md5 sign replay exactly; within measured tolerance") {
+    def h31(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val freqs = Tables.orders(spark, sf)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, xs) => (k, xs.length.toLong) }
+    val f2 = freqs.values.map(f => f * f).sum
+    val estSum = (0 until Sketches.amsLanes).map { j =>
+      val z = freqs.map { case (k, f) =>
+        f * (1L - 2L * (h31(s"$k#$j") % 2))
+      }.sum
+      z * z
+    }.sum
+    val r = Sketches.qAmsF2(spark, sf).collect() match {
+      case Array(only) => only
+      case other       => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getAs[Long]("f2_exact") === f2)
+    assert(r.getAs[Long]("n_keys") === freqs.size.toLong)
+    assert(r.getAs[Long]("est_sum") === estSum)
+    val estMean = estSum.toDouble / Sketches.amsLanes
+    assert(r.getAs[Double]("est_mean") === estMean)
+    assert(r.getAs[Double]("rel_err") === math.abs(estMean - f2.toDouble) / f2.toDouble)
+    // quantitative claim: 16 averaged pairwise-independent estimators land
+    // within 75% relative error on this corpus (measured, deterministic)
+    assert(r.getAs[Double]("rel_err") < 0.75,
+      s"AMS estimate ${estMean} vs exact $f2")
+  }
+
+  test("readability: java-regex count replay; vowel runs bounded by letters") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase))
+    val word = "[a-z]+".r; val vowel = "[aeiouy]+".r
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val w = xs.map(d => word.findAllIn(d._2).length.toLong).sum
+      val s = xs.map(d => vowel.findAllIn(d._2).length.toLong).sum
+      val l = xs.map(d => d._2.count(c => c >= 'a' && c <= 'z').toLong).sum
+      lang -> (xs.length.toLong, w, s, l)
+    }
+    val rows = TextOps.qDocReadability(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, w, s, l) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("words") === w)
+      assert(r.getAs[Long]("syllables") === s)
+      assert(r.getAs[Long]("letters") === l)
+      assert(s <= l && l <= w * 64, "vowel runs bounded by letters")
+      assert(r.getAs[Double]("flesch") ===
+        206.835 - 1.015 * (w.toDouble / n) - 84.6 * (s.toDouble / w))
+    }
+  }
+
   test("degree assortativity: exact six-sum replay; r within [-1, 1]") {
     val edges = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

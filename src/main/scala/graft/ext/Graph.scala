@@ -589,12 +589,126 @@ object Graph {
       |     sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) AS assortativity
       |FROM sums""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Community detection: synchronous label propagation
+  // ------------------------------------------------------------------
+
+  /** Tie-break scale for the label-propagation vote key
+    * `cnt · scale − label`: larger than any node id (max ≈ 1.01·10⁶
+    * after [[supplierIdOffset]]), so the key orders by count first and
+    * breaks exact ties toward the SMALLEST label — the deterministic
+    * variant the async-random textbook LPA lacks. `final` literal per
+    * the init-cycle rule.
+    */
+  final val lpTieScale = 10000000L
+
+  /** LABEL PROPAGATION communities over the undirected purchase graph —
+    * 3 synchronous rounds: every node adopts its neighborhood's
+    * majority label (ties → smallest label), seeds = own id. The
+    * missing member of the graph family: pagerank ranks nodes,
+    * k-core peels them, triangles count cohesion — this one PARTITIONS
+    * the graph, and on a purchase graph the resulting communities are
+    * the customer↔supplier market segments an account-linking or
+    * assortment analysis starts from. Deterministic by construction
+    * (synchronous rounds + total-ordered vote key), unlike the
+    * async/random-order textbook LPA — the property that makes it
+    * oracle-checkable and re-run-stable.
+    *
+    * Scale (100 TB): each round is one edges⋈labels equi-join +
+    * per-(dst,label) count (map-side combined) + one arg-max per node —
+    * all key-partitioned, no global state; labels materialize per round
+    * (localCheckpoint) so plans stay O(1) deep, the module's pageRank
+    * discipline. The scalar vote key bounds cnt·scale in BIGINT up to
+    * ~10¹¹ votes per (node,label); past that move the key to a
+    * (cnt, −label) struct Spark-side (the oracle's arg_max key is the
+    * only scalar-bound piece).
+    */
+  def qGraphLabelprop(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"))
+      .unionAll(Tables.supplier(spark, sfDir)
+        .select((col("s_suppkey") + supplierIdOffset).as("id")))
+    val fwd = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + supplierIdOffset).as("dst"))
+      .distinct()
+    val edges = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var round = 0
+    while (round < 3) {
+      val votes = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
+        .groupBy(col("dst"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy(col("dst"))
+        .agg(max_by(col("nlbl"), col("cnt") * lpTieScale - col("nlbl"))
+          .as("new_lbl"))
+      labels = labels
+        .join(best.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("node_id"),
+        when(col("id") >= supplierIdOffset, lit("supplier"))
+          .otherwise(lit("customer")).as("kind"),
+        col("lbl").as("community"), col("comm_size"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Oracle: the same 3 synchronous rounds unrolled as CTE pairs
+    * (vote-count, then arg-max with the identical scalar tie key).
+    */
+  val qGraphLabelpropSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS id, p.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst, p.lbl
+         |),
+         |b$i AS (
+         |  SELECT id, arg_max(nlbl, cnt * $lpTieScale - nlbl) AS new_lbl
+         |  FROM c$i GROUP BY id
+         |),
+         |l$i AS (
+         |  SELECT p.id, COALESCE(b.new_lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN b$i b ON b.id = p.id
+         |)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT c_custkey AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + $supplierIdOffset AS id FROM supplier
+       |),
+       |fwd AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $supplierIdOffset AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |),
+       |edges AS (
+       |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+       |),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${round("l0", 1)},
+       |${round("l1", 2)},
+       |${round("l2", 3)},
+       |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size FROM l3 GROUP BY lbl)
+       |SELECT l3.id AS node_id,
+       |  CASE WHEN l3.id >= $supplierIdOffset THEN 'supplier' ELSE 'customer' END AS kind,
+       |  l3.lbl AS community, comm_size
+       |FROM l3 JOIN sizes ON sizes.lbl = l3.lbl
+       |ORDER BY node_id""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
     "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
     "q_graph_triangles" -> ((qGraphTriangles _, qGraphTrianglesSql)),
     "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql)),
     "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql)),
-    "q_graph_assortativity" -> ((qGraphAssortativity _, qGraphAssortativitySql))
+    "q_graph_assortativity" -> ((qGraphAssortativity _, qGraphAssortativitySql)),
+    "q_graph_labelprop" -> ((qGraphLabelprop _, qGraphLabelpropSql))
   )
 }

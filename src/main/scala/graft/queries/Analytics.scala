@@ -4277,6 +4277,84 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Sequential precedence mining: which events happen BEFORE which?
+  // ------------------------------------------------------------------
+
+  /** PRECEDENCE-PAIR MINING — for every ordered event-type pair (a, b),
+    * the number of users with SOME a strictly before SOME b, plus the
+    * lift against independence. The sequential-pattern complement of
+    * the adjacent-step views: [[qEventTransitions]] counts only
+    * consecutive steps and [[qEventMarkovEval]] scores them — this
+    * counts "a precedes b ANYWHERE in the user's history" (the
+    * PrefixSpan length-2 support), which is what funnel hypothesis
+    * generation actually wants ("does anyone purchase before signup?").
+    * The exists-quantifier collapses per user to one min/max pair per
+    * type: some a before some b ⟺ min_ts(a) < max_ts(b).
+    *
+    * Exactness: timestamps compare as exact epoch-micro BIGINTs; lift
+    * is one double division of exact BIGINT products, identical shape
+    * both engines.
+    *
+    * Scale (100 TB): ONE (user, type) aggregate over events (map-side
+    * combined — the only corpus shuffle); the per-user type-pair join
+    * fans out to ≤|types|² rows per user (25 here) and collapses
+    * map-side to the |types|² output grid. Never a per-event self-join.
+    */
+  def qEventPrecedence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perUserType = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"us").as("first_us"), max($"us").as("last_us"))
+    val nUsers = Tables.events(spark, sfDir)
+      .agg(countDistinct($"user_id").as("n_users"))
+    val typeUsers = perUserType.groupBy($"event_type")
+      .agg(count(lit(1)).as("nu"))
+    val a = perUserType.select($"user_id", $"event_type".as("type_a"),
+      $"first_us")
+    val b = perUserType.select($"user_id".as("user_b"),
+      $"event_type".as("type_b"), $"last_us")
+    val support = a.join(b,
+        $"user_id" === $"user_b" && $"type_a" =!= $"type_b" &&
+          $"first_us" < $"last_us")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("support"))
+    support
+      .join(typeUsers.select($"event_type".as("type_a"), $"nu".as("n_a")), "type_a")
+      .join(typeUsers.select($"event_type".as("type_b"), $"nu".as("n_b")), "type_b")
+      .crossJoin(nUsers)
+      .select($"type_a", $"type_b", $"support", $"n_a", $"n_b",
+        (($"support" * $"n_users").cast("double") /
+          ($"n_a" * $"n_b").cast("double")).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val qEventPrecedenceSql: String =
+    """WITH put AS (
+      |  SELECT user_id, event_type,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+      |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+      |  FROM events GROUP BY user_id, event_type
+      |),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+      |tu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu FROM put GROUP BY event_type),
+      |sup AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS support
+      |  FROM put a JOIN put b
+      |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      |   AND a.first_us < b.last_us
+      |  GROUP BY a.event_type, b.event_type
+      |)
+      |SELECT type_a, type_b, support, ta.nu AS n_a, tb.nu AS n_b,
+      |  CAST(support * n_users AS DOUBLE) / CAST(ta.nu * tb.nu AS DOUBLE) AS lift
+      |FROM sup
+      |JOIN tu ta ON ta.event_type = type_a
+      |JOIN tu tb ON tb.event_type = type_b
+      |CROSS JOIN nu
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // Little's law audit: L = λW over the order lifecycle
   // ------------------------------------------------------------------
 
@@ -4589,6 +4667,7 @@ object Analytics {
     "q_event_funnel_time" -> ((qEventFunnelTime _, qEventFunnelTimeSql)),
     "q_order_backlog" -> ((qOrderBacklog _, qOrderBacklogSql)),
     "q_littles_law" -> ((qLittlesLaw _, qLittlesLawSql)),
+    "q_event_precedence" -> ((qEventPrecedence _, qEventPrecedenceSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

@@ -1804,6 +1804,105 @@ object Warehouse {
       |FROM nd
       |ORDER BY p_brand""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Weight-of-evidence / information value feature audit
+  // ------------------------------------------------------------------
+
+  /** Quantized-ln scale for WOE: 10⁻⁶ resolution, the registry's
+    * cross-engine log discipline (each ln is floored to an integer at
+    * this scale BEFORE any arithmetic, so both engines agree bit-for-
+    * bit). `final` literal per the init-cycle rule.
+    */
+  final val woeScale = 1000000L
+
+  private def wln(c: Column): Column =
+    floor(log(c.cast("double")) * woeScale).cast("long")
+  private def wlnSql(e: String): String =
+    s"CAST(floor(ln(CAST($e AS DOUBLE)) * $woeScale) AS BIGINT)"
+
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE audit — the credit-scoring
+    * screen for "does this feature separate the classes, and where":
+    * discount depth binned to its exact 0–10 point grid, label =
+    * returned (`l_returnflag = 'R'`), per bin WOE =
+    * ln((ret_b/R)/(kept_b/K)) and IV term (ret_b/R − kept_b/K)·WOE,
+    * with the RUNNING IV (last row = total, the 0.02/0.1/0.3
+    * weak/medium/strong screen number). Complements
+    * [[graft.queries.Analytics]]'s chi-square independence test: χ²
+    * says WHETHER the feature and label are dependent, WOE says WHERE
+    * the signal sits and IV how much there is — the monotone-binning
+    * audit a feature pipeline runs before committing a feature.
+    *
+    * Exactness: bin counts are exact BIGINTs; WOE is a SUM OF FOUR
+    * INDIVIDUALLY-FLOORED quantized lns (integer before any mixing —
+    * the [[graft.queries.Analytics]] qln discipline), and each double
+    * is formed in the same shape both engines. The running IV sums
+    * doubles in the bin-ORDERED window frame, so the addition order is
+    * pinned (a plain SUM over doubles would not be).
+    *
+    * Scale (100 TB): one 11-group aggregate with map-side partials and
+    * a 2-value conditional count — the corpus is touched once, narrow.
+    * Bins where either class is empty are excluded (WOE undefined) in
+    * both engines identically.
+    */
+  def qLineWoe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val binned = Tables.lineitem(spark, sfDir).select(
+      floor($"l_discount" * 100 + 0.5).cast("long").as("bin"),
+      when($"l_returnflag" === "R", 1L).otherwise(0L).as("ret"))
+    val perBin = binned.groupBy($"bin")
+      .agg(sum($"ret").as("n_ret"),
+        sum(lit(1L) - $"ret").as("n_kept"))
+      .where($"n_ret" > 0 && $"n_kept" > 0)
+    val tot = perBin.agg(sum($"n_ret").as("tot_ret"),
+      sum($"n_kept").as("tot_kept"))
+    val woeQ = wln($"n_ret") + wln($"tot_kept") -
+      wln($"n_kept") - wln($"tot_ret")
+    val withWoe = perBin.crossJoin(tot)
+      .select($"bin", $"n_ret", $"n_kept",
+        woeQ.as("woe_q"),
+        (woeQ.cast("double") / woeScale).as("woe"),
+        (($"n_ret".cast("double") / $"tot_ret" -
+          $"n_kept".cast("double") / $"tot_kept") *
+          (woeQ.cast("double") / woeScale)).as("iv_term"))
+    val w = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, 0)
+    withWoe
+      .select($"bin", $"n_ret", $"n_kept", $"woe_q", $"woe", $"iv_term",
+        sum($"iv_term").over(w).as("iv_running"))
+      .orderBy($"bin")
+  }
+
+  val qLineWoeSql: String =
+    s"""WITH binned AS (
+       |  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bin,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+       |  FROM lineitem
+       |),
+       |per_bin AS (
+       |  SELECT bin, CAST(sum(ret) AS BIGINT) AS n_ret,
+       |    CAST(sum(1 - ret) AS BIGINT) AS n_kept
+       |  FROM binned GROUP BY bin
+       |  HAVING CAST(sum(ret) AS BIGINT) > 0 AND CAST(sum(1 - ret) AS BIGINT) > 0
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n_ret) AS BIGINT) AS tot_ret,
+       |    CAST(sum(n_kept) AS BIGINT) AS tot_kept
+       |  FROM per_bin
+       |),
+       |woe AS (
+       |  SELECT bin, n_ret, n_kept,
+       |    ${wlnSql("n_ret")} + ${wlnSql("tot_kept")} -
+       |      ${wlnSql("n_kept")} - ${wlnSql("tot_ret")} AS woe_q,
+       |    (CAST(n_ret AS DOUBLE) / tot_ret - CAST(n_kept AS DOUBLE) / tot_kept) AS share_gap
+       |  FROM per_bin CROSS JOIN tot
+       |)
+       |SELECT bin, n_ret, n_kept, woe_q,
+       |  CAST(woe_q AS DOUBLE) / $woeScale AS woe,
+       |  share_gap * (CAST(woe_q AS DOUBLE) / $woeScale) AS iv_term,
+       |  sum(share_gap * (CAST(woe_q AS DOUBLE) / $woeScale))
+       |    OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv_running
+       |FROM woe
+       |ORDER BY bin""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -1826,6 +1925,7 @@ object Warehouse {
     "q_cust_bitemporal" -> ((qCustBitemporal _, qCustBitemporalSql)),
     "q_rev_bridge" -> ((qRevBridge _, qRevBridgeSql)),
     "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql)),
-    "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql))
+    "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql)),
+    "q_line_woe" -> ((qLineWoe _, qLineWoeSql))
   )
 }

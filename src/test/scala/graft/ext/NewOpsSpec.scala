@@ -2816,6 +2816,109 @@ class NewOpsSpec extends SparkSuite {
       s"AMS estimate ${estMean} vs exact $f2")
   }
 
+  test("label propagation: exact 3-round sync replay with min-label tie-break") {
+    val off = Graph.supplierIdOffset
+    val custs = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0))
+    val supps = Tables.supplier(spark, sf).select(col("s_suppkey")).collect()
+      .map(_.getLong(0) + off)
+    val nodes = (custs ++ supps).toSet
+    val fwd = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + off))
+    val adj = (fwd ++ fwd.map(_.swap)).groupBy(_._2)
+      .map { case (dst, es) => dst -> es.map(_._1) }
+    var labels: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val cur = labels
+      labels = nodes.map { n =>
+        adj.get(n) match {
+          case None => n -> cur(n)
+          case Some(srcs) =>
+            val votes = srcs.map(cur).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size.toLong) }
+            // max count, ties toward the SMALLEST label
+            n -> votes.maxBy { case (l, c) => c * Graph.lpTieScale - l }._1
+        }
+      }.toMap
+    }
+    val sizes = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val rows = Graph.qGraphLabelprop(spark, sf).collect()
+    assert(rows.length === nodes.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("node_id")
+      assert(r.getAs[Long]("community") === labels(id))
+      assert(r.getAs[Long]("comm_size") === sizes(labels(id)))
+      assert(r.getAs[String]("kind") === (if (id >= off) "supplier" else "customer"))
+    }
+    // LPA on a connected-ish purchase graph must actually coarsen:
+    // strictly fewer communities than nodes
+    assert(sizes.size < nodes.size)
+  }
+
+  test("event precedence: exists-quantifier collapse equals brute-force pair scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp](2)
+        (r.getLong(0), r.getString(1), t.getTime * 1000 + (t.getNanos / 1000) % 1000)
+      }
+    val byUser = evs.groupBy(_._1)
+    val types = evs.map(_._2).distinct.sorted
+    val brute = (for {
+      a <- types; b <- types if a != b
+    } yield {
+      val sup = byUser.count { case (_, xs) =>
+        val as = xs.filter(_._2 == a); val bs = xs.filter(_._2 == b)
+        as.nonEmpty && bs.nonEmpty && as.map(_._3).min < bs.map(_._3).max
+      }.toLong
+      (a, b) -> sup
+    }).toMap
+    val nUsers = byUser.size.toLong
+    val typeUsers = types.map(t => t -> byUser.count(_._2.exists(_._2 == t)).toLong).toMap
+    val rows = Analytics.qEventPrecedence(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("support") === brute((a, b)))
+      assert(r.getAs[Long]("n_a") === typeUsers(a))
+      assert(r.getAs[Long]("n_b") === typeUsers(b))
+      assert(r.getAs[Double]("lift") ===
+        (brute((a, b)) * nUsers).toDouble / (typeUsers(a) * typeUsers(b)).toDouble)
+    }
+    // every pair with support present; zero-support pairs absent by join
+    assert(rows.length === brute.count(_._2 > 0))
+  }
+
+  test("WOE/IV: quantized-ln replay; IV accumulates in bin order") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_discount"), col("l_returnflag")).collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong, r.getString(1) == "R"))
+    val perBin = li.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.filter { case (_, (r, k)) => r > 0 && k > 0 }
+    val totR = perBin.values.map(_._1).sum
+    val totK = perBin.values.map(_._2).sum
+    def wq(x: Long): Long =
+      math.floor(math.log(x.toDouble) * graft.queries.Warehouse.woeScale).toLong
+    val rows = graft.queries.Warehouse.qLineWoe(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin")).toSeq === perBin.keys.toSeq.sorted)
+    var run = 0.0
+    rows.foreach { r =>
+      val (nr, nk) = perBin(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_ret") === nr)
+      assert(r.getAs[Long]("n_kept") === nk)
+      val q = wq(nr) + wq(totK) - wq(nk) - wq(totR)
+      assert(r.getAs[Long]("woe_q") === q)
+      val woe = q.toDouble / graft.queries.Warehouse.woeScale
+      assert(r.getAs[Double]("woe") === woe)
+      val iv = (nr.toDouble / totR - nk.toDouble / totK) * woe
+      assert(r.getAs[Double]("iv_term") === iv)
+      run += iv
+      assert(r.getAs[Double]("iv_running") === run)
+    }
+  }
+
   test("readability: java-regex count replay; vowel runs bounded by letters") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()

@@ -456,11 +456,141 @@ object Layout {
        |ORDER BY tbl""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Shard-map rebalance audit: mod-N vs consistent-hash ring
+  // ------------------------------------------------------------------
+
+  /** Shard-map geometry: 8 shards growing to 9, 16 virtual nodes per
+    * shard on the ring. `final` literals per the init-cycle rule.
+    */
+  final val shardN = 8
+  final val shardVnodes = 16
+
+  /** Ring tie-break scale: vnode positions are 31-bit, so
+    * `pos · 1024 + idx` is a unique BIGINT ordering key (idx < N·V ≤
+    * 1024) — ties between colliding vnode positions break
+    * deterministically toward the lower (shard, vnode) index.
+    */
+  final val ringTieScale = 1024L
+
+  /** SHARD-MAP REBALANCE audit — the data-movement bill for growing a
+    * keyed store from N=8 to 9 shards under the two standard placement
+    * schemes, measured on the real key population: `mod` (shard =
+    * hash % N — moves ~N/(N+1) of ALL keys) vs `ring` (consistent
+    * hashing, 16 vnodes/shard — moves only the keys falling into the
+    * arcs the new shard claims, ~1/(N+1)). The number that decides
+    * whether a resharding is an online no-op or a cluster-wide
+    * rewrite; the same arithmetic audits Spark's own hash
+    * partitioning when `spark.sql.shuffle.partitions` changes.
+    *
+    * Exactness: positions are the registry's portable 31-bit md5 hash;
+    * ring placement is an integer argmin over the vnode table with a
+    * unique scalar tie key; every count is BIGINT, the two fractions
+    * are single divisions.
+    *
+    * Scale (100 TB): the vnode table is (N+1)·V ≤ 144 rows — BROADCAST
+    * by construction; each key computes its successor arc in one pass
+    * (greatest-pos-≤ via conditional min over the broadcast table —
+    * never a range shuffle), so the audit is one map + one 2-row
+    * aggregate. The documented production form replaces the
+    * cross-probe with a sorted-array binary search in a map-side
+    * expression; the counts are identical.
+    */
+  def qShardRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.TextOps.h31
+    // DISTINCT positions: 31-bit collisions would otherwise give the two
+    // schemes different key populations (ring groups by pos, mod doesn't)
+    val keys = Tables.documents(spark, sfDir)
+      .select(h31(col("doc_id").cast("string")).as("pos"))
+      .distinct()
+    def vnodes(n: Int): DataFrame = {
+      val rows = for { s <- 0 until n; v <- 0 until shardVnodes }
+        yield (s.toLong, v.toLong)
+      val spark0 = keys.sparkSession
+      import spark0.implicits._
+      rows.toDF("shard", "vnode")
+        .select($"shard", $"vnode",
+          h31(concat(lit("shard#"), $"shard", lit("#"), $"vnode")).as("vpos"),
+          ($"shard" * shardVnodes + $"vnode").as("idx"))
+    }
+    // ring placement: successor vnode (min vpos >= key pos, wrap to the
+    // global min) with the unique scalar tie key
+    def ringAssign(n: Int, out: String): DataFrame =
+      keys.crossJoin(broadcast(vnodes(n)))
+        .groupBy(col("pos"))
+        .agg(
+          min(when(col("vpos") >= col("pos"),
+            col("vpos") * ringTieScale + col("idx"))).as("succ"),
+          min(col("vpos") * ringTieScale + col("idx")).as("wrap"))
+        .select(col("pos"),
+          expr(s"(coalesce(succ, wrap) % $ringTieScale) div $shardVnodes")
+            .as(out))
+    val modMoved = keys
+      .select((col("pos") % shardN).as("before"),
+        (col("pos") % (shardN + 1)).as("after"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("before") =!= col("after"), 1L).otherwise(0L)).as("moved"),
+        max(lit("mod")).as("scheme"))
+    val ringMoved = ringAssign(shardN, "before")
+      .join(ringAssign(shardN + 1, "after"), "pos")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("before") =!= col("after"), 1L).otherwise(0L)).as("moved"),
+        max(lit("ring")).as("scheme"))
+    modMoved.unionAll(ringMoved)
+      .select(col("scheme"), col("n_keys"), col("moved"),
+        (col("moved").cast("double") / col("n_keys")).as("moved_frac"))
+      .orderBy(col("scheme"))
+  }
+
+  val qShardRebalanceSql: String = {
+    import graft.ext.TextOps.h31Sql
+    def vnodeRows(n: Int): String =
+      (for { s <- 0 until n; v <- 0 until shardVnodes }
+        yield s"($s, $v)").mkString(", ")
+    def ring(n: Int, tbl: String, out: String): String =
+      s"""$tbl AS (
+         |  SELECT k.pos,
+         |    (COALESCE(
+         |      min(CASE WHEN v.vpos >= k.pos
+         |          THEN v.vpos * $ringTieScale + v.idx END),
+         |      min(v.vpos * $ringTieScale + v.idx)) % $ringTieScale)
+         |      // $shardVnodes AS $out
+         |  FROM keys k CROSS JOIN (
+         |    SELECT shard, vnode,
+         |      ${h31Sql("('shard#' || shard || '#' || vnode)")} AS vpos,
+         |      shard * $shardVnodes + vnode AS idx
+         |    FROM (SELECT * FROM (VALUES ${vnodeRows(n)}) AS t(shard, vnode))
+         |  ) v
+         |  GROUP BY k.pos
+         |)""".stripMargin
+    s"""WITH keys AS (
+       |  SELECT DISTINCT ${h31Sql("CAST(doc_id AS VARCHAR)")} AS pos FROM documents
+       |),
+       |${ring(shardN, "ring_before", "before_s")},
+       |${ring(shardN + 1, "ring_after", "after_s")},
+       |mod_row AS (
+       |  SELECT 'mod' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(CASE WHEN pos % $shardN <> pos % ${shardN + 1}
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS moved
+       |  FROM keys
+       |),
+       |ring_row AS (
+       |  SELECT 'ring' AS scheme, CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(CASE WHEN before_s <> after_s THEN 1 ELSE 0 END) AS BIGINT) AS moved
+       |  FROM ring_before JOIN ring_after USING (pos)
+       |)
+       |SELECT scheme, n_keys, moved,
+       |  CAST(moved AS DOUBLE) / n_keys AS moved_frac
+       |FROM (SELECT * FROM mod_row UNION ALL SELECT * FROM ring_row)
+       |ORDER BY scheme""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_zorder" -> ((qEventZorder _, qEventZorderSql)),
     "q_layout_zonemap" -> ((qLayoutZonemap _, qLayoutZonemapSql)),
     "q_event_compaction" -> ((qEventCompaction _, qEventCompactionSql)),
     "q_skew_diagnosis" -> ((qSkewDiagnosis _, qSkewDiagnosisSql)),
-    "q_layout_advisor" -> ((qLayoutAdvisor _, qLayoutAdvisorSql))
+    "q_layout_advisor" -> ((qLayoutAdvisor _, qLayoutAdvisorSql)),
+    "q_shard_rebalance" -> ((qShardRebalance _, qShardRebalanceSql))
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -602,20 +603,22 @@ object Graph {
     */
   final val lpTieScale = 10000000L
 
-  /** LABEL PROPAGATION communities over the undirected purchase graph —
-    * 3 synchronous rounds: every node adopts its neighborhood's
-    * majority label (ties → smallest label), seeds = own id. The
-    * missing member of the graph family: pagerank ranks nodes,
-    * k-core peels them, triangles count cohesion — this one PARTITIONS
-    * the graph, and on a purchase graph the resulting communities are
-    * the customer↔supplier market segments an account-linking or
-    * assortment analysis starts from. Deterministic by construction
-    * (synchronous rounds + total-ordered vote key), unlike the
-    * async/random-order textbook LPA — the property that makes it
-    * oracle-checkable and re-run-stable.
+  /** LABEL PROPAGATION communities over the DOMESTIC purchase graph
+    * (same-nation customer↔supplier edges) — 3 semi-synchronous
+    * rounds: suppliers adopt their buyers' majority label, then
+    * customers adopt their (freshly-updated) suppliers' majority label,
+    * ties → smallest label, seeds = own id. The missing member of the
+    * graph family: pagerank ranks nodes, k-core peels them, triangles
+    * count cohesion — this one PARTITIONS the graph, recovering each
+    * nation's trade blob as a community (the ground truth the spec
+    * checks). Deterministic by construction (fixed phase schedule +
+    * total-ordered vote key) — unlike the async/random-order textbook
+    * LPA — and bipartite-safe: the two-phase schedule is what prevents
+    * the label oscillation fully-synchronous LPA exhibits on bipartite
+    * graphs (see [[lpCore]]).
     *
-    * Scale (100 TB): each round is one edges⋈labels equi-join +
-    * per-(dst,label) count (map-side combined) + one arg-max per node —
+    * Scale (100 TB): each phase is one fwd⋈labels equi-join +
+    * per-(node,label) count (map-side combined) + one arg-max per node —
     * all key-partitioned, no global state; labels materialize per round
     * (localCheckpoint) so plans stay O(1) deep, the module's pageRank
     * discipline. The scalar vote key bounds cnt·scale in BIGINT up to
@@ -623,35 +626,60 @@ object Graph {
     * (cnt, −label) struct Spark-side (the oracle's arg_max key is the
     * only scalar-bound piece).
     */
-  def qGraphLabelprop(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The labelprop core shared with [[qGraphModularity]]: the DOMESTIC
+    * purchase graph (customer↔supplier edges restricted to same-nation
+    * pairs — the subgraph with real community structure: each nation's
+    * trade blob) and the labels after 3 SEMI-SYNCHRONOUS rounds
+    * (suppliers update from customers, then customers from the updated
+    * suppliers). The two-phase schedule is the standard bipartite-safe
+    * LPA variant: fully synchronous updates on a bipartite graph
+    * OSCILLATE (both sides swap labels every round and the partition
+    * converges to an anti-community split — observed here before the
+    * fix: Q = −0.25), while alternating sides is deterministic AND
+    * convergent. `fwd` is materialized (localCheckpoint) because both
+    * phases of every round probe it.
+    */
+  private def lpCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val nodes = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"))
       .unionAll(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + supplierIdOffset).as("id")))
     val fwd = Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + supplierIdOffset).as("dst"))
       .distinct()
-    val edges = fwd
-      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    def phase(labels: DataFrame, voteFrom: String, voteFor: String): DataFrame = {
+      val votes = fwd
+        .join(labels.select(col("id").as(voteFrom), col("lbl").as("nlbl")), voteFrom)
+        .groupBy(col(voteFor).as("uid"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy(col("uid"))
+        .agg(max_by(col("nlbl"), col("cnt") * lpTieScale - col("nlbl"))
+          .as("new_lbl"))
+      labels
+        .join(best.withColumnRenamed("uid", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     var round = 0
     while (round < 3) {
-      val votes = edges
-        .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
-        .groupBy(col("dst"), col("nlbl"))
-        .agg(count(lit(1)).as("cnt"))
-      val best = votes.groupBy(col("dst"))
-        .agg(max_by(col("nlbl"), col("cnt") * lpTieScale - col("nlbl"))
-          .as("new_lbl"))
-      labels = labels
-        .join(best.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      val afterSupp = phase(labels, "src", "dst") // suppliers from customers
+      labels = phase(afterSupp, "dst", "src")     // customers from NEW supplier labels
         .localCheckpoint(true)
       round += 1
     }
+    (labels, fwd)
+  }
+
+  def qGraphLabelprop(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, _) = lpCore(spark, sfDir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("node_id"),
@@ -661,46 +689,160 @@ object Graph {
       .orderBy(col("node_id"))
   }
 
-  /** Oracle: the same 3 synchronous rounds unrolled as CTE pairs
-    * (vote-count, then arg-max with the identical scalar tie key).
+  /** The shared CTE prefix (domestic-graph build + 3 unrolled
+    * two-phase labelprop rounds — supplier phase `a$i`, then customer
+    * phase closing as `l$i`) for the labelprop-family oracles — final
+    * labels land in CTE `l3`.
     */
-  val qGraphLabelpropSql: String = {
-    def round(prev: String, i: Int): String =
-      s"""c$i AS (
-         |  SELECT e.dst AS id, p.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM edges e JOIN $prev p ON p.id = e.src
-         |  GROUP BY e.dst, p.lbl
+  private val lpCoreCtesSql: String = {
+    def phase(prev: String, out: String, voteFrom: String, voteFor: String): String =
+      s"""${out}_c AS (
+         |  SELECT e.$voteFor AS id, p.lbl AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fwd e JOIN $prev p ON p.id = e.$voteFrom
+         |  GROUP BY e.$voteFor, p.lbl
          |),
-         |b$i AS (
+         |${out}_b AS (
          |  SELECT id, arg_max(nlbl, cnt * $lpTieScale - nlbl) AS new_lbl
-         |  FROM c$i GROUP BY id
+         |  FROM ${out}_c GROUP BY id
          |),
-         |l$i AS (
+         |$out AS (
          |  SELECT p.id, COALESCE(b.new_lbl, p.lbl) AS lbl
-         |  FROM $prev p LEFT JOIN b$i b ON b.id = p.id
+         |  FROM $prev p LEFT JOIN ${out}_b b ON b.id = p.id
          |)""".stripMargin
-    s"""WITH nodes AS (
+    def round(prev: String, i: Int): String =
+      s"""${phase(prev, s"a$i", "src", "dst")},
+         |${phase(s"a$i", s"l$i", "dst", "src")}""".stripMargin
+    s"""nodes AS (
        |  SELECT c_custkey AS id FROM customer
        |  UNION ALL SELECT s_suppkey + $supplierIdOffset AS id FROM supplier
        |),
        |fwd AS (
        |  SELECT DISTINCT o_custkey AS src, l_suppkey + $supplierIdOffset AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |),
-       |edges AS (
-       |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+       |  FROM orders
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  WHERE c_nationkey = s_nationkey
        |),
        |l0 AS (SELECT id, id AS lbl FROM nodes),
        |${round("l0", 1)},
        |${round("l1", 2)},
-       |${round("l2", 3)},
+       |${round("l2", 3)}""".stripMargin
+  }
+
+  /** Oracle: the same 3 synchronous rounds unrolled as CTE pairs
+    * (vote-count, then arg-max with the identical scalar tie key).
+    */
+  val qGraphLabelpropSql: String =
+    s"""WITH $lpCoreCtesSql,
        |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size FROM l3 GROUP BY lbl)
        |SELECT l3.id AS node_id,
        |  CASE WHEN l3.id >= $supplierIdOffset THEN 'supplier' ELSE 'customer' END AS kind,
        |  l3.lbl AS community, comm_size
        |FROM l3 JOIN sizes ON sizes.lbl = l3.lbl
        |ORDER BY node_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Modularity of the labelprop partition
+  // ------------------------------------------------------------------
+
+  /** MODULARITY scoring of the [[qGraphLabelprop]] partition — per
+    * community, Newman's Q contribution e_c/m − (d_c/2m)², reported in
+    * the EXACT integer form Q·4m² = Σ_c (4m·e_c − d_c²) so the only
+    * doubles are final divisions. The quality gate on top of the
+    * community op: LPA always returns SOME partition — modularity says
+    * whether it beats random wiring (Q>0) and which communities carry
+    * the structure, which is what decides if the segmentation is worth
+    * acting on. The running total accumulates the INTEGER numerators in
+    * the community-ordered frame and divides once (last row = the
+    * partition's Q) — summing the double contributions instead differs
+    * at the last ulp across engines (DuckDB windows aggregate via a
+    * segment tree, Spark serially).
+    *
+    * Exactness: e_c (intra-community edges), d_c (degree mass) and m
+    * are BIGINTs off two equi-joins; Q·4m² stays in BIGINT up to
+    * m ≈ 10⁹ edges — past that widen the two products to
+    * DECIMAL(38,0) (the per-community counts themselves never
+    * overflow).
+    *
+    * Scale (100 TB): labels join onto the edge list by node key (the
+    * only corpus-sized exchanges — same shape as a LPA round), then
+    * everything is community-grain. Zero-degree communities (isolated
+    * nodes keeping their own label) contribute nothing and are
+    * excluded.
+    */
+  def qGraphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, fwd) = lpCore(spark, sfDir)
+    val m = fwd.agg(count(lit(1)).as("m_edges"))
+    val lbl = labels.select(col("id"), col("lbl"))
+    val eIn = fwd
+      .join(lbl.select(col("id").as("src"), col("lbl").as("l_src")), "src")
+      .join(lbl.select(col("id").as("dst"), col("lbl").as("l_dst")), "dst")
+      .filter(col("l_src") === col("l_dst"))
+      .groupBy(col("l_src").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = fwd.select(col("src").as("id"))
+      .unionAll(fwd.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val dMass = lbl.join(deg, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+    val w = Window.orderBy(col("community"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dMass.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_c"),
+        col("m_edges"),
+        (lit(4L) * col("m_edges") * col("e_in") - col("d_c") * col("d_c"))
+          .as("q_num"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_c"),
+        col("q_num"),
+        (col("q_num").cast("double") /
+          (lit(4L) * col("m_edges") * col("m_edges")).cast("double"))
+          .as("q_contrib"),
+        // accumulate the EXACT integer numerators and divide once —
+        // engines disagree at the last ulp when the window sums doubles
+        // (DuckDB aggregates frames via a segment tree, Spark serially)
+        (sum(col("q_num")).over(w).cast("double") /
+          (lit(4L) * col("m_edges") * col("m_edges")).cast("double"))
+          .as("q_running"))
+      .orderBy(col("community"))
   }
+
+  val qGraphModularitySql: String =
+    s"""WITH $lpCoreCtesSql,
+       |mt AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM fwd),
+       |e_in AS (
+       |  SELECT ls.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM fwd
+       |  JOIN l3 ls ON ls.id = fwd.src
+       |  JOIN l3 ld ON ld.id = fwd.dst
+       |  WHERE ls.lbl = ld.lbl
+       |  GROUP BY ls.lbl
+       |),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT src AS id FROM fwd UNION ALL SELECT dst AS id FROM fwd)
+       |  GROUP BY id
+       |),
+       |d_mass AS (
+       |  SELECT l3.lbl AS community, CAST(sum(deg) AS BIGINT) AS d_c,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM l3 JOIN deg ON deg.id = l3.id
+       |  GROUP BY l3.lbl
+       |)
+       |SELECT community, n_nodes, COALESCE(e_in, 0) AS e_in, d_c,
+       |  4 * m_edges * COALESCE(e_in, 0) - d_c * d_c AS q_num,
+       |  CAST(4 * m_edges * COALESCE(e_in, 0) - d_c * d_c AS DOUBLE) /
+       |    CAST(4 * m_edges * m_edges AS DOUBLE) AS q_contrib,
+       |  CAST(sum(4 * m_edges * COALESCE(e_in, 0) - d_c * d_c)
+       |    OVER (ORDER BY community ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE) AS q_running
+       |FROM d_mass LEFT JOIN e_in USING (community)
+       |CROSS JOIN mt
+       |ORDER BY community""".stripMargin
 
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
@@ -709,6 +851,7 @@ object Graph {
     "q_graph_kcore" -> ((qGraphKcore _, qGraphKcoreSql)),
     "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql)),
     "q_graph_assortativity" -> ((qGraphAssortativity _, qGraphAssortativitySql)),
-    "q_graph_labelprop" -> ((qGraphLabelprop _, qGraphLabelpropSql))
+    "q_graph_labelprop" -> ((qGraphLabelprop _, qGraphLabelpropSql)),
+    "q_graph_modularity" -> ((qGraphModularity _, qGraphModularitySql))
   )
 }

@@ -1962,6 +1962,129 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  // ------------------------------------------------------------------
+  // RAKE keyphrase extraction
+  // ------------------------------------------------------------------
+
+  /** RAKE phrase-length cap and the word-score quantization scale
+    * (deg/freq at 10⁻⁶ resolution via integer division — exact in both
+    * engines, and phrase scores become exact BIGINT sums instead of
+    * order-sensitive double sums). `final` literals per the init-cycle
+    * rule.
+    */
+  final val rakeMaxLen = 3
+  final val rakeScale = 1000000L
+  final val rakeTopK = 20
+
+  /** RAKE KEYPHRASE EXTRACTION (Rose et al.) — candidate phrases are
+    * maximal stopword-delimited token runs (capped at 3 tokens: RAKE's
+    * standard guard against run-on candidates), each word scored
+    * deg/freq over the whole corpus (deg = Σ length of phrases it
+    * appears in — favors words that live inside longer collocations),
+    * phrase score = Σ word scores; top-20 phrases by score. The
+    * unsupervised keyword layer of the retrieval family: TF-IDF/BM25
+    * rank DOCUMENTS for a query, RAKE surfaces the QUERIES a corpus is
+    * about — the vocabulary a curation pass eyeballs first.
+    *
+    * Exactness: word scores are integer-division quantized
+    * (deg·10⁶ // freq) BEFORE summing, so phrase scores are exact
+    * BIGINT sums — no order-sensitive double accumulation; the final
+    * ranking's tie-break is the full (score, phrase) total order.
+    *
+    * Scale (100 TB): phrase segmentation is per-doc narrow (one
+    * posexplode + one doc-partitioned running count — the stopword-run
+    * trick turns phrase ids into a prefix sum); word stats and phrase
+    * stats are two map-side-combined aggregates; the word-score probe
+    * back onto phrase members is an equi-join on the word dictionary
+    * (vocabulary-sized, hash-partitioned). Top-20 is a TakeOrdered,
+    * never a global sort materialization.
+    */
+  def qDocRake(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stopSet = inList(stopwords)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = toks
+      .withColumn("is_stop", expr(s"tok IN ($stopSet)"))
+      .withColumn("phrase_id", sum(when($"is_stop", 1L).otherwise(0L)).over(w))
+      .where(!$"is_stop" && $"tok" =!= "")
+    val phrases = runs.groupBy($"doc_id", $"phrase_id")
+      .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+        .as("phrase"),
+        count(lit(1)).as("len"))
+      .where($"len" <= rakeMaxLen)
+    val members = phrases
+      .select($"doc_id", $"phrase_id", $"phrase", $"len",
+        explode(split($"phrase", " ")).as("word"))
+    val wordStats = members.groupBy($"word")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .select($"word", expr(s"(deg * $rakeScale) div freq").as("ws_q"))
+    // per-INSTANCE phrase score (identical for every instance of the same
+    // phrase text — same words, same ws_q sum), then collapse to the
+    // unique phrase: max == the common score, count == corpus frequency
+    val perInstance = members.join(wordStats, "word")
+      .groupBy($"phrase", $"doc_id", $"phrase_id")
+      .agg(sum($"ws_q").as("inst_score"))
+    perInstance.groupBy($"phrase")
+      .agg(max($"inst_score").as("score_q"), count(lit(1)).as("phrase_freq"))
+      .select($"phrase", size(split($"phrase", " ")).cast("long").as("n_words"),
+        $"phrase_freq", $"score_q",
+        ($"score_q".cast("double") / rakeScale).as("score"))
+      .orderBy(desc("score_q"), $"phrase")
+      .limit(rakeTopK)
+  }
+
+  val qDocRakeSql: String = {
+    val stopSet = inList(stopwords)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents)
+       |),
+       |marked AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(sum(CASE WHEN tok IN ($stopSet) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS phrase_id
+       |  FROM toks
+       |),
+       |runs AS (
+       |  SELECT * FROM marked WHERE tok NOT IN ($stopSet) AND tok <> ''
+       |),
+       |phrases AS (
+       |  SELECT doc_id, phrase_id,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS len
+       |  FROM runs GROUP BY doc_id, phrase_id
+       |  HAVING count(*) <= $rakeMaxLen
+       |),
+       |members AS (
+       |  SELECT doc_id, phrase_id, phrase, len, unnest(string_split(phrase, ' ')) AS word
+       |  FROM phrases
+       |),
+       |word_stats AS (
+       |  SELECT word,
+       |    (CAST(sum(len) AS BIGINT) * $rakeScale) // CAST(count(*) AS BIGINT) AS ws_q
+       |  FROM members GROUP BY word
+       |),
+       |per_instance AS (
+       |  SELECT phrase, doc_id, phrase_id, CAST(sum(ws_q) AS BIGINT) AS inst_score
+       |  FROM members JOIN word_stats USING (word)
+       |  GROUP BY phrase, doc_id, phrase_id
+       |)
+       |SELECT phrase,
+       |  CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS phrase_freq,
+       |  max(inst_score) AS score_q,
+       |  CAST(max(inst_score) AS DOUBLE) / $rakeScale AS score
+       |FROM per_instance
+       |GROUP BY phrase
+       |ORDER BY score_q DESC, phrase
+       |LIMIT $rakeTopK""".stripMargin
+  }
+
   val qDocReadabilitySql: String =
     """WITH per_doc AS (
       |  SELECT lang,

@@ -4277,6 +4277,299 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Little's law by priority class: which class carries the WIP?
+  // ------------------------------------------------------------------
+
+  /** LITTLE'S LAW BY PRIORITY CLASS — the [[qLittlesLaw]] flow audit
+    * broken out per `o_orderpriority`: per class, time-averaged WIP,
+    * arrival rate, mean lead time and the censoring gap, all over the
+    * GLOBAL horizon so classes are directly comparable. The question
+    * this answers is the one the aggregate audit can't: when total WIP
+    * is high, is it the urgent queue backing up (an expedite problem)
+    * or the low classes pooling (a capacity problem)? Priority
+    * systems routinely hide class-level starvation under a healthy
+    * aggregate — this is the per-class L = λW readout that surfaces
+    * it.
+    *
+    * Exactness and scale: identical discipline to [[qLittlesLaw]] —
+    * BIGINT day arithmetic end-to-end, one orderkey-keyed lineitem max
+    * and one orderkey equi-join as the only corpus exchanges, windows
+    * at (class × day) grain partitioned by class.
+    */
+  def qLittlesByClass(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val placed = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority".as("prio"),
+        datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+          .cast("long").as("placed_day"))
+    val done = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(max(to_date($"l_shipdate".cast("timestamp"))).as("last_ship"))
+      .select($"l_orderkey", datediff($"last_ship", epoch).cast("long").as("done_day"))
+    val withDone = placed.join(done, $"o_orderkey" === $"l_orderkey", "left")
+    val deltas = withDone
+      .select($"prio", $"placed_day".as("day"), lit(1L).as("d"))
+      .unionAll(withDone.where($"done_day".isNotNull)
+        .select($"prio", $"done_day".as("day"), lit(-1L).as("d")))
+      .groupBy($"prio", $"day").agg(sum($"d").as("net"))
+    val span = deltas.agg(max($"day").as("d_max"), min($"day").as("d_min"))
+    val runW = Window.partitionBy($"prio").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offW = Window.partitionBy($"prio").orderBy($"day")
+    val series = deltas.select($"prio", $"day",
+      sum($"net").over(runW).as("backlog"),
+      lead($"day", 1).over(offW).as("next_day"))
+    // per-class area, closing each class's still-open interval at the
+    // global horizon end so the area identity holds per class
+    val area = series.crossJoin(broadcast(span))
+      .select($"prio",
+        when($"next_day".isNotNull, $"backlog" * ($"next_day" - $"day"))
+          .otherwise($"backlog" * ($"d_max" - $"day")).as("a"))
+      .groupBy($"prio").agg(sum($"a").as("area"))
+    val leads = withDone.groupBy($"prio")
+      .agg(count(lit(1)).as("n_orders"),
+        count($"done_day").as("n_completed"),
+        coalesce(sum($"done_day" - $"placed_day"), lit(0L)).as("lead_sum"))
+    leads.join(area, "prio").crossJoin(broadcast(span))
+      .select($"prio", $"n_orders", $"n_completed",
+        ($"d_max" - $"d_min").as("horizon_days"), $"area", $"lead_sum",
+        ($"area".cast("double") / ($"d_max" - $"d_min")).as("wip_avg"),
+        ($"lead_sum".cast("double") / $"n_completed").as("lead_avg_days"),
+        ($"lead_sum".cast("double") / ($"d_max" - $"d_min")).as("wip_pred"),
+        (($"area" - $"lead_sum").cast("double") / $"area".cast("double"))
+          .as("rel_gap"))
+      .orderBy($"prio")
+  }
+
+  val qLittlesByClassSql: String =
+    """WITH placed AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS placed_day
+      |  FROM orders
+      |),
+      |done AS (
+      |  SELECT l_orderkey,
+      |    CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS done_day
+      |  FROM lineitem GROUP BY l_orderkey
+      |),
+      |with_done AS (
+      |  SELECT prio, placed_day, done_day
+      |  FROM placed LEFT JOIN done ON o_orderkey = l_orderkey
+      |),
+      |deltas AS (
+      |  SELECT prio, day, CAST(sum(d) AS BIGINT) AS net FROM (
+      |    SELECT prio, placed_day AS day, 1 AS d FROM with_done
+      |    UNION ALL
+      |    SELECT prio, done_day AS day, -1 AS d FROM with_done
+      |    WHERE done_day IS NOT NULL)
+      |  GROUP BY prio, day
+      |),
+      |span AS (
+      |  SELECT CAST(max(day) AS BIGINT) AS d_max, CAST(min(day) AS BIGINT) AS d_min
+      |  FROM deltas
+      |),
+      |series AS (
+      |  SELECT prio, day,
+      |    sum(net) OVER (PARTITION BY prio ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog,
+      |    lead(day) OVER (PARTITION BY prio ORDER BY day) AS next_day
+      |  FROM deltas
+      |),
+      |areat AS (
+      |  SELECT prio, CAST(sum(CASE WHEN next_day IS NOT NULL
+      |      THEN backlog * (next_day - day)
+      |      ELSE backlog * (d_max - day) END) AS BIGINT) AS area
+      |  FROM series CROSS JOIN span
+      |  GROUP BY prio
+      |),
+      |leads AS (
+      |  SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(count(done_day) AS BIGINT) AS n_completed,
+      |    CAST(COALESCE(sum(done_day - placed_day), 0) AS BIGINT) AS lead_sum
+      |  FROM with_done GROUP BY prio
+      |)
+      |SELECT prio, n_orders, n_completed,
+      |  d_max - d_min AS horizon_days, area, lead_sum,
+      |  CAST(area AS DOUBLE) / (d_max - d_min) AS wip_avg,
+      |  CAST(lead_sum AS DOUBLE) / n_completed AS lead_avg_days,
+      |  CAST(lead_sum AS DOUBLE) / (d_max - d_min) AS wip_pred,
+      |  CAST(area - lead_sum AS DOUBLE) / CAST(area AS DOUBLE) AS rel_gap
+      |FROM leads JOIN areat USING (prio) CROSS JOIN span
+      |ORDER BY prio""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quantile bridge: WHERE in the distribution did the metric move?
+  // ------------------------------------------------------------------
+
+  /** Quantile-bridge percentile grid. `final` per the init-cycle rule
+    * (referenced from the SQL string below).
+    */
+  final val qbPs: Seq[Int] = Seq(10, 25, 50, 75, 90)
+
+  /** QUANTILE BRIDGE — per event type, the p10/p25/p50/p75/p90 shift
+    * vector of `value` between the baseline and current halves (the
+    * [[graft.etl.Quality]] drift boundary). The distribution-shape
+    * complement of the PSI histogram drift: PSI says THAT mass moved
+    * between bins, the bridge says WHERE in the distribution — a pure
+    * median shift (all quantiles move together) reads completely
+    * differently from a tail widening (p90 moves alone), and that
+    * distinction decides whether an alert is "prices rose" or "a
+    * whale appeared".
+    *
+    * Exactness: quantiles are exact percentile_disc at cent grain via
+    * the cumulative-count compare (rank = ⌈p·n/100⌉ — integer
+    * cross-multiplication, no interpolation, the q-digest oracle
+    * pattern); shifts are BIGINT cent differences and the relative
+    * shift one double division.
+    *
+    * Scale (100 TB): the corpus collapses to (type, period, cent)
+    * grain in ONE map-side-combined aggregate; cumulative counts and
+    * the 5-point grid probe run on that value-dictionary-sized table
+    * (windows partitioned by type×period).
+    */
+  def qEventQuantileBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val boundary = lit("2024-01-16").cast("timestamp")
+    val g = Tables.events(spark, sfDir)
+      .select($"event_type",
+        when($"ts" < boundary, 0L).otherwise(1L).as("period"),
+        floor($"value" * 100 + 0.5).cast("long").as("vq"))
+      .groupBy($"event_type", $"period", $"vq")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = g.groupBy($"event_type", $"period").agg(sum($"cnt").as("n"))
+    val w = Window.partitionBy($"event_type", $"period").orderBy($"vq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select($"event_type", $"period", $"vq",
+      sum($"cnt").over(w).as("cum"))
+    val ps = qbPs.toDF("p").select($"p".cast("long").as("p"))
+    val q = cum.join(tot, Seq("event_type", "period"))
+      .crossJoin(broadcast(ps))
+      .filter(expr("cum >= (p * n + 99) div 100"))
+      .groupBy($"event_type", $"period", $"p")
+      .agg(min($"vq").as("qv"))
+    val base = q.filter($"period" === 0)
+      .select($"event_type", $"p", $"qv".as("base_q_c"))
+    val cur = q.filter($"period" === 1)
+      .select($"event_type", $"p", $"qv".as("cur_q_c"))
+    base.join(cur, Seq("event_type", "p"))
+      .select($"event_type", $"p", $"base_q_c", $"cur_q_c",
+        ($"cur_q_c" - $"base_q_c").as("shift_c"),
+        (($"cur_q_c" - $"base_q_c").cast("double") / $"base_q_c")
+          .as("shift_rel"))
+      .orderBy($"event_type", $"p")
+  }
+
+  val qEventQuantileBridgeSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2, 3
+       |),
+       |tot AS (
+       |  SELECT event_type, period, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM g GROUP BY event_type, period
+       |),
+       |cum AS (
+       |  SELECT event_type, period, vq,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type, period ORDER BY vq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM g
+       |),
+       |ps AS (SELECT CAST(unnest([${qbPs.mkString(", ")}]) AS BIGINT) AS p),
+       |q AS (
+       |  SELECT event_type, period, p, min(vq) AS qv
+       |  FROM cum JOIN tot USING (event_type, period) CROSS JOIN ps
+       |  WHERE cum >= (p * n + 99) // 100
+       |  GROUP BY event_type, period, p
+       |)
+       |SELECT event_type, p, base.qv AS base_q_c, cur.qv AS cur_q_c,
+       |  cur.qv - base.qv AS shift_c,
+       |  CAST(cur.qv - base.qv AS DOUBLE) / base.qv AS shift_rel
+       |FROM (SELECT * FROM q WHERE period = 0) base
+       |JOIN (SELECT * FROM q WHERE period = 1) cur USING (event_type, p)
+       |ORDER BY event_type, p""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Neyman sampling allocation: where should the sample budget go?
+  // ------------------------------------------------------------------
+
+  /** Neyman sample budget (rows to draw across strata). `final`
+    * literal per the init-cycle rule.
+    */
+  final val neymanBudget = 10000L
+
+  /** NEYMAN ALLOCATION — splits a fixed sampling budget across the
+    * event-type strata proportional to N_h·σ_h (the variance-optimal
+    * allocation for estimating the overall mean of `value`), next to
+    * the proportional allocation for contrast. The design step the
+    * registry's samplers skip: [[graft.ext.TextOps]]'s stratified
+    * sampler takes per-stratum rates as GIVEN — this computes the
+    * rates a measurement pipeline should be using, and the
+    * neyman-vs-proportional gap is the read on whether stratification
+    * by this key pays at all (equal σ_h ⇒ the two coincide).
+    *
+    * Exactness: moments are exact BIGINTs over cent-quantized values;
+    * N_h·σ_h = √(nΣx²−(Σx)²) is floored to an integer weight
+    * IMMEDIATELY (IEEE sqrt is correctly rounded, so both engines
+    * floor the same value), making the weight total an order-free
+    * BIGINT sum and the allocation an exact integer division
+    * budget·w_h // W. Shares are single double divisions.
+    *
+    * Scale (100 TB): one |types|-group aggregate with map-side
+    * partials — the corpus is touched once, narrow. The n·Σx² product
+    * crosses 2^63 near 10⁹ rows/stratum at cent grain; past that
+    * widen the moment product to DECIMAL(38,0) (weights stay integer).
+    */
+  def qEventNeyman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.events(spark, sfDir)
+      .select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_h"), sum($"c").as("sx"),
+        sum($"c" * $"c").as("sxx"))
+      .select($"event_type", $"n_h", $"sx",
+        floor(sqrt(($"n_h" * $"sxx" - $"sx" * $"sx").cast("double")))
+          .cast("long").as("w_q"))
+    val tot = m.agg(sum($"w_q").as("w_tot"), sum($"n_h").as("n_tot"))
+    m.crossJoin(tot)
+      .select($"event_type", $"n_h", $"w_q",
+        ($"w_q".cast("double") / $"w_tot").as("neyman_share"),
+        expr(s"(w_q * $neymanBudget) div w_tot").as("alloc_neyman"),
+        expr(s"(n_h * $neymanBudget) div n_tot").as("alloc_prop"))
+      .orderBy($"event_type")
+  }
+
+  val qEventNeymanSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx
+       |  FROM (SELECT event_type,
+       |          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |        FROM events)
+       |  GROUP BY event_type
+       |),
+       |w AS (
+       |  SELECT event_type, n_h,
+       |    CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w_q
+       |  FROM m
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(w_q) AS BIGINT) AS w_tot,
+       |    CAST(sum(n_h) AS BIGINT) AS n_tot
+       |  FROM w
+       |)
+       |SELECT event_type, n_h, w_q,
+       |  CAST(w_q AS DOUBLE) / w_tot AS neyman_share,
+       |  (w_q * $neymanBudget) // w_tot AS alloc_neyman,
+       |  (n_h * $neymanBudget) // n_tot AS alloc_prop
+       |FROM w CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sequential precedence mining: which events happen BEFORE which?
   // ------------------------------------------------------------------
 
@@ -4668,6 +4961,9 @@ object Analytics {
     "q_order_backlog" -> ((qOrderBacklog _, qOrderBacklogSql)),
     "q_littles_law" -> ((qLittlesLaw _, qLittlesLawSql)),
     "q_event_precedence" -> ((qEventPrecedence _, qEventPrecedenceSql)),
+    "q_event_neyman" -> ((qEventNeyman _, qEventNeymanSql)),
+    "q_event_quantile_bridge" -> ((qEventQuantileBridge _, qEventQuantileBridgeSql)),
+    "q_littles_by_class" -> ((qLittlesByClass _, qLittlesByClassSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

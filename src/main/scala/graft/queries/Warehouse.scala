@@ -1805,6 +1805,129 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // Fellegi-Sunter match-weight estimation
+  // ------------------------------------------------------------------
+
+  /** FELLEGI-SUNTER WEIGHTS — learns the per-feature agreement weights
+    * ln(m/u) that turn [[qCustEntityMatch]]'s single edit-distance rule
+    * into a principled linkage score: over the SAME blocked candidate
+    * pairs and labeled by the fixture's injected twins
+    * (id_b = id_a + 500000), estimate m_k = P(agree | match) and
+    * u_k = P(agree | non-match) for four comparators (2-char prefix,
+    * the mutated 3rd char, edit distance ≤ cap, equal length) with
+    * Laplace smoothing, and emit each feature's quantized log
+    * agreement weight. This is the supervised half of entity
+    * resolution: the match op proposes pairs, this op says how much
+    * each feature's agreement should COUNT — the weights a production
+    * linker sums and thresholds. Blocking is DELIBERATELY coarser than
+    * the match op's (last-2 name chars vs last-8): u-estimation needs
+    * non-match pairs in the candidate set, and the tight block admits
+    * almost none — the standard train-vs-serve blocking split.
+    *
+    * Exactness: all counts BIGINT; smoothing keeps every ln argument a
+    * positive integer (2c+1 / 2n+2), so the weight is a sum of four
+    * individually-floored quantized lns ([[woeScale]] discipline) and
+    * the m/u probabilities are single BIGINT divisions.
+    *
+    * Scale (100 TB): inherits the entity-match shape — candidate
+    * generation is the block equi-join (never all-pairs), the
+    * comparator vector is computed once per candidate, and the whole
+    * estimation is ONE aggregate over candidates (map-side combined)
+    * unpivoted to 4 feature rows.
+    */
+  def qCustFsWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val dirty = base.filter(col("id") % 9 === 0)
+      .select((col("id") + 500000).as("id"),
+        concat(substring(col("name"), 1, 2), lit("x"),
+          expr("substring(name, 4)")).as("name"))
+    val all = base.unionAll(dirty).withColumn("block", expr("right(name, 2)"))
+    val pairs = all.select($"id".as("id_a"), $"name".as("name_a"), $"block")
+      .join(all.select($"id".as("id_b"), $"name".as("name_b"), $"block"), Seq("block"))
+      .filter($"id_a" < $"id_b")
+      .select(
+        ($"id_b" === $"id_a" + 500000).cast("long").as("is_m"),
+        (substring($"name_a", 1, 2) === substring($"name_b", 1, 2))
+          .cast("long").as("g_prefix2"),
+        (substring($"name_a", 3, 1) === substring($"name_b", 3, 1))
+          .cast("long").as("g_char3"),
+        (levenshtein($"name_a", $"name_b") <= entityMaxEdits)
+          .cast("long").as("g_edits"),
+        (length($"name_a") === length($"name_b")).cast("long").as("g_len"))
+    val feats = Seq("char3", "edits", "len", "prefix2")
+    val sums = pairs.agg(
+      sum($"is_m").as("n_m"),
+      (sum(lit(1L) - $"is_m").as("n_u") +:
+        feats.flatMap(f => Seq(
+          sum($"is_m" * col(s"g_$f")).as(s"am_$f"),
+          sum((lit(1L) - $"is_m") * col(s"g_$f")).as(s"au_$f")))): _*)
+    val stacked = sums.selectExpr("n_m", "n_u",
+      s"stack(${feats.length}, " +
+        feats.map(f => s"'$f', am_$f, au_$f").mkString(", ") +
+        ") as (feature, agree_m, agree_u)")
+    val wq = wln($"agree_m" * 2 + 1) + wln($"n_u" * 2 + 2) -
+      wln($"agree_u" * 2 + 1) - wln($"n_m" * 2 + 2)
+    stacked.select($"feature", $"n_m", $"n_u", $"agree_m", $"agree_u",
+        (($"agree_m" * 2 + 1).cast("double") / ($"n_m" * 2 + 2)).as("m_prob"),
+        (($"agree_u" * 2 + 1).cast("double") / ($"n_u" * 2 + 2)).as("u_prob"),
+        wq.as("weight_q"),
+        (wq.cast("double") / woeScale).as("weight"))
+      .orderBy($"feature")
+  }
+
+  val qCustFsWeightsSql: String = {
+    val feats = Seq("char3", "edits", "len", "prefix2")
+    val featRows = feats.map { f =>
+      s"""SELECT '$f' AS feature, n_m, n_u, am_$f AS agree_m, au_$f AS agree_u
+         |  FROM sums""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id, c_name AS name FROM customer
+       |),
+       |dirty AS (
+       |  SELECT id + 500000 AS id,
+       |    substr(name, 1, 2) || 'x' || substr(name, 4) AS name
+       |  FROM base WHERE id % 9 = 0
+       |),
+       |all_recs AS (
+       |  SELECT id, name, right(name, 2) AS block FROM base
+       |  UNION ALL
+       |  SELECT id, name, right(name, 2) AS block FROM dirty
+       |),
+       |pairs AS (
+       |  SELECT
+       |    CASE WHEN b.id = a.id + 500000 THEN 1 ELSE 0 END AS is_m,
+       |    CASE WHEN substr(a.name, 1, 2) = substr(b.name, 1, 2) THEN 1 ELSE 0 END AS g_prefix2,
+       |    CASE WHEN substr(a.name, 3, 1) = substr(b.name, 3, 1) THEN 1 ELSE 0 END AS g_char3,
+       |    CASE WHEN levenshtein(a.name, b.name) <= $entityMaxEdits THEN 1 ELSE 0 END AS g_edits,
+       |    CASE WHEN length(a.name) = length(b.name) THEN 1 ELSE 0 END AS g_len
+       |  FROM all_recs a JOIN all_recs b ON a.block = b.block AND a.id < b.id
+       |),
+       |sums AS (
+       |  SELECT CAST(sum(is_m) AS BIGINT) AS n_m,
+       |    CAST(sum(1 - is_m) AS BIGINT) AS n_u,
+       |    ${feats.map(f => s"CAST(sum(is_m * g_$f) AS BIGINT) AS am_$f, " +
+               s"CAST(sum((1 - is_m) * g_$f) AS BIGINT) AS au_$f").mkString(",\n    ")}
+       |  FROM pairs
+       |),
+       |stacked AS (
+       |  $featRows
+       |)
+       |SELECT feature, n_m, n_u, agree_m, agree_u,
+       |  CAST(agree_m * 2 + 1 AS DOUBLE) / (n_m * 2 + 2) AS m_prob,
+       |  CAST(agree_u * 2 + 1 AS DOUBLE) / (n_u * 2 + 2) AS u_prob,
+       |  ${wlnSql("(agree_m * 2 + 1)")} + ${wlnSql("(n_u * 2 + 2)")} -
+       |    ${wlnSql("(agree_u * 2 + 1)")} - ${wlnSql("(n_m * 2 + 2)")} AS weight_q,
+       |  CAST(${wlnSql("(agree_m * 2 + 1)")} + ${wlnSql("(n_u * 2 + 2)")} -
+       |    ${wlnSql("(agree_u * 2 + 1)")} - ${wlnSql("(n_m * 2 + 2)")} AS DOUBLE)
+       |    / $woeScale AS weight
+       |FROM stacked
+       |ORDER BY feature""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Weight-of-evidence / information value feature audit
   // ------------------------------------------------------------------
 
@@ -1926,6 +2049,7 @@ object Warehouse {
     "q_rev_bridge" -> ((qRevBridge _, qRevBridgeSql)),
     "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql)),
     "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql)),
-    "q_line_woe" -> ((qLineWoe _, qLineWoeSql))
+    "q_line_woe" -> ((qLineWoe _, qLineWoeSql)),
+    "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql))
   )
 }

@@ -2816,33 +2816,42 @@ class NewOpsSpec extends SparkSuite {
       s"AMS estimate ${estMean} vs exact $f2")
   }
 
-  test("label propagation: exact 3-round sync replay with min-label tie-break") {
+  private def lpReplay(): (Map[Long, Long], Array[(Long, Long)], Set[Long]) = {
     val off = Graph.supplierIdOffset
-    val custs = Tables.customer(spark, sf).select(col("c_custkey")).collect()
-      .map(_.getLong(0))
-    val supps = Tables.supplier(spark, sf).select(col("s_suppkey")).collect()
-      .map(_.getLong(0) + off)
-    val nodes = (custs ++ supps).toSet
+    val custNation = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppNation = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nodes = custNation.keySet ++ suppNation.keySet.map(_ + off)
     val fwd = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1) + off))
-    val adj = (fwd ++ fwd.map(_.swap)).groupBy(_._2)
-      .map { case (dst, es) => dst -> es.map(_._1) }
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (c, s) => custNation(c) == suppNation(s) }
+      .map { case (c, s) => (c, s + off) }
+    val byDst = fwd.groupBy(_._2); val bySrc = fwd.groupBy(_._1)
+    def vote(neigh: Seq[Long], cur: Map[Long, Long]): Long = {
+      val votes = neigh.map(cur).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size.toLong) }
+      votes.maxBy { case (l, c) => c * Graph.lpTieScale - l }._1
+    }
     var labels: Map[Long, Long] = nodes.map(n => n -> n).toMap
     (1 to 3).foreach { _ =>
-      val cur = labels
-      labels = nodes.map { n =>
-        adj.get(n) match {
-          case None => n -> cur(n)
-          case Some(srcs) =>
-            val votes = srcs.map(cur).groupBy(identity)
-              .map { case (l, xs) => (l, xs.size.toLong) }
-            // max count, ties toward the SMALLEST label
-            n -> votes.maxBy { case (l, c) => c * Graph.lpTieScale - l }._1
-        }
-      }.toMap
+      val afterSupp = labels.map { case (n, l) =>
+        n -> byDst.get(n).map(es => vote(es.map(_._1), labels)).getOrElse(l)
+      }
+      labels = afterSupp.map { case (n, l) =>
+        n -> bySrc.get(n).map(es => vote(es.map(_._2), afterSupp)).getOrElse(l)
+      }
     }
+    (labels, fwd, nodes)
+  }
+
+  test("label propagation: exact two-phase replay on the domestic graph; nations recovered") {
+    val off = Graph.supplierIdOffset
+    val (labels, _, nodes) = lpReplay()
     val sizes = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
     val rows = Graph.qGraphLabelprop(spark, sf).collect()
     assert(rows.length === nodes.size)
@@ -2852,9 +2861,106 @@ class NewOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("comm_size") === sizes(labels(id)))
       assert(r.getAs[String]("kind") === (if (id >= off) "supplier" else "customer"))
     }
-    // LPA on a connected-ish purchase graph must actually coarsen:
-    // strictly fewer communities than nodes
+    // must coarsen into real blobs: strictly fewer communities than nodes
     assert(sizes.size < nodes.size)
+  }
+
+  test("modularity: exact integer form; positive Q on the nation-blob partition") {
+    val (labels, fwd, _) = lpReplay()
+    val m = fwd.length.toLong
+    val eIn = fwd.filter { case (c, s) => labels(c) == labels(s) }
+      .groupBy { case (c, _) => labels(c) }
+      .map { case (l, xs) => l -> xs.length.toLong }
+    val deg = (fwd.map(_._1) ++ fwd.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.length.toLong }
+    val dMass = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .map { case (l, xs) => l -> (xs.map(_._2).sum, xs.length.toLong) }
+    val rows = Graph.qGraphModularity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("community")).toSet === dMass.keySet)
+    var runNum = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      val (dc, nn) = dMass(c)
+      assert(r.getAs[Long]("n_nodes") === nn)
+      assert(r.getAs[Long]("d_c") === dc)
+      assert(r.getAs[Long]("e_in") === eIn.getOrElse(c, 0L))
+      val qNum = 4L * m * eIn.getOrElse(c, 0L) - dc * dc
+      assert(r.getAs[Long]("q_num") === qNum)
+      assert(r.getAs[Double]("q_contrib") === qNum.toDouble / (4L * m * m).toDouble)
+      runNum += qNum
+      assert(r.getAs[Double]("q_running") === runNum.toDouble / (4L * m * m).toDouble)
+    }
+    // the domestic graph has genuine nation-blob structure: Q well above 0
+    assert(rows.last.getAs[Double]("q_running") > 0.5)
+  }
+
+  test("quantile bridge: exact percentile_disc per period; median shift consistent") {
+    def day(ts: java.sql.Timestamp): Long = ts.getTime
+    val boundary = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("timestamp"), col("value")).collect()
+      .map(r => (r.getString(0),
+        if (r.getAs[java.sql.Timestamp](1).getTime < boundary) 0L else 1L,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    def quant(xs: Seq[Long], p: Long): Long = {
+      val s = xs.sorted; val n = s.length.toLong
+      val rank = (p * n + 99) / 100 // ceil(p*n/100)
+      s((rank - 1).toInt.max(0))
+    }
+    val rows = Analytics.qEventQuantileBridge(spark, sf).collect()
+    assert(rows.length === 5 * Analytics.qbPs.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type"); val p = r.getAs[Long]("p")
+      val base = evs.filter(e => e._1 == t && e._2 == 0L).map(_._3).toSeq
+      val cur = evs.filter(e => e._1 == t && e._2 == 1L).map(_._3).toSeq
+      assert(r.getAs[Long]("base_q_c") === quant(base, p))
+      assert(r.getAs[Long]("cur_q_c") === quant(cur, p))
+      assert(r.getAs[Long]("shift_c") === quant(cur, p) - quant(base, p))
+      assert(r.getAs[Double]("shift_rel") ===
+        (quant(cur, p) - quant(base, p)).toDouble / quant(base, p))
+    }
+    // quantiles are monotone in p within each (type, period)
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("p"))
+      assert(sorted.map(_.getAs[Long]("base_q_c")).toSeq ===
+        sorted.map(_.getAs[Long]("base_q_c")).toSeq.sorted)
+    }
+  }
+
+  test("little's law by class: per-class area identity at the global horizon") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), day(r.getAs[java.sql.Timestamp](2))))
+    val done = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).max) }
+    val allDays = placed.map(_._3) ++ done.values
+    val (dMin, dMax) = (allDays.min, allDays.max)
+    val rows = Analytics.qLittlesByClass(spark, sf).collect()
+    val classes = placed.map(_._2).distinct.sorted
+    assert(rows.map(_.getAs[String]("prio")).toSeq === classes.toSeq)
+    rows.foreach { r =>
+      val prio = r.getAs[String]("prio")
+      val mine = placed.filter(_._2 == prio)
+      val areaDirect = mine.map { case (ok, _, p) => done.getOrElse(ok, dMax) - p }.sum
+      val leadSum = mine.flatMap { case (ok, _, p) => done.get(ok).map(_ - p) }.sum
+      assert(r.getAs[Long]("n_orders") === mine.length.toLong)
+      assert(r.getAs[Long]("n_completed") === mine.count(m => done.contains(m._1)).toLong)
+      assert(r.getAs[Long]("horizon_days") === dMax - dMin)
+      assert(r.getAs[Long]("area") === areaDirect,
+        s"per-class WIP area identity for $prio")
+      assert(r.getAs[Long]("lead_sum") === leadSum)
+      assert(r.getAs[Double]("wip_avg") === areaDirect.toDouble / (dMax - dMin))
+    }
+    // classes partition the global audit: areas sum to the global area
+    val globalArea = Analytics.qLittlesLaw(spark, sf).head.getAs[Long]("area")
+    assert(rows.map(_.getAs[Long]("area")).sum === globalArea)
   }
 
   test("event precedence: exists-quantifier collapse equals brute-force pair scan") {
@@ -2917,6 +3023,128 @@ class NewOpsSpec extends SparkSuite {
       run += iv
       assert(r.getAs[Double]("iv_running") === run)
     }
+  }
+
+  test("shard rebalance: ring moves ~1/(N+1), mod moves ~N/(N+1); ring replay exact") {
+    def h31(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val keys = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(r => h31(r.getLong(0).toString)).distinct
+    val V = graft.etl.Layout.shardVnodes
+    def ringShard(n: Int): Long => Long = {
+      val vnodes = for { s <- 0 until n; v <- 0 until V }
+        yield (h31(s"shard#$s#$v"), (s * V + v).toLong)
+      pos => {
+        val keyed = vnodes.map { case (p, idx) =>
+          (p * graft.etl.Layout.ringTieScale + idx, p) }
+        val succ = keyed.filter(_._2 >= pos)
+        val chosen = if (succ.nonEmpty) succ.map(_._1).min else keyed.map(_._1).min
+        (chosen % graft.etl.Layout.ringTieScale) / V
+      }
+    }
+    val n = graft.etl.Layout.shardN
+    val before = ringShard(n); val after = ringShard(n + 1)
+    val ringMoved = keys.count(k => before(k) != after(k)).toLong
+    val modMoved = keys.count(k => k % n != k % (n + 1)).toLong
+    val rows = graft.etl.Layout.qShardRebalance(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("moved"), r.getAs[Double]("moved_frac")))
+      .toMap
+    assert(rows("mod")._1 === keys.length.toLong)
+    assert(rows("mod")._2 === modMoved)
+    assert(rows("ring")._2 === ringMoved)
+    // the whole point: consistent hashing moves an order of magnitude less
+    assert(rows("ring")._3 < 0.25 && rows("mod")._3 > 0.7)
+    assert(rows("ring")._3 === ringMoved.toDouble / keys.length)
+  }
+
+  test("RAKE: per-word deg/freq replay; phrase score is the exact quantized word sum") {
+    val stop = TextOps.stopwords.toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+    // segment: stopword-delimited runs, capped at rakeMaxLen
+    val phrases = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      text.split(" ", -1).foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else if (t.nonEmpty) cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.filter(_.length <= TextOps.rakeMaxLen)
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val deg = phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    def wsQ(w: String): Long = deg(w) * TextOps.rakeScale / freq(w)
+    val scoreOf = phrases.map(p => p.mkString(" ") -> p.map(wsQ).sum).toMap
+    val freqOf = phrases.map(_.mkString(" ")).groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toLong }
+    val expectedTop = scoreOf.toSeq.sortBy { case (p, s) => (-s, p) }
+      .take(TextOps.rakeTopK)
+    val rows = TextOps.qDocRake(spark, sf).collect()
+    assert(rows.length === expectedTop.length)
+    rows.zip(expectedTop).foreach { case (r, (p, s)) =>
+      assert(r.getAs[String]("phrase") === p)
+      assert(r.getAs[Long]("score_q") === s)
+      assert(r.getAs[Long]("phrase_freq") === freqOf(p))
+      assert(r.getAs[Long]("n_words") === p.split(" ").length.toLong)
+    }
+  }
+
+  test("Fellegi-Sunter: smoothed m/u replay; mutated-char agreement weighs against match") {
+    val rows = graft.queries.Warehouse.qCustFsWeights(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSeq ===
+      Seq("char3", "edits", "len", "prefix2"))
+    val ws = graft.queries.Warehouse.woeScale
+    rows.foreach { r =>
+      val (nm, nu) = (r.getAs[Long]("n_m"), r.getAs[Long]("n_u"))
+      val (am, au) = (r.getAs[Long]("agree_m"), r.getAs[Long]("agree_u"))
+      assert(am <= nm && au <= nu && nm > 0 && nu > 0,
+        "both classes must be populated — blocking must admit non-matches")
+      assert(r.getAs[Double]("m_prob") === (am * 2 + 1).toDouble / (nm * 2 + 2))
+      assert(r.getAs[Double]("u_prob") === (au * 2 + 1).toDouble / (nu * 2 + 2))
+      def q(x: Long): Long = math.floor(math.log(x.toDouble) * ws).toLong
+      assert(r.getAs[Long]("weight_q") ===
+        q(am * 2 + 1) + q(nu * 2 + 2) - q(au * 2 + 1) - q(nm * 2 + 2))
+    }
+    val byFeat = rows.map(r => r.getAs[String]("feature") -> r).toMap
+    // the injected twin mutates char 3: agreement there is evidence AGAINST
+    // a match, and by far the strongest signal of the four comparators
+    assert(byFeat("char3").getAs[Double]("weight") < -1.0)
+    assert(rows.map(_.getAs[Double]("weight")).min ===
+      byFeat("char3").getAs[Double]("weight"))
+  }
+
+  test("Neyman allocation: exact moment replay; allocations sum within rounding of budget") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val moments = evs.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum; val sxx = xs.map(x => x._2 * x._2).sum
+      t -> (n, math.floor(math.sqrt((n * sxx - sx * sx).toDouble)).toLong)
+    }
+    val wTot = moments.values.map(_._2).sum
+    val nTot = moments.values.map(_._1).sum
+    val B = Analytics.neymanBudget
+    val rows = Analytics.qEventNeyman(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === moments.keySet)
+    rows.foreach { r =>
+      val (n, w) = moments(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_h") === n)
+      assert(r.getAs[Long]("w_q") === w)
+      assert(r.getAs[Double]("neyman_share") === w.toDouble / wTot)
+      assert(r.getAs[Long]("alloc_neyman") === w * B / wTot)
+      assert(r.getAs[Long]("alloc_prop") === n * B / nTot)
+    }
+    // floor allocation under-spends by at most one row per stratum
+    val spent = rows.map(_.getAs[Long]("alloc_neyman")).sum
+    assert(spent <= B && spent > B - rows.length)
   }
 
   test("readability: java-regex count replay; vowel runs bounded by letters") {

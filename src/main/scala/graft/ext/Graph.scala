@@ -705,7 +705,7 @@ object Graph {
          |  SELECT id, arg_max(nlbl, cnt * $lpTieScale - nlbl) AS new_lbl
          |  FROM ${out}_c GROUP BY id
          |),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT p.id, COALESCE(b.new_lbl, p.lbl) AS lbl
          |  FROM $prev p LEFT JOIN ${out}_b b ON b.id = p.id
          |)""".stripMargin
@@ -716,7 +716,7 @@ object Graph {
        |  SELECT c_custkey AS id FROM customer
        |  UNION ALL SELECT s_suppkey + $supplierIdOffset AS id FROM supplier
        |),
-       |fwd AS (
+       |fwd AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS src, l_suppkey + $supplierIdOffset AS dst
        |  FROM orders
        |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -844,6 +844,97 @@ object Graph {
        |CROSS JOIN mt
        |ORDER BY community""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Conductance of each labelprop community
+  // ------------------------------------------------------------------
+
+  /** CONDUCTANCE per labelprop community — φ_c = cut(c) /
+    * min(vol(c), 2m − vol(c)): the share of a community's edge volume
+    * that LEAKS out, the standard cut-quality score. The per-community
+    * companion to [[qGraphModularity]]'s partition score: modularity
+    * contributions are size-biased (a big community scores high just by
+    * mass), conductance is the size-normalized bottleneck measure — a
+    * community with φ near 0 is a real module, φ near 1 is an artifact
+    * of the algorithm. On the domestic graph the nation blobs are
+    * DISCONNECTED components, so the honest expectation (asserted in
+    * spec) is φ = 0 for every multi-node community — the zero-leak
+    * control; the op earns its keep on graphs whose communities
+    * overlap.
+    *
+    * Exactness: cut, volume and m are BIGINTs off the same joins as
+    * modularity; φ is one guarded double division (min-volume 0 —
+    * a community holding EVERY edge endpoint — reports φ = 0
+    * identically in both engines).
+    *
+    * Scale (100 TB): same shape as a labelprop round — labels join the
+    * edge list by node key, then community-grain aggregates.
+    */
+  def qGraphConductance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, fwd) = lpCore(spark, sfDir)
+    val m = fwd.agg(count(lit(1)).as("m_edges"))
+    val lbl = labels.select(col("id"), col("lbl"))
+    val marked = fwd
+      .join(lbl.select(col("id").as("src"), col("lbl").as("l_src")), "src")
+      .join(lbl.select(col("id").as("dst"), col("lbl").as("l_dst")), "dst")
+    // a crossing edge counts toward the cut of BOTH its communities
+    val cut = marked.filter(col("l_src") =!= col("l_dst"))
+      .select(col("l_src").as("community"))
+      .unionAll(marked.filter(col("l_src") =!= col("l_dst"))
+        .select(col("l_dst").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut"))
+    val deg = fwd.select(col("src").as("id"))
+      .unionAll(fwd.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val vol = lbl.join(deg, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("vol"), count(lit(1)).as("n_nodes"))
+    vol.join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        least(col("vol"), lit(2L) * col("m_edges") - col("vol")).as("min_vol"))
+      .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+        when(col("min_vol") > 0,
+          col("cut").cast("double") / col("min_vol").cast("double"))
+          .otherwise(lit(0.0)).as("phi"))
+      .orderBy(col("community"))
+  }
+
+  val qGraphConductanceSql: String =
+    s"""WITH $lpCoreCtesSql,
+       |mt AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM fwd),
+       |marked AS MATERIALIZED (
+       |  SELECT ls.lbl AS l_src, ld.lbl AS l_dst
+       |  FROM fwd
+       |  JOIN l3 ls ON ls.id = fwd.src
+       |  JOIN l3 ld ON ld.id = fwd.dst
+       |),
+       |cut AS (
+       |  SELECT community, CAST(count(*) AS BIGINT) AS cut
+       |  FROM (SELECT unnest([l_src, l_dst]) AS community
+       |        FROM marked WHERE l_src <> l_dst)
+       |  GROUP BY community
+       |),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT src AS id FROM fwd UNION ALL SELECT dst AS id FROM fwd)
+       |  GROUP BY id
+       |),
+       |vol AS (
+       |  SELECT l3.lbl AS community, CAST(sum(deg) AS BIGINT) AS vol,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM l3 JOIN deg ON deg.id = l3.id
+       |  GROUP BY l3.lbl
+       |)
+       |SELECT community, n_nodes, vol, COALESCE(cut, 0) AS cut,
+       |  CASE WHEN least(vol, 2 * m_edges - vol) > 0
+       |    THEN CAST(COALESCE(cut, 0) AS DOUBLE) /
+       |         CAST(least(vol, 2 * m_edges - vol) AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS phi
+       |FROM vol LEFT JOIN cut USING (community)
+       |CROSS JOIN mt
+       |ORDER BY community""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_graph_pagerank" -> ((qGraphPagerank _, qGraphPagerankSql)),
     "q_graph_reach" -> ((qGraphReach _, qGraphReachSql)),
@@ -852,6 +943,7 @@ object Graph {
     "q_graph_linkpred" -> ((qGraphLinkpred _, qGraphLinkpredSql)),
     "q_graph_assortativity" -> ((qGraphAssortativity _, qGraphAssortativitySql)),
     "q_graph_labelprop" -> ((qGraphLabelprop _, qGraphLabelpropSql)),
-    "q_graph_modularity" -> ((qGraphModularity _, qGraphModularitySql))
+    "q_graph_modularity" -> ((qGraphModularity _, qGraphModularitySql)),
+    "q_graph_conductance" -> ((qGraphConductance _, qGraphConductanceSql))
   )
 }

@@ -1963,6 +1963,80 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Language-ID confusion matrix
+  // ------------------------------------------------------------------
+
+  /** LANGUAGE-ID CONFUSION — per true language, the precision/recall/F1
+    * of [[qDocLangQuality]]'s marker-based classifier against the
+    * corpus labels. The eval the classifier op itself skips: it emits a
+    * per-doc verdict, this says WHICH languages it confuses and whether
+    * the marker lists need work before anyone routes documents on the
+    * prediction (misrouting = wrong tokenizer, wrong quality
+    * thresholds, silently skewed language mix downstream). Reuses the
+    * classifier by CONSTRUCTION — the per-doc frame is
+    * [[qDocLangQuality]] itself on both sides, so this audit can never
+    * drift from the op it audits.
+    *
+    * Exactness: tp/fp/fn are exact BIGINTs; precision and recall are
+    * single divisions, F1 uses the all-integer form 2tp/(2tp+fp+fn)
+    * (never P·R/(P+R) — that mixes already-rounded doubles).
+    *
+    * Scale (100 TB): inherits the classifier's narrow per-doc shape;
+    * the rollup is one |langs|²-bounded aggregate. Documents predicted
+    * 'und' (no marker fired) count as false negatives of their true
+    * language only — 'und' is not a class.
+    */
+  def qDocLangConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = qDocLangQuality(spark, sfDir)
+      .select($"lang", $"lang_pred")
+    val byTrue = perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lang_pred" === $"lang", 1L).otherwise(0L)).as("tp"))
+    val fpByPred = perDoc.filter($"lang_pred" =!= $"lang")
+      .groupBy($"lang_pred".as("lang"))
+      .agg(count(lit(1)).as("fp"))
+    byTrue.join(fpByPred, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"tp",
+        coalesce($"fp", lit(0L)).as("fp"),
+        ($"n_docs" - $"tp").as("fn"))
+      .select($"lang", $"n_docs", $"tp", $"fp", $"fn",
+        // a language the classifier NEVER predicts has tp+fp = 0:
+        // precision is undefined there — report 0.0 (identically in
+        // the oracle) rather than divide by zero under ANSI mode
+        when($"tp" + $"fp" > 0, $"tp".cast("double") / ($"tp" + $"fp"))
+          .otherwise(lit(0.0)).as("precision"),
+        ($"tp".cast("double") / $"n_docs").as("recall"),
+        ((lit(2L) * $"tp").cast("double") /
+          (lit(2L) * $"tp" + $"fp" + $"fn")).as("f1"))
+      .orderBy($"lang")
+  }
+
+  val qDocLangConfusionSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT lang, lang_pred FROM (
+       |$qDocLangQualitySql
+       |  )
+       |),
+       |by_true AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM per_doc GROUP BY lang
+       |),
+       |fp_by_pred AS (
+       |  SELECT lang_pred AS lang, CAST(count(*) AS BIGINT) AS fp
+       |  FROM per_doc WHERE lang_pred <> lang GROUP BY lang_pred
+       |)
+       |SELECT lang, n_docs, tp, COALESCE(fp, 0) AS fp, n_docs - tp AS fn,
+       |  CASE WHEN tp + COALESCE(fp, 0) > 0
+       |    THEN CAST(tp AS DOUBLE) / (tp + COALESCE(fp, 0))
+       |    ELSE CAST(0.0 AS DOUBLE) END AS precision,
+       |  CAST(tp AS DOUBLE) / n_docs AS recall,
+       |  CAST(2 * tp AS DOUBLE) / (2 * tp + COALESCE(fp, 0) + n_docs - tp) AS f1
+       |FROM by_true LEFT JOIN fp_by_pred USING (lang)
+       |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // RAKE keyphrase extraction
   // ------------------------------------------------------------------
 

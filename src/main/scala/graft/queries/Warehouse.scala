@@ -1805,6 +1805,103 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // Price indices: matched-model Jevons (log) + aggregate unit value
+  // ------------------------------------------------------------------
+
+  /** PRICE INDEX per ship year vs the base (first) year — two standard
+    * estimators side by side: the matched-model JEVONS index in log
+    * form (mean log unit-value relative over parts traded in BOTH
+    * years — the composition-controlled measure statistical agencies
+    * use) and the aggregate UNIT-VALUE index (total revenue per unit,
+    * composition-biased but computable without matching — the trade-
+    * statistics headline). Their divergence IS the composition effect:
+    * the part-mix shifting toward dearer items shows up in UVI but not
+    * Jevons. Completes the pricing family: [[qRevBridge]] decomposes
+    * ONE period pair's revenue, this tracks the price LEVEL across all
+    * years.
+    *
+    * Exactness: per-(year, part) revenue is exact cents and quantity
+    * exact units (BIGINT); each Jevons term ln(R_t·Q_0 / (R_0·Q_t)) is
+    * a DIFFERENCE OF TWO individually-floored quantized lns of exact
+    * BIGINT products ([[woeScale]] discipline) — the per-year sum is an
+    * order-free BIGINT. The UVI is computed as a ratio-of-ratios
+    * ((R_t/R_0)·(Q_0/Q_t), two divisions and one product, same shape
+    * both engines) precisely so no BIGINT product of two year-totals
+    * can overflow. exp() is deliberately NOT applied — libm exp is not
+    * bit-identical across engines; the log index is the stable
+    * cross-engine artifact (×100 ≈ percent).
+    *
+    * Scale (100 TB): one (year, part) aggregate over lineitem with
+    * map-side partials (the only corpus shuffle); the base-year match
+    * is a part-dictionary-sized equi-join per year.
+    */
+  def qPriceIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val yp = Tables.lineitem(spark, sfDir)
+      .select(year(to_date($"l_shipdate".cast("timestamp"))).cast("long").as("yr"),
+        $"l_partkey",
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("r_c"),
+        floor($"l_quantity" + 0.5).cast("long").as("q"))
+      .groupBy($"yr", $"l_partkey")
+      .agg(sum($"r_c").as("r"), sum($"q").as("q"))
+    val baseYr = yp.agg(min($"yr").as("base_yr"))
+    val base = yp.crossJoin(broadcast(baseYr))
+      .filter($"yr" === $"base_yr")
+      .select($"l_partkey".as("pk0"), $"r".as("r0"), $"q".as("q0"))
+    val matched = yp.join(base, $"l_partkey" === $"pk0")
+      .select($"yr",
+        (wln($"r" * $"q0") - wln($"r0" * $"q")).as("jterm"))
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_matched"), sum($"jterm").as("jevons_log_q"))
+    val totals = yp.groupBy($"yr")
+      .agg(sum($"r").as("r_tot_c"), sum($"q").as("q_tot"))
+    val baseTot = totals.crossJoin(broadcast(baseYr))
+      .filter($"yr" === $"base_yr")
+      .select($"r_tot_c".as("r0_tot"), $"q_tot".as("q0_tot"))
+    totals.join(matched, "yr").crossJoin(broadcast(baseTot))
+      .select($"yr", $"n_matched", $"r_tot_c", $"q_tot", $"jevons_log_q",
+        ($"jevons_log_q".cast("double") /
+          ($"n_matched" * woeScale).cast("double")).as("jevons_log"),
+        (($"r_tot_c".cast("double") / $"r0_tot") *
+          ($"q0_tot".cast("double") / $"q_tot")).as("uvi"))
+      .orderBy($"yr")
+  }
+
+  val qPriceIndexSql: String =
+    s"""WITH yp AS (
+       |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr, l_partkey,
+       |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r,
+       |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |base_yr AS (SELECT min(yr) AS base_yr FROM yp),
+       |base AS (
+       |  SELECT l_partkey AS pk0, r AS r0, q AS q0
+       |  FROM yp CROSS JOIN base_yr WHERE yr = base_yr
+       |),
+       |matched AS (
+       |  SELECT yr, CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(${wlnSql("(r * q0)")} - ${wlnSql("(r0 * q)")}) AS BIGINT)
+       |      AS jevons_log_q
+       |  FROM yp JOIN base ON l_partkey = pk0
+       |  GROUP BY yr
+       |),
+       |totals AS (
+       |  SELECT yr, CAST(sum(r) AS BIGINT) AS r_tot_c, CAST(sum(q) AS BIGINT) AS q_tot
+       |  FROM yp GROUP BY yr
+       |),
+       |base_tot AS (
+       |  SELECT r_tot_c AS r0_tot, q_tot AS q0_tot
+       |  FROM totals CROSS JOIN base_yr WHERE yr = base_yr
+       |)
+       |SELECT yr, n_matched, r_tot_c, q_tot, jevons_log_q,
+       |  CAST(jevons_log_q AS DOUBLE) / CAST(n_matched * $woeScale AS DOUBLE)
+       |    AS jevons_log,
+       |  (CAST(r_tot_c AS DOUBLE) / r0_tot) * (CAST(q0_tot AS DOUBLE) / q_tot) AS uvi
+       |FROM totals JOIN matched USING (yr) CROSS JOIN base_tot
+       |ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------------
   // Fellegi-Sunter match-weight estimation
   // ------------------------------------------------------------------
 
@@ -2050,6 +2147,7 @@ object Warehouse {
     "q_cohort_ltv" -> ((qCohortLtv _, qCohortLtvSql)),
     "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql)),
     "q_line_woe" -> ((qLineWoe _, qLineWoeSql)),
-    "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql))
+    "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql)),
+    "q_price_index" -> ((qPriceIndex _, qPriceIndexSql))
   )
 }

@@ -2894,6 +2894,95 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.last.getAs[Double]("q_running") > 0.5)
   }
 
+  test("conductance: exact cut/volume replay; nation blobs leak zero") {
+    val (labels, fwd, _) = lpReplay()
+    val m = fwd.length.toLong
+    val deg = (fwd.map(_._1) ++ fwd.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.length.toLong }
+    val vol = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .map { case (l, xs) => l -> xs.map(_._2).sum }
+    val cut = fwd.filter { case (c, s) => labels(c) != labels(s) }
+      .flatMap { case (c, s) => Seq(labels(c), labels(s)) }
+      .groupBy(identity).map { case (l, xs) => l -> xs.length.toLong }
+    val rows = Graph.qGraphConductance(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("community")).toSet === vol.keySet)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(r.getAs[Long]("vol") === vol(c))
+      assert(r.getAs[Long]("cut") === cut.getOrElse(c, 0L))
+      val minVol = math.min(vol(c), 2 * m - vol(c))
+      val phi = if (minVol > 0) cut.getOrElse(c, 0L).toDouble / minVol else 0.0
+      assert(r.getAs[Double]("phi") === phi)
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+    }
+    // the nation blobs are disconnected components: zero leak everywhere
+    assert(rows.filter(_.getAs[Long]("n_nodes") > 1)
+      .forall(_.getAs[Double]("phi") === 0.0))
+  }
+
+  test("price index: Jevons terms and UVI replay; base year is the identity") {
+    def yr(ts: java.sql.Timestamp): Long =
+      ts.toLocalDateTime.atZone(java.time.ZoneOffset.UTC).getYear.toLong
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("timestamp"), col("l_partkey"),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (yr(r.getAs[java.sql.Timestamp](0)), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(3) + 0.5).toLong))
+    val yp = li.groupBy(x => (x._1, x._2)).map { case ((y, pk), xs) =>
+      (y, pk) -> (xs.map(_._3).sum, xs.map(_._4).sum)
+    }
+    val baseYr = yp.keys.map(_._1).min
+    val base = yp.collect { case ((y, pk), rq) if y == baseYr => pk -> rq }.toMap
+    val ws = graft.queries.Warehouse.woeScale
+    def wq(x: Long): Long = math.floor(math.log(x.toDouble) * ws).toLong
+    val rows = graft.queries.Warehouse.qPriceIndex(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("yr")).toSeq === yp.keys.map(_._1).toSeq.distinct.sorted)
+    rows.foreach { r =>
+      val y = r.getAs[Long]("yr")
+      val matched = yp.collect {
+        case ((yy, pk), (rc, q)) if yy == y && base.contains(pk) =>
+          val (r0, q0) = base(pk)
+          wq(rc * q0) - wq(r0 * q)
+      }
+      assert(r.getAs[Long]("n_matched") === matched.size.toLong)
+      assert(r.getAs[Long]("jevons_log_q") === matched.sum)
+      val (rt, qt) = (r.getAs[Long]("r_tot_c"), r.getAs[Long]("q_tot"))
+      val myTot = yp.collect { case ((yy, _), rq) if yy == y => rq }
+      assert(rt === myTot.map(_._1).sum && qt === myTot.map(_._2).sum)
+    }
+    val baseRow = rows.find(_.getAs[Long]("yr") === baseYr).get
+    // base year vs itself: every Jevons term is ln(1) → 0, UVI exactly 1
+    assert(baseRow.getAs[Long]("jevons_log_q") === 0L)
+    assert(baseRow.getAs[Double]("uvi") === 1.0)
+  }
+
+  test("lang confusion: counts tie out to the per-doc classifier; F1 in integer form") {
+    val perDoc = TextOps.qDocLangQuality(spark, sf)
+      .select(col("lang"), col("lang_pred")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = perDoc.map(_._1).distinct.sorted
+    val rows = TextOps.qDocLangConfusion(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSeq === langs.toSeq)
+    var totTp = 0L
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val tp = perDoc.count(d => d._1 == l && d._2 == l).toLong
+      val fp = perDoc.count(d => d._1 != l && d._2 == l).toLong
+      val n = perDoc.count(_._1 == l).toLong
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("fp") === fp)
+      assert(r.getAs[Long]("fn") === n - tp)
+      val prec = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0
+      assert(r.getAs[Double]("precision") === prec)
+      assert(r.getAs[Double]("recall") === tp.toDouble / n)
+      assert(r.getAs[Double]("f1") === (2 * tp).toDouble / (2 * tp + fp + (n - tp)))
+      totTp += tp
+    }
+    // micro-accuracy ties out to the classifier's own match flags
+    assert(totTp === perDoc.count(d => d._1 == d._2).toLong)
+  }
+
   test("quantile bridge: exact percentile_disc per period; median shift consistent") {
     def day(ts: java.sql.Timestamp): Long = ts.getTime
     val boundary = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime

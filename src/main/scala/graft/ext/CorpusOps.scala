@@ -744,6 +744,87 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TRAIN→VAL N-GRAM COVERAGE — for each language, the share of the
+    * VAL fold's distinct per-doc trigrams that appear anywhere in the
+    * TRAIN fold, under the registry's deterministic hash split
+    * ([[qDocSplit]]'s rule, so this audit measures the split actually
+    * shipped). The generalization-gap proxy measured BEFORE any
+    * training run: coverage near 1 means val perplexity will flatter
+    * the model (val is mostly memorizable from train n-grams), a low
+    * tail says which languages genuinely test generalization. The
+    * within-split counterpart of [[graft.ext.Dedup]]'s decontamination
+    * (which is about EVAL leakage removal) — same machinery, opposite
+    * question.
+    *
+    * Exactness: trigram identity is the portable 31-bit hash; coverage
+    * is one division of exact BIGINT pair counts aggregated per
+    * language (never an average of per-doc doubles — that would be
+    * order-sensitive).
+    *
+    * Scale (100 TB): grams explode once, fold tags ride along; the
+    * train side collapses to its DISTINCT hash dictionary (map-side
+    * combined) and the val probe is a hash-partitioned semi-join —
+    * the decontamination shape, corpus never moves twice.
+    */
+  def qDocSplitCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = TextOps.portableHash(concat($"text", lit("|split"))) % 100
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", split($"text", " ").as("tk"),
+        when(bucket < trainPct, "train").when(bucket < valPct, "val")
+          .otherwise("test").as("fold"))
+      .filter($"fold" =!= "test")
+    val grams = docs
+      .select($"doc_id", $"lang", $"fold",
+        explode(expr(
+          s"transform(sequence(1, greatest(size(tk) - 2, 0)), " +
+            s"i -> ${TextOps.h31ExprSql("concat_ws(' ', tk[i-1], tk[i], tk[i+1])")})"))
+          .as("g"))
+    val trainGrams = grams.filter($"fold" === "train")
+      .select($"g").distinct()
+    val valPairs = grams.filter($"fold" === "val")
+      .select($"lang", $"doc_id", $"g").distinct()
+    val covered = valPairs.join(trainGrams.withColumnRenamed("g", "g2"),
+        $"g" === $"g2", "left")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_val_docs"),
+        count(lit(1)).as("n_pairs"),
+        sum(when($"g2".isNotNull, 1L).otherwise(0L)).as("n_covered"))
+    covered
+      .select($"lang", $"n_val_docs", $"n_pairs", $"n_covered",
+        ($"n_covered".cast("double") / $"n_pairs").as("coverage"))
+      .orderBy($"lang")
+  }
+
+  val qDocSplitCoverageSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+       |    CASE WHEN ${TextOps.portableHashSql("text || '|split'")} % 100 < $trainPct THEN 'train'
+       |         WHEN ${TextOps.portableHashSql("text || '|split'")} % 100 < $valPct THEN 'val'
+       |         ELSE 'test' END AS fold
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, lang, fold,
+       |    ${TextOps.h31Sql("tk[pos] || ' ' || tk[pos + 1] || ' ' || tk[pos + 2]")} AS g
+       |  FROM (SELECT doc_id, lang, fold, tk,
+       |          unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS pos
+       |        FROM docs WHERE fold <> 'test')
+       |),
+       |train_grams AS (SELECT DISTINCT g FROM grams WHERE fold = 'train'),
+       |val_pairs AS (
+       |  SELECT DISTINCT lang, doc_id, g FROM grams WHERE fold = 'val'
+       |)
+       |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_val_docs,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN t.g2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  CAST(CAST(sum(CASE WHEN t.g2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / count(*) AS coverage
+       |FROM val_pairs v
+       |LEFT JOIN (SELECT g AS g2 FROM train_grams) t ON v.g = t.g2
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val qDocDsirWeightsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents

@@ -3009,4 +3009,108 @@ object Similarity {
        |ORDER BY rrf DESC, item_id
        |LIMIT $rrfTopN""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Binary (sign-bit) embedding sketch with Hamming retrieval
+  // ------------------------------------------------------------------
+
+  /** BINARY EMBEDDING SKETCH — compress each 64-dim vector to its 64
+    * SIGN BITS (two 32-bit BIGINT words), retrieve by Hamming distance
+    * (`bit_count(xor)`), and report recall against the exact cosine
+    * top-k per query. The extreme end of the compression family:
+    * [[qEmbQuantize]] keeps 8 bits/dim, PQ ([[qEmbPqAdc]]) a codebook
+    * index per subspace — this keeps ONE bit/dim (64 bits/vector, a
+    * 16× cut vs int8), the representation that makes billion-vector
+    * first-stage retrieval a register-level XOR+popcount instead of a
+    * float kernel. The recall column is the honest price tag, same
+    * audit discipline as [[qEmbAnnRecall]].
+    *
+    * Exactness: sign words are exact integer folds of float>0
+    * comparisons (identical in both engines); Hamming distances are
+    * pure BIGINT bit_count arithmetic; ranking ties break on vec_id;
+    * recall is one division of exact counts.
+    *
+    * Scale (100 TB): signatures are built in one narrow pass (the
+    * corpus never moves); the query side is [[nQueryVecs]] broadcast
+    * rows, so scoring is map-side XOR+popcount with a per-query top-k
+    * (TakeOrdered shape) — the classic binary first stage; the cosine
+    * arm exists only to measure recall and runs on the same broadcast
+    * join.
+    */
+  def qEmbBinaryHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    def word(lo: Int): Column = expr(
+      s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+        s"(acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i - $lo), 0L))")
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      word(0).as("w0"), word(32).as("w1"))
+    val q = sig.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+      .withColumn("q_norm", sqrt(dot(col("qe"), col("qe"))))
+    val c = sig.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"), col("embedding").as("ce"), col("w0"), col("w1"))
+      .withColumn("c_norm", sqrt(dot(col("ce"), col("ce"))))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+          bit_count(col("qw1").bitwiseXOR(col("w1")))).cast("long").as("hamming"),
+        (dot(col("qe"), col("ce")) / (col("q_norm") * col("c_norm"))).as("cosine"))
+    val hw = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val cw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ranked = scored
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        row_number().over(hw).as("h_rank"), row_number().over(cw).as("c_rank"))
+    ranked.filter(col("h_rank") <= topK)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("c_rank") <= topK, 1L).otherwise(0L)).as("n_overlap"),
+        min(col("hamming")).as("best_hamming"))
+      .select(col("q_id"), col("k"), col("n_overlap"), col("best_hamming"),
+        (col("n_overlap").cast("double") / col("k")).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  val qEmbBinaryHammingSql: String = {
+    def word(lo: Int): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 32), " +
+        s"i -> CASE WHEN embedding[i + $lo] > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"
+    s"""WITH sig AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${word(0)} AS w0, ${word(32)} AS w1
+       |  FROM embeddings
+       |),
+       |q AS (
+       |  SELECT vec_id AS q_id, e AS qe, w0 AS qw0, w1 AS qw1,
+       |    sqrt(list_dot_product(e, e)) AS q_norm
+       |  FROM sig WHERE vec_id < $nQueryVecs
+       |),
+       |c AS (
+       |  SELECT vec_id, e AS ce, w0, w1, sqrt(list_dot_product(e, e)) AS c_norm
+       |  FROM sig WHERE vec_id >= $nQueryVecs
+       |),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS BIGINT) AS hamming,
+       |    list_dot_product(qe, ce) / (q_norm * c_norm) AS cosine
+       |  FROM c, q
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS h_rank,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS c_rank
+       |  FROM scored
+       |)
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN c_rank <= $topK THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  min(hamming) AS best_hamming,
+       |  CAST(CAST(sum(CASE WHEN c_rank <= $topK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / CAST(count(*) AS BIGINT) AS recall_at_k
+       |FROM ranked WHERE h_rank <= $topK
+       |GROUP BY q_id
+       |ORDER BY q_id""".stripMargin
+  }
 }

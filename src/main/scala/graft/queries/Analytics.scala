@@ -4277,6 +4277,92 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // FSM audit: which observed transitions violate the lifecycle model?
+  // ------------------------------------------------------------------
+
+  /** The declared lifecycle FSM: transitions an event stream is
+    * SUPPOSED to contain. Anything observed outside this set is an
+    * instrumentation bug, a replay artifact, or clock skew — exactly
+    * the classes of corruption an event-log quality gate screens for.
+    * signup is a source state (nothing precedes it for a user),
+    * purchase must come via engagement (click/view), error can follow
+    * anything but only recovers to view.
+    */
+  final val fsmAllowed: Seq[(String, String)] = Seq(
+    "signup" -> "click", "signup" -> "view",
+    "click" -> "click", "click" -> "view", "click" -> "purchase",
+    "click" -> "error",
+    "view" -> "view", "view" -> "click", "view" -> "purchase",
+    "view" -> "error",
+    "purchase" -> "view", "purchase" -> "click", "purchase" -> "error",
+    "error" -> "view")
+
+  /** FSM TRANSITION AUDIT — every observed consecutive (prev → next)
+    * user transition, flagged against the declared lifecycle FSM, with
+    * the violation mass per transition and the running violation share.
+    * The VALIDATING complement of [[qEventTransitions]] (which
+    * measures the matrix) and [[qEventMarkovEval]] (which scores its
+    * predictiveness): this one says which cells should not exist at
+    * all — the pre-modeling gate that catches broken instrumentation
+    * before it poisons every downstream sequence model.
+    *
+    * Exactness: pure BIGINT counts off one lag window; shares are
+    * single divisions; the allowed set is a broadcast literal flagged
+    * via an IN over concatenated pair keys, identical both engines.
+    *
+    * Scale (100 TB): one user-partitioned window over events (the
+    * module's sequence-op shape — sessions sort within user
+    * partitions), collapsing map-side to the ≤|types|² matrix.
+    */
+  def qEventFsmAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paired = Tables.events(spark, sfDir)
+      .select($"event_type".as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .filter($"next_type".isNotNull)
+    val allowedKeys = fsmAllowed.map { case (a, b) => s"$a>$b" }
+    val matrix = paired.groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("allowed",
+        concat($"prev_type", lit(">"), $"next_type")
+          .isin(allowedKeys: _*))
+    val tot = matrix.agg(sum($"n").as("n_tot"),
+      sum(when($"allowed", 0L).otherwise($"n")).as("n_viol"))
+    matrix.crossJoin(broadcast(tot))
+      .select($"prev_type", $"next_type", $"n", $"allowed",
+        ($"n".cast("double") / $"n_tot").as("share"),
+        ($"n_viol".cast("double") / $"n_tot").as("violation_share"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val qEventFsmAuditSql: String = {
+    val inList = fsmAllowed.map { case (a, b) => s"'$a>$b'" }.mkString(", ")
+    s"""WITH paired AS (
+       |  SELECT event_type AS prev_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_type
+       |  FROM events
+       |),
+       |matrix AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       |    (prev_type || '>' || next_type) IN ($inList) AS allowed
+       |  FROM paired WHERE next_type IS NOT NULL
+       |  GROUP BY prev_type, next_type
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+       |    CAST(sum(CASE WHEN allowed THEN 0 ELSE n END) AS BIGINT) AS n_viol
+       |  FROM matrix
+       |)
+       |SELECT prev_type, next_type, n, allowed,
+       |  CAST(n AS DOUBLE) / n_tot AS share,
+       |  CAST(n_viol AS DOUBLE) / n_tot AS violation_share
+       |FROM matrix CROSS JOIN tot
+       |ORDER BY prev_type, next_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Little's law by priority class: which class carries the WIP?
   // ------------------------------------------------------------------
 
@@ -4964,6 +5050,7 @@ object Analytics {
     "q_event_neyman" -> ((qEventNeyman _, qEventNeymanSql)),
     "q_event_quantile_bridge" -> ((qEventQuantileBridge _, qEventQuantileBridgeSql)),
     "q_littles_by_class" -> ((qLittlesByClass _, qLittlesByClassSql)),
+    "q_event_fsm_audit" -> ((qEventFsmAudit _, qEventFsmAuditSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

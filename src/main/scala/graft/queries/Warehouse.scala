@@ -1805,6 +1805,96 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // ABC value-class migration matrix
+  // ------------------------------------------------------------------
+
+  /** ABC VALUE-CLASS MIGRATION — classify every customer A/B/C within
+    * each order year (A = first 70% of cumulative revenue, B = next
+    * 20%, C = tail, exact integer cumulative-share compares over the
+    * deterministic (revenue DESC, custkey) order), then count the
+    * year-over-year class transitions for customers active in both
+    * years. The DYNAMIC layer the static concentration views lack:
+    * [[graft.queries.Analytics]]'s RFM and the part-side ABC say who
+    * matters NOW — the migration matrix says whether A-customers stay
+    * A (a stable franchise) or churn through (a leaky bucket), which
+    * decides whether "top customers" is a list worth investing in.
+    *
+    * Exactness: per-(year, customer) revenue is exact cents; class
+    * assignment uses cum·10 ≤ 7·tot style integer cross-multiplication
+    * (never a double share compare); transition counts and shares are
+    * BIGINTs and single divisions.
+    *
+    * Scale (100 TB): one (year, customer) aggregate over orders
+    * (map-side combined), year-partitioned windows at customer grain,
+    * and a customer-keyed self-join between adjacent years. The
+    * within-year cumulative window is the standard ABC shape — ranked
+    * within year partitions, never global.
+    */
+  def qCustAbcMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cy = Tables.orders(spark, sfDir)
+      .select(year(to_date($"o_orderdate".cast("timestamp"))).cast("long").as("yr"),
+        $"o_custkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("r_c"))
+      .groupBy($"yr", $"o_custkey")
+      .agg(sum($"r_c").as("rev"))
+    val w = Window.partitionBy($"yr").orderBy($"rev".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy($"yr")
+    val classed = cy
+      .select($"yr", $"o_custkey", $"rev",
+        sum($"rev").over(w).as("cum"), sum($"rev").over(tw).as("tot"))
+      .select($"yr", $"o_custkey",
+        when($"cum" * 10 <= $"tot" * 7, "A")
+          .when($"cum" * 10 <= $"tot" * 9, "B")
+          .otherwise("C").as("cls"))
+    val from = classed.select($"yr", $"o_custkey".as("ck"), $"cls".as("from_class"))
+    val to = classed.select(($"yr" - 1).as("yr"), $"o_custkey".as("ck2"),
+      $"cls".as("to_class"))
+    val trans = from.join(to, $"ck" === $"ck2" && from("yr") === to("yr"))
+      .groupBy(from("yr").as("year_from"), $"from_class", $"to_class")
+      .agg(count(lit(1)).as("n_customers"))
+    val rowTot = Window.partitionBy($"year_from", $"from_class")
+    trans
+      .withColumn("share",
+        $"n_customers".cast("double") /
+          sum($"n_customers").over(rowTot).cast("double"))
+      .orderBy($"year_from", $"from_class", $"to_class")
+  }
+
+  val qCustAbcMigrationSql: String =
+    """WITH cy AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |classed AS (
+      |  SELECT yr, o_custkey,
+      |    CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |         WHEN cum * 10 <= tot * 9 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM (
+      |    SELECT yr, o_custkey, rev,
+      |      CAST(sum(rev) OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |      CAST(sum(rev) OVER (PARTITION BY yr) AS BIGINT) AS tot
+      |    FROM cy)
+      |),
+      |trans AS (
+      |  SELECT f.yr AS year_from, f.cls AS from_class, t.cls AS to_class,
+      |    CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM classed f JOIN classed t
+      |    ON f.o_custkey = t.o_custkey AND t.yr = f.yr + 1
+      |  GROUP BY f.yr, f.cls, t.cls
+      |)
+      |SELECT year_from, from_class, to_class, n_customers,
+      |  CAST(n_customers AS DOUBLE) /
+      |    CAST(sum(n_customers) OVER (PARTITION BY year_from, from_class) AS DOUBLE)
+      |    AS share
+      |FROM trans
+      |ORDER BY year_from, from_class, to_class""".stripMargin
+
+  // ------------------------------------------------------------------
   // Price indices: matched-model Jevons (log) + aggregate unit value
   // ------------------------------------------------------------------
 
@@ -2148,6 +2238,7 @@ object Warehouse {
     "q_discount_elasticity" -> ((qDiscountElasticity _, qDiscountElasticitySql)),
     "q_line_woe" -> ((qLineWoe _, qLineWoeSql)),
     "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql)),
-    "q_price_index" -> ((qPriceIndex _, qPriceIndexSql))
+    "q_price_index" -> ((qPriceIndex _, qPriceIndexSql)),
+    "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql))
   )
 }

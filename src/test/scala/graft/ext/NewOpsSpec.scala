@@ -2894,6 +2894,152 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.last.getAs[Double]("q_running") > 0.5)
   }
 
+  test("FSM audit: lag replay; violation mass ties out; allowed set honored") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_id"),
+        col("event_type")).collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp](1)
+        (r.getLong(0), t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getLong(2), r.getString(3))
+      }
+    val pairs = evs.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(e => (e._2, e._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._4) }
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val allowed = Analytics.fsmAllowed.toSet
+    val nTot = pairs.size.toLong
+    val nViol = counts.collect { case (p, n) if !allowed(p) => n }.sum
+    val rows = Analytics.qEventFsmAudit(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[String]("prev_type"),
+      r.getAs[String]("next_type"))).toSet === counts.keySet)
+    rows.foreach { r =>
+      val p = (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))
+      assert(r.getAs[Long]("n") === counts(p))
+      assert(r.getAs[Boolean]("allowed") === allowed(p))
+      assert(r.getAs[Double]("share") === counts(p).toDouble / nTot)
+      assert(r.getAs[Double]("violation_share") === nViol.toDouble / nTot)
+    }
+    // random synthetic events MUST trip the FSM somewhere
+    assert(nViol > 0L && nViol < nTot)
+  }
+
+  test("ABC migration: within-year classes replay; shares partition each from-class") {
+    def yr(ts: java.sql.Timestamp): Long =
+      ts.toLocalDateTime.atZone(java.time.ZoneOffset.UTC).getYear.toLong
+    val cy = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("timestamp"), col("o_custkey"),
+        col("o_totalprice")).collect()
+      .map(r => ((yr(r.getAs[java.sql.Timestamp](0)), r.getLong(1)),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val classOf = cy.groupBy(_._1._1).flatMap { case (_, entries) =>
+      val sorted = entries.toSeq.sortBy { case ((_, ck), rev) => (-rev, ck) }
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      sorted.map { case ((yk, ck), rev) =>
+        cum += rev
+        (yk, ck) -> (if (cum * 10 <= tot * 7) "A"
+                     else if (cum * 10 <= tot * 9) "B" else "C")
+      }
+    }
+    val expected = classOf.toSeq.flatMap { case ((y, ck), c) =>
+      classOf.get((y + 1, ck)).map(c2 => (y, c, c2))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val rows = graft.queries.Warehouse.qCustAbcMigration(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[Long]("year_from"), r.getAs[String]("from_class"),
+      r.getAs[String]("to_class"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("year_from"), r.getAs[String]("from_class"),
+        r.getAs[String]("to_class"))
+      assert(r.getAs[Long]("n_customers") === expected(k))
+    }
+    // shares partition: sum to 1 within each (year_from, from_class)
+    rows.groupBy(r => (r.getAs[Long]("year_from"), r.getAs[String]("from_class")))
+      .values.foreach { g =>
+        assert(math.abs(g.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      }
+  }
+
+  test("split coverage: trigram-set replay under the shipped split rule") {
+    import java.security.MessageDigest
+    def h31(sv: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    def rawHash(sv: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    // the split rule buckets on the RAW portable hash (no 31-bit fold)
+    def bucket(text: String): Long = rawHash(text + "|split") % 100
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Set[Long] = {
+      val tk = text.split(" ")
+      (0 to tk.length - 3).map(i => h31(s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")).toSet
+    }
+    val train = docs.filter(d => bucket(d._3) < 80)
+    val vals = docs.filter(d => { val b = bucket(d._3); b >= 80 && b < 90 })
+    val trainSet = train.flatMap(d => grams(d._3)).toSet
+    val rows = CorpusOps.qDocSplitCoverage(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet === vals.map(_._2).toSet)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = vals.filter(_._2 == lang)
+      val pairs = mine.map(d => grams(d._3).size.toLong).sum
+      val covered = mine.map(d => grams(d._3).count(trainSet).toLong).sum
+      assert(r.getAs[Long]("n_val_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("n_pairs") === pairs)
+      assert(r.getAs[Long]("n_covered") === covered)
+      assert(r.getAs[Double]("coverage") === covered.toDouble / pairs)
+    }
+  }
+
+  test("binary hamming: sign-word packing replay; recall vs exact cosine ties out") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def words(e: Array[Float]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L
+      (0 until 32).foreach { i => if (e(i) > 0) w0 |= (1L << i) }
+      (32 until 64).foreach { i => if (e(i) > 0) w1 |= (1L << (i - 32)) }
+      (w0, w1)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val k = Similarity.topK
+    val queries = embs.filter(_._1 < Similarity.nQueryVecs)
+    val cands = embs.filter(_._1 >= Similarity.nQueryVecs)
+    val rows = Similarity.qEmbBinaryHamming(spark, sf).collect()
+    assert(rows.length === queries.length)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("q_id")
+      val qe = queries.find(_._1 == qid).get._2
+      val (qw0, qw1) = words(qe)
+      val hams = cands.map { case (cid, ce) =>
+        val (w0, w1) = words(ce)
+        (cid, java.lang.Long.bitCount(qw0 ^ w0) + java.lang.Long.bitCount(qw1 ^ w1))
+      }
+      val hTop = hams.sortBy { case (cid, h) => (h, cid) }.take(k).map(_._1).toSet
+      val cTop = cands.map { case (cid, ce) => (cid, cos(qe, ce)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1).toSet
+      assert(r.getAs[Long]("k") === k.toLong)
+      assert(r.getAs[Long]("best_hamming") ===
+        hams.map(_._2).min.toLong)
+      assert(r.getAs[Long]("n_overlap") === hTop.intersect(cTop).size.toLong)
+      assert(r.getAs[Double]("recall_at_k") ===
+        hTop.intersect(cTop).size.toDouble / k)
+    }
+  }
+
   test("conductance: exact cut/volume replay; nation blobs leak zero") {
     val (labels, fwd, _) = lpReplay()
     val m = fwd.length.toLong

@@ -2005,4 +2005,84 @@ object Dedup {
        |FROM spans s JOIN tot USING (doc_id)
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Naive-split leakage audit
+  // ------------------------------------------------------------------
+
+  /** NAIVE-SPLIT LEAKAGE — for every VERIFIED near-duplicate pair, the
+    * fold each member lands in under the registry's plain content-hash
+    * split ([[CorpusOps.qDocSplit]]'s rule), and the share of pairs
+    * STRADDLING folds. The quantified motivation for
+    * [[qDocSplitLeakfree]]: near-dup texts hash independently, so the
+    * naive split scatters ~1−(p_train²+p_val²+p_test²) of dup pairs
+    * across folds — each one a val/test document the model has
+    * effectively seen in train. This op measures that number on the
+    * shipped split instead of asserting it; the leak-free op then
+    * drives it to zero by construction.
+    *
+    * Exactness: folds are pure functions of content (the shipped split
+    * rule verbatim); pair counts are BIGINTs and the leak share one
+    * division.
+    *
+    * Scale (100 TB): the pair table is dup-bounded (far smaller than
+    * the corpus); folds need one narrow hash projection of the corpus
+    * and two doc-keyed joins onto the pair table — the label-table
+    * shape, AQE broadcast-promotes the small side.
+    */
+  def qDocSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+    val corpus = nearCorpus(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val bucket = TextOps.portableHash(concat(col("text"), lit("|split"))) % 100
+    val folds = corpus.select(col("doc_id"),
+      when(bucket < CorpusOps.trainPct, "train")
+        .when(bucket < CorpusOps.valPct, "val")
+        .otherwise("test").as("fold"))
+    val marked = pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+    val tot = marked.agg(count(lit(1)).as("n_total"),
+      sum(when(col("fold_a") =!= col("fold_b"), 1L).otherwise(0L)).as("n_cross"))
+    marked.groupBy(col("fold_a"), col("fold_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crosses", col("fold_a") =!= col("fold_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold_a"), col("fold_b"), col("n_pairs"), col("crosses"),
+        (col("n_cross").cast("double") / col("n_total")).as("leak_share"))
+      .orderBy(col("fold_a"), col("fold_b"))
+  }
+
+  val qDocSplitLeakageSql: String = {
+    val bucket = s"${TextOps.portableHashSql("text || '|split'")} % 100"
+    s"""WITH $nearCorpusSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM ($qDocMinhashPairsSql)
+       |),
+       |folds AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < ${CorpusOps.trainPct} THEN 'train'
+       |         WHEN $bucket < ${CorpusOps.valPct} THEN 'val'
+       |         ELSE 'test' END AS fold
+       |  FROM corpus
+       |),
+       |marked AS (
+       |  SELECT fa.fold AS fold_a, fb.fold AS fold_b
+       |  FROM pairs p
+       |  JOIN folds fa ON fa.doc_id = p.doc_a
+       |  JOIN folds fb ON fb.doc_id = p.doc_b
+       |),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN fold_a <> fold_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+       |  FROM marked
+       |)
+       |SELECT fold_a, fold_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  fold_a <> fold_b AS crosses,
+       |  CAST(n_cross AS DOUBLE) / n_total AS leak_share
+       |FROM marked CROSS JOIN tot
+       |GROUP BY fold_a, fold_b, n_cross, n_total
+       |ORDER BY fold_a, fold_b""".stripMargin
+  }
 }

@@ -1805,6 +1805,81 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // Reorder cadence: how regular is repeat purchasing?
+  // ------------------------------------------------------------------
+
+  /** REORDER CADENCE per market segment — inter-order gap statistics
+    * (mean gap and the variance/mean DISPERSION INDEX) over each
+    * repeat customer's consecutive order dates. The demand-process
+    * diagnostic behind every replenishment forecast: dispersion ≈ mean
+    * says order arrivals are memoryless (exponential gaps — forecast
+    * with a rate), far above says bursty (forecast bursts), far below
+    * says scheduled (forecast a calendar). The order-stream sibling of
+    * the event-stream burstiness audit, at the grain planners actually
+    * buy against.
+    *
+    * Exactness: gaps are exact epoch-day BIGINTs off one
+    * customer-partitioned lag window ((date, orderkey) order — same-day
+    * orders give deterministic zero gaps); the mean and the dispersion
+    * D = (nΣg² − (Σg)²)/(n·Σg) are single divisions of exact BIGINT
+    * moments. n·Σg² crosses 2^63 near 10⁶ gaps/segment at these gap
+    * magnitudes — past that widen the product to DECIMAL(38,0).
+    *
+    * Scale (100 TB): one customer-partitioned window over orders and
+    * one 5-group rollup, both map-side-combinable after the window's
+    * customer-keyed exchange.
+    */
+  def qCustCadence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val w = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    val gaps = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+          .cast("long").as("day"))
+      .select($"o_custkey", ($"day" - lag($"day", 1).over(w)).as("g"))
+      .filter($"g".isNotNull)
+    val seg = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    gaps.join(seg, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"o_custkey").as("n_repeat_cust"),
+        count(lit(1)).as("n_gaps"),
+        sum($"g").as("sg"), sum($"g" * $"g").as("sgg"))
+      .select($"c_mktsegment", $"n_repeat_cust", $"n_gaps",
+        ($"sg".cast("double") / $"n_gaps").as("mean_gap_days"),
+        (($"n_gaps" * $"sgg" - $"sg" * $"sg").cast("double") /
+          ($"n_gaps" * $"sg").cast("double")).as("dispersion"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qCustCadenceSql: String =
+    """WITH days AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM orders
+      |),
+      |gaps AS (
+      |  SELECT o_custkey,
+      |    day - lag(day, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS g
+      |  FROM days
+      |),
+      |agg AS (
+      |  SELECT c_mktsegment, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_cust,
+      |    CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+      |  FROM gaps JOIN customer ON o_custkey = c_custkey
+      |  WHERE g IS NOT NULL
+      |  GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, n_repeat_cust, n_gaps,
+      |  CAST(sg AS DOUBLE) / n_gaps AS mean_gap_days,
+      |  CAST(n_gaps * sgg - sg * sg AS DOUBLE) / CAST(n_gaps * sg AS DOUBLE)
+      |    AS dispersion
+      |FROM agg
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
   // ABC value-class migration matrix
   // ------------------------------------------------------------------
 
@@ -2239,6 +2314,7 @@ object Warehouse {
     "q_line_woe" -> ((qLineWoe _, qLineWoeSql)),
     "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql)),
     "q_price_index" -> ((qPriceIndex _, qPriceIndexSql)),
-    "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql))
+    "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql)),
+    "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql))
   )
 }

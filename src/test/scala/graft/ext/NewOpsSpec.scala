@@ -3000,6 +3000,74 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("split leakage: naive fold replay on verified pairs; leak share positive") {
+    import java.security.MessageDigest
+    def rawHash(sv: String): Long = {
+      val md = MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def fold(text: String): String = {
+      val b = rawHash(text + "|split") % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusText = docs ++ docs.collect { case (id, t) if id % 25 == 0 =>
+      (id + 100000) -> (t + " near duplicate suffix")
+    }
+    val pairs = Dedup.qDocMinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val marked = pairs.map { case (a, b) => (fold(corpusText(a)), fold(corpusText(b))) }
+    val nCross = marked.count { case (a, b) => a != b }.toLong
+    val rows = Dedup.qDocSplitLeakage(spark, sf).collect()
+    val expected = marked.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(rows.map(r => (r.getAs[String]("fold_a"), r.getAs[String]("fold_b"))).toSet
+      === expected.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("fold_a"), r.getAs[String]("fold_b"))
+      assert(r.getAs[Long]("n_pairs") === expected(k))
+      assert(r.getAs[Boolean]("crosses") === (k._1 != k._2))
+      assert(r.getAs[Double]("leak_share") === nCross.toDouble / marked.length)
+    }
+    // the naive split must actually leak on this fixture — that's the point
+    assert(nCross > 0L)
+  }
+
+  test("reorder cadence: lag-gap moment replay per segment") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val seg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gaps = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), day(r.getAs[java.sql.Timestamp](2))))
+      .groupBy(_._1).toSeq.flatMap { case (ck, xs) =>
+        val s = xs.sortBy(x => (x._3, x._2))
+        s.zip(s.tail).map { case (a, b) => (seg(ck), ck, b._3 - a._3) }
+      }
+    val expected = gaps.groupBy(_._1).map { case (m, xs) =>
+      val n = xs.length.toLong
+      val sg = xs.map(_._3).sum; val sgg = xs.map(x => x._3 * x._3).sum
+      m -> (xs.map(_._2).distinct.length.toLong, n, sg, sgg)
+    }
+    val rows = graft.queries.Warehouse.qCustCadence(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("c_mktsegment")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nc, n, sg, sgg) = expected(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_repeat_cust") === nc)
+      assert(r.getAs[Long]("n_gaps") === n)
+      assert(r.getAs[Double]("mean_gap_days") === sg.toDouble / n)
+      assert(r.getAs[Double]("dispersion") ===
+        (n * sgg - sg * sg).toDouble / (n * sg).toDouble)
+    }
+  }
+
   test("binary hamming: sign-word packing replay; recall vs exact cosine ties out") {
     val embs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()

@@ -3113,4 +3113,94 @@ object Similarity {
        |GROUP BY q_id
        |ORDER BY q_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Simplified silhouette of the IVF cell assignment
+  // ------------------------------------------------------------------
+
+  /** Silhouette quantization scale (10⁻⁶): each vector's score is
+    * floored to an integer BEFORE the per-cell mean, so cell means are
+    * exact ratios of order-free BIGINT sums. `final` per the
+    * init-cycle rule.
+    */
+  final val silScale = 1000000L
+
+  /** SIMPLIFIED SILHOUETTE per IVF cell — for every vector, s = 1 −
+    * d(own centroid)/d(nearest other centroid) (the centroid-based
+    * silhouette, the standard O(nk) surrogate for the O(n²) pairwise
+    * form), averaged per cell. The assignment-quality audit the ANN
+    * family stops short of: [[qEmbAnnRecall]] measures what the index
+    * RETRIEVES, this measures whether the cells are honest clusters at
+    * all — cells with silhouette near 0 sit on partition boundaries
+    * and are exactly where nprobe=1 recall dies, so the two reports
+    * read together tell an operator whether to retrain the quantizer
+    * or raise nprobe.
+    *
+    * Exactness: cell assignment and both distances reuse
+    * [[probeCells]]' deterministic (distance, label) ordering; each
+    * per-vector score is one fixed-shape double expression floored to
+    * an integer at [[silScale]] immediately (both engines floor the
+    * same double), so the per-cell aggregation is exact BIGINT
+    * arithmetic with one closing division.
+    *
+    * Scale (100 TB): assignment is the narrow 1-row-broadcast fold
+    * (zero corpus exchange); the rollup is one |cells|-group
+    * partial-combined aggregate.
+    */
+  def qEmbSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    centArr.count() // eager: single consumer below, but derivation is a full pass
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val pair = probeCells(emb, centArr, nprobe = 2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("own"),
+        max(struct(col("dist"), col("cell"))).as("other"))
+      .select(col("vec_id"), col("own.cell").as("cell"),
+        col("own.dist").as("a"), col("other.dist").as("b"))
+    val sa = sqrt(greatest(col("a"), lit(0.0)))
+    val sb = sqrt(greatest(col("b"), lit(0.0)))
+    val scored = pair.select(col("cell"),
+      floor(when(sb > 0, lit(1.0) - sa / sb).otherwise(lit(0.0)) * silScale)
+        .cast("long").as("s_q"))
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s_q")).as("s_sum"))
+      .select(col("cell"), col("n_members"), col("s_sum"),
+        (col("s_sum").cast("double") /
+          (col("n_members") * silScale).cast("double")).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
+  val qEmbSilhouetteSql: String = {
+    val dist = "list_dot_product(v, v) - 2 * list_dot_product(v, cv) + " +
+      "list_dot_product(cv, cv)"
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, c_label AS cell, $dist AS d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY $dist, c_label) AS rn
+       |  FROM e, cent
+       |),
+       |pair AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cell END) AS cell,
+       |    max(CASE WHEN rn = 1 THEN d END) AS a,
+       |    max(CASE WHEN rn = 2 THEN d END) AS b
+       |  FROM assigned WHERE rn <= 2 GROUP BY vec_id
+       |),
+       |scored AS (
+       |  SELECT cell,
+       |    CAST(floor((CASE WHEN sqrt(greatest(b, 0.0)) > 0
+       |      THEN 1.0 - sqrt(greatest(a, 0.0)) / sqrt(greatest(b, 0.0))
+       |      ELSE 0.0 END) * $silScale) AS BIGINT) AS s_q
+       |  FROM pair
+       |)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(s_q) AS BIGINT) AS s_sum,
+       |  CAST(CAST(sum(s_q) AS BIGINT) AS DOUBLE) /
+       |    CAST(count(*) * $silScale AS BIGINT) AS mean_silhouette
+       |FROM scored
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
 }

@@ -4277,6 +4277,148 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // SLA attainment curve: share shipped within d days, per priority
+  // ------------------------------------------------------------------
+
+  /** SLA thresholds (days) for the attainment curve — spanning the
+    * observed lead-time distribution (mean ≈ 700 days in this synthetic
+    * corpus). `final` per the init-cycle rule.
+    */
+  final val slaDays: Seq[Int] = Seq(90, 180, 365, 730, 1095)
+
+  /** SLA ATTAINMENT CURVE — per order priority, the share of completed
+    * orders fully shipped within each SLA threshold: the lead-time CDF
+    * evaluated exactly where contracts are written. The distributional
+    * view the scalar flow numbers collapse: [[qOrderLeadTime]] gives
+    * the mean, [[qLittlesByClass]] the WIP it implies — this says what
+    * fraction of customers actually got their order inside d days, per
+    * class, which is the number an SLA penalty clause binds to. A flat
+    * curve across priorities (as measured here) is itself the finding:
+    * the priority field isn't driving fulfilment.
+    *
+    * Exactness: lead times are exact BIGINT days; attainment is a
+    * conditional count over a broadcast threshold grid, one division
+    * per cell.
+    *
+    * Scale (100 TB): ONE orderkey-keyed max over lineitem + one
+    * orderkey equi-join (the lead-time shape), then a
+    * (priority × thresholds) conditional aggregate — the curve grid is
+    * a 5×5 broadcast cross, never a per-order fan-out through a
+    * shuffle.
+    */
+  def qOrderSlaCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val leads = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority".as("prio"),
+        datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+          .cast("long").as("placed_day"))
+      .join(Tables.lineitem(spark, sfDir)
+        .groupBy($"l_orderkey")
+        .agg(max(to_date($"l_shipdate".cast("timestamp"))).as("last_ship"))
+        .select($"l_orderkey",
+          datediff($"last_ship", epoch).cast("long").as("done_day")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"prio", ($"done_day" - $"placed_day").as("lead_days"))
+    val grid = slaDays.map(_.toLong).toDF("sla_days")
+    leads.crossJoin(broadcast(grid))
+      .groupBy($"prio", $"sla_days")
+      .agg(count(lit(1)).as("n_completed"),
+        sum(when($"lead_days" <= $"sla_days", 1L).otherwise(0L)).as("n_within"))
+      .select($"prio", $"sla_days", $"n_completed", $"n_within",
+        ($"n_within".cast("double") / $"n_completed").as("attainment"))
+      .orderBy($"prio", $"sla_days")
+  }
+
+  val qOrderSlaCurveSql: String =
+    s"""WITH leads AS (
+       |  SELECT o_orderpriority AS prio,
+       |    CAST(max(CAST(l_shipdate AS DATE)) - CAST(o_orderdate AS DATE) AS BIGINT)
+       |      AS lead_days
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+       |),
+       |grid AS (SELECT CAST(unnest([${slaDays.mkString(", ")}]) AS BIGINT) AS sla_days)
+       |SELECT prio, sla_days, CAST(count(*) AS BIGINT) AS n_completed,
+       |  CAST(sum(CASE WHEN lead_days <= sla_days THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_within,
+       |  CAST(CAST(sum(CASE WHEN lead_days <= sla_days THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / CAST(count(*) AS BIGINT) AS attainment
+       |FROM leads CROSS JOIN grid
+       |GROUP BY prio, sla_days
+       |ORDER BY prio, sla_days""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mean-excess curve: what does the tail look like past a threshold?
+  // ------------------------------------------------------------------
+
+  /** Mean-excess thresholds in cents ($150/$250/$350/$450 against a
+    * value range of 0–560 with mean ≈ 50). `final` per the init-cycle
+    * rule.
+    */
+  final val mexThresholds: Seq[Long] = Seq(15000L, 25000L, 35000L, 45000L)
+
+  /** MEAN-EXCESS CURVE — for each threshold u, the count of event
+    * values exceeding u and the mean excess E[X−u | X>u], the classic
+    * extreme-value-theory diagnostic: a mean-excess curve RISING in u
+    * is a heavy (Pareto-class) tail, flat is exponential, falling is a
+    * bounded tail. The distribution-free companion to the Hill
+    * estimator ([[graft.ext.CorpusOps]]' tail exponent): Hill assumes
+    * the Pareto form and fits its index — this SHOWS whether that
+    * assumption holds, which is the first question any capacity or
+    * risk model built on these values must answer.
+    *
+    * Exactness: cent-quantized BIGINT sums per threshold; the mean
+    * excess is one division of exact integers.
+    *
+    * Scale (100 TB): one pass over events against a 4-row broadcast
+    * grid, map-side combined to 4 rows.
+    */
+  def qValueMeanExcess(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.events(spark, sfDir)
+      .select(floor($"value" * 100 + 0.5).cast("long").as("c"))
+    val grid = mexThresholds.toDF("u_cents")
+    val tot = vals.agg(count(lit(1)).as("n_total"))
+    vals.crossJoin(broadcast(grid))
+      .groupBy($"u_cents")
+      .agg(sum(when($"c" > $"u_cents", 1L).otherwise(0L)).as("n_exceed"),
+        sum(when($"c" > $"u_cents", $"c" - $"u_cents").otherwise(0L))
+          .as("excess_sum_c"))
+      .crossJoin(broadcast(tot))
+      .select($"u_cents", $"n_exceed", $"excess_sum_c",
+        ($"n_exceed".cast("double") / $"n_total").as("exceed_rate"),
+        // an empty tail (possible at tiny SFs) reports 0.0, identically
+        // in the oracle, instead of dividing by zero under ANSI mode
+        when($"n_exceed" > 0,
+          $"excess_sum_c".cast("double") / ($"n_exceed" * lit(100L)).cast("double"))
+          .otherwise(lit(0.0)).as("mean_excess"))
+      .orderBy($"u_cents")
+  }
+
+  val qValueMeanExcessSql: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+       |),
+       |grid AS (SELECT CAST(unnest([${mexThresholds.mkString(", ")}]) AS BIGINT) AS u_cents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM vals)
+       |SELECT u_cents,
+       |  CAST(sum(CASE WHEN c > u_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+       |  CAST(sum(CASE WHEN c > u_cents THEN c - u_cents ELSE 0 END) AS BIGINT)
+       |    AS excess_sum_c,
+       |  CAST(CAST(sum(CASE WHEN c > u_cents THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / n_total AS exceed_rate,
+       |  CASE WHEN CAST(sum(CASE WHEN c > u_cents THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |    THEN CAST(CAST(sum(CASE WHEN c > u_cents THEN c - u_cents ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) /
+       |      CAST(CAST(sum(CASE WHEN c > u_cents THEN 1 ELSE 0 END) AS BIGINT) * 100
+       |        AS BIGINT)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS mean_excess
+       |FROM vals CROSS JOIN grid CROSS JOIN tot
+       |GROUP BY u_cents, n_total
+       |ORDER BY u_cents""".stripMargin
+
+  // ------------------------------------------------------------------
   // FSM audit: which observed transitions violate the lifecycle model?
   // ------------------------------------------------------------------
 
@@ -5051,6 +5193,8 @@ object Analytics {
     "q_event_quantile_bridge" -> ((qEventQuantileBridge _, qEventQuantileBridgeSql)),
     "q_littles_by_class" -> ((qLittlesByClass _, qLittlesByClassSql)),
     "q_event_fsm_audit" -> ((qEventFsmAudit _, qEventFsmAuditSql)),
+    "q_order_sla_curve" -> ((qOrderSlaCurve _, qOrderSlaCurveSql)),
+    "q_value_mean_excess" -> ((qValueMeanExcess _, qValueMeanExcessSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),
     "q_user_balance" -> ((qUserBalance _, qUserBalanceSql)),

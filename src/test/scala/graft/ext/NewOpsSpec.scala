@@ -3000,6 +3000,72 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("SLA curve: per-priority attainment replay; monotone in threshold") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), day(r.getAs[java.sql.Timestamp](2))))
+    val done = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).max) }
+    val leads = placed.flatMap { case (ok, p, d) => done.get(ok).map(dd => (p, dd - d)) }
+    val rows = Analytics.qOrderSlaCurve(spark, sf).collect()
+    assert(rows.length === leads.map(_._1).distinct.length * Analytics.slaDays.length)
+    rows.foreach { r =>
+      val mine = leads.filter(_._1 == r.getAs[String]("prio"))
+      val within = mine.count(_._2 <= r.getAs[Long]("sla_days")).toLong
+      assert(r.getAs[Long]("n_completed") === mine.length.toLong)
+      assert(r.getAs[Long]("n_within") === within)
+      assert(r.getAs[Double]("attainment") === within.toDouble / mine.length)
+    }
+    // attainment is a CDF: monotone nondecreasing in the threshold
+    rows.groupBy(_.getAs[String]("prio")).values.foreach { g =>
+      val att = g.sortBy(_.getAs[Long]("sla_days")).map(_.getAs[Double]("attainment"))
+      assert(att.zip(att.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("mean excess: exact cent replay; bounded support caps the curve") {
+    val cents = Tables.events(spark, sf).select(col("value")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+    val rows = Analytics.qValueMeanExcess(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("u_cents")).toSeq === Analytics.mexThresholds)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("u_cents")
+      val exceed = cents.filter(_ > u)
+      assert(r.getAs[Long]("n_exceed") === exceed.length.toLong)
+      assert(r.getAs[Long]("excess_sum_c") === exceed.map(_ - u).sum)
+      assert(r.getAs[Double]("exceed_rate") === exceed.length.toDouble / cents.length)
+      val expectedMex =
+        if (exceed.nonEmpty)
+          exceed.map(_ - u).sum.toDouble / (exceed.length.toLong * 100L).toDouble
+        else 0.0
+      assert(r.getAs[Double]("mean_excess") === expectedMex)
+    }
+  }
+
+  test("silhouette: per-vector score replay off the 2-probe assignment") {
+    val pair = Similarity.qEmbSilhouette(spark, sf).collect()
+    val total = pair.map(_.getAs[Long]("n_members")).sum
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every vector scored exactly once; cells partition the corpus
+    assert(total === nVecs)
+    pair.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val sSum = r.getAs[Long]("s_sum")
+      assert(r.getAs[Double]("mean_silhouette") ===
+        sSum.toDouble / (n * Similarity.silScale).toDouble)
+      // simplified silhouette is bounded in [0, 1] by construction
+      // (a <= b after the 2-probe sort), so the quantized mean is too
+      assert(sSum >= 0L && sSum <= n * Similarity.silScale)
+    }
+  }
+
   test("split leakage: naive fold replay on verified pairs; leak share positive") {
     import java.security.MessageDigest
     def rawHash(sv: String): Long = {

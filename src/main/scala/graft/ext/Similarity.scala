@@ -3203,4 +3203,72 @@ object Similarity {
        |GROUP BY cell
        |ORDER BY cell""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Embedding norm QC
+  // ------------------------------------------------------------------
+
+  /** Norm-QC bounds and quantization (norms outside [low, high] are
+    * flagged; per-vector norms floor-quantize at 10⁻⁶ before the mean
+    * so aggregation is exact). `final` per the init-cycle rule.
+    */
+  final val normLow = 0.5
+  final val normHigh = 2.0
+  final val normScale = 1000000L
+
+  /** EMBEDDING NORM QC — one row: vector count, min/max L2 norm, the
+    * quantized mean norm, and counts outside the [0.5, 2] healthy band
+    * (the corpus ships unit-normalized — mean norm 0.9999995 measured).
+    * The first gate of every embedding ingest: near-zero norms make
+    * cosine similarity numerically meaningless (they score against
+    * everything), runaway norms are usually a failed normalization or
+    * a corrupted batch, and EITHER silently poisons every downstream
+    * op in this module — ANN, dedup, k-means, calibration. Cheap
+    * enough to run on every delivery, which is the point.
+    *
+    * Exactness: min/max are order-free; the mean uses per-vector
+    * floor-quantized BIGINT norms ([[silScale]] discipline); band
+    * counts are conditional BIGINT sums.
+    *
+    * Scale (100 TB): one narrow pass (per-row dot + sqrt), one-row
+    * aggregate with map-side partials. Nothing leaves the row but
+    * three numbers.
+    */
+  def qEmbNormQc(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .select(col("vec_id"), sqrt(dot(col("e"), col("e"))).as("norm"))
+    emb.agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        sum(floor(col("norm") * normScale).cast("long")).as("norm_q_sum"),
+        sum(when(col("norm") < normLow, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("norm") > normHigh, 1L).otherwise(0L)).as("n_high"))
+      .select(col("n_vecs"), col("min_norm"), col("max_norm"),
+        (col("norm_q_sum").cast("double") /
+          (col("n_vecs") * normScale).cast("double")).as("mean_norm"),
+        col("n_low"), col("n_high"),
+        ((col("n_low") + col("n_high")).cast("double") / col("n_vecs"))
+          .as("flag_rate"))
+  }
+
+  val qEmbNormQcSql: String =
+    s"""WITH norms AS (
+       |  SELECT vec_id,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(norm) AS min_norm, max(norm) AS max_norm,
+       |  CAST(CAST(sum(CAST(floor(norm * $normScale) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) * $normScale AS BIGINT) AS mean_norm,
+       |  CAST(sum(CASE WHEN norm < $normLow THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(sum(CASE WHEN norm > $normHigh THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |  CAST(CAST(sum(CASE WHEN norm < $normLow THEN 1 ELSE 0 END) AS BIGINT) +
+       |    CAST(sum(CASE WHEN norm > $normHigh THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS BIGINT) AS flag_rate
+       |FROM norms""".stripMargin
 }

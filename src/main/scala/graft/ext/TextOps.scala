@@ -1963,6 +1963,74 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Lexicon content screening
+  // ------------------------------------------------------------------
+
+  /** Screening lexicon — a stand-in blocklist drawn from the corpus
+    * vocabulary so every branch of the screen is exercised; a real
+    * deployment swaps in its safety/compliance term list. The
+    * PLUMBING is the product: exact token-grain hit counting, per-doc
+    * flagging, per-source rates.
+    */
+  val screenLexicon: Seq[String] = Seq("slow", "dup", "fail")
+
+  /** LEXICON CONTENT SCREEN — per source, how many documents contain
+    * blocklisted terms, at what density, and the per-10k-token hit
+    * rate. The content-safety sibling of [[qDocRedact]] (which handles
+    * PII patterns): every LLM ingestion pipeline runs a term screen
+    * before anything subtler, and the per-SOURCE rollup is the
+    * actionable grain — sources with elevated rates get routed to
+    * heavier classifiers or dropped, documents alone don't tell you
+    * where to cut. Token-grain matching (exact token equality, not
+    * substring) avoids the classic Scunthorpe false positives.
+    *
+    * Exactness: hit counts are exact BIGINTs off the token array (one
+    * `filter` per doc, no explode); rates are single divisions.
+    *
+    * Scale (100 TB): per-doc counting is NARROW (nothing but three
+    * BIGINTs leaves the row); one source-grain rollup with map-side
+    * partials — same cheap shape as the readability profile.
+    */
+  def qDocLexiconScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hits = expr(
+      s"size(filter(split(text, ' '), t -> t IN (${inList(screenLexicon)})))")
+      .cast("long")
+    val perDoc = Tables.documents(spark, sfDir)
+      .select($"source", hits.as("n_hits"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_hits" > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum($"n_hits").as("total_hits"),
+        sum($"n_tokens").as("total_tokens"))
+      .select($"source", $"n_docs", $"n_flagged", $"total_hits",
+        ($"n_flagged".cast("double") / $"n_docs").as("flag_rate"),
+        (($"total_hits" * 10000L).cast("double") / $"total_tokens")
+          .as("hits_per_10k_tokens"))
+      .orderBy($"source")
+  }
+
+  val qDocLexiconScreenSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${inList(screenLexicon)}))) AS BIGINT) AS n_hits,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  CAST(CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS flag_rate,
+       |  CAST(CAST(sum(n_hits) AS BIGINT) * 10000 AS DOUBLE) /
+       |    CAST(sum(n_tokens) AS BIGINT) AS hits_per_10k_tokens
+       |FROM per_doc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
   // Language-ID confusion matrix
   // ------------------------------------------------------------------
 

@@ -1805,6 +1805,108 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // Trade-balance matrix: domestic vs cross-nation revenue flows
+  // ------------------------------------------------------------------
+
+  /** NATION TRADE BALANCE — per nation, revenue split into domestic
+    * (customer and supplier in the same nation), exports (this
+    * nation's suppliers selling to foreign customers) and imports
+    * (this nation's customers buying from foreign suppliers), with
+    * the balance and export share. The full-matrix generalization of
+    * the reference-family pair views (Q7 fixes two nations, Q8 one
+    * market): every nation's row in one pass, which is what makes the
+    * domestic-subgraph analyses ([[graft.ext.Graph]]'s labelprop
+    * family) quantitatively grounded — this measures how much revenue
+    * those domestic blobs actually carry.
+    *
+    * Exactness: revenue accumulates as DECIMAL(18,4) (the module's
+    * money discipline) and lands as exact basis-point BIGINTs; shares
+    * and the balance are integer differences and single divisions.
+    *
+    * Scale (100 TB): one lineitem⋈orders join keyed on orderkey (the
+    * corpus exchange), nation lookups broadcast, then a 25-group
+    * conditional rollup with map-side partials.
+    */
+  def qNationTradeBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val flows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .select($"c_nationkey", $"s_nationkey", rev.as("rev"))
+    val byNation = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    val perNation = flows
+      .select(explode(array(
+        struct($"s_nationkey".as("nk"),
+          when($"c_nationkey" === $"s_nationkey", $"rev")
+            .otherwise(lit(0).cast(DecimalType(18, 4))).as("dom"),
+          when($"c_nationkey" =!= $"s_nationkey", $"rev")
+            .otherwise(lit(0).cast(DecimalType(18, 4))).as("exp"),
+          lit(0).cast(DecimalType(18, 4)).as("imp")),
+        struct($"c_nationkey".as("nk"),
+          lit(0).cast(DecimalType(18, 4)).as("dom"),
+          lit(0).cast(DecimalType(18, 4)).as("exp"),
+          when($"c_nationkey" =!= $"s_nationkey", $"rev")
+            .otherwise(lit(0).cast(DecimalType(18, 4))).as("imp")))).as("f"))
+      .select($"f.nk".as("nk"), $"f.dom".as("dom"), $"f.exp".as("exp"),
+        $"f.imp".as("imp"))
+      .groupBy($"nk")
+      .agg((sum($"dom") * 10000).cast("long").as("domestic_bp"),
+        (sum($"exp") * 10000).cast("long").as("export_bp"),
+        (sum($"imp") * 10000).cast("long").as("import_bp"))
+    perNation.join(broadcast(byNation), $"nk" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"domestic_bp", $"export_bp", $"import_bp",
+        ($"export_bp" - $"import_bp").as("balance_bp"),
+        // a nation whose suppliers sold nothing (possible at tiny SFs)
+        // reports 0.0 — identically in the oracle — not divide-by-zero
+        when($"domestic_bp" + $"export_bp" > 0,
+          $"export_bp".cast("double") /
+            ($"domestic_bp" + $"export_bp").cast("double"))
+          .otherwise(lit(0.0)).as("export_share"))
+      .orderBy($"nation")
+  }
+
+  val qNationTradeBalanceSql: String =
+    """WITH flows AS (
+      |  SELECT c_nationkey, s_nationkey,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |),
+      |per_nation AS (
+      |  SELECT nk,
+      |    CAST(sum(dom) * 10000 AS BIGINT) AS domestic_bp,
+      |    CAST(sum(exp) * 10000 AS BIGINT) AS export_bp,
+      |    CAST(sum(imp) * 10000 AS BIGINT) AS import_bp
+      |  FROM (
+      |    SELECT s_nationkey AS nk,
+      |      CASE WHEN c_nationkey = s_nationkey THEN rev ELSE 0 END AS dom,
+      |      CASE WHEN c_nationkey <> s_nationkey THEN rev ELSE 0 END AS exp,
+      |      0 AS imp
+      |    FROM flows
+      |    UNION ALL
+      |    SELECT c_nationkey AS nk, 0 AS dom, 0 AS exp,
+      |      CASE WHEN c_nationkey <> s_nationkey THEN rev ELSE 0 END AS imp
+      |    FROM flows)
+      |  GROUP BY nk
+      |)
+      |SELECT n_name AS nation, domestic_bp, export_bp, import_bp,
+      |  export_bp - import_bp AS balance_bp,
+      |  CASE WHEN domestic_bp + export_bp > 0
+      |    THEN CAST(export_bp AS DOUBLE) / (domestic_bp + export_bp)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS export_share
+      |FROM per_nation JOIN nation ON nk = n_nationkey
+      |ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------------------------
   // Reorder cadence: how regular is repeat purchasing?
   // ------------------------------------------------------------------
 
@@ -2315,6 +2417,7 @@ object Warehouse {
     "q_cust_fs_weights" -> ((qCustFsWeights _, qCustFsWeightsSql)),
     "q_price_index" -> ((qPriceIndex _, qPriceIndexSql)),
     "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql)),
-    "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql))
+    "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql)),
+    "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql))
   )
 }

@@ -3000,6 +3000,72 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("trade balance: flow conservation; exports mirror imports globally") {
+    val rows = graft.queries.Warehouse.qNationTradeBalance(spark, sf).collect()
+    assert(rows.length === 25)
+    // every export is someone's import: global balance is exactly zero
+    assert(rows.map(_.getAs[Long]("balance_bp")).sum === 0L)
+    assert(rows.map(_.getAs[Long]("export_bp")).sum ===
+      rows.map(_.getAs[Long]("import_bp")).sum)
+    // cross-check total revenue against an independent decimal aggregate
+    val totalBp = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("rev"))
+      .agg((sum(col("rev")) * 10000).cast("long")).head.getLong(0)
+    assert(rows.map(r => r.getAs[Long]("domestic_bp") + r.getAs[Long]("export_bp")).sum
+      === totalBp, "supplier-side flows partition total revenue")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("balance_bp") ===
+        r.getAs[Long]("export_bp") - r.getAs[Long]("import_bp"))
+      val share = r.getAs[Double]("export_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("lexicon screen: exact token-grain hit replay per source") {
+    val lex = TextOps.screenLexicon.toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+    val rows = TextOps.qDocLexiconScreen(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === docs.map(_._1).toSet)
+    rows.foreach { r =>
+      val mine = docs.filter(_._1 == r.getAs[String]("source"))
+      val hits = mine.map(_._2.count(lex).toLong)
+      val toks = mine.map(_._2.length.toLong).sum
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("n_flagged") === hits.count(_ > 0).toLong)
+      assert(r.getAs[Long]("total_hits") === hits.sum)
+      assert(r.getAs[Double]("flag_rate") ===
+        hits.count(_ > 0).toDouble / mine.length)
+      assert(r.getAs[Double]("hits_per_10k_tokens") ===
+        (hits.sum * 10000L).toDouble / toks)
+    }
+  }
+
+  test("norm QC: quantized mean replay; unit-normalized corpus flags nothing") {
+    val norms = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](0).map(_.toDouble)
+        math.sqrt(e.foldLeft(0.0)((acc, x) => acc + x * x))
+      }
+    val r = Similarity.qEmbNormQc(spark, sf).collect() match {
+      case Array(only) => only
+      case other       => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getAs[Long]("n_vecs") === norms.length.toLong)
+    assert(r.getAs[Double]("min_norm") === norms.min)
+    assert(r.getAs[Double]("max_norm") === norms.max)
+    val qSum = norms.map(n => math.floor(n * Similarity.normScale).toLong).sum
+    assert(r.getAs[Double]("mean_norm") ===
+      qSum.toDouble / (norms.length.toLong * Similarity.normScale).toDouble)
+    // shipped corpus is unit-normalized: the healthy band flags nothing
+    assert(r.getAs[Long]("n_low") === 0L && r.getAs[Long]("n_high") === 0L)
+    assert(r.getAs[Double]("flag_rate") === 0.0)
+  }
+
   test("SLA curve: per-priority attainment replay; monotone in threshold") {
     def day(ts: java.sql.Timestamp): Long = {
       val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000

@@ -91,8 +91,10 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f(v)) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      val er = if (errors.nonEmpty)
-        errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]") else ""
+      // always emitted — an EXPLICIT empty list is the load-bearing
+      // "zero failures" claim (VERDICT r7 #7), absence would be ambiguous
+      val er = errors.map("\"" + _ + "\"")
+        .mkString(""","errors":[""", ",", "]")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$om$er,"sf":"$sfDir"}"""
     }
     // full-precision copy as a repo artifact, immune to stdout truncation

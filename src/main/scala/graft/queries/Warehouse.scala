@@ -2197,7 +2197,12 @@ object Warehouse {
     * generation is the block equi-join (never all-pairs), the
     * comparator vector is computed once per candidate, and the whole
     * estimation is ONE aggregate over candidates (map-side combined)
-    * unpivoted to 4 feature rows.
+    * unpivoted to 4 feature rows. Within-block pair volume grows
+    * quadratically in block size (SCALING.md measures exp ≈ 1.1 over
+    * the bench decade): m/u are RATIOS, so the production form at
+    * large SF estimates them from a deterministic hash-sample of
+    * candidate pairs per block — the estimation query is unchanged,
+    * only the candidate CTE gains a sample predicate.
     */
   def qCustFsWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -8,7 +8,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-HEAVIES="${SCALING_ONLY:-q_graph_triangles,q_doc_minhash_eval,q_doc_sim_join_prefix,q_doc_containment,q_doc_cluster_reps,q_graph_kcore,q_doc_split_leakfree,q_graph_reach,q_doc_dup_clusters,q_emb_ann_nprobe_sweep,q_graph_pagerank,q_doc_decontam,q_doc_dedup_ensemble,q_emb_gram,q_doc_ngram_novelty,q_doc_dedup_sweep}"
+HEAVIES="${SCALING_ONLY:-q_graph_triangles,q_doc_minhash_eval,q_doc_sim_join_prefix,q_doc_containment,q_doc_cluster_reps,q_graph_kcore,q_doc_split_leakfree,q_graph_reach,q_doc_dup_clusters,q_emb_ann_nprobe_sweep,q_graph_pagerank,q_doc_decontam,q_doc_dedup_ensemble,q_emb_gram,q_doc_ngram_novelty,q_doc_dedup_sweep,q_emb_power_iter,q_cust_fs_weights,q_graph_labelprop,q_graph_modularity,q_graph_conductance,q_doc_split_leakage}"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

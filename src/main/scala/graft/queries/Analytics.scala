@@ -4277,6 +4277,89 @@ object Analytics {
       |ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
+  // Open-order aging: how stale is the work still in the queue?
+  // ------------------------------------------------------------------
+
+  /** OPEN-ORDER AGING — per priority class, the orders still
+    * unshipped at the horizon end with their age profile (count, mean
+    * age, max age, and the share older than one year). The STOCK view
+    * the flow family implies but never shows: [[qOrderBacklog]] counts
+    * WIP over time, [[qLittlesByClass]] averages it — this looks at
+    * the queue AS OF the horizon and asks how long its occupants have
+    * been waiting, which is the aging report an expedite review
+    * actually works from (the same rows are the censored mass behind
+    * the flow audits' rel_gap).
+    *
+    * Exactness: ages are exact BIGINT days against the global max day;
+    * the mean and share are single divisions.
+    *
+    * Scale (100 TB): the lead-time shape (orderkey max + left
+    * anti-style join) with a 5-group rollup; open orders are a small
+    * fraction of the corpus by construction.
+    */
+  def qOrderOpenAging(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val placed = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority".as("prio"),
+        datediff(to_date($"o_orderdate".cast("timestamp")), epoch)
+          .cast("long").as("placed_day"))
+    val done = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(max(to_date($"l_shipdate".cast("timestamp"))).as("last_ship"))
+      .select($"l_orderkey", datediff($"last_ship", epoch).cast("long").as("done_day"))
+    val horizon = placed.select($"placed_day".as("day"))
+      .unionAll(done.select($"done_day".as("day")))
+      .agg(max($"day").as("d_max"))
+    val open = placed.join(done, $"o_orderkey" === $"l_orderkey", "left_anti")
+    open.crossJoin(broadcast(horizon))
+      .select($"prio", ($"d_max" - $"placed_day").as("age_days"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_open"),
+        sum($"age_days").as("age_sum"),
+        max($"age_days").as("max_age_days"),
+        sum(when($"age_days" > 365, 1L).otherwise(0L)).as("n_over_year"))
+      .select($"prio", $"n_open",
+        ($"age_sum".cast("double") / $"n_open").as("mean_age_days"),
+        $"max_age_days",
+        ($"n_over_year".cast("double") / $"n_open").as("share_over_year"))
+      .orderBy($"prio")
+  }
+
+  val qOrderOpenAgingSql: String =
+    """WITH placed AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS placed_day
+      |  FROM orders
+      |),
+      |done AS (
+      |  SELECT l_orderkey,
+      |    CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS done_day
+      |  FROM lineitem GROUP BY l_orderkey
+      |),
+      |horizon AS (
+      |  SELECT CAST(max(day) AS BIGINT) AS d_max FROM (
+      |    SELECT placed_day AS day FROM placed
+      |    UNION ALL SELECT done_day AS day FROM done)
+      |),
+      |open_orders AS (
+      |  SELECT prio, placed_day FROM placed
+      |  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM done)
+      |),
+      |aged AS (
+      |  SELECT prio, d_max - placed_day AS age_days
+      |  FROM open_orders CROSS JOIN horizon
+      |)
+      |SELECT prio, CAST(count(*) AS BIGINT) AS n_open,
+      |  CAST(CAST(sum(age_days) AS BIGINT) AS DOUBLE) / count(*) AS mean_age_days,
+      |  CAST(max(age_days) AS BIGINT) AS max_age_days,
+      |  CAST(CAST(sum(CASE WHEN age_days > 365 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS DOUBLE) / count(*) AS share_over_year
+      |FROM aged
+      |GROUP BY prio
+      |ORDER BY prio""".stripMargin
+
+  // ------------------------------------------------------------------
   // SLA attainment curve: share shipped within d days, per priority
   // ------------------------------------------------------------------
 
@@ -5194,6 +5277,7 @@ object Analytics {
     "q_littles_by_class" -> ((qLittlesByClass _, qLittlesByClassSql)),
     "q_event_fsm_audit" -> ((qEventFsmAudit _, qEventFsmAuditSql)),
     "q_order_sla_curve" -> ((qOrderSlaCurve _, qOrderSlaCurveSql)),
+    "q_order_open_aging" -> ((qOrderOpenAging _, qOrderOpenAgingSql)),
     "q_value_mean_excess" -> ((qValueMeanExcess _, qValueMeanExcessSql)),
     "q_event_peak_concurrency" -> ((qEventPeakConcurrency _, qEventPeakConcurrencySql)),
     "q_event_coverage" -> ((qEventCoverage _, qEventCoverageSql)),

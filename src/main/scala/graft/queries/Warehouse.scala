@@ -1805,6 +1805,86 @@ object Warehouse {
       |ORDER BY p_brand""".stripMargin
 
   // ------------------------------------------------------------------
+  // Brand return-rate scorecard with Wilson intervals
+  // ------------------------------------------------------------------
+
+  /** BRAND RETURN-RATE SCORECARD — per brand, the returned-line share
+    * with its 95% Wilson interval and a flag for brands whose WHOLE
+    * interval sits above the corpus-wide rate. The supplier-quality
+    * twin of the source-quality CI audit ([[graft.ext.TextOps]]'
+    * qSrcQualityCi — same interval mathematics, deliberately): raw
+    * return rates over small brands are noise, and acting on them
+    * without the interval is how good brands get delisted — the
+    * `worse_ci` flag is the defensible cut.
+    *
+    * Exactness: counts are BIGINTs; the Wilson bound is the same
+    * fixed-shape double expression on both sides (z² as the literal
+    * 3.8416), so the hash compare is byte-stable.
+    *
+    * Scale (100 TB): one partkey equi-join (brand lookup broadcast at
+    * bench SF) and one 25-group conditional aggregate with map-side
+    * partials.
+    */
+  def qBrandReturnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val z2 = lit(3.8416)
+    val byBrand = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey",
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("ret"))
+      .join(broadcast(Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum($"ret").as("n_returned"))
+    val tot = byBrand.agg(sum($"n_lines").as("gn"), sum($"n_returned").as("gk"))
+    val p = $"n_returned".cast("double") / $"n_lines".cast("double")
+    val nD = $"n_lines".cast("double")
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (sqrt(z2) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    val gp = $"gk".cast("double") / $"gn".cast("double")
+    byBrand.crossJoin(broadcast(tot))
+      .select($"p_brand", $"n_lines", $"n_returned",
+        p.as("return_rate"),
+        (center - half).as("wilson_lo"),
+        (center + half).as("wilson_hi"),
+        gp.as("global_rate"),
+        (gp < center - half).as("worse_ci"))
+      .orderBy($"p_brand")
+  }
+
+  val qBrandReturnRateSql: String = {
+    val p = "(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE))"
+    val nD = "CAST(n_lines AS DOUBLE)"
+    val z2 = "CAST(3.8416 AS DOUBLE)"
+    val denom = s"(CAST(1.0 AS DOUBLE) + $z2 / $nD)"
+    val center = s"(($p + $z2 / (CAST(2.0 AS DOUBLE) * $nD)) / $denom)"
+    val half = s"((sqrt($z2) * sqrt($p * (CAST(1.0 AS DOUBLE) - $p) / $nD + " +
+      s"$z2 / (CAST(4.0 AS DOUBLE) * $nD * $nD))) / $denom)"
+    val gp = "(CAST(gk AS DOUBLE) / CAST(gn AS DOUBLE))"
+    s"""WITH by_brand AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_returned
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n_lines) AS BIGINT) AS gn,
+       |    CAST(sum(n_returned) AS BIGINT) AS gk
+       |  FROM by_brand
+       |)
+       |SELECT p_brand, n_lines, n_returned,
+       |  $p AS return_rate,
+       |  $center - $half AS wilson_lo,
+       |  $center + $half AS wilson_hi,
+       |  $gp AS global_rate,
+       |  ($gp < $center - $half) AS worse_ci
+       |FROM by_brand CROSS JOIN tot
+       |ORDER BY p_brand""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Trade-balance matrix: domestic vs cross-nation revenue flows
   // ------------------------------------------------------------------
 
@@ -2423,6 +2503,7 @@ object Warehouse {
     "q_price_index" -> ((qPriceIndex _, qPriceIndexSql)),
     "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql)),
     "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql)),
-    "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql))
+    "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql)),
+    "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql))
   )
 }

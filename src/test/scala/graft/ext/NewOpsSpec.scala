@@ -3000,6 +3000,61 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("open aging: open set ties out to backlog's final count; ages exact") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), day(r.getAs[java.sql.Timestamp](2))))
+    val done = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).max) }
+    val dMax = (placed.map(_._3) ++ done.values).max
+    val open = placed.filterNot(p => done.contains(p._1))
+    val rows = Analytics.qOrderOpenAging(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_open")).sum ===
+      Analytics.qOrderBacklog(spark, sf).collect().last.getAs[Long]("backlog"),
+      "open orders at horizon end = final backlog")
+    rows.foreach { r =>
+      val mine = open.filter(_._2 == r.getAs[String]("prio"))
+      val ages = mine.map(o => dMax - o._3)
+      assert(r.getAs[Long]("n_open") === mine.length.toLong)
+      assert(r.getAs[Double]("mean_age_days") === ages.sum.toDouble / ages.length)
+      assert(r.getAs[Long]("max_age_days") === ages.max)
+      assert(r.getAs[Double]("share_over_year") ===
+        ages.count(_ > 365).toDouble / ages.length)
+    }
+  }
+
+  test("brand return rate: exact counts; Wilson intervals bracket the point rate") {
+    val brandOf = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_returnflag")).collect()
+      .map(r => (brandOf(r.getLong(0)), r.getString(1) == "R"))
+    val gk = lines.count(_._2).toLong
+    val rows = graft.queries.Warehouse.qBrandReturnRate(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("p_brand")).toSet === lines.map(_._1).toSet)
+    rows.foreach { r =>
+      val mine = lines.filter(_._1 == r.getAs[String]("p_brand"))
+      val k = mine.count(_._2).toLong
+      assert(r.getAs[Long]("n_lines") === mine.length.toLong)
+      assert(r.getAs[Long]("n_returned") === k)
+      val p = k.toDouble / mine.length
+      assert(r.getAs[Double]("return_rate") === p)
+      val (lo, hi) = (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= p && p <= hi, "interval brackets the point estimate")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("global_rate") === gk.toDouble / lines.length)
+      assert(r.getAs[Boolean]("worse_ci") === (gk.toDouble / lines.length < lo))
+    }
+  }
+
   test("trade balance: flow conservation; exports mirror imports globally") {
     val rows = graft.queries.Warehouse.qNationTradeBalance(spark, sf).collect()
     assert(rows.length === 25)

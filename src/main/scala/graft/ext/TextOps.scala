@@ -1711,6 +1711,113 @@ object TextOps {
        |LIMIT $pmiTopN""".stripMargin
 
   // ------------------------------------------------------------------
+  // Dunning G² collocations: log-likelihood-ratio bigram association
+  // ------------------------------------------------------------------
+
+  /** Minimum bigram count and output size for the G² scan. Literal RHS
+    * `final` per the init-cycle rule.
+    */
+  final val collocMinCount = 5
+  final val collocTopN = 20
+
+  /** ADJACENT-BIGRAM COLLOCATIONS by Dunning's G² log-likelihood ratio
+    * — the corpus-linguistics standard (Dunning 1993) for "is this word
+    * pair a unit?", and the statistic PMI systematically gets wrong on
+    * rare pairs (PMI rewards low counts; G² weights evidence by
+    * volume, so a 1000× repeated pairing beats a twice-seen fluke).
+    * Each bigram (a,b) gets the 2×2 contingency table over all N
+    * adjacent bigrams — k₁₁ = c(ab), k₁₂ = c(a·)−c(ab),
+    * k₂₁ = c(·b)−c(ab), k₂₂ = N−c(a·)−c(·b)+c(ab) — and
+    * G² = 2·Σᵢⱼ kᵢⱼ·ln(kᵢⱼ·N/(Rᵢ·Cⱼ)). Next to [[qDocTokenPmi]]
+    * (association at ≤3 positions' distance) this is the ADJACENT-pair
+    * significance test — the phrase-merge prior a tokenizer or phrase
+    * detector actually thresholds on.
+    *
+    * Exactness: counts are exact BIGINTs; every log enters as a
+    * [[quantLog]] micro-nat and each cell contributes the exact integer
+    * kᵢⱼ·(qlog(kᵢⱼ)+qlog(N)−qlog(Rᵢ)−qlog(Cⱼ)) (zero cells contribute
+    * zero via CASE — k·ln k → 0), so ranking and the emitted G² are
+    * bit-equal cross-engine. Magnitudes: k·qlog ≲ N·28·10⁶ — int64-safe
+    * to ~3·10¹¹ bigrams; past that widen the cell products to
+    * DECIMAL(38,0).
+    *
+    * Scale (100 TB): bigram extraction is NARROW (per-row transform in
+    * codegen, no positional self-join); the (a,b) count is the one
+    * corpus shuffle (map-side combined, distinct-gram-bounded); both
+    * marginals ride broadcasts (Zipf-bounded vocab), N is a 1-row
+    * broadcast, and the top-N is a TakeOrdered heap.
+    */
+  def qDocCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(toks[i-1] AS ta, toks[i] AS tb))"
+    val bg = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(bgExpr)).as("b"))
+      .select(col("b.ta").as("ta"), col("b.tb").as("tb"))
+    val cab = bg.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= collocMinCount)
+    val ca = bg.groupBy(col("ta")).agg(count(lit(1)).as("c_a"))
+    val cb = bg.groupBy(col("tb")).agg(count(lit(1)).as("c_b"))
+    val ntot = bg.agg(count(lit(1)).as("n_bigrams"))
+    def cell(k: Column, r: Column, c: Column): Column =
+      when(k > 0,
+        k * (quantLog(k) + quantLog(col("n_bigrams")) - quantLog(r) - quantLog(c)))
+        .otherwise(lit(0L))
+    val n = col("n_bigrams")
+    val k11 = col("c_ab")
+    val k12 = col("c_a") - col("c_ab")
+    val k21 = col("c_b") - col("c_ab")
+    val k22 = n - col("c_a") - col("c_b") + col("c_ab")
+    cab
+      .join(broadcast(ca), "ta").join(broadcast(cb), "tb")
+      .crossJoin(broadcast(ntot))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"), n,
+        (lit(2L) * (cell(k11, col("c_a"), col("c_b")) +
+          cell(k12, col("c_a"), n - col("c_b")) +
+          cell(k21, n - col("c_a"), col("c_b")) +
+          cell(k22, n - col("c_a"), n - col("c_b")))).as("g2_micro"))
+      .withColumn("g2", col("g2_micro").cast("double") / logScale)
+      .orderBy(col("g2_micro").desc, col("ta"), col("tb"))
+      .limit(collocTopN)
+  }
+
+  val qDocCollocationsSql: String = {
+    def cellSql(k: String, r: String, c: String): String =
+      s"""CASE WHEN $k > 0 THEN $k * (${quantLogSql(k)} +
+         |      ${quantLogSql("n_bigrams")} - ${quantLogSql(r)} -
+         |      ${quantLogSql(c)}) ELSE 0 END""".stripMargin
+    val g2micro =
+      s"""2 * (${cellSql("c_ab", "c_a", "c_b")} +
+         |  ${cellSql("(c_a - c_ab)", "c_a", "(n_bigrams - c_b)")} +
+         |  ${cellSql("(c_b - c_ab)", "(n_bigrams - c_a)", "c_b")} +
+         |  ${cellSql("(n_bigrams - c_a - c_b + c_ab)", "(n_bigrams - c_a)",
+             "(n_bigrams - c_b)")})""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |bg AS (
+       |  SELECT t[pos] AS ta, t[pos + 1] AS tb
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |        FROM toks)
+       |),
+       |cab AS (
+       |  SELECT ta, tb, count(*) AS c_ab FROM bg GROUP BY ta, tb
+       |  HAVING count(*) >= $collocMinCount
+       |),
+       |ca AS (SELECT ta, count(*) AS c_a FROM bg GROUP BY ta),
+       |cb AS (SELECT tb, count(*) AS c_b FROM bg GROUP BY tb),
+       |ntot AS (SELECT count(*) AS n_bigrams FROM bg)
+       |SELECT ta, tb, c_ab, c_a, c_b, n_bigrams,
+       |  CAST($g2micro AS BIGINT) AS g2_micro,
+       |  CAST($g2micro AS DOUBLE) / $logScale AS g2
+       |FROM cab JOIN ca USING (ta) JOIN cb USING (tb) CROSS JOIN ntot
+       |ORDER BY g2_micro DESC, ta, tb
+       |LIMIT $collocTopN""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Fuzzy vocabulary merge: SymSpell deletion-neighborhood join
   // ------------------------------------------------------------------
 

@@ -5220,6 +5220,460 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // SPC control chart: Shewhart 3σ + runs-rule violations per type
+  // ------------------------------------------------------------------
+
+  /** Baseline fraction (first 6/10 of the observed day span trains the
+    * control limits) and the runs-rule length (8 consecutive points one
+    * side of the center line — the classic Western Electric rule 4).
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val spcBaseNum = 6L
+  final val spcBaseDen = 10L
+  final val spcRunLen = 8L
+
+  /** SPC CONTROL CHART over each event type's DAILY event count — the
+    * monitoring primitive every ingest pipeline runs on its volume
+    * series: train center line and 3σ control limits on a baseline
+    * window (first [[spcBaseNum]]/[[spcBaseDen]] of the observed day
+    * span), then flag the monitoring remainder with the two classic
+    * Shewhart tests — rule 1 (a point beyond ±3σ) and the runs rule (a
+    * run of ≥ [[spcRunLen]] consecutive observed days strictly one side
+    * of the center line, Western Electric rule 4). Where
+    * [[qEventChangepoint]] finds the single largest level shift
+    * retrospectively, this is the ONLINE operating view: per-type
+    * violation counts a pager would key on.
+    *
+    * Exactness: the rule-1 compare never touches a double — with
+    * baseline day-count n, sum S, sum-of-squares Q, point x, the test
+    * |x − S/n| > 3σ cross-multiplies to
+    * (x·n − S)²·(n−1) > 9·n·(n·Q − S²), all exact BIGINTs (int64-safe
+    * to ~10⁸ events/day/type; past that widen the products to
+    * DECIMAL(38,0)). The side of the center line is sign(x·n − S),
+    * also exact, so run boundaries are deterministic; runs are
+    * gaps-and-islands over the observed monitor days (standard chart
+    * semantics: points, not calendar gaps). The EMITTED mean/σ are
+    * single divisions / one sqrt of those exact integers — identical
+    * doubles in both engines.
+    *
+    * Scale (100 TB): the raw corpus collapses to |types|×|days| daily
+    * rows in ONE partially-aggregated shuffle; the span probe is a
+    * 1-row broadcast, baseline moments a |types|-row broadcast, and the
+    * runs windows partition by (type[, side]) over the metadata-sized
+    * daily series. Nothing after the first aggregate sees a raw event.
+    */
+  def qEventSpc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select(($"d0" + expr(
+        s"((d1 - d0 + 1) * $spcBaseNum) div $spcBaseDen")).as("d_cut"))
+    val cut = daily.crossJoin(broadcast(span))
+    val base = cut.filter($"dn" < $"d_cut")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("nb"), sum($"x").as("s"),
+        sum($"x" * $"x").as("q"))
+      .filter($"nb" >= 2)
+    val mon = cut.filter($"dn" >= $"d_cut")
+      .join(broadcast(base), "event_type")
+      .withColumn("dev", $"x" * $"nb" - $"s")
+      .withColumn("side",
+        when($"dev" > 0, 1).when($"dev" < 0, -1).otherwise(0))
+      .withColumn("r1",
+        $"dev" * $"dev" * ($"nb" - 1) > lit(9L) * $"nb" * ($"nb" * $"q" - $"s" * $"s"))
+    val wAll = Window.partitionBy($"event_type").orderBy($"dn")
+    val wSide = Window.partitionBy($"event_type", $"side").orderBy($"dn")
+    val runs = mon
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wSide))
+      .groupBy($"event_type", $"side", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"event_type")
+      .agg(sum(when($"side" =!= 0 && $"len" >= spcRunLen, 1L).otherwise(0L))
+        .as("n_runs_rule"),
+        max(when($"side" =!= 0, $"len").otherwise(0L)).as("max_run"))
+    val monAgg = mon.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_mon_days"),
+        sum(when($"r1", 1L).otherwise(0L)).as("n_rule1"))
+    base
+      .join(monAgg, "event_type").join(runs, "event_type")
+      .select($"event_type", $"nb".as("n_base_days"), $"n_mon_days",
+        ($"s".cast("double") / $"nb").as("base_mean"),
+        sqrt(($"nb" * $"q" - $"s" * $"s").cast("double") /
+          ($"nb" * ($"nb" - 1)).cast("double")).as("base_sd"),
+        $"n_rule1", $"n_runs_rule", $"max_run")
+      .orderBy($"event_type")
+  }
+
+  val qEventSpcSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    count(*) AS x
+       |  FROM events GROUP BY event_type, dn
+       |),
+       |span AS (
+       |  SELECT min(dn) + ((max(dn) - min(dn) + 1) * $spcBaseNum) // $spcBaseDen
+       |    AS d_cut FROM daily
+       |),
+       |base AS (
+       |  SELECT event_type, count(*) AS nb, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM daily CROSS JOIN span WHERE dn < d_cut
+       |  GROUP BY event_type HAVING count(*) >= 2
+       |),
+       |mon AS (
+       |  SELECT daily.event_type, dn, x, nb, s, q,
+       |    x * nb - s AS dev,
+       |    CASE WHEN x * nb - s > 0 THEN 1
+       |         WHEN x * nb - s < 0 THEN -1 ELSE 0 END AS side,
+       |    (x * nb - s) * (x * nb - s) * (nb - 1) > 9 * nb * (nb * q - s * s)
+       |      AS r1
+       |  FROM daily CROSS JOIN span
+       |  JOIN base ON base.event_type = daily.event_type
+       |  WHERE dn >= d_cut
+       |),
+       |runs AS (
+       |  SELECT event_type, side, count(*) AS len
+       |  FROM (
+       |    SELECT event_type, side,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY dn) -
+       |      row_number() OVER (PARTITION BY event_type, side ORDER BY dn)
+       |        AS grp
+       |    FROM mon)
+       |  GROUP BY event_type, side, grp
+       |),
+       |run_agg AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN side <> 0 AND len >= $spcRunLen THEN 1 ELSE 0 END)
+       |      AS n_runs_rule,
+       |    max(CASE WHEN side <> 0 THEN len ELSE 0 END) AS max_run
+       |  FROM runs GROUP BY event_type
+       |),
+       |mon_agg AS (
+       |  SELECT event_type, count(*) AS n_mon_days,
+       |    sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_rule1
+       |  FROM mon GROUP BY event_type
+       |)
+       |SELECT base.event_type, nb AS n_base_days, n_mon_days,
+       |  CAST(s AS DOUBLE) / nb AS base_mean,
+       |  sqrt(CAST(nb * q - s * s AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE))
+       |    AS base_sd,
+       |  CAST(n_rule1 AS BIGINT) AS n_rule1,
+       |  CAST(n_runs_rule AS BIGINT) AS n_runs_rule,
+       |  CAST(max_run AS BIGINT) AS max_run
+       |FROM base
+       |JOIN mon_agg ON mon_agg.event_type = base.event_type
+       |JOIN run_agg ON run_agg.event_type = base.event_type
+       |ORDER BY base.event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Poisson bootstrap: distributed CI for the per-type mean value
+  // ------------------------------------------------------------------
+
+  /** Replicate count and the order-statistic ranks (1-based) emitted as
+    * the ~95% percentile interval: the 2nd and 39th of 40 sorted
+    * replicate means bracket the central 92.7%–97.5% nominal band.
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val bootReps = 40
+  final val bootLoIdx = 2
+  final val bootHiIdx = 39
+
+  /** POISSON BOOTSTRAP confidence interval for each event type's mean
+    * value — THE distributed bootstrap: a classical resample draws n of
+    * n rows WITH replacement, which needs global coordination, but each
+    * row's multiplicity in a resample is asymptotically Poisson(1), so
+    * every row can draw its own multiplicity per replicate INDEPENDENTLY
+    * — one narrow ×[[bootReps]] fan-out, no global pass (the estimator
+    * behind bootstrap CIs in every large-scale metrics system). Here the
+    * multiplicity is DERANDOMIZED: u = portable-hash(event_id ':' rep)
+    * mod 10⁶ fed through the exact Poisson(1) inverse CDF in micro-units
+    * (thresholds 367879, 735758, 919698, 981011, 996340, 999405,
+    * 999916, capped at 8) — both engines walk the identical integer
+    * CASE chain, so every replicate is reproducible.
+    *
+    * Exactness: weighted sums are DECIMAL(18,4)·int (exact,
+    * order-free); each replicate mean and the point mean are single
+    * exact-to-double divisions; the interval is a rank pick
+    * ([[bootLoIdx]]/[[bootHiIdx]]) from the sorted replicate means —
+    * a [[bootReps]]-bounded array, the constant-size model-state
+    * exception, not a data collect.
+    *
+    * Scale (100 TB): the fan-out is NARROW (explode of a literal
+    * sequence inside codegen) and combines map-side to (type, rep)
+    * grain BEFORE the shuffle — the exchange carries
+    * |types|·[[bootReps]] partial rows regardless of input size;
+    * the sort is over [[bootReps]] values per type.
+    */
+  def qEventBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", dec($"value").as("v"))
+    val m = {
+      val u = col("u")
+      when(u < 367879L, 0L).when(u < 735758L, 1L).when(u < 919698L, 2L)
+        .when(u < 981011L, 3L).when(u < 996340L, 4L).when(u < 999405L, 5L)
+        .when(u < 999916L, 6L).when(u < 999989L, 7L).otherwise(8L)
+    }
+    val reps = base
+      .select($"event_type", $"event_id", $"v",
+        explode(expr(s"sequence(0, ${bootReps - 1})")).as("b"))
+      .withColumn("u", graft.ext.TextOps.h31(
+        concat($"event_id".cast("string"), lit(":"), $"b".cast("string"))) % 1000000L)
+      .withColumn("m", m)
+      .groupBy($"event_type", $"b")
+      .agg(sum($"m").as("mw"), sum($"v" * $"m").as("sv"))
+      .filter($"mw" > 0)
+      .select($"event_type",
+        ($"sv".cast("double") / $"mw".cast("double")).as("bm"))
+    val ci = reps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        array_sort(collect_list($"bm")).as("ms"))
+      .select($"event_type", $"n_reps",
+        element_at($"ms", bootLoIdx).as("ci_lo"),
+        element_at($"ms", bootHiIdx).as("ci_hi"))
+    base.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"v").cast("double") / count(lit(1))).as("mean_value"))
+      .join(ci, "event_type")
+      .orderBy($"event_type")
+  }
+
+  val qEventBootstrapSql: String = {
+    val h = "(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || " +
+      "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647) % 1000000"
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v
+       |  FROM events
+       |),
+       |drawn AS (
+       |  SELECT event_type, b, v,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+       |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+       |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+       |         WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+       |         ELSE 8 END AS m
+       |  FROM (
+       |    SELECT event_type, v, b, $h AS u
+       |    FROM base CROSS JOIN (SELECT unnest(range($bootReps)) AS b))
+       |),
+       |reps AS (
+       |  SELECT event_type,
+       |    CAST(sum(m * v) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS bm
+       |  FROM drawn GROUP BY event_type, b HAVING sum(m) > 0
+       |),
+       |ci AS (
+       |  SELECT event_type, count(*) AS n_reps,
+       |    list(bm ORDER BY bm) AS ms
+       |  FROM reps GROUP BY event_type
+       |)
+       |SELECT base.event_type, count(*) AS n,
+       |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_value,
+       |  any_value(n_reps) AS n_reps,
+       |  any_value(ms[$bootLoIdx]) AS ci_lo,
+       |  any_value(ms[$bootHiIdx]) AS ci_hi
+       |FROM base JOIN ci ON ci.event_type = base.event_type
+       |GROUP BY base.event_type
+       |ORDER BY base.event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SAX symbolization: the daily value series as a 4-letter word
+  // ------------------------------------------------------------------
+
+  /** PAA segment width in days and the 4-symbol Gaussian breakpoints
+    * (±0.6745 ≈ the standard-normal quartiles, the canonical SAX
+    * alphabet-4 table). Literal RHS `final` per the init-cycle rule.
+    */
+  final val saxSegDays = 7L
+  final val saxBreakHi = 0.6745
+  final val saxBreakLo = -0.6745
+
+  /** SAX SYMBOLIZATION (Lin et al. 2003) of each event type's daily
+    * value series: z-normalize the daily totals against the type's own
+    * mean/σ, average into [[saxSegDays]]-day PAA segments, and map each
+    * segment mean through the Gaussian-quartile breakpoints to the
+    * 4-letter alphabet a–d — the series becomes ONE WORD per type, the
+    * representation behind wholesale time-series indexing, motif
+    * mining, and anomaly grammars. Where [[qEventSeasonality]] and
+    * [[qEventAcf]] measure periodic structure numerically, SAX is the
+    * SYMBOLIC compression downstream discrete algorithms consume.
+    *
+    * Exactness: daily totals are exact BIGINT cents; series moments
+    * (n, Σx, Σx²) are exact BIGINTs (int64-safe to ~10⁹-cent days;
+    * widen past that); each segment's z-score and the breakpoint
+    * compares evaluate one fixed double expression over those exact
+    * integers — identical IEEE results in both engines (sqrt and ÷ are
+    * correctly-rounded everywhere; no libm transcendentals). Constant
+    * series (σ = 0) are excluded rather than divided by zero (ANSI
+    * rule).
+    *
+    * Scale (100 TB): the corpus collapses to |types|×|days| in one
+    * partially-aggregated shuffle; moments are a |types|-row broadcast;
+    * segments and the word assembly (sorted-struct fold, ≤ days/7
+    * letters per type) are metadata-sized.
+    */
+  def qEventSax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val span = daily.agg(min($"dn").as("d0"))
+    val mom = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("nb"), sum($"xc").as("s"),
+        sum($"xc" * $"xc").as("q"))
+      .filter($"nb" >= 2 && $"nb" * $"q" - $"s" * $"s" > 0)
+    val segs = daily.crossJoin(broadcast(span))
+      .withColumn("seg", expr(s"(dn - d0) div $saxSegDays"))
+      .groupBy($"event_type", $"seg")
+      .agg(count(lit(1)).as("cnt"), sum($"xc").as("sx"))
+    val z = segs.join(broadcast(mom), "event_type")
+      .withColumn("sd",
+        sqrt(($"nb" * $"q" - $"s" * $"s").cast("double") /
+          ($"nb" * ($"nb" - 1)).cast("double")))
+      .withColumn("z",
+        (($"sx".cast("double") / $"cnt") - ($"s".cast("double") / $"nb")) / $"sd")
+      .withColumn("sym",
+        when($"z" < saxBreakLo, "a").when($"z" < 0.0, "b")
+          .when($"z" < saxBreakHi, "c").otherwise("d"))
+    z.groupBy($"event_type")
+      .agg(max($"nb").as("n_days"), count(lit(1)).as("n_segments"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct($"seg", $"sym"))),
+          x => x.getField("sym"))).as("sax_word"),
+        sum(when($"sym" === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"sym" === "b", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"sym" === "c", 1L).otherwise(0L)).as("n_c"),
+        sum(when($"sym" === "d", 1L).otherwise(0L)).as("n_d"))
+      .orderBy($"event_type")
+  }
+
+  val qEventSaxSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+       |  FROM events GROUP BY event_type, dn
+       |),
+       |span AS (SELECT min(dn) AS d0 FROM daily),
+       |mom AS (
+       |  SELECT event_type, count(*) AS nb, CAST(sum(xc) AS BIGINT) AS s,
+       |    CAST(sum(xc * xc) AS BIGINT) AS q
+       |  FROM daily GROUP BY event_type
+       |  HAVING count(*) >= 2 AND count(*) * sum(xc * xc) - sum(xc) * sum(xc) > 0
+       |),
+       |segs AS (
+       |  SELECT event_type, (dn - d0) // $saxSegDays AS seg,
+       |    count(*) AS cnt, CAST(sum(xc) AS BIGINT) AS sx
+       |  FROM daily CROSS JOIN span
+       |  GROUP BY event_type, seg
+       |),
+       |z AS (
+       |  SELECT segs.event_type AS event_type, seg, nb,
+       |    CASE WHEN zv < $saxBreakLo THEN 'a' WHEN zv < 0.0 THEN 'b'
+       |         WHEN zv < $saxBreakHi THEN 'c' ELSE 'd' END AS sym
+       |  FROM (
+       |    SELECT segs.event_type, seg, nb,
+       |      ((CAST(sx AS DOUBLE) / cnt) - (CAST(s AS DOUBLE) / nb)) /
+       |        sqrt(CAST(nb * q - s * s AS DOUBLE) /
+       |             CAST(nb * (nb - 1) AS DOUBLE)) AS zv
+       |    FROM segs JOIN mom ON mom.event_type = segs.event_type) segs
+       |)
+       |SELECT event_type, max(nb) AS n_days, count(*) AS n_segments,
+       |  string_agg(sym, '' ORDER BY seg) AS sax_word,
+       |  CAST(sum(CASE WHEN sym = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN sym = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN sym = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  CAST(sum(CASE WHEN sym = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+       |FROM z GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Perfect-order rate: the composite fulfilment KPI
+  // ------------------------------------------------------------------
+
+  /** Lead-time bound (days) a line must ship within for its order to
+    * count as perfect. Literal RHS `final` per the init-cycle rule.
+    */
+  final val perfectLeadDays = 30L
+
+  /** PERFECT-ORDER RATE per priority — the composite fulfilment KPI
+    * operations teams actually report: an order is PERFECT iff EVERY
+    * line shipped within [[perfectLeadDays]] days of the order date AND
+    * no line came back returned ('R'). [[qOrderSlaCurve]] grades
+    * line-level lead times against thresholds; this is the ORDER-grain
+    * conjunction (one bad line spoils the order) with the failure
+    * decomposition — late-only / return-only / both — that says which
+    * lever to pull. Orders with no shipped lines (open orders) are out
+    * of scope, as in the lead-time family.
+    *
+    * Exactness: flags are integer max-reductions per order; all counts
+    * BIGINT; the rate is one guarded exact-to-double division.
+    *
+    * Scale (100 TB): one orderkey-keyed join+aggregate (the join
+    * output feeds the order-grain agg on the SAME key, so AQE keeps
+    * them in one exchange), then a 5-row priority rollup — map-side
+    * combined both stages.
+    */
+  def qOrderPerfect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_orderpriority",
+        when(datediff(to_date($"l_shipdate"),
+          to_date($"o_orderdate".cast("timestamp"))) > perfectLeadDays, 1L)
+          .otherwise(0L).as("late"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(max($"late").as("has_late"), max($"ret").as("has_ret"))
+    perOrder.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"has_late" === 0 && $"has_ret" === 0, 1L).otherwise(0L))
+          .as("n_perfect"),
+        sum(when($"has_late" === 1 && $"has_ret" === 0, 1L).otherwise(0L))
+          .as("n_late_only"),
+        sum(when($"has_late" === 0 && $"has_ret" === 1, 1L).otherwise(0L))
+          .as("n_return_only"),
+        sum(when($"has_late" === 1 && $"has_ret" === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select($"o_orderpriority", $"n_orders", $"n_perfect",
+        when($"n_orders" > 0, $"n_perfect".cast("double") / $"n_orders")
+          .otherwise(lit(0.0)).as("perfect_rate"),
+        $"n_late_only", $"n_return_only", $"n_both")
+      .orderBy($"o_orderpriority")
+  }
+
+  val qOrderPerfectSql: String =
+    s"""WITH per_order AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    max(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+       |          > $perfectLeadDays THEN 1 ELSE 0 END) AS has_late,
+       |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_orderkey, o_orderpriority
+       |)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CASE WHEN has_late = 0 AND has_ret = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_perfect,
+       |  CASE WHEN count(*) > 0
+       |    THEN CAST(sum(CASE WHEN has_late = 0 AND has_ret = 0 THEN 1
+       |      ELSE 0 END) AS DOUBLE) / count(*)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS perfect_rate,
+       |  CAST(sum(CASE WHEN has_late = 1 AND has_ret = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_late_only,
+       |  CAST(sum(CASE WHEN has_late = 0 AND has_ret = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_return_only,
+       |  CAST(sum(CASE WHEN has_late = 1 AND has_ret = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_both
+       |FROM per_order
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -5312,6 +5766,10 @@ object Analytics {
     "q_value_percentiles" -> ((qValuePercentiles _, qValuePercentilesSql)),
     "q_value_log_histogram" -> ((qValueLogHistogram _, qValueLogHistogramSql)),
     "q_event_value_stats" -> ((qEventValueStats _, qEventValueStatsSql)),
-    "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql))
+    "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql)),
+    "q_event_spc" -> ((qEventSpc _, qEventSpcSql)),
+    "q_event_bootstrap" -> ((qEventBootstrap _, qEventBootstrapSql)),
+    "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
+    "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )
 }

@@ -2475,6 +2475,87 @@ object Warehouse {
        |FROM woe
        |ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Single-source supplier risk: revenue exposed to one supplier
+  // ------------------------------------------------------------------
+
+  /** SINGLE-SOURCE SUPPLIER RISK per brand — for every part, the count
+    * of DISTINCT suppliers its trade history shows; a part with exactly
+    * one is single-sourced, and the revenue flowing through it is
+    * revenue a single supplier failure stops. Rolled up per brand:
+    * part counts, the single-sourced share, and the exposed revenue
+    * share — the supply-chain-resilience scorecard procurement runs
+    * before dual-sourcing negotiations, and the risk-side complement of
+    * [[qSuppHhi]]'s concentration view (HHI says volume is concentrated
+    * ACROSS suppliers; this says which parts have no alternative AT
+    * ALL).
+    *
+    * Exactness: revenue is the module's DECIMAL(18,4)
+    * extendedprice·(1−discount) rule summed exactly per part and
+    * emitted as BIGINT basis points ([[qNationTradeBalance]]
+    * convention); shares are single divisions of exact BIGINTs with
+    * zero-denominator guards (ANSI rule).
+    *
+    * Scale (100 TB): one part-keyed aggregate over lineitem — the
+    * distinct-supplier count is the standard two-phase distinct
+    * ((part, supp) pre-aggregate, then part), both map-side combined;
+    * the brand lookup is a broadcast of the part dim projection and the
+    * brand rollup is |brands|-sized. No other corpus exchange.
+    */
+  def qPartSingleSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        (sum(rev) * 10000).cast("long").as("rev_bp"))
+    perPart
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"n_supp" === 1, 1L).otherwise(0L)).as("n_single"),
+        sum($"rev_bp").as("rev_bp"),
+        sum(when($"n_supp" === 1, $"rev_bp").otherwise(0L)).as("single_rev_bp"))
+      .select($"p_brand", $"n_parts", $"n_single",
+        when($"n_parts" > 0, $"n_single".cast("double") / $"n_parts")
+          .otherwise(lit(0.0)).as("single_part_share"),
+        $"rev_bp", $"single_rev_bp",
+        when($"rev_bp" > 0, $"single_rev_bp".cast("double") / $"rev_bp")
+          .otherwise(lit(0.0)).as("exposure_share"))
+      .orderBy($"p_brand")
+  }
+
+  val qPartSingleSourceSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |      * 10000 AS BIGINT) AS rev_bp
+      |  FROM lineitem GROUP BY l_partkey
+      |),
+      |per_brand AS (
+      |  SELECT p_brand, count(*) AS n_parts,
+      |    CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_single,
+      |    CAST(sum(rev_bp) AS BIGINT) AS rev_bp,
+      |    CAST(sum(CASE WHEN n_supp = 1 THEN rev_bp ELSE 0 END) AS BIGINT)
+      |      AS single_rev_bp
+      |  FROM per_part JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand
+      |)
+      |SELECT p_brand, n_parts, n_single,
+      |  CASE WHEN n_parts > 0
+      |    THEN CAST(n_single AS DOUBLE) / n_parts
+      |    ELSE CAST(0.0 AS DOUBLE) END AS single_part_share,
+      |  rev_bp, single_rev_bp,
+      |  CASE WHEN rev_bp > 0
+      |    THEN CAST(single_rev_bp AS DOUBLE) / rev_bp
+      |    ELSE CAST(0.0 AS DOUBLE) END AS exposure_share
+      |FROM per_brand
+      |ORDER BY p_brand""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -2504,6 +2585,7 @@ object Warehouse {
     "q_cust_abc_migration" -> ((qCustAbcMigration _, qCustAbcMigrationSql)),
     "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql)),
     "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql)),
-    "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql))
+    "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql)),
+    "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql))
   )
 }

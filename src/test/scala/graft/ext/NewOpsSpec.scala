@@ -3684,6 +3684,253 @@ class NewOpsSpec extends SparkSuite {
       (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
     assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12)
   }
+
+  test("spc: integer rule-1 replay, runs-rule islands, moment tie-out") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val dCut = d0 + ((d1 - d0 + 1) * Analytics.spcBaseNum) / Analytics.spcBaseDen
+    val base = daily.filter(_._2 < dCut).groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.length.toLong, xs.map(_._3).sum, xs.map(x => x._3 * x._3).sum)
+    }.filter(_._2._1 >= 2)
+    val expected = base.map { case (t, (nb, s, q)) =>
+      val mon = daily.filter(x => x._1 == t && x._2 >= dCut).sortBy(_._2)
+      val devs = mon.map(x => x._3 * nb - s)
+      val rule1 = devs.count(d => d * d * (nb - 1) > 9 * nb * (nb * q - s * s))
+      val sides = devs.map(d => java.lang.Long.signum(d))
+      // maximal same-side islands over the ordered monitor points
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      sides.foreach { sd =>
+        if (runs.nonEmpty && runs.last._1 == sd)
+          runs(runs.length - 1) = (sd, runs.last._2 + 1)
+        else runs += ((sd, 1))
+      }
+      val nRuns = runs.count { case (sd, len) =>
+        sd != 0 && len >= Analytics.spcRunLen }
+      val maxRun = (runs.filter(_._1 != 0).map(_._2) :+ 0).max
+      t -> (nb, mon.length.toLong, s, q, rule1.toLong, nRuns.toLong, maxRun.toLong)
+    }
+    val rows = Analytics.qEventSpc(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nb, nm, s, q, r1, nr, mr) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_base_days") === nb)
+      assert(r.getAs[Long]("n_mon_days") === nm)
+      assert(r.getAs[Double]("base_mean") === s.toDouble / nb)
+      assert(r.getAs[Double]("base_sd") ===
+        math.sqrt((nb * q - s * s).toDouble / (nb * (nb - 1)).toDouble))
+      assert(r.getAs[Long]("n_rule1") === r1)
+      assert(r.getAs[Long]("n_runs_rule") === nr)
+      assert(r.getAs[Long]("max_run") === mr)
+    }
+  }
+
+  test("single-source: distinct-supplier replay, exposure partition of revenue") {
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) -
+            BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))))
+    val brand = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perPart = lines.groupBy(_._1).map { case (pk, xs) =>
+      (brand(pk), xs.map(_._2).distinct.length,
+        (xs.map(_._3).sum * 10000).setScale(0, BigDecimal.RoundingMode.DOWN).toLong)
+    }
+    val expected = perPart.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.count(_._2 == 1).toLong, xs.map(_._3).sum,
+        xs.filter(_._2 == 1).map(_._3).sum)
+    }
+    val rows = graft.queries.Warehouse.qPartSingleSource(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("p_brand")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (np, ns, rev, srev) = expected(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n_parts") === np)
+      assert(r.getAs[Long]("n_single") === ns)
+      assert(r.getAs[Long]("rev_bp") === rev)
+      assert(r.getAs[Long]("single_rev_bp") === srev)
+      assert(r.getAs[Double]("single_part_share") === ns.toDouble / np)
+      assert(r.getAs[Double]("exposure_share") ===
+        (if (rev > 0) srev.toDouble / rev else 0.0))
+      assert(srev <= rev, "exposed revenue is a subset of brand revenue")
+    }
+  }
+
+  test("bootstrap: Poisson multiplicity replay; CI brackets the point mean") {
+    def h31(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val thresholds =
+      Array(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L, 999989L)
+    def mult(u: Long): Long = {
+      val i = thresholds.indexWhere(u < _)
+      if (i < 0) 8L else i.toLong
+    }
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = events.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.length.toLong
+      // replay each replicate's hash-derandomized Poisson weights
+      val means = (0 until Analytics.bootReps).flatMap { b =>
+        val ws = xs.map { case (_, id, v) => (mult(h31(s"$id:$b") % 1000000L), v) }
+        val mw = ws.map(_._1).sum
+        if (mw > 0) Some((ws.map { case (m, v) => v * m }.sum.toDouble) / mw)
+        else None
+      }.sorted
+      t -> (n, xs.map(_._3).sum.toDouble / n, means)
+    }
+    val rows = Analytics.qEventBootstrap(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, mean, means) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("mean_value") === mean)
+      assert(r.getAs[Long]("n_reps") === means.length.toLong)
+      assert(r.getAs[Double]("ci_lo") === means(Analytics.bootLoIdx - 1))
+      assert(r.getAs[Double]("ci_hi") === means(Analytics.bootHiIdx - 1))
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+      // the resample distribution straddles its own center
+      assert(r.getAs[Double]("ci_lo") <= mean && mean <= r.getAs[Double]("ci_hi"),
+        "95% percentile interval should bracket the point mean here")
+    }
+  }
+
+  test("sax: PAA z-replay, word assembly ordered by segment, counts partition") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        (t, d, (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }.toSeq
+    val d0 = daily.map(_._2).min
+    val expected = daily.groupBy(_._1).flatMap { case (t, xs) =>
+      val nb = xs.length.toLong
+      val s = xs.map(_._3).sum; val q = xs.map(x => x._3 * x._3).sum
+      if (nb < 2 || nb * q - s * s <= 0) None
+      else {
+        val sd = math.sqrt((nb * q - s * s).toDouble / (nb * (nb - 1)).toDouble)
+        val word = xs.groupBy(x => (x._2 - d0) / Analytics.saxSegDays).toSeq
+          .sortBy(_._1).map { case (_, seg) =>
+            val z = (seg.map(_._3).sum.toDouble / seg.length -
+              s.toDouble / nb) / sd
+            if (z < Analytics.saxBreakLo) 'a'
+            else if (z < 0.0) 'b'
+            else if (z < Analytics.saxBreakHi) 'c' else 'd'
+          }.mkString
+        Some(t -> (nb, word))
+      }
+    }
+    val rows = Analytics.qEventSax(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nb, word) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") === nb)
+      assert(r.getAs[String]("sax_word") === word)
+      assert(r.getAs[Long]("n_segments") === word.length.toLong)
+      assert(r.getAs[Long]("n_a") === word.count(_ == 'a').toLong)
+      assert(r.getAs[Long]("n_b") === word.count(_ == 'b').toLong)
+      assert(r.getAs[Long]("n_c") === word.count(_ == 'c').toLong)
+      assert(r.getAs[Long]("n_d") === word.count(_ == 'd').toLong)
+    }
+  }
+
+  test("perfect order: line-conjunction replay; decomposition partitions orders") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), day(r.getAs[java.sql.Timestamp](2))))
+      .toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp"),
+        col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1)), r.getString(2)))
+    val perOrder = lines.groupBy(_._1).map { case (ok, xs) =>
+      val (pri, od) = orders(ok)
+      (pri,
+        xs.exists(x => x._2 - od > Analytics.perfectLeadDays),
+        xs.exists(_._3 == "R"))
+    }.toSeq
+    val expected = perOrder.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.length.toLong,
+        xs.count(x => !x._2 && !x._3).toLong, xs.count(x => x._2 && !x._3).toLong,
+        xs.count(x => !x._2 && x._3).toLong, xs.count(x => x._2 && x._3).toLong)
+    }
+    val rows = Analytics.qOrderPerfect(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("o_orderpriority")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, np, nl, nr, nbth) = expected(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_orders") === n)
+      assert(r.getAs[Long]("n_perfect") === np)
+      assert(r.getAs[Long]("n_late_only") === nl)
+      assert(r.getAs[Long]("n_return_only") === nr)
+      assert(r.getAs[Long]("n_both") === nbth)
+      assert(np + nl + nr + nbth === n, "decomposition partitions the orders")
+      assert(r.getAs[Double]("perfect_rate") === np.toDouble / n)
+    }
+  }
+
+  test("collocations: exact G2 contingency replay on quantized logs") {
+    def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
+    val bigrams = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(0).split(" ", -1)
+        t.zip(t.tail)
+      }
+    val n = bigrams.length.toLong
+    val cab = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val ca = bigrams.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cb = bigrams.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    def cell(k: Long, r: Long, c: Long): Long =
+      if (k > 0) k * (qlog(k) + qlog(n) - qlog(r) - qlog(c)) else 0L
+    val scored = cab.filter(_._2 >= TextOps.collocMinCount).map { case ((a, b), k11) =>
+      val (ra, cbb) = (ca(a), cb(b))
+      val g2 = 2 * (cell(k11, ra, cbb) +
+        cell(ra - k11, ra, n - cbb) +
+        cell(cbb - k11, n - ra, cbb) +
+        cell(n - ra - cbb + k11, n - ra, n - cbb))
+      ((a, b), (k11, ra, cbb, g2))
+    }
+    val top = scored.toSeq.sortBy { case ((a, b), (_, _, _, g2)) => (-g2, a, b) }
+      .take(TextOps.collocTopN)
+    val rows = TextOps.qDocCollocations(spark, sf).collect()
+    assert(rows.length === top.length)
+    rows.zip(top).foreach { case (r, ((a, b), (k11, ra, cbb, g2))) =>
+      assert(r.getAs[String]("ta") === a)
+      assert(r.getAs[String]("tb") === b)
+      assert(r.getAs[Long]("c_ab") === k11)
+      assert(r.getAs[Long]("c_a") === ra)
+      assert(r.getAs[Long]("c_b") === cbb)
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(r.getAs[Long]("g2_micro") === g2)
+      assert(r.getAs[Double]("g2") === g2.toDouble / 1e6)
+      assert(g2 >= 0L || k11 * n < ra * cbb,
+        "independence-or-better pairs only go negative when observed < expected")
+    }
+  }
 }
 
 /** Tuple adapters keeping the specs free of Row plumbing. */

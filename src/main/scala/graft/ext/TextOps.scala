@@ -1818,6 +1818,200 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Kneser-Ney bigram LM: continuation-count smoothed fluency scoring
+  // ------------------------------------------------------------------
+
+  /** Absolute-discount mass for the KN model — the canonical 0.75, an
+    * EXACT binary double (3/4), so `c−D` and `D·n` stay exact.
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val knDiscount = 0.75
+
+  /** KNESER-NEY smoothed bigram scoring — the modern-LM-era refinement
+    * of [[qDocBigramLm]]'s MLE model: probability mass is DISCOUNTED
+    * off every seen bigram ([[knDiscount]] per type, absolute
+    * discounting) and redistributed through the CONTINUATION
+    * distribution p_cont(w₂) = N₁₊(·w₂)/|bigram types| — "how many
+    * contexts does w₂ complete?", the fix for MLE's famous
+    * san-francisco failure (frequent-but-context-bound words stop
+    * inheriting unigram mass). Score per document = mean
+    * p_KN(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) + (D·N₁₊(w₁·)/c(w₁·))·p_cont(w₂)
+    * over its position-ordered bigrams — the fluency filter ranking
+    * next to the MLE score, self-trained so every scored bigram is in
+    * the model (the max(·,0) clamp never binds but stays for form).
+    *
+    * Determinism: counts are exact BIGINTs; c−0.75 and 0.75·n are
+    * EXACT doubles (D = 3/4 is a power-of-two rational), each division/
+    * product rounds once identically in both engines, and the per-doc
+    * mean is the SEQUENTIAL position-ordered fold ([[qDocBigramLm]]'s
+    * discipline — a partial-agg double sum would be partition-order-
+    * dependent).
+    *
+    * Scale (100 TB): model tables are distinct-gram-bounded one-pass
+    * aggregates (map-side combined); |bigram types| is a 1-row
+    * broadcast; scoring is gram-keyed equi-joins + one doc-keyed fold —
+    * the [[qDocBigramLm]] plan with two more bounded model joins.
+    */
+  def qDocKnLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(i AS pos, toks[i-1] AS w1, toks[i] AS w2))"
+    val bgl = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bgl.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val first = bi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btypes = bi.agg(count(lit(1)).as("bt"))
+    val p = greatest(col("c2").cast("double") - lit(knDiscount), lit(0.0)) /
+      col("c1").cast("double") +
+      ((lit(knDiscount) * col("n1f").cast("double")) / col("c1").cast("double")) *
+        (col("n1b").cast("double") / col("bt").cast("double"))
+    bgl
+      .join(bi, Seq("w1", "w2")).join(broadcast(first), "w1")
+      .join(broadcast(cont), "w2").crossJoin(broadcast(btypes))
+      .select(col("doc_id"), col("pos"), p.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p"))
+          / count(lit(1))).as("avg_kn_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocKnLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |bgl AS (
+       |  SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |        FROM toks)
+       |),
+       |bi AS (SELECT w1, w2, count(*) AS c2 FROM bgl GROUP BY w1, w2),
+       |first AS (
+       |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+       |  FROM bi GROUP BY w1
+       |),
+       |cont AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+       |btypes AS (SELECT count(*) AS bt FROM bi)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(greatest(CAST(c2 AS DOUBLE) - $knDiscount, 0.0) /
+       |             CAST(c1 AS DOUBLE) +
+       |           (($knDiscount * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE)) *
+       |             (CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))
+       |           ORDER BY pos)),
+       |    (acc, p) -> acc + p) / count(*) AS avg_kn_p
+       |FROM bgl JOIN bi USING (w1, w2) JOIN first USING (w1)
+       |  JOIN cont USING (w2) CROSS JOIN btypes
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // TextRank keywords: PageRank over the token co-occurrence graph
+  // ------------------------------------------------------------------
+
+  /** Minimum token occurrence for a TextRank node and the emitted
+    * keyword count. Literal RHS `final` per the init-cycle rule.
+    */
+  final val textrankMinCount = 5
+  final val textrankTopN = 20
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    * over the token co-occurrence graph: tokens appearing ≥
+    * [[textrankMinCount]] times are nodes, DISTINCT adjacent pairs are
+    * undirected edges (both directions), and three iterations of
+    * [[Graph.pageRank]]'s exact-integer kernel rank graph centrality
+    * rather than raw frequency — the keyword signal TF-IDF misses
+    * (a mid-frequency token bridging many contexts outranks a frequent
+    * but isolated one). Top-[[textrankTopN]] tokens emitted with their
+    * scaled-integer rank, bit-identical at any parallelism.
+    *
+    * Scale (100 TB): the graph is VOCABULARY-sized (Zipf-bounded
+    * nodes, distinct adjacent pairs as edges) — corpus rows are gone
+    * after the two distinct-gram aggregates; each PageRank round is a
+    * vocab-keyed join + partial agg with per-round lineage truncation
+    * ([[Graph.pageRank]]'s contract).
+    */
+  def qDocTextrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    val vocab = docs.select(explode(col("toks")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= textrankMinCount)
+      .select(col("id"))
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(toks[i-1] AS ta, toks[i] AS tb))"
+    val adj = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(bgExpr)).as("b"))
+      .select(col("b.ta").as("ta"), col("b.tb").as("tb"))
+      .filter(col("ta") =!= col("tb"))
+      .distinct()
+    val undirected = adj
+      .unionAll(adj.select(col("tb").as("ta"), col("ta").as("tb")))
+      .distinct()
+      .join(vocab.select(col("id").as("ta")), "ta")
+      .join(vocab.select(col("id").as("tb")), "tb")
+      .select(col("ta").as("src"), col("tb").as("dst"))
+    Graph.pageRank(vocab, undirected, iters = 3)
+      .select(col("id").as("token"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("token"))
+      .limit(textrankTopN)
+  }
+
+  /** Oracle: [[Graph.qGraphPagerankSql]]'s unrolled exact-integer
+    * rounds over the token graph.
+    */
+  val qDocTextrankSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.id,
+         |    150000000000 + CAST((85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM vocab n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // o.deg) AS s
+         |    FROM edges e
+         |    JOIN $prev p ON p.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |vocab AS (
+       |  SELECT tok AS id FROM (
+       |    SELECT unnest(t) AS tok FROM toks)
+       |  GROUP BY tok HAVING count(*) >= $textrankMinCount
+       |),
+       |adj AS (
+       |  SELECT DISTINCT t[pos] AS ta, t[pos + 1] AS tb
+       |  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |        FROM toks)
+       |  WHERE t[pos] <> t[pos + 1]
+       |),
+       |edges AS (
+       |  SELECT u.ta AS src, u.tb AS dst
+       |  FROM (SELECT ta, tb FROM adj
+       |        UNION SELECT tb AS ta, ta AS tb FROM adj) u
+       |  JOIN vocab va ON va.id = u.ta
+       |  JOIN vocab vb ON vb.id = u.tb
+       |),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM vocab),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT id AS token, r AS rank_scaled
+       |FROM r3
+       |ORDER BY rank_scaled DESC, token
+       |LIMIT $textrankTopN""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Fuzzy vocabulary merge: SymSpell deletion-neighborhood join
   // ------------------------------------------------------------------
 

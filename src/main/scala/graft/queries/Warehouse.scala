@@ -2556,6 +2556,137 @@ object Warehouse {
       |FROM per_brand
       |ORDER BY p_brand""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ABC-XYZ matrix: value class × demand-variability class
+  // ------------------------------------------------------------------
+
+  /** Week width for the XYZ demand series. Literal RHS `final` per the
+    * init-cycle rule.
+    */
+  final val xyzWeekDays = 7L
+
+  /** ABC-XYZ INVENTORY SEGMENTATION — the planning matrix every
+    * replenishment policy starts from: each traded part gets a VALUE
+    * class (A/B/C by cumulative revenue share, 70/90 cuts — the
+    * [[qCustAbcMigration]] discipline at part grain) and a DEMAND-
+    * VARIABILITY class over its weekly shipped-quantity series
+    * INCLUDING zero weeks (X: CV < 0.5 — forecast statistically,
+    * Y: CV < 1 — forecast with care, Z: intermittent — don't forecast,
+    * buffer). AX cells get automated min-max policies; CZ cells get
+    * make-to-order. The joint matrix is emitted with part counts and
+    * revenue mass per cell.
+    *
+    * Exactness: revenue is exact DECIMAL basis points; weekly
+    * quantities are exact cents (quantities are integral, so the
+    * decimal→BIGINT boundary is integer-valued — the truncate-vs-round
+    * trap never arises); the CV compares cross-multiply to pure BIGINTs
+    * — CV < c ⟺ n·(n·Q − S²) < c²·S²·(n−1) with n = the GLOBAL week
+    * count (zero weeks contribute 0 to S and Q, so observed-week
+    * moments suffice), c² ∈ {1/4, 1} as integer ratios; the ABC cut is
+    * the cum·10 ≤ 7·tot integer compare. No double decides any class.
+    *
+    * Scale (100 TB): one (part, week) partial aggregate + one part
+    * rollup over lineitem; the ABC window runs at PART-DIM grain
+    * (|parts| rows, metadata-sized next to the fact); the matrix is a
+    * ≤9-row rollup. Span is a 1-row broadcast.
+    */
+  def qPartAbcXyz(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey",
+        datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"),
+        $"l_quantity".cast(DecimalType(18, 4)).as("qd"), rev.as("rev"))
+    val span = li.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select($"d0", (expr(s"(d1 - d0) div $xyzWeekDays") + 1).as("n_weeks"))
+    val weekly = li.crossJoin(broadcast(span))
+      .withColumn("wk", expr(s"(dn - d0) div $xyzWeekDays"))
+      .groupBy($"l_partkey", $"wk")
+      .agg(floor(sum($"qd") * 100).cast("long").as("qc"),
+        sum($"rev").as("rev_w"), max($"n_weeks").as("n_weeks"))
+    val perPart = weekly.groupBy($"l_partkey")
+      .agg(sum($"qc").as("s"), sum($"qc" * $"qc").as("q"),
+        (sum($"rev_w") * 10000).cast("long").as("rev_bp"),
+        max($"n_weeks").as("w"))
+      .withColumn("cls_xyz",
+        when($"w" * ($"w" * $"q" - $"s" * $"s") * 4 < $"s" * $"s" * ($"w" - 1), "X")
+          .when($"w" * ($"w" * $"q" - $"s" * $"s") < $"s" * $"s" * ($"w" - 1), "Y")
+          .otherwise("Z"))
+    val wCum = Window.orderBy($"rev_bp".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classed = perPart
+      .select($"l_partkey", $"rev_bp", $"cls_xyz",
+        sum($"rev_bp").over(wCum).as("cum"),
+        sum($"rev_bp").over(Window.partitionBy()).as("tot"))
+      .select($"l_partkey", $"rev_bp", $"cls_xyz",
+        when($"cum" * 10 <= $"tot" * 7, "A")
+          .when($"cum" * 10 <= $"tot" * 9, "B")
+          .otherwise("C").as("cls_abc"))
+    classed.groupBy($"cls_abc", $"cls_xyz")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev_bp").as("rev_bp"))
+      .crossJoin(broadcast(classed.agg(sum($"rev_bp").as("tot_bp"))))
+      .select($"cls_abc", $"cls_xyz", $"n_parts", $"rev_bp",
+        when($"tot_bp" > 0, $"rev_bp".cast("double") / $"tot_bp")
+          .otherwise(lit(0.0)).as("rev_share"))
+      .orderBy($"cls_abc", $"cls_xyz")
+  }
+
+  val qPartAbcXyzSql: String =
+    s"""WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(l_quantity AS DECIMAL(18,4)) AS qd,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem
+      |),
+      |span AS (
+      |  SELECT min(dn) AS d0, (max(dn) - min(dn)) // $xyzWeekDays + 1 AS n_weeks
+      |  FROM li
+      |),
+      |weekly AS (
+      |  SELECT l_partkey, (dn - d0) // $xyzWeekDays AS wk,
+      |    CAST(floor(sum(qd) * 100) AS BIGINT) AS qc,
+      |    sum(rev) AS rev_w, max(n_weeks) AS n_weeks
+      |  FROM li CROSS JOIN span
+      |  GROUP BY l_partkey, wk
+      |),
+      |per_part AS (
+      |  SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS s,
+      |    CAST(sum(qc * qc) AS BIGINT) AS q,
+      |    CAST(sum(rev_w) * 10000 AS BIGINT) AS rev_bp,
+      |    max(n_weeks) AS w
+      |  FROM weekly GROUP BY l_partkey
+      |),
+      |xyz AS (
+      |  SELECT l_partkey, rev_bp,
+      |    CASE WHEN w * (w * q - s * s) * 4 < s * s * (w - 1) THEN 'X'
+      |         WHEN w * (w * q - s * s) < s * s * (w - 1) THEN 'Y'
+      |         ELSE 'Z' END AS cls_xyz
+      |  FROM per_part
+      |),
+      |classed AS (
+      |  SELECT l_partkey, rev_bp, cls_xyz,
+      |    CASE WHEN sum(rev_bp) OVER (ORDER BY rev_bp DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+      |           <= sum(rev_bp) OVER () * 7 THEN 'A'
+      |         WHEN sum(rev_bp) OVER (ORDER BY rev_bp DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+      |           <= sum(rev_bp) OVER () * 9 THEN 'B'
+      |         ELSE 'C' END AS cls_abc
+      |  FROM xyz
+      |),
+      |tot AS (SELECT CAST(sum(rev_bp) AS BIGINT) AS tot_bp FROM classed)
+      |SELECT cls_abc, cls_xyz, count(*) AS n_parts,
+      |  CAST(sum(rev_bp) AS BIGINT) AS rev_bp,
+      |  CASE WHEN tot_bp > 0
+      |    THEN CAST(sum(rev_bp) AS DOUBLE) / tot_bp
+      |    ELSE CAST(0.0 AS DOUBLE) END AS rev_share
+      |FROM classed CROSS JOIN tot
+      |GROUP BY cls_abc, cls_xyz, tot_bp
+      |ORDER BY cls_abc, cls_xyz""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -2586,6 +2717,7 @@ object Warehouse {
     "q_cust_cadence" -> ((qCustCadence _, qCustCadenceSql)),
     "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql)),
     "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql)),
-    "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql))
+    "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql)),
+    "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql))
   )
 }

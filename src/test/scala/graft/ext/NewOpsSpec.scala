@@ -3892,6 +3892,122 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("kn lm: continuation-count replay; ordered-fold mean ties out") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val bgl = docs.flatMap { case (id, t) =>
+      t.zip(t.tail).zipWithIndex.map { case ((a, b), i) => (id, i, a, b) }
+    }
+    val bi = bgl.groupBy(x => (x._3, x._4)).map { case (k, xs) => k -> xs.length.toLong }
+    val c1 = bi.groupBy(_._1._1).map { case (w, xs) =>
+      w -> (xs.values.sum, xs.size.toLong) }
+    val n1b = bi.groupBy(_._1._2).map { case (w, xs) => w -> xs.size.toLong }
+    val bt = bi.size.toLong
+    val expected = bgl.groupBy(_._1).map { case (id, xs) =>
+      val ps = xs.sortBy(_._2).map { case (_, _, a, b) =>
+        val (ca, nf) = c1(a)
+        math.max(bi((a, b)).toDouble - TextOps.knDiscount, 0.0) / ca +
+          ((TextOps.knDiscount * nf) / ca) * (n1b(b).toDouble / bt)
+      }
+      id -> (xs.length.toLong, ps.foldLeft(0.0)(_ + _) / xs.length)
+    }
+    val rows = TextOps.qDocKnLm(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, avg) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(r.getAs[Double]("avg_kn_p") === avg)
+      assert(avg > 0.0 && avg <= 1.0 + 1e-9)
+    }
+    // discounted+redistributed mass: KN score differs from the MLE model
+    val mle = TextOps.qDocBigramLm(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_bigram_p")).toMap
+    assert(rows.exists(r =>
+      math.abs(r.getAs[Double]("avg_kn_p") - mle(r.getAs[Long]("doc_id"))) > 1e-9))
+  }
+
+  test("textrank: integer pagerank replay over the token graph") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0).split(" ", -1))
+    val vocab = docs.flatten.groupBy(identity)
+      .collect { case (t, xs) if xs.length >= TextOps.textrankMinCount => t }
+      .toSet
+    val edges = docs.flatMap(t => t.zip(t.tail)).filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .filter { case (a, b) => vocab(a) && vocab(b) }
+    val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    var r = vocab.map(_ -> Graph.rankScale).toMap
+    (1 to 3).foreach { _ =>
+      val inbox = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = vocab.map(v =>
+        v -> (Graph.rankScale * 15 / 100 + 85 * inbox.getOrElse(v, 0L) / 100)).toMap
+    }
+    val top = r.toSeq.sortBy { case (t, rk) => (-rk, t) }.take(TextOps.textrankTopN)
+    val rows = TextOps.qDocTextrank(spark, sf).collect()
+    assert(rows.length === top.length)
+    rows.zip(top).foreach { case (row, (t, rk)) =>
+      assert(row.getAs[String]("token") === t)
+      assert(row.getAs[Long]("rank_scaled") === rk)
+    }
+  }
+
+  test("abc-xyz: integer CV classes, cumulative-share cut, cell partition") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_shipdate").cast("timestamp"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")).collect()
+      .map { r =>
+        val rev = BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        (r.getLong(0), day(r.getAs[java.sql.Timestamp](1)),
+          BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP), rev)
+      }
+    val d0 = li.map(_._2).min
+    val w = (li.map(_._2).max - d0) / graft.queries.Warehouse.xyzWeekDays + 1
+    val perPart = li.groupBy(_._1).map { case (pk, xs) =>
+      val weekly = xs.groupBy(x => (x._2 - d0) / graft.queries.Warehouse.xyzWeekDays)
+        .map { case (_, ys) =>
+          (ys.map(_._3).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong }
+      val s = weekly.sum; val q = weekly.map(x => x * x).sum
+      val revBp = (xs.map(_._4).sum * 10000)
+        .setScale(0, BigDecimal.RoundingMode.DOWN).toLong
+      val xyz =
+        if (w * (w * q - s * s) * 4 < s * s * (w - 1)) "X"
+        else if (w * (w * q - s * s) < s * s * (w - 1)) "Y" else "Z"
+      (pk, revBp, xyz)
+    }.toSeq
+    val tot = perPart.map(_._2).sum
+    val ranked = perPart.sortBy { case (pk, rb, _) => (-rb, pk) }
+    var cum = 0L
+    val classed = ranked.map { case (pk, rb, xyz) =>
+      cum += rb
+      val abc = if (cum * 10 <= tot * 7) "A" else if (cum * 10 <= tot * 9) "B" else "C"
+      (abc, xyz, rb)
+    }
+    val expected = classed.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).sum)
+    }
+    val rows = graft.queries.Warehouse.qPartAbcXyz(spark, sf).collect()
+    assert(rows.map(r =>
+      (r.getAs[String]("cls_abc"), r.getAs[String]("cls_xyz"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (np, rb) = expected((r.getAs[String]("cls_abc"), r.getAs[String]("cls_xyz")))
+      assert(r.getAs[Long]("n_parts") === np)
+      assert(r.getAs[Long]("rev_bp") === rb)
+      assert(r.getAs[Double]("rev_share") === rb.toDouble / tot)
+    }
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === perPart.length.toLong,
+      "matrix cells partition the traded parts")
+    assert(rows.map(_.getAs[Long]("rev_bp")).sum === tot,
+      "matrix cells partition total revenue")
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

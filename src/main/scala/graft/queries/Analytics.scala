@@ -5674,6 +5674,305 @@ object Analytics {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Two-sample Kolmogorov-Smirnov: exact nonparametric drift test
+  // ------------------------------------------------------------------
+
+  /** KS critical coefficient for α = 0.05 (the classical 1.358).
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val ksCrit05 = 1.358
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test per event type — the
+    * exact nonparametric companion to the binned PSI-style
+    * [[qEventDrift]]: split each type's values at the midpoint of the
+    * observed day span (reference = first half, current = second), and
+    * compute D = sup|F̂₁ − F̂₂| over the pooled empirical CDFs. PSI
+    * sees what its bins see; KS is binning-free and distribution-free,
+    * the test a feature-monitoring system runs when the PSI alarm needs
+    * a p-value. Emitted with the α=0.05 decision
+    * D > [[ksCrit05]]·√((n₁+n₂)/(n₁·n₂)).
+    *
+    * Exactness: values enter as exact DECIMAL(18,4) ten-thousandths
+    * (BIGINT); per distinct value the CDF gap cross-multiplies to
+    * |c₁·n₂ − c₂·n₁| — pure BIGINTs, so the supremum and the argmax
+    * are integer decisions (int64-safe to n ~ 3·10⁹ per arm; past that
+    * pre-bin to a quantile sketch). D and the threshold are one
+    * division and one sqrt of exact integers — identical doubles.
+    *
+    * Scale (100 TB): one (type, value) pre-aggregate collapses the
+    * corpus to distinct values (map-side combined); the cumulative
+    * window partitions by type over that reduced frame; the final
+    * rollup is |types| rows.
+    */
+  def qEventKsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"),
+        (dec($"value") * 10000).cast("long").as("v4"))
+    val span = ev.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select(($"d0" + expr("(d1 - d0 + 1) div 2")).as("d_mid"))
+    val armed = ev.crossJoin(broadcast(span))
+      .select($"event_type", $"v4",
+        when($"dn" < $"d_mid", 1L).otherwise(0L).as("in_ref"))
+    val perValue = armed.groupBy($"event_type", $"v4")
+      .agg(sum($"in_ref").as("a1"), sum(lit(1L) - $"in_ref").as("a2"))
+    val w = Window.partitionBy($"event_type").orderBy($"v4")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy($"event_type")
+    val gaps = perValue
+      .select($"event_type",
+        sum($"a1").over(w).as("c1"), sum($"a2").over(w).as("c2"),
+        sum($"a1").over(wTot).as("n1"), sum($"a2").over(wTot).as("n2"))
+      .select($"event_type", $"n1", $"n2",
+        abs($"c1" * $"n2" - $"c2" * $"n1").as("gap"))
+    gaps.groupBy($"event_type")
+      .agg(max($"n1").as("n_ref"), max($"n2").as("n_cur"),
+        max($"gap").as("d_num"))
+      .filter($"n_ref" > 0 && $"n_cur" > 0)
+      .select($"event_type", $"n_ref", $"n_cur", $"d_num",
+        ($"d_num".cast("double") / ($"n_ref" * $"n_cur").cast("double"))
+          .as("d_stat"),
+        (lit(ksCrit05) * sqrt(($"n_ref" + $"n_cur").cast("double") /
+          ($"n_ref" * $"n_cur").cast("double"))).as("ks_crit"),
+        ($"d_num".cast("double") / ($"n_ref" * $"n_cur").cast("double") >
+          lit(ksCrit05) * sqrt(($"n_ref" + $"n_cur").cast("double") /
+            ($"n_ref" * $"n_cur").cast("double"))).as("drifted"))
+      .orderBy($"event_type")
+  }
+
+  val qEventKsDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+       |  FROM events
+       |),
+       |span AS (SELECT min(dn) + (max(dn) - min(dn) + 1) // 2 AS d_mid FROM ev),
+       |per_value AS (
+       |  SELECT event_type, v4,
+       |    CAST(sum(CASE WHEN dn < d_mid THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+       |    CAST(sum(CASE WHEN dn < d_mid THEN 0 ELSE 1 END) AS BIGINT) AS a2
+       |  FROM ev CROSS JOIN span
+       |  GROUP BY event_type, v4
+       |),
+       |gaps AS (
+       |  SELECT event_type,
+       |    sum(a1) OVER (PARTITION BY event_type) AS n1,
+       |    sum(a2) OVER (PARTITION BY event_type) AS n2,
+       |    abs(sum(a1) OVER (PARTITION BY event_type ORDER BY v4
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) *
+       |        sum(a2) OVER (PARTITION BY event_type) -
+       |        sum(a2) OVER (PARTITION BY event_type ORDER BY v4
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) *
+       |        sum(a1) OVER (PARTITION BY event_type)) AS gap
+       |  FROM per_value
+       |)
+       |SELECT event_type, CAST(max(n1) AS BIGINT) AS n_ref,
+       |  CAST(max(n2) AS BIGINT) AS n_cur, CAST(max(gap) AS BIGINT) AS d_num,
+       |  CAST(max(gap) AS DOUBLE) / CAST(max(n1) * max(n2) AS DOUBLE) AS d_stat,
+       |  $ksCrit05 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE) /
+       |    CAST(max(n1) * max(n2) AS DOUBLE)) AS ks_crit,
+       |  CAST(max(gap) AS DOUBLE) / CAST(max(n1) * max(n2) AS DOUBLE) >
+       |    $ksCrit05 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE) /
+       |      CAST(max(n1) * max(n2) AS DOUBLE)) AS drifted
+       |FROM gaps
+       |GROUP BY event_type
+       |HAVING max(n1) > 0 AND max(n2) > 0
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Record-count stationarity audit: observed records vs harmonic law
+  // ------------------------------------------------------------------
+
+  /** RECORD-COUNT STATIONARITY AUDIT per event type — a classical and
+    * nearly-free drift diagnostic: in an exchangeable (trend-free)
+    * series, the k-th observation is a new running MAXIMUM with
+    * probability exactly 1/k, so the expected record count over n days
+    * is the harmonic number H(n) ≈ ln n — for 90 days, ~5. A daily
+    * series setting far more HIGH records than H(n) is trending up;
+    * far more LOW records (running minima) is decaying. Both sides are
+    * counted and ratioed against H(n) — the test costs two windowed
+    * comparisons, needs no model, and its null expectation is
+    * parameter-free.
+    *
+    * Exactness: daily totals are exact BIGINT cents; record decisions
+    * are strict integer compares against the windowed running extreme
+    * (first day counts as a record on both sides, the convention);
+    * H(n) is a SEQUENTIAL left fold over k = 1..n of exact 1/k doubles
+    * — identical in both engines (no partial-agg double sum).
+    *
+    * Scale (100 TB): the corpus collapses to |types|×|days| daily rows
+    * in one partially-aggregated shuffle; the extremes windows and the
+    * H(n) fold run on that metadata-sized frame.
+    */
+  def qEventRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val wPrev = Window.partitionBy($"event_type").orderBy($"dn")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .select($"event_type", $"xc",
+        max($"xc").over(wPrev).as("pmax"), min($"xc").over(wPrev).as("pmin"))
+      .select($"event_type",
+        when($"pmax".isNull || $"xc" > $"pmax", 1L).otherwise(0L).as("hi"),
+        when($"pmin".isNull || $"xc" < $"pmin", 1L).otherwise(0L).as("lo"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"hi").as("n_high_records"),
+        sum($"lo").as("n_low_records"))
+      .withColumn("expected_records",
+        expr("aggregate(sequence(1L, n_days), 0.0D, (acc, k) -> acc + 1.0D / k)"))
+      .select($"event_type", $"n_days", $"n_high_records", $"n_low_records",
+        $"expected_records",
+        ($"n_high_records".cast("double") / $"expected_records").as("high_ratio"),
+        ($"n_low_records".cast("double") / $"expected_records").as("low_ratio"))
+      .orderBy($"event_type")
+  }
+
+  val qEventRecordsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |flagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN pmax IS NULL OR xc > pmax THEN 1 ELSE 0 END AS hi,
+      |    CASE WHEN pmin IS NULL OR xc < pmin THEN 1 ELSE 0 END AS lo
+      |  FROM (
+      |    SELECT event_type, xc,
+      |      max(xc) OVER (PARTITION BY event_type ORDER BY dn
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+      |      min(xc) OVER (PARTITION BY event_type ORDER BY dn
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+      |    FROM daily)
+      |),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(hi) AS BIGINT) AS n_high_records,
+      |    CAST(sum(lo) AS BIGINT) AS n_low_records
+      |  FROM flagged GROUP BY event_type
+      |)
+      |SELECT event_type, n_days, n_high_records, n_low_records,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, CAST(n_days + 1 AS BIGINT)),
+      |        k -> 1.0 / k)),
+      |    (acc, x) -> acc + x) AS expected_records,
+      |  CAST(n_high_records AS DOUBLE) / list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, CAST(n_days + 1 AS BIGINT)),
+      |        k -> 1.0 / k)),
+      |    (acc, x) -> acc + x) AS high_ratio,
+      |  CAST(n_low_records AS DOUBLE) / list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, CAST(n_days + 1 AS BIGINT)),
+      |        k -> 1.0 / k)),
+      |    (acc, x) -> acc + x) AS low_ratio
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Haar wavelet energy: which timescale carries the variance?
+  // ------------------------------------------------------------------
+
+  /** Decomposition depth: detail levels 1..5 (2-day up to 32-day
+    * structure). Literal RHS `final` per the init-cycle rule.
+    */
+  final val haarLevels = 5
+
+  /** HAAR WAVELET ENERGY SPECTRUM of each event type's daily value
+    * series — the multi-resolution decomposition of the series'
+    * variance: the level-ℓ detail coefficients are differences between
+    * adjacent 2^(ℓ−1)-day block sums, and their summed squares say
+    * WHICH TIMESCALE the variation lives at (level 1 ≈ day-to-day
+    * noise, level 3 ≈ weekly structure, level 5 ≈ monthly drift).
+    * [[qEventAcf]] asks "is there weekly correlation?"; the wavelet
+    * energy profile localizes ALL the scales at once — the standard
+    * series-characterization step before choosing a smoothing or
+    * seasonality model. Missing days inside a block contribute zero
+    * (sum semantics); the trailing partial block is kept (documented
+    * half-open padding).
+    *
+    * Exactness: PURE INTEGERS end to end — daily cents, block sums by
+    * integer day-index division, detail d = A − B, energy Σd² as
+    * BIGINT cents² (int64-safe to ~10⁹-cent block sums; widen past
+    * that). The per-level share is the single closing division.
+    *
+    * Scale (100 TB): the corpus collapses once to |types|×|days|; each
+    * of the 5 levels is one more metadata-sized aggregate of that
+    * frame (block key = dn div 2^ℓ, arm sign by bit ℓ−1), unioned —
+    * no window, no self-join, all map-side combinable.
+    */
+  def qEventHaarEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val span = daily.agg(min($"dn").as("d0"))
+    val idx = daily.crossJoin(broadcast(span))
+      .select($"event_type", ($"dn" - $"d0").as("di"), $"xc")
+    val levels = (1 to haarLevels).map { l =>
+      val block = 1L << l
+      val half = 1L << (l - 1)
+      idx
+        .groupBy($"event_type", expr(s"di div $block").as("blk"))
+        .agg(sum(when(expr(s"(di div $half) % 2") === 0, $"xc")
+          .otherwise(-$"xc")).as("d"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_blocks"), sum($"d" * $"d").as("energy"))
+        .select($"event_type", lit(l).as("level"), $"n_blocks", $"energy")
+    }.reduce(_ unionAll _)
+    val wTot = Window.partitionBy($"event_type")
+    levels
+      .select($"event_type", $"level", $"n_blocks", $"energy",
+        when(sum($"energy").over(wTot) > 0,
+          $"energy".cast("double") / sum($"energy").over(wTot).cast("double"))
+          .otherwise(lit(0.0)).as("energy_share"))
+      .orderBy($"event_type", $"level")
+  }
+
+  val qEventHaarEnergySql: String = {
+    val levelArms = (1 to haarLevels).map { l =>
+      val block = 1L << l
+      val half = 1L << (l - 1)
+      s"""SELECT event_type, $l AS level, count(*) AS n_blocks,
+         |  CAST(sum(d * d) AS BIGINT) AS energy
+         |FROM (
+         |  SELECT event_type, di // $block AS blk,
+         |    CAST(sum(CASE WHEN (di // $half) % 2 = 0 THEN xc ELSE -xc END)
+         |      AS BIGINT) AS d
+         |  FROM idx GROUP BY event_type, blk)
+         |GROUP BY event_type""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+       |  FROM events GROUP BY event_type, dn
+       |),
+       |span AS (SELECT min(dn) AS d0 FROM daily),
+       |idx AS (
+       |  SELECT event_type, dn - d0 AS di, xc FROM daily CROSS JOIN span
+       |),
+       |levels AS (
+       |$levelArms
+       |)
+       |SELECT event_type, level, n_blocks, energy,
+       |  CASE WHEN sum(energy) OVER (PARTITION BY event_type) > 0
+       |    THEN CAST(energy AS DOUBLE) /
+       |      CAST(sum(energy) OVER (PARTITION BY event_type) AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS energy_share
+       |FROM levels
+       |ORDER BY event_type, level""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -5769,6 +6068,9 @@ object Analytics {
     "q_customer_spend_quartiles" -> ((qCustomerSpendQuartiles _, qCustomerSpendQuartilesSql)),
     "q_event_spc" -> ((qEventSpc _, qEventSpcSql)),
     "q_event_bootstrap" -> ((qEventBootstrap _, qEventBootstrapSql)),
+    "q_event_ks_drift" -> ((qEventKsDrift _, qEventKsDriftSql)),
+    "q_event_records" -> ((qEventRecords _, qEventRecordsSql)),
+    "q_event_haar_energy" -> ((qEventHaarEnergy _, qEventHaarEnergySql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

@@ -4008,6 +4008,119 @@ class NewOpsSpec extends SparkSuite {
       "matrix cells partition total revenue")
   }
 
+  test("ks drift: integer sup-gap replay; D in [0,1]; threshold algebra") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), day(r.getAs[java.sql.Timestamp](1)),
+        (BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLong))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val dMid = d0 + (d1 - d0 + 1) / 2
+    val expected = ev.groupBy(_._1).flatMap { case (t, xs) =>
+      val ref = xs.filter(_._2 < dMid).map(_._3)
+      val cur = xs.filter(_._2 >= dMid).map(_._3)
+      if (ref.isEmpty || cur.isEmpty) None
+      else {
+        val n1 = ref.length.toLong; val n2 = cur.length.toLong
+        val dNum = (ref ++ cur).map(_.toLong).distinct.map { v =>
+          math.abs(ref.count(_ <= v) * n2 - cur.count(_ <= v) * n1)
+        }.max
+        Some(t -> (n1, n2, dNum))
+      }
+    }
+    val rows = Analytics.qEventKsDrift(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n1, n2, dNum) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_ref") === n1)
+      assert(r.getAs[Long]("n_cur") === n2)
+      assert(r.getAs[Long]("d_num") === dNum)
+      val d = r.getAs[Double]("d_stat")
+      assert(d === dNum.toDouble / (n1 * n2).toDouble)
+      assert(d >= 0.0 && d <= 1.0)
+      val crit = Analytics.ksCrit05 *
+        math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble)
+      assert(r.getAs[Double]("ks_crit") === crit)
+      assert(r.getAs[Boolean]("drifted") === (d > crit))
+    }
+  }
+
+  test("records: running-extreme replay; harmonic fold; first day double-counts") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        (t, d, (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }.toSeq
+    val expected = daily.groupBy(_._1).map { case (t, xs) =>
+      val s = xs.sortBy(_._2).map(_._3)
+      val hi = s.indices.count(i => i == 0 || s(i) > s.take(i).max)
+      val lo = s.indices.count(i => i == 0 || s(i) < s.take(i).min)
+      val h = (1 to s.length).foldLeft(0.0)((acc, k) => acc + 1.0 / k)
+      t -> (s.length.toLong, hi.toLong, lo.toLong, h)
+    }
+    val rows = Analytics.qEventRecords(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, hi, lo, h) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("n_high_records") === hi)
+      assert(r.getAs[Long]("n_low_records") === lo)
+      assert(r.getAs[Double]("expected_records") === h)
+      assert(r.getAs[Double]("high_ratio") === hi.toDouble / h)
+      assert(r.getAs[Double]("low_ratio") === lo.toDouble / h)
+      assert(hi >= 1L && lo >= 1L, "the first day is a record on both sides")
+    }
+  }
+
+  test("haar energy: integer block-difference replay; shares sum to one") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        (t, d, (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }.toSeq
+    val d0 = daily.map(_._2).min
+    val expected = (for {
+      (t, xs) <- daily.groupBy(_._1).toSeq
+      l <- 1 to Analytics.haarLevels
+    } yield {
+      val block = 1L << l; val half = 1L << (l - 1)
+      val ds = xs.map(x => (x._2 - d0, x._3)).groupBy(_._1 / block)
+        .map { case (_, ys) =>
+          ys.map { case (di, xc) => if ((di / half) % 2 == 0) xc else -xc }.sum
+        }
+      ((t, l), (ds.size.toLong, ds.map(d => d * d).sum))
+    }).toMap
+    val rows = Analytics.qEventHaarEnergy(spark, sf).collect()
+    assert(rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Int]("level"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nb, e) = expected((r.getAs[String]("event_type"), r.getAs[Int]("level")))
+      assert(r.getAs[Long]("n_blocks") === nb)
+      assert(r.getAs[Long]("energy") === e)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val shares = rs.map(_.getAs[Double]("energy_share"))
+      assert(math.abs(shares.sum - 1.0) < 1e-9, "level shares partition the energy")
+      assert(rs.length === Analytics.haarLevels)
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

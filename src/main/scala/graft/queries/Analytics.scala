@@ -5973,6 +5973,146 @@ object Analytics {
        |ORDER BY event_type, level""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Granger causality: does one series' past improve another's forecast?
+  // ------------------------------------------------------------------
+
+  /** F threshold for the one-extra-regressor Granger test (≈ the 5%
+    * critical value of F(1, n−3) at the daily-series lengths here).
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val grangerF05 = 4.0
+
+  /** PAIRWISE GRANGER CAUSALITY over daily value series — for every
+    * ordered type pair (cause → effect), does ADDING the cause's
+    * lag-1 value to the effect's own lag-1 autoregression reduce
+    * residual variance? [[qEventCrossCorr]] measures raw lead-lag
+    * correlation; Granger is the CONDITIONAL version — "does A's past
+    * tell me anything A-independent of B's own past?" — the standard
+    * screen before believing a lead-lag story. Reported as restricted
+    * vs unrestricted R² and the F(1, n−3) statistic with the
+    * [[grangerF05]] decision.
+    *
+    * Exactness: daily totals are exact BIGINT cents; all ten raw
+    * moments accumulate as exact BIGINTs and the n-scaled centered
+    * moments C_ab = n·Σab − Σa·Σb are exact BIGINTs (int64-safe to
+    * ~10⁷-cent days × 10³ days; widen past that); the R²/F closing
+    * formulas then evaluate ONE fixed-shape double expression over
+    * those exact integers — identical IEEE results in both engines.
+    * Pairs whose moment matrix is not positive definite (constant
+    * series, collinear lags) are excluded rather than divided by zero.
+    *
+    * Scale (100 TB): the corpus collapses once to |types|×|days|; the
+    * calendar alignment is two equi-joins on (type, day) and one
+    * day-keyed cross over cause types — |days|·|types|² rows, metadata-
+    * sized; the moment rollup is |types|² rows.
+    */
+  def qEventGranger(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val eff = daily.select($"event_type".as("eff"), $"dn", $"xc".as("y"))
+    val effLag = daily.select($"event_type".as("eff"), ($"dn" + 1).as("dn"),
+      $"xc".as("z"))
+    val causeLag = daily.select($"event_type".as("cause"), ($"dn" + 1).as("dn"),
+      $"xc".as("x"))
+    val triples = eff
+      .join(effLag, Seq("eff", "dn"))
+      .join(causeLag, "dn")
+      .filter($"cause" =!= $"eff")
+    val m = triples.groupBy($"cause", $"eff")
+      .agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"x").as("sx"), sum($"z").as("sz"),
+        sum($"y" * $"x").as("syx"), sum($"y" * $"z").as("syz"),
+        sum($"x" * $"z").as("sxz"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"x").as("sxx"), sum($"z" * $"z").as("szz"))
+      .select($"cause", $"eff", $"n",
+        ($"n" * $"syx" - $"sy" * $"sx").as("cyx"),
+        ($"n" * $"syz" - $"sy" * $"sz").as("cyz"),
+        ($"n" * $"sxz" - $"sx" * $"sz").as("cxz"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("cyy"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("cxx"),
+        ($"n" * $"szz" - $"sz" * $"sz").as("czz"))
+      .filter($"n" >= 4 && $"cyy" > 0 && $"cxx" > 0 && $"czz" > 0 &&
+        // positive-definite check in the SAME double algebra as the r²
+        // denominator (a BIGINT product here would overflow ANSI int64 at
+        // the n-scaled moment magnitudes; the double compare is identical
+        // in both engines)
+        ($"cxx".cast("double") * $"czz".cast("double")) -
+          ($"cxz".cast("double") * $"cxz".cast("double")) > 0.0)
+    val r2r = ($"cyz".cast("double") * $"cyz".cast("double")) /
+      ($"cyy".cast("double") * $"czz".cast("double"))
+    val r2u = (($"czz".cast("double") * ($"cyx".cast("double") * $"cyx".cast("double"))) -
+      (lit(2.0) * ($"cxz".cast("double") * ($"cyx".cast("double") * $"cyz".cast("double")))) +
+      ($"cxx".cast("double") * ($"cyz".cast("double") * $"cyz".cast("double")))) /
+      ($"cyy".cast("double") *
+        (($"cxx".cast("double") * $"czz".cast("double")) -
+          ($"cxz".cast("double") * $"cxz".cast("double"))))
+    m
+      .select($"cause", $"eff", $"n", r2r.as("r2_restricted"), r2u.as("r2_unrestricted"))
+      .filter($"r2_unrestricted" < 1.0)
+      .select($"cause", $"eff", $"n", $"r2_restricted", $"r2_unrestricted",
+        ((($"r2_unrestricted" - $"r2_restricted") / (lit(1.0) - $"r2_unrestricted")) *
+          ($"n" - 3).cast("double")).as("f_stat"))
+      .withColumn("granger", $"f_stat" > grangerF05)
+      .orderBy($"cause", $"eff")
+  }
+
+  val qEventGrangerSql: String = {
+    val r2r = "(CAST(cyz AS DOUBLE) * CAST(cyz AS DOUBLE)) / " +
+      "(CAST(cyy AS DOUBLE) * CAST(czz AS DOUBLE))"
+    val r2u =
+      """((CAST(czz AS DOUBLE) * (CAST(cyx AS DOUBLE) * CAST(cyx AS DOUBLE))) -
+        |    (2.0 * (CAST(cxz AS DOUBLE) * (CAST(cyx AS DOUBLE) * CAST(cyz AS DOUBLE)))) +
+        |    (CAST(cxx AS DOUBLE) * (CAST(cyz AS DOUBLE) * CAST(cyz AS DOUBLE)))) /
+        |   (CAST(cyy AS DOUBLE) *
+        |     ((CAST(cxx AS DOUBLE) * CAST(czz AS DOUBLE)) -
+        |       (CAST(cxz AS DOUBLE) * CAST(cxz AS DOUBLE))))""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+       |  FROM events GROUP BY event_type, dn
+       |),
+       |triples AS (
+       |  SELECT c.event_type AS cause, e.event_type AS eff,
+       |    e.xc AS y, c.xc AS x, z.xc AS z
+       |  FROM daily e
+       |  JOIN daily z ON z.event_type = e.event_type AND z.dn = e.dn - 1
+       |  JOIN daily c ON c.dn = e.dn - 1 AND c.event_type <> e.event_type
+       |),
+       |m AS (
+       |  SELECT cause, eff, count(*) AS n,
+       |    CAST(count(*) * sum(y * x) - sum(y) * sum(x) AS BIGINT) AS cyx,
+       |    CAST(count(*) * sum(y * z) - sum(y) * sum(z) AS BIGINT) AS cyz,
+       |    CAST(count(*) * sum(x * z) - sum(x) * sum(z) AS BIGINT) AS cxz,
+       |    CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS cyy,
+       |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS cxx,
+       |    CAST(count(*) * sum(z * z) - sum(z) * sum(z) AS BIGINT) AS czz
+       |  FROM triples GROUP BY cause, eff
+       |  HAVING count(*) >= 4 AND
+       |    count(*) * sum(y * y) - sum(y) * sum(y) > 0 AND
+       |    count(*) * sum(x * x) - sum(x) * sum(x) > 0 AND
+       |    count(*) * sum(z * z) - sum(z) * sum(z) > 0
+       |),
+       |scored AS (
+       |  SELECT cause, eff, n, $r2r AS r2_restricted, $r2u AS r2_unrestricted
+       |  FROM m
+       |  WHERE (CAST(cxx AS DOUBLE) * CAST(czz AS DOUBLE)) -
+       |    (CAST(cxz AS DOUBLE) * CAST(cxz AS DOUBLE)) > 0.0
+       |)
+       |SELECT cause, eff, n, r2_restricted, r2_unrestricted,
+       |  ((r2_unrestricted - r2_restricted) / (1.0 - r2_unrestricted)) *
+       |    CAST(n - 3 AS DOUBLE) AS f_stat,
+       |  ((r2_unrestricted - r2_restricted) / (1.0 - r2_unrestricted)) *
+       |    CAST(n - 3 AS DOUBLE) > $grangerF05 AS granger
+       |FROM scored
+       |WHERE r2_unrestricted < 1.0
+       |ORDER BY cause, eff""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6071,6 +6211,7 @@ object Analytics {
     "q_event_ks_drift" -> ((qEventKsDrift _, qEventKsDriftSql)),
     "q_event_records" -> ((qEventRecords _, qEventRecordsSql)),
     "q_event_haar_energy" -> ((qEventHaarEnergy _, qEventHaarEnergySql)),
+    "q_event_granger" -> ((qEventGranger _, qEventGrangerSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

@@ -2687,6 +2687,106 @@ object Warehouse {
       |GROUP BY cls_abc, cls_xyz, tot_bp
       |ORDER BY cls_abc, cls_xyz""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Kendall rank stability: is the brand league table durable?
+  // ------------------------------------------------------------------
+
+  /** KENDALL RANK STABILITY of the brand revenue league table — split
+    * the order history at the midpoint of the observed day span and
+    * correlate the two periods' brand rankings with Kendall's τ: for
+    * every brand pair, does their revenue ORDER agree across periods
+    * (concordant) or flip (discordant)? τ = (C−D)/pairs. The
+    * rank-statistic complement of [[qCustAbcMigration]]'s class
+    * transitions: migration counts who crossed a 70/90 cut, τ measures
+    * ordering durability everywhere at once — τ ≈ 1 says the league
+    * table is signal, τ ≈ 0 says last period's ranking predicts
+    * nothing. One row with the full concordance decomposition.
+    *
+    * Exactness: period revenues are exact DECIMAL basis points
+    * (integer-valued at these price/discount scales); concordance
+    * multiplies SIGNS on {-1,0,1} — never the bp differences
+    * themselves, whose product would overflow ANSI int64 at brand
+    * revenue magnitudes — so ties are counted separately, never forced
+    * into a side, and τ is one closing division of exact counts.
+    *
+    * Scale (100 TB): one (brand, period) aggregate over the fact (all
+    * map-side combined after the broadcast brand lookup); the pair
+    * join and concordance rollup run on the |brands|²/2 ≈ 300-row
+    * metadata frame.
+    */
+  def qBrandRankTau(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand",
+        datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"),
+        rev.as("rev"))
+    val span = li.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select(($"d0" + expr("(d1 - d0 + 1) div 2")).as("d_mid"))
+    val byBrand = li.crossJoin(broadcast(span))
+      .groupBy($"p_brand")
+      .agg((sum(when($"dn" < $"d_mid", $"rev")
+          .otherwise(lit(0).cast(DecimalType(18, 4)))) * 10000).cast("long").as("r1"),
+        (sum(when($"dn" >= $"d_mid", $"rev")
+          .otherwise(lit(0).cast(DecimalType(18, 4)))) * 10000).cast("long").as("r2"))
+    val a = byBrand.select($"p_brand".as("ba"), $"r1".as("r1a"), $"r2".as("r2a"))
+    val b = byBrand.select($"p_brand".as("bb"), $"r1".as("r1b"), $"r2".as("r2b"))
+    // concordance via SIGN algebra on {-1,0,1} — a raw bp-difference
+    // product would overflow ANSI int64 at brand-level revenue magnitudes
+    val pairs = a.join(b, $"ba" < $"bb")
+      .select((
+        (when($"r1a" > $"r1b", 1L).when($"r1a" < $"r1b", -1L).otherwise(0L)) *
+        (when($"r2a" > $"r2b", 1L).when($"r2a" < $"r2b", -1L).otherwise(0L)))
+        .as("prod"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when($"prod" > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when($"prod" < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when($"prod" === 0, 1L).otherwise(0L)).as("ties"))
+      .select($"n_pairs", $"concordant", $"discordant", $"ties",
+        when($"n_pairs" > 0,
+          ($"concordant" - $"discordant").cast("double") / $"n_pairs")
+          .otherwise(lit(0.0)).as("tau"))
+  }
+
+  val qBrandRankTauSql: String =
+    """WITH li AS (
+      |  SELECT p_brand,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |),
+      |span AS (SELECT min(dn) + (max(dn) - min(dn) + 1) // 2 AS d_mid FROM li),
+      |by_brand AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CASE WHEN dn < d_mid THEN rev ELSE 0 END) * 10000 AS BIGINT)
+      |      AS r1,
+      |    CAST(sum(CASE WHEN dn >= d_mid THEN rev ELSE 0 END) * 10000 AS BIGINT)
+      |      AS r2
+      |  FROM li CROSS JOIN span
+      |  GROUP BY p_brand
+      |),
+      |pairs AS (
+      |  SELECT (CASE WHEN a.r1 > b.r1 THEN 1 WHEN a.r1 < b.r1 THEN -1 ELSE 0 END) *
+      |         (CASE WHEN a.r2 > b.r2 THEN 1 WHEN a.r2 < b.r2 THEN -1 ELSE 0 END)
+      |           AS prod
+      |  FROM by_brand a JOIN by_brand b ON a.p_brand < b.p_brand
+      |)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |  CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |  CAST(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+      |  CASE WHEN count(*) > 0
+      |    THEN CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) -
+      |              sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |         count(*)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS tau
+      |FROM pairs""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -2718,6 +2818,7 @@ object Warehouse {
     "q_nation_trade_balance" -> ((qNationTradeBalance _, qNationTradeBalanceSql)),
     "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql)),
     "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql)),
-    "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql))
+    "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql)),
+    "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql))
   )
 }

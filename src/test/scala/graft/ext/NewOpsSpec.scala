@@ -4121,6 +4121,111 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("granger: exact moment replay; nested R2; AR-only control") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        ((t, d), (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }
+    val types = daily.keys.map(_._1).toSeq.distinct
+    val expected = (for {
+      c <- types; e <- types if c != e
+    } yield {
+      val triples = daily.collect {
+        case ((t, d), y) if t == e &&
+          daily.contains((e, d - 1)) && daily.contains((c, d - 1)) =>
+          (y, daily((c, d - 1)), daily((e, d - 1)))
+      }.toSeq
+      val n = triples.length.toLong
+      if (n < 4) None
+      else {
+        val sy = triples.map(_._1).sum; val sx = triples.map(_._2).sum
+        val sz = triples.map(_._3).sum
+        def c2(f: ((Long, Long, Long)) => Long, g: ((Long, Long, Long)) => Long,
+            sf1: Long, sf2: Long): Long =
+          n * triples.map(t => f(t) * g(t)).sum - sf1 * sf2
+        val cyx = c2(_._1, _._2, sy, sx); val cyz = c2(_._1, _._3, sy, sz)
+        val cxz = c2(_._2, _._3, sx, sz); val cyy = c2(_._1, _._1, sy, sy)
+        val cxx = c2(_._2, _._2, sx, sx); val czz = c2(_._3, _._3, sz, sz)
+        if (cyy <= 0 || cxx <= 0 || czz <= 0 ||
+          cxx.toDouble * czz.toDouble - cxz.toDouble * cxz.toDouble <= 0.0) None
+        else {
+          val r2r = (cyz.toDouble * cyz.toDouble) / (cyy.toDouble * czz.toDouble)
+          val r2u = ((czz.toDouble * (cyx.toDouble * cyx.toDouble)) -
+            (2.0 * (cxz.toDouble * (cyx.toDouble * cyz.toDouble))) +
+            (cxx.toDouble * (cyz.toDouble * cyz.toDouble))) /
+            (cyy.toDouble * ((cxx.toDouble * czz.toDouble) -
+              (cxz.toDouble * cxz.toDouble)))
+          if (r2u >= 1.0) None
+          else Some((c, e) -> (n, r2r, r2u,
+            ((r2u - r2r) / (1.0 - r2u)) * (n - 3).toDouble))
+        }
+      }
+    }).flatten.toMap
+    val rows = Analytics.qEventGranger(spark, sf).collect()
+    assert(rows.map(r =>
+      (r.getAs[String]("cause"), r.getAs[String]("eff"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, r2r, r2u, f) =
+        expected((r.getAs[String]("cause"), r.getAs[String]("eff")))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("r2_restricted") === r2r)
+      assert(r.getAs[Double]("r2_unrestricted") === r2u)
+      assert(r.getAs[Double]("f_stat") === f)
+      assert(r2u >= r2r - 1e-12, "adding a regressor never lowers R2")
+      assert(r.getAs[Boolean]("granger") === (f > Analytics.grangerF05))
+    }
+  }
+
+  test("brand rank tau: sign-algebra concordance replay; pairs partition") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val brand = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_shipdate").cast("timestamp"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .map { r =>
+        val rev = BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        (brand(r.getLong(0)), day(r.getAs[java.sql.Timestamp](1)), rev)
+      }
+    val d0 = li.map(_._2).min; val d1 = li.map(_._2).max
+    val dMid = d0 + (d1 - d0 + 1) / 2
+    val byBrand = li.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.filter(_._2 < dMid).map(_._3).sum * 10000)
+              .setScale(0, BigDecimal.RoundingMode.DOWN).toLong,
+            (xs.filter(_._2 >= dMid).map(_._3).sum * 10000)
+              .setScale(0, BigDecimal.RoundingMode.DOWN).toLong)
+    }
+    val brands = byBrand.keys.toSeq.sorted
+    val prods = for {
+      i <- brands.indices; j <- (i + 1) until brands.length
+    } yield {
+      val (r1a, r2a) = byBrand(brands(i)); val (r1b, r2b) = byBrand(brands(j))
+      java.lang.Long.signum(r1a - r1b) * java.lang.Long.signum(r2a - r2b)
+    }
+    val row = graft.queries.Warehouse.qBrandRankTau(spark, sf).head()
+    assert(row.getAs[Long]("n_pairs") === prods.length.toLong)
+    assert(row.getAs[Long]("concordant") === prods.count(_ > 0).toLong)
+    assert(row.getAs[Long]("discordant") === prods.count(_ < 0).toLong)
+    assert(row.getAs[Long]("ties") === prods.count(_ == 0).toLong)
+    val tau = (prods.count(_ > 0) - prods.count(_ < 0)).toDouble / prods.length
+    assert(row.getAs[Double]("tau") === tau)
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(row.getAs[Long]("concordant") + row.getAs[Long]("discordant") +
+      row.getAs[Long]("ties") === row.getAs[Long]("n_pairs"))
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

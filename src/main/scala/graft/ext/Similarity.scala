@@ -1331,6 +1331,155 @@ object Similarity {
        |WHERE rn <= $topK ORDER BY q_id, adc_dist, vec_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // IVF-PQ: coarse cells + product-quantized RESIDUALS (the FAISS index)
+  // ------------------------------------------------------------------
+
+  /** IVF-PQ with residual quantization — the composition production ANN
+    * indexes actually ship (FAISS `IVFPQ`): every vector is assigned to
+    * its nearest coarse cell ([[probeCells]] against the broadcast
+    * quantizer), the RESIDUAL v − centroid(cell) is what gets
+    * PQ-compressed (residuals are centered and small, so the same code
+    * budget spends its precision where the data is — the reason IVFPQ
+    * beats flat PQ at equal bytes), and a query scans only its own
+    * cell's candidates by ADC against its own residual. [[qEmbAnnIvf]]
+    * is the cell-pruning half, [[qEmbPqAdc]] the compression half; this
+    * is the joint structure, cell-equi-joined so no candidate outside
+    * the probed cell is ever scored.
+    *
+    * Determinism: the coarse assignment is [[probeCells]]' (distance,
+    * cell) argmin; residuals subtract sequential-fold centroid means
+    * (identical doubles both engines); the residual codebook is
+    * [[pqCodebookOf]] on the residual frame (per-label subspace means —
+    * deterministic stand-in for per-subspace k-means, the [[pqM]]
+    * geometry); encode/ADC reuse the PQ folds (subspace dots
+    * element-ordered, ADC summed s = 0..m−1, argmin/top-k integer
+    * tiebreaks). NOTE on the stand-in: because the coarse cells here ARE
+    * the label centroids, per-label residual means sit near zero — the
+    * codebook demonstrates the exact STRUCTURE (and NewOpsSpec asserts
+    * the ADC identity: scored distance ≡ L2 to the decoded residual),
+    * but retrieval quality needs the production step of training
+    * per-subspace k-means on residuals ([[kmeans]]); the recall audit
+    * arms ([[qEmbAnnRecall]]) apply to that index unchanged.
+    *
+    * Scale (100 TB): assignment and encode are broadcast-probe NARROW
+    * (zero corpus exchange — the [[probeCells]]/[[pqCodesExpr]]
+    * discipline); the residual subtraction is one broadcast join on the
+    * ≤k-row cell table; the only corpus-keyed exchange is the vec_id
+    * label rejoin and the final cell-equi probe (bounded by cell size);
+    * the top-k is the [[graft.plans.TopKPerKey]] heap. At write time
+    * the codes (4 bytes) and cell id are stored next to the vectors and
+    * the scan never reads raw embeddings — the 64× byte reduction plus
+    * cell pruning that makes 100 TB ANN serveable.
+    */
+  def qEmbIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val embRaw = Tables.embeddings(spark, sfDir)
+    val emb = embRaw
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    // THIS call owns both persists: the quantizer feeds assignment and the
+    // residual-centroid derivation; the residual codebook feeds encode and
+    // the query distance tables.
+    val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    centArr.count()
+    val cellVec = centArr
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.c_label").as("cell"), col("c.cv").as("cv64"))
+    val resid = probeCells(emb, centArr, 1)
+      .join(broadcast(cellVec), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(e, cv64, (a, b) -> a - b)").as("embedding"))
+      .join(embRaw.select(col("vec_id"), col("label")), "vec_id")
+    val rcb = pqCodebookOf(resid).persist()
+    rcb.count()
+    val cand = resid.filter(col("vec_id") >= nQueryVecs)
+      .select(col("vec_id"), col("cell"), col("embedding").as("e"))
+      .crossJoin(broadcast(rcb))
+      .select(col("vec_id"), col("cell"), expr(pqCodesExpr).as("codes"))
+    val q = resid.filter(col("vec_id") < nQueryVecs)
+      .select(col("vec_id"), col("cell"), col("embedding").as("e"))
+      .crossJoin(broadcast(rcb))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), expr(
+        s"transform(cb, c -> named_struct('s', c.s, 'code', c.code, 'd'," +
+          s" ${dotExpr(s"slice(e, c.s * $pqSub + 1, $pqSub)", s"slice(e, c.s * $pqSub + 1, $pqSub)")}" +
+          s" - 2 * ${dotExpr(s"slice(e, c.s * $pqSub + 1, $pqSub)", "c.cv")} + c.cc))")
+        .as("dtab"))
+    val scored = cand.join(broadcast(q), col("q_cell") === col("cell"))
+      .select(col("q_id"), col("vec_id"), col("cell"), expr(
+        s"aggregate(sequence(0, ${pqM - 1}), cast(0 as double), (acc, s) -> acc +" +
+          s" element_at(filter(dtab, t -> t.s = s AND t.code = element_at(codes, s + 1)), 1).d)")
+        .as("adc_dist"))
+    graft.functions.GraftOps.topKPerKey(scored,
+        keys = Seq("q_id"), order = Seq(("adc_dist", false), ("vec_id", false)), k = topK)
+      .orderBy(col("q_id"), col("adc_dist"), col("vec_id"))
+  }
+
+  val qEmbIvfPqSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, label, v, c_label AS cell, cv,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |resid AS (
+       |  SELECT vec_id, label, cell,
+       |    list_transform(range(1, ${embDim + 1}), i -> v[i] - cv[i]) AS r
+       |  FROM assigned WHERE rn = 1
+       |),
+       |rcl AS (
+       |  SELECT label, i,
+       |    list_reduce(list(r[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+       |  FROM resid, (SELECT unnest(generate_series(1, $embDim)) AS i) pos
+       |  GROUP BY label, i
+       |),
+       |rcent AS (SELECT label AS code, list(c ORDER BY i) AS cv64 FROM rcl GROUP BY label),
+       |sub AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS s),
+       |rcb AS (
+       |  SELECT s, code, list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub) AS cv,
+       |    list_dot_product(list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub),
+       |                     list_slice(cv64, s * $pqSub + 1, s * $pqSub + $pqSub)) AS cc
+       |  FROM rcent, sub
+       |),
+       |enc AS (
+       |  SELECT vec_id, cell, s, code,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |  FROM (
+       |    SELECT resid.vec_id, resid.cell, rcb.s, rcb.code,
+       |      list_dot_product(list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub),
+       |                       list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub))
+       |        - 2 * list_dot_product(list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub), rcb.cv)
+       |        + rcb.cc AS d
+       |    FROM resid, rcb
+       |    WHERE resid.vec_id >= $nQueryVecs
+       |  )
+       |),
+       |codes AS (SELECT vec_id, cell, s, code FROM enc WHERE rn = 1),
+       |dtab AS (
+       |  SELECT resid.vec_id AS q_id, resid.cell AS q_cell, rcb.s, rcb.code,
+       |    list_dot_product(list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub),
+       |                     list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub))
+       |      - 2 * list_dot_product(list_slice(r, rcb.s * $pqSub + 1, rcb.s * $pqSub + $pqSub), rcb.cv)
+       |      + rcb.cc AS d
+       |  FROM resid, rcb
+       |  WHERE resid.vec_id < $nQueryVecs
+       |),
+       |adc AS (
+       |  SELECT q_id, codes.vec_id, codes.cell,
+       |    list_reduce(list(dtab.d ORDER BY dtab.s), (a, b) -> a + b) AS adc_dist
+       |  FROM codes JOIN dtab ON dtab.s = codes.s AND dtab.code = codes.code
+       |    AND dtab.q_cell = codes.cell
+       |  GROUP BY q_id, codes.vec_id, codes.cell
+       |),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cell, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+       |  FROM adc
+       |)
+       |SELECT q_id, vec_id, cell, adc_dist FROM ranked
+       |WHERE rn <= $topK ORDER BY q_id, adc_dist, vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // k-means: one distributed Lloyd iteration over the embedding corpus
   // ------------------------------------------------------------------
 

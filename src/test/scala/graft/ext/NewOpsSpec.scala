@@ -4226,6 +4226,94 @@ class NewOpsSpec extends SparkSuite {
       row.getAs[Long]("ties") === row.getAs[Long]("n_pairs"))
   }
 
+  test("ivfpq: bit-exact residual-quantization replay of the full chain") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def centroidsOf(vs: Seq[(Long, Int, Array[Double])]): Map[Int, Array[Double]] =
+      vs.groupBy(_._2).map { case (l, xs) =>
+        val s = xs.sortBy(_._1)
+        l -> Array.tabulate(64)(i =>
+          s.map(_._3(i)).foldLeft(0.0)(_ + _) / s.length)
+      }
+    val cents = centroidsOf(embs.toSeq)
+    def assign(e: Array[Double]): Int = {
+      val ee = dotSeq(e, e)
+      cents.toSeq.map { case (l, cv) =>
+        ((ee - 2 * dotSeq(e, cv)) + dotSeq(cv, cv), l)
+      }.minBy(identity)._2
+    }
+    val resid = embs.map { case (id, l, e) =>
+      val cell = assign(e)
+      (id, l, cell, e.zip(cents(cell)).map { case (a, b) => a - b })
+    }
+    val rcents = centroidsOf(resid.map(r => (r._1, r._2, r._4)).toSeq)
+    val codesOf = rcents.keys.toSeq.sorted
+    def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * 16, s * 16 + 16)
+    def encode(r: Array[Double]): Array[Int] =
+      Array.tabulate(4) { s =>
+        val rs = sub(r, s)
+        codesOf.map { c =>
+          val cv = sub(rcents(c), s)
+          ((dotSeq(rs, rs) - 2 * dotSeq(rs, cv)) + dotSeq(cv, cv), c)
+        }.minBy(identity)._2
+      }
+    val k = Similarity.topK
+    val queries = resid.filter(_._1 < Similarity.nQueryVecs)
+    val cands = resid.filter(_._1 >= Similarity.nQueryVecs)
+      .map(r => (r._1, r._3, encode(r._4)))
+    val expected = queries.flatMap { case (qid, _, qCell, qr) =>
+      val dtab = Array.tabulate(4)(s => codesOf.map { c =>
+        val rs = sub(qr, s); val cv = sub(rcents(c), s)
+        c -> ((dotSeq(rs, rs) - 2 * dotSeq(rs, cv)) + dotSeq(cv, cv))
+      }.toMap)
+      cands.filter(_._2 == qCell).map { case (cid, cell, codes) =>
+        val adc = (0 until 4).foldLeft(0.0)((acc, s) => acc + dtab(s)(codes(s)))
+        (qid, cid, cell.toLong, adc)
+      }.sortBy(x => (x._4, x._2)).take(k)
+    }
+    val rows = Similarity.qEmbIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Number]("cell").longValue, r.getAs[Double]("adc_dist")))
+    assert(rows.length === expected.length)
+    rows.sortBy(x => (x._1, x._4, x._2))
+      .zip(expected.sortBy(x => (x._1, x._4, x._2))).foreach { case (got, want) =>
+        assert(got === want)
+      }
+    // cell membership agrees with the exact same-cell candidate sets
+    queries.foreach { case (qid, _, qCell, _) =>
+      val qe = embs.find(_._1 == qid).get._3
+      val exact = resid.filter(r => r._1 >= Similarity.nQueryVecs && r._3 == qCell)
+        .map { r =>
+          val ce = embs.find(_._1 == r._1).get._3
+          val d = qe.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum
+          (r._1, d)
+        }.sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
+      val got = rows.filter(_._1 == qid).map(_._2).toSet
+      // a query alone in its cell legitimately retrieves nothing (nprobe=1)
+      assert(got.isEmpty === exact.isEmpty,
+        s"query $qid: IVFPQ and exact disagree on same-cell candidate existence")
+    }
+    // the ADC identity: the scored distance IS the exact L2 between the
+    // query residual and the DECODED candidate residual (up to float
+    // association) — the defining property of asymmetric distance
+    // computation, independent of codebook quality
+    rows.foreach { case (qid, cid, _, adc) =>
+      val qr = queries.find(_._1 == qid).get._4
+      val codes = cands.find(_._1 == cid).get._3
+      val recon = (0 until 4).map { s =>
+        val qs = sub(qr, s); val cv = sub(rcents(codes(s)), s)
+        qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(math.abs(adc - recon) <= 1e-9 * math.max(1.0, math.abs(recon)),
+        s"ADC($qid,$cid)=$adc vs reconstruction distance $recon")
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

@@ -6113,6 +6113,238 @@ object Analytics {
        |ORDER BY cause, eff""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Mann-Whitney U: rank-sum location-shift test (tie-corrected)
+  // ------------------------------------------------------------------
+
+  /** MANN-WHITNEY U rank-sum test per event type — the location-shift
+    * companion to [[qEventKsDrift]]: over the same day-span midpoint
+    * split, ranks the pooled values and asks whether one period's
+    * values are SYSTEMATICALLY larger (KS reacts to any CDF difference;
+    * U is the sharper test when the alternative is "the level moved").
+    * Normal approximation with the FULL tie correction — event values
+    * repeat heavily at 4 decimals, and the uncorrected variance
+    * overstates σ and hides real shifts.
+    *
+    * Exactness: ranks never exist as fractions — DOUBLED midranks
+    * 2·rank(v) = 2·(# strictly smaller) + (t_v + 1) are exact BIGINTs
+    * off one cumulative window over the distinct-value frame; 2R₁ and
+    * 2U₁ = 2n₁n₂ + n₁(n₁+1) − 2R₁ stay integers; the tie term
+    * Σ(t³ − t) is an exact BIGINT aggregate (int64-safe to n ~ 2·10⁶
+    * per type; past that widen the cubes). The closing
+    * z = (U₁ − n₁n₂/2)/σ evaluates one fixed-shape double expression
+    * over those exact integers.
+    *
+    * Scale (100 TB): identical shape to the KS scan — one (type, value)
+    * pre-aggregate (map-side combined), one type-partitioned window
+    * over distinct values, |types|-row rollup.
+    */
+  def qEventMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"),
+        (dec($"value") * 10000).cast("long").as("v4"))
+    val span = ev.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select(($"d0" + expr("(d1 - d0 + 1) div 2")).as("d_mid"))
+    val perValue = ev.crossJoin(broadcast(span))
+      .groupBy($"event_type", $"v4")
+      .agg(sum(when($"dn" < $"d_mid", 1L).otherwise(0L)).as("a1"),
+        sum(when($"dn" < $"d_mid", 0L).otherwise(1L)).as("a2"))
+      .withColumn("t", $"a1" + $"a2")
+    val w = Window.partitionBy($"event_type").orderBy($"v4")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = perValue
+      .select($"event_type", $"a1", $"a2", $"t",
+        (lit(2L) * (sum($"t").over(w) - $"t") + ($"t" + 1L)).as("rank2"))
+    val agg = ranked.groupBy($"event_type")
+      .agg(sum($"a1").as("n1"), sum($"a2").as("n2"),
+        sum($"a1" * $"rank2").as("r2sum"),
+        sum($"t" * $"t" * $"t" - $"t").as("ties3"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .withColumn("n", $"n1" + $"n2")
+      .withColumn("u2",
+        lit(2L) * $"n1" * $"n2" + $"n1" * ($"n1" + 1L) - $"r2sum")
+    val sigma = sqrt(
+      (($"n1".cast("double") * $"n2".cast("double")) *
+        ((($"n".cast("double") * $"n".cast("double") * $"n".cast("double")) -
+          $"n".cast("double")) - $"ties3".cast("double"))) /
+        (lit(12.0) * $"n".cast("double") * ($"n".cast("double") - 1.0)))
+    val z = (($"u2".cast("double") - $"n1".cast("double") * $"n2".cast("double")) /
+      2.0) / sigma
+    agg
+      .filter(sigma > 0.0)
+      .select($"event_type", $"n1".as("n_ref"), $"n2".as("n_cur"),
+        $"u2".as("u1_doubled"), $"ties3".as("tie_term"),
+        z.as("z_stat"), (abs(z) > 1.96).as("shifted"))
+      .orderBy($"event_type")
+  }
+
+  val qEventMannWhitneySql: String = {
+    val sigma =
+      """sqrt(((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
+        |      (((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+        |        CAST(n AS DOUBLE)) - CAST(ties3 AS DOUBLE))) /
+        |     (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))""".stripMargin
+    val z = s"((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0) / $sigma"
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+       |  FROM events
+       |),
+       |span AS (SELECT min(dn) + (max(dn) - min(dn) + 1) // 2 AS d_mid FROM ev),
+       |per_value AS (
+       |  SELECT event_type, v4,
+       |    CAST(sum(CASE WHEN dn < d_mid THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+       |    CAST(sum(CASE WHEN dn < d_mid THEN 0 ELSE 1 END) AS BIGINT) AS a2,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM ev CROSS JOIN span
+       |  GROUP BY event_type, v4
+       |),
+       |ranked AS (
+       |  SELECT event_type, a1, a2, t,
+       |    2 * (sum(t) OVER (PARTITION BY event_type ORDER BY v4
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) +
+       |      (t + 1) AS rank2
+       |  FROM per_value
+       |),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(sum(a1) AS BIGINT) AS n1, CAST(sum(a2) AS BIGINT) AS n2,
+       |    CAST(sum(a1) + sum(a2) AS BIGINT) AS n,
+       |    CAST(2 * sum(a1) * sum(a2) + sum(a1) * (sum(a1) + 1) -
+       |      sum(a1 * rank2) AS BIGINT) AS u2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS ties3
+       |  FROM ranked GROUP BY event_type
+       |  HAVING sum(a1) > 0 AND sum(a2) > 0
+       |)
+       |SELECT event_type, n1 AS n_ref, n2 AS n_cur, u2 AS u1_doubled,
+       |  ties3 AS tie_term, $z AS z_stat, abs($z) > 1.96 AS shifted
+       |FROM agg
+       |WHERE $sigma > 0.0
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // CUSUM: the online sequential mean-shift detector
+  // ------------------------------------------------------------------
+
+  /** CUSUM slack as a fraction of the baseline mean (mean/20 = 5%) and
+    * the alarm threshold as a multiple of the baseline mean (5×).
+    * Literal RHS `final` per the init-cycle rule.
+    */
+  final val cusumSlackDiv = 20L
+  final val cusumThreshMult = 5L
+
+  /** ONE-SIDED CUSUM over daily event counts — the ONLINE sequential
+    * detector that completes the monitoring triptych: [[qEventSpc]]
+    * flags pointwise/runs violations, [[qEventChangepoint]] finds the
+    * largest shift retrospectively; CUSUM accumulates small persistent
+    * upward drift S_t = max(0, S_{t−1} + (x_t − μ − slack)) and alarms
+    * the FIRST day the statistic crosses the threshold — the detector
+    * with the shortest average run length to a real sustained shift,
+    * which is why industrial monitoring runs it next to the Shewhart
+    * chart. Baseline μ from the first 6/10 of the day span (the SPC
+    * split); slack = μ/[[cusumSlackDiv]]; alarm at
+    * S_t > [[cusumThreshMult]]·μ.
+    *
+    * Exactness: the recursion runs in nb·[[cusumSlackDiv]]-SCALED
+    * INTEGERS — per-day increment d_t = 20·nb·x_t − 21·S (exact
+    * BIGINTs; μ and the 5% slack never exist as doubles) — and the
+    * recursive max(0, ·) fold is ELIMINATED via the classical
+    * prefix-minimum identity S_t = P_t − min_{0≤j≤t} P_j (P = running
+    * sum of d): two cumulative windows replace sequential state, every
+    * value stays an exact BIGINT, and the alarm compare
+    * S_t > 100·nb·μ_scaled ≡ S_t > 100·S is integer. Int64-safe to
+    * ~10⁸ events/day/type over ~10³ monitor days; widen past that.
+    *
+    * Scale (100 TB): the corpus collapses to |types|×|days| once; the
+    * prefix windows partition by type over that metadata-sized daily
+    * frame — no per-key array state at all (the window form
+    * distributes where a collect-and-fold would hold each key's whole
+    * history in one row).
+    */
+  def qEventCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select(($"d0" + expr(
+        s"((d1 - d0 + 1) * $spcBaseNum) div $spcBaseDen")).as("d_cut"))
+    val cut = daily.crossJoin(broadcast(span))
+    val base = cut.filter($"dn" < $"d_cut")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("nb"), sum($"x").as("s"))
+      .filter($"nb" >= 1 && $"s" > 0)
+    // d_t = 20·nb·x − 21·S  (x − μ − μ/20, scaled by 20·nb); threshold 100·S.
+    // S_t = max(0, S_{t−1} + d_t) unrolls to P_t − min(0, min_{j≤t} P_j).
+    val wCum = Window.partitionBy($"event_type").orderBy($"dn")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val st = cut.filter($"dn" >= $"d_cut")
+      .join(broadcast(base), "event_type")
+      .select($"event_type", $"dn", $"s",
+        (lit(cusumSlackDiv) * $"nb" * $"x" -
+          lit(cusumSlackDiv + 1) * $"s").as("d"))
+      .select($"event_type", $"dn", $"s", sum($"d").over(wCum).as("p"))
+      .select($"event_type", $"dn", $"s",
+        ($"p" - least(lit(0L), min($"p").over(wCum))).as("s_t"))
+    st.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_mon"), max($"s_t").as("peak_scaled"),
+        coalesce(min(when($"s_t" > lit(cusumThreshMult * cusumSlackDiv) * $"s",
+          $"dn")), lit(-1L)).as("alarm_day"))
+      .select($"event_type", $"n_mon", $"peak_scaled", $"alarm_day",
+        ($"alarm_day" >= 0).as("alarmed"))
+      .orderBy($"event_type")
+  }
+
+  val qEventCusumSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY event_type, dn
+       |),
+       |span AS (
+       |  SELECT min(dn) + ((max(dn) - min(dn) + 1) * $spcBaseNum) // $spcBaseDen
+       |    AS d_cut FROM daily
+       |),
+       |base AS (
+       |  SELECT event_type, count(*) AS nb, CAST(sum(x) AS BIGINT) AS s
+       |  FROM daily CROSS JOIN span WHERE dn < d_cut
+       |  GROUP BY event_type HAVING count(*) >= 1 AND sum(x) > 0
+       |),
+       |mon AS (
+       |  SELECT daily.event_type, dn, s,
+       |    $cusumSlackDiv * nb * x - ${cusumSlackDiv + 1} * s AS d
+       |  FROM daily CROSS JOIN span
+       |  JOIN base ON base.event_type = daily.event_type
+       |  WHERE dn >= d_cut
+       |),
+       |prefixed AS (
+       |  SELECT event_type, dn, s,
+       |    sum(d) OVER (PARTITION BY event_type ORDER BY dn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM mon
+       |),
+       |st AS (
+       |  SELECT event_type, dn, s,
+       |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY dn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_t
+       |  FROM prefixed
+       |)
+       |SELECT event_type, count(*) AS n_mon,
+       |  CAST(max(s_t) AS BIGINT) AS peak_scaled,
+       |  CAST(coalesce(min(CASE WHEN s_t > ${cusumThreshMult * cusumSlackDiv} * s
+       |    THEN dn END), -1) AS BIGINT) AS alarm_day,
+       |  coalesce(min(CASE WHEN s_t > ${cusumThreshMult * cusumSlackDiv} * s
+       |    THEN dn END), -1) >= 0 AS alarmed
+       |FROM st
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6212,6 +6444,8 @@ object Analytics {
     "q_event_records" -> ((qEventRecords _, qEventRecordsSql)),
     "q_event_haar_energy" -> ((qEventHaarEnergy _, qEventHaarEnergySql)),
     "q_event_granger" -> ((qEventGranger _, qEventGrangerSql)),
+    "q_event_mannwhitney" -> ((qEventMannWhitney _, qEventMannWhitneySql)),
+    "q_event_cusum" -> ((qEventCusum _, qEventCusumSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

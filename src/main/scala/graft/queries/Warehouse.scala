@@ -2787,6 +2787,132 @@ object Warehouse {
       |    ELSE CAST(0.0 AS DOUBLE) END AS tau
       |FROM pairs""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bullwhip ratio: demand-to-fulfilment variance amplification
+  // ------------------------------------------------------------------
+
+  /** BULLWHIP RATIO per market segment — the Lee/Padmanabhan/Whang
+    * supply-chain diagnostic: compare the variability of weekly DEMAND
+    * (order value by order date) against weekly FULFILMENT (shipped
+    * line revenue by ship date) as squared coefficients of variation,
+    * both over the SAME global week grid including zero weeks. A ratio
+    * far above 1 says fulfilment is burstier than the demand driving
+    * it — batching/campaign amplification, the bullwhip mechanism — and
+    * which segment amplifies tells planners where order batching lives.
+    * The flow sibling of [[qPartAbcXyz]]'s XYZ class: XYZ grades each
+    * part's demand noise, bullwhip grades the SYSTEM's response to it.
+    *
+    * Exactness: weekly series are exact whole-DOLLAR BIGINTs (floor of
+    * the DECIMAL sums — dollars, not cents, keep Σw² inside int64 at
+    * sf0.1-scale weekly magnitudes; widen past ~10⁹-dollar weeks);
+    * moments are exact; each CV² = W(WQ−S²)/(S²(W−1)) and the ratio
+    * evaluate one fixed-shape double expression over those exact
+    * integers — identical in both engines. Zero-demand guards excluded
+    * segments rather than divided.
+    *
+    * Scale (100 TB): two (segment, week) partial aggregates (orders;
+    * lineitem joined to orders for the segment key — one orderkey
+    * exchange), then a |segments|-row join. The week grid is a 1-row
+    * broadcast.
+    */
+  def qSegBullwhip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seg = broadcast(Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment"))
+    val placed = Tables.orders(spark, sfDir)
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        datediff(to_date($"o_orderdate".cast("timestamp")), lit("1970-01-01"))
+          .cast("long").as("dn"),
+        $"o_totalprice".cast(DecimalType(18, 4)).as("v"))
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+    val shipped = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"),
+        rev.as("v"))
+    val span = placed.select($"dn")
+      .unionAll(shipped.select($"dn"))
+      .agg(min($"dn").as("d0"), max($"dn").as("d1"))
+      .select($"d0", (expr(s"(d1 - d0) div $xyzWeekDays") + 1).as("n_weeks"))
+    def weeklyMoments(src: DataFrame): DataFrame = src
+      .crossJoin(broadcast(span))
+      .groupBy($"seg", expr(s"(dn - d0) div $xyzWeekDays").as("wk"))
+      .agg(floor(sum($"v")).cast("long").as("wd"), max($"n_weeks").as("n_weeks"))
+      .groupBy($"seg")
+      .agg(sum($"wd").as("s"), sum($"wd" * $"wd").as("q"),
+        max($"n_weeks").as("w"))
+    def cv2(s: Column, q: Column, w: Column): Column =
+      ((w.cast("double") * q.cast("double") - s.cast("double") * s.cast("double")) *
+        w.cast("double")) /
+        ((s.cast("double") * s.cast("double")) * (w.cast("double") - 1.0))
+    val p = weeklyMoments(placed)
+      .select($"seg", $"s".as("sp"), $"q".as("qp"), $"w")
+    val sh = weeklyMoments(shipped)
+      .select($"seg".as("seg2"), $"s".as("ss"), $"q".as("qs"))
+    p.join(sh, $"seg" === $"seg2")
+      .filter($"sp" > 0 && $"ss" > 0 && $"w" >= 2)
+      .select($"seg".as("c_mktsegment"),
+        $"w".as("n_weeks"), $"sp".as("demand_dollars"), $"ss".as("shipped_dollars"),
+        cv2($"sp", $"qp", $"w").as("cv2_demand"),
+        cv2($"ss", $"qs", $"w").as("cv2_fulfilment"),
+        (cv2($"ss", $"qs", $"w") / cv2($"sp", $"qp", $"w")).as("bullwhip_ratio"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qSegBullwhipSql: String = {
+    def cv2(s: String, q: String): String =
+      s"""(((CAST(w AS DOUBLE) * CAST($q AS DOUBLE) -
+         |  CAST($s AS DOUBLE) * CAST($s AS DOUBLE)) * CAST(w AS DOUBLE)) /
+         |  ((CAST($s AS DOUBLE) * CAST($s AS DOUBLE)) * (CAST(w AS DOUBLE) - 1.0)))""".stripMargin
+    s"""WITH placed AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(o_totalprice AS DECIMAL(18,4)) AS v
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |),
+       |shipped AS (
+       |  SELECT c_mktsegment AS seg,
+       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |),
+       |span AS (
+       |  SELECT min(dn) AS d0, (max(dn) - min(dn)) // $xyzWeekDays + 1 AS n_weeks
+       |  FROM (SELECT dn FROM placed UNION ALL SELECT dn FROM shipped)
+       |),
+       |pm AS (
+       |  SELECT seg, CAST(sum(wd) AS BIGINT) AS sp,
+       |    CAST(sum(wd * wd) AS BIGINT) AS qp, max(n_weeks) AS w
+       |  FROM (
+       |    SELECT seg, (dn - d0) // $xyzWeekDays AS wk,
+       |      CAST(floor(sum(v)) AS BIGINT) AS wd, max(n_weeks) AS n_weeks
+       |    FROM placed CROSS JOIN span GROUP BY seg, wk)
+       |  GROUP BY seg
+       |),
+       |sm AS (
+       |  SELECT seg, CAST(sum(wd) AS BIGINT) AS ss,
+       |    CAST(sum(wd * wd) AS BIGINT) AS qs
+       |  FROM (
+       |    SELECT seg, (dn - d0) // $xyzWeekDays AS wk,
+       |      CAST(floor(sum(v)) AS BIGINT) AS wd
+       |    FROM shipped CROSS JOIN span GROUP BY seg, wk)
+       |  GROUP BY seg
+       |)
+       |SELECT pm.seg AS c_mktsegment, w AS n_weeks,
+       |  sp AS demand_dollars, ss AS shipped_dollars,
+       |  ${cv2("sp", "qp")} AS cv2_demand,
+       |  ${cv2("ss", "qs")} AS cv2_fulfilment,
+       |  ${cv2("ss", "qs")} / ${cv2("sp", "qp")} AS bullwhip_ratio
+       |FROM pm JOIN sm ON sm.seg = pm.seg
+       |WHERE sp > 0 AND ss > 0 AND w >= 2
+       |ORDER BY c_mktsegment""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -2819,6 +2945,7 @@ object Warehouse {
     "q_brand_return_rate" -> ((qBrandReturnRate _, qBrandReturnRateSql)),
     "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql)),
     "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql)),
-    "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql))
+    "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql)),
+    "q_seg_bullwhip" -> ((qSegBullwhip _, qSegBullwhipSql))
   )
 }

@@ -4314,6 +4314,156 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("mann-whitney: doubled-midrank replay; tie term; z algebra") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), day(r.getAs[java.sql.Timestamp](1)),
+        (BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLong))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val dMid = d0 + (d1 - d0 + 1) / 2
+    val expected = ev.groupBy(_._1).flatMap { case (t, xs) =>
+      val byV = xs.groupBy(_._3).map { case (v, ys) =>
+        (v, ys.count(_._2 < dMid).toLong, ys.count(_._2 >= dMid).toLong)
+      }.toSeq.sortBy(_._1)
+      val n1 = byV.map(_._2).sum; val n2 = byV.map(_._3).sum
+      if (n1 == 0 || n2 == 0) None
+      else {
+        var cum = 0L
+        var r2sum = 0L; var ties3 = 0L
+        byV.foreach { case (_, a1, a2) =>
+          val tt = a1 + a2
+          val rank2 = 2 * cum + (tt + 1)
+          r2sum += a1 * rank2; ties3 += tt * tt * tt - tt; cum += tt
+        }
+        val n = n1 + n2
+        val u2 = 2 * n1 * n2 + n1 * (n1 + 1) - r2sum
+        val sigma = math.sqrt(((n1.toDouble * n2.toDouble) *
+          (((n.toDouble * n.toDouble * n.toDouble) - n.toDouble) - ties3.toDouble)) /
+          (12.0 * n.toDouble * (n.toDouble - 1.0)))
+        if (sigma <= 0.0) None
+        else Some(t -> (n1, n2, u2, ties3,
+          ((u2.toDouble - n1.toDouble * n2.toDouble) / 2.0) / sigma))
+      }
+    }
+    val rows = Analytics.qEventMannWhitney(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n1, n2, u2, ties3, z) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_ref") === n1)
+      assert(r.getAs[Long]("n_cur") === n2)
+      assert(r.getAs[Long]("u1_doubled") === u2)
+      assert(r.getAs[Long]("tie_term") === ties3)
+      assert(r.getAs[Double]("z_stat") === z)
+      assert(r.getAs[Boolean]("shifted") === (math.abs(z) > 1.96))
+      assert(u2 >= 0 && u2 <= 2 * n1 * n2, "2U1 within its range")
+    }
+  }
+
+  test("cusum: scaled-integer fold replay; alarm day is the first crossing") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), day(r.getAs[java.sql.Timestamp](1))))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val dCut = d0 + ((d1 - d0 + 1) * Analytics.spcBaseNum) / Analytics.spcBaseDen
+    val expected = daily.groupBy(_._1).flatMap { case (t, xs) =>
+      val s = xs.filter(_._2 < dCut).map(_._3).sum
+      if (xs.count(_._2 < dCut) < 1 || s <= 0) None
+      else {
+        val nb = xs.count(_._2 < dCut).toLong
+        val mon = xs.filter(_._2 >= dCut).sortBy(_._2)
+        var acc = 0L; var peak = 0L; var alarm = -1L
+        mon.foreach { case (_, dn, x) =>
+          val d = Analytics.cusumSlackDiv * nb * x -
+            (Analytics.cusumSlackDiv + 1) * s
+          acc = math.max(0L, acc + d)
+          peak = math.max(peak, acc)
+          if (alarm < 0 &&
+            acc > Analytics.cusumThreshMult * Analytics.cusumSlackDiv * s)
+            alarm = dn
+        }
+        Some(t -> (mon.length.toLong, peak, alarm))
+      }
+    }
+    val rows = Analytics.qEventCusum(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nm, peak, alarm) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_mon") === nm)
+      assert(r.getAs[Long]("peak_scaled") === peak)
+      assert(r.getAs[Long]("alarm_day") === alarm)
+      assert(r.getAs[Boolean]("alarmed") === (alarm >= 0))
+      assert(peak >= 0L)
+    }
+  }
+
+  test("bullwhip: weekly dollar moments replay; CV2 algebra; ratio consistency") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val segOf = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderCust = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), day(r.getAs[java.sql.Timestamp](2))))
+      .toMap
+    val placed = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp"),
+        col("o_totalprice")).collect()
+      .map(r => (segOf(r.getLong(0)), day(r.getAs[java.sql.Timestamp](1)),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val shipped = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .map { r =>
+        val (ck, _) = orderCust(r.getLong(0))
+        val rev = BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        (segOf(ck), day(r.getAs[java.sql.Timestamp](1)), rev)
+      }
+    val dAll = placed.map(_._2) ++ shipped.map(_._2)
+    val dd0 = dAll.min
+    val w = (dAll.max - dd0) / graft.queries.Warehouse.xyzWeekDays + 1
+    def moments(src: Seq[(String, Long, BigDecimal)]): Map[String, (Long, Long)] =
+      src.groupBy(_._1).map { case (sg, xs) =>
+        val weekly = xs.groupBy(x => (x._2 - dd0) / graft.queries.Warehouse.xyzWeekDays)
+          .map { case (_, ys) =>
+            ys.map(_._3).sum.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong }
+        sg -> (weekly.sum, weekly.map(x => x * x).sum)
+      }
+    def cv2(s: Long, q: Long): Double =
+      ((w.toDouble * q.toDouble - s.toDouble * s.toDouble) * w.toDouble) /
+        ((s.toDouble * s.toDouble) * (w.toDouble - 1.0))
+    val pm = moments(placed.toSeq); val sm = moments(shipped.toSeq)
+    val rows = graft.queries.Warehouse.qSegBullwhip(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("c_mktsegment")).toSet ===
+      pm.keySet.intersect(sm.keySet).filter(k => pm(k)._1 > 0 && sm(k)._1 > 0))
+    rows.foreach { r =>
+      val sg = r.getAs[String]("c_mktsegment")
+      val (sp, qp) = pm(sg); val (ss, qs) = sm(sg)
+      assert(r.getAs[Long]("n_weeks") === w)
+      assert(r.getAs[Long]("demand_dollars") === sp)
+      assert(r.getAs[Long]("shipped_dollars") === ss)
+      assert(r.getAs[Double]("cv2_demand") === cv2(sp, qp))
+      assert(r.getAs[Double]("cv2_fulfilment") === cv2(ss, qs))
+      assert(r.getAs[Double]("bullwhip_ratio") === cv2(ss, qs) / cv2(sp, qp))
+      assert(r.getAs[Double]("cv2_demand") >= 0.0)
+      assert(r.getAs[Double]("cv2_fulfilment") >= 0.0)
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

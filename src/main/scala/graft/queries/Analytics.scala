@@ -6345,6 +6345,154 @@ object Analytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Hurst exponent: rescaled-range long-memory estimate
+  // ------------------------------------------------------------------
+
+  /** R/S window sizes (octaves 4..16 observed days — the smallest SF
+    * ships 30 observed days per type, so 16 is the largest full block
+    * everywhere). Kept as a Seq for
+    * iteration; every use below interpolates the literal ints into plan
+    * constants (the [[graft.ext.Similarity.sweepNprobes]] precedent —
+    * never referenced from a top-level SQL val's initializer).
+    */
+  final val hurstNs: Seq[Int] = Seq(4, 8, 16)
+
+  /** floor(ln 2 · 10⁶): the octave divisor of the quantized-log Hurst
+    * slope. Literal RHS `final` per the init-cycle rule.
+    */
+  final val ln2Micro = 693147L
+
+  /** HURST EXPONENT by rescaled-range analysis (Hurst/Mandelbrot) of
+    * each event type's daily value series — the LONG-MEMORY diagnostic
+    * the monitoring family still lacks: H ≈ 0.5 says increments are
+    * memoryless (yesterday tells you nothing), H → 1 says persistent
+    * trends (overshoots compound — smooth aggressively), H < 0.5 says
+    * mean-reverting. Method: for window n ∈ 4,8,16 observed days,
+    * split the series into full n-day blocks, compute the range of
+    * cumulative deviations from the block mean over the block's own
+    * standard deviation (R/S), average per window size, and estimate H
+    * as the log₂-slope across the extreme octaves
+    * (qlog(RS₁₆) − qlog(RS₄)) / (2·ln2).
+    *
+    * Exactness: the cumulative-deviation path is kept in n-SCALED
+    * integers — W_t = n·P_t − t·S_b (P = in-block prefix sum, S_b =
+    * block sum, anchor W₀ = 0) — so the range max W − min W (clamped
+    * through 0) is an exact BIGINT; R/S = R_scaled/√(n·Q_b − S_b²) and
+    * the per-(type, n) mean is a block-ordered sequential fold;
+    * constant blocks are dropped (ANSI guard). The closing slope uses
+    * [[graft.ext.TextOps.logScale]]-style micro-nat quantized logs of
+    * the two mean R/S doubles over the exact [[ln2Micro]] divisor.
+    *
+    * Scale (100 TB): the corpus collapses once to |types|×|days|; each
+    * window size is two windows + one block aggregate over that
+    * metadata-sized frame, unioned across 4 sizes; the fold arrays are
+    * blocks-per-type bounded.
+    */
+  def qEventHurst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"event_type").orderBy($"dn")) - 1)
+    val arms = hurstNs.map { n =>
+      val wCumB = Window.partitionBy($"event_type", $"blk").orderBy($"dn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBlk = Window.partitionBy($"event_type", $"blk")
+      val blocks = daily
+        .withColumn("blk", expr(s"rn div $n"))
+        .select($"event_type", $"blk", $"dn", $"xc",
+          (($"rn" % n) + 1).as("t"))
+        .select($"event_type", $"blk", $"dn", $"xc", $"t",
+          sum($"xc").over(wCumB).as("p"),
+          sum($"xc").over(wBlk).as("sb"),
+          sum($"xc" * $"xc").over(wBlk).as("qb"),
+          count(lit(1)).over(wBlk).as("cnt"))
+        .filter($"cnt" === n)
+        .select($"event_type", $"blk", $"sb", $"qb",
+          (lit(n.toLong) * $"p" - $"t" * $"sb").as("w"))
+        .groupBy($"event_type", $"blk")
+        .agg(max($"w").as("wmax"), min($"w").as("wmin"),
+          max($"sb").as("sb"), max($"qb").as("qb"))
+        .filter(lit(n.toLong) * $"qb" - $"sb" * $"sb" > 0)
+        .select($"event_type", $"blk",
+          ((greatest(lit(0L), $"wmax") - least(lit(0L), $"wmin")).cast("double") /
+            sqrt((lit(n.toLong) * $"qb" - $"sb" * $"sb").cast("double"))).as("rs"))
+      blocks.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_blocks"),
+          (expr("aggregate(array_sort(collect_list(struct(blk, rs)))," +
+            " cast(0 as double), (acc, e) -> acc + e.rs)") / count(lit(1)))
+            .as("mean_rs"))
+        .select($"event_type", lit(n).as("n"), $"n_blocks", $"mean_rs")
+    }.reduce(_ unionAll _)
+    val wide = arms.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sizes"),
+        max(when($"n" === 4, $"mean_rs")).as("rs_4"),
+        max(when($"n" === 8, $"mean_rs")).as("rs_8"),
+        max(when($"n" === 16, $"mean_rs")).as("rs_16"))
+      .filter($"n_sizes" === hurstNs.length)
+    wide
+      .select($"event_type", $"rs_4", $"rs_8", $"rs_16",
+        ((floor(log($"rs_16") * 1000000L).cast("long") -
+          floor(log($"rs_4") * 1000000L).cast("long")).cast("double") /
+          lit(2L * ln2Micro).cast("double")).as("hurst"))
+      .orderBy($"event_type")
+  }
+
+  val qEventHurstSql: String = {
+    val arms = hurstNs.map { n =>
+      s"""SELECT event_type, $n AS n, count(*) AS n_blocks,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rs ORDER BY blk)),
+         |    (a, b) -> a + b) / count(*) AS mean_rs
+         |FROM (
+         |  SELECT event_type, blk,
+         |    CAST(greatest(0, max($n * p - t * sb)) -
+         |         least(0, min($n * p - t * sb)) AS DOUBLE) /
+         |      sqrt(CAST($n * max(qb) - max(sb) * max(sb) AS DOUBLE)) AS rs
+         |  FROM (
+         |    SELECT event_type, rn // $n AS blk, dn, xc, (rn % $n) + 1 AS t,
+         |      sum(xc) OVER (PARTITION BY event_type, rn // $n ORDER BY dn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |      sum(xc) OVER (PARTITION BY event_type, rn // $n) AS sb,
+         |      sum(xc * xc) OVER (PARTITION BY event_type, rn // $n) AS qb,
+         |      count(*) OVER (PARTITION BY event_type, rn // $n) AS cnt
+         |    FROM daily) win
+         |  WHERE cnt = $n
+         |  GROUP BY event_type, blk
+         |  HAVING $n * max(qb) - max(sb) * max(sb) > 0) blocks
+         |GROUP BY event_type""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT event_type, dn, xc,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dn) - 1
+       |      AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT event_type,
+       |      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+       |      CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+       |    FROM events GROUP BY event_type, dn)
+       |),
+       |arms AS (
+       |$arms
+       |),
+       |wide AS (
+       |  SELECT event_type, count(*) AS n_sizes,
+       |    max(CASE WHEN n = 4 THEN mean_rs END) AS rs_4,
+       |    max(CASE WHEN n = 8 THEN mean_rs END) AS rs_8,
+       |    max(CASE WHEN n = 16 THEN mean_rs END) AS rs_16
+       |  FROM arms GROUP BY event_type
+       |  HAVING count(*) = ${hurstNs.length}
+       |)
+       |SELECT event_type, rs_4, rs_8, rs_16,
+       |  CAST(CAST(floor(ln(rs_16) * 1000000) AS BIGINT) -
+       |       CAST(floor(ln(rs_4) * 1000000) AS BIGINT) AS DOUBLE) /
+       |    CAST(${2L * ln2Micro} AS DOUBLE) AS hurst
+       |FROM wide
+       |ORDER BY event_type""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6446,6 +6594,7 @@ object Analytics {
     "q_event_granger" -> ((qEventGranger _, qEventGrangerSql)),
     "q_event_mannwhitney" -> ((qEventMannWhitney _, qEventMannWhitneySql)),
     "q_event_cusum" -> ((qEventCusum _, qEventCusumSql)),
+    "q_event_hurst" -> ((qEventHurst _, qEventHurstSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

@@ -2913,6 +2913,102 @@ object Warehouse {
        |ORDER BY c_mktsegment""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // One-way ANOVA: does supplier nation explain lead-time variance?
+  // ------------------------------------------------------------------
+
+  /** F(24, ∞) 5% critical value for the 25-nation grouping. Literal
+    * RHS `final` per the init-cycle rule.
+    */
+  final val anovaF05 = 1.52
+
+  /** ONE-WAY ANOVA of order→ship lead time across supplier nations —
+    * the variance-decomposition test behind "does WHERE we buy from
+    * drive HOW LONG fulfilment takes?": between-group sum of squares
+    * (nation means vs grand mean) against within-group (noise), closed
+    * as the F statistic and η² (the share of lead-time variance nation
+    * membership explains). [[qOrderSlaCurve]] grades lead times against
+    * contract thresholds; ANOVA asks whether a 25-way procurement
+    * lever exists at all before anyone negotiates per-nation SLAs.
+    *
+    * Exactness: lead times are exact integer days; per-group and grand
+    * moments are exact BIGINTs; the one term needing division per
+    * group (Σ S_g²/n_g) accumulates as a SEQUENTIAL nation-ordered fold
+    * of identically-rounded doubles — a partial-agg double sum over
+    * groups would be merge-order-dependent — and the closing
+    * SSB/SSW/F/η² algebra is a fixed-shape double expression.
+    *
+    * Scale (100 TB): one fact-side join+aggregate to the 25-row group
+    * frame (map-side combined; dims broadcast), then all arithmetic on
+    * metadata. The fold array is |nations|-bounded model state.
+    */
+  def qLeadtimeAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val leads = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("grp"),
+        datediff(to_date($"l_shipdate"),
+          to_date($"o_orderdate".cast("timestamp"))).cast("long").as("x"))
+    val per = leads.groupBy($"grp")
+      .agg(count(lit(1)).as("ng"), sum($"x").as("sg"), sum($"x" * $"x").as("qg"))
+    val agg = per.agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+      sum($"sg").as("s"), sum($"qg").as("q"),
+      expr("aggregate(array_sort(collect_list(struct(grp, ng, sg)))," +
+        " cast(0 as double), (acc, e) -> acc +" +
+        " (cast(e.sg as double) * cast(e.sg as double)) / cast(e.ng as double))")
+        .as("sum_sg2_ng"))
+      .filter($"k" >= 2 && $"n" > $"k")
+    val ssb = $"sum_sg2_ng" -
+      ($"s".cast("double") * $"s".cast("double")) / $"n".cast("double")
+    val ssw = $"q".cast("double") - $"sum_sg2_ng"
+    val f = (ssb / ($"k" - 1).cast("double")) / (ssw / ($"n" - $"k").cast("double"))
+    agg
+      .filter(ssw > 0.0)
+      .select($"k".as("n_groups"), $"n".as("n_lines"),
+        ssb.as("ss_between"), ssw.as("ss_within"), f.as("f_stat"),
+        (ssb / (ssb + ssw)).as("eta2"),
+        (f > anovaF05).as("significant"))
+  }
+
+  val qLeadtimeAnovaSql: String = {
+    val ssb = "(sum_sg2_ng - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))"
+    val ssw = "(CAST(q AS DOUBLE) - sum_sg2_ng)"
+    val f = s"(($ssb / CAST(k - 1 AS DOUBLE)) / ($ssw / CAST(n - k AS DOUBLE)))"
+    s"""WITH leads AS (
+       |  SELECT n_name AS grp,
+       |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS x
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |),
+       |per AS (
+       |  SELECT grp, count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+       |    CAST(sum(x * x) AS BIGINT) AS qg
+       |  FROM leads GROUP BY grp
+       |),
+       |agg AS (
+       |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+       |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(ng AS DOUBLE)
+       |          ORDER BY grp)),
+       |      (a, b) -> a + b) AS sum_sg2_ng
+       |  FROM per
+       |)
+       |SELECT k AS n_groups, n AS n_lines,
+       |  $ssb AS ss_between, $ssw AS ss_within, $f AS f_stat,
+       |  $ssb / ($ssb + $ssw) AS eta2,
+       |  $f > $anovaF05 AS significant
+       |FROM agg
+       |WHERE k >= 2 AND n > k AND $ssw > 0.0""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -2946,6 +3042,7 @@ object Warehouse {
     "q_part_single_source" -> ((qPartSingleSource _, qPartSingleSourceSql)),
     "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql)),
     "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql)),
-    "q_seg_bullwhip" -> ((qSegBullwhip _, qSegBullwhipSql))
+    "q_seg_bullwhip" -> ((qSegBullwhip _, qSegBullwhipSql)),
+    "q_leadtime_anova" -> ((qLeadtimeAnova _, qLeadtimeAnovaSql))
   )
 }

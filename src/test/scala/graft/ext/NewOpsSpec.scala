@@ -4464,6 +4464,102 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("anova: moment replay, ordered group fold, variance partition") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val suppNation = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nationName = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val orderDay = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp")).collect()
+      .map(r => r.getLong(0) -> day(r.getAs[java.sql.Timestamp](1))).toMap
+    val leads = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("timestamp"))
+      .collect()
+      .map(r => (nationName(suppNation(r.getLong(1))),
+        day(r.getAs[java.sql.Timestamp](2)) - orderDay(r.getLong(0))))
+    val per = leads.groupBy(_._1).map { case (g, xs) =>
+      (g, xs.length.toLong, xs.map(_._2).sum, xs.map(x => x._2 * x._2).sum)
+    }.toSeq.sortBy(_._1)
+    val k = per.length.toLong; val n = per.map(_._2).sum
+    val s = per.map(_._3).sum; val q = per.map(_._4).sum
+    val sumSg2Ng = per.foldLeft(0.0) { case (acc, (_, ng, sg, _)) =>
+      acc + (sg.toDouble * sg.toDouble) / ng.toDouble }
+    val ssb = sumSg2Ng - (s.toDouble * s.toDouble) / n.toDouble
+    val ssw = q.toDouble - sumSg2Ng
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    val row = graft.queries.Warehouse.qLeadtimeAnova(spark, sf).head()
+    assert(row.getAs[Long]("n_groups") === k)
+    assert(row.getAs[Long]("n_lines") === n)
+    assert(row.getAs[Double]("ss_between") === ssb)
+    assert(row.getAs[Double]("ss_within") === ssw)
+    assert(row.getAs[Double]("f_stat") === f)
+    assert(row.getAs[Double]("eta2") === ssb / (ssb + ssw))
+    assert(row.getAs[Boolean]("significant") ===
+      (f > graft.queries.Warehouse.anovaF05))
+    assert(ssb >= -1e-6 && ssw > 0.0, "variance partition is non-negative")
+  }
+
+  test("hurst: scaled-integer R/S replay per octave; random-walk-free bounds") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        (t, d, (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }.toSeq
+    def meanRs(xs: Seq[Long], n: Int): Option[(Long, Double)] = {
+      val blocks = xs.grouped(n).filter(_.length == n).toSeq
+      val rss = blocks.flatMap { b =>
+        val sb = b.sum; val qb = b.map(x => x * x).sum
+        if (n * qb - sb * sb <= 0) None
+        else {
+          var p = 0L
+          val ws = b.zipWithIndex.map { case (x, i) =>
+            p += x; n * p - (i + 1) * sb
+          }
+          val r = math.max(0L, ws.max) - math.min(0L, ws.min)
+          Some(r.toDouble / math.sqrt((n * qb - sb * sb).toDouble))
+        }
+      }
+      if (rss.isEmpty) None
+      else Some((rss.length.toLong, rss.foldLeft(0.0)(_ + _) / rss.length))
+    }
+    val expected = daily.groupBy(_._1).flatMap { case (t, xs) =>
+      val s = xs.sortBy(_._2).map(_._3)
+      val per = Analytics.hurstNs.flatMap(n => meanRs(s, n).map(n -> _))
+      if (per.length < Analytics.hurstNs.length) None
+      else {
+        val rs = per.toMap
+        val h = (math.floor(math.log(rs(16)._2) * 1e6).toLong -
+          math.floor(math.log(rs(4)._2) * 1e6).toLong).toDouble /
+          (2L * Analytics.ln2Micro).toDouble
+        Some(t -> (rs(4)._2, rs(8)._2, rs(16)._2, h))
+      }
+    }
+    val rows = Analytics.qEventHurst(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (r4, r8, r16, h) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("rs_4") === r4)
+      assert(r.getAs[Double]("rs_8") === r8)
+      assert(r.getAs[Double]("rs_16") === r16)
+      assert(r.getAs[Double]("hurst") === h)
+      // R/S grows with n for any non-degenerate series; H in a sane band
+      assert(r16 > r4, "rescaled range must grow across octaves")
+      assert(h > -0.5 && h < 1.5, s"hurst estimate $h outside sanity band")
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

@@ -2012,6 +2012,130 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Burrows' Delta: stylometric distance between sources
+  // ------------------------------------------------------------------
+
+  /** Function-word panel size for the Delta profile. Literal RHS
+    * `final` per the init-cycle rule.
+    */
+  final val deltaTopWords = 10
+
+  /** BURROWS' DELTA between corpus sources — the classical stylometric
+    * (authorship-attribution) distance: profile every source by the
+    * relative frequencies of the [[deltaTopWords]] most common words
+    * (the "function word" panel — style lives in the little words, not
+    * the content words), z-score each frequency against the ACROSS-
+    * SOURCE distribution, and measure Δ(a,b) = mean |z_a − z_b|. Low Δ
+    * pairs write alike — the dedup-adjacent signal for "these two
+    * sources are the same upstream feed relabeled", which source-level
+    * overlap counting ([[graft.ext.CorpusOps]]) can miss when the
+    * DOCUMENTS differ but the VOICE doesn't.
+    *
+    * Determinism: counts are exact BIGINTs on a DENSE source×word grid
+    * (missing cells are true zeros, not dropped rows); means, standard
+    * deviations, and the per-pair mean |Δz| are SEQUENTIAL ordered
+    * folds (by source / by word) of identically-rounded doubles — no
+    * partial-agg double sums; degenerate panel words (σ = 0) are
+    * excluded rather than divided by.
+    *
+    * Scale (100 TB): two corpus-token aggregates (panel pick and
+    * per-(source, word) counts, both map-side combined, panel
+    * broadcast); everything after runs on the |sources|×[[deltaTopWords]]
+    * metadata grid, pairs on |sources|²/2 rows.
+    */
+  def qSrcBurrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val topW = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(deltaTopWords)
+      .select(col("w"))
+    val srcTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("tot"))
+    val cnts = toks.join(broadcast(topW), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val grid = srcTotals.crossJoin(broadcast(topW))
+      .join(cnts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") / col("tot").cast("double"))
+          .as("f"))
+    val stats = grid.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"),
+        array_sort(collect_list(struct(col("source"), col("f")))).as("fs"))
+      .withColumn("mu",
+        expr("aggregate(fs, cast(0 as double), (acc, e) -> acc + e.f)") /
+          col("ns").cast("double"))
+      .withColumn("sd", sqrt(
+        expr("aggregate(fs, cast(0 as double)," +
+          " (acc, e) -> acc + (e.f - mu) * (e.f - mu))") /
+          (col("ns") - 1).cast("double")))
+      .filter(col("sd") > 0.0)
+      .select(col("w"), col("mu"), col("sd"))
+    val z = grid.join(broadcast(stats), "w")
+      .select(col("source"), col("w"), ((col("f") - col("mu")) / col("sd")).as("z"))
+    val a = z.select(col("source").as("sa"), col("w"), col("z").as("za"))
+    val b = z.select(col("source").as("sb"), col("w"), col("z").as("zb"))
+    a.join(b, a("w") === b("w") && col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), a("w").as("w"), col("za"), col("zb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_words"),
+        (expr("aggregate(array_sort(collect_list(struct(w, za, zb)))," +
+          " cast(0 as double), (acc, e) -> acc + abs(e.za - e.zb))") /
+          count(lit(1)).cast("double")).as("delta"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val qSrcBurrowsDeltaSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |topw AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS cw FROM toks GROUP BY w
+       |    ORDER BY cw DESC, w LIMIT $deltaTopWords)
+       |),
+       |src_totals AS (
+       |  SELECT source, count(*) AS tot FROM toks GROUP BY source
+       |),
+       |cnts AS (
+       |  SELECT source, toks.w AS w, count(*) AS cnt
+       |  FROM toks JOIN topw ON topw.w = toks.w
+       |  GROUP BY source, toks.w
+       |),
+       |grid AS (
+       |  SELECT st.source, topw.w,
+       |    CAST(coalesce(cnt, 0) AS DOUBLE) / CAST(tot AS DOUBLE) AS f
+       |  FROM src_totals st CROSS JOIN topw
+       |  LEFT JOIN cnts ON cnts.source = st.source AND cnts.w = topw.w
+       |),
+       |mu AS (
+       |  SELECT w, count(*) AS ns,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(f ORDER BY source)),
+       |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mu
+       |  FROM grid GROUP BY w
+       |),
+       |stats AS (
+       |  SELECT grid.w AS w, mu.mu AS mu,
+       |    sqrt(list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list((f - mu.mu) * (f - mu.mu) ORDER BY source)),
+       |      (a, b) -> a + b) / CAST(any_value(ns) - 1 AS DOUBLE)) AS sd
+       |  FROM grid JOIN mu ON mu.w = grid.w
+       |  GROUP BY grid.w, mu.mu
+       |),
+       |z AS (
+       |  SELECT source, grid.w AS w, (f - mu) / sd AS z
+       |  FROM grid JOIN stats ON stats.w = grid.w
+       |  WHERE sd > 0.0
+       |)
+       |SELECT a.source AS sa, b.source AS sb, count(*) AS n_words,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(abs(a.z - b.z) ORDER BY a.w)),
+       |    (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE) AS delta
+       |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY sa, sb""".stripMargin
+
+  // ------------------------------------------------------------------
   // Fuzzy vocabulary merge: SymSpell deletion-neighborhood join
   // ------------------------------------------------------------------
 

@@ -6493,6 +6493,88 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Maximum drawdown: worst peak-to-trough slide of the running total
+  // ------------------------------------------------------------------
+
+  /** MAXIMUM DRAWDOWN of each event type's cumulative daily net value —
+    * the risk statistic ported from finance that every capacity/revenue
+    * dashboard eventually reinvents: over the running total P_t, the
+    * drawdown at t is (max_{j≤t} P_j) − P_t, and the maximum drawdown
+    * is the worst peak-to-trough slide the series ever took. Where
+    * [[qEventCusum]] alarms on persistent UPWARD drift against a
+    * baseline, drawdown quantifies the deepest sustained LOSS run —
+    * "how far under its own high-water mark did this stream get, and
+    * when" — with the trough day and the high-water mark emitted for
+    * the post-mortem.
+    *
+    * Exactness: PURE BIGINT cents end to end — prefix sums, running
+    * max, their difference, and the (drawdown DESC, day ASC) argmax via
+    * one more window; the relative depth is the single closing
+    * division.
+    *
+    * Scale (100 TB): the corpus collapses once to |types|×|days|; two
+    * cumulative windows and one ranked pick over that metadata-sized
+    * frame.
+    */
+  def qEventDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"dn")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .select($"event_type", $"dn", sum($"xc").over(wCum).as("p"))
+      .select($"event_type", $"dn", $"p", max($"p").over(wCum).as("hwm"))
+      .select($"event_type", $"dn", $"p", $"hwm", ($"hwm" - $"p").as("dd"))
+    val wPick = Window.partitionBy($"event_type")
+      .orderBy($"dd".desc, $"dn")
+    dd
+      .withColumn("rk", row_number().over(wPick))
+      .filter($"rk" === 1)
+      .filter($"hwm" > 0)
+      .select($"event_type", $"dn".as("trough_day"),
+        $"hwm".as("high_water_cents"), $"p".as("trough_total_cents"),
+        $"dd".as("max_drawdown_cents"),
+        ($"dd".cast("double") / $"hwm".cast("double")).as("drawdown_frac"))
+      .orderBy($"event_type")
+  }
+
+  val qEventDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |cum AS (
+      |  SELECT event_type, dn,
+      |    sum(xc) OVER (PARTITION BY event_type ORDER BY dn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM daily
+      |),
+      |dd AS (
+      |  SELECT event_type, dn, p,
+      |    max(p) OVER (PARTITION BY event_type ORDER BY dn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      |  FROM cum
+      |),
+      |picked AS (
+      |  SELECT event_type, dn, p, hwm, hwm - p AS dd,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY hwm - p DESC, dn) AS rk
+      |  FROM dd
+      |)
+      |SELECT event_type, dn AS trough_day, CAST(hwm AS BIGINT) AS high_water_cents,
+      |  CAST(p AS BIGINT) AS trough_total_cents,
+      |  CAST(dd AS BIGINT) AS max_drawdown_cents,
+      |  CAST(dd AS DOUBLE) / CAST(hwm AS DOUBLE) AS drawdown_frac
+      |FROM picked
+      |WHERE rk = 1 AND hwm > 0
+      |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6595,6 +6677,7 @@ object Analytics {
     "q_event_mannwhitney" -> ((qEventMannWhitney _, qEventMannWhitneySql)),
     "q_event_cusum" -> ((qEventCusum _, qEventCusumSql)),
     "q_event_hurst" -> ((qEventHurst _, qEventHurstSql)),
+    "q_event_drawdown" -> ((qEventDrawdown _, qEventDrawdownSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

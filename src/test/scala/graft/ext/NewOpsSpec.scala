@@ -4560,6 +4560,78 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("burrows delta: dense-grid z-profile replay; symmetry of the panel") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val topW = toks.map(_._2).groupBy(identity).toSeq
+      .map { case (w, xs) => (w, xs.length.toLong) }
+      .sortBy { case (w, c) => (-c, w) }.take(TextOps.deltaTopWords).map(_._1)
+    val sources = toks.map(_._1).distinct.sorted
+    val totals = toks.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val f = (for (s <- sources; w <- topW) yield
+      (s, w) -> toks.count(t => t._1 == s && t._2 == w).toDouble / totals(s)).toMap
+    val stats = topW.flatMap { w =>
+      val fs = sources.map(s => f((s, w)))
+      val mu = fs.foldLeft(0.0)(_ + _) / fs.length
+      val sd = math.sqrt(fs.foldLeft(0.0)((a, x) => a + (x - mu) * (x - mu)) /
+        (fs.length - 1))
+      if (sd > 0.0) Some(w -> (mu, sd)) else None
+    }.toMap
+    val expected = (for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield {
+      val ws = topW.filter(stats.contains).sorted
+      val d = ws.map { w =>
+        val (mu, sd) = stats(w)
+        math.abs((f((sources(i), w)) - mu) / sd - (f((sources(j), w)) - mu) / sd)
+      }.foldLeft(0.0)(_ + _) / ws.length
+      (sources(i), sources(j)) -> (ws.length.toLong, d)
+    }).toMap
+    val rows = TextOps.qSrcBurrowsDelta(spark, sf).collect()
+    assert(rows.map(r =>
+      (r.getAs[String]("sa"), r.getAs[String]("sb"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (nw, d) = expected((r.getAs[String]("sa"), r.getAs[String]("sb")))
+      assert(r.getAs[Long]("n_words") === nw)
+      assert(r.getAs[Double]("delta") === d)
+      assert(d >= 0.0)
+    }
+  }
+
+  test("drawdown: integer prefix/high-water replay; worst slide picked first") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        (t, d, (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }.toSeq
+    val expected = daily.groupBy(_._1).flatMap { case (t, xs) =>
+      var p = 0L; var hwm = Long.MinValue
+      val trace = xs.sortBy(_._2).map { case (_, d, xc) =>
+        p += xc; hwm = math.max(hwm, p); (d, p, hwm, hwm - p)
+      }
+      val best = trace.sortBy(x => (-x._4, x._1)).head
+      if (best._3 > 0) Some(t -> best) else None
+    }
+    val rows = Analytics.qEventDrawdown(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (d, p, hwm, dd) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("trough_day") === d)
+      assert(r.getAs[Long]("trough_total_cents") === p)
+      assert(r.getAs[Long]("high_water_cents") === hwm)
+      assert(r.getAs[Long]("max_drawdown_cents") === dd)
+      assert(r.getAs[Double]("drawdown_frac") === dd.toDouble / hwm.toDouble)
+      assert(dd >= 0L && hwm >= p)
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

@@ -6575,6 +6575,112 @@ object Analytics {
       |WHERE rk = 1 AND hwm > 0
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Jensen-Shannon distance between hour-of-day behavior profiles
+  // ------------------------------------------------------------------
+
+  /** JENSEN-SHANNON DIVERGENCE between event types' HOUR-OF-DAY
+    * profiles — "which event types share a daily rhythm": each type's
+    * 24-bin hour histogram is a behavioral fingerprint, and the
+    * symmetric, bounded (≤ ln 2) JSD between fingerprints says whether
+    * two streams are driven by the same population/scheduler. Near-zero
+    * pairs are candidates for shared capacity planning and shared
+    * anomaly baselines; the full pair matrix is emitted. The
+    * distributional-distance sibling of the doc-side KL drift audit,
+    * at type-pair grain.
+    *
+    * Exactness: with counts c₁ₕ, c₂ₕ and totals N₁, N₂ the log ratios
+    * reduce to integer arguments — ln(pₕ/mₕ) =
+    * qlog(2·c₁ₕ·N₂) − qlog(c₁ₕ·N₂ + c₂ₕ·N₁) — so each arm accumulates
+    * Σₕ c₁ₕ·Δqlog as an EXACT BIGINT (24 bins; zero bins contribute
+    * zero by CASE, the 0·ln0 = 0 convention); the two divisions by
+    * N₁, N₂ and the /2 close the value. Int64-safe while c·N < 2⁶³
+    * (~3·10⁹ events per side); past that widen the products.
+    *
+    * Scale (100 TB): the corpus collapses to |types|×24 rows in one
+    * partially-aggregated shuffle; the pair matrix is |types|²/2 rows
+    * of pure metadata arithmetic.
+    */
+  def qEventProfileJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = Tables.events(spark, sfDir)
+      .groupBy($"event_type", hour($"ts").cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val tot = prof.groupBy($"event_type").agg(sum($"c").as("n"))
+    val a = prof.join(tot, "event_type")
+      .select($"event_type".as("ta"), $"h", $"c".as("c1"), $"n".as("n1"))
+    val b = prof.join(tot, "event_type")
+      .select($"event_type".as("tb"), $"h".as("hb"), $"c".as("c2"), $"n".as("n2"))
+    // FULL per-pair hour grid: a bin present in one profile and absent in
+    // the other still contributes — outer-join the two hour sets per pair
+    val pairsT = tot.select($"event_type".as("ta"), $"n".as("n1"))
+      .join(tot.select($"event_type".as("tb"), $"n".as("n2")), $"ta" < $"tb")
+    val hours = spark.range(0, 24).select($"id".as("h"))
+    val grid = pairsT.crossJoin(broadcast(hours))
+      .join(a, Seq("ta", "h", "n1"), "left")
+      .join(b.withColumnRenamed("hb", "h"), Seq("tb", "h", "n2"), "left")
+      .select($"ta", $"tb", $"n1", $"n2",
+        coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+    def qlogDiff(num: Column, den: Column): Column =
+      floor(log(num.cast("double")) * 1000000L).cast("long") -
+        floor(log(den.cast("double")) * 1000000L).cast("long")
+    val terms = grid
+      .select($"ta", $"tb", $"n1", $"n2",
+        when($"c1" > 0,
+          $"c1" * qlogDiff(lit(2L) * $"c1" * $"n2", $"c1" * $"n2" + $"c2" * $"n1"))
+          .otherwise(lit(0L)).as("t1"),
+        when($"c2" > 0,
+          $"c2" * qlogDiff(lit(2L) * $"c2" * $"n1", $"c1" * $"n2" + $"c2" * $"n1"))
+          .otherwise(lit(0L)).as("t2"))
+      .groupBy($"ta", $"tb")
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        sum($"t1").as("s1"), sum($"t2").as("s2"))
+    terms
+      .select($"ta", $"tb", $"n1", $"n2",
+        (($"s1".cast("double") / $"n1".cast("double") +
+          $"s2".cast("double") / $"n2".cast("double")) / 2.0 / 1000000.0)
+          .as("jsd_nats"))
+      .orderBy($"ta", $"tb")
+  }
+
+  val qEventProfileJsdSql: String = {
+    def qlogDiff(num: String, den: String): String =
+      s"(CAST(floor(ln(CAST($num AS DOUBLE)) * 1000000) AS BIGINT) - " +
+        s"CAST(floor(ln(CAST($den AS DOUBLE)) * 1000000) AS BIGINT))"
+    s"""WITH prof AS (
+       |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*) AS c
+       |  FROM events GROUP BY event_type, h
+       |),
+       |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM prof GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, a.n AS n1, b.n AS n2
+       |  FROM tot a JOIN tot b ON a.event_type < b.event_type
+       |),
+       |grid AS (
+       |  SELECT ta, tb, n1, n2, hh.h AS h,
+       |    coalesce(pa.c, 0) AS c1, coalesce(pb.c, 0) AS c2
+       |  FROM pairs
+       |  CROSS JOIN (SELECT unnest(range(24)) AS h) hh
+       |  LEFT JOIN prof pa ON pa.event_type = ta AND pa.h = hh.h
+       |  LEFT JOIN prof pb ON pb.event_type = tb AND pb.h = hh.h
+       |),
+       |terms AS (
+       |  SELECT ta, tb, max(n1) AS n1, max(n2) AS n2,
+       |    CAST(sum(CASE WHEN c1 > 0 THEN
+       |      c1 * ${qlogDiff("2 * c1 * n2", "c1 * n2 + c2 * n1")}
+       |      ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN c2 > 0 THEN
+       |      c2 * ${qlogDiff("2 * c2 * n1", "c1 * n2 + c2 * n1")}
+       |      ELSE 0 END) AS BIGINT) AS s2
+       |  FROM grid GROUP BY ta, tb
+       |)
+       |SELECT ta, tb, n1, n2,
+       |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+       |   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0 / 1000000.0 AS jsd_nats
+       |FROM terms
+       |ORDER BY ta, tb""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6678,6 +6784,7 @@ object Analytics {
     "q_event_cusum" -> ((qEventCusum _, qEventCusumSql)),
     "q_event_hurst" -> ((qEventHurst _, qEventHurstSql)),
     "q_event_drawdown" -> ((qEventDrawdown _, qEventDrawdownSql)),
+    "q_event_profile_jsd" -> ((qEventProfileJsd _, qEventProfileJsdSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

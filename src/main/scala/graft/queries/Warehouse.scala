@@ -3009,6 +3009,114 @@ object Warehouse {
        |WHERE k >= 2 AND n > k AND $ssw > 0.0""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Empirical-Bayes shrunk supplier late-rate scorecard
+  // ------------------------------------------------------------------
+
+  /** Late threshold (days) and the rate-quantization scale for the
+    * method-of-moments pass. Literal RHS `final` per the init-cycle
+    * rule.
+    */
+  final val shrinkLateDays = 30L
+  final val rateMicro = 1000000L
+
+  /** EMPIRICAL-BAYES SHRUNK late-rate per supplier — the small-sample
+    * ranking fix every supplier scorecard needs: a 3-line supplier with
+    * one late line is NOT a 33%-late supplier; model per-supplier late
+    * rates as Beta(α, β) draws (method-of-moments fit across
+    * suppliers), and report the beta-binomial posterior mean
+    * (k + α)/(n + α + β) — raw rates shrink toward the fleet mean in
+    * proportion to how little evidence each supplier has. The
+    * RE-ESTIMATION complement of [[qBrandReturnRate]]'s Wilson bounds:
+    * Wilson says how unsure you are, shrinkage says what to actually
+    * rank by.
+    *
+    * Exactness: per-supplier (n, k) are exact BIGINTs; the moment fit
+    * runs on QUANTIZED micro-rates (k·10⁶ div n — exact integers, so
+    * Σr and Σr² are order-free BIGINTs and no double ever sums across
+    * suppliers); α, β and each shrunk rate close in one fixed-shape
+    * double expression. Degenerate fleets (zero rate variance, or
+    * variance ≥ m(1−m)) fall back to the unshrunk rate with the
+    * fallback flagged.
+    *
+    * Scale (100 TB): one supplier-keyed aggregate over the fact
+    * (map-side combined), a 1-row broadcast of the moment fit, then a
+    * narrow per-supplier projection — no fold over the supplier dim,
+    * which a collect-based moment pass would not survive at dim scale.
+    */
+  def qSuppShrunkLateRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey",
+        when(datediff(to_date($"l_shipdate"),
+          to_date($"o_orderdate".cast("timestamp"))) > shrinkLateDays, 1L)
+          .otherwise(0L).as("late"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), sum($"late").as("k"))
+      .withColumn("r_micro", expr(s"(k * $rateMicro) div n"))
+    val fit = per.agg(count(lit(1)).as("ns"),
+      sum($"r_micro").as("sr"), sum($"r_micro" * $"r_micro").as("srr"))
+      .select($"ns",
+        ($"sr".cast("double") / ($"ns".cast("double") * rateMicro)).as("m"),
+        (($"ns" * $"srr" - $"sr" * $"sr").cast("double") /
+          (($"ns" * ($"ns" - 1)).cast("double") * rateMicro * rateMicro))
+          .as("v"))
+      .select($"ns", $"m", $"v",
+        ($"v" > 0.0 && $"v" < $"m" * (lit(1.0) - $"m")).as("fit_ok"),
+        when($"v" > 0.0 && $"v" < $"m" * (lit(1.0) - $"m"),
+          $"m" * ($"m" * (lit(1.0) - $"m") / $"v" - 1.0))
+          .otherwise(lit(0.0)).as("alpha"),
+        when($"v" > 0.0 && $"v" < $"m" * (lit(1.0) - $"m"),
+          (lit(1.0) - $"m") * ($"m" * (lit(1.0) - $"m") / $"v" - 1.0))
+          .otherwise(lit(0.0)).as("beta"))
+    per.crossJoin(broadcast(fit))
+      .select($"l_suppkey".as("s_suppkey"), $"n".as("n_lines"), $"k".as("n_late"),
+        ($"k".cast("double") / $"n".cast("double")).as("raw_rate"),
+        when($"fit_ok",
+          ($"k".cast("double") + $"alpha") / ($"n".cast("double") + $"alpha" + $"beta"))
+          .otherwise($"k".cast("double") / $"n".cast("double")).as("shrunk_rate"),
+        $"alpha", $"beta", $"fit_ok")
+      .orderBy($"s_suppkey")
+  }
+
+  val qSuppShrunkLateRateSql: String = {
+    val m = s"(CAST(sr AS DOUBLE) / (CAST(ns AS DOUBLE) * $rateMicro))"
+    val v = s"(CAST(ns * srr - sr * sr AS DOUBLE) / " +
+      s"(CAST(ns * (ns - 1) AS DOUBLE) * $rateMicro * $rateMicro))"
+    val fitOk = s"($v > 0.0 AND $v < $m * (1.0 - $m))"
+    val alpha = s"(CASE WHEN $fitOk THEN $m * ($m * (1.0 - $m) / $v - 1.0) ELSE 0.0 END)"
+    val beta = s"(CASE WHEN $fitOk THEN (1.0 - $m) * ($m * (1.0 - $m) / $v - 1.0) ELSE 0.0 END)"
+    s"""WITH per AS (
+       |  SELECT l_suppkey, count(*) AS n,
+       |    CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+       |          > $shrinkLateDays THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY l_suppkey
+       |),
+       |rated AS (
+       |  SELECT l_suppkey, n, k, (k * $rateMicro) // n AS r_micro FROM per
+       |),
+       |fit AS (
+       |  SELECT count(*) AS ns, CAST(sum(r_micro) AS BIGINT) AS sr,
+       |    CAST(sum(r_micro * r_micro) AS BIGINT) AS srr
+       |  FROM rated
+       |),
+       |consts AS (
+       |  SELECT ns, $m AS m, $v AS v, $fitOk AS fit_ok,
+       |    $alpha AS alpha, $beta AS beta
+       |  FROM fit
+       |)
+       |SELECT l_suppkey AS s_suppkey, n AS n_lines, k AS n_late,
+       |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+       |  CASE WHEN fit_ok
+       |    THEN (CAST(k AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta)
+       |    ELSE CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END AS shrunk_rate,
+       |  alpha, beta, fit_ok
+       |FROM rated CROSS JOIN consts
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -3043,6 +3151,7 @@ object Warehouse {
     "q_part_abc_xyz" -> ((qPartAbcXyz _, qPartAbcXyzSql)),
     "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql)),
     "q_seg_bullwhip" -> ((qSegBullwhip _, qSegBullwhipSql)),
-    "q_leadtime_anova" -> ((qLeadtimeAnova _, qLeadtimeAnovaSql))
+    "q_leadtime_anova" -> ((qLeadtimeAnova _, qLeadtimeAnovaSql)),
+    "q_supp_shrunk_late_rate" -> ((qSuppShrunkLateRate _, qSuppShrunkLateRateSql))
   )
 }

@@ -4632,6 +4632,91 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("shrunk late rate: quantized-moment fit replay; shrinkage direction") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val orderDay = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp")).collect()
+      .map(r => r.getLong(0) -> day(r.getAs[java.sql.Timestamp](1))).toMap
+    val per = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(1),
+        if (day(r.getAs[java.sql.Timestamp](2)) - orderDay(r.getLong(0)) >
+          graft.queries.Warehouse.shrinkLateDays) 1L else 0L))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val micro = graft.queries.Warehouse.rateMicro
+    val rm = per.map { case (_, n, k) => (k * micro) / n }
+    val ns = rm.length.toLong
+    val sr = rm.sum; val srr = rm.map(x => x * x).sum
+    val m = sr.toDouble / (ns.toDouble * micro)
+    val v = (ns * srr - sr * sr).toDouble /
+      ((ns * (ns - 1)).toDouble * micro * micro)
+    val fitOk = v > 0.0 && v < m * (1.0 - m)
+    val alpha = if (fitOk) m * (m * (1.0 - m) / v - 1.0) else 0.0
+    val beta = if (fitOk) (1.0 - m) * (m * (1.0 - m) / v - 1.0) else 0.0
+    val rows = graft.queries.Warehouse.qSuppShrunkLateRate(spark, sf).collect()
+    assert(rows.length === per.length)
+    rows.zip(per).foreach { case (r, (s, n, k)) =>
+      assert(r.getAs[Long]("s_suppkey") === s)
+      assert(r.getAs[Long]("n_lines") === n)
+      assert(r.getAs[Long]("n_late") === k)
+      assert(r.getAs[Double]("raw_rate") === k.toDouble / n)
+      assert(r.getAs[Boolean]("fit_ok") === fitOk)
+      assert(r.getAs[Double]("alpha") === alpha)
+      assert(r.getAs[Double]("beta") === beta)
+      val shrunk = if (fitOk) (k.toDouble + alpha) / (n.toDouble + alpha + beta)
+        else k.toDouble / n
+      assert(r.getAs[Double]("shrunk_rate") === shrunk)
+      if (fitOk) {
+        // shrinkage pulls toward the fleet prior mean alpha/(alpha+beta)
+        val prior = alpha / (alpha + beta)
+        val raw = k.toDouble / n
+        assert((shrunk - raw).abs <= (prior - raw).abs + 1e-12,
+          "posterior mean lies between the raw rate and the prior mean")
+      }
+    }
+  }
+
+  test("jsd profiles: integer log-ratio replay; symmetric, bounded by ln 2") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val prof = ev.groupBy(identity).map { case ((t, h), xs) => (t, h) -> xs.length.toLong }
+    val tot = ev.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val types = tot.keys.toSeq.sorted
+    def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
+    val expected = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield {
+      val (ta, tb) = (types(i), types(j))
+      val (n1, n2) = (tot(ta), tot(tb))
+      var s1 = 0L; var s2 = 0L
+      (0L until 24L).foreach { h =>
+        val c1 = prof.getOrElse((ta, h), 0L); val c2 = prof.getOrElse((tb, h), 0L)
+        val den = c1 * n2 + c2 * n1
+        if (c1 > 0) s1 += c1 * (qlog(2 * c1 * n2) - qlog(den))
+        if (c2 > 0) s2 += c2 * (qlog(2 * c2 * n1) - qlog(den))
+      }
+      (ta, tb) -> (n1, n2,
+        (s1.toDouble / n1.toDouble + s2.toDouble / n2.toDouble) / 2.0 / 1e6)
+    }).toMap
+    val rows = Analytics.qEventProfileJsd(spark, sf).collect()
+    assert(rows.map(r =>
+      (r.getAs[String]("ta"), r.getAs[String]("tb"))).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n1, n2, jsd) = expected((r.getAs[String]("ta"), r.getAs[String]("tb")))
+      assert(r.getAs[Long]("n1") === n1)
+      assert(r.getAs[Long]("n2") === n2)
+      assert(r.getAs[Double]("jsd_nats") === jsd)
+      assert(jsd >= -1e-6 && jsd <= math.log(2.0) + 1e-6,
+        s"JSD $jsd outside [0, ln 2]")
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

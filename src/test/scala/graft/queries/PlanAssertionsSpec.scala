@@ -550,4 +550,39 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!b.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"),
       "single-partition funnel in burstiness")
   }
+
+  test("IVF-PQ: encode/probe are broadcast-only over the corpus — no shuffle join, heap top-k") {
+    val p = plan(graft.ext.Similarity.qEmbIvfPq(spark, sf))
+    // the corpus touches: 1-row quantizer/codebook crosses (BroadcastNestedLoop
+    // with a single-row build), the cell-dim broadcast, the vec_id label
+    // rejoin, and the cell-equi probe — never a SortMergeJoin of corpus-sized
+    // frames at this plan's broadcast points, never a cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVFPQ plan:\n$p")
+    assert(p.contains("TopKPerKey") || p.contains("TakeOrderedAndProject"),
+      s"no native top-k operator in IVFPQ plan:\n$p")
+  }
+
+  test("bootstrap: the x40 fan-out combines map-side — shuffle carries (type, rep) partials") {
+    val df = Analytics.qEventBootstrap(spark, sf)
+    val p = plan(df)
+    // partial_sum before the exchange proves the replicate fan-out never
+    // crosses the wire row-by-row
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no map-side partial aggregation in bootstrap plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("KS/Mann-Whitney cumulative windows partition by event_type") {
+    // (the 1-row span aggregate's SinglePartition exchange is the sanctioned
+    // scalar funnel; what must never happen is the VALUE-grain window
+    // running unpartitioned)
+    for (df <- Seq(Analytics.qEventKsDrift(spark, sf),
+        Analytics.qEventMannWhitney(spark, sf))) {
+      val p = plan(df)
+      assert("Window \\[.*\\], \\[event_type".r.findFirstIn(p).isDefined,
+        s"cumulative window not keyed by event_type:\n$p")
+      assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+        s"empty-key window in drift-test plan:\n$p")
+    }
+  }
 }

@@ -1480,6 +1480,111 @@ object Similarity {
        |WHERE rn <= $topK ORDER BY q_id, adc_dist, vec_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // TwoNN intrinsic dimension: how many dims does the data really use?
+  // ------------------------------------------------------------------
+
+  /** Deterministic sample modulus for the TwoNN probe points. Literal
+    * RHS `final` per the init-cycle rule.
+    */
+  final val twonnSampleMod = 20L
+
+  /** TWO-NN INTRINSIC DIMENSION (Facco et al. 2017) of the embedding
+    * corpus — the answer to "the vectors have 64 coordinates, but how
+    * many dimensions does the data actually OCCUPY?": for each probe
+    * point the ratio μ = r₂/r₁ of its two nearest-neighbor distances
+    * follows a Pareto law with exponent equal to the intrinsic
+    * dimension, so d̂ = K / Σ ln μᵢ — no density model, no scale
+    * parameter, just two neighbors per point. Low d̂ against 64
+    * ambient dims quantifies the anisotropy/manifold story
+    * ([[qEmbAnisotropy]], [[qEmbEnergySpectrum]]) in the unit
+    * downstream index tuning actually uses (cell counts, PQ bits).
+    * Probe points are the deterministic vec_id ≡ 0 (mod
+    * [[twonnSampleMod]]) sample; coincident-point probes (r₁ = 0) are
+    * excluded and counted.
+    *
+    * Determinism: squared distances are the element-ordered zip_with
+    * fold (identical doubles both engines); per-probe r₁/r₂ pick is
+    * the native heap top-2 with (distance, vec_id) tiebreak; the sum
+    * of log ratios is an EXACT BIGINT of quantized micro-nat log
+    * DIFFERENCES (ln μ = (qlog r₂² − qlog r₁²)/2, so
+    * d̂ = 2·K·10⁶/Σδ closes in one division).
+    *
+    * Scale (100 TB): the probe side is a broadcast (|corpus|/mod
+    * rows); distances stream over the corpus NARROWLY (the sanctioned
+    * broadcast nested loop, [[qEmbCosineTopk]]'s shape); top-2 is the
+    * [[graft.plans.TopKPerKey]] heap — no Q×N exchange. At larger
+    * scale the probe runs per IVF cell ([[probeCells]]) — same
+    * estimator, cell-bounded candidates.
+    */
+  def qEmbTwonnId(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val sample = emb.filter(col("vec_id") % twonnSampleMod === 0)
+      .select(col("vec_id").as("s_id"), col("e").as("se"))
+    val scored = emb.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("s_id"))
+      .select(col("s_id"), col("vec_id"),
+        expr("aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y))," +
+          " cast(0 as double), (acc, p) -> acc + p)").as("d2"))
+    val top2 = graft.functions.GraftOps.topKPerKey(scored,
+      keys = Seq("s_id"), order = Seq(("d2", false), ("vec_id", false)), k = 2)
+    val perProbe = top2.groupBy(col("s_id"))
+      .agg(count(lit(1)).as("nc"), min(col("d2")).as("r1"), max(col("d2")).as("r2"))
+    val used = perProbe.filter(col("nc") === 2 && col("r1") > 0.0)
+      .select(col("s_id"),
+        (floor(log(col("r2")) * 1000000L).cast("long") -
+          floor(log(col("r1")) * 1000000L).cast("long")).as("dq"))
+    val total = perProbe.agg(count(lit(1)).as("n_sample"))
+    used.agg(count(lit(1)).as("n_used"), sum(col("dq")).as("sum_qlog_ratio"))
+      .crossJoin(broadcast(total))
+      .filter(col("sum_qlog_ratio") > 0)
+      .select(col("n_sample"), col("n_used"), col("sum_qlog_ratio"),
+        ((lit(2.0) * col("n_used").cast("double") * 1000000.0) /
+          col("sum_qlog_ratio").cast("double")).as("id_twonn"))
+  }
+
+  val qEmbTwonnIdSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |sample AS (
+       |  SELECT vec_id AS s_id, v AS sv FROM e WHERE vec_id % $twonnSampleMod = 0
+       |),
+       |scored AS (
+       |  SELECT s_id, vec_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, ${embDim + 1}),
+       |          i -> (v[i] - sv[i]) * (v[i] - sv[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM e CROSS JOIN sample
+       |  WHERE vec_id <> s_id
+       |),
+       |ranked AS (
+       |  SELECT s_id, d2,
+       |    row_number() OVER (PARTITION BY s_id ORDER BY d2, vec_id) AS rn
+       |  FROM scored
+       |),
+       |per_probe AS (
+       |  SELECT s_id, count(*) AS nc, min(d2) AS r1, max(d2) AS r2
+       |  FROM ranked WHERE rn <= 2 GROUP BY s_id
+       |),
+       |used AS (
+       |  SELECT s_id,
+       |    CAST(floor(ln(r2) * 1000000) AS BIGINT) -
+       |    CAST(floor(ln(r1) * 1000000) AS BIGINT) AS dq
+       |  FROM per_probe WHERE nc = 2 AND r1 > 0.0
+       |),
+       |total AS (SELECT count(*) AS n_sample FROM per_probe)
+       |SELECT n_sample, count(*) AS n_used,
+       |  CAST(sum(dq) AS BIGINT) AS sum_qlog_ratio,
+       |  (2.0 * CAST(count(*) AS DOUBLE) * 1000000.0) /
+       |    CAST(sum(dq) AS DOUBLE) AS id_twonn
+       |FROM used CROSS JOIN total
+       |GROUP BY n_sample
+       |HAVING sum(dq) > 0""".stripMargin
+
+  // ------------------------------------------------------------------
   // k-means: one distributed Lloyd iteration over the embedding corpus
   // ------------------------------------------------------------------
 

@@ -6681,6 +6681,116 @@ object Analytics {
        |ORDER BY ta, tb""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Markov stationary distribution vs the empirical event mix
+  // ------------------------------------------------------------------
+
+  /** Scaled-integer unit for the stationary-distribution iteration
+    * (1.0 ≡ 10¹² per type, the [[graft.ext.Graph.rankScale]]
+    * discipline). Literal RHS `final` per the init-cycle rule.
+    */
+  final val markovScale = 1000000000000L
+
+  /** STATIONARY DISTRIBUTION of the per-user event-type Markov chain,
+    * against the EMPIRICAL type mix — the model-consistency check that
+    * completes the Markov family ([[qEventTransitions]] estimates the
+    * matrix, [[qEventMarkovEval]] scores next-event prediction,
+    * [[qEventEntropyRate]] its information rate): if user behavior
+    * really is first-order Markov and time-homogeneous, the chain's
+    * long-run occupancy π must match the observed type frequencies;
+    * a type whose π/empirical ratio is far from 1 is where the
+    * first-order model breaks (burst entry, non-stationary campaign,
+    * absorbing funnel). π via three power-iteration steps of the
+    * row-normalized count matrix from the uniform start.
+    *
+    * Exactness: transition counts are exact BIGINTs and the iteration
+    * runs in [[markovScale]]-scaled integers — each step's mass
+    * transfer is (π_a·n_ab) div n_a·, an exact floor division (the
+    * [[graft.ext.Graph.pageRank]] discipline; floor leakage < |types|
+    * units/round) — so π is bit-identical at any parallelism; the
+    * shares and ratio are closing divisions.
+    *
+    * Scale (100 TB): the corpus collapses to the |types|² transition
+    * matrix in one partially-aggregated shuffle (after the per-user
+    * lead window); every iteration is metadata-sized joins with
+    * per-round lineage truncation.
+    */
+  def qEventMarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paired = Tables.events(spark, sfDir)
+      .select($"event_type".as("a"),
+        lead($"event_type", 1).over(w).as("b"))
+      .filter($"b".isNotNull)
+    val trans = paired.groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+    val rowsum = trans.groupBy($"a").agg(sum($"n").as("na"))
+    val t = trans.join(rowsum, "a").localCheckpoint(true)
+    val types = rowsum.select($"a".as("event_type"))
+    var pi = types.select($"event_type", lit(markovScale).as("pi"))
+    var it = 0
+    while (it < 3) {
+      val inbox = t.join(pi.withColumnRenamed("event_type", "a"), "a")
+        .select($"b".as("event_type"), expr("(pi * n) div na").as("c"))
+        .groupBy($"event_type").agg(sum($"c").as("s"))
+      pi = types.join(inbox, Seq("event_type"), "left")
+        .select($"event_type", coalesce($"s", lit(0L)).as("pi"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    val emp = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_emp"))
+    val wAll = Window.partitionBy()
+    pi.join(emp, "event_type")
+      .select($"event_type", $"pi".as("pi_scaled"), $"n_emp",
+        ($"pi".cast("double") / sum($"pi").over(wAll).cast("double"))
+          .as("stationary_share"),
+        ($"n_emp".cast("double") / sum($"n_emp").over(wAll).cast("double"))
+          .as("empirical_share"))
+      .withColumn("ratio",
+        when($"empirical_share" > 0.0, $"stationary_share" / $"empirical_share")
+          .otherwise(lit(0.0)))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: the same three unrolled scaled-integer steps. */
+  val qEventMarkovStationarySql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT ty.event_type,
+         |    CAST(coalesce(m.s, 0) AS BIGINT) AS pi
+         |  FROM types ty LEFT JOIN (
+         |    SELECT t.b AS event_type, SUM((p.pi * t.n) // t.na) AS s
+         |    FROM t JOIN $prev p ON p.event_type = t.a
+         |    GROUP BY t.b) m ON m.event_type = ty.event_type)""".stripMargin
+    s"""WITH paired AS (
+       |  SELECT event_type AS a,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS b
+       |  FROM events
+       |),
+       |trans AS (
+       |  SELECT a, b, count(*) AS n FROM paired WHERE b IS NOT NULL GROUP BY a, b
+       |),
+       |rowsum AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM trans GROUP BY a),
+       |t AS (SELECT trans.a, b, n, na FROM trans JOIN rowsum ON rowsum.a = trans.a),
+       |types AS (SELECT a AS event_type FROM rowsum),
+       |p0 AS (SELECT event_type, CAST($markovScale AS BIGINT) AS pi FROM types),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")},
+       |emp AS (SELECT event_type, count(*) AS n_emp FROM events GROUP BY event_type)
+       |SELECT p3.event_type, pi AS pi_scaled, n_emp,
+       |  CAST(pi AS DOUBLE) / CAST(sum(pi) OVER () AS DOUBLE) AS stationary_share,
+       |  CAST(n_emp AS DOUBLE) / CAST(sum(n_emp) OVER () AS DOUBLE)
+       |    AS empirical_share,
+       |  CASE WHEN CAST(n_emp AS DOUBLE) / CAST(sum(n_emp) OVER () AS DOUBLE) > 0.0
+       |    THEN (CAST(pi AS DOUBLE) / CAST(sum(pi) OVER () AS DOUBLE)) /
+       |         (CAST(n_emp AS DOUBLE) / CAST(sum(n_emp) OVER () AS DOUBLE))
+       |    ELSE CAST(0.0 AS DOUBLE) END AS ratio
+       |FROM p3 JOIN emp ON emp.event_type = p3.event_type
+       |ORDER BY p3.event_type""".stripMargin
+  }
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6785,6 +6895,7 @@ object Analytics {
     "q_event_hurst" -> ((qEventHurst _, qEventHurstSql)),
     "q_event_drawdown" -> ((qEventDrawdown _, qEventDrawdownSql)),
     "q_event_profile_jsd" -> ((qEventProfileJsd _, qEventProfileJsdSql)),
+    "q_event_markov_stationary" -> ((qEventMarkovStationary _, qEventMarkovStationarySql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

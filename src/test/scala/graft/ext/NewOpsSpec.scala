@@ -4717,6 +4717,72 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("markov stationary: scaled-integer 3-step replay; shares partition") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp](1)
+        (r.getLong(0), t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          r.getLong(2), r.getString(3))
+      }
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      s.zip(s.tail)
+    }
+    val n = trans.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val na = trans.groupBy(_._1).map { case (a, xs) => a -> xs.length.toLong }
+    val types = na.keys.toSeq.sorted
+    var pi = types.map(_ -> Analytics.markovScale).toMap
+    (1 to 3).foreach { _ =>
+      val inbox = n.toSeq.groupBy(_._1._2).map { case (b, es) =>
+        b -> es.map { case ((a, _), c) => (pi(a) * c) / na(a) }.sum
+      }
+      pi = types.map(t => t -> inbox.getOrElse(t, 0L)).toMap
+    }
+    val emp = ev.groupBy(_._4).map { case (t, xs) => t -> xs.length.toLong }
+    val piTot = types.map(pi).sum
+    val empTot = types.map(t => emp(t)).sum
+    val rows = Analytics.qEventMarkovStationary(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === types.toSet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("pi_scaled") === pi(t))
+      assert(r.getAs[Long]("n_emp") === emp(t))
+      assert(r.getAs[Double]("stationary_share") === pi(t).toDouble / piTot)
+      assert(r.getAs[Double]("empirical_share") === emp(t).toDouble / empTot)
+    }
+    val shares = rows.map(_.getAs[Double]("stationary_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9, "stationary shares sum to one")
+  }
+
+  test("twonn: heap top-2 replay; Pareto-ratio estimator in a sane band") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.foldLeft(0.0)(_ + _)
+    val sample = embs.filter(_._1 % Similarity.twonnSampleMod == 0)
+    val per = sample.map { case (sid, se) =>
+      val ds = embs.filter(_._1 != sid)
+        .map { case (vid, e) => (d2(e, se), vid) }.sortBy(identity).take(2)
+      (sid, ds.length, ds.head._1, ds.last._1)
+    }
+    val used = per.filter(p => p._2 == 2 && p._3 > 0.0).map { p =>
+      math.floor(math.log(p._4) * 1e6).toLong -
+        math.floor(math.log(p._3) * 1e6).toLong
+    }
+    val sumDq = used.sum
+    val row = Similarity.qEmbTwonnId(spark, sf).head()
+    assert(row.getAs[Long]("n_sample") === per.length.toLong)
+    assert(row.getAs[Long]("n_used") === used.length.toLong)
+    assert(row.getAs[Long]("sum_qlog_ratio") === sumDq)
+    val id = (2.0 * used.length * 1e6) / sumDq
+    assert(row.getAs[Double]("id_twonn") === id)
+    assert(id > 0.0 && id <= Similarity.embDim * 2.0,
+      s"intrinsic dimension $id outside sanity band for ${Similarity.embDim} ambient dims")
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

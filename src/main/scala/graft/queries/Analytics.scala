@@ -6791,6 +6791,114 @@ object Analytics {
        |ORDER BY p3.event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // ARCH effect: volatility clustering via rank autocorrelation
+  // ------------------------------------------------------------------
+
+  /** VOLATILITY-CLUSTERING (ARCH-effect) screen per event type — do
+    * large daily swings follow large swings? The Engle insight that
+    * variance itself is autocorrelated even when the level is not:
+    * compute squared calendar-adjacent daily changes s_t = (x_t −
+    * x_{t−1})², then the LAG-1 SPEARMAN autocorrelation of the s
+    * series. Rank-based for two reasons: squared-cent fourth moments
+    * (Σs²) overflow int64 at any realistic magnitude, while doubled
+    * midranks stay small exact integers; and ranks are robust to the
+    * heavy tails squared changes always have. ρ > 2/√n says turbulence
+    * clusters — smoothing/alerting should widen its bands after a
+    * shock instead of treating each day as independent.
+    *
+    * Exactness: diffs and squares are exact BIGINTs; ranks are DOUBLED
+    * midranks off one cumulative window over distinct s values (the
+    * Mann-Whitney discipline); the Pearson-on-ranks closing formula
+    * uses n-scaled centered BIGINT moments and one fixed-shape double
+    * expression ([[qEventGranger]]'s shape).
+    *
+    * Scale (100 TB): the corpus collapses to |types|×|days|; two
+    * calendar self-joins, one distinct-value window, and a |types|-row
+    * moment rollup — all metadata-sized.
+    */
+  def qEventArchEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
+      .agg(floor(sum(dec($"value")) * 100).cast("long").as("xc"))
+    val prev = daily.select($"event_type", ($"dn" + 1).as("dn"), $"xc".as("xp"))
+    val sq = daily.join(prev, Seq("event_type", "dn"))
+      .select($"event_type", $"dn",
+        (($"xc" - $"xp") * ($"xc" - $"xp")).as("s"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rank2 = sq.groupBy($"event_type", $"s").agg(count(lit(1)).as("t"))
+      .select($"event_type", $"s",
+        (lit(2L) * (sum($"t").over(wCum) - $"t") + ($"t" + 1L)).as("r2"))
+    val ranked = sq.join(rank2, Seq("event_type", "s"))
+      .select($"event_type", $"dn", $"r2")
+    val lagged = ranked.select($"event_type", ($"dn" + 1).as("dn"), $"r2".as("r2p"))
+    val m = ranked.join(lagged, Seq("event_type", "dn"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"r2").as("sa"), sum($"r2p").as("sb"),
+        sum($"r2" * $"r2p").as("sab"),
+        sum($"r2" * $"r2").as("saa"), sum($"r2p" * $"r2p").as("sbb"))
+      .filter($"n" >= 3)
+      .select($"event_type", $"n",
+        ($"n" * $"sab" - $"sa" * $"sb").as("cab"),
+        ($"n" * $"saa" - $"sa" * $"sa").as("caa"),
+        ($"n" * $"sbb" - $"sb" * $"sb").as("cbb"))
+      .filter($"caa" > 0 && $"cbb" > 0)
+    m.select($"event_type", $"n",
+      ($"cab".cast("double") /
+        (sqrt($"caa".cast("double")) * sqrt($"cbb".cast("double"))))
+        .as("rho_sq_changes"))
+      .withColumn("clustered",
+        $"rho_sq_changes" > lit(2.0) / sqrt($"n".cast("double")))
+      .orderBy($"event_type")
+  }
+
+  val qEventArchEffectSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS xc
+      |  FROM events GROUP BY event_type, dn
+      |),
+      |sq AS (
+      |  SELECT a.event_type, a.dn, (a.xc - b.xc) * (a.xc - b.xc) AS s
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND b.dn = a.dn - 1
+      |),
+      |rank2 AS (
+      |  SELECT event_type, s,
+      |    2 * (sum(t) OVER (PARTITION BY event_type ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) +
+      |      (t + 1) AS r2
+      |  FROM (SELECT event_type, s, count(*) AS t FROM sq GROUP BY event_type, s)
+      |),
+      |ranked AS (
+      |  SELECT sq.event_type AS event_type, dn, r2
+      |  FROM sq JOIN rank2 ON rank2.event_type = sq.event_type AND rank2.s = sq.s
+      |),
+      |m AS (
+      |  SELECT a.event_type, count(*) AS n,
+      |    CAST(count(*) * sum(a.r2 * b.r2) - sum(a.r2) * sum(b.r2) AS BIGINT) AS cab,
+      |    CAST(count(*) * sum(a.r2 * a.r2) - sum(a.r2) * sum(a.r2) AS BIGINT) AS caa,
+      |    CAST(count(*) * sum(b.r2 * b.r2) - sum(b.r2) * sum(b.r2) AS BIGINT) AS cbb
+      |  FROM ranked a JOIN ranked b
+      |    ON b.event_type = a.event_type AND b.dn = a.dn - 1
+      |  GROUP BY a.event_type
+      |  HAVING count(*) >= 3 AND
+      |    count(*) * sum(a.r2 * a.r2) - sum(a.r2) * sum(a.r2) > 0 AND
+      |    count(*) * sum(b.r2 * b.r2) - sum(b.r2) * sum(b.r2) > 0
+      |)
+      |SELECT event_type, n,
+      |  CAST(cab AS DOUBLE) / (sqrt(CAST(caa AS DOUBLE)) * sqrt(CAST(cbb AS DOUBLE)))
+      |    AS rho_sq_changes,
+      |  CAST(cab AS DOUBLE) / (sqrt(CAST(caa AS DOUBLE)) * sqrt(CAST(cbb AS DOUBLE)))
+      |    > 2.0 / sqrt(CAST(n AS DOUBLE)) AS clustered
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_running_total" -> ((qRunningTotal _, qRunningTotalSql)),
     "q_event_moving_window" -> ((qEventMovingWindow _, qEventMovingWindowSql)),
@@ -6896,6 +7004,7 @@ object Analytics {
     "q_event_drawdown" -> ((qEventDrawdown _, qEventDrawdownSql)),
     "q_event_profile_jsd" -> ((qEventProfileJsd _, qEventProfileJsdSql)),
     "q_event_markov_stationary" -> ((qEventMarkovStationary _, qEventMarkovStationarySql)),
+    "q_event_arch_effect" -> ((qEventArchEffect _, qEventArchEffectSql)),
     "q_event_sax" -> ((qEventSax _, qEventSaxSql)),
     "q_order_perfect" -> ((qOrderPerfect _, qOrderPerfectSql))
   )

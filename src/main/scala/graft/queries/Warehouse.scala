@@ -3117,6 +3117,83 @@ object Warehouse {
        |ORDER BY s_suppkey""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Dead-stock scorecard: how much of the catalog has stopped selling?
+  // ------------------------------------------------------------------
+
+  /** Weeks without a sale before a part counts as dead stock. Literal
+    * RHS `final` per the init-cycle rule.
+    */
+  final val deadStockWeeks = 26L
+
+  /** DEAD-STOCK SCORECARD per brand — the obsolescence view the
+    * value-focused cuts miss: for every traded part, the age in weeks
+    * since its LAST shipment (against the corpus horizon), and per
+    * brand the count/share of parts silent for ≥ [[deadStockWeeks]]
+    * weeks plus the age profile (mean/max). [[qPartAbcXyz]] says what
+    * to stock by value and variability; this says what to STOP
+    * stocking — the write-off candidate list every inventory review
+    * starts from, and (dead share rising round-over-round) an early
+    * catalog-rot indicator.
+    *
+    * Exactness: ages are exact integer weeks off epoch-day BIGINTs and
+    * a 1-row horizon broadcast; counts and the max are integers; mean
+    * age and dead share are single exact-to-double divisions.
+    *
+    * Scale (100 TB): one part-keyed max-aggregate over the fact
+    * (map-side combined), a broadcast brand lookup, and a |brands|-row
+    * rollup.
+    */
+  def qPartDeadStock(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey",
+        datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"))
+    val horizon = li.agg(max($"dn").as("d_max"))
+    val perPart = li.groupBy($"l_partkey").agg(max($"dn").as("last_dn"))
+      .crossJoin(broadcast(horizon))
+      .select($"l_partkey",
+        expr(s"(d_max - last_dn) div $xyzWeekDays").as("age_w"))
+    perPart
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"age_w" >= deadStockWeeks, 1L).otherwise(0L)).as("n_dead"),
+        sum($"age_w").as("sum_age"), max($"age_w").as("max_age_w"))
+      .select($"p_brand", $"n_parts", $"n_dead",
+        when($"n_parts" > 0, $"n_dead".cast("double") / $"n_parts")
+          .otherwise(lit(0.0)).as("dead_share"),
+        ($"sum_age".cast("double") / $"n_parts".cast("double")).as("mean_age_w"),
+        $"max_age_w")
+      .orderBy($"p_brand")
+  }
+
+  val qPartDeadStockSql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+       |  FROM lineitem
+       |),
+       |horizon AS (SELECT max(dn) AS d_max FROM li),
+       |per_part AS (
+       |  SELECT l_partkey, (d_max - max(dn)) // $xyzWeekDays AS age_w
+       |  FROM li CROSS JOIN horizon
+       |  GROUP BY l_partkey, d_max
+       |)
+       |SELECT p_brand, count(*) AS n_parts,
+       |  CAST(sum(CASE WHEN age_w >= $deadStockWeeks THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dead,
+       |  CASE WHEN count(*) > 0
+       |    THEN CAST(sum(CASE WHEN age_w >= $deadStockWeeks THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS dead_share,
+       |  CAST(sum(age_w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_age_w,
+       |  CAST(max(age_w) AS BIGINT) AS max_age_w
+       |FROM per_part JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_event_locf" -> ((qEventLocf _, qEventLocfSql)),
     "q_event_twa" -> ((qEventTwa _, qEventTwaSql)),
@@ -3152,6 +3229,7 @@ object Warehouse {
     "q_brand_rank_tau" -> ((qBrandRankTau _, qBrandRankTauSql)),
     "q_seg_bullwhip" -> ((qSegBullwhip _, qSegBullwhipSql)),
     "q_leadtime_anova" -> ((qLeadtimeAnova _, qLeadtimeAnovaSql)),
-    "q_supp_shrunk_late_rate" -> ((qSuppShrunkLateRate _, qSuppShrunkLateRateSql))
+    "q_supp_shrunk_late_rate" -> ((qSuppShrunkLateRate _, qSuppShrunkLateRateSql)),
+    "q_part_dead_stock" -> ((qPartDeadStock _, qPartDeadStockSql))
   )
 }

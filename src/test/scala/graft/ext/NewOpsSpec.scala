@@ -4783,6 +4783,90 @@ class NewOpsSpec extends SparkSuite {
       s"intrinsic dimension $id outside sanity band for ${Similarity.embDim} ambient dims")
   }
 
+  test("dead stock: age-in-weeks replay; dead set is the old tail") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val brand = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_shipdate").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), day(r.getAs[java.sql.Timestamp](1))))
+    val dMax = li.map(_._2).max
+    val ages = li.groupBy(_._1).toSeq.map { case (pk, xs) =>
+      (brand(pk), (dMax - xs.map(_._2).max) / graft.queries.Warehouse.xyzWeekDays)
+    }
+    val expected = ages.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.length.toLong,
+        xs.count(_._2 >= graft.queries.Warehouse.deadStockWeeks).toLong,
+        xs.map(_._2).sum, xs.map(_._2).max)
+    }
+    val rows = graft.queries.Warehouse.qPartDeadStock(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("p_brand")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (np, nd, sumAge, maxAge) = expected(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n_parts") === np)
+      assert(r.getAs[Long]("n_dead") === nd)
+      assert(r.getAs[Double]("dead_share") === nd.toDouble / np)
+      assert(r.getAs[Double]("mean_age_w") === sumAge.toDouble / np)
+      assert(r.getAs[Long]("max_age_w") === maxAge)
+      assert(nd <= np)
+    }
+  }
+
+  test("arch effect: doubled-midrank Spearman replay on squared changes") {
+    def day(ts: java.sql.Timestamp): Long = {
+      val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+      Math.floorDiv(us, 86400000000L)
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), day(r.getAs[java.sql.Timestamp](1))),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case ((t, d), xs) =>
+        ((t, d), (xs.map(_._2).sum * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }
+    val expected = daily.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val sq = daily.collect {
+        case ((tt, d), x) if tt == t && daily.contains((t, d - 1)) =>
+          val dd = x - daily((t, d - 1)); (d, dd * dd)
+      }.toSeq
+      // doubled midranks over the squared-change values
+      val byV = sq.groupBy(_._2).map { case (v, xs) => (v, xs.length.toLong) }
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val r2of = byV.map { case (v, tt) =>
+        val r = 2 * cum + (tt + 1); cum += tt; v -> r
+      }.toMap
+      val ranked = sq.map { case (d, v) => (d, r2of(v)) }.toMap
+      val pairs = ranked.collect {
+        case (d, a) if ranked.contains(d - 1) => (a, ranked(d - 1))
+      }.toSeq
+      val n = pairs.length.toLong
+      if (n < 3) None
+      else {
+        val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+        val cab = n * pairs.map(p => p._1 * p._2).sum - sa * sb
+        val caa = n * pairs.map(p => p._1 * p._1).sum - sa * sa
+        val cbb = n * pairs.map(p => p._2 * p._2).sum - sb * sb
+        if (caa <= 0 || cbb <= 0) None
+        else Some(t -> (n,
+          cab.toDouble / (math.sqrt(caa.toDouble) * math.sqrt(cbb.toDouble))))
+      }
+    }.toMap
+    val rows = Analytics.qEventArchEffect(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, rho) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("rho_sq_changes") === rho)
+      assert(r.getAs[Boolean]("clustered") === (rho > 2.0 / math.sqrt(n.toDouble)))
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    }
+  }
+
   test("collocations: exact G2 contingency replay on quantized logs") {
     def qlog(v: Long): Long = math.floor(math.log(v.toDouble) * 1e6).toLong
     val bigrams = Tables.documents(spark, sf)

@@ -2600,60 +2600,53 @@ object Similarity {
     * axis hold" number that decides [[qEmbRproj]]-style compression.
     *
     * Scale (100 TB): the corpus is touched ONCE (the [[gramCells]]
-    * pass — one narrow expansion + d²-cell partial agg); all
-    * [[powerIters]] iterations run on d²-bounded metadata frames with
-    * broadcast scalars — corpus-size-independent, exactly how one runs
-    * power iteration on a 100 TB table without a distributed-matrix
-    * library. More components = deflate and repeat.
+    * pass — one narrow expansion + d²-cell partial agg); the d²-cell
+    * numerator (≤ d(d+1)/2 rows — MODEL STATE, the MMR/k-means
+    * constant-size-collect precedent) is then collected and all
+    * [[powerIters]] iterations fold driver-side in exact Long
+    * arithmetic. Integer sums are order-independent and both engines'
+    * integral division truncates toward zero (verified: DuckDB `//`
+    * and Spark `div` agree on negatives), so the fold is bit-identical
+    * to the unrolled-CTE oracle — which remains the cross-check. This
+    * replaces the r8 shape (5 distributed matvec rounds ×
+    * localCheckpoint) whose ~6 s scheduler-round floor was pure fixed
+    * overhead. More components = deflate and repeat.
     */
   def qEmbPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val (cells, dims) = gramCells(spark, sfDir)
-    // full symmetric integer covariance numerator M = n·s_ij − s_i·s_j
+    // upper-triangular integer covariance numerator M = n·s_ij − s_i·s_j
     val upper = cells
       .join(broadcast(dims.select(col("d").as("di"), col("s_d").as("s_i"))), "di")
       .join(broadcast(dims.select(col("d").as("dj"), col("s_d").as("s_j"))), "dj")
       .select(col("di"), col("dj"),
         (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("m0"))
-    val full = upper.unionAll(
-      upper.filter(col("di") =!= col("dj"))
-        .select(col("dj").as("di"), col("di").as("dj"), col("m0")))
-    val maxM = full.agg(max(abs(col("m0"))).as("mm"))
-    // rescale by DIVIDING (m0 div ceil-ish(mm/scale)), never multiplying:
+    // the ONE action of the query: d²-bounded model state
+    val up = upper.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val fullM = up ++ up.collect { case (i, j, m) if i != j => (j, i, m) }
+    // rescale by DIVIDING (m0 / ceil-ish(mm/scale)), never multiplying:
     // m0·scale would overflow int64 past ~10⁴ vectors
-    val mat = full.crossJoin(broadcast(maxM))
-      .select(col("di"), col("dj"),
-        expr(s"m0 div greatest(1L, mm div $powerMatScale)").as("m"))
-      .persist()
-    mat.count() // eager: powerIters matvec consumers
-    var v = mat.select(col("di").as("d")).distinct()
-      .select(col("d"), lit(powerVecScale).as("v"))
+    val mm = fullM.iterator.map(t => math.abs(t._3)).max
+    val divisor = math.max(1L, mm / powerMatScale)
+    val mat = fullM.map { case (i, j, m0) => (i, j, m0 / divisor) }
+    val byRow = mat.groupBy(_._1)
+    val ds = byRow.keys.toArray.sorted
+    var v: Map[Int, Long] = ds.map(d => d -> powerVecScale).toMap
     for (_ <- 1 to powerIters) {
-      val w = mat.join(broadcast(v.select(col("d").as("dj"), col("v"))), "dj")
-        .groupBy(col("di").as("d")).agg(sum(col("m") * col("v")).as("w"))
-      val mw = w.agg(max(abs(col("w"))).as("mw"))
-      // localCheckpoint (the CC-loop rule): each iterate references its
-      // predecessor several times (matvec + its own normalizer), so an
-      // un-truncated loop frame DOUBLES the logical plan per round —
-      // measured ~25k join nodes in the 5-round plan before this
-      v = w.crossJoin(broadcast(mw))
-        .select(col("d"), expr(s"(w * $powerVecScale) div mw").as("v"))
-        .localCheckpoint()
+      val w = byRow.map { case (d, rows) =>
+        d -> rows.iterator.map { case (_, j, m) => m * v(j) }.sum
+      }
+      val mw = w.valuesIterator.map(math.abs).max
+      v = w.map { case (d, x) => d -> (x * powerVecScale) / mw }
     }
     // sign fix: flip so the first coordinate is non-negative
-    val sign = v.filter(col("d") === 0)
-      .select(when(col("v") < 0, -1L).otherwise(1L).as("sgn"))
-    val vFixed = v.crossJoin(broadcast(sign))
-      .select(col("d"), (col("v") * col("sgn")).as("v")).persist()
-    vFixed.count() // eager: Rayleigh numerator + denominator + output
-    val num = mat
-      .join(broadcast(vFixed.select(col("d").as("di"), col("v").as("vi"))), "di")
-      .join(broadcast(vFixed.select(col("d").as("dj"), col("v").as("vj"))), "dj")
-      .agg(sum(col("m") * col("vi") * col("vj")).as("vmv"))
-    val den = vFixed.agg(sum(col("v") * col("v")).as("vv"))
-    vFixed.crossJoin(broadcast(num)).crossJoin(broadcast(den))
-      .select(col("d"), col("v"),
-        (col("vmv").cast("double") / col("vv").cast("double") / powerMatScale)
-          .as("rayleigh_scaled"))
+    val sgn = if (v(0) < 0) -1L else 1L
+    val vf = v.map { case (d, x) => d -> x * sgn }
+    val vmv = mat.iterator.map { case (i, j, m) => m * vf(i) * vf(j) }.sum
+    val vv = vf.valuesIterator.map(x => x * x).sum
+    val ray = vmv.toDouble / vv.toDouble / powerMatScale
+    ds.toSeq.map(d => (d, vf(d), ray))
+      .toDF("d", "v", "rayleigh_scaled")
       .orderBy(col("d"))
   }
 

@@ -2278,11 +2278,17 @@ object Warehouse {
     * comparator vector is computed once per candidate, and the whole
     * estimation is ONE aggregate over candidates (map-side combined)
     * unpivoted to 4 feature rows. Within-block pair volume grows
-    * quadratically in block size (SCALING.md measures exp ≈ 1.1 over
-    * the bench decade): m/u are RATIOS, so the production form at
-    * large SF estimates them from a deterministic hash-sample of
-    * candidate pairs per block — the estimation query is unchanged,
-    * only the candidate CTE gains a sample predicate.
+    * quadratically in block size, so the estimation runs on a
+    * DETERMINISTIC RECORD-LEVEL HASH SAMPLE ([[fsKeep]], the Dedup
+    * evalKeep discipline): records are kept by an LCG on the BASE id
+    * (`id % 500000` — the twin offset, so an injected twin always
+    * lands on the same side of the boundary as its source). m/u are
+    * RATIOS, so the estimates are consistent under the sample; keeping
+    * at rate p cuts non-match pair volume by p² while matched pairs
+    * (which share a base id) survive at rate p — the m numerator keeps
+    * 4× more signal than a pair-level sample would. Production tunes p
+    * per block occupancy (~1/√occupancy pins pair volume linear); the
+    * estimation query itself is unchanged.
     */
   def qCustFsWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2292,7 +2298,8 @@ object Warehouse {
       .select((col("id") + 500000).as("id"),
         concat(substring(col("name"), 1, 2), lit("x"),
           expr("substring(name, 4)")).as("name"))
-    val all = base.unionAll(dirty).withColumn("block", expr("right(name, 2)"))
+    val all = base.unionAll(dirty).filter(fsKeep(col("id")))
+      .withColumn("block", expr("right(name, 2)"))
     val pairs = all.select($"id".as("id_a"), $"name".as("name_a"), $"block")
       .join(all.select($"id".as("id_b"), $"name".as("name_b"), $"block"), Seq("block"))
       .filter($"id_a" < $"id_b")
@@ -2326,6 +2333,22 @@ object Warehouse {
       .orderBy($"feature")
   }
 
+  /** Deterministic record-level sample for [[qCustFsWeights]]: the
+    * Dedup evalKeep LCG on the BASE id (`id % 500000` = the twin
+    * offset, so a twin is kept iff its source is), keeping 512/2048 =
+    * 25% of base ids. Literal RHS (object-init-cycle rule): these
+    * interpolate into oracle SQL. Max intermediate 499999 × 1103515245
+    * ≈ 5.5e14 — inside int64 in both engines.
+    */
+  final val fsSampleMul = 1103515245L
+  final val fsSampleAdd = 12345L
+  final val fsSampleMod = 2048L
+  final val fsSampleKeep = 512L
+  private def fsKeep(c: Column): Column =
+    ((c % 500000L) * fsSampleMul + fsSampleAdd) % fsSampleMod < fsSampleKeep
+  private def fsKeepSqlOn(c: String): String =
+    s"(($c % 500000) * $fsSampleMul + $fsSampleAdd) % $fsSampleMod < $fsSampleKeep"
+
   val qCustFsWeightsSql: String = {
     val feats = Seq("char3", "edits", "len", "prefix2")
     val featRows = feats.map { f =>
@@ -2341,9 +2364,9 @@ object Warehouse {
        |  FROM base WHERE id % 9 = 0
        |),
        |all_recs AS (
-       |  SELECT id, name, right(name, 2) AS block FROM base
-       |  UNION ALL
-       |  SELECT id, name, right(name, 2) AS block FROM dirty
+       |  SELECT id, name, right(name, 2) AS block
+       |  FROM (SELECT id, name FROM base UNION ALL SELECT id, name FROM dirty)
+       |  WHERE ${fsKeepSqlOn("id")}
        |),
        |pairs AS (
        |  SELECT

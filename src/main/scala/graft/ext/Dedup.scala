@@ -111,7 +111,7 @@ object Dedup {
   private def evalKeep(c: Column): Column =
     ((c % 100000L) * evalSampleMul + evalSampleAdd) % evalSampleMod < evalSampleKeep
   private def evalKeepSqlOn(c: String): String =
-    s"(($c % 100000) * $evalSampleMul + $evalSampleAdd) % $evalSampleMod < $evalSampleKeep"
+    s"((CAST($c AS BIGINT) % 100000) * $evalSampleMul + $evalSampleAdd) % $evalSampleMod < $evalSampleKeep"
 
   /** Word 3-shingles (min 1 shingle for tiny docs). Shared with
     * [[TextOps.qDocRepetition]]. Reads a pre-split `toks` column, NOT an

@@ -2611,6 +2611,18 @@ object Similarity {
     * replaces the r8 shape (5 distributed matvec rounds ×
     * localCheckpoint) whose ~6 s scheduler-round floor was pure fixed
     * overhead. More components = deflate and repeat.
+    *
+    * Validity bound of the driver fold: the collect is d(d+1)/2 rows
+    * (d = 64 → 2 080) — genuinely model state while that stays small;
+    * past d ≈ 2k (≈ 2M cells) switch back to the r8 distributed-matvec
+    * shape, whose per-round cost is then dwarfed by the cell volume.
+    *
+    * Degenerate inputs mirror the SQL oracle exactly: an empty
+    * embeddings table yields an EMPTY frame (every CTE is empty), and
+    * an all-zero rescaled matrix — where the oracle's `(w*scale) //
+    * max(abs(w))` divides by zero → NULL, which then propagates
+    * through every later iteration — yields d rows with NULL v /
+    * NULL rayleigh rather than throwing.
     */
   def qEmbPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2623,6 +2635,9 @@ object Similarity {
         (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("m0"))
     // the ONE action of the query: d²-bounded model state
     val up = upper.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    if (up.isEmpty)
+      return Seq.empty[(Int, Option[Long], Option[Double])]
+        .toDF("d", "v", "rayleigh_scaled")
     val fullM = up ++ up.collect { case (i, j, m) if i != j => (j, i, m) }
     // rescale by DIVIDING (m0 / ceil-ish(mm/scale)), never multiplying:
     // m0·scale would overflow int64 past ~10⁴ vectors
@@ -2632,22 +2647,27 @@ object Similarity {
     val byRow = mat.groupBy(_._1)
     val ds = byRow.keys.toArray.sorted
     var v: Map[Int, Long] = ds.map(d => d -> powerVecScale).toMap
-    for (_ <- 1 to powerIters) {
+    var degenerate = false
+    for (_ <- 1 to powerIters if !degenerate) {
       val w = byRow.map { case (d, rows) =>
         d -> rows.iterator.map { case (_, j, m) => m * v(j) }.sum
       }
       val mw = w.valuesIterator.map(math.abs).max
-      v = w.map { case (d, x) => d -> (x * powerVecScale) / mw }
+      if (mw == 0L) degenerate = true // oracle: x//0 = NULL, propagates
+      else v = w.map { case (d, x) => d -> (x * powerVecScale) / mw }
     }
-    // sign fix: flip so the first coordinate is non-negative
-    val sgn = if (v(0) < 0) -1L else 1L
-    val vf = v.map { case (d, x) => d -> x * sgn }
-    val vmv = mat.iterator.map { case (i, j, m) => m * vf(i) * vf(j) }.sum
-    val vv = vf.valuesIterator.map(x => x * x).sum
-    val ray = vmv.toDouble / vv.toDouble / powerMatScale
-    ds.toSeq.map(d => (d, vf(d), ray))
-      .toDF("d", "v", "rayleigh_scaled")
-      .orderBy(col("d"))
+    val out: Seq[(Int, Option[Long], Option[Double])] =
+      if (degenerate) ds.toSeq.map(d => (d, None, None))
+      else {
+        // sign fix: flip so the first coordinate is non-negative
+        val sgn = if (v(0) < 0) -1L else 1L
+        val vf = v.map { case (d, x) => d -> x * sgn }
+        val vmv = mat.iterator.map { case (i, j, m) => m * vf(i) * vf(j) }.sum
+        val vv = vf.valuesIterator.map(x => x * x).sum
+        val ray = vmv.toDouble / vv.toDouble / powerMatScale
+        ds.toSeq.map(d => (d, Some(vf(d)), Some(ray)))
+      }
+    out.toDF("d", "v", "rayleigh_scaled").orderBy(col("d"))
   }
 
   val qEmbPowerIterSql: String = {

@@ -1090,6 +1090,109 @@ object TextOps {
        |LIMIT $bpeTopK""".stripMargin
 
   // ------------------------------------------------------------------
+  // BPE merge training: bounded multi-round merge induction
+  // ------------------------------------------------------------------
+
+  /** Bounded merge rounds for [[qDocBpeMerges]] — the E108/E158/E198
+    * bounded-iteration discipline (fixed unroll, oracle-mirrorable). */
+  final val bpeMergeRounds = 3
+
+  /** MULTI-ROUND BPE TOKENIZER TRAINING — [[bpeMergeRounds]] full merge
+    * rounds, not just the first round's candidate list ([[qDocBpePairs]]):
+    * each round counts adjacent SYMBOL-pair frequencies over the current
+    * segmentation (weighted by word frequency), adopts the argmax pair
+    * (ties: lexicographic), and RE-SEGMENTS every word by greedy
+    * left-to-right merge — exactly the sentencepiece/BPE training loop.
+    * Output: one row per round — the merge rule, its token, its weight.
+    *
+    * Cross-engine exactness: a word's segmentation is a space-separated
+    * symbol string, and one greedy left-to-right merge pass is EXACTLY
+    * two successive `replace(' '||seg||' ', ' a b ', ' ab ')` calls:
+    * both engines' replace scans the SOURCE left-to-right non-overlapping,
+    * so in a chain "a b a b a b" the first call merges the odd
+    * occurrences (each match consumes the trailing space the next
+    * occurrence needs as its leading space) and the second call merges
+    * the now-isolated rest. Two passes always reach the greedy fixpoint:
+    * merging cannot create a fresh occurrence (the merged symbol is
+    * strictly longer than either side), and after pass one no two
+    * surviving occurrences are adjacent. The replay spec checks this
+    * replace-form against an independent fold-form greedy merge.
+    *
+    * Scale (100 TB): the corpus is scanned ONCE into the word-frequency
+    * table; all rounds run on the VOCAB-bounded segmentation table
+    * (millions of rows, not corpus tokens), re-segmented in place with
+    * the 1-row argmax broadcast — no corpus re-shuffle, ever. Each
+    * round's table is persisted (the pointer-jumping lineage-truncation
+    * discipline) so round r doesn't recompute rounds 1..r-1.
+    */
+  def qDocBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    var seg = words
+      .select(rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
+        col("wcount"))
+      .persist()
+    val bests = (1 to bpeMergeRounds).map { r =>
+      val pairs = seg.filter(size(split(col("seg"), " ")) >= 2)
+        .select(col("wcount"), explode(expr(
+          "transform(sequence(1, size(split(seg, ' ')) - 1)," +
+            " i -> concat(element_at(split(seg, ' '), i), ' '," +
+            " element_at(split(seg, ' '), i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcount")).as("weight"))
+      val best = pairs.orderBy(col("weight").desc, col("pair")).limit(1)
+      seg = seg.crossJoin(broadcast(best.select(col("pair"))))
+        .select(trim(expr("replace(replace(concat(' ', seg, ' ')," +
+            " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))," +
+            " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))"))
+          .as("seg"), col("wcount"))
+        .persist()
+      best.select(lit(r).as("merge_round"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"), col("weight"))
+    }
+    bests.reduce(_ unionAll _).orderBy(col("merge_round"))
+  }
+
+  val qDocBpeMergesSql: String = {
+    val rounds = (1 to bpeMergeRounds).map { r =>
+      val prev = s"seg${r - 1}"
+      s"""pairs$r AS (
+         |  SELECT p.pair, CAST(sum(wcount) AS BIGINT) AS weight
+         |  FROM $prev, UNNEST(list_transform(
+         |      range(1, len(string_split(seg, ' '))),
+         |      i -> string_split(seg, ' ')[i] || ' ' ||
+         |           string_split(seg, ' ')[i + 1])) AS p(pair)
+         |  GROUP BY p.pair
+         |),
+         |best$r AS (SELECT pair, weight FROM pairs$r
+         |  ORDER BY weight DESC, pair LIMIT 1),
+         |seg$r AS (
+         |  SELECT trim(replace(replace(' ' || seg || ' ',
+         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))
+         |    AS seg, wcount
+         |  FROM $prev CROSS JOIN best$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeMergeRounds).map { r =>
+      s"SELECT $r AS merge_round, pair, replace(pair, ' ', '') AS merged, " +
+        s"weight FROM best$r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |seg0 AS (
+       |  SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, wcount
+       |  FROM words
+       |),
+       |$rounds
+       |$out
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Unigram-LM cross-entropy per source (perplexity filtering)
   // ------------------------------------------------------------------
 

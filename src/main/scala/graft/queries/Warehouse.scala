@@ -2298,7 +2298,16 @@ object Warehouse {
       .select((col("id") + 500000).as("id"),
         concat(substring(col("name"), 1, 2), lit("x"),
           expr("substring(name, 4)")).as("name"))
-    val all = base.unionAll(dirty).filter(fsKeep(col("id")))
+    val recs = base.unionAll(dirty)
+    // Occupancy floor (SF robustness): the 25 % record sample only pays
+    // once pair volume is quadratic-dominant; below [[fsSampleFloor]]
+    // records the blocked candidate join is already tiny AND can end up
+    // all-twin (n_u = 0 broke the sf0.001 replay in round 9), so keep
+    // everything. The count() is a one-row scalar (model state, the
+    // sanctioned k-means/power-iter precedent), mirrored as a scalar
+    // subquery over the same union in the oracle SQL.
+    val keepN = if (recs.count() < fsSampleFloor) fsSampleMod else fsSampleKeep
+    val all = recs.filter(fsKeep(col("id"), keepN))
       .withColumn("block", expr("right(name, 2)"))
     val pairs = all.select($"id".as("id_a"), $"name".as("name_a"), $"block")
       .join(all.select($"id".as("id_b"), $"name".as("name_b"), $"block"), Seq("block"))
@@ -2336,18 +2345,23 @@ object Warehouse {
   /** Deterministic record-level sample for [[qCustFsWeights]]: the
     * Dedup evalKeep LCG on the BASE id (`id % 500000` = the twin
     * offset, so a twin is kept iff its source is), keeping 512/2048 =
-    * 25% of base ids. Literal RHS (object-init-cycle rule): these
-    * interpolate into oracle SQL. Max intermediate 499999 × 1103515245
-    * ≈ 5.5e14 — inside int64 in both engines.
+    * 25% of base ids — but only above [[fsSampleFloor]] records
+    * (occupancy floor: below it the sample is disabled, keep = mod).
+    * Literal RHS (object-init-cycle rule): these interpolate into
+    * oracle SQL. Max intermediate 499999 × 1103515245 ≈ 5.5e14 —
+    * inside int64 in both engines; the explicit BIGINT cast keeps the
+    * oracle correct even if the parquet id column were INT32 (DuckDB
+    * would otherwise multiply in INT32 and overflow).
     */
   final val fsSampleMul = 1103515245L
   final val fsSampleAdd = 12345L
   final val fsSampleMod = 2048L
   final val fsSampleKeep = 512L
-  private def fsKeep(c: Column): Column =
-    ((c % 500000L) * fsSampleMul + fsSampleAdd) % fsSampleMod < fsSampleKeep
-  private def fsKeepSqlOn(c: String): String =
-    s"(($c % 500000) * $fsSampleMul + $fsSampleAdd) % $fsSampleMod < $fsSampleKeep"
+  final val fsSampleFloor = 5000L
+  private def fsKeep(c: Column, keep: Long): Column =
+    ((c.cast("long") % 500000L) * fsSampleMul + fsSampleAdd) % fsSampleMod < keep
+  private def fsKeepSqlOn(c: String, keepExpr: String): String =
+    s"((CAST($c AS BIGINT) % 500000) * $fsSampleMul + $fsSampleAdd) % $fsSampleMod < $keepExpr"
 
   val qCustFsWeightsSql: String = {
     val feats = Seq("char3", "edits", "len", "prefix2")
@@ -2363,10 +2377,15 @@ object Warehouse {
        |    substr(name, 1, 2) || 'x' || substr(name, 4) AS name
        |  FROM base WHERE id % 9 = 0
        |),
+       |recs AS (
+       |  SELECT id, name FROM base UNION ALL SELECT id, name FROM dirty
+       |),
        |all_recs AS (
        |  SELECT id, name, right(name, 2) AS block
-       |  FROM (SELECT id, name FROM base UNION ALL SELECT id, name FROM dirty)
-       |  WHERE ${fsKeepSqlOn("id")}
+       |  FROM recs
+       |  WHERE ${fsKeepSqlOn("id",
+              s"(SELECT CASE WHEN count(*) < $fsSampleFloor THEN $fsSampleMod " +
+              s"ELSE $fsSampleKeep END FROM recs)")}
        |),
        |pairs AS (
        |  SELECT

@@ -917,6 +917,44 @@ class NewOpsSpec extends SparkSuite {
     assert(out.toSeq === local, "distributed vocab-weighted pair count == local replay")
   }
 
+  test("bpe merges: 3-round greedy merge replay (loop-form ground truth vs replace-form)") {
+    val out = TextOps.qDocBpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("weight")))
+    assert(out.length === TextOps.bpeMergeRounds)
+    // ground truth: canonical greedy left-to-right merge over symbol
+    // VECTORS (merge-then-skip-both loop), independent of the engine's
+    // two-pass string-replace formulation
+    var segs: Seq[(Vector[String], Long)] = Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).groupBy(identity).toSeq
+      .map { case (w, g) => (w.toVector.map(_.toString), g.length.toLong) }
+    val expected = (1 to TextOps.bpeMergeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      val ((a, b), w) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, s"$x $y") }
+      segs = segs.map { case (syms, c) =>
+        val m = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            m += (a + b); i += 2
+          } else { m += syms(i); i += 1 }
+        }
+        (m.toVector, c)
+      }
+      (r, s"$a $b", a + b, w)
+    }
+    assert(out.toSeq === expected,
+      "distributed replace-form merges == local greedy loop-form replay")
+    // the adopted tokens must be distinct and strictly growing in coverage
+    assert(out.map(_._3).distinct.length === TextOps.bpeMergeRounds)
+  }
+
   test("dup spans: planted near-dup sources are fully covered, copies all but the suffix") {
     val out = Dedup.qDocDupSpans(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

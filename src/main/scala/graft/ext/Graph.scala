@@ -271,9 +271,12 @@ object Graph {
     * clustering-coefficient numerator).
     */
   def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // NO pre-distinct on (ok, p): the downstream edge-level distinct is
+    // the dedup barrier anyway (repeated partkeys within an order are
+    // rare), so pre-deduping would add a full extra shuffle of the scan
+    // to save join rows it doesn't need to save
     val pairs = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
     // per-order quadratic, bounded by order width (≤7 lineitems) — the
     // standard co-occurrence edge build, same shape as qEventCooccur
     val und = pairs.as("a")
@@ -288,9 +291,12 @@ object Graph {
     // edge appears exactly once; dst_d rides along for the wedge compare
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // deg is |V| rows (node-bounded, not edge-bounded) — broadcast both
+    // attachment joins so the persisted edge set never reshuffles; at
+    // billions of nodes swap for shuffle_hash, the algebra is unchanged
     val oriented = und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       // 1-core prune, free here (both endpoint degrees already ride the
       // row): an edge with a degree-1 endpoint cannot lie in a triangle
       // (all three triangle vertices have degree ≥2), so dropping it

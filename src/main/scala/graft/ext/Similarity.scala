@@ -1584,6 +1584,115 @@ object Similarity {
        |GROUP BY n_sample
        |HAVING sum(dq) > 0""".stripMargin
 
+  /** PER-IVF-CELL TwoNN intrinsic dimension — the documented scale
+    * variant of [[qEmbTwonnId]] made first-class: every vector is
+    * assigned to its nearest centroid cell (the [[probeCells]] narrow
+    * fold, nprobe=1) and each probe's two nearest neighbors are found
+    * WITHIN ITS CELL ONLY, so the candidate pairing is a cell EQUI-join
+    * — the corpus-wide broadcast nested loop of the global estimator
+    * never happens. Output: one row per cell with its LOCAL intrinsic
+    * dimension — the per-cell manifold width that sizes a per-cell PQ
+    * codebook or residual quantizer honestly (cells on a flat patch
+    * need fewer bits than cells straddling a fold).
+    *
+    * Estimator caveat, stated not hidden: restricting neighbors to the
+    * cell clips r₂ at cell boundaries, so cell-local d̂ is biased
+    * upward for probes near a boundary — the price of never shipping
+    * the probe set corpus-wide; with ~n/k vectors per cell the bias is
+    * small and uniform across cells, and relative cell-to-cell
+    * comparison (the tuning signal) is unaffected.
+    *
+    * Scale (100 TB): assignment is narrow (1-row quantizer broadcast);
+    * the pairing shuffles BY CELL (both sides partition on the cell id,
+    * candidate volume is cell-bounded |cell|·|cell|/mod, never Q×N);
+    * top-2 is the [[graft.plans.TopKPerKey]] heap; the closing join is
+    * k-row against k-row. Nothing corpus-sized ever broadcasts —
+    * NewOpsSpec asserts the hash-equi pairing plan.
+    */
+  def qEmbTwonnCell(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    centArr.count() // eager: assignment consumes the quantizer
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val assigned = probeCells(emb, centArr, 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+      .persist()
+    assigned.count() // eager: both pairing sides consume it
+    val probes = assigned.filter(col("vec_id") % twonnSampleMod === 0)
+      .select(col("cell"), col("vec_id").as("s_id"), col("e").as("se"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("s_id"))
+      .select(col("cell"), col("s_id"), col("vec_id"),
+        expr("aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y))," +
+          " cast(0 as double), (acc, p) -> acc + p)").as("d2"))
+    val top2 = graft.functions.GraftOps.topKPerKey(scored,
+      keys = Seq("s_id"), order = Seq(("d2", false), ("vec_id", false)), k = 2)
+    val perProbe = top2.groupBy(col("cell"), col("s_id"))
+      .agg(count(lit(1)).as("nc"), min(col("d2")).as("r1"), max(col("d2")).as("r2"))
+    val used = perProbe.filter(col("nc") === 2 && col("r1") > 0.0)
+      .select(col("cell"),
+        (floor(log(col("r2")) * 1000000L).cast("long") -
+          floor(log(col("r1")) * 1000000L).cast("long")).as("dq"))
+    val totals = perProbe.groupBy(col("cell")).agg(count(lit(1)).as("n_sample"))
+    used.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_used"), sum(col("dq")).as("sum_qlog_ratio"))
+      .join(broadcast(totals), "cell")
+      .filter(col("sum_qlog_ratio") > 0)
+      .select(col("cell"), col("n_sample"), col("n_used"), col("sum_qlog_ratio"),
+        ((lit(2.0) * col("n_used").cast("double") * 1000000.0) /
+          col("sum_qlog_ratio").cast("double")).as("id_twonn"))
+      .orderBy(col("cell"))
+  }
+
+  val qEmbTwonnCellSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |a AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+       |probes AS (
+       |  SELECT cell, vec_id AS s_id, v AS sv FROM a
+       |  WHERE vec_id % $twonnSampleMod = 0
+       |),
+       |scored AS (
+       |  SELECT a.cell, s_id, a.vec_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, ${embDim + 1}),
+       |          i -> (v[i] - sv[i]) * (v[i] - sv[i]))),
+       |      (x, y) -> x + y) AS d2
+       |  FROM a JOIN probes ON a.cell = probes.cell AND a.vec_id <> probes.s_id
+       |),
+       |ranked AS (
+       |  SELECT cell, s_id, d2,
+       |    row_number() OVER (PARTITION BY s_id ORDER BY d2, vec_id) AS rn
+       |  FROM scored
+       |),
+       |per_probe AS (
+       |  SELECT cell, s_id, count(*) AS nc, min(d2) AS r1, max(d2) AS r2
+       |  FROM ranked WHERE rn <= 2 GROUP BY cell, s_id
+       |),
+       |used AS (
+       |  SELECT cell,
+       |    CAST(floor(ln(r2) * 1000000) AS BIGINT) -
+       |    CAST(floor(ln(r1) * 1000000) AS BIGINT) AS dq
+       |  FROM per_probe WHERE nc = 2 AND r1 > 0.0
+       |),
+       |tot AS (SELECT cell, count(*) AS n_sample FROM per_probe GROUP BY cell)
+       |SELECT tot.cell, n_sample, count(*) AS n_used,
+       |  CAST(sum(dq) AS BIGINT) AS sum_qlog_ratio,
+       |  (2.0 * CAST(count(*) AS DOUBLE) * 1000000.0) /
+       |    CAST(sum(dq) AS DOUBLE) AS id_twonn
+       |FROM used JOIN tot ON used.cell = tot.cell
+       |GROUP BY tot.cell, n_sample
+       |HAVING sum(dq) > 0
+       |ORDER BY tot.cell""".stripMargin
+
   // ------------------------------------------------------------------
   // k-means: one distributed Lloyd iteration over the embedding corpus
   // ------------------------------------------------------------------

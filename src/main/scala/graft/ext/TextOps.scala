@@ -1262,6 +1262,194 @@ object TextOps {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // Curriculum ordering: deterministic easy→hard phase assignment
+  // ------------------------------------------------------------------
+
+  /** CURRICULUM / DATA-ORDERING assignment — the training-data surface
+    * that decides WHAT ORDER the corpus is consumed in: every document
+    * gets a deterministic difficulty key composed from the existing
+    * signals (per-DOC unigram cross-entropy — the [[qDocPerplexity]]
+    * estimator re-keyed to documents; average word length as the
+    * readability proxy; an LCG hash tie-break so equal-signal docs
+    * split reproducibly), and phases are cut easy→hard by PER-TIER
+    * TOKEN BUDGETS: phase 1 = the easiest ~20 % of tokens, phase 2 the
+    * next ~30 %, phase 3 the hard tail — the warmup/ramp/main split a
+    * curriculum-trained run feeds its data loader.
+    *
+    * Exactness: the difficulty key is a single BIGINT
+    * `((xq div 10⁴)·1024 + awl)·256 + h` of integer-quantized parts
+    * (micro-nat/token cross-entropy, clamped deci-char word length,
+    * mod-256 LCG), so ordering, tie-breaking and the budget cut are
+    * bit-identical in both engines; budgets bind at KEY granularity
+    * (every doc sharing a key shares a phase — the documented
+    * approximation that buys the scale shape below).
+    *
+    * Scale (100 TB): the corpus is shuffled ONCE (doc×token tf agg);
+    * the LM join is vocabulary-sized; the global easy→hard cumulative
+    * runs over the BOUNDED bucket table (≤ 2²⁸ keys by construction,
+    * in practice thousands) — never a corpus-wide sorted window — and
+    * the phase map joins back as a broadcast. Adding a phase or
+    * re-cutting budgets touches only the bucket table.
+    */
+  def qDocCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val byDoc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
+    val uni = byDoc.groupBy(col("w")).agg(sum(col("tf_dw")).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val perDoc = byDoc.join(uni, "w").crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf_dw")).as("n_tokens"),
+        sum(col("tf_dw") *
+          (quantLog(col("tf") + 1) - quantLog(col("t") + col("v")))).as("sum_qlp"))
+    val keyed = perDoc
+      .join(docs.select(col("doc_id"), length(col("text")).as("n_chars")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(-sum_qlp) div n_tokens").as("xq"),
+        expr("least((n_chars * 10) div n_tokens, 1023)").as("awl"),
+        expr("((doc_id % 100000) * 1103515245 + 12345) % 256").as("h"))
+      .select(col("doc_id"), col("n_tokens"), col("xq"),
+        expr("((xq div 10000) * 1024 + awl) * 256 + h").as("curr_key"))
+    val b = keyed.groupBy(col("curr_key")).agg(sum(col("n_tokens")).as("tok_b"))
+    val wCum = Window.orderBy(col("curr_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum(col("tok_b")).as("tot"))
+    val phases = b.select(col("curr_key"), sum(col("tok_b")).over(wCum).as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("curr_key"),
+        when(col("cum") * 5 <= col("tot"), 1)
+          .when(col("cum") * 2 <= col("tot"), 2)
+          .otherwise(3).as("phase"))
+    keyed.join(broadcast(phases), "curr_key")
+      .select(col("doc_id"), col("n_tokens"), col("xq"), col("curr_key"),
+        col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocCurriculumSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+       |),
+       |by_doc AS (
+       |  SELECT doc_id, w, count(*) AS tf_dw FROM toks GROUP BY doc_id, w
+       |),
+       |uni AS (
+       |  SELECT w, CAST(sum(tf_dw) AS BIGINT) AS tf FROM by_doc GROUP BY w
+       |),
+       |totals AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni
+       |),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(tf_dw) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf_dw * (${quantLogSql("tf + 1")} - ${quantLogSql("t + v")}))
+       |      AS BIGINT) AS sum_qlp
+       |  FROM by_doc JOIN uni USING (w) CROSS JOIN totals GROUP BY doc_id
+       |),
+       |keyed AS (
+       |  SELECT p.doc_id, n_tokens, (-sum_qlp) // n_tokens AS xq,
+       |    ((((-sum_qlp) // n_tokens) // 10000) * 1024 +
+       |      least((length(text) * 10) // n_tokens, 1023)) * 256 +
+       |      ((CAST(p.doc_id AS BIGINT) % 100000) * 1103515245 + 12345) % 256
+       |      AS curr_key
+       |  FROM per_doc p JOIN docs d ON p.doc_id = d.doc_id
+       |),
+       |b AS (
+       |  SELECT curr_key, CAST(sum(n_tokens) AS BIGINT) AS tok_b
+       |  FROM keyed GROUP BY curr_key
+       |),
+       |tot AS (SELECT CAST(sum(tok_b) AS BIGINT) AS tot FROM b),
+       |cumb AS (
+       |  SELECT curr_key,
+       |    CAST(sum(tok_b) OVER (ORDER BY curr_key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM b
+       |),
+       |phases AS (
+       |  SELECT curr_key,
+       |    CASE WHEN cum * 5 <= tot THEN 1
+       |         WHEN cum * 2 <= tot THEN 2
+       |         ELSE 3 END AS phase
+       |  FROM cumb CROSS JOIN tot
+       |)
+       |SELECT doc_id, n_tokens, xq, curr_key, phase
+       |FROM keyed JOIN phases USING (curr_key)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sample packing: concat-and-chunk into fixed training windows
+  // ------------------------------------------------------------------
+
+  /** Context-window length (tokens) for [[qDocPackChunks]] and the
+    * block width of its two-level prefix sum. Literal RHS per the
+    * init-cycle rule. */
+  final val packChunkTokens = 2048L
+  final val packBlockDiv = 256L
+
+  /** SAMPLE PACKING — the concat-and-chunk layout a training pipeline
+    * computes before writing tokenized shards: documents are laid
+    * end-to-end in doc_id order and cut into fixed
+    * [[packChunkTokens]]-token context windows; each document's global
+    * token offset decides which chunk(s) it lands in and how many
+    * boundaries it straddles (the attention-mask/document-separator
+    * bookkeeping, and the input to boundary-loss or best-fit packing
+    * decisions).
+    *
+    * Scale (100 TB): a global token offset is a corpus-wide PREFIX SUM
+    * — the naive form is one totally-ordered window over every
+    * document (single partition, the anti-pattern). This runs the
+    * standard TWO-LEVEL decomposition instead: per-block token sums
+    * (block = doc_id div [[packBlockDiv]]) cumsum'd on the
+    * block-table (n/256 rows — metadata-scale; recurse the same
+    * decomposition for another /256 at extreme scale), broadcast back,
+    * plus a WITHIN-block running sum partitioned by block — every
+    * corpus-sized operator is partition-parallel. The DuckDB oracle is
+    * the naive single-window form, so the compare PROVES the
+    * decomposition exact, not just plausible.
+    */
+  def qDocPackChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"doc_id div $packBlockDiv").as("blk"))
+    val blockTot = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("btoks"))
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOff = blockTot
+      .select(col("blk"), coalesce(sum(col("btoks")).over(wBlk), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("woff", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(blockOff), "blk")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + col("woff")).as("tok_start"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $packChunkTokens").as("chunk_first"),
+        expr(s"(tok_start + n_tokens - 1) div $packChunkTokens").as("chunk_last"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocPackChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens, tok_start,
+       |  tok_start // $packChunkTokens AS chunk_first,
+       |  (tok_start + n_tokens - 1) // $packChunkTokens AS chunk_last,
+       |  (tok_start + n_tokens - 1) // $packChunkTokens -
+       |    tok_start // $packChunkTokens + 1 AS n_chunks
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // N-gram novelty: first-introduction rate per source
   // ------------------------------------------------------------------
 

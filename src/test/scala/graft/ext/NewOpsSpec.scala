@@ -955,6 +955,78 @@ class NewOpsSpec extends SparkSuite {
     assert(out.map(_._3).distinct.length === TextOps.bpeMergeRounds)
   }
 
+  test("curriculum: full local replay; token budgets conserved and phases cut easy-to-hard") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tfDoc = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    }.toMap
+    val uni = tfDoc.values.toSeq.flatMap(_.toSeq)
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+    val bigT = uni.values.sum; val v = uni.size.toLong
+    def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val keyed = docs.map { case (id, t) =>
+      val tf = tfDoc(id)
+      val nTok = tf.values.sum
+      val sumQlp = tf.map { case (w, c) => c * (qlog(uni(w) + 1) - qlog(bigT + v)) }.sum
+      val xq = (-sumQlp) / nTok // both operands positive: / == div == //
+      val awl = math.min((t.length.toLong * 10) / nTok, 1023L)
+      val h = ((id % 100000) * 1103515245L + 12345L) % 256L
+      (id, nTok, xq, ((xq / 10000) * 1024 + awl) * 256 + h)
+    }
+    val tokB = keyed.groupBy(_._4).map { case (k, g) => k -> g.map(_._2).sum }
+    val tot = tokB.values.sum
+    val cum = tokB.toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, c), (k, tb)) => (k, c + tb) }.drop(1)
+    val phaseOf = cum.map { case (k, c) =>
+      k -> (if (c * 5 <= tot) 1 else if (c * 2 <= tot) 2 else 3)
+    }.toMap
+    val expected = keyed.map { case (id, nTok, xq, k) => (id, nTok, xq, k, phaseOf(k)) }
+      .sortBy(_._1).toSeq
+    val out = TextOps.qDocCurriculum(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("xq"), r.getAs[Long]("curr_key"), r.getAs[Int]("phase"))).toSeq
+    assert(out === expected, "distributed curriculum == local replay")
+    // conservation: every doc exactly once, token budget partitioned
+    assert(out.map(_._1).distinct.length === docs.length)
+    assert(out.map(_._2).sum === tot)
+    // monotone cut: max key of any phase <= min key of the next
+    val byPhase = out.groupBy(_._5)
+    for (p <- byPhase.keys.toSeq.sorted.init) {
+      if (byPhase.contains(p + 1))
+        assert(byPhase(p).map(_._4).max <= byPhase(p + 1).map(_._4).min,
+          s"phase $p keys must precede phase ${p + 1}")
+    }
+  }
+
+  test("pack chunks: two-level prefix sum == naive local cumsum; layout is gapless") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    val b = TextOps.packChunkTokens
+    var off = 0L
+    val expected = docs.map { case (id, n) =>
+      val start = off; off += n
+      val first = start / b; val last = (start + n - 1) / b
+      (id, n, start, first, last, last - first + 1)
+    }.toSeq
+    val out = TextOps.qDocPackChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("chunk_first"),
+        r.getAs[Long]("chunk_last"), r.getAs[Long]("n_chunks"))).toSeq
+    assert(out === expected, "two-level distributed prefix sum == naive sequential layout")
+    // gapless: consecutive docs abut exactly; total layout length conserved
+    out.sliding(2).foreach {
+      case Seq(a, c) => assert(a._3 + a._2 === c._3, s"gap between ${a._1} and ${c._1}")
+      case _ =>
+    }
+    assert(out.last._3 + out.last._2 === docs.map(_._2).sum)
+    // a doc never spans more chunks than its token count requires
+    out.foreach { d => assert(d._6 >= 1 && d._6 <= d._2 / b + 2) }
+  }
+
   test("dup spans: planted near-dup sources are fully covered, copies all but the suffix") {
     val out = Dedup.qDocDupSpans(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -4819,6 +4891,51 @@ class NewOpsSpec extends SparkSuite {
     assert(row.getAs[Double]("id_twonn") === id)
     assert(id > 0.0 && id <= Similarity.embDim * 2.0,
       s"intrinsic dimension $id outside sanity band for ${Similarity.embDim} ambient dims")
+  }
+
+  test("twonn per-cell: cell-local estimator replay over the engine's assignment") {
+    // assignment comes from the engine's own (separately tested) probeCells
+    // narrow fold; the ESTIMATOR is replayed locally per cell
+    val embDf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val centArr = Similarity.centroidArrayDf(spark, sf, None)
+    val cellOf = Similarity.probeCells(embDf, centArr, 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.foldLeft(0.0)(_ + _)
+    val byCell = embs.groupBy { case (vid, _) => cellOf(vid) }
+    val expected = byCell.flatMap { case (cell, members) =>
+      val per = members.filter(_._1 % Similarity.twonnSampleMod == 0)
+        .map { case (sid, se) =>
+          val ds = members.filter(_._1 != sid)
+            .map { case (vid, e) => (d2(e, se), vid) }.sortBy(identity).take(2)
+          (sid, ds.length, ds.headOption.map(_._1), ds.lastOption.map(_._1))
+        }
+      if (per.isEmpty) None
+      else {
+        val used = per.filter(p => p._2 == 2 && p._3.get > 0.0).map { p =>
+          math.floor(math.log(p._4.get) * 1e6).toLong -
+            math.floor(math.log(p._3.get) * 1e6).toLong
+        }
+        val sumDq = used.sum
+        if (used.isEmpty || sumDq <= 0) None
+        else Some(cell -> (per.length.toLong, used.length.toLong, sumDq,
+          (2.0 * used.length * 1e6) / sumDq))
+      }
+    }
+    val out = Similarity.qEmbTwonnCell(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") -> (r.getAs[Long]("n_sample"),
+        r.getAs[Long]("n_used"), r.getAs[Long]("sum_qlog_ratio"),
+        r.getAs[Double]("id_twonn"))).toMap
+    assert(out === expected, "per-cell estimator == local replay per cell")
+    assert(out.nonEmpty)
+    // every probe lands in exactly one cell: sample conservation
+    val nProbes = embs.count(_._1 % Similarity.twonnSampleMod == 0).toLong
+    assert(out.values.map(_._1).sum <= nProbes)
   }
 
   test("dead stock: age-in-weeks replay; dead set is the old tail") {

@@ -302,6 +302,26 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
   }
 
+  test("per-cell TwoNN pairs candidates by cell equi-key — no corpus-wide broadcast loop") {
+    // the global estimator's Q×N broadcast nested loop must NOT appear.
+    // The only nested loop anywhere in the text is the sanctioned 1-row
+    // quantizer cross INSIDE the persisted assignment's cached lineage
+    // (IdentityBroadcastMode on a single-row centroid array); the pairing
+    // itself has to be a hash equi-join on the cell id
+    val p = plan(graft.ext.Similarity.qEmbTwonnCell(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the executing operators print ABOVE the first cached-lineage dump
+    // (children under parents): any nested loop in the live pairing would
+    // appear before the first InMemoryRelation marker
+    val firstImr = p.indexOf("InMemoryRelation")
+    val firstBnlj = p.indexOf("BroadcastNestedLoopJoin")
+    assert(firstImr >= 0, s"expected the persisted assignment:\n$p")
+    assert(firstBnlj == -1 || firstBnlj > firstImr,
+      s"nested loop in the live pairing plan:\n$p")
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"expected a cell-equi pairing join:\n$p")
+  }
+
   test("EWMA is one user-keyed aggregate — no window, no join, fold stays in the projection") {
     val p = plan(Analytics.qEventEwma(spark, sf))
     assert(!p.contains("Join"), p)

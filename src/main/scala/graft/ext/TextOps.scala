@@ -1125,12 +1125,18 @@ object TextOps {
     * round's table is persisted (the pointer-jumping lineage-truncation
     * discipline) so round r doesn't recompute rounds 1..r-1.
     */
-  def qDocBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared [[bpeMergeRounds]]-round training loop: returns the
+    * final (word, seg, wcount) segmentation table and the per-round
+    * 1-row argmax frames. Each round's table is persisted (lineage
+    * truncation); callers consume lazily. */
+  private def bpeTrainRounds(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val words = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
     var seg = words
-      .select(rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
+      .select(col("word"),
+        rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
         col("wcount"))
       .persist()
     val bests = (1 to bpeMergeRounds).map { r =>
@@ -1142,7 +1148,8 @@ object TextOps {
         .groupBy(col("pair")).agg(sum(col("wcount")).as("weight"))
       val best = pairs.orderBy(col("weight").desc, col("pair")).limit(1)
       seg = seg.crossJoin(broadcast(best.select(col("pair"))))
-        .select(trim(expr("replace(replace(concat(' ', seg, ' ')," +
+        .select(col("word"),
+          trim(expr("replace(replace(concat(' ', seg, ' ')," +
             " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))," +
             " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))"))
           .as("seg"), col("wcount"))
@@ -1150,10 +1157,18 @@ object TextOps {
       best.select(lit(r).as("merge_round"), col("pair"),
         regexp_replace(col("pair"), " ", "").as("merged"), col("weight"))
     }
+    (seg, bests)
+  }
+
+  def qDocBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, bests) = bpeTrainRounds(spark, sfDir)
     bests.reduce(_ unionAll _).orderBy(col("merge_round"))
   }
 
-  val qDocBpeMergesSql: String = {
+  /** The shared unrolled-CTE text of the [[bpeMergeRounds]] training
+    * rounds (words → seg0 → pairsR/bestR/segR), carrying the original
+    * word through every re-segmentation. */
+  private def bpeTrainSqlCtes: String = {
     val rounds = (1 to bpeMergeRounds).map { r =>
       val prev = s"seg${r - 1}"
       s"""pairs$r AS (
@@ -1167,30 +1182,92 @@ object TextOps {
          |best$r AS (SELECT pair, weight FROM pairs$r
          |  ORDER BY weight DESC, pair LIMIT 1),
          |seg$r AS (
-         |  SELECT trim(replace(replace(' ' || seg || ' ',
+         |  SELECT word, trim(replace(replace(' ' || seg || ' ',
          |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
          |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))
          |    AS seg, wcount
          |  FROM $prev CROSS JOIN best$r
          |)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to bpeMergeRounds).map { r =>
-      s"SELECT $r AS merge_round, pair, replace(pair, ' ', '') AS merged, " +
-        s"weight FROM best$r"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT word, count(*) AS wcount
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY word
        |),
        |seg0 AS (
-       |  SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg, wcount
+       |  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg,
+       |    wcount
        |  FROM words
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qDocBpeMergesSql: String = {
+    val out = (1 to bpeMergeRounds).map { r =>
+      s"SELECT $r AS merge_round, pair, replace(pair, ' ', '') AS merged, " +
+        s"weight FROM best$r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $bpeTrainSqlCtes
        |$out
        |ORDER BY merge_round""".stripMargin
   }
+
+  /** TOKENIZER FERTILITY AUDIT — the downstream consumer of the
+    * [[qDocBpeMerges]] training rounds: apply the learned merge table
+    * back to the corpus and report, PER SOURCE, tokens-per-word
+    * (fertility) and chars-per-token (compression) after
+    * [[bpeMergeRounds]] merges — the number that decides whether a
+    * tokenizer is adequate for a source (high fertility on a source =
+    * its text fragments into many pieces = more sequence length spent
+    * per word there).
+    *
+    * Scale (100 TB): the merge application never touches the corpus —
+    * the trained segmentation lives on the VOCAB-bounded word table,
+    * and each source's totals come from one (source, word) aggregate
+    * joined vocab-to-vocab against it. The corpus is scanned once.
+    */
+  def qDocBpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val (seg, _) = bpeTrainRounds(spark, sfDir)
+    val segSyms = seg.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("n_syms"))
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("swcount"))
+    bySrc.join(segSyms, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("swcount")).as("n_words"),
+        sum(col("swcount") * length(col("word"))).as("n_chars"),
+        sum(col("swcount") * col("n_syms")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  val qDocBpeFertilitySql: String =
+    s"""WITH $bpeTrainSqlCtes,
+       |seg_syms AS (
+       |  SELECT word,
+       |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_syms
+       |  FROM seg$bpeMergeRounds
+       |),
+       |by_src AS (
+       |  SELECT source, word, count(*) AS swcount
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY source, word
+       |)
+       |SELECT source, CAST(sum(swcount) AS BIGINT) AS n_words,
+       |  CAST(sum(swcount * length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(swcount * n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(swcount * n_syms) AS DOUBLE) /
+       |    CAST(sum(swcount) AS DOUBLE) AS fertility,
+       |  CAST(sum(swcount * length(word)) AS DOUBLE) /
+       |    CAST(sum(swcount * n_syms) AS DOUBLE) AS chars_per_token
+       |FROM by_src JOIN seg_syms USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
   // Unigram-LM cross-entropy per source (perplexity filtering)

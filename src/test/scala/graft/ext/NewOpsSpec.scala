@@ -1000,6 +1000,55 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpe fertility: per-source totals replay the greedy-merged vocabulary") {
+    // re-train the 3 rounds locally (loop-form greedy, as in the merges
+    // replay), apply the final segmentation to per-source word counts
+    var segs: Map[String, Vector[String]] = Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).distinct
+      .map(w => w -> w.toVector.map(_.toString)).toMap
+    val wcount = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    for (_ <- 1 to TextOps.bpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + wcount(w)
+      }
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      segs = segs.map { case (w, syms) =>
+        val m = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            m += (a + b); i += 2
+          } else { m += syms(i); i += 1 }
+        }
+        w -> m.toVector
+      }
+    }
+    val nsym = segs.map { case (w, syms) => w -> math.max(1, syms.length).toLong }
+    val bySrc = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+      .groupBy(identity).map { case ((s, w), g) => (s, w, g.length.toLong) }
+    val expected = bySrc.groupBy(_._1).map { case (src, g) =>
+      val nw = g.map(_._3).sum
+      val nc = g.map(t => t._3 * t._2.length).sum
+      val nt = g.map(t => t._3 * nsym(t._2)).sum
+      (src, nw, nc, nt, nt.toDouble / nw, nc.toDouble / nt)
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.qDocBpeFertility(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"), r.getAs[Double]("chars_per_token"))).toSeq
+    assert(out === expected, "per-source fertility == local merged-vocab replay")
+    // merges only ever shrink token counts: fertility within (0, max word len]
+    out.foreach { r => assert(r._5 > 0.0 && r._4 <= r._3 + r._2,
+      s"token total out of band for ${r._1}") }
+  }
+
   test("pack chunks: two-level prefix sum == naive local cumsum; layout is gapless") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

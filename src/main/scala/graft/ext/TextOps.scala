@@ -1527,6 +1527,86 @@ object TextOps {
        |FROM c ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Padding-waste audit: length-bucketed batching vs packed layout
+  // ------------------------------------------------------------------
+
+  /** Power-of-two cap table size for [[qDocPadWaste]] (2⁰..2²⁰ — any
+    * document up to a million tokens buckets somewhere). */
+  final val padMaxPow = 21
+
+  /** PADDING-vs-PACKING COMPARISON — the decision closure over
+    * [[graft.ext.CorpusOps.qDocLengthBuckets]] (which reports bucket
+    * waste in isolation) and [[qDocPackChunks]] (which lays out the
+    * packed alternative): bucket every document to the smallest
+    * power-of-two context length that holds it — down to cap 1, the
+    * full dyadic ladder, not the coarse 64..8192 batching grid — and
+    * close with the TOTAL padded cost against the concat-and-chunk
+    * baseline (`ceil(total/[[packChunkTokens]])` windows). The
+    * `pad_over_pack` ratio is the "how much compute does padding burn
+    * relative to a packed layout" number that the two component audits
+    * individually cannot answer.
+    *
+    * Exactness: bucket assignment is an integer RANGE join against the
+    * 21-row cap table (`n ≤ cap AND 2n > cap` picks exactly one row) —
+    * no float log2 anywhere near a boundary; costs are BIGINT products.
+    *
+    * Scale (100 TB): one corpus scan; the bucket join is a broadcast
+    * against a 21-row constant dim (the sanctioned tiny-build nested
+    * loop); everything after runs on ≤ 21 bucket rows.
+    */
+  def qDocPadWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val caps = spark.range(0, padMaxPow)
+      .select(expr("shiftleft(cast(1 as bigint), cast(id as int))").as("cap"))
+    val b = d.join(broadcast(caps),
+        col("n_tokens") <= col("cap") && col("n_tokens") * 2 > col("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val tot = d.agg(sum(col("n_tokens")).as("t"))
+      .select(expr(s"((t + ${packChunkTokens - 1}) div $packChunkTokens)" +
+        s" * $packChunkTokens").as("packed_cost"))
+    val padTot = b.agg(sum(col("n_docs") * col("cap")).as("padded_total"))
+    b.crossJoin(broadcast(tot)).crossJoin(broadcast(padTot))
+      .select(col("cap"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("cap")).as("padded_cost"),
+        ((col("n_docs") * col("cap") - col("sum_tokens")).cast("double") /
+          (col("n_docs") * col("cap")).cast("double")).as("waste_frac"),
+        col("packed_cost"),
+        (col("padded_total").cast("double") / col("packed_cost").cast("double"))
+          .as("pad_over_pack"))
+      .orderBy(col("cap"))
+  }
+
+  val qDocPadWasteSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |caps AS (
+       |  SELECT CAST(power(2, i) AS BIGINT) AS cap FROM range(0, $padMaxPow) t(i)
+       |),
+       |b AS (
+       |  SELECT cap, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM d JOIN caps ON n_tokens <= cap AND n_tokens * 2 > cap
+       |  GROUP BY cap
+       |),
+       |tot AS (
+       |  SELECT ((CAST(sum(n_tokens) AS BIGINT) + ${packChunkTokens - 1})
+       |    // $packChunkTokens) * $packChunkTokens AS packed_cost
+       |  FROM d
+       |),
+       |p AS (SELECT CAST(sum(n_docs * cap) AS BIGINT) AS padded_total FROM b)
+       |SELECT cap, n_docs, sum_tokens, n_docs * cap AS padded_cost,
+       |  CAST(n_docs * cap - sum_tokens AS DOUBLE) /
+       |    CAST(n_docs * cap AS DOUBLE) AS waste_frac,
+       |  packed_cost,
+       |  CAST(padded_total AS DOUBLE) / CAST(packed_cost AS DOUBLE)
+       |    AS pad_over_pack
+       |FROM b CROSS JOIN tot CROSS JOIN p
+       |ORDER BY cap""".stripMargin
+
+  // ------------------------------------------------------------------
   // N-gram novelty: first-introduction rate per source
   // ------------------------------------------------------------------
 

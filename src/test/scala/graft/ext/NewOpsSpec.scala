@@ -1049,6 +1049,33 @@ class NewOpsSpec extends SparkSuite {
       s"token total out of band for ${r._1}") }
   }
 
+  test("pad waste: bucket replay; padding never cheaper than packing") {
+    val lens = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong)
+    def capOf(n: Long): Long = {
+      var c = 1L; while (c < n) c <<= 1; c
+    }
+    val byCap = lens.groupBy(capOf)
+    val b = TextOps.packChunkTokens
+    val packedCost = ((lens.sum + b - 1) / b) * b
+    val paddedTotal = byCap.map { case (c, g) => c * g.length }.sum
+    val expected = byCap.toSeq.sortBy(_._1).map { case (c, g) =>
+      val nd = g.length.toLong; val st = g.sum
+      (c, nd, st, nd * c, (nd * c - st).toDouble / (nd * c).toDouble,
+        packedCost, paddedTotal.toDouble / packedCost.toDouble)
+    }
+    val out = TextOps.qDocPadWaste(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cap"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("padded_cost"),
+        r.getAs[Double]("waste_frac"), r.getAs[Long]("packed_cost"),
+        r.getAs[Double]("pad_over_pack"))).toSeq
+    assert(out === expected, "bucketed padding audit == local replay")
+    // each doc fills over half its cap, so bucket waste is under 50%;
+    // every doc is bucketed exactly once
+    out.foreach { r => assert(r._5 >= 0.0 && r._5 < 0.5, s"waste band: $r") }
+    assert(out.map(_._2).sum === lens.length.toLong)
+  }
+
   test("pack chunks: two-level prefix sum == naive local cumsum; layout is gapless") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

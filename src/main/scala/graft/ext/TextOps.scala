@@ -1607,6 +1607,85 @@ object TextOps {
        |ORDER BY cap""".stripMargin
 
   // ------------------------------------------------------------------
+  // LPT bin packing: longest-first round-robin into fixed bins
+  // ------------------------------------------------------------------
+
+  /** BIN-PACKING PLANNER — the other packing discipline next to
+    * [[qDocPackChunks]]'s concat-and-chunk: when documents must stay
+    * WHOLE (no mid-document cut — instruction tuning, preference
+    * pairs), the standard scalable approximation of best-fit is
+    * LONGEST-FIRST ROUND-ROBIN (the LPT scheduling rule): rank all
+    * docs by (length desc, id), deal them into
+    * `ceil(total/[[packChunkTokens]])` bins by `rank mod bins`, and
+    * audit the result — per-bin doc count, token fill, fill fraction,
+    * and the overflow flag for bins dealt more than a context's worth.
+    * LPT's makespan bound (4/3 OPT) is what makes the deal-out safe to
+    * run blind at scale.
+    *
+    * Scale (100 TB): a global rank is the same corpus-wide prefix
+    * problem as [[qDocPackChunks]] — solved the same two-level way:
+    * doc-count offsets per LENGTH VALUE (the length table is bounded —
+    * tokens-per-doc has bounded support) cumsum'd on that bounded
+    * table, plus a within-length rank partitioned by length. No
+    * corpus-wide sorted window; the DuckDB oracle is the naive global
+    * `row_number()`, so the compare proves the decomposition.
+    */
+  def qDocPackBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // two-level global rank in (n_tokens DESC, doc_id ASC) order:
+    // per-length counts cumsum'd on the bounded length table → offset
+    val lenTab = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val wLen = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lenOff = lenTab.select(col("n_tokens"),
+      coalesce(sum(col("cnt")).over(wLen), lit(0L)).as("loff"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    val nBins = d.agg(sum(col("n_tokens")).as("t"))
+      .select(expr(s"(t + ${packChunkTokens - 1}) div $packChunkTokens")
+        .as("n_bins"))
+    d.withColumn("wrank", row_number().over(wIn).cast("long"))
+      .join(broadcast(lenOff), "n_tokens")
+      .crossJoin(broadcast(nBins))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("loff") + col("wrank") - 1) % col("n_bins")).as("bin"),
+        col("n_bins"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"),
+        max(col("n_bins")).as("n_bins"))
+      .select(col("bin"), col("n_docs"), col("fill_tokens"),
+        (col("fill_tokens").cast("double") / packChunkTokens.toDouble)
+          .as("fill_frac"),
+        (col("fill_tokens") > packChunkTokens).as("overflow"))
+      .orderBy(col("bin"))
+  }
+
+  val qDocPackBinsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |nb AS (
+       |  SELECT (CAST(sum(n_tokens) AS BIGINT) + ${packChunkTokens - 1})
+       |    // $packChunkTokens AS n_bins
+       |  FROM d
+       |),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+       |  FROM d
+       |)
+       |SELECT (rk - 1) % n_bins AS bin, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+       |  CAST(sum(n_tokens) AS DOUBLE) / $packChunkTokens AS fill_frac,
+       |  CAST(sum(n_tokens) AS BIGINT) > $packChunkTokens AS overflow
+       |FROM ranked CROSS JOIN nb
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------------------
   // N-gram novelty: first-introduction rate per source
   // ------------------------------------------------------------------
 

@@ -1076,6 +1076,29 @@ class NewOpsSpec extends SparkSuite {
     assert(out.map(_._2).sum === lens.length.toLong)
   }
 
+  test("pack bins: longest-first round-robin replay; token mass conserved over bins") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+    val b = TextOps.packChunkTokens
+    val total = docs.map(_._2).sum
+    val nBins = (total + b - 1) / b
+    val ranked = docs.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+    val byBin = ranked.groupBy { case (_, i) => i.toLong % nBins }
+    val expected = byBin.toSeq.sortBy(_._1).map { case (bin, g) =>
+      val ft = g.map(_._1._2).sum
+      (bin, g.length.toLong, ft, ft.toDouble / b.toDouble, ft > b)
+    }
+    val out = TextOps.qDocPackBins(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("fill_tokens"), r.getAs[Double]("fill_frac"),
+        r.getAs[Boolean]("overflow"))).toSeq
+    assert(out === expected, "two-level ranked deal-out == local LPT replay")
+    assert(out.map(_._3).sum === total)
+    if (docs.length >= nBins) assert(out.length.toLong === nBins,
+      "every bin dealt at least one doc")
+  }
+
   test("pack chunks: two-level prefix sum == naive local cumsum; layout is gapless") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

@@ -1516,6 +1516,32 @@ object Similarity {
     * scale the probe runs per IVF cell ([[probeCells]]) — same
     * estimator, cell-bounded candidates.
     */
+  /** The per-probe squared distance of the TwoNN estimator: the
+    * element-ordered zip_with fold (identical doubles both engines). */
+  private val twonnD2Expr: String =
+    "aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y))," +
+      " cast(0 as double), (acc, p) -> acc + p)"
+
+  /** Shared TwoNN estimator core over a scored candidate frame (columns:
+    * `keyCols` + s_id + vec_id + d2): heap top-2 per probe, the
+    * (nc, r₁, r₂) per-probe row, and the quantized micro-nat log-ratio
+    * of the usable probes — ONE definition of the estimator constants
+    * for the global ([[qEmbTwonnId]]) and per-cell ([[qEmbTwonnCell]])
+    * variants, which differ only in candidate scoping and close-out
+    * keying. Returns (perProbe, used). */
+  private def twonnPerProbe(scored: DataFrame, keyCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val top2 = graft.functions.GraftOps.topKPerKey(scored,
+      keys = Seq("s_id"), order = Seq(("d2", false), ("vec_id", false)), k = 2)
+    val perProbe = top2.groupBy((keyCols.map(col) :+ col("s_id")): _*)
+      .agg(count(lit(1)).as("nc"), min(col("d2")).as("r1"), max(col("d2")).as("r2"))
+    val used = perProbe.filter(col("nc") === 2 && col("r1") > 0.0)
+      .select((keyCols.map(col) :+
+        ((floor(log(col("r2")) * 1000000L).cast("long") -
+          floor(log(col("r1")) * 1000000L).cast("long")).as("dq"))): _*)
+    (perProbe, used)
+  }
+
   def qEmbTwonnId(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
@@ -1523,17 +1549,8 @@ object Similarity {
       .select(col("vec_id").as("s_id"), col("e").as("se"))
     val scored = emb.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("s_id"))
-      .select(col("s_id"), col("vec_id"),
-        expr("aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y))," +
-          " cast(0 as double), (acc, p) -> acc + p)").as("d2"))
-    val top2 = graft.functions.GraftOps.topKPerKey(scored,
-      keys = Seq("s_id"), order = Seq(("d2", false), ("vec_id", false)), k = 2)
-    val perProbe = top2.groupBy(col("s_id"))
-      .agg(count(lit(1)).as("nc"), min(col("d2")).as("r1"), max(col("d2")).as("r2"))
-    val used = perProbe.filter(col("nc") === 2 && col("r1") > 0.0)
-      .select(col("s_id"),
-        (floor(log(col("r2")) * 1000000L).cast("long") -
-          floor(log(col("r1")) * 1000000L).cast("long")).as("dq"))
+      .select(col("s_id"), col("vec_id"), expr(twonnD2Expr).as("d2"))
+    val (perProbe, used) = twonnPerProbe(scored, Seq.empty)
     val total = perProbe.agg(count(lit(1)).as("n_sample"))
     used.agg(count(lit(1)).as("n_used"), sum(col("dq")).as("sum_qlog_ratio"))
       .crossJoin(broadcast(total))
@@ -1542,6 +1559,38 @@ object Similarity {
         ((lit(2.0) * col("n_used").cast("double") * 1000000.0) /
           col("sum_qlog_ratio").cast("double")).as("id_twonn"))
   }
+
+  /** The shared ranked/per_probe/used CTE block of the TwoNN estimator
+    * (one source for the top-2 tiebreak, the nc/r₁ usability filter and
+    * the micro-nat quantization in BOTH oracle variants): `kp` is the
+    * grouping-key prefix ("" global, "cell, " per-cell); `usedKey` the
+    * column `used` carries into the close-out. Expects a `scored` CTE
+    * with ($kp s_id, vec_id, d2). */
+  private def twonnCloseSqlCtes(kp: String, usedKey: String): String =
+    s"""ranked AS (
+       |  SELECT ${kp}s_id, d2,
+       |    row_number() OVER (PARTITION BY s_id ORDER BY d2, vec_id) AS rn
+       |  FROM scored
+       |),
+       |per_probe AS (
+       |  SELECT ${kp}s_id, count(*) AS nc, min(d2) AS r1, max(d2) AS r2
+       |  FROM ranked WHERE rn <= 2 GROUP BY ${kp}s_id
+       |),
+       |used AS (
+       |  SELECT $usedKey,
+       |    CAST(floor(ln(r2) * 1000000) AS BIGINT) -
+       |    CAST(floor(ln(r1) * 1000000) AS BIGINT) AS dq
+       |  FROM per_probe WHERE nc = 2 AND r1 > 0.0
+       |)""".stripMargin
+
+  /** The estimator's squared distance in DuckDB list form (element-
+    * ordered fold — the oracle mirror of [[twonnD2Expr]]). */
+  private def twonnD2Sql(v: String, sv: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, ${embDim + 1}),
+       |          i -> ($v[i] - $sv[i]) * ($v[i] - $sv[i]))),
+       |      (x, y) -> x + y)""".stripMargin
 
   val qEmbTwonnIdSql: String =
     s"""WITH e AS (
@@ -1552,29 +1601,11 @@ object Similarity {
        |),
        |scored AS (
        |  SELECT s_id, vec_id,
-       |    list_reduce(
-       |      list_prepend(CAST(0.0 AS DOUBLE),
-       |        list_transform(range(1, ${embDim + 1}),
-       |          i -> (v[i] - sv[i]) * (v[i] - sv[i]))),
-       |      (a, b) -> a + b) AS d2
+       |    ${twonnD2Sql("v", "sv")} AS d2
        |  FROM e CROSS JOIN sample
        |  WHERE vec_id <> s_id
        |),
-       |ranked AS (
-       |  SELECT s_id, d2,
-       |    row_number() OVER (PARTITION BY s_id ORDER BY d2, vec_id) AS rn
-       |  FROM scored
-       |),
-       |per_probe AS (
-       |  SELECT s_id, count(*) AS nc, min(d2) AS r1, max(d2) AS r2
-       |  FROM ranked WHERE rn <= 2 GROUP BY s_id
-       |),
-       |used AS (
-       |  SELECT s_id,
-       |    CAST(floor(ln(r2) * 1000000) AS BIGINT) -
-       |    CAST(floor(ln(r1) * 1000000) AS BIGINT) AS dq
-       |  FROM per_probe WHERE nc = 2 AND r1 > 0.0
-       |),
+       |${twonnCloseSqlCtes("", "s_id")},
        |total AS (SELECT count(*) AS n_sample FROM per_probe)
        |SELECT n_sample, count(*) AS n_used,
        |  CAST(sum(dq) AS BIGINT) AS sum_qlog_ratio,
@@ -1607,7 +1638,7 @@ object Similarity {
     * candidate volume is cell-bounded |cell|·|cell|/mod, never Q×N);
     * top-2 is the [[graft.plans.TopKPerKey]] heap; the closing join is
     * k-row against k-row. Nothing corpus-sized ever broadcasts —
-    * NewOpsSpec asserts the hash-equi pairing plan.
+    * PlanAssertionsSpec pins the shuffled-hash cell pairing.
     */
   def qEmbTwonnCell(spark: SparkSession, sfDir: String): DataFrame = {
     val centArr = centroidArrayDf(spark, sfDir, None).persist()
@@ -1620,19 +1651,14 @@ object Similarity {
     assigned.count() // eager: both pairing sides consume it
     val probes = assigned.filter(col("vec_id") % twonnSampleMod === 0)
       .select(col("cell"), col("vec_id").as("s_id"), col("e").as("se"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    // pairing SHUFFLES BY CELL on both sides (shuffle-hash hint): the
+    // probe side is |corpus|/mod rows and must never broadcast whole —
+    // the exact failure the global estimator's Q×N loop has at scale
+    val scored = assigned.join(probes.hint("shuffle_hash"), Seq("cell"))
       .filter(col("vec_id") =!= col("s_id"))
       .select(col("cell"), col("s_id"), col("vec_id"),
-        expr("aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y))," +
-          " cast(0 as double), (acc, p) -> acc + p)").as("d2"))
-    val top2 = graft.functions.GraftOps.topKPerKey(scored,
-      keys = Seq("s_id"), order = Seq(("d2", false), ("vec_id", false)), k = 2)
-    val perProbe = top2.groupBy(col("cell"), col("s_id"))
-      .agg(count(lit(1)).as("nc"), min(col("d2")).as("r1"), max(col("d2")).as("r2"))
-    val used = perProbe.filter(col("nc") === 2 && col("r1") > 0.0)
-      .select(col("cell"),
-        (floor(log(col("r2")) * 1000000L).cast("long") -
-          floor(log(col("r1")) * 1000000L).cast("long")).as("dq"))
+        expr(twonnD2Expr).as("d2"))
+    val (perProbe, used) = twonnPerProbe(scored, Seq("cell"))
     val totals = perProbe.groupBy(col("cell")).agg(count(lit(1)).as("n_sample"))
     used.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_used"), sum(col("dq")).as("sum_qlog_ratio"))
@@ -1661,28 +1687,10 @@ object Similarity {
        |),
        |scored AS (
        |  SELECT a.cell, s_id, a.vec_id,
-       |    list_reduce(
-       |      list_prepend(CAST(0.0 AS DOUBLE),
-       |        list_transform(range(1, ${embDim + 1}),
-       |          i -> (v[i] - sv[i]) * (v[i] - sv[i]))),
-       |      (x, y) -> x + y) AS d2
+       |    ${twonnD2Sql("v", "sv")} AS d2
        |  FROM a JOIN probes ON a.cell = probes.cell AND a.vec_id <> probes.s_id
        |),
-       |ranked AS (
-       |  SELECT cell, s_id, d2,
-       |    row_number() OVER (PARTITION BY s_id ORDER BY d2, vec_id) AS rn
-       |  FROM scored
-       |),
-       |per_probe AS (
-       |  SELECT cell, s_id, count(*) AS nc, min(d2) AS r1, max(d2) AS r2
-       |  FROM ranked WHERE rn <= 2 GROUP BY cell, s_id
-       |),
-       |used AS (
-       |  SELECT cell,
-       |    CAST(floor(ln(r2) * 1000000) AS BIGINT) -
-       |    CAST(floor(ln(r1) * 1000000) AS BIGINT) AS dq
-       |  FROM per_probe WHERE nc = 2 AND r1 > 0.0
-       |),
+       |${twonnCloseSqlCtes("cell, ", "cell")},
        |tot AS (SELECT cell, count(*) AS n_sample FROM per_probe GROUP BY cell)
        |SELECT tot.cell, n_sample, count(*) AS n_used,
        |  CAST(sum(dq) AS BIGINT) AS sum_qlog_ratio,

@@ -1121,48 +1121,74 @@ object TextOps {
     * Scale (100 TB): the corpus is scanned ONCE into the word-frequency
     * table; all rounds run on the VOCAB-bounded segmentation table
     * (millions of rows, not corpus tokens), re-segmented in place with
-    * the 1-row argmax broadcast — no corpus re-shuffle, ever. Each
+    * the driver-collected 1-row argmax rule — no corpus re-shuffle,
+    * ever, and the argmax aggregation runs exactly once per round. Each
     * round's table is persisted (the pointer-jumping lineage-truncation
     * discipline) so round r doesn't recompute rounds 1..r-1.
+    *
+    * (Scaladoc documents [[qDocBpeMerges]]; the loop itself is the
+    * shared [[bpeTrainRounds]] below, also consumed by
+    * [[qDocBpeFertility]].)
     */
-  /** The shared [[bpeMergeRounds]]-round training loop: returns the
-    * final (word, seg, wcount) segmentation table and the per-round
-    * 1-row argmax frames. Each round's table is persisted (lineage
-    * truncation); callers consume lazily. */
-  private def bpeTrainRounds(spark: SparkSession, sfDir: String)
-      : (DataFrame, Seq[DataFrame]) = {
-    val words = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+  /** The shared [[bpeMergeRounds]]-round training loop over a caller-
+    * supplied (word, wcount) vocabulary frame: returns the final
+    * (word, seg, wcount) segmentation table and the adopted
+    * (round, pair, weight) merge rules. Each round's argmax is ONE
+    * vocab-wide aggregation whose single result row is collected as
+    * MODEL STATE (the k-means-centroid precedent) — so the rule both
+    * feeds the next re-segmentation as a literal (no per-round
+    * crossJoin subplan, no double-planned argmax) and is returned
+    * directly. Rounds persist their seg table (lineage truncation). */
+  private def bpeTrainRounds(words: DataFrame)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
     var seg = words
       .select(col("word"),
         rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
         col("wcount"))
       .persist()
-    val bests = (1 to bpeMergeRounds).map { r =>
-      val pairs = seg.filter(size(split(col("seg"), " ")) >= 2)
+    var exhausted = false
+    val bests = (1 to bpeMergeRounds).flatMap { r =>
+      val bestOpt = if (exhausted) None
+      else seg.filter(size(split(col("seg"), " ")) >= 2)
         .select(col("wcount"), explode(expr(
           "transform(sequence(1, size(split(seg, ' ')) - 1)," +
             " i -> concat(element_at(split(seg, ' '), i), ' '," +
             " element_at(split(seg, ' '), i + 1)))")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("wcount")).as("weight"))
-      val best = pairs.orderBy(col("weight").desc, col("pair")).limit(1)
-      seg = seg.crossJoin(broadcast(best.select(col("pair"))))
-        .select(col("word"),
-          trim(expr("replace(replace(concat(' ', seg, ' ')," +
-            " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))," +
-            " concat(' ', pair, ' '), concat(' ', replace(pair, ' '), ' '))"))
-          .as("seg"), col("wcount"))
-        .persist()
-      best.select(lit(r).as("merge_round"), col("pair"),
-        regexp_replace(col("pair"), " ", "").as("merged"), col("weight"))
+        .orderBy(col("weight").desc, col("pair")).limit(1)
+        .collect().headOption // 1-row model state: the adopted merge rule
+      bestOpt match {
+        case None =>
+          // oracle mirror: an empty best_r makes seg_r (prev CROSS JOIN
+          // best_r) empty and every later round with it — no throw
+          if (!exhausted) seg = seg.limit(0)
+          exhausted = true
+          None
+        case Some(best) =>
+          val (pair, weight) = (best.getString(0), best.getLong(1))
+          val srch = lit(" " + pair + " ")
+          val repl = lit(" " + pair.replace(" ", "") + " ")
+          val padded = concat(lit(" "), col("seg"), lit(" "))
+          seg = seg
+            .select(col("word"),
+              trim(replace(replace(padded, srch, repl), srch, repl)).as("seg"),
+              col("wcount"))
+            .persist()
+          Some((r, pair, weight))
+      }
     }
     (seg, bests)
   }
 
   def qDocBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, bests) = bpeTrainRounds(spark, sfDir)
-    bests.reduce(_ unionAll _).orderBy(col("merge_round"))
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val (_, bests) = bpeTrainRounds(words)
+    bests.map { case (r, p, w) => (r, p, p.replace(" ", ""), w) }
+      .toDF("merge_round", "pair", "merged", "weight")
+      .orderBy(col("merge_round"))
   }
 
   /** The shared unrolled-CTE text of the [[bpeMergeRounds]] training
@@ -1227,12 +1253,17 @@ object TextOps {
     * joined vocab-to-vocab against it. The corpus is scanned once.
     */
   def qDocBpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val (seg, _) = bpeTrainRounds(spark, sfDir)
-    val segSyms = seg.select(col("word"),
-      size(split(col("seg"), " ")).cast("long").as("n_syms"))
+    // ONE corpus scan: the (source, word) table is the only reader of
+    // documents; the training vocabulary re-aggregates it (vocab-sized),
+    // so the persist is shared by the trainer and the closing join
     val bySrc = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("swcount"))
+      .persist()
+    val words = bySrc.groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val (seg, _) = bpeTrainRounds(words)
+    val segSyms = seg.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("n_syms"))
     bySrc.join(segSyms, "word")
       .groupBy(col("source"))
       .agg(sum(col("swcount")).as("n_words"),
@@ -1547,23 +1578,36 @@ object TextOps {
     * individually cannot answer.
     *
     * Exactness: bucket assignment is an integer RANGE join against the
-    * 21-row cap table (`n ≤ cap AND 2n > cap` picks exactly one row) —
-    * no float log2 anywhere near a boundary; costs are BIGINT products.
+    * 21-row cap table (`n ≤ cap AND 2n > cap` picks exactly one row;
+    * the TOP rung is additionally a catch-all, so an over-ladder
+    * document clamps into it — its negative waste is the overflow
+    * marker — and bucketing is TOTAL: nothing silently drops) — no
+    * float log2 anywhere near a boundary; costs are BIGINT products.
     *
-    * Scale (100 TB): one corpus scan; the bucket join is a broadcast
-    * against a 21-row constant dim (the sanctioned tiny-build nested
-    * loop); everything after runs on ≤ 21 bucket rows.
+    * Scale (100 TB): ONE corpus scan — both closing totals re-derive
+    * from the persisted 21-row bucket table (valid precisely because
+    * bucketing is total); the bucket join is a broadcast against a
+    * 21-row constant dim (the sanctioned tiny-build nested loop);
+    * everything after runs on ≤ 21 bucket rows.
     */
   def qDocPadWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxCap = 1L << (padMaxPow - 1)
     val d = Tables.documents(spark, sfDir)
       .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val caps = spark.range(0, padMaxPow)
       .select(expr("shiftleft(cast(1 as bigint), cast(id as int))").as("cap"))
+    // the top rung is a catch-all (docs beyond the ladder CLAMP into it,
+    // where waste goes negative = the overflow marker) so no document
+    // ever silently drops out of the audit
     val b = d.join(broadcast(caps),
-        col("n_tokens") <= col("cap") && col("n_tokens") * 2 > col("cap"))
+        (col("n_tokens") <= col("cap") && col("n_tokens") * 2 > col("cap")) ||
+          (col("cap") === maxCap && col("n_tokens") > maxCap))
       .groupBy(col("cap"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-    val tot = d.agg(sum(col("n_tokens")).as("t"))
+      .persist() // every downstream total re-reads the 21-row table
+    // totals derive from the bucket table, not a second corpus scan —
+    // valid precisely because the clamp makes bucketing total
+    val tot = b.agg(sum(col("sum_tokens")).as("t"))
       .select(expr(s"((t + ${packChunkTokens - 1}) div $packChunkTokens)" +
         s" * $packChunkTokens").as("packed_cost"))
     val padTot = b.agg(sum(col("n_docs") * col("cap")).as("padded_total"))
@@ -1588,13 +1632,14 @@ object TextOps {
        |),
        |b AS (
        |  SELECT cap, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-       |  FROM d JOIN caps ON n_tokens <= cap AND n_tokens * 2 > cap
+       |  FROM d JOIN caps ON (n_tokens <= cap AND n_tokens * 2 > cap)
+       |    OR (cap = ${1L << (padMaxPow - 1)} AND n_tokens > ${1L << (padMaxPow - 1)})
        |  GROUP BY cap
        |),
        |tot AS (
-       |  SELECT ((CAST(sum(n_tokens) AS BIGINT) + ${packChunkTokens - 1})
+       |  SELECT ((CAST(sum(sum_tokens) AS BIGINT) + ${packChunkTokens - 1})
        |    // $packChunkTokens) * $packChunkTokens AS packed_cost
-       |  FROM d
+       |  FROM b
        |),
        |p AS (SELECT CAST(sum(n_docs * cap) AS BIGINT) AS padded_total FROM b)
        |SELECT cap, n_docs, sum_tokens, n_docs * cap AS padded_cost,
@@ -1613,14 +1658,19 @@ object TextOps {
   /** BIN-PACKING PLANNER — the other packing discipline next to
     * [[qDocPackChunks]]'s concat-and-chunk: when documents must stay
     * WHOLE (no mid-document cut — instruction tuning, preference
-    * pairs), the standard scalable approximation of best-fit is
-    * LONGEST-FIRST ROUND-ROBIN (the LPT scheduling rule): rank all
-    * docs by (length desc, id), deal them into
-    * `ceil(total/[[packChunkTokens]])` bins by `rank mod bins`, and
-    * audit the result — per-bin doc count, token fill, fill fraction,
-    * and the overflow flag for bins dealt more than a context's worth.
-    * LPT's makespan bound (4/3 OPT) is what makes the deal-out safe to
-    * run blind at scale.
+    * pairs), the scalable stand-in for least-loaded best-fit is
+    * LONGEST-FIRST ROUND-ROBIN: rank all docs by (length desc, id),
+    * deal them into `ceil(total/[[packChunkTokens]])` bins by
+    * `rank mod bins`, and audit the result — per-bin doc count, token
+    * fill, fill fraction, and the overflow flag for bins dealt more
+    * than a context's worth. Unlike true LPT (sequential least-loaded
+    * placement, which cannot be dealt out in parallel), mod-dealing
+    * carries no 4/3-OPT makespan bound — what it does guarantee is
+    * equal bin CARDINALITY (±1) and that each bin's load is a sum of
+    * every-n_bins-th order statistic of the sorted lengths, which on
+    * realistic length distributions keeps spread tight; the overflow
+    * column is the audit that says whether that held, which is why
+    * this is a PLANNER, not a blind writer.
     *
     * Scale (100 TB): a global rank is the same corpus-wide prefix
     * problem as [[qDocPackChunks]] — solved the same two-level way:

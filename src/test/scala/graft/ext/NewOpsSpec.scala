@@ -1052,8 +1052,9 @@ class NewOpsSpec extends SparkSuite {
   test("pad waste: bucket replay; padding never cheaper than packing") {
     val lens = Tables.documents(spark, sf).select("text").collect()
       .map(_.getString(0).split(" ", -1).length.toLong)
-    def capOf(n: Long): Long = {
-      var c = 1L; while (c < n) c <<= 1; c
+    val topCap = 1L << (TextOps.padMaxPow - 1)
+    def capOf(n: Long): Long = { // over-ladder docs clamp into the top rung
+      var c = 1L; while (c < n && c < topCap) c <<= 1; c
     }
     val byCap = lens.groupBy(capOf)
     val b = TextOps.packChunkTokens
@@ -1070,9 +1071,12 @@ class NewOpsSpec extends SparkSuite {
         r.getAs[Double]("waste_frac"), r.getAs[Long]("packed_cost"),
         r.getAs[Double]("pad_over_pack"))).toSeq
     assert(out === expected, "bucketed padding audit == local replay")
-    // each doc fills over half its cap, so bucket waste is under 50%;
+    // each doc fills over half its cap, so bucket waste is under 50%
+    // (except the catch-all top rung, where clamped docs may overflow);
     // every doc is bucketed exactly once
-    out.foreach { r => assert(r._5 >= 0.0 && r._5 < 0.5, s"waste band: $r") }
+    out.foreach { r =>
+      assert((r._5 >= 0.0 && r._5 < 0.5) || r._1 === topCap, s"waste band: $r")
+    }
     assert(out.map(_._2).sum === lens.length.toLong)
   }
 

@@ -318,8 +318,11 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(firstImr >= 0, s"expected the persisted assignment:\n$p")
     assert(firstBnlj == -1 || firstBnlj > firstImr,
       s"nested loop in the live pairing plan:\n$p")
-    assert(p.contains("BroadcastHashJoin [cell"),
-      s"expected a cell-equi pairing join:\n$p")
+    // the probe side is corpus-sized (|corpus|/mod rows) and must pair
+    // via a SHUFFLE on the cell id, never a whole-side broadcast
+    assert(p.contains("ShuffledHashJoin [cell") ||
+      p.contains("SortMergeJoin [cell"),
+      s"expected a shuffled cell-equi pairing join:\n$p")
   }
 
   test("EWMA is one user-keyed aggregate — no window, no join, fold stays in the projection") {

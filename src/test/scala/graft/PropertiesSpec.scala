@@ -144,6 +144,36 @@ class PropertiesSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("double string-replace merge equals greedy left-to-right BPE merge for ALL inputs") {
+    // the structural claim behind TextOps.bpeTrainRounds: one greedy BPE
+    // merge pass over a space-separated symbol string is EXACTLY two
+    // successive replace(' '||seg||' ', ' a b ', ' ab ') calls. Both
+    // engines implement replace as left-to-right non-overlapping scan —
+    // Java String.replace has the same semantics, so proving the claim
+    // against it on adversarial alphabets (self-pairs, symbols that are
+    // concatenations/prefixes of each other, chained occurrences) proves
+    // it for the engines; the NewOpsSpec replay covers the engine wiring.
+    val sym = Gen.oneOf("a", "b", "c", "ab", "ba", "aa", "bb", "aab")
+    val genSeq = Gen.listOf(sym).map(_.take(30))
+    val genPair = Gen.zip(sym, sym)
+    check("replace≡greedy", Prop.forAll(genSeq, genPair) { case (syms, (a, b)) =>
+      val srch = " " + a + " " + b + " "
+      val repl = " " + a + b + " "
+      val viaReplace = (" " + syms.mkString(" ") + " ")
+        .replace(srch, repl).replace(srch, repl)
+        .trim.split(" ", -1).filter(_.nonEmpty).toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val v = syms.toVector
+      var i = 0
+      while (i < v.length) {
+        if (i < v.length - 1 && v(i) == a && v(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      viaReplace == out.toVector
+    }, n = 500)
+  }
+
   test("dropDuplicates is idempotent and matches the set-theoretic count") {
     val spark0 = spark
     import spark0.implicits._

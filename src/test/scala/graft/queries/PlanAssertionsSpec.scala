@@ -325,6 +325,25 @@ class PlanAssertionsSpec extends SparkSuite {
       s"expected a shuffled cell-equi pairing join:\n$p")
   }
 
+  test("prefix-sum family: corpus-side windows are partitioned, never a global corpus sort") {
+    // qDocPackChunks: the two-level decomposition means the only
+    // UNpartitioned window runs on the n/256 block table; the
+    // corpus-sized running sum must be partitioned by blk
+    val pc = plan(graft.ext.TextOps.qDocPackChunks(spark, sf))
+    assert(pc.contains("windowspecdefinition(blk"),
+      s"expected the within-block partitioned window:\n$pc")
+    // qDocPackBins: the within-length rank must partition by the length
+    // value (the bounded-support key), not sort the corpus globally
+    val pb = plan(graft.ext.TextOps.qDocPackBins(spark, sf))
+    assert(pb.contains("windowspecdefinition(n_tokens"),
+      s"expected the per-length-value partitioned rank:\n$pb")
+    // qDocCurriculum: exactly ONE window total — the cumulative over the
+    // bounded difficulty-bucket table; the per-doc side has none
+    val cu = plan(graft.ext.TextOps.qDocCurriculum(spark, sf))
+    assert("\\bWindow \\[".r.findAllIn(cu).size == 1,
+      s"expected exactly one (bucket-table) window:\n$cu")
+  }
+
   test("EWMA is one user-keyed aggregate — no window, no join, fold stays in the projection") {
     val p = plan(Analytics.qEventEwma(spark, sf))
     assert(!p.contains("Join"), p)

@@ -1817,30 +1817,58 @@ object Analytics {
     * ranges — the histogram form query optimizers and drift monitors use
     * because equal-width bins collapse under skew.
     *
-    * Mechanics: the nine interior boundaries come from ONE grouped
-    * exact-percentile pass (array form — one pass for all nine); bin
-    * assignment is a narrow fold over the broadcast boundary array
-    * (`aggregate(bs, …)` counting boundaries below the value) — the
+    * Mechanics: the nine interior boundaries are linearly interpolated
+    * decile points computed ENTIRELY IN INTEGER MILLI-CENTS — rank
+    * selection on the per-(type, cent-value) count table (grid-bounded,
+    * never row-scale) picks the two bracketing data values, and the
+    * boundary is `v_low·1000 + (v_high − v_low)·r·100` with
+    * r = (k·(n−1)) mod 10 — exact BIGINT arithmetic, bit-identical in
+    * any engine. The native `percentile`/`quantile_cont` lerp this
+    * replaces is NOT cross-engine-stable: Spark computes
+    * `low + (high−low)·f` (exact when low = high) while DuckDB computes
+    * `low·(1−f) + high·f` (one ulp BELOW the data value), and at sf0.1
+    * four rows sat exactly on a decile boundary and swapped bins — the
+    * round-10 sf-sweep catch. Bin assignment is a narrow fold over the
+    * broadcast 9-boundary array, comparing integer milli-cents — the
     * naive alternative, `ntile` over a per-type window, funnels every
     * row of a type through one task (|types| partitions = a skew pole at
     * any scale); the fold keeps assignment embarrassingly parallel.
     *
-    * Scale (100 TB): one percentile shuffle + one (type, bin) partial
-    * agg; production swaps `approx_percentile` into the same shape for
-    * the boundary pass. Exact interpolated boundaries are identical
-    * doubles cross-engine ([[qValuePercentiles]]), so bin edges cannot
-    * drift.
+    * Scale (100 TB): one (type, cent) partial agg (grid-bounded), the
+    * cumulative window over that bounded table, a 9-rows-per-type
+    * selection join, and one (type, bin) partial agg over the stream;
+    * production swaps an approximate sketch into the same shape for the
+    * boundary pass.
     */
   def qValueEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
-    val bounds = Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(expr(s"percentile(value, array($ps))").as("bs"))
-    Tables.events(spark, sfDir)
-      .join(broadcast(bounds), "event_type")
+    val e = Tables.events(spark, sfDir)
       .select($"event_type", $"value",
-        expr("1 + aggregate(bs, 0, (acc, x) -> acc + (CASE WHEN value > x THEN 1 ELSE 0 END))")
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    val vt = e.groupBy($"event_type", $"vc").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumt = vt.withColumn("cum", sum($"cnt").over(wCum))
+    val nt = vt.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val sel = nt.select($"event_type", explode(expr("sequence(1, 9)")).as("k"), $"n")
+      .select($"event_type", $"k",
+        expr("(k * (n - 1)) div 10").as("idx"), expr("(k * (n - 1)) % 10").as("r"))
+    val vlow = cumt.join(broadcast(sel), Seq("event_type"))
+      .filter($"cum" >= $"idx" + 1)
+      .groupBy($"event_type", $"k", $"r").agg(min($"vc").as("v_low"))
+    val vhigh = cumt.join(broadcast(sel), Seq("event_type"))
+      .filter($"cum" >= $"idx" + 2)
+      .groupBy($"event_type", $"k").agg(min($"vc").as("v_high"))
+    val bounds = vlow.join(vhigh, Seq("event_type", "k"), "left")
+      .select($"event_type", $"k",
+        ($"v_low" * 1000L +
+          (coalesce($"v_high", $"v_low") - $"v_low") * $"r" * 100L).as("b_mc"))
+    val barr = bounds.groupBy($"event_type")
+      .agg(transform(array_sort(collect_list(struct($"k", $"b_mc"))),
+        p => p.getField("b_mc")).as("bs"))
+    e.join(broadcast(barr), "event_type")
+      .select($"event_type", $"value",
+        expr("1 + aggregate(bs, 0, (acc, x) -> acc + (CASE WHEN vc * 1000 > x THEN 1 ELSE 0 END))")
           .as("bin"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
@@ -1848,15 +1876,43 @@ object Analytics {
   }
 
   val qValueEquidepthSql: String =
-    """WITH b AS (
-      |  SELECT event_type,
-      |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
-      |  FROM events GROUP BY event_type
-      |)
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |),
+      |vt AS (SELECT event_type, vc, count(*) AS cnt FROM e GROUP BY event_type, vc),
+      |cumt AS (
+      |  SELECT event_type, vc,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM vt
+      |),
+      |nt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM vt GROUP BY event_type),
+      |sel AS (
+      |  SELECT event_type, k, (k * (n - 1)) // 10 AS idx, (k * (n - 1)) % 10 AS r
+      |  FROM nt, UNNEST(range(1, 10)) AS t(k)
+      |),
+      |vlow AS (
+      |  SELECT s.event_type, s.k, s.r, min(c.vc) AS v_low
+      |  FROM sel s JOIN cumt c ON c.event_type = s.event_type AND c.cum >= s.idx + 1
+      |  GROUP BY s.event_type, s.k, s.r
+      |),
+      |vhigh AS (
+      |  SELECT s.event_type, s.k, min(c.vc) AS v_high
+      |  FROM sel s JOIN cumt c ON c.event_type = s.event_type AND c.cum >= s.idx + 2
+      |  GROUP BY s.event_type, s.k
+      |),
+      |bounds AS (
+      |  SELECT l.event_type, l.k,
+      |    l.v_low * 1000 + (COALESCE(h.v_high, l.v_low) - l.v_low) * l.r * 100 AS b_mc
+      |  FROM vlow l LEFT JOIN vhigh h ON l.event_type = h.event_type AND l.k = h.k
+      |),
+      |barr AS (SELECT event_type, list(b_mc ORDER BY k) AS bs FROM bounds GROUP BY event_type)
       |SELECT event_type,
-      |  1 + CAST(list_sum(list_transform(bs, x -> CASE WHEN value > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+      |  1 + CAST(list_sum(list_transform(bs, x -> CASE WHEN vc * 1000 > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
       |  count(*) AS n, min(value) AS lo, max(value) AS hi
-      |FROM events JOIN b USING (event_type)
+      |FROM e JOIN barr USING (event_type)
       |GROUP BY event_type, bin
       |ORDER BY event_type, bin""".stripMargin
 
@@ -2008,10 +2064,13 @@ object Analytics {
     * against itself shifted k CALENDAR days (integer epoch-day join
     * keys, so a missing day drops its pairs instead of silently
     * compressing the lag the way an index-shift over observed rows
-    * would). Moments accumulate decimal-exact and the closing formula
-    * is one fixed-shape double expression — [[qEventValueStats]]'s
-    * determinism discipline, so the result hash-matches cross-engine at
-    * any parallelism.
+    * would). Moments accumulate as exact BIGINT CENTS — NOT decimals:
+    * a decimal sum whose unscaled value tops 2⁵³ reaches double through
+    * TWO roundings in DuckDB (unscaled/10^scale) vs one in the JVM, a
+    * last-ulp divergence the sf0.1 sweep actually caught here — and the
+    * closing formula casts only exact BIGINT differences (each one
+    * deterministic rounding) into one fixed-shape double expression, so
+    * the result hash-matches cross-engine at any parallelism.
     *
     * Scale (100 TB): the event corpus collapses to |types|×|days| rows
     * in ONE partially-aggregated shuffle; the lag cross (broadcast
@@ -2021,10 +2080,17 @@ object Analytics {
     */
   def qEventAcf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // daily totals in exact BIGINT CENTS: decimal sums above 2⁵³ unscaled
+    // cast to double with TWO roundings in DuckDB vs one in the JVM (the
+    // known divergence class — bit at sf0.1 in the round-10 sweep), so
+    // every moment stays integer and only exact BIGINT differences cross
+    // the double boundary (one deterministic rounding in both engines).
+    // Bounds: products fit int64 while n_days·(max daily cents)² < 2⁶³ —
+    // ≈ $1.5M/day/type at a year of lags, 30× above the sf0.1 load.
     val daily = Tables.events(spark, sfDir)
       .groupBy($"event_type",
         datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
-      .agg(sum($"value".cast(DecimalType(18, 4))).as("v"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT)").as("v"))
     val lags = spark.range(1, 8).select($"id".cast("int").as("lag"))
     val a = daily.toDF("event_type", "dn", "x").as("acf_a")
     val b = daily.toDF("event_type", "dn", "y").as("acf_b")
@@ -2038,37 +2104,37 @@ object Analytics {
         sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
         sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
         sum($"x" * $"y").as("sxy"))
-    val nD = $"n_pairs".cast("double")
-    val sxD = $"sx".cast("double"); val sxxD = $"sxx".cast("double")
-    val syD = $"sy".cast("double"); val syyD = $"syy".cast("double")
-    val sxyD = $"sxy".cast("double")
+    // the two centered denominators are cast SEPARATELY (each an exact
+    // BIGINT, one rounding) and multiplied in double — their int64
+    // product would overflow
     m.select($"event_type", $"lag", $"n_pairs",
-        ((nD * sxyD - sxD * syD) /
-          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("acf"))
+        (($"n_pairs" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n_pairs" * $"syy" - $"sy" * $"sy").cast("double"))).as("acf"))
       .orderBy($"event_type", $"lag")
   }
 
   val qEventAcfSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
-      |    sum(CAST(value AS DECIMAL(18,4))) AS v
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS v
       |  FROM events GROUP BY event_type, dn
       |),
       |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
       |m AS (
       |  SELECT a.event_type, l.lag, count(*) AS n_pairs,
-      |    sum(a.v) AS sx, sum(a.v * a.v) AS sxx,
-      |    sum(b.v) AS sy, sum(b.v * b.v) AS syy,
-      |    sum(a.v * b.v) AS sxy
+      |    CAST(sum(a.v) AS BIGINT) AS sx, CAST(sum(a.v * a.v) AS BIGINT) AS sxx,
+      |    CAST(sum(b.v) AS BIGINT) AS sy, CAST(sum(b.v * b.v) AS BIGINT) AS syy,
+      |    CAST(sum(a.v * b.v) AS BIGINT) AS sxy
       |  FROM daily a
       |  CROSS JOIN lags l
       |  JOIN daily b ON b.event_type = a.event_type AND b.dn = a.dn + l.lag
       |  GROUP BY a.event_type, l.lag
       |)
       |SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
-      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |         (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
       |FROM m ORDER BY event_type, lag""".stripMargin
 
   // --- OLS daily trend: regression line + R² from exact integer moments ---

@@ -379,7 +379,9 @@ class AnalyticsSpec extends SparkSuite {
       .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("v"))
       .collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dn")) ->
-        r.getAs[java.math.BigDecimal]("v")).toMap
+        // daily totals in exact BIGINT cents, the engine's representation
+        r.getAs[java.math.BigDecimal]("v")
+          .multiply(java.math.BigDecimal.valueOf(100)).longValueExact()).toMap
     val types = daily.keySet.map(_._1)
     for (t <- types; l <- 1 to 7) {
       val pairs = daily.collect {
@@ -387,16 +389,12 @@ class AnalyticsSpec extends SparkSuite {
       }.toSeq
       val n = pairs.length.toLong
       if (n > 0) {
-        import java.math.{BigDecimal => BD}
-        def s(f: ((BD, BD)) => BD): BD = pairs.map(f).reduce(_.add(_))
+        def s(f: ((Long, Long)) => Long): Long = pairs.map(f).sum
         val (sx, sy) = (s(_._1), s(_._2))
         val (sxx, syy, sxy) =
-          (s(p => p._1.multiply(p._1)), s(p => p._2.multiply(p._2)),
-            s(p => p._1.multiply(p._2)))
-        val nD = n.toDouble
-        val acf = (nD * sxy.doubleValue - sx.doubleValue * sy.doubleValue) /
-          math.sqrt((nD * sxx.doubleValue - sx.doubleValue * sx.doubleValue) *
-            (nD * syy.doubleValue - sy.doubleValue * sy.doubleValue))
+          (s(p => p._1 * p._1), s(p => p._2 * p._2), s(p => p._1 * p._2))
+        val acf = (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
         assert(out((t, l))._1 === n)
         assert(out((t, l))._2 === acf, s"type $t lag $l") // bit-exact: same moments, same shape
         assert(math.abs(acf) <= 1.0 + 1e-9)

@@ -711,7 +711,21 @@ object Analytics {
 
   /** Per-type value percentiles via `percentile` — exact linear
     * interpolation, the same definition as DuckDB's `quantile_cont`, so
-    * the result is oracle-checkable bit-for-bit. The sketch variant
+    * the result is oracle-checkable bit-for-bit on this data.
+    *
+    * Known residual hazard (same class for the p05/p95 winsor bounds and
+    * the median/MAD screen): the two engines EVALUATE the shared lerp
+    * definition differently — Spark `low + (high−low)·f`, DuckDB
+    * `low·(1−f) + high·f` — which diverges by one ulp when the
+    * interpolation point falls strictly BETWEEN two distinct values at
+    * unlucky fractions. On dense 2-decimal data the bracketing values
+    * coincide at these p-levels (both forms then exact; verified green
+    * at sf0.001/0.01/0.1 in the round-10 sweep), and because these
+    * queries emit the raw doubles an ulp would surface as float-drift,
+    * not a row swap. Where an ulp DOES change rows — equi-depth bin
+    * assignment — the boundary is computed engine-free in integer
+    * milli-cents instead ([[qValueEquidepth]]); that kernel is the
+    * remedy here too if the data ever stops cooperating. The sketch variant
     * (`percentile_approx`, t-digest) is deliberately NOT in this
     * projection: its output is engine-specific and would break the hash
     * gate; AnalyticsSpec instead asserts the sketch lands within

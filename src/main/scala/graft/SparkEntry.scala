@@ -33,8 +33,15 @@ object SparkEntry {
     graft.etl.Dims.registry
   )
 
-  private lazy val all: ListMap[String, ((SparkSession, String) => DataFrame, String)] =
-    ListMap(registries.flatten: _*)
+  private lazy val all: ListMap[String, ((SparkSession, String) => DataFrame, String)] = {
+    val flat = registries.flatten
+    // a duplicate name would silently collapse in the Map — one module's
+    // implementation shadowing another's with no red anywhere (a round-11
+    // near-miss: a re-added q_doc_dsir_weights shadowed the round-7 one)
+    val dups = flat.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate registry names: ${dups.mkString(", ")}")
+    ListMap(flat: _*)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship is the Job-1 ETL pipeline (SURVEY §3 E1),

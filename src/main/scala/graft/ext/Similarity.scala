@@ -752,8 +752,15 @@ object Similarity {
     * quantizer to labels < k ([[qEmbKmeansIter]]'s init).
     */
   private[ext] def centroidArrayDf(spark: SparkSession, sfDir: String,
+      kLimit: Option[Int]): DataFrame =
+    centroidArrayOf(Tables.embeddings(spark, sfDir), kLimit)
+
+  /** [[centroidArrayDf]] over a caller-supplied embeddings frame — the
+    * seam that lets [[qEmbIvfIncremental]] train the quantizer on the
+    * BASE corpus only (frozen-index maintenance). */
+  private[ext] def centroidArrayOf(embIn: DataFrame,
       kLimit: Option[Int]): DataFrame = {
-    val long = centroidsLong(spark, sfDir)
+    val long = centroidsLongOf(embIn)
     val limited = kLimit.map(k => long.filter(col("label") < k)).getOrElse(long)
     limited
       .groupBy(col("label").as("c_label"))
@@ -891,6 +898,119 @@ object Similarity {
        |)
        |SELECT q_id, rank, vec_id, cell, cosine FROM ranked
        |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental IVF maintenance: frozen quantizer, O(batch) append
+  // ------------------------------------------------------------------
+
+  /** Every `ivfIncrMod`-th vec_id arrives as the "new" batch the frozen
+    * index must absorb. */
+  final val ivfIncrMod = 10
+
+  /** INCREMENTAL IVF INDEX MAINTENANCE — the embedding-side twin of the
+    * E89 O(batch) incremental exact dedup: append newly-arrived vectors
+    * to an existing IVF index WITHOUT rebuilding it. The coarse
+    * quantizer is trained on the BASE corpus only (vec_id %
+    * [[ivfIncrMod]] ≠ 0) and FROZEN; the new batch is assigned against
+    * those fixed centroids, and the per-cell stats merge additively.
+    * Output per cell: base/new/total occupancy, the new-arrival share,
+    * and the mean assignment distance of base vs new members — the
+    * drift audit that says when the frozen quantizer has gone stale for
+    * incoming data (new vectors landing systematically farther from
+    * their centroids than the vectors the cells were trained on) and a
+    * rebuild is actually warranted.
+    *
+    * Mechanics: the quantizer is [[centroidArrayOf]] over the base
+    * rows — a single-row broadcast exactly as in [[qEmbAnnIvf]];
+    * assignment is ONE [[probeCells]] narrow fold over all vectors
+    * (zero corpus exchange), and base/new stats split inside one
+    * grouped aggregate via conditional sums. Mean distances accumulate
+    * as floor-quantized micro-distance BIGINTs (exact, order-free —
+    * the [[graft.ext.TextOps.qDocPerplexity]] micro-nat rule) with ONE
+    * fixed-shape closing division per column; a raw double `sum(d)`
+    * would be partition-order-dependent.
+    *
+    * Scale (100 TB): in production the base assignments and cell stats
+    * are STORED WITH THE INDEX (the [[qEmbAnnIvf]] write-time
+    * bucketing note), so the incremental pass touches ONLY the new
+    * batch: one broadcast fold over the arrivals plus a |cells|-sized
+    * stat merge — no corpus scan, no retraining, no shuffle of
+    * anything row-scale. This query recomputes the base side inline
+    * only because the harness reads raw testdata; the plan keeps the
+    * two sides separable (conditional sums over one assignment pass)
+    * to mirror that split.
+    */
+  def qEmbIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    // frozen quantizer: base rows only; persist — it feeds one fold but
+    // derives from a full posexplode pass (the qEmbAnnIvf precedent)
+    val centArr = centroidArrayOf(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % ivfIncrMod =!= 0),
+      None).persist()
+    centArr.count()
+    val isNew = col("vec_id") % ivfIncrMod === 0
+    val assigned = probeCells(all, centArr, 1)
+      .select(col("vec_id"), col("cell"),
+        expr("CAST(floor(dist * 1000000.0) AS BIGINT)").as("dq"))
+    assigned.groupBy(col("cell"))
+      .agg(
+        sum(when(isNew, 0L).otherwise(1L)).as("n_base"),
+        sum(when(isNew, 1L).otherwise(0L)).as("n_new"),
+        sum(when(isNew, 0L).otherwise(col("dq"))).as("sd_base"),
+        sum(when(isNew, col("dq")).otherwise(0L)).as("sd_new"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_base") + col("n_new")).as("n_total"),
+        (col("n_new").cast("double") / (col("n_base") + col("n_new")).cast("double"))
+          .as("share_new"),
+        when(col("n_base") === 0, lit(null).cast("double"))
+          .otherwise(col("sd_base").cast("double") / col("n_base") / 1000000.0)
+          .as("mean_d_base"),
+        when(col("n_new") === 0, lit(null).cast("double"))
+          .otherwise(col("sd_new").cast("double") / col("n_new") / 1000000.0)
+          .as("mean_d_new"))
+      .orderBy(col("cell"))
+  }
+
+  val qEmbIvfIncrementalSql: String =
+    s"""WITH eb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % $ivfIncrMod != 0
+       |),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |cl AS (
+       |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+       |  FROM eb, pos GROUP BY label, i
+       |),
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, c_label AS cell,
+       |    list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv) AS d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |a1 AS (
+       |  SELECT vec_id, cell, CAST(floor(d * 1000000.0) AS BIGINT) AS dq
+       |  FROM assigned WHERE rn = 1
+       |),
+       |stats AS (
+       |  SELECT cell,
+       |    CAST(sum(CASE WHEN vec_id % $ivfIncrMod = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN vec_id % $ivfIncrMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN vec_id % $ivfIncrMod = 0 THEN 0 ELSE dq END) AS BIGINT) AS sd_base,
+       |    CAST(sum(CASE WHEN vec_id % $ivfIncrMod = 0 THEN dq ELSE 0 END) AS BIGINT) AS sd_new
+       |  FROM a1 GROUP BY cell
+       |)
+       |SELECT cell, n_base, n_new, n_base + n_new AS n_total,
+       |  CAST(n_new AS DOUBLE) / CAST(n_base + n_new AS DOUBLE) AS share_new,
+       |  CASE WHEN n_base = 0 THEN NULL
+       |       ELSE CAST(sd_base AS DOUBLE) / n_base / 1000000.0 END AS mean_d_base,
+       |  CASE WHEN n_new = 0 THEN NULL
+       |       ELSE CAST(sd_new AS DOUBLE) / n_new / 1000000.0 END AS mean_d_new
+       |FROM stats ORDER BY cell""".stripMargin
 
   // ------------------------------------------------------------------
   // ANN recall audit: IVF probe vs the exact brute-force top-k

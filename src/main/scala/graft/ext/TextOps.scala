@@ -1143,7 +1143,10 @@ object TextOps {
       : (DataFrame, Seq[(Int, String, Long)]) = {
     var seg = words
       .select(col("word"),
-        rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"),
+        // (?s): dotall, so a newline inside a word is split like any other
+        // character (bare `.` matches neither \n nor \r in Java regex or
+        // RE2 — a word containing one would keep a fused initial symbol)
+        rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("seg"),
         col("wcount"))
       .persist()
     var exhausted = false
@@ -1193,8 +1196,12 @@ object TextOps {
 
   /** The shared unrolled-CTE text of the [[bpeMergeRounds]] training
     * rounds (words → seg0 → pairsR/bestR/segR), carrying the original
-    * word through every re-segmentation. */
-  private def bpeTrainSqlCtes: String = {
+    * word through every re-segmentation. `docWhere` restricts the
+    * TRAINING corpus (the [[qDocBpeTransfer]] held-out split); empty
+    * keeps the historical full-corpus text byte-identical. */
+  private def bpeTrainSqlCtes: String = bpeTrainSqlCtesFrom("")
+
+  private def bpeTrainSqlCtesFrom(docWhere: String): String = {
     val rounds = (1 to bpeMergeRounds).map { r =>
       val prev = s"seg${r - 1}"
       s"""pairs$r AS (
@@ -1217,11 +1224,11 @@ object TextOps {
     }.mkString(",\n")
     s"""words AS (
        |  SELECT word, count(*) AS wcount
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents$docWhere)
        |  GROUP BY word
        |),
        |seg0 AS (
-       |  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg,
+       |  SELECT word, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS seg,
        |    wcount
        |  FROM words
        |),
@@ -1299,6 +1306,227 @@ object TextOps {
        |    CAST(sum(swcount * n_syms) AS DOUBLE) AS chars_per_token
        |FROM by_src JOIN seg_syms USING (word)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** BPE ENCODE-TO-IDS — the missing last step of the tokenizer family
+    * (E298 trains merges, E302 audits fertility): emit the TOKENIZED
+    * CORPUS, i.e. every document as its ordered token-id sequence — the
+    * actual artifact a training run consumes. Ids are assigned the way
+    * real tokenizers do, by corpus frequency (ties: lexicographic), over
+    * the symbol vocabulary the [[bpeMergeRounds]] trained merges induce.
+    * Output: (doc_id, n_tokens, token_ids) with the id sequence as a
+    * space-joined string (the [[qDocPackChunks]]-adjacent shard layout
+    * would consume the exploded (doc, pos, id) form this aggregates).
+    *
+    * Mechanics: train ([[bpeTrainRounds]], shared plan — corpus scanned
+    * once into word frequencies, all rounds vocab-bounded), then (1) the
+    * id table: explode final segmentations to (symbol, occurrence
+    * weight), one vocab-bounded aggregate, row_number by (freq DESC,
+    * symbol) — the ONLY unpartitioned window, on the |vocab| table;
+    * (2) encode: corpus words keep their position (posexplode), the
+    * word→segmentation join replays the trained merges WITHOUT touching
+    * characters again, a second posexplode orders symbols within each
+    * word, and the broadcast id table maps symbols to ids; (3) per-doc
+    * reassembly sorts (word_pos, sym_pos) inside one aggregation.
+    *
+    * Scale (100 TB): the corpus-scale work is exactly two shuffles that
+    * any encoder must pay — words→vocab aggregation and the per-doc
+    * reassembly — plus one equi-join of corpus words against the
+    * vocab-bounded segmentation table (AQE broadcasts it while the word
+    * vocabulary fits, which "millions of distinct words" does); the
+    * trained model state (merges, id table) is broadcast-sized by
+    * construction. Per-doc collect_list is bounded by document length —
+    * the row the artifact has to hold anyway.
+    */
+  def qDocBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val (seg, _) = bpeTrainRounds(words)
+    val vocab = seg
+      .select(col("wcount"), explode(split(col("seg"), " ")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("wcount")).as("freq"))
+    val wIds = Window.orderBy(col("freq").desc, col("sym"))
+    val ids = vocab.select(col("sym"), row_number().over(wIds).cast("long").as("tid"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "wpos", "word")
+    val enc = toks.join(seg.select(col("word"), col("seg")), "word")
+      .select(col("doc_id"), col("wpos"), posexplode(split(col("seg"), " ")))
+      .toDF("doc_id", "wpos", "spos", "sym")
+    enc.join(broadcast(ids), "sym")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(wpos, spos, tid)))," +
+            " x -> CAST(x.tid AS STRING))")).as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocBpeEncodeSql: String =
+    s"""WITH $bpeTrainSqlCtes,
+       |vocab AS (
+       |  SELECT s.sym, CAST(sum(wcount) AS BIGINT) AS freq
+       |  FROM seg$bpeMergeRounds, UNNEST(string_split(seg, ' ')) AS s(sym)
+       |  GROUP BY s.sym
+       |),
+       |ids AS (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY freq DESC, sym) AS BIGINT) AS tid
+       |  FROM vocab
+       |),
+       |toks AS (
+       |  SELECT doc_id, i AS wpos, string_split(text, ' ')[i] AS word
+       |  FROM documents,
+       |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+       |),
+       |enc AS (
+       |  SELECT t.doc_id, t.wpos, u.j AS spos, string_split(g.seg, ' ')[u.j] AS sym
+       |  FROM toks t
+       |  JOIN seg$bpeMergeRounds g USING (word),
+       |    UNNEST(range(1, len(string_split(g.seg, ' ')) + 1)) AS u(j)
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wpos, spos) AS token_ids
+       |FROM enc JOIN ids USING (sym)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Tokenizer transfer audit: frozen merges on a held-out domain
+  // ------------------------------------------------------------------
+
+  /** The held-out source the frozen tokenizer has never seen. Literal
+    * RHS `final` per the init-cycle rule. */
+  final val bpeHoldout = "src1"
+
+  /** Apply an already-trained merge-rule list to a (word, wcount)
+    * vocabulary — [[bpeTrainRounds]]' re-segmentation step with FROZEN
+    * rules (no argmax): char-split init, then the two-pass replace per
+    * rule in adoption order. */
+  private def applyMerges(words: DataFrame, rules: Seq[String]): DataFrame = {
+    var seg = words.select(col("word"),
+      rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("seg"),
+      col("wcount"))
+    rules.foreach { pair =>
+      val srch = lit(" " + pair + " ")
+      val repl = lit(" " + pair.replace(" ", "") + " ")
+      val padded = concat(lit(" "), col("seg"), lit(" "))
+      seg = seg.select(col("word"),
+        trim(replace(replace(padded, srch, repl), srch, repl)).as("seg"),
+        col("wcount"))
+    }
+    seg
+  }
+
+  /** TOKENIZER TRANSFER AUDIT — the text-side twin of the frozen-
+    * quantizer IVF maintenance ([[graft.ext.Similarity.qEmbIvfIncremental]]):
+    * train the [[bpeMergeRounds]] merges on every source EXCEPT
+    * [[bpeHoldout]], FREEZE them, apply them to the whole corpus, and
+    * report per-source fertility plus its ratio to the base-corpus
+    * fertility — the "does our tokenizer transfer to the new domain"
+    * number that decides whether incoming data needs a tokenizer
+    * retrain before it can join a training mix (a held-out domain whose
+    * text fragments much worse than the training domains is the classic
+    * sign it doesn't).
+    *
+    * Mechanics: training is [[bpeTrainRounds]] on the base-filtered
+    * word table (same plan discipline — corpus scanned once, rounds
+    * vocab-bounded); application is the SAME two-pass replace with the
+    * driver-collected rules as frozen literals ([[applyMerges]]) over
+    * the FULL word vocabulary, so unseen held-out words segment under
+    * base merges exactly as a deployed tokenizer would. If training
+    * exhausts before [[bpeMergeRounds]] (no pair left), the result
+    * mirrors the oracle's empty cascade (empty frame) rather than
+    * silently applying fewer rules.
+    *
+    * Scale (100 TB): identical profile to [[qDocBpeFertility]] — the
+    * corpus contributes one (source, word) aggregate; training,
+    * application, and the fertility join are all vocab-bounded; the
+    * base-fertility denominator rides a broadcast 1-row aggregate.
+    */
+  def qDocBpeTransfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("swcount"))
+      .persist()
+    val baseWords = bySrc.filter(col("source") =!= bpeHoldout)
+      .groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val (_, bests) = bpeTrainRounds(baseWords)
+    val allWords = bySrc.groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val seg =
+      if (bests.length < bpeMergeRounds) applyMerges(allWords, Nil).limit(0)
+      else applyMerges(allWords, bests.map(_._2))
+    val segSyms = seg.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("n_syms"))
+    val joined = bySrc.join(segSyms, "word")
+      .select(col("source"), col("swcount"), col("n_syms"))
+    val baseTot = joined.filter(col("source") =!= bpeHoldout)
+      .agg(sum(col("swcount")).as("bw"), sum(col("swcount") * col("n_syms")).as("bt"))
+    joined.groupBy(col("source"))
+      .agg(sum(col("swcount")).as("n_words"),
+        sum(col("swcount") * col("n_syms")).as("n_tokens"))
+      .crossJoin(broadcast(baseTot))
+      .select(col("source"), (col("source") === bpeHoldout).as("held_out"),
+        col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        ((col("n_tokens").cast("double") / col("n_words").cast("double"))
+          / (col("bt").cast("double") / col("bw").cast("double")))
+          .as("fert_vs_base"))
+      .orderBy(col("source"))
+  }
+
+  val qDocBpeTransferSql: String = {
+    val apply = (1 to bpeMergeRounds).map { r =>
+      val prev = if (r == 1) "aw0" else s"aw${r - 1}"
+      s"""aw$r AS (
+         |  SELECT word, trim(replace(replace(' ' || seg || ' ',
+         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))
+         |    AS seg, wcount
+         |  FROM $prev CROSS JOIN best$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainSqlCtesFrom(s" WHERE source != '$bpeHoldout'")},
+       |all_words AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |aw0 AS (
+       |  SELECT word, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS seg,
+       |    wcount
+       |  FROM all_words
+       |),
+       |$apply,
+       |seg_syms AS (
+       |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_syms
+       |  FROM aw$bpeMergeRounds
+       |),
+       |by_src AS (
+       |  SELECT source, word, count(*) AS swcount
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY source, word
+       |),
+       |joined AS (
+       |  SELECT source, swcount, n_syms FROM by_src JOIN seg_syms USING (word)
+       |),
+       |base_tot AS (
+       |  SELECT CAST(sum(swcount) AS BIGINT) AS bw,
+       |    CAST(sum(swcount * n_syms) AS BIGINT) AS bt
+       |  FROM joined WHERE source != '$bpeHoldout'
+       |)
+       |SELECT source, source = '$bpeHoldout' AS held_out,
+       |  CAST(sum(swcount) AS BIGINT) AS n_words,
+       |  CAST(sum(swcount * n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(swcount * n_syms) AS DOUBLE) / CAST(sum(swcount) AS DOUBLE)
+       |    AS fertility,
+       |  (CAST(sum(swcount * n_syms) AS DOUBLE) / CAST(sum(swcount) AS DOUBLE))
+       |    / (CAST(bt AS DOUBLE) / CAST(bw AS DOUBLE)) AS fert_vs_base
+       |FROM joined CROSS JOIN base_tot
+       |GROUP BY source, bt, bw
+       |ORDER BY source""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Unigram-LM cross-entropy per source (perplexity filtering)

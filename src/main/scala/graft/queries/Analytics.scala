@@ -707,55 +707,185 @@ object Analytics {
       |  CAST(CAST(sum(spend) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
       |FROM ranked GROUP BY quartile ORDER BY quartile""".stripMargin
 
-  // --- percentiles: exact interpolated + t-digest sketch side by side ---
+  // --- percentiles: exact interpolated, engine-free integer kernel ---
 
-  /** Per-type value percentiles via `percentile` — exact linear
-    * interpolation, the same definition as DuckDB's `quantile_cont`, so
-    * the result is oracle-checkable bit-for-bit on this data.
+  /** Rank-selection interpolated quantiles on an integer grid — the
+    * shared ENGINE-FREE percentile kernel (generalized from
+    * [[qValueEquidepth]], which caught the hazard this kernel removes).
     *
-    * Known residual hazard (same class for the p05/p95 winsor bounds and
-    * the median/MAD screen): the two engines EVALUATE the shared lerp
-    * definition differently — Spark `low + (high−low)·f`, DuckDB
-    * `low·(1−f) + high·f` — which diverges by one ulp when the
-    * interpolation point falls strictly BETWEEN two distinct values at
-    * unlucky fractions. On dense 2-decimal data the bracketing values
-    * coincide at these p-levels (both forms then exact; verified green
-    * at sf0.001/0.01/0.1 in the round-10 sweep), and because these
-    * queries emit the raw doubles an ulp would surface as float-drift,
-    * not a row swap. Where an ulp DOES change rows — equi-depth bin
-    * assignment — the boundary is computed engine-free in integer
-    * milli-cents instead ([[qValueEquidepth]]); that kernel is the
-    * remedy here too if the data ever stops cooperating. The sketch variant
-    * (`percentile_approx`, t-digest) is deliberately NOT in this
-    * projection: its output is engine-specific and would break the hash
-    * gate; AnalyticsSpec instead asserts the sketch lands within
-    * tolerance of these exact values (the HLL treatment of
+    * Why not the native aggregates: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation DEFINITION but
+    * evaluate it in different shapes — Spark `low + (high−low)·f`,
+    * DuckDB `low·(1−f) + high·f` — which diverge by one ulp whenever
+    * the interpolation point falls strictly between two distinct values
+    * (the round-10 sf-sweep caught exactly this swapping equi-depth
+    * bins). Here the interpolated value is instead computed ENTIRELY in
+    * exact BIGINT arithmetic on the integer grid the data lives on:
+    * for level num/`den` over n values, the target position is
+    * idx + r/den with idx = (num·(n−1)) div den, r = (num·(n−1)) mod
+    * den, and the returned fixed-point boundary is
+    * `v_low·den + (v_high − v_low)·r` — exact value × den in input
+    * units, bit-identical in any engine. Callers divide by the combined
+    * scale once, in one fixed-shape double expression on both sides.
+    *
+    * Mechanics: one partial-aggregated (key, v) count table (GRID-
+    * bounded, never row-scale — or the caller's pre-aggregated grid via
+    * `weight`, the one-corpus-scan discipline), a cumulative window
+    * over that bounded table, and ONE broadcast rank-selection join
+    * whose conditional mins pick both bracketing values v_low (rank
+    * idx+1) and v_high (rank idx+2, coalesced to v_low at the top
+    * edge). Output: one row per key with a `<name>_b` BIGINT
+    * fixed-point column per requested level (plus `n` under `withN`).
+    *
+    * Scale (100 TB): every row-scale step is ONE map-side-combinable
+    * aggregation into the grid-bounded count table; everything after
+    * runs on |keys|×|grid| rows. This replaces Spark's exact
+    * `percentile` (which buffers every group in memory) with a shape
+    * that never materializes a group — the same reason
+    * [[qValueEquidepth]] uses it.
+    */
+  private[queries] def rankQuantiles(
+      src: DataFrame, key: String, v: String,
+      levels: Seq[(String, Int)], den: Int = 100,
+      weight: Option[String] = None, withN: Boolean = false): DataFrame = {
+    // weight: src is ALREADY a (key, v, weight) count table — the callers'
+    // one-corpus-scan discipline: aggregate the corpus onto the grid once
+    // (persisted at the call site), then every pass here is grid-sized
+    val vt = weight match {
+      case Some(w) => src.groupBy(col(key), col(v)).agg(sum(col(w)).as("cnt"))
+      case None    => src.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+    }
+    val wCum = Window.partitionBy(col(key)).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumt = vt.withColumn("cum", sum(col("cnt")).over(wCum))
+    val nt = vt.groupBy(col(key)).agg(sum(col("cnt")).as("n"))
+    val lvls = array(levels.map { case (nm, num) =>
+      struct(lit(nm).as("lvl"), lit(num).as("num")) }: _*)
+    val sel = nt.select(col(key), explode(lvls).as("L"), col("n"))
+      .select(col(key), col("L.lvl").as("lvl"), col("L.num").as("num"), col("n"))
+      .select(col(key), col("lvl"),
+        expr(s"(num * (n - 1)) div $den").as("idx"),
+        expr(s"(num * (n - 1)) % $den").as("r"))
+    // both bracketing ranks in ONE join + ONE conditional aggregation
+    // (a separate v_low/v_high pass each would double the grid joins)
+    val bounds = cumt.join(broadcast(sel), Seq(key))
+      .groupBy(col(key), col("lvl"), col("r"))
+      .agg(min(when(col("cum") >= col("idx") + 1, col(v))).as("v_low"),
+        min(when(col("cum") >= col("idx") + 2, col(v))).as("v_high"))
+      .select(col(key), col("lvl"),
+        (col("v_low") * den +
+          (coalesce(col("v_high"), col("v_low")) - col("v_low")) * col("r")).as("b"))
+    val piv = bounds.groupBy(col(key))
+      .agg(max(when(col("lvl") === levels.head._1, col("b"))).as(s"${levels.head._1}_b"),
+        levels.tail.map { case (nm, _) =>
+          max(when(col("lvl") === nm, col("b"))).as(s"${nm}_b") }: _*)
+    if (withN) piv.join(broadcast(nt), Seq(key)) else piv
+  }
+
+  /** Oracle-side mirror of [[rankQuantiles]]: a chain of CTE definitions
+    * (to splice after the `src` CTE) ending in CTE `<pfx>q` with columns
+    * (key, `<name>_b` …) — the same exact BIGINT rank-selection
+    * arithmetic, so both engines compute the identical fixed-point
+    * boundary. `n` is CAST to BIGINT before the num·(n−1) product
+    * (DuckDB sums/windows into HUGEINT; the product must run in int64
+    * on both sides to be the same arithmetic).
+    */
+  private def rankQuantilesSql(
+      src: String, key: String, v: String,
+      levels: Seq[(String, Int)], den: Int = 100, pfx: String = "rq",
+      weight: Option[String] = None): String = {
+    val vals = levels.map { case (nm, num) => s"('$nm', $num)" }.mkString(", ")
+    val piv = levels.map { case (nm, _) =>
+      s"max(CASE WHEN lvl = '$nm' THEN b END) AS ${nm}_b" }.mkString(", ")
+    val cntE = weight.map(w => s"CAST(sum($w) AS BIGINT)").getOrElse("count(*)")
+    s"""${pfx}vt AS (SELECT $key, $v, $cntE AS cnt FROM $src GROUP BY $key, $v),
+       |${pfx}cum AS (
+       |  SELECT $key, $v, CAST(sum(cnt) OVER (PARTITION BY $key ORDER BY $v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM ${pfx}vt
+       |),
+       |${pfx}nt AS (SELECT $key, CAST(sum(cnt) AS BIGINT) AS n FROM ${pfx}vt GROUP BY $key),
+       |${pfx}sel AS (
+       |  SELECT $key, lvl, (num * (n - 1)) // $den AS idx, (num * (n - 1)) % $den AS r
+       |  FROM ${pfx}nt, (VALUES $vals) AS L(lvl, num)
+       |),
+       |${pfx}lh AS (
+       |  SELECT s.$key, s.lvl, s.r,
+       |    min(CASE WHEN c.cum >= s.idx + 1 THEN c.$v END) AS v_low,
+       |    min(CASE WHEN c.cum >= s.idx + 2 THEN c.$v END) AS v_high
+       |  FROM ${pfx}sel s JOIN ${pfx}cum c ON c.$key = s.$key
+       |  GROUP BY s.$key, s.lvl, s.r
+       |),
+       |${pfx}b AS (
+       |  SELECT $key, lvl,
+       |    v_low * $den + (COALESCE(v_high, v_low) - v_low) * r AS b
+       |  FROM ${pfx}lh
+       |),
+       |${pfx}q AS (SELECT $key, $piv FROM ${pfx}b GROUP BY $key)""".stripMargin
+  }
+
+  /** Cent grid of `value`: the 2-decimal data's exact integer form. */
+  private def centEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(col("event_type"), col("value"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
+
+  private val centEventsSql: String =
+    """e AS (
+      |  SELECT event_type, value, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |)""".stripMargin
+
+  /** Per-type value percentiles (p50/p90/p99), exact interpolated — on
+    * the engine-free [[rankQuantiles]] integer kernel, NOT the native
+    * `percentile`/`quantile_cont` pair whose lerp evaluation shapes
+    * differ by an ulp between engines (the round-10 hazard class; ported
+    * here round 11). The fixed-point boundary is exact value×10⁴ (cents
+    * × den 100); the single closing `CAST(b AS DOUBLE)/10000.0` is the
+    * same two-op shape on both sides, so the emitted doubles are
+    * bit-identical by construction, not by the data cooperating.
+    *
+    * The sketch variant (`percentile_approx`, t-digest) is deliberately
+    * NOT in this projection: its output is engine-specific and would
+    * break the hash gate; AnalyticsSpec instead asserts the sketch lands
+    * within tolerance of these exact values (the HLL treatment of
     * [[graft.ext.Similarity.qApproxDistinct]]).
     *
-    * Scale: exact percentile buffers each group (memory ∝ group size) —
-    * fine for bounded-cardinality groups like event_type; for unbounded
-    * groups at 100 TB the t-digest (constant memory, mergeable partials)
-    * is the production path.
+    * Scale: see [[rankQuantiles]] — one grid-bounded partial agg instead
+    * of `percentile`'s per-group memory buffer; strictly better than the
+    * native exact aggregate at 100 TB, and the t-digest remains the
+    * unbounded-cardinality production path.
     */
   def qValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.9)").as("p90"),
-        expr("percentile(value, 0.99)").as("p99"),
-        count(lit(1)).as("n"))
+    // ONE corpus scan: everything downstream (kernel passes, n) runs on
+    // the persisted grid-bounded count table
+    val vt = centEvents(spark, sfDir)
+      .groupBy($"event_type", $"vc").agg(count(lit(1)).as("cnt"))
+      .persist()
+    vt.count() // eager: parallel kernel branches must not re-derive the grid
+    rankQuantiles(vt, "event_type", "vc",
+      Seq(("p50", 50), ("p90", 90), ("p99", 99)),
+      weight = Some("cnt"), withN = true)
+      .select($"event_type",
+        ($"p50_b".cast("double") / 10000.0).as("p50"),
+        ($"p90_b".cast("double") / 10000.0).as("p90"),
+        ($"p99_b".cast("double") / 10000.0).as("p99"),
+        $"n")
       .orderBy($"event_type")
   }
 
   val qValuePercentilesSql: String =
-    """SELECT event_type,
-      |  quantile_cont(value, 0.5) AS p50,
-      |  quantile_cont(value, 0.9) AS p90,
-      |  quantile_cont(value, 0.99) AS p99,
-      |  count(*) AS n
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""WITH $centEventsSql,
+       |vt AS (SELECT event_type, vc, count(*) AS cnt FROM e GROUP BY event_type, vc),
+       |${rankQuantilesSql("vt", "event_type", "vc",
+            Seq(("p50", 50), ("p90", 90), ("p99", 99)), weight = Some("cnt"))}
+       |SELECT event_type,
+       |  CAST(p50_b AS DOUBLE) / 10000.0 AS p50,
+       |  CAST(p90_b AS DOUBLE) / 10000.0 AS p90,
+       |  CAST(p99_b AS DOUBLE) / 10000.0 AS p99,
+       |  n
+       |FROM rqq JOIN rqnt USING (event_type)
+       |ORDER BY event_type""".stripMargin
 
   // --- statistical aggregates from exact moments (deterministic corr) ---
 
@@ -1593,52 +1723,60 @@ object Analytics {
     * the raw mean and the clip counts — the robust-mean pass that stops a
     * fat-tailed metric from being steered by outliers.
     *
-    * Determinism: the percentile bounds are exact interpolated
-    * (`percentile` ↔ `quantile_cont`, agreement proven by
-    * [[qValuePercentiles]]); clipped values cast to DECIMAL(18,6) before
-    * summing so addition order cannot wiggle the mean ([[qDocLangMixTemp]]
-    * decimal-sum rule, and the raw mean uses the established DECIMAL(11,2)
-    * exact-moment path). Two passes over events (bounds, then clip) joined
-    * through a types-sized broadcast — at 100 TB the first pass is the
-    * standard percentile shuffle, the second is narrow.
+    * Determinism: the percentile bounds come from the engine-free
+    * [[rankQuantiles]] integer kernel (exact value×10⁴ fixed point —
+    * ported off the native `percentile`↔`quantile_cont` lerp round 11),
+    * so the clip COMPARISONS are pure BIGINT: a value clips iff
+    * `vc·100 < p05_b` — no float boundary to sit on. Both means are sums
+    * of exact integer fixed point (cnt-weighted cents / clipped
+    * ten-thousandths, DECIMAL(38,0) against overflow) with ONE closing
+    * fixed-shape double division each.
+    *
+    * Scale (100 TB): the corpus is scanned ONCE into the persisted
+    * (type, cent) grid table; the kernel's bound selection AND the
+    * clip/mean aggregation all run grid-sized (every row with the same
+    * cent value clips identically, so per-row work is redundant by
+    * construction — the cnt weight carries it).
     */
   def qEventWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bounds = Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(expr("percentile(value, 0.05)").as("p05"),
-        expr("percentile(value, 0.95)").as("p95"))
-    Tables.events(spark, sfDir)
-      .join(broadcast(bounds), "event_type")
-      .select($"event_type", $"value", $"p05", $"p95",
-        greatest(least($"value", $"p95"), $"p05").as("clipped"))
+    val vt = centEvents(spark, sfDir)
+      .groupBy($"event_type", $"vc").agg(count(lit(1)).as("cnt"))
+      .persist()
+    vt.count() // eager: parallel kernel branches must not re-derive the grid
+    val bounds = rankQuantiles(vt, "event_type", "vc",
+      Seq(("p05", 5), ("p95", 95)), weight = Some("cnt"))
+    vt.join(broadcast(bounds), "event_type")
+      .select($"event_type", $"cnt", $"vc", ($"vc" * 100).as("vb"),
+        $"p05_b", $"p95_b")
       .groupBy($"event_type")
       .agg(
-        count(lit(1)).as("n"),
-        sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clip_low"),
-        sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clip_high"),
-        (sum($"value".cast(DecimalType(11, 2))).cast("double") / count(lit(1)))
-          .as("raw_mean"),
-        (sum($"clipped".cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
-          .as("winsor_mean"))
+        sum($"cnt").as("n"),
+        sum(when($"vb" < $"p05_b", $"cnt").otherwise(0L)).as("n_clip_low"),
+        sum(when($"vb" > $"p95_b", $"cnt").otherwise(0L)).as("n_clip_high"),
+        (sum(($"cnt" * $"vc").cast(DecimalType(38, 0))).cast("double")
+          / sum($"cnt") / 100.0).as("raw_mean"),
+        (sum(($"cnt" * greatest(least($"vb", $"p95_b"), $"p05_b"))
+          .cast(DecimalType(38, 0))).cast("double")
+          / sum($"cnt") / 10000.0).as("winsor_mean"))
       .orderBy($"event_type")
   }
 
   val qEventWinsorizedSql: String =
-    """WITH bounds AS (
-      |  SELECT event_type,
-      |    quantile_cont(value, 0.05) AS p05,
-      |    quantile_cont(value, 0.95) AS p95
-      |  FROM events GROUP BY event_type
-      |)
-      |SELECT event_type, count(*) AS n,
-      |  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
-      |  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
-      |  CAST(sum(CAST(value AS DECIMAL(11,2))) AS DOUBLE) / count(*) AS raw_mean,
-      |  CAST(sum(CAST(greatest(least(value, p95), p05) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS winsor_mean
-      |FROM events JOIN bounds USING (event_type)
-      |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+    s"""WITH $centEventsSql,
+       |vt AS (SELECT event_type, vc, count(*) AS cnt FROM e GROUP BY event_type, vc),
+       |${rankQuantilesSql("vt", "event_type", "vc",
+            Seq(("p05", 5), ("p95", 95)), weight = Some("cnt"))}
+       |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN vc * 100 < p05_b THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_low,
+       |  CAST(sum(CASE WHEN vc * 100 > p95_b THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_high,
+       |  CAST(sum(CAST(cnt * vc AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(sum(cnt) AS BIGINT) / 100.0 AS raw_mean,
+       |  CAST(sum(CAST(cnt * greatest(least(vc * 100, p95_b), p05_b) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(sum(cnt) AS BIGINT) / 10000.0 AS winsor_mean
+       |FROM vt JOIN rqq USING (event_type)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 
   // --- Time-bar resampling: OHLC downsampling per type ---
 
@@ -1768,59 +1906,78 @@ object Analytics {
     * baseline cannot be dragged by the outliers it is meant to find.
     * Reports the modified-z anomaly count and the maximum |z| per type.
     *
-    * Mechanics: two grouped exact-percentile passes — median, then (after
-    * a types-sized broadcast join-back) the median of |v − med| — then one
-    * final scan flags rows where 0.6745·|v−med|/MAD > [[madZThreshold]].
-    * All arithmetic is double over identical operands in identical order
-    * on both engines (the [[qEventWinsorized]] determinism argument), and
-    * the exact interpolated percentile agreement is already pinned by
-    * [[qValuePercentiles]].
+    * Mechanics: two [[rankQuantiles]] integer-kernel passes — the median
+    * on the cent grid (exact value×10⁴), then the median of the integer
+    * deviations |vc·100 − med_b| (exact value×10⁶) — and the flag pass
+    * `0.6745·|v−med|/MAD > [[madZThreshold]]` ALL run on the same
+    * (type, cent) count table: every row with the same cent value has
+    * the same deviation and the same z, so the cnt weight carries the
+    * per-row arithmetic and the corpus is scanned exactly ONCE (into
+    * the persisted grid). The z-score is ONE fixed-shape double
+    * expression over two exact BIGINTs (`0.6745 · (dev·100) / mad_b`,
+    * both casts single-rounding), so the flag comparison is
+    * bit-identical cross-engine — no native
+    * `percentile`↔`quantile_cont` lerp anywhere (ported round 11; the
+    * all-equal degenerate where MAD = 0 yields NULL z on both sides
+    * rather than an engine-specific ±Inf).
     *
-    * Scale (100 TB): two percentile shuffles + one narrow scan — the
-    * exact-median cost; production at extreme scale swaps
-    * `approx_percentile` into the SAME shape (sketch merge, one pass) at
-    * the price of oracle-exactness, which is why the exact form is the
-    * checked entry.
+    * Scale (100 TB): one corpus-scale partial-agg shuffle (the grid
+    * build); kernel passes, the deviation re-grid, and the flag
+    * aggregation are all grid-bounded — strictly cheaper than the
+    * exact-percentile form it replaces (which buffered every group in
+    * executor memory AND rescanned the corpus three times); production
+    * at extreme scale swaps `approx_percentile` into the SAME shape
+    * (sketch merge) at the price of oracle-exactness.
     */
   def qEventAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val med = Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = Tables.events(spark, sfDir)
-      .join(broadcast(med), "event_type")
-      .groupBy($"event_type")
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
-        first($"med").as("med2"))
-    val z = abs($"value" - $"med") * lit(0.6745) / $"mad"
-    Tables.events(spark, sfDir)
-      .join(broadcast(mad.select($"event_type", $"med2".as("med"), $"mad")), "event_type")
+    val vt = centEvents(spark, sfDir)
+      .groupBy($"event_type", $"vc").agg(count(lit(1)).as("cnt"))
+      .persist()
+    vt.count() // eager: parallel kernel branches must not re-derive the grid
+    val med = rankQuantiles(vt, "event_type", "vc", Seq(("med", 50)),
+      weight = Some("cnt"))
+    val dev = vt.join(broadcast(med), "event_type")
+      .select($"event_type", $"cnt", $"med_b",
+        abs($"vc" * 100 - $"med_b").as("dev"))
+    val mad = rankQuantiles(dev, "event_type", "dev", Seq(("mad", 50)),
+      weight = Some("cnt"))
+    val z = when($"mad_b" === 0L, lit(null).cast("double"))
+      .otherwise(lit(0.6745) * ($"dev" * 100).cast("double") / $"mad_b".cast("double"))
+    dev.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
       .agg(
-        count(lit(1)).as("n"),
-        first($"med").as("median"),
-        first($"mad").as("mad"),
-        sum(when(z > madZThreshold, 1L).otherwise(0L)).as("n_anomalies"),
+        sum($"cnt").as("n"),
+        (first($"med_b").cast("double") / 10000.0).as("median"),
+        (first($"mad_b").cast("double") / 1000000.0).as("mad"),
+        sum(when(z > madZThreshold, $"cnt").otherwise(0L)).as("n_anomalies"),
         max(z).as("max_abs_z"))
       .orderBy($"event_type")
   }
 
   val qEventAnomaliesSql: String =
-    s"""WITH med AS (
-       |  SELECT event_type, quantile_cont(value, 0.5) AS med
-       |  FROM events GROUP BY event_type
+    s"""WITH $centEventsSql,
+       |vt AS (SELECT event_type, vc, count(*) AS cnt FROM e GROUP BY event_type, vc),
+       |${rankQuantilesSql("vt", "event_type", "vc", Seq(("med", 50)), 100, "md",
+            weight = Some("cnt"))},
+       |dev AS (
+       |  SELECT event_type, cnt, med_b, abs(vc * 100 - med_b) AS dev
+       |  FROM vt JOIN mdq USING (event_type)
        |),
-       |mad AS (
-       |  SELECT event_type, any_value(med) AS med,
-       |    quantile_cont(abs(value - med), 0.5) AS mad
-       |  FROM events JOIN med USING (event_type)
-       |  GROUP BY event_type
+       |${rankQuantilesSql("dev", "event_type", "dev", Seq(("mad", 50)), 100, "ma",
+            weight = Some("cnt"))},
+       |zt AS (
+       |  SELECT event_type, cnt, med_b, mad_b, dev,
+       |    CASE WHEN mad_b = 0 THEN NULL
+       |         ELSE 0.6745 * CAST(dev * 100 AS DOUBLE) / CAST(mad_b AS DOUBLE) END AS z
+       |  FROM dev JOIN maq USING (event_type)
        |)
-       |SELECT event_type, count(*) AS n,
-       |  any_value(med) AS median, any_value(mad) AS mad,
-       |  CAST(sum(CASE WHEN abs(value - med) * 0.6745 / mad > $madZThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-       |  max(abs(value - med) * 0.6745 / mad) AS max_abs_z
-       |FROM events JOIN mad USING (event_type)
+       |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+       |  CAST(any_value(med_b) AS DOUBLE) / 10000.0 AS median,
+       |  CAST(any_value(mad_b) AS DOUBLE) / 1000000.0 AS mad,
+       |  CAST(sum(CASE WHEN z > $madZThreshold THEN cnt ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |  max(z) AS max_abs_z
+       |FROM zt
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
@@ -2101,10 +2258,15 @@ object Analytics {
     // the double boundary (one deterministic rounding in both engines).
     // Bounds: products fit int64 while n_days·(max daily cents)² < 2⁶³ —
     // ≈ $1.5M/day/type at a year of lags, 30× above the sf0.1 load.
+    // round() before the BIGINT cast: without it the cast itself carries
+    // the engines' disagreement on sub-cent mass (Spark ANSI truncates a
+    // decimal→BIGINT cast, DuckDB rounds) — latent on 2-decimal data but
+    // live the day a sub-cent value appears; HALF_UP == half-away-from-
+    // zero on nonnegative sums, so both engines round identically
     val daily = Tables.events(spark, sfDir)
       .groupBy($"event_type",
         datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("dn"))
-      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT)").as("v"))
+      .agg(expr("CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT)").as("v"))
     val lags = spark.range(1, 8).select($"id".cast("int").as("lag"))
     val a = daily.toDF("event_type", "dn", "x").as("acf_a")
     val b = daily.toDF("event_type", "dn", "y").as("acf_b")
@@ -2131,7 +2293,7 @@ object Analytics {
   val qEventAcfSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
-      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS v
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,4))) * 100) AS BIGINT) AS v
       |  FROM events GROUP BY event_type, dn
       |),
       |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
@@ -5470,11 +5632,19 @@ object Analytics {
     * every row can draw its own multiplicity per replicate INDEPENDENTLY
     * — one narrow ×[[bootReps]] fan-out, no global pass (the estimator
     * behind bootstrap CIs in every large-scale metrics system). Here the
-    * multiplicity is DERANDOMIZED: u = portable-hash(event_id ':' rep)
-    * mod 10⁶ fed through the exact Poisson(1) inverse CDF in micro-units
-    * (thresholds 367879, 735758, 919698, 981011, 996340, 999405,
-    * 999916, capped at 8) — both engines walk the identical integer
-    * CASE chain, so every replicate is reproducible.
+    * multiplicity is DERANDOMIZED — and hashed ONCE per event, not once
+    * per (event, replicate): u₀ = portable-hash(event_id) mod the prime
+    * M = 2³¹−1, and replicate b's uniform is u₀·(1103515245+b) mod M
+    * mod 10⁶. M is PRIME, so each per-replicate multiplier is a
+    * bijection of Z_M — per-replicate uniformity is exact, and
+    * rep-to-rep steps differ per event (step ≡ u₀), so replicates
+    * decorrelate across events. The md5 was the ×[[bootReps]] hot loop
+    * (40·N digests); the rescramble is two int64 ops inside codegen
+    * (r11: 4.9 s → the shuffle floor at sf0.1). u feeds the exact
+    * Poisson(1) inverse CDF in micro-units (thresholds 367879, 735758,
+    * 919698, 981011, 996340, 999405, 999916, capped at 8) — both
+    * engines walk the identical integer CASE chain, so every replicate
+    * is reproducible.
     *
     * Exactness: weighted sums are DECIMAL(18,4)·int (exact,
     * order-free); each replicate mean and the point mean are single
@@ -5500,10 +5670,10 @@ object Analytics {
         .when(u < 999916L, 6L).when(u < 999989L, 7L).otherwise(8L)
     }
     val reps = base
-      .select($"event_type", $"event_id", $"v",
+      .withColumn("u0", graft.ext.TextOps.h31($"event_id".cast("string")))
+      .select($"event_type", $"v", $"u0",
         explode(expr(s"sequence(0, ${bootReps - 1})")).as("b"))
-      .withColumn("u", graft.ext.TextOps.h31(
-        concat($"event_id".cast("string"), lit(":"), $"b".cast("string"))) % 1000000L)
+      .withColumn("u", ($"u0" * (lit(1103515245L) + $"b")) % 2147483647L % 1000000L)
       .withColumn("m", m)
       .groupBy($"event_type", $"b")
       .agg(sum($"m").as("mw"), sum($"v" * $"m").as("sv"))
@@ -5524,8 +5694,8 @@ object Analytics {
   }
 
   val qEventBootstrapSql: String = {
-    val h = "(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || " +
-      "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647) % 1000000"
+    val h0 = "(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 2147483647)"
     s"""WITH base AS (
        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v
        |  FROM events
@@ -5538,8 +5708,10 @@ object Analytics {
        |         WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
        |         ELSE 8 END AS m
        |  FROM (
-       |    SELECT event_type, v, b, $h AS u
-       |    FROM base CROSS JOIN (SELECT unnest(range($bootReps)) AS b))
+       |    SELECT event_type, v, b,
+       |      ((u0 * (1103515245 + b)) % 2147483647) % 1000000 AS u
+       |    FROM (SELECT event_type, v, $h0 AS u0 FROM base)
+       |    CROSS JOIN (SELECT unnest(range($bootReps)) AS b))
        |),
        |reps AS (
        |  SELECT event_type,

@@ -3999,7 +3999,11 @@ class NewOpsSpec extends SparkSuite {
       val n = xs.length.toLong
       // replay each replicate's hash-derandomized Poisson weights
       val means = (0 until Analytics.bootReps).flatMap { b =>
-        val ws = xs.map { case (_, id, v) => (mult(h31(s"$id:$b") % 1000000L), v) }
+        // one digest per event; per-replicate uniform = prime-modulus
+        // bijection of the event hash (the engine's single-hash rescramble)
+        val ws = xs.map { case (_, id, v) =>
+          (mult(((h31(s"$id") * (1103515245L + b)) % 2147483647L) % 1000000L), v)
+        }
         val mw = ws.map(_._1).sum
         if (mw > 0) Some((ws.map { case (m, v) => v * m }.sum.toDouble) / mw)
         else None
@@ -5018,6 +5022,9 @@ class NewOpsSpec extends SparkSuite {
             .map { case (vid, e) => (d2(e, se), vid) }.sortBy(identity).take(2)
           (sid, ds.length, ds.headOption.map(_._1), ds.lastOption.map(_._1))
         }
+        // a singleton-cell probe has NO scored rows in the engine (per_probe
+        // derives from the pair join), so it must not count in n_sample here
+        .filter(_._2 > 0)
       if (per.isEmpty) None
       else {
         val used = per.filter(p => p._2 == 2 && p._3.get > 0.0).map { p =>
@@ -5163,6 +5170,159 @@ class NewOpsSpec extends SparkSuite {
       assert(g2 >= 0L || k11 * n < ra * cbb,
         "independence-or-better pairs only go negative when observed < expected")
     }
+  }
+
+  test("bpe encode: per-doc token-id sequences replay the trained merges end-to-end") {
+    // re-train the 3 rounds locally (loop-form greedy, the merges-replay
+    // ground truth), then assign frequency-ordered ids and encode
+    var segs: Map[String, Vector[String]] = Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).distinct
+      .map(w => w -> w.toVector.map(_.toString)).toMap
+    val wcount = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    for (_ <- 1 to TextOps.bpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + wcount(w)
+      }
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      segs = segs.map { case (w, syms) =>
+        val m = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            m += (a + b); i += 2
+          } else { m += syms(i); i += 1 }
+        }
+        w -> m.toVector
+      }
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, syms) <- segs; s <- syms) freq(s) = freq.getOrElse(s, 0L) + wcount(w)
+    val ids = freq.toSeq.sortBy { case (s, f) => (-f, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1).toLong }.toMap
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1).toSeq.flatMap(w => segs(w))
+        (r.getLong(0), toks.length.toLong, toks.map(ids).mkString(" "))
+      }.sortBy(_._1).toSeq
+    val out = TextOps.qDocBpeEncode(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("token_ids"))).toSeq
+    assert(out === expected, "distributed encode == local replay")
+    // conservation: corpus token total equals the fertility-weighted sum
+    assert(out.map(_._2).sum ===
+      wcount.map { case (w, c) => c * segs(w).length }.sum)
+  }
+
+  test("bpe transfer: frozen base-trained merges replay; fertility vs base ratio") {
+    def mergePair(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val m = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          m += (a + b); i += 2
+        } else { m += syms(i); i += 1 }
+      }
+      m.toVector
+    }
+    val docRows = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val baseWc = docRows.filter(_._1 != TextOps.bpeHoldout)
+      .flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    var segs: Map[String, Vector[String]] =
+      baseWc.keys.map(w => w -> w.toVector.map(_.toString)).toMap
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to TextOps.bpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + baseWc(w)
+      }
+      val ((a, b), _) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      rules += ((a, b))
+      segs = segs.map { case (w, syms) => w -> mergePair(syms, a, b) }
+    }
+    def nSyms(w: String): Long =
+      rules.foldLeft(w.toVector.map(_.toString)) {
+        case (sy, (a, b)) => mergePair(sy, a, b)
+      }.length.toLong
+    val bySrc = docRows
+      .flatMap { case (s, t) => t.split(" ", -1).map(w => (s, w)) }
+      .groupBy(identity).map { case ((s, w), g) => (s, w, g.length.toLong) }
+    val joined = bySrc.map { case (s, w, c) => (s, c, nSyms(w)) }
+    val bw = joined.filter(_._1 != TextOps.bpeHoldout).map(_._2).sum
+    val bt = joined.filter(_._1 != TextOps.bpeHoldout).map(t => t._2 * t._3).sum
+    val expected = joined.groupBy(_._1).map { case (s, g) =>
+      val nw = g.map(_._2).sum
+      val nt = g.map(t => t._2 * t._3).sum
+      (s, s == TextOps.bpeHoldout, nw, nt,
+        nt.toDouble / nw.toDouble,
+        (nt.toDouble / nw.toDouble) / (bt.toDouble / bw.toDouble))
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.qDocBpeTransfer(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("held_out"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"), r.getAs[Double]("fert_vs_base"))).toSeq
+    assert(out === expected, "frozen-merge transfer == local replay")
+    // exactly one held-out row; base rows' weighted mean ratio is 1 by
+    // construction (their fertilities average to the base fertility)
+    assert(out.count(_._2) === 1)
+    out.foreach(r => assert(r._5 > 0.0 && r._6 > 0.0))
+  }
+
+  test("ivf incremental: frozen-quantizer batch assignment replays the per-cell merge") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    // frozen quantizer: per-label centroids over BASE rows only, via the
+    // engine's sequential vec_id-order fold
+    val base = embs.filter(_._1 % Similarity.ivfIncrMod != 0)
+    val cents = base.groupBy(_._2).map { case (lbl, ms) =>
+      val sorted = ms.sortBy(_._1)
+      lbl -> Array.tabulate(sorted.head._3.length) { i =>
+        sorted.foldLeft(0.0)((acc, m) => acc + m._3(i)) / sorted.length
+      }
+    }.toSeq.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cc = cents.map { case (l, cv) => l -> dot(cv, cv) }.toMap
+    val assigned = embs.map { case (vid, _, v) =>
+      val ee = dot(v, v)
+      val (d, cell) = cents.map { case (l, cv) =>
+        ((ee - 2 * dot(v, cv)) + cc(l), l)
+      }.minBy(identity)
+      (vid, cell, math.floor(d * 1e6).toLong)
+    }
+    def isNew(vid: Long): Boolean = vid % Similarity.ivfIncrMod == 0
+    val expected = assigned.groupBy(_._2).map { case (cell, xs) =>
+      val nb = xs.count(x => !isNew(x._1)).toLong
+      val nn = xs.count(x => isNew(x._1)).toLong
+      val sb = xs.filter(x => !isNew(x._1)).map(_._3).sum
+      val sn = xs.filter(x => isNew(x._1)).map(_._3).sum
+      cell -> ((nb, nn, nb + nn, nn.toDouble / (nb + nn).toDouble,
+        if (nb == 0) None else Some(sb.toDouble / nb / 1000000.0),
+        if (nn == 0) None else Some(sn.toDouble / nn / 1000000.0)))
+    }
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    val out = Similarity.qEmbIvfIncremental(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") -> ((r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_total"),
+        r.getAs[Double]("share_new"),
+        optD(r, "mean_d_base"), optD(r, "mean_d_new")))).toMap
+    assert(out === expected, "per-cell incremental merge == local frozen-quantizer replay")
+    // conservation: every vector lands in exactly one cell
+    assert(out.values.map(_._3).sum === embs.length.toLong)
+    assert(out.values.map(_._2).sum === embs.count(x => isNew(x._1)).toLong)
   }
 }
 

@@ -182,12 +182,14 @@ class AnalyticsSpec extends SparkSuite {
   }
 
   test("anomalies: median/MAD and counts match a local exact recompute") {
-    def interpMedian(xs: Array[Double]): Double = {
+    // the engine's rank-selection kernel in miniature: interpolated
+    // median of an integer grid, exact in input-units × 100
+    def interpB(xs: Array[Long]): Long = {
       val s = xs.sorted
-      val h = (s.length - 1) * 0.5
-      val lo = s(h.toInt)
-      val hi = s(math.ceil(h).toInt)
-      lo + (hi - lo) * (h - h.toInt)
+      val t = 50L * (s.length - 1)
+      val idx = (t / 100).toInt
+      val r = t % 100
+      s(idx) * 100 + (s(math.min(idx + 1, s.length - 1)) - s(idx)) * r
     }
     val out = Analytics.qEventAnomalies(spark, sf).collect()
     val byType = graft.model.Tables.events(spark, sf)
@@ -195,12 +197,14 @@ class AnalyticsSpec extends SparkSuite {
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
     assert(out.map(_.getAs[String]("event_type")).toSet === byType.keySet)
     out.foreach { r =>
-      val vs = byType(r.getAs[String]("event_type"))
-      val med = interpMedian(vs)
-      val mad = interpMedian(vs.map(v => math.abs(v - med)))
-      assert(r.getAs[Double]("median") === med)
-      assert(r.getAs[Double]("mad") === mad)
-      val expect = vs.count(v => math.abs(v - med) * 0.6745 / mad > Analytics.madZThreshold)
+      val vcs = byType(r.getAs[String]("event_type")).map(v => math.floor(v * 100 + 0.5).toLong)
+      val medB = interpB(vcs) // value × 10⁴
+      val devs = vcs.map(c => math.abs(c * 100 - medB))
+      val madB = interpB(devs) // value × 10⁶
+      assert(r.getAs[Double]("median") === medB.toDouble / 10000.0)
+      assert(r.getAs[Double]("mad") === madB.toDouble / 1000000.0)
+      val expect = devs.count(d =>
+        madB != 0L && 0.6745 * (d * 100).toDouble / madB.toDouble > Analytics.madZThreshold)
       assert(r.getAs[Long]("n_anomalies") === expect.toLong)
       if (expect > 0) assert(r.getAs[Double]("max_abs_z") > Analytics.madZThreshold)
     }

@@ -1013,6 +1013,108 @@ object Similarity {
        |FROM stats ORDER BY cell""".stripMargin
 
   // ------------------------------------------------------------------
+  // Triplet mining: per-anchor hardest in-cell positive and negative
+  // ------------------------------------------------------------------
+
+  /** Every `tripletAnchorMod`-th vec_id is a mining anchor. */
+  final val tripletAnchorMod = 20L
+
+  /** TRIPLET MINING — the scale path of [[qEmbHardNegatives]] (E75),
+    * which brute-force-scores a broadcast query batch against the whole
+    * corpus and keeps only negatives: here EVERY sampled anchor gets
+    * both triplet terms — the hardest in-cell POSITIVE (lowest cosine
+    * among same-label neighbors — the pair the model most needs to pull
+    * together) and the hardest in-cell NEGATIVE (highest cosine among
+    * different-label neighbors — the pair it most needs to push apart)
+    * — plus the triplet margin and its violation flag (hard-negative
+    * more similar than hard-positive = the triplet a hard-mining loader
+    * would emit). Candidates come from the anchor's own IVF cell —
+    * exactly how production miners bound the search (FAISS-style cell
+    * probe), and the same boundary-clipping caveat as [[qEmbTwonnCell]]
+    * applies: a cross-cell harder negative is invisible by design.
+    *
+    * Mechanics: nprobe=1 assignment via the narrow [[probeCells]] fold;
+    * pairing is a CELL EQUI-JOIN with the probe side shuffle-hash-
+    * hinted (the corpus-sized anchor sample must never broadcast — the
+    * [[qEmbTwonnCell]] plan discipline); per-anchor reduction is one
+    * map-side-combinable aggregate of conditional min/max — no window,
+    * no per-anchor sort. Cosines are the sequential-[[dot]] doubles of
+    * the ANN family, so min/max picks are bit-identical cross-engine;
+    * an anchor with no in-cell positive yields NULL margin and a false
+    * flag on both sides.
+    *
+    * Scale (100 TB): pair volume is Σ_cells |cell|·|anchors∩cell| —
+    * cell-bounded, never N²; the anchor sample rate and nprobe are the
+    * recall/cost knobs. Stats combine map-side, so the exchange carries
+    * |anchors| partials.
+    */
+  def qEmbTripletMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidArrayDf(spark, sfDir, None).persist()
+    centArr.count() // eager: the quantizer feeds the one assignment pass
+    val embL = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val assigned = probeCells(embL.select(col("vec_id"), col("e")), centArr, 1)
+      .join(embL.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("e"), col("cell"), col("norm"))
+      .persist()
+    assigned.count() // eager: both pairing sides consume it
+    val anchors = assigned.filter(col("vec_id") % tripletAnchorMod === 0)
+      .select(col("cell"), col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("e").as("ae"), col("norm").as("a_norm"))
+    val scored = assigned.join(anchors.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("cell"), col("label"),
+        (dot(col("ae"), col("e")) / (col("a_norm") * col("norm"))).as("cos"))
+    scored.groupBy(col("a_id"), col("a_label"), col("cell"))
+      .agg(
+        sum(when(col("label") === col("a_label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label") =!= col("a_label"), 1L).otherwise(0L)).as("n_neg"),
+        min(when(col("label") === col("a_label"), col("cos"))).as("hard_pos_cos"),
+        max(when(col("label") =!= col("a_label"), col("cos"))).as("hard_neg_cos"))
+      .select(col("a_id").as("anchor_id"), col("a_label").as("label"), col("cell"),
+        col("n_pos"), col("n_neg"), col("hard_pos_cos"), col("hard_neg_cos"),
+        (col("hard_neg_cos") - col("hard_pos_cos")).as("margin"),
+        coalesce((col("hard_neg_cos") - col("hard_pos_cos")) > 0.0, lit(false))
+          .as("violates"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val qEmbTripletMiningSql: String =
+    s"""WITH $centroidsLongSql,
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, label, v, c_label AS cell,
+       |    sqrt(list_dot_product(v, v)) AS norm,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM e, cent
+       |),
+       |a AS (SELECT vec_id, label, v, cell, norm FROM assigned WHERE rn = 1),
+       |anch AS (
+       |  SELECT cell, vec_id AS a_id, label AS a_label, v AS av, norm AS a_norm
+       |  FROM a WHERE vec_id % $tripletAnchorMod = 0
+       |),
+       |scored AS (
+       |  SELECT a_id, a_label, a.cell AS cell, a.label AS label,
+       |    list_dot_product(av, v) / (a_norm * norm) AS cos
+       |  FROM a JOIN anch ON a.cell = anch.cell AND a.vec_id <> anch.a_id
+       |)
+       |SELECT a_id AS anchor_id, a_label AS label, cell,
+       |  CAST(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN label <> a_label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |  min(CASE WHEN label = a_label THEN cos END) AS hard_pos_cos,
+       |  max(CASE WHEN label <> a_label THEN cos END) AS hard_neg_cos,
+       |  max(CASE WHEN label <> a_label THEN cos END) -
+       |    min(CASE WHEN label = a_label THEN cos END) AS margin,
+       |  COALESCE(max(CASE WHEN label <> a_label THEN cos END) -
+       |    min(CASE WHEN label = a_label THEN cos END) > 0, FALSE) AS violates
+       |FROM scored
+       |GROUP BY a_id, a_label, cell
+       |ORDER BY anchor_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // ANN recall audit: IVF probe vs the exact brute-force top-k
   // ------------------------------------------------------------------
 

@@ -1598,6 +1598,124 @@ object TextOps {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // Epoch shuffle-quality audit: between-epoch order decorrelation
+  // ------------------------------------------------------------------
+
+  /** Shuffled epochs audited (epoch 0 is the natural doc_id order). */
+  final val shuffleEpochs = 3
+
+  /** EPOCH SHUFFLE-QUALITY AUDIT — the data-loader property multi-epoch
+    * training assumes but rarely measures: each epoch's global sample
+    * order must be DECORRELATED from the previous epoch's (and epoch 1
+    * from the natural ingest order), or neighboring gradient steps see
+    * systematically related data every epoch. Every document gets a
+    * deterministic per-epoch sort key — hashed once ([[h31]]) and
+    * rescrambled per epoch by a multiplier modulo the prime 2³¹−1 (a
+    * bijection of Z_M, the [[graft.queries.Analytics.qEventBootstrap]]
+    * single-hash discipline) — and the audit reports, for each
+    * consecutive epoch pair, the exact Spearman rank correlation of the
+    * two global orders: ρ = 1 − 6·Σd²/(n·(n²−1)) over integer rank
+    * differences, with the 3σ decorrelation flag |ρ|·√(n−1) < 3.
+    *
+    * Mechanics: the global per-epoch rank is the E301/E304 TWO-LEVEL
+    * decomposition — per-(epoch, bucket) counts cumulated on the
+    * bounded 4096-bucket table, within-bucket `row_number` partitioned
+    * by (epoch, bucket) — never a corpus-wide single-partition sort;
+    * buckets come from `(key·4096) div (max_key+1)` against a 4-row
+    * broadcast max, so they are order-aligned with the key. Σd² and
+    * n·(n²−1) are exact BIGINTs (int64-safe to n ≈ 2M docs; coarsen
+    * ranks to a bounded grid past that) and the closing ρ is one
+    * fixed-shape double expression.
+    *
+    * Scale (100 TB): ONE corpus-scale column scan fans out ×(epochs+1)
+    * inside codegen; ranking is the two-level shape (row-scale windows
+    * always carry the (epoch, bucket) partition key); the pair join is
+    * doc-keyed and the final aggregate is |epochs| rows.
+    */
+  def qDocEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("u0", h31(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("u0"),
+        explode(expr(s"sequence(0, $shuffleEpochs)")).as("e"))
+      .select(col("doc_id"), col("e"),
+        when(col("e") === 0, col("doc_id"))
+          .otherwise((col("u0") * (lit(1103515245L) + col("e"))) % HashP).as("k"))
+    val mx = keyed.groupBy(col("e")).agg(max(col("k")).as("mk"))
+    val b = keyed.join(broadcast(mx), "e")
+      .withColumn("bkt", expr("(k * 4096) div (mk + 1)"))
+    val wOff = Window.partitionBy(col("e")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("e"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("e"), col("bkt"), col("off"))
+    val wIn = Window.partitionBy(col("e"), col("bkt")).orderBy(col("k"), col("doc_id"))
+    val pos = b.join(broadcast(offs), Seq("e", "bkt"))
+      .withColumn("pos", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("e"), col("pos"))
+    // the qEventAcf self-join discipline: rename each side so the join
+    // condition can never resolve ambiguously
+    val pa = pos.toDF("doc_id", "ea", "pos_a").as("shf_a")
+    val pb = pos.toDF("doc_id", "eb", "pos_b").as("shf_b")
+    val pairs = pa.join(pb,
+        col("shf_a.doc_id") === col("shf_b.doc_id") && col("eb") === col("ea") + 1)
+      .select(col("ea").as("epoch_a"), col("eb").as("epoch_b"),
+        (col("pos_a") - col("pos_b")).as("d"))
+    pairs.groupBy(col("epoch_a"), col("epoch_b"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("epoch_a"), col("epoch_b"), col("n"), col("sum_d2"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double")).as("spearman"))
+      .withColumn("decorrelated",
+        coalesce(abs(col("spearman")) * sqrt((col("n") - 1).cast("double")) < 3.0,
+          lit(false)))
+      .orderBy(col("epoch_a"))
+  }
+
+  val qDocEpochShuffleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, e,
+       |    CASE WHEN e = 0 THEN doc_id
+       |         ELSE (u0 * (1103515245 + e)) % $HashP END AS k
+       |  FROM (SELECT doc_id, ${h31Sql("CAST(doc_id AS VARCHAR)")} AS u0 FROM documents)
+       |  CROSS JOIN (SELECT unnest(range(0, ${shuffleEpochs + 1})) AS e)
+       |),
+       |mx AS (SELECT e, max(k) AS mk FROM keyed GROUP BY e),
+       |b AS (
+       |  SELECT doc_id, e, k, (k * 4096) // (mk + 1) AS bkt
+       |  FROM keyed JOIN mx USING (e)
+       |),
+       |offs AS (
+       |  SELECT e, bkt, COALESCE(CAST(sum(cnt) OVER (PARTITION BY e ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+       |  FROM (SELECT e, bkt, count(*) AS cnt FROM b GROUP BY e, bkt)
+       |),
+       |pos AS (
+       |  SELECT doc_id, b.e AS e,
+       |    off + row_number() OVER (PARTITION BY b.e, b.bkt ORDER BY k, doc_id) AS pos
+       |  FROM b JOIN offs ON offs.e = b.e AND offs.bkt = b.bkt
+       |),
+       |pairs AS (
+       |  SELECT pa.e AS epoch_a, pb.e AS epoch_b, pa.pos - pb.pos AS d
+       |  FROM pos pa JOIN pos pb ON pa.doc_id = pb.doc_id AND pb.e = pa.e + 1
+       |),
+       |stats AS (
+       |  SELECT epoch_a, epoch_b, count(*) AS n, CAST(sum(d * d) AS BIGINT) AS sum_d2
+       |  FROM pairs GROUP BY epoch_a, epoch_b
+       |)
+       |SELECT CAST(epoch_a AS INTEGER) AS epoch_a, CAST(epoch_b AS INTEGER) AS epoch_b,
+       |  n, sum_d2,
+       |  CASE WHEN n < 2 THEN NULL
+       |       ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+       |         CAST(n * (n * n - 1) AS DOUBLE) END AS spearman,
+       |  COALESCE(abs(CASE WHEN n < 2 THEN NULL
+       |       ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+       |         CAST(n * (n * n - 1) AS DOUBLE) END) * sqrt(CAST(n - 1 AS DOUBLE)) < 3.0,
+       |    FALSE) AS decorrelated
+       |FROM stats
+       |ORDER BY epoch_a""".stripMargin
+
+  // ------------------------------------------------------------------
   // Curriculum ordering: deterministic easy→hard phase assignment
   // ------------------------------------------------------------------
 

@@ -5277,6 +5277,106 @@ class NewOpsSpec extends SparkSuite {
     out.foreach(r => assert(r._5 > 0.0 && r._6 > 0.0))
   }
 
+  test("epoch shuffle: exact Spearman between consecutive epoch orders replays") {
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    def keyOf(id: Long, e: Int): Long =
+      if (e == 0) id
+      else (h31(id.toString) * (1103515245L + e)) % TextOps.HashP
+    // global per-epoch rank by (key, doc_id) — the two-level decomposition
+    // must equal this naive global sort
+    val posOf = (0 to TextOps.shuffleEpochs).map { e =>
+      e -> ids.map(id => (keyOf(id, e), id)).sorted.zipWithIndex
+        .map { case ((_, id), i) => id -> (i + 1).toLong }.toMap
+    }.toMap
+    val expected = (0 until TextOps.shuffleEpochs).map { e =>
+      val n = ids.length.toLong
+      val sumD2 = ids.map { id =>
+        val d = posOf(e)(id) - posOf(e + 1)(id); d * d
+      }.sum
+      val rho =
+        if (n < 2) None
+        else Some(1.0 - 6.0 * sumD2.toDouble / (n * (n * n - 1)).toDouble)
+      val dec = rho.exists(r => math.abs(r) * math.sqrt((n - 1).toDouble) < 3.0)
+      (e, e + 1, n, sumD2, rho, dec)
+    }
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    val out = TextOps.qDocEpochShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch_a"), r.getAs[Int]("epoch_b"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_d2"), optD(r, "spearman"),
+        r.getAs[Boolean]("decorrelated"))).toSeq
+    assert(out === expected, "two-level epoch ranks == naive global-sort replay")
+    // hashed epochs decorrelate from the natural order and from each other
+    out.foreach { case (a, b, n, _, rho, dec) =>
+      assert(dec, s"epochs $a->$b correlated: rho=$rho n=$n")
+    }
+  }
+
+  test("triplet mining: per-anchor in-cell min/max cosine replays exactly") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // quantizer over ALL vectors (the engine's centroidArrayDf default)
+    val cents = embs.groupBy(_._2).map { case (lbl, ms) =>
+      val sorted = ms.sortBy(_._1)
+      lbl -> Array.tabulate(sorted.head._3.length) { i =>
+        sorted.foldLeft(0.0)((acc, m) => acc + m._3(i)) / sorted.length
+      }
+    }.toSeq.sortBy(_._1)
+    val cc = cents.map { case (l, cv) => l -> dot(cv, cv) }.toMap
+    val assigned = embs.map { case (vid, lbl, v) =>
+      val ee = dot(v, v)
+      val (_, cell) = cents.map { case (l, cv) =>
+        ((ee - 2 * dot(v, cv)) + cc(l), l)
+      }.minBy(identity)
+      (vid, lbl, v, cell, math.sqrt(ee))
+    }
+    val byCell = assigned.groupBy(_._4)
+    val expected = assigned
+      .filter(_._1 % Similarity.tripletAnchorMod == 0)
+      .flatMap { case (aid, albl, av, cell, anorm) =>
+        val mates = byCell(cell).filter(_._1 != aid)
+        // a singleton-cell anchor has no scored rows in the engine (the
+        // TwoNN-replay lesson) — it must not appear here either
+        if (mates.isEmpty) None
+        else Some {
+        val cos = mates.map { case (_, lbl, v, _, nrm) =>
+          (lbl, dot(av, v) / (anorm * nrm))
+        }
+        val pos = cos.filter(_._1 == albl).map(_._2)
+        val neg = cos.filter(_._1 != albl).map(_._2)
+        val margin = for (p <- pos.sorted.headOption; n <- neg.sorted.lastOption)
+          yield n - p
+        (aid, (albl, cell, pos.length.toLong, neg.length.toLong,
+          pos.sorted.headOption, neg.sorted.lastOption, margin,
+          margin.exists(_ > 0.0)))
+        }
+      }.toMap
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    val out = Similarity.qEmbTripletMining(spark, sf).collect()
+      .map(r => r.getAs[Long]("anchor_id") -> ((r.getAs[Int]("label"),
+        r.getAs[Int]("cell"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        optD(r, "hard_pos_cos"), optD(r, "hard_neg_cos"), optD(r, "margin"),
+        r.getAs[Boolean]("violates")))).toMap
+    assert(out === expected, "per-anchor hard triplet terms == local replay")
+    assert(out.nonEmpty)
+    // a violated triplet's negative really is closer than its positive
+    out.values.foreach { case (_, _, _, _, p, n, m, viol) =>
+      if (viol) assert(n.get > p.get && m.get > 0.0)
+    }
+  }
+
   test("ivf incremental: frozen-quantizer batch assignment replays the per-cell merge") {
     val embs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding")).collect()

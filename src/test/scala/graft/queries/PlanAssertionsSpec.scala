@@ -614,6 +614,30 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("percentile kernel: one cached grid feeds every pass, joins broadcast, no SMJ") {
+    // the rankQuantiles one-corpus-scan claim: the (type, cent) count grid
+    // is persisted and every kernel pass reads the cache; all grid-side
+    // joins (rank selection, bound join-back) are broadcast
+    for (df <- Seq(Analytics.qValuePercentiles(spark, sf),
+        Analytics.qEventWinsorized(spark, sf),
+        Analytics.qEventAnomalies(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("InMemoryTableScan"), s"grid not cached:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("ivf incremental: no cartesian, cell stats combine map-side") {
+    // the O(batch) claim's plan shape: the quantizer reaches rows through
+    // the sanctioned 1-row broadcast fold (BNLJ), never a product of
+    // corpus-sized frames, and the per-cell stats partial-aggregate
+    // before the exchange
+    val p = plan(graft.ext.Similarity.qEmbIvfIncremental(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("KS/Mann-Whitney cumulative windows partition by event_type") {
     // (the 1-row span aggregate's SinglePartition exchange is the sanctioned
     // scalar funnel; what must never happen is the VALUE-grain window

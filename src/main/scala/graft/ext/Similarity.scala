@@ -729,13 +729,19 @@ object Similarity {
           lit(0.0), (acc, p) => acc + p.getField("xd"))
         / count(lit(1))).as("c"))
 
-  private val centroidsLongSql: String =
-    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |pos AS (SELECT unnest(generate_series(1, 64)) AS i),
-      |cl AS (
-      |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
-      |  FROM e, pos GROUP BY label, i
-      |)""".stripMargin
+  /** The centroid CTE chain with a caller-supplied embeddings filter and
+    * source-CTE name — the oracle-side seam matching [[centroidArrayOf]],
+    * so a filtered quantizer (the [[qEmbIvfIncremental]] frozen base) can
+    * never drift from the pinned sequential-fold determinism rule. */
+  private def centroidsLongSqlFrom(where: String, eName: String = "e"): String =
+    s"""$eName AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$where),
+       |pos AS (SELECT unnest(generate_series(1, $embDim)) AS i),
+       |cl AS (
+       |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
+       |  FROM $eName, pos GROUP BY label, i
+       |)""".stripMargin
+
+  private lazy val centroidsLongSql: String = centroidsLongSqlFrom("")
 
   val qEmbLabelCentroidsSql: String =
     s"""WITH $centroidsLongSql
@@ -791,18 +797,25 @@ object Similarity {
     * original association, so both engines pick identical cells.
     */
   private[ext] def probeCells(side: DataFrame, centArr: DataFrame,
-      nprobe: Int): DataFrame =
+      nprobe: Int): DataFrame = {
+    // columns of `side` beyond (vec_id, e) ride the fold untouched — a
+    // caller needing e.g. `label` downstream must NOT re-attach it with a
+    // corpus-sized vec_id join after the fact (the narrow-assignment
+    // discipline this helper exists for)
+    val extras = side.columns.filterNot(Set("vec_id", "e")).toSeq.map(col)
     side
       .withColumn("ee", dot(col("e"), col("e")))
       .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("e"), sqrt(col("ee")).as("norm"),
+      .select(Seq(col("vec_id"), col("e"), sqrt(col("ee")).as("norm"),
         explode(slice(array_sort(transform(col("cents"), c =>
           struct(
             (col("ee") - lit(2) * dot(col("e"), c.getField("cv"))
               + c.getField("cc")).as("d"),
-            c.getField("c_label").as("cell")))), 1, nprobe)).as("probe"))
-      .select(col("vec_id"), col("e"), col("probe.cell").as("cell"),
-        col("probe.d").as("dist"), col("norm"))
+            c.getField("c_label").as("cell")))), 1, nprobe)).as("probe")) ++
+        extras: _*)
+      .select(Seq(col("vec_id"), col("e"), col("probe.cell").as("cell"),
+        col("probe.d").as("dist"), col("norm")) ++ extras: _*)
+  }
 
   /** True IVF ANN (upgrading [[qEmbAnnLsh]]'s "IVF-style" claim to the
     * actual structure): every vector is assigned to its nearest centroid
@@ -973,15 +986,7 @@ object Similarity {
   }
 
   val qEmbIvfIncrementalSql: String =
-    s"""WITH eb AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings WHERE vec_id % $ivfIncrMod != 0
-       |),
-       |pos AS (SELECT unnest(generate_series(1, 64)) AS i),
-       |cl AS (
-       |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
-       |  FROM eb, pos GROUP BY label, i
-       |),
+    s"""WITH ${centroidsLongSqlFrom(s" WHERE vec_id % $ivfIncrMod != 0", "eb")},
        |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cl GROUP BY label),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |assigned AS (
@@ -1054,8 +1059,9 @@ object Similarity {
     val embL = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
-    val assigned = probeCells(embL.select(col("vec_id"), col("e")), centArr, 1)
-      .join(embL.select(col("vec_id"), col("label")), "vec_id")
+    // label rides probeCells' narrow fold — never a corpus-sized vec_id
+    // join to re-attach a column the scan already had in hand
+    val assigned = probeCells(embL, centArr, 1)
       .select(col("vec_id"), col("label"), col("e"), col("cell"), col("norm"))
       .persist()
     assigned.count() // eager: both pairing sides consume it

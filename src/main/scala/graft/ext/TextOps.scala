@@ -1139,6 +1139,25 @@ object TextOps {
     * feeds the next re-segmentation as a literal (no per-round
     * crossJoin subplan, no double-planned argmax) and is returned
     * directly. Rounds persist their seg table (lineage truncation). */
+  /** ONE greedy left-to-right merge pass of `pair` over a space-separated
+    * segmentation — the property-tested double-replace kernel
+    * (PropertiesSpec proves replace×2 ≡ the greedy loop). Every Scala
+    * application site (training re-segmentation, frozen-rule replay)
+    * calls THIS; [[bpeApplyPairSqlText]] is its oracle-side twin. */
+  private def bpeApplyPair(seg: Column, pair: String): Column = {
+    val srch = lit(" " + pair + " ")
+    val repl = lit(" " + pair.replace(" ", "") + " ")
+    trim(replace(replace(concat(lit(" "), seg, lit(" ")), srch, repl), srch, repl))
+  }
+
+  /** The same double-replace pass as SQL text over columns (seg, pair) —
+    * spliced verbatim into every oracle application site so the kernel
+    * can never fork between training and frozen-rule replay. */
+  private val bpeApplyPairSqlText: String =
+    """trim(replace(replace(' ' || seg || ' ',
+      |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+      |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))""".stripMargin
+
   private def bpeTrainRounds(words: DataFrame)
       : (DataFrame, Seq[(Int, String, Long)]) = {
     var seg = words
@@ -1169,12 +1188,8 @@ object TextOps {
           None
         case Some(best) =>
           val (pair, weight) = (best.getString(0), best.getLong(1))
-          val srch = lit(" " + pair + " ")
-          val repl = lit(" " + pair.replace(" ", "") + " ")
-          val padded = concat(lit(" "), col("seg"), lit(" "))
           seg = seg
-            .select(col("word"),
-              trim(replace(replace(padded, srch, repl), srch, repl)).as("seg"),
+            .select(col("word"), bpeApplyPair(col("seg"), pair).as("seg"),
               col("wcount"))
             .persist()
           Some((r, pair, weight))
@@ -1215,9 +1230,7 @@ object TextOps {
          |best$r AS (SELECT pair, weight FROM pairs$r
          |  ORDER BY weight DESC, pair LIMIT 1),
          |seg$r AS (
-         |  SELECT word, trim(replace(replace(' ' || seg || ' ',
-         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))
+         |  SELECT word, $bpeApplyPairSqlText
          |    AS seg, wcount
          |  FROM $prev CROSS JOIN best$r
          |)""".stripMargin
@@ -1408,11 +1421,7 @@ object TextOps {
       rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("seg"),
       col("wcount"))
     rules.foreach { pair =>
-      val srch = lit(" " + pair + " ")
-      val repl = lit(" " + pair.replace(" ", "") + " ")
-      val padded = concat(lit(" "), col("seg"), lit(" "))
-      seg = seg.select(col("word"),
-        trim(replace(replace(padded, srch, repl), srch, repl)).as("seg"),
+      seg = seg.select(col("word"), bpeApplyPair(col("seg"), pair).as("seg"),
         col("wcount"))
     }
     seg
@@ -1480,9 +1489,7 @@ object TextOps {
     val apply = (1 to bpeMergeRounds).map { r =>
       val prev = if (r == 1) "aw0" else s"aw${r - 1}"
       s"""aw$r AS (
-         |  SELECT word, trim(replace(replace(' ' || seg || ' ',
-         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-         |      ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '))
+         |  SELECT word, $bpeApplyPairSqlText
          |    AS seg, wcount
          |  FROM $prev CROSS JOIN best$r
          |)""".stripMargin
@@ -1628,11 +1635,17 @@ object TextOps {
     * fixed-shape double expression.
     *
     * Scale (100 TB): ONE corpus-scale column scan fans out ×(epochs+1)
-    * inside codegen; ranking is the two-level shape (row-scale windows
-    * always carry the (epoch, bucket) partition key); the pair join is
-    * doc-keyed and the final aggregate is |epochs| rows.
+    * inside codegen into a persisted, eager-filled key frame (its three
+    * consumers — epoch maxes, bucket counts, the rank join — must not
+    * re-derive the per-doc digests); ranking is the two-level shape
+    * (row-scale windows always carry the (epoch, bucket) partition key);
+    * the pair join is doc-keyed and the final aggregate is |epochs| rows.
     */
   def qDocEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    // epoch 0's key is the raw doc_id (the natural-order baseline), so the
+    // bucket product k·4096 is int64-safe while doc_id < 2⁵¹ (and ids must
+    // be non-negative — Spark `div` truncates where DuckDB `//` floors);
+    // hash-style 63-bit ids need a rescaled bucket width, not this literal
     val keyed = Tables.documents(spark, sfDir).select(col("doc_id"))
       .withColumn("u0", h31(col("doc_id").cast("string")))
       .select(col("doc_id"), col("u0"),
@@ -1640,6 +1653,10 @@ object TextOps {
       .select(col("doc_id"), col("e"),
         when(col("e") === 0, col("doc_id"))
           .otherwise((col("u0") * (lit(1103515245L) + col("e"))) % HashP).as("k"))
+      .persist()
+    keyed.count() // eager: mx, the bucket counts, and the rank join all
+    // consume this corpus×(epochs+1) frame — without the fill each branch
+    // re-scans documents and recomputes N md5 digests
     val mx = keyed.groupBy(col("e")).agg(max(col("k")).as("mk"))
     val b = keyed.join(broadcast(mx), "e")
       .withColumn("bkt", expr("(k * 4096) div (mk + 1)"))

@@ -1729,8 +1729,9 @@ object Analytics {
     * so the clip COMPARISONS are pure BIGINT: a value clips iff
     * `vc·100 < p05_b` — no float boundary to sit on. Both means are sums
     * of exact integer fixed point (cnt-weighted cents / clipped
-    * ten-thousandths, DECIMAL(38,0) against overflow) with ONE closing
-    * fixed-shape double division each.
+    * ten-thousandths) with ONE closing fixed-shape double division each;
+    * the cnt·value products widen to DECIMAL(19,0)×(19,0) BEFORE the
+    * multiply, so no int64 product exists anywhere in the mean path.
     *
     * Scale (100 TB): the corpus is scanned ONCE into the persisted
     * (type, cent) grid table; the kernel's bound selection AND the
@@ -1754,11 +1755,14 @@ object Analytics {
         sum($"cnt").as("n"),
         sum(when($"vb" < $"p05_b", $"cnt").otherwise(0L)).as("n_clip_low"),
         sum(when($"vb" > $"p95_b", $"cnt").otherwise(0L)).as("n_clip_high"),
-        (sum(($"cnt" * $"vc").cast(DecimalType(38, 0))).cast("double")
-          / sum($"cnt") / 100.0).as("raw_mean"),
-        (sum(($"cnt" * greatest(least($"vb", $"p95_b"), $"p05_b"))
-          .cast(DecimalType(38, 0))).cast("double")
-          / sum($"cnt") / 10000.0).as("winsor_mean"))
+        // widen BEFORE the multiply: cnt·vb in int64 would overflow at a
+        // skewed 100 TB cell (cnt ~1e11 × vb ~1e8 > 2⁶³); (19,0)×(19,0)
+        // products stay inside both engines' precision-38 cap
+        (sum($"cnt".cast(DecimalType(19, 0)) * $"vc".cast(DecimalType(19, 0)))
+          .cast("double") / sum($"cnt") / 100.0).as("raw_mean"),
+        (sum($"cnt".cast(DecimalType(19, 0)) *
+          greatest(least($"vb", $"p95_b"), $"p05_b").cast(DecimalType(19, 0)))
+          .cast("double") / sum($"cnt") / 10000.0).as("winsor_mean"))
       .orderBy($"event_type")
   }
 
@@ -1770,9 +1774,10 @@ object Analytics {
        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
        |  CAST(sum(CASE WHEN vc * 100 < p05_b THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_low,
        |  CAST(sum(CASE WHEN vc * 100 > p95_b THEN cnt ELSE 0 END) AS BIGINT) AS n_clip_high,
-       |  CAST(sum(CAST(cnt * vc AS DECIMAL(38,0))) AS DOUBLE)
+       |  CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(vc AS DECIMAL(19,0))) AS DOUBLE)
        |    / CAST(sum(cnt) AS BIGINT) / 100.0 AS raw_mean,
-       |  CAST(sum(CAST(cnt * greatest(least(vc * 100, p95_b), p05_b) AS DECIMAL(38,0))) AS DOUBLE)
+       |  CAST(sum(CAST(cnt AS DECIMAL(19,0)) *
+       |      CAST(greatest(least(vc * 100, p95_b), p05_b) AS DECIMAL(19,0))) AS DOUBLE)
        |    / CAST(sum(cnt) AS BIGINT) / 10000.0 AS winsor_mean
        |FROM vt JOIN rqq USING (event_type)
        |GROUP BY event_type

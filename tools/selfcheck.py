@@ -76,7 +76,10 @@ def main():
     n_drift = 0
     if survey.exists():
         stext = survey.read_text()
-        missing = sorted(n for n in oracle if f"`{n}`" not in stext and n not in stext)
+        # match the backticked form ONLY: a bare substring check would let a
+        # name that is a prefix of another surveyed name (q_doc_pack vs
+        # q_doc_pack_bins) pass silently after its own row is deleted
+        missing = sorted(n for n in oracle if f"`{n}`" not in stext)
         if missing:
             n_drift = len(missing)
             print(f"DRIFT {n_drift} registry entries missing from SURVEY.md: "

@@ -26,24 +26,31 @@ rc=0
 for sf in 0.001 0.01 0.1; do
   echo "=== sweep sf$sf ==="
   out="/tmp/sweep_sf$sf"
+  log="/tmp/sweep_sf$sf.verify.log"
   rm -rf "$out"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
   java $ADD_OPENS -Xmx32g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-    graft.Verify "/root/testdata/sf$sf" "$out" $ONLY 2>/dev/null | grep '\[verify\]'
+    graft.Verify "/root/testdata/sf$sf" "$out" $ONLY 2>"$log" | grep '\[verify\]'
+  vrc=${PIPESTATUS[0]}
+  if [ "$vrc" -ne 0 ]; then
+    echo "VERIFY CRASHED (exit $vrc) — last stderr lines ($log):"
+    tail -5 "$log"
+    rc=1
+  fi
   if [ -n "$ONLY" ]; then
-    python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" \
-      | grep -v 'no spark output dir' || true
-    # subset mode: selfcheck exit code counts missing dirs as failures; the
-    # human reads the PASS/FAIL lines above instead
+    # subset mode: missing-dir lines are expected noise, but FAIL/CLOSE on
+    # a dumped query (or survey DRIFT — always full-registry) must go red
+    res=$(python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" \
+      | grep -v 'no spark output dir' || true)
+    echo "$res"
+    echo "$res" | grep -qE '^(FAIL|CLOSE|DRIFT)' && rc=1
   else
     python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" | tail -3
     s=${PIPESTATUS[0]}
     [ "$s" -ne 0 ] && rc=1
   fi
 done
-if [ -z "$ONLY" ]; then
-  [ "$rc" -eq 0 ] && echo "SWEEP GREEN (3 SFs, full registry)" || echo "SWEEP RED"
-fi
+[ "$rc" -eq 0 ] && echo "SWEEP GREEN" || echo "SWEEP RED"
 exit $rc

@@ -181,6 +181,30 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("rankQuantiles kernel: arbitrary levels and den match an exact integer lerp") {
+    // the shared kernel's generic path (callers all use den=100): skewed
+    // quadratic values with heavy ties, den=1000, off-grid levels
+    import spark.implicits._
+    val vals = (1 to 400).map(i => ("g" + (i % 3), (i.toLong * i * 2654435761L) % 997L))
+    val df = vals.toDF("k", "v")
+    val levels = Seq(("q1", 10), ("q2", 333), ("q3", 500), ("q4", 975))
+    val out = Analytics.rankQuantiles(df, "k", "v", levels, den = 1000, withN = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === vals.map(_._1).toSet)
+    vals.groupBy(_._1).foreach { case (g, xs) =>
+      val s = xs.map(_._2).sorted
+      val n = s.length
+      levels.foreach { case (nm, num) =>
+        val t = num.toLong * (n - 1)
+        val idx = (t / 1000).toInt
+        val r = t % 1000
+        val lo = s(idx); val hi = s(math.min(idx + 1, n - 1))
+        assert(out(g).getAs[Long](nm + "_b") === lo * 1000 + (hi - lo) * r, s"$g $nm")
+      }
+      assert(out(g).getAs[Long]("n") === n.toLong)
+    }
+  }
+
   test("anomalies: median/MAD and counts match a local exact recompute") {
     // the engine's rank-selection kernel in miniature: interpolated
     // median of an integer grid, exact in input-units × 100

@@ -627,6 +627,17 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("epoch shuffle: the row-scale rank window carries the (epoch, bucket) key") {
+    val p = plan(graft.ext.TextOps.qDocEpochShuffle(spark, sf))
+    // two-level decomposition: the corpus-touching row_number must be
+    // partitioned by BOTH epoch and bucket (the offset window runs on the
+    // bounded bucket table only), and nothing funnels through one task
+    assert("windowspecdefinition\\(e#\\d+L?, bkt#\\d+L?".r.findFirstIn(p).isDefined,
+      s"row-scale rank window lost its (e, bkt) partition key:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ivf incremental: no cartesian, cell stats combine map-side") {
     // the O(batch) claim's plan shape: the quantizer reaches rows through
     // the sanctioned 1-row broadcast fold (BNLJ), never a product of

@@ -824,7 +824,11 @@ object Analytics {
        |${pfx}q AS (SELECT $key, $piv FROM ${pfx}b GROUP BY $key)""".stripMargin
   }
 
-  /** Cent grid of `value`: the 2-decimal data's exact integer form. */
+  /** Cent grid of `value`: the 2-decimal data's exact integer form. The
+    * 2-decimal contract is guarded by AnalyticsSpec ("events.value honors
+    * the 2-decimal contract") so sub-cent drift fails loudly instead of
+    * silently shifting every grid-derived quantile (r11 advice).
+    */
   private def centEvents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).select(col("event_type"), col("value"),
       expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("vc"))
@@ -5630,6 +5634,22 @@ object Analytics {
   final val bootLoIdx = 2
   final val bootHiIdx = 39
 
+  /** Replicate-mixing multiplier — MINSTD's 48271, a primitive root of
+    * the prime M = 2³¹−1 — and its power table c^b mod M for
+    * b < [[bootReps]]. Every power is nonzero mod the PRIME M, so each
+    * per-replicate multiplier is a bijection of Z_M (per-replicate
+    * uniformity stays exact), while consecutive replicates follow the
+    * multiplicative Lehmer recurrence u_{b+1} = c·u_b mod M instead of
+    * an arithmetic progression in b: the r11-advice fix — the old
+    * linear (c+b) multipliers gave every event a rep-to-rep step ≡ u₀,
+    * nearly freezing the replicate weights of small-u₀ events and
+    * deflating replicate variance. Same two-int64-op cost per row
+    * (table lookup + one multiply-mod).
+    */
+  final val bootMixC = 48271L
+  val bootMults: Seq[Long] =
+    Iterator.iterate(1L)(m => (m * bootMixC) % 2147483647L).take(bootReps).toSeq
+
   /** POISSON BOOTSTRAP confidence interval for each event type's mean
     * value — THE distributed bootstrap: a classical resample draws n of
     * n rows WITH replacement, which needs global coordination, but each
@@ -5639,11 +5659,13 @@ object Analytics {
     * behind bootstrap CIs in every large-scale metrics system). Here the
     * multiplicity is DERANDOMIZED — and hashed ONCE per event, not once
     * per (event, replicate): u₀ = portable-hash(event_id) mod the prime
-    * M = 2³¹−1, and replicate b's uniform is u₀·(1103515245+b) mod M
-    * mod 10⁶. M is PRIME, so each per-replicate multiplier is a
-    * bijection of Z_M — per-replicate uniformity is exact, and
-    * rep-to-rep steps differ per event (step ≡ u₀), so replicates
-    * decorrelate across events. The md5 was the ×[[bootReps]] hot loop
+    * M = 2³¹−1, shifted nonzero (u₀ % (M−1) + 1 ∈ [1, M−1], so no
+    * event's weights freeze across all replicates), and replicate b's
+    * uniform is u₀·([[bootMults]](b)) mod M mod 10⁶ — the MINSTD power
+    * table: per-replicate uniformity is exact (each power is a
+    * bijection of Z_M) and rep-to-rep steps follow the multiplicative
+    * Lehmer recurrence, not an arithmetic progression (see
+    * [[bootMixC]]). The md5 was the ×[[bootReps]] hot loop
     * (40·N digests); the rescramble is two int64 ops inside codegen
     * (r11: 4.9 s → the shuffle floor at sf0.1). u feeds the exact
     * Poisson(1) inverse CDF in micro-units (thresholds 367879, 735758,
@@ -5676,9 +5698,14 @@ object Analytics {
     }
     val reps = base
       .withColumn("u0", graft.ext.TextOps.h31($"event_id".cast("string")))
-      .select($"event_type", $"v", $"u0",
+      // nonzero seed: u₀ = 0 would pin every replicate at u = 0 (event
+      // absent from all resamples); % (M−1) + 1 lands in [1, M−1]
+      .withColumn("u0p", ($"u0" % 2147483646L) + 1L)
+      .select($"event_type", $"v", $"u0p",
         explode(expr(s"sequence(0, ${bootReps - 1})")).as("b"))
-      .withColumn("u", ($"u0" * (lit(1103515245L) + $"b")) % 2147483647L % 1000000L)
+      .withColumn("u",
+        ($"u0p" * element_at(typedLit(bootMults), ($"b" + 1).cast("int")))
+          % 2147483647L % 1000000L)
       .withColumn("m", m)
       .groupBy($"event_type", $"b")
       .agg(sum($"m").as("mw"), sum($"v" * $"m").as("sv"))
@@ -5714,8 +5741,9 @@ object Analytics {
        |         ELSE 8 END AS m
        |  FROM (
        |    SELECT event_type, v, b,
-       |      ((u0 * (1103515245 + b)) % 2147483647) % 1000000 AS u
-       |    FROM (SELECT event_type, v, $h0 AS u0 FROM base)
+       |      ((u0p * CAST(${bootMults.mkString("[", ", ", "]")}[b + 1] AS BIGINT))
+       |        % 2147483647) % 1000000 AS u
+       |    FROM (SELECT event_type, v, ($h0 % 2147483646) + 1 AS u0p FROM base)
        |    CROSS JOIN (SELECT unnest(range($bootReps)) AS b))
        |),
        |reps AS (

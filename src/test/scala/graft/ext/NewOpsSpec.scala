@@ -3998,11 +3998,15 @@ class NewOpsSpec extends SparkSuite {
     val expected = events.groupBy(_._1).map { case (t, xs) =>
       val n = xs.length.toLong
       // replay each replicate's hash-derandomized Poisson weights
+      val mults = Iterator.iterate(1L)(m => (m * Analytics.bootMixC) % 2147483647L)
+        .take(Analytics.bootReps).toArray
       val means = (0 until Analytics.bootReps).flatMap { b =>
-        // one digest per event; per-replicate uniform = prime-modulus
-        // bijection of the event hash (the engine's single-hash rescramble)
+        // one digest per event, shifted nonzero; per-replicate uniform =
+        // MINSTD-power bijection of the event hash (the engine's
+        // multiplicative single-hash rescramble, r11-advice form)
         val ws = xs.map { case (_, id, v) =>
-          (mult(((h31(s"$id") * (1103515245L + b)) % 2147483647L) % 1000000L), v)
+          val u0p = (h31(s"$id") % 2147483646L) + 1L
+          (mult(((u0p * mults(b)) % 2147483647L) % 1000000L), v)
         }
         val mw = ws.map(_._1).sum
         if (mw > 0) Some((ws.map { case (m, v) => v * m }.sum.toDouble) / mw)
@@ -5316,6 +5320,77 @@ class NewOpsSpec extends SparkSuite {
     out.foreach { case (a, b, n, _, rho, dec) =>
       assert(dec, s"epochs $a->$b correlated: rho=$rho n=$n")
     }
+  }
+
+  test("epoch shuffle: occupancy-triggered rank coarsening replays; inert below the bound") {
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    def optD(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    val n = 1500L
+    val docs = spark.range(0, n).select(col("id").as("doc_id"))
+
+    // below the trigger the bound's VALUE is inert: two different bounds
+    // that both exceed n produce byte-identical exact-path output
+    val exactDf = TextOps.epochShuffleFrom(docs, exactBound = n)
+    val exactRows = exactDf.collect()
+    assert(exactRows.toSeq === TextOps.epochShuffleFrom(docs, exactBound = 100000L)
+      .collect().toSeq, "exact path must not depend on the bound's value")
+
+    // force the coarse branch (n > 499) and replay it from first principles
+    val coarseDf = TextOps.epochShuffleFrom(docs, exactBound = 499L)
+    assert(coarseDf.schema.map(f => (f.name, f.dataType)) ===
+      exactDf.schema.map(f => (f.name, f.dataType)),
+      "coarse path must keep the exact path's output contract")
+    def keyOf(id: Long, e: Int): Long =
+      if (e == 0) id else (h31(id.toString) * (1103515245L + e)) % TextOps.HashP
+    val ids = (0L until n).toArray
+    // coarse rank: g = ((pos−1)·G) div n, pos = 1-based (key, id) rank
+    val gposOf = (0 to TextOps.shuffleEpochs).map { e =>
+      e -> ids.map(id => (keyOf(id, e), id)).sorted.zipWithIndex
+        .map { case ((_, id), i) => id -> (i.toLong * TextOps.epochCoarseGrid) / n }
+        .toMap
+    }.toMap
+    val expected = (0 until TextOps.shuffleEpochs).map { e =>
+      val ps = ids.map(id => (gposOf(e)(id), gposOf(e + 1)(id)))
+      val sumD2 = ps.map { case (a, b) => val d = a - b; d * d }.sum
+      val sa = ps.map(_._1).sum; val sb = ps.map(_._2).sum
+      val saa = ps.map(p => p._1 * p._1).sum
+      val sbb = ps.map(p => p._2 * p._2).sum
+      val sab = ps.map(p => p._1 * p._2).sum
+      // DECIMAL(19,0) combinations, one closing double expression — the
+      // engine's exact shape (all values < 2^53 here, so toDouble is exact)
+      val cov = BigInt(n) * BigInt(sab) - BigInt(sa) * BigInt(sb)
+      val va = BigInt(n) * BigInt(saa) - BigInt(sa) * BigInt(sa)
+      val vb = BigInt(n) * BigInt(sbb) - BigInt(sb) * BigInt(sb)
+      val rho = if (va <= 0 || vb <= 0) None
+        else Some(cov.toDouble / math.sqrt(va.toDouble * vb.toDouble))
+      val dec = rho.exists(r => math.abs(r) * math.sqrt((n - 1).toDouble) < 3.0)
+      (e, e + 1, n, sumD2, rho, dec)
+    }
+    val out = coarseDf.collect()
+      .map(r => (r.getAs[Int]("epoch_a"), r.getAs[Int]("epoch_b"),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_d2"), optD(r, "spearman"),
+        r.getAs[Boolean]("decorrelated"))).toSeq
+    assert(out === expected, "coarse grid ranks == naive replay")
+    // the grid Pearson tracks the exact Spearman (G ≫ n ⇒ near-lossless)
+    val exactRho = exactRows.map(r =>
+      r.getAs[Int]("epoch_a") -> optD(r, "spearman")).toMap
+    out.foreach { case (a, _, _, _, rho, _) =>
+      assert(math.abs(rho.get - exactRho(a).get) < 0.01,
+        s"coarse rho ${rho.get} drifted from exact ${exactRho(a).get} at epoch $a")
+    }
+
+    // the id contract fails loudly, not in a comment (r11 advice)
+    val bad = spark.range(-5, 5).select(col("id").as("doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.epochShuffleFrom(bad)
+    }
+    assert(ex.getMessage.contains("doc_id contract"))
+    spark.catalog.clearCache()
   }
 
   test("triplet mining: per-anchor in-cell min/max cosine replays exactly") {

@@ -11,6 +11,26 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("events.value honors the 2-decimal contract the cent grid assumes") {
+    // centEvents quantizes via floor(value·100 + 0.5): sub-cent precision
+    // would silently shift the percentile/winsor/MAD grids, and the
+    // half-toward-+inf rounding differs from half-away-from-zero on
+    // negative .xx5 values — both hazards are vacuous ONLY while every
+    // value round-trips to integer cents, so that contract must fail
+    // loudly here instead of drifting quantiles (r11 advice). Tolerance
+    // 1e-6 covers the fp ulp of representing x/100 as a double; a true
+    // sub-cent value is ≥ 1e-3 away from the grid.
+    import org.apache.spark.sql.functions._
+    val offGrid = graft.model.Tables.events(spark, sf)
+      .select(abs(col("value") * 100 - round(col("value") * 100)).as("d"))
+      .agg(sum(when(col("d") > 1e-6, 1L).otherwise(0L)).as("n_bad"),
+        max(col("d")).as("worst"))
+      .collect()(0)
+    assert(offGrid.getAs[Long]("n_bad") === 0L,
+      s"sub-cent event values (worst off-grid distance ${offGrid.get(1)}) " +
+        "violate the centEvents 2-decimal contract")
+  }
+
   test("builtin stddev/corr agree with the exact-moment formulation within 1e-9") {
     import org.apache.spark.sql.functions._
     val spark0 = spark

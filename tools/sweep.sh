@@ -42,10 +42,19 @@ for sf in 0.001 0.01 0.1; do
   if [ -n "$ONLY" ]; then
     # subset mode: missing-dir lines are expected noise, but FAIL/CLOSE on
     # a dumped query (or survey DRIFT — always full-registry) must go red
-    res=$(python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" \
-      | grep -v 'no spark output dir' || true)
-    echo "$res"
-    echo "$res" | grep -qE '^(FAIL|CLOSE|DRIFT)' && rc=1
+    scerr="/tmp/sweep_sf$sf.selfcheck.err"
+    res=$(python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" 2>"$scerr")
+    src=$?
+    filtered=$(echo "$res" | grep -v 'no spark output dir' || true)
+    echo "$filtered"
+    echo "$filtered" | grep -qE '^(FAIL|CLOSE|DRIFT)' && rc=1
+    # a selfcheck crash (traceback on stderr, no summary line) must not
+    # read green: require the '== N pass' summary before trusting stdout
+    if ! echo "$res" | grep -qE '^== [0-9]+ pass'; then
+      echo "SELFCHECK CRASHED (exit $src) — last stderr lines ($scerr):"
+      tail -5 "$scerr"
+      rc=1
+    fi
   else
     python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" | tail -3
     s=${PIPESTATUS[0]}

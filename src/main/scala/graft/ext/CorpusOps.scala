@@ -148,6 +148,18 @@ object CorpusOps {
   // Text normalization
   // ------------------------------------------------------------------
 
+  /** The ONE normalization definition: lowercase, strip non-alphanumerics
+    * to spaces, collapse whitespace, trim — shared by [[qDocNormalize]]
+    * and the fuzzy decontamination gate ([[Dedup.qDocDecontamFuzzy]]
+    * normalizes BOTH sides before shingling) so the two cannot drift.
+    * Backslash-free regexes for Java-regex/RE2 portability
+    * ([[TextOps.qDocRedact]]).
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  def normTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Normalization pass: lowercase, strip non-alphanumerics to spaces,
     * collapse whitespace, trim — the canonical pre-tokenization cleanup.
     * The synthetic corpus is already clean, so every 7th document gets a
@@ -166,8 +178,7 @@ object CorpusOps {
         concat(col("text"), lit("  NOISE-Block!! #"), col("doc_id").cast("string"),
           lit("  (Visit,Now)   ")))
         .otherwise(col("text")))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = normText(col("text"))
     corpus.select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_raw"),
@@ -177,7 +188,7 @@ object CorpusOps {
   }
 
   val qDocNormalizeSql: String = {
-    val normSql = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    val normSql = normTextSql("text")
     s"""WITH corpus AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 0

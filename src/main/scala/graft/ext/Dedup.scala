@@ -156,17 +156,38 @@ object Dedup {
   private[ext] val hashSetExpr = ngramHashSetExpr(3)
   private val hashSetSqlExpr = ngramHashSetSqlExpr(3)
 
+  /** Per-doc minhash band keys over a (doc_id, hs) frame for an arbitrary
+    * coefficient table and band layout — the shared signature kernel of
+    * [[bandedCandidates]] (the 4×4 dedup table) and the recall-critical
+    * fuzzy-decontam table (8×3, [[qDocDecontamFuzzy]]).
+    *
+    * Signatures: explode the per-doc hash set and fold ALL the mins in
+    * ONE codegen'd HashAggregate. (The tempting alternative — k×
+    * `array_min(transform(...))` per row — runs interpreted lambdas and
+    * measured ~5× slower than the codegen'd min() aggregates.) Bands via
+    * ONE posexplode, so a self-join's two sides stay plan-identical and
+    * the band-key shuffle is reused.
+    */
+  private[ext] def sigBandsOf(df: DataFrame, coefs: Seq[(Long, Long)],
+      bands: Int, rows: Int): DataFrame = {
+    val hashed = df.select(col("doc_id"), explode(col("hs")).as("h"))
+    val minAggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashP).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+  }
+
   /** MinHash-banded candidate mining + exact-Jaccard verification over a
     * frame carrying (doc_id, hs) — the shared core of [[qDocMinhashPairs]]
     * and the curation funnel [[qDocCurate]]. `shingled` MUST be persisted
     * by the caller: it feeds four consumers (both band-join sides via sigs
     * + both Jaccard probes) and Spark materializes nothing between
     * branches (measured: 4 full re-evaluations of the md5 pipeline).
-    *
-    * Signatures: explode the per-doc hash set and fold all 16 mins in ONE
-    * codegen'd HashAggregate. (The tempting alternative — 16×
-    * `array_min(transform(...))` per row — runs interpreted lambdas and
-    * measured ~5× slower than the codegen'd min() aggregates.)
     */
   /** LSH band-bucket candidate mining over a (doc_id, hs) frame, with the
     * [[maxBandBucket]] cap applied before the self-join. Returns distinct
@@ -175,19 +196,7 @@ object Dedup {
     * ([[graft.SparkEntry.queries]]): iterators clearCache between entries.
     */
   private[ext] def bandedCandidates(shingled: DataFrame): DataFrame = {
-    val hashed = shingled.select(col("doc_id"), explode(col("hs")).as("h"))
-    val minAggs = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % HashP).as(s"m$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-
-    // bands via ONE posexplode (single signature subtree; the self-join's
-    // two sides are plan-identical, so the band-key shuffle is reused)
-    val bandKeys = (0 until nBands).map { b =>
-      concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    val bands = sigBandsOf(shingled, minhashCoefs, nBands, rowsPerBand)
     // bucket-size cap as a WINDOW count over the band keys (not a
     // groupBy-count + semijoin): the window's one exchange partitions
     // bands on exactly the (band_id, band_key) the self-join clusters on,
@@ -268,13 +277,17 @@ object Dedup {
   /** Oracle fragments for the minhash pipeline — shared by the pairs query
     * and the curation funnel so the two oracles cannot drift.
     */
-  private val minColsSql: String = minhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-    s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashP)) AS m$i"
-  }.mkString(",\n    ")
-  private val bandSelectsSql: String = (0 until nBands).map { b =>
-    val key = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
-    s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM sig"
-  }.mkString("\n  UNION ALL\n  ")
+  private def minColsSqlFor(coefs: Seq[(Long, Long)]): String =
+    coefs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashP)) AS m$i"
+    }.mkString(",\n    ")
+  private def bandSelSqlFor(src: String, bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws('_', $key) AS band_key FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+  private val minColsSql: String = minColsSqlFor(minhashCoefs)
+  private val bandSelectsSql: String = bandSelSqlFor("sig", nBands, rowsPerBand)
 
   /** Oracle mirror of [[bandedCandidates]]'s capped candidate CTEs
     * (expects a `bands` CTE in scope) — shared by both minhash oracles so
@@ -1441,6 +1454,161 @@ object Dedup {
        |FROM trg JOIN evg USING (h)
        |GROUP BY doc_id, n_ngrams
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Fuzzy decontamination: normalized minhash banding vs the eval set
+  // ------------------------------------------------------------------
+
+  /** Fuzzy-decontam banding table: 24 minhash permutations in 8 bands ×
+    * 3 rows — deliberately STEEPER than the dedup pipeline's 4×4 because
+    * decontamination is RECALL-critical (a missed contamination ships a
+    * poisoned benchmark; a false candidate only costs one broadcast-side
+    * Jaccard verify). At the planted paraphrase's normalized J ≈ 0.78
+    * the 4×4 table would miss ~16% of true pairs (1−(1−J⁴)⁴) while 8×3
+    * misses ~0.6%; at stock-phrase J ≈ 0.15 the candidate rate stays
+    * ~2.7% of (train, eval) pairs — verify work bounded by the
+    * benchmark-sized eval side, never a corpus blow-up. Same
+    * small-constant int64-safe affine family as [[minhashCoefs]].
+    */
+  val decontamCoefs: Seq[(Long, Long)] =
+    (1 to 24).map(i => (2000003L * i + 4409L, 900001L * i + 52361L))
+  val decontamBands = 8
+  val decontamRowsPerBand = 3
+
+  /** Paraphrase-noise injection for the fuzzy fixture, chosen so the two
+    * gates PROVABLY separate: every 4th token uppercased + comma-suffixed
+    * (case/punct noise — guarantees every raw 8-gram of the copy contains
+    * a perturbed token, so the exact gate [[qDocDecontam]] cannot fire on
+    * it), and every 24th token swapped for a noise word (real lexical
+    * drift, so even the NORMALIZED copy is not an exact duplicate:
+    * ~1/8 of its 3-shingles die, leaving Jaccard ≈ 0.78 — well above the
+    * verify threshold, well below exactness). Periods 4 and 24 never
+    * coincide on the same index (6+24k ≡ 2 mod 4).
+    */
+  private val perturbExpr =
+    "concat_ws(' ', transform(split(text, ' '), (t, i) -> " +
+      "CASE WHEN i % 24 = 6 THEN 'xnoise' " +
+      "WHEN i % 4 = 0 THEN concat(upper(t), ',') ELSE t END))"
+  private val perturbSql =
+    """SELECT -doc_id - 1 AS doc_id,
+      |    array_to_string(list_transform(generate_series(1, len(toks)), i ->
+      |      CASE WHEN (i - 1) % 24 = 6 THEN 'xnoise'
+      |           WHEN (i - 1) % 4 = 0 THEN upper(toks[i]) || ','
+      |           ELSE toks[i] END), ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ev)""".stripMargin
+
+  /** FUZZY training-set decontamination — the contamination mode
+    * [[qDocDecontam]]'s exact 8-gram overlap misses, and the COMMON one
+    * in scraped corpora: benchmark text that reappears paraphrased or
+    * case/punctuation-perturbed. Composition of the repo's existing
+    * machinery against the eval set: NORMALIZE both sides
+    * ([[CorpusOps.normText]], the E72 pass), minhash-band the normalized
+    * 3-shingles ([[sigBandsOf]], the E2 discipline) train-vs-eval, then
+    * exact-Jaccard-verify every candidate on the normalized shingle sets.
+    * Output: every (train doc, eval doc) pair at J ≥ [[jaccardThreshold]]
+    * with its Jaccard and `caught_exact` — whether the pair ALSO shares a
+    * raw [[decontamN]]-gram (i.e. whether the exact gate would have seen
+    * it); planted paraphrased copies come out `caught_exact = false`,
+    * the in-output proof of the exact gate's blind spot.
+    *
+    * Fixture: eval = every 50th doc (as E51); the training side
+    * re-injects each eval doc perturbed per [[perturbExpr]] in the
+    * negative id space.
+    *
+    * Scale (100 TB): eval is benchmark-sized, so its prep, signatures,
+    * band keys, and shingle sets are all `broadcast()` — the training
+    * corpus NEVER shuffles for the probe: each task streams its docs,
+    * computes signatures, probes the broadcast band keys, and verifies
+    * candidates against the broadcast eval shingle sets; the only
+    * corpus-scale exchange is the signature groupBy (inherent to
+    * minhash), and output is O(contaminated docs). The banding recall
+    * curve is sized for the job ([[decontamCoefs]]).
+    */
+  def qDocDecontamFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionAll(eval.select((-col("doc_id") - 1).as("doc_id"),
+        expr(perturbExpr).as("text")))
+
+    // per-doc RAW 8-gram set (what the exact gate sees) + NORMALIZED
+    // 3-shingle set (what the fuzzy gate bands and verifies)
+    def prep(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs8", expr(ngramHashSetExpr(decontamN)))
+      .withColumn("toks", split(CorpusOps.normText(col("text")), " "))
+      .select(col("doc_id"), expr(hashSetExpr).as("hs"), col("hs8"))
+
+    val par = spark.sparkContext.defaultParallelism
+    val trainPrep = prep(train.repartition(par, col("doc_id"))).persist()
+    trainPrep.count() // eager: the band probe and the Jaccard verify
+    // consume it concurrently (the nearDupShingled discipline)
+    val evalPrep = prep(eval)
+
+    val cand = sigBandsOf(trainPrep, decontamCoefs, decontamBands, decontamRowsPerBand)
+      .join(broadcast(
+        sigBandsOf(evalPrep, decontamCoefs, decontamBands, decontamRowsPerBand)
+          .withColumnRenamed("doc_id", "eval_doc_id")),
+        Seq("band_id", "band_key"))
+      .select(col("doc_id"), col("eval_doc_id")).distinct()
+
+    val ePrep = evalPrep.select(col("doc_id").as("eval_doc_id"),
+      col("hs").as("hs_e"), col("hs8").as("hs8_e"))
+    cand.join(trainPrep, "doc_id").join(broadcast(ePrep), "eval_doc_id")
+      .select(col("doc_id"), col("eval_doc_id"),
+        (size(array_intersect(col("hs"), col("hs_e"))).cast("double") /
+          size(array_union(col("hs"), col("hs_e"))).cast("double")).as("jaccard"),
+        (size(array_intersect(col("hs8"), col("hs8_e"))) > 0).as("caught_exact"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy(col("doc_id"), col("eval_doc_id"))
+  }
+
+  val qDocDecontamFuzzySql: String = {
+    val g8 = ngramHashSetSqlExpr(decontamN)
+    val g3 = ngramHashSetSqlExpr(3)
+    // two-stage prep: stage 1 hashes the RAW 8-grams and rewrites `text`
+    // to its normalized form, so stage 2's 3-shingle expr (which reads
+    // `text` literally) shingles the NORMALIZED text
+    def prepCtes(pfx: String, src: String): String =
+      s"""${pfx}nrm AS (
+         |  SELECT doc_id, $g8 AS hs8, ${CorpusOps.normTextSql("text")} AS text
+         |  FROM $src
+         |),
+         |${pfx}prep AS (SELECT doc_id, hs8, $g3 AS hs FROM ${pfx}nrm),
+         |${pfx}sig AS (
+         |  SELECT doc_id,
+         |    ${minColsSqlFor(decontamCoefs)}
+         |  FROM ${pfx}prep
+         |),
+         |${pfx}band AS (
+         |  ${bandSelSqlFor(s"${pfx}sig", decontamBands, decontamRowsPerBand)}
+         |)""".stripMargin
+    val jac = "CAST(len(list_intersect(t.hs, e.hs)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(t.hs, e.hs))) AS DOUBLE)"
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |pert AS (
+       |  $perturbSql
+       |),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL SELECT doc_id, text FROM pert
+       |),
+       |${prepCtes("t", "train")},
+       |${prepCtes("e", "ev")},
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+       |  FROM tband t JOIN eband e
+       |    ON t.band_id = e.band_id AND t.band_key = e.band_key
+       |)
+       |SELECT c.doc_id, c.eval_doc_id,
+       |  $jac AS jaccard,
+       |  len(list_intersect(t.hs8, e.hs8)) > 0 AS caught_exact
+       |FROM cand c
+       |JOIN tprep t ON t.doc_id = c.doc_id
+       |JOIN eprep e ON e.doc_id = c.eval_doc_id
+       |WHERE $jac >= $jaccardThreshold
+       |ORDER BY c.doc_id, c.eval_doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------------

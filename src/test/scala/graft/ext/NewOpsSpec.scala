@@ -5393,6 +5393,76 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("fuzzy decontam: banding+verify replay; planted paraphrases flagged, invisible to the exact gate") {
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % TextOps.HashP
+    }
+    def norm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def grams(text: String, n: Int): Set[Long] = {
+      val toks = text.split(" ")
+      val m = math.max(toks.length - (n - 1), 1)
+      (1 to m).map(i =>
+        toks.slice(i - 1, math.min(i - 1 + n, toks.length)).mkString(" "))
+        .map(h31).toSet
+    }
+    def perturb(text: String): String =
+      text.split(" ").zipWithIndex.map { case (t, i) =>
+        if (i % 24 == 6) "xnoise"
+        else if (i % 4 == 0) t.toUpperCase + "," else t
+      }.mkString(" ")
+    def bandKeys(hs: Set[Long]): Set[(Int, String)] = {
+      val mins = Dedup.decontamCoefs.map { case (a, b) =>
+        hs.map(h => (h * a + b) % TextOps.HashP).min
+      }
+      (0 until Dedup.decontamBands).map { b =>
+        b -> (0 until Dedup.decontamRowsPerBand)
+          .map(r => mins(b * Dedup.decontamRowsPerBand + r)).mkString("_")
+      }.toSet
+    }
+    case class P(hs: Set[Long], hs8: Set[Long], bands: Set[(Int, String)])
+    def prep(t: String): P = {
+      val hs = grams(norm(t), 3)
+      P(hs, grams(t, Dedup.decontamN), bandKeys(hs))
+    }
+    val docsRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evalDocs = docsRows.filter(_._1 % 50 == 0)
+    val trainDocs = docsRows.filter(_._1 % 50 != 0) ++
+      evalDocs.map { case (id, t) => (-id - 1, perturb(t)) }
+    val tP = trainDocs.map { case (id, t) => id -> prep(t) }.toMap
+    val eP = evalDocs.map { case (id, t) => id -> prep(t) }.toMap
+    val expected = (for {
+      (tid, tp) <- tP.toSeq; (eid, ep) <- eP.toSeq
+      if (tp.bands & ep.bands).nonEmpty
+      j = (tp.hs & ep.hs).size.toDouble / (tp.hs | ep.hs).size.toDouble
+      if j >= Dedup.jaccardThreshold
+    } yield (tid, eid, j, (tp.hs8 & ep.hs8).nonEmpty)).toSet
+    val out = Dedup.qDocDecontamFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(out === expected, "banded candidates + Jaccard verify == naive replay")
+    // every planted paraphrase is flagged against its own source...
+    evalDocs.foreach { case (eid, _) =>
+      assert(out.exists { case (t, e, _, _) => t == -eid - 1 && e == eid },
+        s"planted paraphrase of eval doc $eid not flagged")
+    }
+    // ...while the exact 8-gram gate (q_doc_decontam's check) PROVABLY
+    // cannot see any of them: zero shared raw 8-grams, per construction
+    // of the every-4th-token case/punct noise
+    evalDocs.foreach { case (eid, _) =>
+      assert((tP(-eid - 1).hs8 & eP(eid).hs8).isEmpty,
+        s"planted paraphrase of $eid shares a raw 8-gram — the exact gate would catch it")
+    }
+    out.filter(_._1 < 0).foreach { case (t, _, _, caught) =>
+      assert(!caught, s"planted doc $t marked caught_exact")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("triplet mining: per-anchor in-cell min/max cosine replays exactly") {
     val embs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding")).collect()

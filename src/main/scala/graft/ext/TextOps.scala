@@ -1974,8 +1974,18 @@ object TextOps {
     * the naive single-window form, so the compare PROVES the
     * decomposition exact, not just plausible.
     */
-  def qDocPackChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  def qDocPackChunks(spark: SparkSession, sfDir: String): DataFrame =
+    packLayout(Tables.documents(spark, sfDir), 0L).orderBy(col("doc_id"))
+
+  /** The packing layout kernel over any (doc_id, text) frame, shifted by
+    * `baseOffset` tokens — shared by [[qDocPackChunks]] (base 0: the
+    * whole-corpus layout) and the streaming incremental packer
+    * ([[graft.streaming.IncrementalPipeline.packAvailableNow]]), where
+    * each micro-batch lays out AFTER the tokens already packed. Factored
+    * so the batch op and the arriving-shard path cannot drift.
+    */
+  private[graft] def packLayout(docs: DataFrame, baseOffset: Long): DataFrame = {
+    val d = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr(s"doc_id div $packBlockDiv").as("blk"))
     val blockTot = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("btoks"))
@@ -1988,12 +1998,11 @@ object TextOps {
     d.withColumn("woff", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .join(broadcast(blockOff), "blk")
       .select(col("doc_id"), col("n_tokens"),
-        (col("boff") + col("woff")).as("tok_start"))
+        (lit(baseOffset) + col("boff") + col("woff")).as("tok_start"))
       .select(col("doc_id"), col("n_tokens"), col("tok_start"),
         expr(s"tok_start div $packChunkTokens").as("chunk_first"),
         expr(s"(tok_start + n_tokens - 1) div $packChunkTokens").as("chunk_last"))
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
-      .orderBy(col("doc_id"))
   }
 
   val qDocPackChunksSql: String =

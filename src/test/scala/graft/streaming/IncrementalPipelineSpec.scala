@@ -48,6 +48,57 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(total === expected)
   }
 
+  test("incremental packer: arriving shards extend the layout; union == batch op; re-run and retry are no-ops") {
+    import graft.ext.TextOps
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_pack_in").toString
+    val ckDir = Files.createTempDirectory("graft_pack_ck").toString
+    val layoutDir = Files.createTempDirectory("graft_pack_layout").toString + "/layout"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+
+    // two arrivals drained SEPARATELY (same checkpoint): the second run's
+    // base offset must come from the persisted layout, not process state
+    drop(docs.filter(col("doc_id") < 250), "docs_shard_a.parquet")
+    IncrementalPipeline.packAvailableNow(spark, inDir, docs.schema, layoutDir, ckDir)
+    drop(docs.filter(col("doc_id") >= 250), "docs_shard_b.parquet")
+    IncrementalPipeline.packAvailableNow(spark, inDir, docs.schema, layoutDir, ckDir)
+
+    def layoutMap() = spark.read.parquet(layoutDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"),
+          r.getAs[Long]("n_chunks"))).toMap
+    val incremental = layoutMap()
+    // union of incremental appends == the batch op over the whole corpus
+    val expected = TextOps.qDocPackChunks(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"),
+          r.getAs[Long]("n_chunks"))).toMap
+    assert(incremental === expected,
+      "incrementally appended layout must equal the batch packing layout")
+    // genuinely incremental: the two arrivals landed as distinct batches
+    val batchIds = spark.read.parquet(layoutDir)
+      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+
+    // E58 discipline 1: a re-RUN with no new files is a checkpoint no-op
+    IncrementalPipeline.packAvailableNow(spark, inDir, docs.schema, layoutDir, ckDir)
+    assert(layoutMap() === expected, "re-run must not change the layout")
+    // E58 discipline 2: a RETRIED micro-batch (same batchId) is a no-op
+    IncrementalPipeline.appendPackedBatch(
+      spark, docs.filter(col("doc_id") < 250), batchIds.min, layoutDir)
+    assert(layoutMap() === expected, "batch retry must not double-append")
+  }
+
   test("streaming publish: foreachBatch appends each micro-batch to the JDBC warehouse") {
     // the stream-to-warehouse production pattern (reference: Job-2 publish,
     // pg:77-89, but fed continuously): each micro-batch of the incremental

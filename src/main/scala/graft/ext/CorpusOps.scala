@@ -1273,6 +1273,244 @@ object CorpusOps {
       .orderBy(col("rnk"))
   }
 
+  // ------------------------------------------------------------------
+  // Composite quality-gate calibration: one gate, per-signal attribution
+  // ------------------------------------------------------------------
+
+  /** Gate thresholds — each binds on exactly one signal family (the spec
+    * flips them one at a time). Literal RHS `final` per the init-cycle
+    * rule; values calibrated on the synthetic corpus so CLEAN documents
+    * pass every arm at all harness SFs while each injected defect family
+    * fails its own arm.
+    */
+  final val gateMaxRepRatio = 0.5
+  final val gateMinBigramP = 0.015
+  final val gateMaxXentMicroNat = 6000000L
+  final val gateMinTokens = 25L
+  final val gateMinQuality = 0.25
+
+  /** COMPOSITE QUALITY GATE — the calibrated ensemble the r10/r11 punch
+    * list asked for: the four existing per-doc quality signals
+    * (repetition ratio, self-trained bigram-LM fluency, unigram
+    * cross-entropy, and the shared lexical quality score) evaluated
+    * together as ONE funnel with PER-SIGNAL drop attribution — every
+    * document carries each signal's value, each arm's boolean, and the
+    * first-failing stage as `drop_reason` (the E35 funnel shape), so a
+    * curation run can see not just WHAT dropped but WHY, per signal.
+    *
+    * Signals (all existing kernels, not re-derived):
+    *   - `rep_ratio` — max-3-shingle share ([[TextOps.qDocRepetition]]);
+    *   - `avg_bigram_p` — mean corpus-bigram probability, ordered-fold
+    *     exact ([[TextOps.qDocBigramLm]]);
+    *   - `xent_micronat` — per-doc unigram cross-entropy in integer
+    *     micro-nats/token ([[TextOps.quantLog]], the curriculum
+    *     estimator, engine-free by construction);
+    *   - `quality_score` — the ONE shared lexical score
+    *     ([[TextOps.qualityScoreCol]]) plus the token floor.
+    *
+    * The corpus injects three defect families in the negative id space,
+    * each engineered to trip its own arm (so the calibration is
+    * demonstrably per-signal, not one catch-all): looping boilerplate
+    * (repetition — extreme repetition also degrades the lexical score,
+    * but attribution funnels to its first stage); per-doc-unique-
+    * vocabulary docs (cross-entropy only: distinct ratio is perfect and
+    * every self-bigram has p = 1); and 10-token truncations (token
+    * floor only: common words, fluent bigrams, no repetition). The
+    * bigram arm has NO registry injection by mathematical necessity,
+    * not omission: the synthetic corpus is a 31-word i.i.d. vocabulary
+    * with no rare tokens, so every common-word adjacency occurs at the
+    * chance rate (≈ 1/31 — exactly the clean corpus's own mean
+    * continuation rate; token permutations are distribution-invariant)
+    * while any NOVEL leading token saturates its continuation at
+    * p = 1 — a document that fails ONLY the bigram arm cannot be
+    * composed from this data. The arm is instead proven on a
+    * STRUCTURED controlled corpus in CorpusOpsSpec (deterministic word
+    * chains, one doc re-pairing them), where flipping it flips exactly
+    * its attribution column — as for every other arm.
+    *
+    * Scale (100 TB): one persisted tokenized corpus scan feeds all four
+    * signal branches; each signal keeps its own op's plan shape (doc-
+    * keyed partial-agg shuffles, vocabulary-bounded model joins, 1-row
+    * broadcast totals); the final assembly is three doc-keyed joins.
+    * Adding a signal or re-cutting a threshold touches one arm.
+    */
+  def qDocQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def inj(m: Int, textCol: Column): DataFrame =
+      base.filter(col("doc_id") % 40 === m)
+        .select((-col("doc_id") - 1).as("doc_id"), textCol.as("text"))
+    val corpus = base
+      .unionAll(inj(1, concat(expr("repeat('spam ', 60)"), lit("tail"),
+        col("doc_id").cast("string"))))
+      .unionAll(inj(3, expr("concat_ws(' ', transform(split(text, ' '), " +
+        "t -> concat(t, 'z', CAST(doc_id AS STRING))))")))
+      .unionAll(inj(4, expr("concat_ws(' ', slice(split(text, ' '), 1, 10))")))
+    qualityGateFrom(spark, corpus)
+  }
+
+  /** Core of [[qDocQualityGate]] over any (doc_id, text) corpus frame —
+    * package-visible so CorpusOpsSpec can run the gate on a STRUCTURED
+    * controlled corpus and flip each signal arm individually.
+    */
+  private[ext] def qualityGateFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = corpus.repartition(par, col("doc_id"))
+      .withColumn("toks", split(col("text"), " ")).persist()
+    docs.count() // eager: four signal branches consume it concurrently
+
+    // 1. repetition (the qDocRepetition kernel)
+    val rep = docs.select(col("doc_id"), explode(expr(
+        s"transform(${Dedup.shinglesExpr}, s -> ${TextOps.h31ExprSql("s")})")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nsh"), max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("nsh").cast("double")).as("rep_ratio"))
+
+    // 2. bigram-LM fluency (the qDocBigramLm kernel over this corpus)
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(i AS pos, toks[i-1] AS w1, concat_ws(' ', slice(toks, i, 2)) AS bg))"
+    val bgl = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"),
+        col("b.bg").as("bg"))
+    val uniW = docs.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val bg = bgl.join(bi, "bg").join(uniW, "w1")
+      .select(col("doc_id"), col("pos"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg((aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p"))
+        / count(lit(1))).as("avg_bigram_p"))
+
+    // 3. unigram cross-entropy in micro-nats/token (the curriculum kernel)
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+    val byDoc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
+    val uni = byDoc.groupBy(col("w")).agg(sum(col("tf_dw")).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val xent = byDoc.join(uni, "w").crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf_dw")).as("nt"),
+        sum(col("tf_dw") *
+          (TextOps.quantLog(col("tf") + 1) - TextOps.quantLog(col("t") + col("v"))))
+          .as("sum_qlp"))
+      .select(col("doc_id"), expr("(-sum_qlp) div nt").as("xent_micronat"))
+
+    // 4. lexical quality (the ONE shared score) + token floor
+    val qual = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+      TextOps.qualityScoreCol.as("quality_score"))
+
+    val failRep = col("rep_ratio") > gateMaxRepRatio
+    val failBg = coalesce(col("avg_bigram_p"), lit(0.0)) < gateMinBigramP
+    val failXe = col("xent_micronat") > gateMaxXentMicroNat
+    val failQu = col("n_tokens") < gateMinTokens || col("quality_score") < gateMinQuality
+    qual.join(rep, "doc_id").join(bg, Seq("doc_id"), "left").join(xent, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("rep_ratio"),
+        coalesce(col("avg_bigram_p"), lit(0.0)).as("avg_bigram_p"),
+        col("xent_micronat"), col("quality_score"),
+        failRep.as("fail_repetition"), failBg.as("fail_bigram"),
+        failXe.as("fail_xent"), failQu.as("fail_quality"),
+        when(failRep, "repetition").when(failBg, "bigram_lm")
+          .when(failXe, "perplexity").when(failQu, "low_quality")
+          .otherwise("kept").as("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocQualityGateSql: String = {
+    val failRep = s"rep_ratio > $gateMaxRepRatio"
+    val failBg = s"COALESCE(avg_bigram_p, 0.0) < $gateMinBigramP"
+    val failXe = s"xent_micronat > $gateMaxXentMicroNat"
+    val failQu = s"(n_tokens < $gateMinTokens OR quality_score < $gateMinQuality)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 40 = 1
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
+       |  FROM documents WHERE doc_id % 40 = 3
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
+       |  FROM documents WHERE doc_id % 40 = 4
+       |),
+       |dt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(${Dedup.shinglesSqlExpr}, s -> ${h31Sql("s")})) AS h
+       |  FROM dt
+       |),
+       |shc AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY doc_id, h),
+       |rep AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) /
+       |    CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS rep_ratio
+       |  FROM shc GROUP BY doc_id
+       |),
+       |bgl AS (
+       |  SELECT doc_id, pos, t[pos] AS w1, t[pos] || ' ' || t[pos + 1] AS bg
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |        FROM dt)
+       |),
+       |uni_w AS (
+       |  SELECT w1, count(*) AS c1
+       |  FROM (SELECT unnest(t) AS w1 FROM dt) GROUP BY w1
+       |),
+       |bi AS (SELECT bg, count(*) AS c2 FROM bgl GROUP BY bg),
+       |bg AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) ORDER BY pos)),
+       |      (acc, p) -> acc + p) / count(*) AS avg_bigram_p
+       |  FROM bgl JOIN bi USING (bg) JOIN uni_w USING (w1)
+       |  GROUP BY doc_id
+       |),
+       |by_doc AS (
+       |  SELECT doc_id, w, count(*) AS tf_dw
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dt) GROUP BY doc_id, w
+       |),
+       |uni AS (SELECT w, CAST(sum(tf_dw) AS BIGINT) AS tf FROM by_doc GROUP BY w),
+       |totals AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni),
+       |xent AS (
+       |  SELECT doc_id,
+       |    (-CAST(sum(tf_dw * (${TextOps.quantLogSql("tf + 1")} -
+       |      ${TextOps.quantLogSql("t + v")})) AS BIGINT)) //
+       |      CAST(sum(tf_dw) AS BIGINT) AS xent_micronat
+       |  FROM by_doc JOIN uni USING (w) CROSS JOIN totals GROUP BY doc_id
+       |),
+       |qual AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${TextOps.qualityScoreSql} AS quality_score
+       |  FROM corpus
+       |),
+       |gated AS (
+       |  SELECT q.doc_id, n_tokens, rep_ratio,
+       |    COALESCE(avg_bigram_p, 0.0) AS avg_bigram_p, xent_micronat, quality_score
+       |  FROM qual q
+       |  JOIN rep USING (doc_id)
+       |  LEFT JOIN bg USING (doc_id)
+       |  JOIN xent USING (doc_id)
+       |)
+       |SELECT doc_id, n_tokens, rep_ratio, avg_bigram_p, xent_micronat, quality_score,
+       |  $failRep AS fail_repetition,
+       |  $failBg AS fail_bigram,
+       |  $failXe AS fail_xent,
+       |  $failQu AS fail_quality,
+       |  CASE WHEN $failRep THEN 'repetition'
+       |       WHEN $failBg THEN 'bigram_lm'
+       |       WHEN $failXe THEN 'perplexity'
+       |       WHEN $failQu THEN 'low_quality'
+       |       ELSE 'kept' END AS drop_reason
+       |FROM gated
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qDocSourceGiniSql: String =
     """WITH by_source AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -871,10 +871,12 @@ object TextOps {
   final val logScale = 1000000L
 
   /** floor(ln(c)·10⁶) as BIGINT — the quantized-log x/y of the fits. */
-  private def quantLog(c: Column): Column =
+  // private[ext]: the composite quality gate (CorpusOps.qDocQualityGate)
+  // scores per-doc cross-entropy on the same micro-nat kernel
+  private[ext] def quantLog(c: Column): Column =
     floor(log(c.cast("double")) * logScale).cast("long")
 
-  private def quantLogSql(e: String): String =
+  private[ext] def quantLogSql(e: String): String =
     s"CAST(floor(ln(CAST($e AS DOUBLE)) * $logScale) AS BIGINT)"
 
   /** Ordinary least squares over quantized-log points `(x, y)`:

@@ -14,6 +14,68 @@ import graft.model.Tables
   */
 class CorpusOpsSpec extends SparkSuite {
 
+  test("quality gate: flipping each signal flips exactly its attribution column") {
+    // STRUCTURED controlled corpus (the synthetic harness corpus is a
+    // 31-word i.i.d. vocabulary where a bigram-only failure cannot be
+    // composed — see qDocQualityGate's scaladoc): 200 identical chain
+    // docs make every in-chain bigram continuation near-certain
+    // (c2/c1 = 200/201), so a re-paired doc's novel bigrams score
+    // 1/201 ≈ 0.005 — below the gate's 0.015 — while its unigrams,
+    // shingles, and lexical stats stay clean-identical.
+    val spark0 = spark
+    import spark0.implicits._
+    val chain = (0 until 30).map(i => f"w$i%02d")
+    val cleanText = chain.mkString(" ")
+    // A: one word looped 150x after the chain -> repetition only
+    //    (distinct ratio 31/180 keeps quality_score ~0.29 > 0.25)
+    val repText = (chain ++ Seq.fill(150)("r1")).mkString(" ")
+    // B: the same 30 common words re-paired (evens then odds) -> bigram only
+    val bigramText = (chain.indices.filter(_ % 2 == 0) ++
+      chain.indices.filter(_ % 2 == 1)).map(chain).mkString(" ")
+    // C: 30 corpus-unique tokens -> cross-entropy only (self-bigrams p = 1)
+    val rareText = (0 until 30).map(i => s"u$i").mkString(" ")
+    // D: 10 chain tokens -> token floor only (fluent, distinct, common)
+    val truncText = chain.take(10).mkString(" ")
+    val docs = ((0L until 200L).map(i => (i, cleanText)) ++ Seq(
+      (1001L, repText), (1002L, bigramText), (1003L, rareText),
+      (1004L, truncText))).toDF("doc_id", "text")
+    val out = CorpusOps.qualityGateFrom(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("fail_repetition"), r.getAs[Boolean]("fail_bigram"),
+          r.getAs[Boolean]("fail_xent"), r.getAs[Boolean]("fail_quality")),
+          r.getAs[String]("drop_reason"))).toMap
+    assert(out.size === 204)
+    (0L until 200L).foreach { i =>
+      assert(out(i) === (((false, false, false, false), "kept")),
+        s"clean doc $i tripped an arm: ${out(i)}")
+    }
+    assert(out(1001L) === (((true, false, false, false), "repetition")))
+    assert(out(1002L) === (((false, true, false, false), "bigram_lm")))
+    assert(out(1003L) === (((false, false, true, false), "perplexity")))
+    assert(out(1004L) === (((false, false, false, true), "low_quality")))
+    spark.catalog.clearCache()
+  }
+
+  test("quality gate: injected defect families funnel to their own stage at sf0.001") {
+    val rows = CorpusOps.qDocQualityGate(spark, sf).collect()
+    val byFam = rows.filter(_.getAs[Long]("doc_id") < 0)
+      .groupBy(r => ((-r.getAs[Long]("doc_id") - 1) % 40).toInt)
+    assert(byFam(1).forall(_.getAs[String]("drop_reason") == "repetition"))
+    assert(byFam(3).forall(_.getAs[String]("drop_reason") == "perplexity"))
+    assert(byFam(4).forall(_.getAs[String]("drop_reason") == "low_quality"))
+    // rare-vocab and truncation trip ONLY their own signal arm
+    assert(byFam(3).forall(r => !r.getAs[Boolean]("fail_repetition") &&
+      !r.getAs[Boolean]("fail_bigram")))
+    assert(byFam(4).forall(r => !r.getAs[Boolean]("fail_repetition") &&
+      !r.getAs[Boolean]("fail_bigram") && !r.getAs[Boolean]("fail_xent")))
+    // clean docs never trip the corpus-model arms (rep/bigram/xent)
+    val clean = rows.filter(_.getAs[Long]("doc_id") >= 0)
+    assert(clean.nonEmpty)
+    assert(clean.forall(r => !r.getAs[Boolean]("fail_repetition") &&
+      !r.getAs[Boolean]("fail_bigram") && !r.getAs[Boolean]("fail_xent")))
+    spark.catalog.clearCache()
+  }
+
   test("passage dedup: kept passages = distinct passages, deterministic") {
     val out = CorpusOps.qDocPassageDedup(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

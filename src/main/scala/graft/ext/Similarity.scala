@@ -719,10 +719,17 @@ object Similarity {
     centroidsLongOf(Tables.embeddings(spark, sfDir))
 
   private def centroidsLongOf(embIn: DataFrame): DataFrame =
+    centroidsLongOfE(embIn.select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("e")))
+
+  /** [[centroidsLongOf]] over a frame already carrying `e: array<double>`
+    * — the seam for quantizers trained on DERIVED vectors (the
+    * drift-shifted batch of [[qEmbIvfRebuild]]'s union retrain), where
+    * casting per element after the fact would double-round. */
+  private def centroidsLongOfE(embIn: DataFrame): DataFrame =
     embIn
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"),
-        col("x").cast("double").as("xd"))
+      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("pos0", "xd")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("i"), col("xd"))
       .groupBy(col("label"), col("i"))
       .agg((aggregate(
           array_sort(collect_list(struct(col("vec_id"), col("xd")))),
@@ -736,9 +743,16 @@ object Similarity {
   private def centroidsLongSqlFrom(where: String, eName: String = "e"): String =
     s"""$eName AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$where),
        |pos AS (SELECT unnest(generate_series(1, $embDim)) AS i),
-       |cl AS (
+       |${centroidsLongSqlOver(eName, "")}""".stripMargin
+
+  /** The centroid-fold CTE over an arbitrary (vec_id, label, v) source CTE
+    * with a prefix for collision-free reuse — expects a `pos` CTE in
+    * scope. The rebuild op trains TWO quantizers (frozen base + union
+    * retrain) from this one definition, so they cannot drift. */
+  private def centroidsLongSqlOver(src: String, pfx: String): String =
+    s"""${pfx}cl AS (
        |  SELECT label, i, list_reduce(list(v[i] ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c
-       |  FROM $eName, pos GROUP BY label, i
+       |  FROM $src, pos GROUP BY label, i
        |)""".stripMargin
 
   private lazy val centroidsLongSql: String = centroidsLongSqlFrom("")
@@ -765,8 +779,17 @@ object Similarity {
     * seam that lets [[qEmbIvfIncremental]] train the quantizer on the
     * BASE corpus only (frozen-index maintenance). */
   private[ext] def centroidArrayOf(embIn: DataFrame,
+      kLimit: Option[Int]): DataFrame =
+    centroidArrayFromLong(centroidsLongOf(embIn), kLimit)
+
+  /** [[centroidArrayOf]] over a (vec_id, label, e: array<double>) frame —
+    * the double-array twin of the float-embedding seam. */
+  private[graft] def centroidArrayOfE(embIn: DataFrame,
+      kLimit: Option[Int]): DataFrame =
+    centroidArrayFromLong(centroidsLongOfE(embIn), kLimit)
+
+  private def centroidArrayFromLong(long: DataFrame,
       kLimit: Option[Int]): DataFrame = {
-    val long = centroidsLongOf(embIn)
     val limited = kLimit.map(k => long.filter(col("label") < k)).getOrElse(long)
     limited
       .groupBy(col("label").as("c_label"))
@@ -1016,6 +1039,190 @@ object Similarity {
        |  CASE WHEN n_new = 0 THEN NULL
        |       ELSE CAST(sd_new AS DOUBLE) / n_new / 1000000.0 END AS mean_d_new
        |FROM stats ORDER BY cell""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Rebuild-on-drift: close the incremental-maintenance loop
+  // ------------------------------------------------------------------
+
+  /** Per-dimension shift injected into the arriving batch of
+    * [[qEmbIvfRebuild]] — a genuinely drifted incoming distribution
+    * (‖shift‖² = 64·0.25 = 16 added to every squared assignment
+    * distance), so the rebuild trigger fires BY CONSTRUCTION in the
+    * registry fixture. Applied in DOUBLE on both engines (a float-space
+    * shift would round differently before the cast).
+    */
+  final val ivfDriftShift = 0.5
+
+  /** Per-cell (n, Σ micro-dist) stats of `embE` (vec_id, e) assigned
+    * under `centArr` — the unit the incremental-IVF family stores with
+    * the index and merges additively.
+    */
+  private[graft] def ivfCellStats(embE: DataFrame, centArr: DataFrame): DataFrame =
+    probeCells(embE.select(col("vec_id"), col("e")), centArr, 1)
+      .select(col("cell"), expr("CAST(floor(dist * 1000000.0) AS BIGINT)").as("dq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dq")).as("sd"))
+
+  /** The production O(batch) NO-REBUILD append: merge STORED per-cell
+    * base stats with the arriving batch's stats under the frozen
+    * quantizer. The corpus appears only as its |cells|-sized stat table
+    * — the batch is the only row-scale input, its assignment is the
+    * narrow [[probeCells]] fold, and nothing is ever exchanged on
+    * vec_id (plan-asserted in PlanAssertionsSpec).
+    */
+  private[graft] def ivfAppendOnly(baseStats: DataFrame, centArr: DataFrame,
+      batchE: DataFrame): DataFrame = {
+    val n = ivfCellStats(batchE, centArr)
+      .select(col("cell"), col("n").as("n_new"), col("sd").as("sd_new"))
+    baseStats.select(col("cell"), col("n").as("n_base"), col("sd").as("sd_base"))
+      .join(n, Seq("cell"), "full")
+      .na.fill(0L, Seq("n_base", "sd_base", "n_new", "sd_new"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_base") + col("n_new")).as("n_merged"),
+        (col("sd_base") + col("sd_new")).as("sd_merged"))
+  }
+
+  /** REBUILD-ON-DRIFT — closing the [[qEmbIvfIncremental]] loop: that op
+    * emits the drift audit; this one ACTS on it. The frozen base
+    * quantizer assigns base and batch; if the batch's global mean
+    * assignment distance exceeds 3/2 of the base's (the trigger,
+    * evaluated as the exact integer cross-product 2·Σd_new·n_base >
+    * 3·Σd_base·n_new — no double ratio), the quantizer is RETRAINED on
+    * the union (the E32 centroid training over base ∪ batch) and the
+    * index is rebuilt under it; otherwise the frozen quantizer stands
+    * and the append is the O(batch) merge. Either way the output
+    * carries the E122 merge-law proof: per cell, the MERGED stats
+    * (base pass + batch pass added algebraically) against the
+    * FULL-recompute stats (one union pass under the same selected
+    * quantizer), with `merged_equals_full` — so "incrementally
+    * maintained index ≡ index rebuilt from scratch on the union" is a
+    * checked output column, not a claim.
+    *
+    * The trigger branch is a driver-side scalar (the sanctioned
+    * model-state pattern); the oracle computes the SAME trigger from
+    * the same audit CTEs into the `rebuilt` column but pins the
+    * rebuild branch's index construction — the fixture trips the
+    * trigger by construction ([[ivfDriftShift]]), and a Spark-side
+    * trigger disagreement would hash-FAIL loudly. The untripped branch
+    * is certified by NewOpsSpec (undrifted batch → `rebuilt = false`,
+    * merge law still universally true) and its plan by
+    * PlanAssertionsSpec via [[ivfAppendOnly]].
+    *
+    * Scale (100 TB): the no-rebuild path is O(batch) ([[ivfAppendOnly]]);
+    * the rebuild path is inherently corpus-scale (that is what a rebuild
+    * IS) but stays two narrow folds + one vocabulary-bounded centroid
+    * agg — and the trigger is what keeps rebuilds RARE. The proof pass
+    * doubles the selected path's assignment work; production runs it as
+    * a sampled audit, here it is exact because the oracle checks it.
+    */
+  def qEmbIvfRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, sfDir)
+    val baseE = raw.filter(col("vec_id") % ivfIncrMod =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val batchE = raw.filter(col("vec_id") % ivfIncrMod === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") + ivfDriftShift).as("e"))
+    ivfRebuildFrom(spark, baseE, batchE)
+  }
+
+  /** Core of [[qEmbIvfRebuild]] over caller-supplied (vec_id, label, e)
+    * base/batch frames — package-visible so NewOpsSpec can drive the
+    * UNDRIFTED branch. */
+  private[ext] def ivfRebuildFrom(spark: SparkSession, baseE: DataFrame,
+      batchE: DataFrame): DataFrame = {
+    val bPersist = baseE.persist(); val nPersist = batchE.persist()
+    val qBase = centroidArrayOfE(bPersist, None).persist()
+    qBase.count() // eager: audit + (possibly) both proof passes consume it
+    val bStats = ivfCellStats(bPersist, qBase)
+    val nStats = ivfCellStats(nPersist, qBase)
+    // drift trigger from the global audit sums (driver-side scalar)
+    val g = bStats.agg(sum(col("n")).as("nb"), sum(col("sd")).as("sb")).collect()(0)
+    val h = nStats.agg(sum(col("n")).as("nn"), sum(col("sd")).as("sn")).collect()(0)
+    val (nb, sb) = (g.getAs[Long]("nb"), g.getAs[Long]("sb"))
+    val (nn, sn) = (h.getAs[Long]("nn"), h.getAs[Long]("sn"))
+    val rebuilt = nb > 0 && nn > 0 && 2L * sn * nb > 3L * sb * nn
+    val q =
+      if (!rebuilt) qBase
+      else {
+        val qU = centroidArrayOfE(bPersist.unionAll(nPersist), None).persist()
+        qU.count()
+        qU
+      }
+    // merge-law proof under the SELECTED quantizer: per-side passes added
+    // algebraically vs one full union pass
+    val merged = ivfAppendOnly(ivfCellStats(bPersist, q), q, nPersist)
+    val full = ivfCellStats(bPersist.unionAll(nPersist), q)
+      .select(col("cell"), col("n").as("n_full"), col("sd").as("sd_full"))
+    merged.join(full, Seq("cell"), "full")
+      .na.fill(0L, Seq("n_base", "n_new", "n_merged", "sd_merged", "n_full", "sd_full"))
+      .select(col("cell"), col("n_base"), col("n_new"), col("n_merged"), col("n_full"),
+        (col("n_merged") === col("n_full") && col("sd_merged") === col("sd_full"))
+          .as("merged_equals_full"),
+        when(col("n_full") === 0, lit(null).cast("double"))
+          .otherwise(col("sd_full").cast("double") / col("n_full") / 1000000.0)
+          .as("mean_d_full"),
+        lit(rebuilt).as("rebuilt"))
+      .orderBy(col("cell"))
+  }
+
+  val qEmbIvfRebuildSql: String = {
+    // assignment of a (vec_id, v) source under a (c_label, cv) quantizer
+    def assign(src: String, cent: String, pfx: String): String =
+      s"""${pfx}a AS (
+         |  SELECT vec_id, c_label AS cell,
+         |    list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv) AS d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+         |      c_label) AS rn
+         |  FROM $src, $cent
+         |),
+         |${pfx}s AS (
+         |  SELECT cell, count(*) AS n,
+         |    CAST(sum(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT) AS sd
+         |  FROM ${pfx}a WHERE rn = 1 GROUP BY cell
+         |)""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % $ivfIncrMod != 0
+       |),
+       |en AS (
+       |  SELECT vec_id, label,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + $ivfDriftShift) AS v
+       |  FROM embeddings WHERE vec_id % $ivfIncrMod = 0
+       |),
+       |eu AS (SELECT * FROM eb UNION ALL SELECT * FROM en),
+       |pos AS (SELECT unnest(generate_series(1, $embDim)) AS i),
+       |${centroidsLongSqlOver("eb", "b")},
+       |bcent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM bcl GROUP BY label),
+       |${assign("eb", "bcent", "qb")},
+       |${assign("en", "bcent", "qn")},
+       |trig AS (
+       |  SELECT 2 * (SELECT CAST(sum(sd) AS BIGINT) FROM qns) *
+       |           (SELECT CAST(sum(n) AS BIGINT) FROM qbs) >
+       |         3 * (SELECT CAST(sum(sd) AS BIGINT) FROM qbs) *
+       |           (SELECT CAST(sum(n) AS BIGINT) FROM qns) AS rebuilt
+       |),
+       |${centroidsLongSqlOver("eu", "u")},
+       |ucent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM ucl GROUP BY label),
+       |${assign("eb", "ucent", "mb")},
+       |${assign("en", "ucent", "mn")},
+       |${assign("eu", "ucent", "mf")}
+       |SELECT COALESCE(b.cell, n.cell, f.cell) AS cell,
+       |  COALESCE(b.n, 0) AS n_base, COALESCE(n.n, 0) AS n_new,
+       |  COALESCE(b.n, 0) + COALESCE(n.n, 0) AS n_merged,
+       |  COALESCE(f.n, 0) AS n_full,
+       |  COALESCE(b.n, 0) + COALESCE(n.n, 0) = COALESCE(f.n, 0) AND
+       |    COALESCE(b.sd, 0) + COALESCE(n.sd, 0) = COALESCE(f.sd, 0)
+       |    AS merged_equals_full,
+       |  CASE WHEN COALESCE(f.n, 0) = 0 THEN NULL
+       |       ELSE CAST(f.sd AS DOUBLE) / f.n / 1000000.0 END AS mean_d_full,
+       |  (SELECT rebuilt FROM trig) AS rebuilt
+       |FROM mbs b
+       |FULL OUTER JOIN mns n ON b.cell = n.cell
+       |FULL OUTER JOIN mfs f ON COALESCE(b.cell, n.cell) = f.cell
+       |ORDER BY cell""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Triplet mining: per-anchor hardest in-cell positive and negative

@@ -5393,6 +5393,48 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivf rebuild: drift trigger branches; merge law holds on both branches") {
+    val raw = Tables.embeddings(spark, sf)
+    def side(newSide: Boolean, shift: Double) = raw
+      .filter(if (newSide) col("vec_id") % Similarity.ivfIncrMod === 0
+        else col("vec_id") % Similarity.ivfIncrMod =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") + shift).as("e"))
+    val nTot = raw.count()
+
+    // UNDRIFTED arrivals (same distribution): the trigger must not fire,
+    // the frozen index stands, and the merged stats still equal a full
+    // union recompute (the E122 merge law on the no-rebuild branch)
+    val calm = Similarity.ivfRebuildFrom(spark, side(false, 0.0), side(true, 0.0))
+      .collect()
+    assert(calm.forall(r => !r.getAs[Boolean]("rebuilt")),
+      "undrifted batch must not trigger a rebuild")
+    assert(calm.forall(_.getAs[Boolean]("merged_equals_full")))
+    assert(calm.map(_.getAs[Long]("n_full")).sum === nTot)
+
+    // DRIFTED arrivals (the registry fixture): trigger fires, quantizer
+    // retrained on the union, merge law holds under the NEW quantizer
+    val drifted = Similarity.qEmbIvfRebuild(spark, sf).collect()
+    assert(drifted.forall(_.getAs[Boolean]("rebuilt")))
+    assert(drifted.forall(_.getAs[Boolean]("merged_equals_full")))
+    assert(drifted.map(_.getAs[Long]("n_full")).sum === nTot)
+
+    // the rebuild is WARRANTED: the drifted batch's mean assignment
+    // distance under the retrained union quantizer beats the frozen one
+    val batchDrifted = side(true, Similarity.ivfDriftShift)
+    def meanD(q: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.ivfCellStats(batchDrifted, q)
+        .agg(sum(col("sd")).as("sd"), sum(col("n")).as("n")).collect()(0)
+      r.getAs[Long]("sd").toDouble / r.getAs[Long]("n")
+    }
+    val frozenQ = Similarity.centroidArrayOfE(side(false, 0.0), None)
+    val unionQ = Similarity.centroidArrayOfE(
+      side(false, 0.0).unionAll(batchDrifted), None)
+    assert(meanD(unionQ) < meanD(frozenQ),
+      "union retrain should give drifted arrivals a nearer home")
+    spark.catalog.clearCache()
+  }
+
   test("fuzzy decontam: banding+verify replay; planted paraphrases flagged, invisible to the exact gate") {
     def h31(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

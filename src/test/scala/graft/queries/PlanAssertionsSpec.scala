@@ -638,6 +638,33 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivf append-only: the no-rebuild path never exchanges on a row key") {
+    import org.apache.spark.sql.functions._
+    // "the corpus never reshuffles in the no-rebuild path": every exchange
+    // in the append plan must be keyed on bounded-cardinality columns
+    // (cell / label / dim) — a hashpartitioning on vec_id would mean the
+    // row-scale corpus itself got reshuffled, which the O(batch) claim
+    // forbids. The quantizer reaches rows through the 1-row broadcast
+    // fold, so no row-keyed join exists either.
+    val raw = graft.model.Tables.embeddings(spark, sf)
+    def side(newSide: Boolean) = raw
+      .filter(if (newSide) col("vec_id") % 10 === 0 else col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val q = graft.ext.Similarity.centroidArrayOfE(side(false), None)
+    val stored = graft.ext.Similarity.ivfCellStats(side(false), q)
+    val p = plan(graft.ext.Similarity.ivfAppendOnly(stored, q, side(true)))
+    assert(!"hashpartitioning\\([^)]*vec_id".r.findFirstIn(p).isDefined,
+      s"no-rebuild append reshuffled the corpus on vec_id:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the stat merge's full-outer join is |cells|-sized and must be keyed
+    // on cell — any join on another key would be row-scale work
+    "SortMergeJoin \\[(\\w+)#".r.findAllMatchIn(p).foreach(m =>
+      assert(m.group(1) == "cell", s"row-scale sort-merge join:\n$p"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"quantizer should reach rows via the 1-row broadcast fold:\n$p")
+  }
+
   test("ivf incremental: no cartesian, cell stats combine map-side") {
     // the O(batch) claim's plan shape: the quantizer reaches rows through
     // the sanctioned 1-row broadcast fold (BNLJ), never a product of

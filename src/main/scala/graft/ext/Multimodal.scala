@@ -16,6 +16,9 @@ case class MediaRecord(
 case class MediaFeatures(
   doc_id: Long, media_type: String, n_bytes: Long, feature64: Long)
 
+/** A media payload's blockhash perceptual code (see [[Multimodal.blockhashOf]]). */
+case class MediaHash(doc_id: Long, blockhash: Long)
+
 /** Multimodal-column plumbing for LLM training-data pipelines: media as
   * opaque binary + typed metadata, with decode/feature-extraction executed
   * per-partition over a typed `Dataset` (`mapPartitions` — the
@@ -324,6 +327,147 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // ------------------------------------------------------------------
+  // Blockhash near-dup: the perceptual hash COMPUTED from the media bytes
+  // ------------------------------------------------------------------
+
+  /** Brightness shift (+3 per byte, mod 256) applied to the planted
+    * re-encode twins' PAYLOAD BYTES — the perturbation lives in pixel
+    * space, and the blockhash construction absorbs it (see
+    * [[qMmBlockhashDedup]]). */
+  final val blockhashShift = 3
+
+  /** Blockhash over the stub-decoded payload: treat the payload bytes as
+    * the decoded block means (the [[decodeFeatures]] stub boundary — a
+    * real pipeline decodes pixels and averages blocks here), threshold
+    * each against the EXACT lower median (16th smallest of 32 — an order
+    * statistic, not an interpolated median, so both engines pick the
+    * same integer), and pack the 32 comparison bits into one code. The
+    * median thresholding is what makes blockhash a PERCEPTUAL hash: a
+    * global brightness shift moves every block AND the median together,
+    * so bits only flip where a byte wraps mod 256.
+    */
+  def blockhashOf(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { records =>
+      // real pipeline: init the image decoder once per partition here
+      records.map { m =>
+        val px = m.media.map(_ & 0xFF)
+        val thr = px.sorted.apply(px.length / 2 - 1)
+        val h = px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          if (v >= thr) acc | (1L << i) else acc
+        }
+        MediaHash(m.doc_id, h)
+      }
+    }
+  }
+
+  /** BLOCKHASH NEAR-DUP — the media-BYTES member of the dedup family,
+    * upgrading [[qMmPhashDedup]]'s code-space fixture to the full
+    * pipeline a real image-dedup pass runs: the perceptual code is
+    * COMPUTED FROM THE BINARY COLUMN through the stub-decode boundary
+    * ([[blockhashOf]] — mapPartitions over the typed media records, the
+    * E11 plumbing), the planted near-dups are RE-ENCODES whose
+    * perturbation happens in byte space (a +[[blockhashShift]]
+    * brightness shift on every payload byte — never a hand-flipped hash
+    * bit), and the hash construction itself absorbs the perturbation:
+    * the median threshold shifts with the bytes, so only mod-256
+    * wraparounds (≈ 3/256 of bytes) flip bits — the planted twins land
+    * at hamming ≈ 0–2 of their sources BECAUSE blockhash is
+    * shift-invariant, which is the property the op exists to exploit.
+    * Exact duplicate payloads (also planted, disjoint id space) come
+    * out at hamming 0 — subsumed by the same mining pass. The radius is
+    * a genuine RECALL knob, not a formality: a wrapped byte also drags
+    * the median down one rank, flipping extra near-threshold bits, so
+    * ~4% of the +3-shift twins land at hamming 4 and are (correctly)
+    * outside radius 3 — the mining is EXACT at its radius (LlmOpsSpec
+    * replays it exhaustively); the radius-vs-perturbation calibration
+    * is the same tradeoff a production pHash dedup tunes.
+    *
+    * Mining is the [[qMmPhashDedup]] multi-index discipline on the
+    * 32-bit code: 4 bands × 8 bits, hamming ≤ [[phashMaxHamming]] = 3
+    * corrupts at most 3 bands, so every true pair shares an intact band
+    * (pigeonhole — exact, not probabilistic); candidates from ONE
+    * (band, value) equi-join, one narrow `bit_count(xor)` verify.
+    *
+    * Scale (100 TB): the decode+hash is a narrow per-partition pass over
+    * the binary column (the split-size note in the class scaladoc); the
+    * shuffle carries (band, 8-bit value, code) — bytes per asset,
+    * independent of media size; widen the band key for billion-asset
+    * corpora. The max-id offsets for the planted id spaces are one
+    * constant driver scalar (sanctioned model state).
+    */
+  def qMmBlockhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = mediaFixture(spark, sfDir)
+    val off = base.toDF().agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val reencoded = base.filter(_.doc_id % 7 == 0).map(m => MediaRecord(
+      m.doc_id + off,
+      m.media.map(b => (((b & 0xFF) + blockhashShift) % 256).toByte),
+      m.media_type, m.width, m.height))
+    val exactCopies = base.filter(_.doc_id % 11 == 0).map(m =>
+      MediaRecord(m.doc_id + 2 * off, m.media, m.media_type, m.width, m.height))
+    val codes = blockhashOf(base.union(reencoded).union(exactCopies)).toDF()
+
+    val bands = codes
+      .select(col("doc_id"), col("blockhash").as("ph"), explode(expr("array(0,1,2,3)")).as("b"))
+      .withColumn("bv", expr("shiftright(ph, b * 8) & 255"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+      .filter(col("hamming") <= phashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("hamming") === 0).as("is_exact"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qMmBlockhashDedupSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, list_transform(generate_series(1, 32),
+       |    i -> CAST(('0x' || substr(sha256(text), 2 * i - 1, 2)) AS INTEGER)) AS bytes
+       |  FROM documents
+       |),
+       |off AS (SELECT max(doc_id) + 1 AS off FROM px),
+       |allpx AS (
+       |  SELECT doc_id, bytes FROM px
+       |  UNION ALL
+       |  SELECT doc_id + off AS doc_id,
+       |    list_transform(bytes, b -> (b + $blockhashShift) % 256) AS bytes
+       |  FROM px, off WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2 * off AS doc_id, bytes FROM px, off WHERE doc_id % 11 = 0
+       |),
+       |thr AS (SELECT doc_id, bytes, list_sort(bytes)[16] AS t FROM allpx),
+       |codes AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, 32),
+       |        i -> CASE WHEN bytes[i] >= t THEN (1::BIGINT << (i - 1))
+       |             ELSE 0::BIGINT END)),
+       |      (a, b) -> a + b) AS ph
+       |  FROM thr
+       |),
+       |bands AS (
+       |  SELECT doc_id, ph, b, (ph >> (b * 8)) & 255 AS bv
+       |  FROM codes, (SELECT unnest([0,1,2,3]) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    x.ph AS ph_a, y.ph AS ph_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
+       |  bit_count(xor(ph_a, ph_b)) = 0 AS is_exact
+       |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= $phashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   val qMmPhashDedupSql: String =
     s"""WITH base AS (

@@ -125,6 +125,57 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.nonEmpty)
   }
 
+  test("blockhash dedup: byte-space replay; planted re-encodes flagged, exact dups subsumed") {
+    def blockhash(bytes: Array[Int]): Long = {
+      val thr = bytes.sorted.apply(bytes.length / 2 - 1)
+      bytes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v >= thr) acc | (1L << i) else acc
+      }
+    }
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def payload(t: String): Array[Int] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.getBytes("UTF-8")).map(_ & 0xFF)
+    val off = texts.map(_._1).max + 1
+    // the full byte-space replay: base payloads, +3-brightness re-encodes
+    // (every 7th), exact copies (every 11th) — hash AFTER the perturbation
+    val codes = texts.map { case (id, t) => id -> blockhash(payload(t)) } ++
+      texts.collect { case (id, t) if id % 7 == 0 =>
+        (id + off) -> blockhash(payload(t).map(b => (b + Multimodal.blockhashShift) % 256))
+      } ++
+      texts.collect { case (id, t) if id % 11 == 0 =>
+        (id + 2 * off) -> blockhash(payload(t))
+      }
+    val brute = (for {
+      (a, pa) <- codes; (b, pb) <- codes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= Multimodal.phashMaxHamming
+    } yield (a, b, h, h == 0)).toSet
+    val out = Multimodal.qMmBlockhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"), r.getAs[Boolean]("is_exact"))).toSet
+    // the mining is EXACT at its radius: banding+verify == brute force
+    assert(out === brute)
+    // exact duplicates are subsumed at hamming 0, every one of them
+    texts.filter(_._1 % 11 == 0).foreach { case (id, _) =>
+      assert(out.contains((id, id + 2 * off, 0, true)), s"exact dup of $id missing")
+    }
+    // planted re-encodes: found IFF within the radius (threshold-drift
+    // pushes a small tail past it — the documented recall knob), and the
+    // radius captures ≥ 90% of them on this corpus
+    val twins = texts.filter(_._1 % 7 == 0).map(_._1)
+    val found = twins.count(id => out.exists(p => p._1 == id && p._2 == id + off))
+    assert(found.toDouble / twins.length >= 0.9,
+      s"re-encode recall ${found}/${twins.length} below 90%")
+    twins.foreach { id =>
+      val h = java.lang.Long.bitCount(
+        codes.toMap.apply(id) ^ codes.toMap.apply(id + off))
+      assert(out.exists(p => p._1 == id && p._2 == id + off) ===
+        (h <= Multimodal.phashMaxHamming), s"twin of $id: radius disagreement")
+    }
+  }
+
   test("text stats: token invariants hold") {
     val rows = TextOps.qDocTextStats(spark, sf).collect()
     assert(rows.forall { r =>

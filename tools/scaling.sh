@@ -8,7 +8,24 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-HEAVIES="${SCALING_ONLY:-q_graph_triangles,q_doc_minhash_eval,q_doc_sim_join_prefix,q_doc_containment,q_doc_cluster_reps,q_graph_kcore,q_doc_split_leakfree,q_graph_reach,q_doc_dup_clusters,q_emb_ann_nprobe_sweep,q_graph_pagerank,q_doc_decontam,q_doc_dedup_ensemble,q_emb_gram,q_doc_ngram_novelty,q_doc_dedup_sweep,q_emb_power_iter,q_cust_fs_weights,q_graph_labelprop,q_graph_modularity,q_graph_conductance,q_doc_split_leakage}"
+if [ -n "${SCALING_ONLY:-}" ]; then
+  HEAVIES="$SCALING_ONLY"
+else
+  # default: the top-N slowest queries in the committed bench artifact
+  # (plus SCALING_EXTRA additions) — every new op lands in bench_latest,
+  # so a new heavy can no longer silently skip certification the way a
+  # hand-baked list let it (r11 verdict item). Refresh bench_latest
+  # BEFORE regenerating SCALING.md or the list is a round stale.
+  HEAVIES=$(python3 - <<'PY'
+import json, os
+q = json.load(open('bench_latest.json'))['queries']
+n = int(os.environ.get('SCALING_TOPN', '40'))
+top = set(sorted(q, key=q.get, reverse=True)[:n])
+extra = set(x for x in os.environ.get('SCALING_EXTRA', '').split(',') if x)
+print(','.join(sorted(top | extra)))
+PY
+)
+fi
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

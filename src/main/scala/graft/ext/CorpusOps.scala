@@ -1511,6 +1511,213 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Quality-model transfer audit: frozen corpus stats vs arrivals
+  // ------------------------------------------------------------------
+
+  /** Retrain triggers for [[qDocQualityTransfer]]: a source whose
+    * arrivals are > 5% out-of-vocabulary against the frozen reference
+    * (n_oov·20 > n_tokens, exact integers) or whose frozen-model
+    * cross-entropy exceeds its own base-corpus self-score by more than
+    * 1.5 nats/token needs the quality models retrained before its data
+    * is gated. Literal RHS `final` per the init-cycle rule.
+    */
+  final val transferOovMul = 20L
+  final val transferXentGap = 1500000L
+
+  /** QUALITY-MODEL TRANSFER AUDIT — the [[qDocQualityGate]] twin of the
+    * E307 tokenizer-transfer audit: the gate's corpus-trained reference
+    * stats (unigram LM, bigram table, totals) are trained on the BASE
+    * corpus only and FROZEN, then every arriving source is scored
+    * against them — per source: OOV mass against the frozen vocabulary,
+    * the share of arrival bigrams the frozen table has seen, the frozen
+    * cross-entropy in integer micro-nats, and the same source's
+    * base-corpus self-score under the SAME model as the comparable —
+    * closing with the retrain flag ([[transferOovMul]] /
+    * [[transferXentGap]]). This is the "does my quality model still
+    * describe the new crawl dump" check a curation pipeline runs before
+    * trusting frozen gates on incoming data; [[qDocOov]] is the
+    * same-corpus per-document coverage cousin, this op is the
+    * held-out per-SOURCE drift audit.
+    *
+    * Fixture: arrivals = every 10th doc (held out from the frozen
+    * models); a drifted domain is planted as `newdomain` — every 20th
+    * doc's arrival twin with per-doc-unique token suffixes (negative id
+    * space), 100% OOV by construction — so the flag demonstrably fires
+    * on exactly the planted domain while real sources pass.
+    *
+    * Exactness: OOV and the flag's first arm are pure integer
+    * arithmetic; cross-entropies are the [[TextOps.quantLog]] micro-nat
+    * integers with ONE closing integer division (the perplexity/
+    * curriculum kernel), so both engines emit identical BIGINTs; the
+    * two rates are single fixed-shape double divisions.
+    *
+    * Scale (100 TB): the frozen models are vocabulary-bounded
+    * (Zipf-concentrated) — both probe joins broadcast them and the
+    * arrival stream never shuffles on token beyond the (source, w)
+    * partial agg; totals ride a 1-row broadcast; output is |sources|
+    * rows. At production scale the frozen tables are read from the
+    * model store instead of recomputed — the plan keeps them as
+    * separate broadcast inputs to mirror that.
+    */
+  def qDocQualityTransfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    // content-keyed holdout (the qDocSampleStratified determinism rule),
+    // NOT doc_id-keyed: the synthetic source column is id-derived, so an
+    // id-modulus split would alias with source and hold out whole sources
+    val h = TextOps.portableHash(concat(col("text"), lit("|qtransfer"))) % 10
+    val base = docs.filter(h =!= 0)
+    val arrivals = docs.filter(h === 0)
+      .unionAll(docs.filter(h === 0 && col("doc_id") % 2 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), lit("newdomain").as("source"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "t -> concat(t, 'z', CAST(doc_id AS STRING))))").as("text")))
+    val bigramsExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> concat_ws(' ', slice(toks, i, 2)))"
+
+    // frozen reference models (base only)
+    val uni = base.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val baseBg = base.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(bigramsExpr)).as("bg")).distinct()
+      .withColumn("hit", lit(true))
+
+    val nDocs = arrivals.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val uniStats = arrivals
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf_sw"))
+      .join(broadcast(uni), Seq("w"), "left")
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("n_tokens"),
+        sum(when(col("tf0") === 0, col("tf_sw")).otherwise(0L)).as("n_oov"),
+        sum(col("tf_sw") *
+          (TextOps.quantLog(col("tf0") + 1) - TextOps.quantLog(col("t") + col("v"))))
+          .as("sum_qlp"))
+    val bgStats = arrivals.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(bigramsExpr)).as("bg"))
+      .join(broadcast(baseBg), Seq("bg"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+    // each source's base-corpus self-score under the SAME frozen model
+    val baseXent = base
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf_sw"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("bn"),
+        sum(col("tf_sw") *
+          (TextOps.quantLog(col("tf") + 1) - TextOps.quantLog(col("t") + col("v"))))
+          .as("bq"))
+      .select(col("source"), expr("(-bq) div bn").as("xent_base_micronat"))
+
+    val xentFrozen = expr("(-sum_qlp) div n_tokens")
+    nDocs.join(uniStats, Seq("source")).join(bgStats, Seq("source"))
+      .join(baseXent, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"),
+        col("n_bigrams"),
+        (col("n_hit").cast("double") / col("n_bigrams").cast("double"))
+          .as("bigram_hit_rate"),
+        xentFrozen.as("xent_frozen_micronat"),
+        col("xent_base_micronat"),
+        (col("n_oov") * transferOovMul > col("n_tokens") ||
+          (col("xent_base_micronat").isNotNull &&
+            xentFrozen - col("xent_base_micronat") > transferXentGap))
+          .as("retrain_flag"))
+      .orderBy(col("source"))
+  }
+
+  val qDocQualityTransferSql: String = {
+    val bgList = "list_transform(generate_series(1, len(toks) - 1)," +
+      " i -> toks[i] || ' ' || toks[i + 1])"
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text,
+       |    ${TextOps.portableHashSql("text || '|qtransfer'")} % 10 AS hsplit
+       |  FROM documents
+       |),
+       |base AS (SELECT doc_id, source, text FROM docs WHERE hsplit != 0),
+       |arrivals AS (
+       |  SELECT doc_id, source, text FROM docs WHERE hsplit = 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, 'newdomain' AS source,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
+       |  FROM docs WHERE hsplit = 0 AND doc_id % 2 = 0
+       |),
+       |uni AS (
+       |  SELECT w, count(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM base) GROUP BY w
+       |),
+       |totals AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni),
+       |base_bg AS (
+       |  SELECT DISTINCT unnest($bgList) AS bg
+       |  FROM (SELECT string_split(text, ' ') AS toks FROM base)
+       |  WHERE len(toks) >= 2
+       |),
+       |n_docs AS (SELECT source, count(*) AS n_docs FROM arrivals GROUP BY source),
+       |a_tok AS (
+       |  SELECT source, w, count(*) AS tf_sw
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM arrivals)
+       |  GROUP BY source, w
+       |),
+       |uni_stats AS (
+       |  SELECT source,
+       |    CAST(sum(tf_sw) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN COALESCE(tf, 0) = 0 THEN tf_sw ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    CAST(sum(tf_sw * (${TextOps.quantLogSql("COALESCE(tf, 0) + 1")} -
+       |      ${TextOps.quantLogSql("t + v")})) AS BIGINT) AS sum_qlp
+       |  FROM a_tok LEFT JOIN uni USING (w) CROSS JOIN totals
+       |  GROUP BY source
+       |),
+       |bg_stats AS (
+       |  SELECT source, count(*) AS n_bigrams,
+       |    CAST(sum(CASE WHEN base_bg.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hit
+       |  FROM (
+       |    SELECT source, unnest($bgList) AS bg
+       |    FROM (SELECT source, string_split(text, ' ') AS toks FROM arrivals)
+       |    WHERE len(toks) >= 2
+       |  ) ab LEFT JOIN base_bg USING (bg)
+       |  GROUP BY source
+       |),
+       |base_xent AS (
+       |  SELECT source,
+       |    (-CAST(sum(tf_sw * (${TextOps.quantLogSql("tf + 1")} -
+       |      ${TextOps.quantLogSql("t + v")})) AS BIGINT)) //
+       |      CAST(sum(tf_sw) AS BIGINT) AS xent_base_micronat
+       |  FROM (
+       |    SELECT source, w, count(*) AS tf_sw
+       |    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM base)
+       |    GROUP BY source, w
+       |  ) bt JOIN uni USING (w) CROSS JOIN totals
+       |  GROUP BY source
+       |)
+       |SELECT u.source, n_docs, n_tokens, n_oov,
+       |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate,
+       |  n_bigrams,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_hit_rate,
+       |  (-sum_qlp) // n_tokens AS xent_frozen_micronat,
+       |  xent_base_micronat,
+       |  (n_oov * $transferOovMul > n_tokens) OR
+       |    (xent_base_micronat IS NOT NULL AND
+       |     (-sum_qlp) // n_tokens - xent_base_micronat > $transferXentGap)
+       |    AS retrain_flag
+       |FROM uni_stats u
+       |JOIN n_docs USING (source)
+       |JOIN bg_stats USING (source)
+       |LEFT JOIN base_xent USING (source)
+       |ORDER BY u.source""".stripMargin
+  }
+
   val qDocSourceGiniSql: String =
     """WITH by_source AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes

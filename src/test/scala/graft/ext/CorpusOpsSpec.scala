@@ -76,6 +76,68 @@ class CorpusOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("quality transfer: frozen-model scoring replays; planted domain flagged, real sources pass") {
+    def pHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val docsRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (arr0, base) = docsRows.partition(d => pHash(d._3 + "|qtransfer") % 10 == 0)
+    val arrivals = arr0 ++ arr0.collect { case (id, _, t) if id % 2 == 0 =>
+      (-id - 1, "newdomain", t.split(" ").map(w => s"${w}z$id").mkString(" "))
+    }
+    // frozen reference models from the base split only
+    def bigrams(text: String): Seq[String] = {
+      val toks = text.split(" ")
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val uni = base.flatMap(_._3.split(" ")).groupBy(identity).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val t = uni.values.sum; val v = uni.size.toLong
+    val baseBg = base.flatMap(d => bigrams(d._3)).toSet
+    val expected = arrivals.groupBy(_._2).map { case (src, ds) =>
+      val ws = ds.flatMap(_._3.split(" "))
+      val nTok = ws.length.toLong
+      val nOov = ws.count(w => !uni.contains(w)).toLong
+      val sumQlp = ws.map(w => qlog(uni.getOrElse(w, 0L) + 1) - qlog(t + v)).sum
+      val bgs = ds.flatMap(d => bigrams(d._3))
+      val bXent = {
+        val bws = base.filter(_._2 == src).flatMap(_._3.split(" "))
+        if (bws.isEmpty) None
+        else Some(-bws.map(w => qlog(uni(w) + 1) - qlog(t + v)).sum / bws.length)
+      }
+      val xf = -sumQlp / nTok
+      src -> (ds.length.toLong, nTok, nOov, bgs.length.toLong,
+        bgs.count(baseBg.contains).toDouble / bgs.length,
+        xf, bXent,
+        nOov * CorpusOps.transferOovMul > nTok ||
+          bXent.exists(b => xf - b > CorpusOps.transferXentGap))
+    }
+    val out = CorpusOps.qDocQualityTransfer(spark, sf).collect().map { r =>
+      def optL(c: String) = if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getLong(r.fieldIndex(c)))
+      r.getAs[String]("source") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("bigram_hit_rate"), r.getAs[Long]("xent_frozen_micronat"),
+        optL("xent_base_micronat"), r.getAs[Boolean]("retrain_flag"))
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(out(src) === e, s"source $src: engine ${out(src)} != replay $e")
+    }
+    // the planted drifted domain is flagged; no real source is
+    assert(out("newdomain")._8 === true)
+    out.filter(_._1 != "newdomain").foreach { case (src, o) =>
+      assert(!o._8, s"real source $src falsely flagged")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("passage dedup: kept passages = distinct passages, deterministic") {
     val out = CorpusOps.qDocPassageDedup(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

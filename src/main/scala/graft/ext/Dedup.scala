@@ -1486,7 +1486,7 @@ object Dedup {
     * verify threshold, well below exactness). Periods 4 and 24 never
     * coincide on the same index (6+24k ≡ 2 mod 4).
     */
-  private val perturbExpr =
+  private[graft] val perturbExpr =
     "concat_ws(' ', transform(split(text, ' '), (t, i) -> " +
       "CASE WHEN i % 24 = 6 THEN 'xnoise' " +
       "WHEN i % 4 = 0 THEN concat(upper(t), ',') ELSE t END))"
@@ -1531,20 +1531,34 @@ object Dedup {
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .unionAll(eval.select((-col("doc_id") - 1).as("doc_id"),
         expr(perturbExpr).as("text")))
+    fuzzyContamPairs(spark, train, eval)
+      .orderBy(col("doc_id"), col("eval_doc_id"))
+  }
 
-    // per-doc RAW 8-gram set (what the exact gate sees) + NORMALIZED
-    // 3-shingle set (what the fuzzy gate bands and verifies)
-    def prep(df: DataFrame): DataFrame = df
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs8", expr(ngramHashSetExpr(decontamN)))
-      .withColumn("toks", split(CorpusOps.normText(col("text")), " "))
-      .select(col("doc_id"), expr(hashSetExpr).as("hs"), col("hs8"))
+  /** Per-doc RAW [[decontamN]]-gram set (what the exact gate sees) +
+    * NORMALIZED 3-shingle set (what the fuzzy gate bands and verifies) —
+    * the shared prep of both decontam sides.
+    */
+  private[ext] def decontamPrep(df: DataFrame): DataFrame = df
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("hs8", expr(ngramHashSetExpr(decontamN)))
+    .withColumn("toks", split(CorpusOps.normText(col("text")), " "))
+    .select(col("doc_id"), expr(hashSetExpr).as("hs"), col("hs8"))
 
+  /** Core of [[qDocDecontamFuzzy]] over caller-supplied (doc_id, text)
+    * train/eval frames — also the per-micro-batch screen of the streaming
+    * decontamination twin
+    * ([[graft.streaming.IncrementalPipeline.decontamAvailableNow]]), so
+    * the batch gate and the ingest screen cannot drift. Unordered: the
+    * callers order (batch) or tag-and-append (streaming).
+    */
+  private[graft] def fuzzyContamPairs(spark: SparkSession, train: DataFrame,
+      eval: DataFrame): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    val trainPrep = prep(train.repartition(par, col("doc_id"))).persist()
+    val trainPrep = decontamPrep(train.repartition(par, col("doc_id"))).persist()
     trainPrep.count() // eager: the band probe and the Jaccard verify
     // consume it concurrently (the nearDupShingled discipline)
-    val evalPrep = prep(eval)
+    val evalPrep = decontamPrep(eval)
 
     val cand = sigBandsOf(trainPrep, decontamCoefs, decontamBands, decontamRowsPerBand)
       .join(broadcast(
@@ -1561,7 +1575,6 @@ object Dedup {
           size(array_union(col("hs"), col("hs_e"))).cast("double")).as("jaccard"),
         (size(array_intersect(col("hs8"), col("hs8_e"))) > 0).as("caught_exact"))
       .filter(col("jaccard") >= jaccardThreshold)
-      .orderBy(col("doc_id"), col("eval_doc_id"))
   }
 
   val qDocDecontamFuzzySql: String = {

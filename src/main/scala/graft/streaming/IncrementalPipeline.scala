@@ -102,6 +102,65 @@ object IncrementalPipeline {
     query.awaitTermination()
   }
 
+  /** STREAMING DECONTAMINATION SCREEN — the ingest-time twin of the
+    * batch fuzzy gate ([[graft.ext.Dedup.qDocDecontamFuzzy]]): every
+    * arriving shard of documents is screened against the frozen
+    * benchmark BEFORE it enters the corpus, so contamination is caught
+    * at the door instead of by a later corpus-wide sweep. Per
+    * micro-batch the SAME core runs batch-vs-eval
+    * ([[graft.ext.Dedup.fuzzyContamPairs]] — normalize both sides,
+    * recall-critical banding, exact-Jaccard verify, `caught_exact`) and
+    * the contaminated pairs append to a persistent flag table tagged
+    * with the batch id (retry guard, the E58/packer discipline; a
+    * CLEAN batch appends nothing, so its retry re-screens — harmlessly,
+    * the screen is deterministic and appends the same empty set).
+    *
+    * The screen is EXACTLY shard-decomposable: no train-side doc
+    * interacts with another, so the union of per-batch flag sets equals
+    * the batch gate run over the union corpus — asserted by the spec,
+    * not assumed. Scale: per batch, the eval side is benchmark-sized
+    * and fully broadcast; the arriving shard never shuffles beyond its
+    * own signature groupBy — O(batch) per arrival like the packer.
+    */
+  def decontamAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      evalDocs: DataFrame,
+      flagDir: String,
+      checkpointDir: String): Unit = {
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    val query = raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendContamFlags(spark, batch, evalDocs, batchId, flagDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One idempotent micro-batch screen of [[decontamAvailableNow]] —
+    * package-visible so the spec can drive a batch-retry directly.
+    */
+  private[streaming] def appendContamFlags(
+      spark: SparkSession,
+      batch: DataFrame,
+      evalDocs: DataFrame,
+      batchId: Long,
+      flagDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val seen = new java.io.File(flagDir).exists() &&
+      spark.read.parquet(flagDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!seen) {
+      graft.ext.Dedup.fuzzyContamPairs(spark,
+          batch.select(col("doc_id"), col("text")), evalDocs)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(flagDir)
+    }
+  }
+
   /** One idempotent micro-batch append of [[packAvailableNow]] —
     * package-visible so the spec can drive a batch-retry directly.
     */

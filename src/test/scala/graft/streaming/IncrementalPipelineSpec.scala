@@ -99,6 +99,66 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(layoutMap() === expected, "batch retry must not double-append")
   }
 
+  test("decontam screen: per-shard flags union == batch gate; re-run and retry are no-ops") {
+    import org.apache.spark.sql.functions.expr
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_scr_in").toString
+    val ckDir = Files.createTempDirectory("graft_scr_ck").toString
+    val flagDir = Files.createTempDirectory("graft_scr_flags").toString + "/flags"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val clean = docs.filter(col("doc_id") % 50 =!= 0)
+    // paraphrased benchmark copies (the batch gate's own perturbation)
+    // planted into BOTH shards, so both micro-batches carry contamination
+    val planted = eval.select((-col("doc_id") - 1).as("doc_id"),
+      expr(Dedup.perturbExpr).as("text"))
+    val shardA = clean.filter(col("doc_id") < 250)
+      .unionAll(planted.filter(-col("doc_id") - 1 < 250))
+    val shardB = clean.filter(col("doc_id") >= 250)
+      .unionAll(planted.filter(-col("doc_id") - 1 >= 250))
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "docs_scr_a.parquet")
+    IncrementalPipeline.decontamAvailableNow(
+      spark, inDir, docs.schema, eval, flagDir, ckDir)
+    drop(shardB, "docs_scr_b.parquet")
+    IncrementalPipeline.decontamAvailableNow(
+      spark, inDir, docs.schema, eval, flagDir, ckDir)
+
+    def flags() = spark.read.parquet(flagDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_doc_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Boolean]("caught_exact"))).toSet
+    val screened = flags()
+    // the screen is exactly shard-decomposable: union of per-batch flags
+    // == the batch fuzzy gate over the union corpus
+    val expected = Dedup.fuzzyContamPairs(spark, shardA.unionAll(shardB), eval)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_doc_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Boolean]("caught_exact"))).toSet
+    assert(screened === expected)
+    assert(screened.exists(_._1 < 0), "planted contamination not flagged")
+    val batchIds = spark.read.parquet(flagDir)
+      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2, s"expected >=2 contaminated micro-batches, got $batchIds")
+
+    // E58 discipline: checkpointed re-run and batch retry are both no-ops
+    IncrementalPipeline.decontamAvailableNow(
+      spark, inDir, docs.schema, eval, flagDir, ckDir)
+    assert(flags() === expected, "re-run must not change the flag table")
+    IncrementalPipeline.appendContamFlags(
+      spark, shardA, eval, batchIds.min, flagDir)
+    assert(flags() === expected, "batch retry must not double-append")
+    spark.catalog.clearCache()
+  }
+
   test("streaming publish: foreachBatch appends each micro-batch to the JDBC warehouse") {
     // the stream-to-warehouse production pattern (reference: Job-2 publish,
     // pg:77-89, but fed continuously): each micro-batch of the incremental

@@ -1289,6 +1289,14 @@ object CorpusOps {
   final val gateMinTokens = 25L
   final val gateMinQuality = 0.25
 
+  /** Repetition-arm support floor: a max-shingle share over fewer than
+    * this many shingles is sample noise, not boilerplate — a ≤3-token
+    * doc has ONE shingle and would read rep_ratio = 1.0; such docs are
+    * the token floor's business, not the repetition arm's (r12
+    * self-review: tiny docs must not mis-attribute to corpus-model
+    * arms). */
+  final val gateMinShingles = 10L
+
   /** COMPOSITE QUALITY GATE — the calibrated ensemble the r10/r11 punch
     * list asked for: the four existing per-doc quality signals
     * (repetition ratio, self-trained bigram-LM fluency, unigram
@@ -1354,56 +1362,32 @@ object CorpusOps {
     */
   private[ext] def qualityGateFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    val docs = corpus.repartition(par, col("doc_id"))
-      .withColumn("toks", split(col("text"), " ")).persist()
+    val docs = corpus.repartition(par, col("doc_id")).persist()
     docs.count() // eager: four signal branches consume it concurrently
 
-    // 1. repetition (the qDocRepetition kernel)
-    val rep = docs.select(col("doc_id"), explode(expr(
-        s"transform(${Dedup.shinglesExpr}, s -> ${TextOps.h31ExprSql("s")})")).as("h"))
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("nsh"), max(col("c")).as("mx"))
-      .select(col("doc_id"),
-        (col("mx").cast("double") / col("nsh").cast("double")).as("rep_ratio"))
+    // 1. repetition — the qDocRepetition kernel, SHARED (not re-derived)
+    val rep = TextOps.repetitionFrom(docs)
+      .select(col("doc_id"), col("n_shingles"), col("rep_ratio"))
 
-    // 2. bigram-LM fluency (the qDocBigramLm kernel over this corpus)
-    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
-      " i -> struct(i AS pos, toks[i-1] AS w1, concat_ws(' ', slice(toks, i, 2)) AS bg))"
-    val bgl = docs.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"),
-        col("b.bg").as("bg"))
-    val uniW = docs.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bi = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val bg = bgl.join(bi, "bg").join(uniW, "w1")
-      .select(col("doc_id"), col("pos"),
-        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
-      .groupBy(col("doc_id"))
-      .agg((aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
-        lit(0.0), (acc, x) => acc + x.getField("p"))
-        / count(lit(1))).as("avg_bigram_p"))
+    // 2. bigram-LM fluency — the qDocBigramLm kernel over this corpus
+    val bg = TextOps.bigramLmFrom(docs)
+      .select(col("doc_id"), col("avg_bigram_p"))
 
-    // 3. unigram cross-entropy in micro-nats/token (the curriculum kernel)
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("w"))
-    val byDoc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
-    val uni = byDoc.groupBy(col("w")).agg(sum(col("tf_dw")).as("tf"))
-    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
-    val xent = byDoc.join(uni, "w").crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf_dw")).as("nt"),
-        sum(col("tf_dw") *
-          (TextOps.quantLog(col("tf") + 1) - TextOps.quantLog(col("t") + col("v"))))
-          .as("sum_qlp"))
-      .select(col("doc_id"), expr("(-sum_qlp) div nt").as("xent_micronat"))
+    // 3. unigram cross-entropy in micro-nats/token — the curriculum kernel
+    val xent = TextOps.docXentFrom(docs)
+      .select(col("doc_id"), expr("(-sum_qlp) div n_tokens").as("xent_micronat"))
 
     // 4. lexical quality (the ONE shared score) + token floor
-    val qual = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+    val qual = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
       TextOps.qualityScoreCol.as("quality_score"))
 
-    val failRep = col("rep_ratio") > gateMaxRepRatio
-    val failBg = coalesce(col("avg_bigram_p"), lit(0.0)) < gateMinBigramP
+    val failRep = col("n_shingles") >= gateMinShingles &&
+      col("rep_ratio") > gateMaxRepRatio
+    // a sub-2-token doc HAS no bigrams — blaming the fluency arm for it
+    // would mis-attribute what is a length defect (the token floor's job)
+    val failBg = col("n_tokens") >= 2 &&
+      coalesce(col("avg_bigram_p"), lit(0.0)) < gateMinBigramP
     val failXe = col("xent_micronat") > gateMaxXentMicroNat
     val failQu = col("n_tokens") < gateMinTokens || col("quality_score") < gateMinQuality
     qual.join(rep, "doc_id").join(bg, Seq("doc_id"), "left").join(xent, "doc_id")
@@ -1419,8 +1403,8 @@ object CorpusOps {
   }
 
   val qDocQualityGateSql: String = {
-    val failRep = s"rep_ratio > $gateMaxRepRatio"
-    val failBg = s"COALESCE(avg_bigram_p, 0.0) < $gateMinBigramP"
+    val failRep = s"(n_shingles >= $gateMinShingles AND rep_ratio > $gateMaxRepRatio)"
+    val failBg = s"(n_tokens >= 2 AND COALESCE(avg_bigram_p, 0.0) < $gateMinBigramP)"
     val failXe = s"xent_micronat > $gateMaxXentMicroNat"
     val failQu = s"(n_tokens < $gateMinTokens OR quality_score < $gateMinQuality)"
     s"""WITH corpus AS (
@@ -1447,7 +1431,8 @@ object CorpusOps {
        |),
        |shc AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY doc_id, h),
        |rep AS (
-       |  SELECT doc_id, CAST(max(c) AS DOUBLE) /
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       |    CAST(max(c) AS DOUBLE) /
        |    CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS rep_ratio
        |  FROM shc GROUP BY doc_id
        |),
@@ -1490,7 +1475,7 @@ object CorpusOps {
        |  FROM corpus
        |),
        |gated AS (
-       |  SELECT q.doc_id, n_tokens, rep_ratio,
+       |  SELECT q.doc_id, n_tokens, n_shingles, rep_ratio,
        |    COALESCE(avg_bigram_p, 0.0) AS avg_bigram_p, xent_micronat, quality_score
        |  FROM qual q
        |  JOIN rep USING (doc_id)

@@ -1553,7 +1553,19 @@ object Dedup {
     * callers order (batch) or tag-and-append (streaming).
     */
   private[graft] def fuzzyContamPairs(spark: SparkSession, train: DataFrame,
-      eval: DataFrame): DataFrame = {
+      eval: DataFrame): DataFrame =
+    fuzzyContamPairsWith(spark, train, eval)._1
+
+  /** [[fuzzyContamPairs]] plus the persisted train-prep handle, so a
+    * long-lived caller (the streaming screen, one invocation per
+    * micro-batch with no clearCache between entries) can `unpersist` it
+    * after consuming the pairs — otherwise each batch would leak one
+    * cached shard-scale frame for the life of the stream (the r12
+    * self-review catch). Registry callers rely on the clearCache
+    * contract instead ([[graft.SparkEntry.queries]]).
+    */
+  private[graft] def fuzzyContamPairsWith(spark: SparkSession, train: DataFrame,
+      eval: DataFrame): (DataFrame, DataFrame) = {
     val par = spark.sparkContext.defaultParallelism
     val trainPrep = decontamPrep(train.repartition(par, col("doc_id"))).persist()
     trainPrep.count() // eager: the band probe and the Jaccard verify
@@ -1569,12 +1581,13 @@ object Dedup {
 
     val ePrep = evalPrep.select(col("doc_id").as("eval_doc_id"),
       col("hs").as("hs_e"), col("hs8").as("hs8_e"))
-    cand.join(trainPrep, "doc_id").join(broadcast(ePrep), "eval_doc_id")
+    val pairs = cand.join(trainPrep, "doc_id").join(broadcast(ePrep), "eval_doc_id")
       .select(col("doc_id"), col("eval_doc_id"),
         (size(array_intersect(col("hs"), col("hs_e"))).cast("double") /
           size(array_union(col("hs"), col("hs_e"))).cast("double")).as("jaccard"),
         (size(array_intersect(col("hs8"), col("hs8_e"))) > 0).as("caught_exact"))
       .filter(col("jaccard") >= jaccardThreshold)
+    (pairs, trainPrep)
   }
 
   val qDocDecontamFuzzySql: String = {

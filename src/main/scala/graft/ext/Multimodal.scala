@@ -354,10 +354,16 @@ object Multimodal {
       // real pipeline: init the image decoder once per partition here
       records.map { m =>
         val px = m.media.map(_ & 0xFF)
-        val thr = px.sorted.apply(px.length / 2 - 1)
-        val h = px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-          if (v >= thr) acc | (1L << i) else acc
-        }
+        // degenerate payloads (corrupt/empty assets) hash to 0 instead of
+        // killing the stage — flagged-as-identical beats a task failure
+        val h =
+          if (px.length < 2) 0L
+          else {
+            val thr = px.sorted.apply(px.length / 2 - 1)
+            px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              if (v >= thr) acc | (1L << i) else acc
+            }
+          }
         MediaHash(m.doc_id, h)
       }
     }
@@ -400,7 +406,9 @@ object Multimodal {
     */
   def qMmBlockhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = mediaFixture(spark, sfDir)
+    // persisted: the max-id probe plus all three corpus branches read it —
+    // without the cache each branch re-reads documents and re-digests
+    val base = mediaFixture(spark, sfDir).persist()
     val off = base.toDF().agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
     val reencoded = base.filter(_.doc_id % 7 == 0).map(m => MediaRecord(
       m.doc_id + off,

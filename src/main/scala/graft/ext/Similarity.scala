@@ -1071,9 +1071,14 @@ object Similarity {
     * vec_id (plan-asserted in PlanAssertionsSpec).
     */
   private[graft] def ivfAppendOnly(baseStats: DataFrame, centArr: DataFrame,
-      batchE: DataFrame): DataFrame = {
-    val n = ivfCellStats(batchE, centArr)
-      .select(col("cell"), col("n").as("n_new"), col("sd").as("sd_new"))
+      batchE: DataFrame): DataFrame =
+    ivfMergeStats(baseStats, ivfCellStats(batchE, centArr))
+
+  /** The pure algebraic half of the append: merge two per-cell (n, sd)
+    * stat tables additively — |cells|-sized work only. */
+  private[graft] def ivfMergeStats(baseStats: DataFrame,
+      newStats: DataFrame): DataFrame = {
+    val n = newStats.select(col("cell"), col("n").as("n_new"), col("sd").as("sd_new"))
     baseStats.select(col("cell"), col("n").as("n_base"), col("sd").as("sd_base"))
       .join(n, Seq("cell"), "full")
       .na.fill(0L, Seq("n_base", "sd_base", "n_new", "sd_new"))
@@ -1134,14 +1139,21 @@ object Similarity {
     val bPersist = baseE.persist(); val nPersist = batchE.persist()
     val qBase = centroidArrayOfE(bPersist, None).persist()
     qBase.count() // eager: audit + (possibly) both proof passes consume it
-    val bStats = ivfCellStats(bPersist, qBase)
-    val nStats = ivfCellStats(nPersist, qBase)
+    // persisted |cells|-sized: the trigger collects fill them, and the
+    // no-rebuild merged side reuses them instead of re-assigning (the
+    // r12 self-review catch — one corpus pass per side, not two)
+    val bStats = ivfCellStats(bPersist, qBase).persist()
+    val nStats = ivfCellStats(nPersist, qBase).persist()
     // drift trigger from the global audit sums (driver-side scalar)
     val g = bStats.agg(sum(col("n")).as("nb"), sum(col("sd")).as("sb")).collect()(0)
     val h = nStats.agg(sum(col("n")).as("nn"), sum(col("sd")).as("sn")).collect()(0)
     val (nb, sb) = (g.getAs[Long]("nb"), g.getAs[Long]("sb"))
     val (nn, sn) = (h.getAs[Long]("nn"), h.getAs[Long]("sn"))
-    val rebuilt = nb > 0 && nn > 0 && 2L * sn * nb > 3L * sb * nn
+    // BigInt: sd ≈ n·10⁷ micro-dist units, so the int64 cross-product
+    // wraps around ~3M base vectors — far below the op's target scale
+    // (the r12 self-review catch); the oracle widens to HUGEINT
+    val rebuilt = nb > 0 && nn > 0 &&
+      BigInt(2) * sn * nb > BigInt(3) * sb * nn
     val q =
       if (!rebuilt) qBase
       else {
@@ -1150,8 +1162,11 @@ object Similarity {
         qU
       }
     // merge-law proof under the SELECTED quantizer: per-side passes added
-    // algebraically vs one full union pass
-    val merged = ivfAppendOnly(ivfCellStats(bPersist, q), q, nPersist)
+    // algebraically vs one full union pass; the no-rebuild branch reuses
+    // the trigger's persisted stats, so the proof is its ONLY extra pass
+    val merged =
+      if (!rebuilt) ivfMergeStats(bStats, nStats)
+      else ivfMergeStats(ivfCellStats(bPersist, q), ivfCellStats(nPersist, q))
     val full = ivfCellStats(bPersist.unionAll(nPersist), q)
       .select(col("cell"), col("n").as("n_full"), col("sd").as("sd_full"))
     merged.join(full, Seq("cell"), "full")
@@ -1198,10 +1213,10 @@ object Similarity {
        |${assign("eb", "bcent", "qb")},
        |${assign("en", "bcent", "qn")},
        |trig AS (
-       |  SELECT 2 * (SELECT CAST(sum(sd) AS BIGINT) FROM qns) *
-       |           (SELECT CAST(sum(n) AS BIGINT) FROM qbs) >
-       |         3 * (SELECT CAST(sum(sd) AS BIGINT) FROM qbs) *
-       |           (SELECT CAST(sum(n) AS BIGINT) FROM qns) AS rebuilt
+       |  SELECT 2 * (SELECT CAST(sum(sd) AS HUGEINT) FROM qns) *
+       |           (SELECT CAST(sum(n) AS HUGEINT) FROM qbs) >
+       |         3 * (SELECT CAST(sum(sd) AS HUGEINT) FROM qbs) *
+       |           (SELECT CAST(sum(n) AS HUGEINT) FROM qns) AS rebuilt
        |),
        |${centroidsLongSqlOver("eu", "u")},
        |ucent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM ucl GROUP BY label),

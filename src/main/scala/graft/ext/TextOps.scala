@@ -108,8 +108,14 @@ object TextOps {
     * engines compute the same md5-derived hashes, so a collision cannot
     * cause a cross-engine diff). VERDICT r4 #2.
     */
-  def qDocRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+  def qDocRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFrom(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** The repetition kernel over any (doc_id, text) frame — shared by
+    * [[qDocRepetition]] and the composite gate
+    * ([[CorpusOps.qDocQualityGate]]), so the two cannot drift. */
+  private[ext] def repetitionFrom(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(
         expr(s"transform(${Dedup.shinglesExpr}, s -> ${h31ExprSql("s")})")).as("h"))
@@ -118,7 +124,6 @@ object TextOps {
       .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_shingle_freq"))
       .withColumn("rep_ratio",
         col("max_shingle_freq").cast("double") / col("n_shingles").cast("double"))
-      .orderBy(col("doc_id"))
   }
 
   // lazy: breaks the TextOps↔Dedup object-initialization cycle (Dedup's
@@ -584,9 +589,14 @@ object TextOps {
     * standard refinement is hashing grams to int64 first ([[h31]], as
     * [[qDocRepetition]] does) and broadcasting the Zipf head.
     */
-  def qDocBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
+  def qDocBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLmFrom(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** The self-trained bigram-LM kernel over any (doc_id, text) frame —
+    * shared by [[qDocBigramLm]] and the composite gate
+    * ([[CorpusOps.qDocQualityGate]]), so the two cannot drift. */
+  private[ext] def bigramLmFrom(docs0: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("toks", split(col("text"), " "))
     // (pos, w1, bigram) structs, built narrowly per row; 1-token docs have
     // no bigrams and are filtered before the generator (Spark's
     // sequence(1, 0) would DESCEND, not return empty)
@@ -607,7 +617,6 @@ object TextOps {
         (aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
           lit(0.0), (acc, x) => acc + x.getField("p"))
           / count(lit(1))).as("avg_bigram_p"))
-      .orderBy(col("doc_id"))
   }
 
   val qDocBigramLmSql: String =
@@ -1860,17 +1869,25 @@ object TextOps {
     * the phase map joins back as a broadcast. Adding a phase or
     * re-cutting budgets touches only the bucket table.
     */
-  def qDocCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+  /** Per-doc unigram cross-entropy accumulators (n_tokens, Σ micro-nat
+    * qlp) over any (doc_id, text) frame under the frame's OWN unigram
+    * model — shared by [[qDocCurriculum]] and the composite gate
+    * ([[CorpusOps.qDocQualityGate]]), so the two cannot drift. */
+  private[ext] def docXentFrom(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val byDoc = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
     val uni = byDoc.groupBy(col("w")).agg(sum(col("tf_dw")).as("tf"))
     val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
-    val perDoc = byDoc.join(uni, "w").crossJoin(broadcast(totals))
+    byDoc.join(uni, "w").crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf_dw")).as("n_tokens"),
         sum(col("tf_dw") *
           (quantLog(col("tf") + 1) - quantLog(col("t") + col("v")))).as("sum_qlp"))
+  }
+
+  def qDocCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val perDoc = docXentFrom(docs)
     val keyed = perDoc
       .join(docs.select(col("doc_id"), length(col("text")).as("n_chars")), "doc_id")
       .select(col("doc_id"), col("n_tokens"),

@@ -154,10 +154,13 @@ object IncrementalPipeline {
       spark.read.parquet(flagDir)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (!seen) {
-      graft.ext.Dedup.fuzzyContamPairs(spark,
-          batch.select(col("doc_id"), col("text")), evalDocs)
-        .withColumn("batch_id", lit(batchId))
+      val (pairs, cached) = graft.ext.Dedup.fuzzyContamPairsWith(spark,
+        batch.select(col("doc_id"), col("text")), evalDocs)
+      pairs.withColumn("batch_id", lit(batchId))
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(flagDir)
+      // release the batch's shard-scale prep cache: one invocation per
+      // micro-batch for the life of the stream, no clearCache between
+      cached.unpersist()
     }
   }
 

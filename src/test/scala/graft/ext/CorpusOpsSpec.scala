@@ -36,15 +36,19 @@ class CorpusOpsSpec extends SparkSuite {
     val rareText = (0 until 30).map(i => s"u$i").mkString(" ")
     // D: 10 chain tokens -> token floor only (fluent, distinct, common)
     val truncText = chain.take(10).mkString(" ")
+    // E: a single token -> token floor ONLY: no bigrams exist (the fluency
+    //    arm must not claim it) and its one degenerate shingle is below
+    //    the repetition arm's support floor (rep_ratio would read 1.0)
+    val soloText = chain.head
     val docs = ((0L until 200L).map(i => (i, cleanText)) ++ Seq(
       (1001L, repText), (1002L, bigramText), (1003L, rareText),
-      (1004L, truncText))).toDF("doc_id", "text")
+      (1004L, truncText), (1005L, soloText))).toDF("doc_id", "text")
     val out = CorpusOps.qualityGateFrom(spark, docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("fail_repetition"), r.getAs[Boolean]("fail_bigram"),
           r.getAs[Boolean]("fail_xent"), r.getAs[Boolean]("fail_quality")),
           r.getAs[String]("drop_reason"))).toMap
-    assert(out.size === 204)
+    assert(out.size === 205)
     (0L until 200L).foreach { i =>
       assert(out(i) === (((false, false, false, false), "kept")),
         s"clean doc $i tripped an arm: ${out(i)}")
@@ -53,6 +57,8 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(1002L) === (((false, true, false, false), "bigram_lm")))
     assert(out(1003L) === (((false, false, true, false), "perplexity")))
     assert(out(1004L) === (((false, false, false, true), "low_quality")))
+    assert(out(1005L) === (((false, false, false, true), "low_quality")),
+      "a 1-token doc is the token floor's business, not a corpus-model arm's")
     spark.catalog.clearCache()
   }
 

@@ -11,6 +11,15 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ANSI mode is on: long-sum overflow fails loudly, as the scale docs assume") {
+    // several overflow backstops (epoch-shuffle coarse moments, winsorized
+    // sums) document "ANSI overflows loudly rather than wrapping" — that
+    // backstop exists only while Spark 4's ansi default stays on in this
+    // harness, so pin it here instead of assuming it
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "spark.sql.ansi.enabled is off — documented overflow backstops are void")
+  }
+
   test("events.value honors the 2-decimal contract the cent grid assumes") {
     // centEvents quantizes via floor(value·100 + 0.5): sub-cent precision
     // would silently shift the percentile/winsor/MAD grids, and the

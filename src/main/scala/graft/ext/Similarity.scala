@@ -1163,7 +1163,10 @@ object Similarity {
       }
     // merge-law proof under the SELECTED quantizer: per-side passes added
     // algebraically vs one full union pass; the no-rebuild branch reuses
-    // the trigger's persisted stats, so the proof is its ONLY extra pass
+    // the trigger's persisted stats, so the proof is its ONLY extra pass.
+    // (The registry fixture trips the trigger, so ITS runtime is dominated
+    // by the rebuild branch — the reuse pays on the no-rebuild path a
+    // production deployment runs almost always.)
     val merged =
       if (!rebuilt) ivfMergeStats(bStats, nStats)
       else ivfMergeStats(ivfCellStats(bPersist, q), ivfCellStats(nPersist, q))

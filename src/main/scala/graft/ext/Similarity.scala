@@ -1243,6 +1243,124 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Semantic decontamination: embedding-space benchmark screening
+  // ------------------------------------------------------------------
+
+  /** Cosine threshold for "semantically the same content": the planted
+    * re-embeddings land at ≈ 0.987 (unit vectors ± 0.02/dim jitter)
+    * while the corpus's own most-similar same-label pairs top out at
+    * ≈ 0.45 — a 2× margin on both sides of the cut. Every `semanticEvalMod`-th
+    * vector is the benchmark side (the SAME ids as the token gates'
+    * eval split, so the three gates screen one benchmark).
+    */
+  final val semanticTau = 0.95
+  final val semanticEvalMod = 50L
+
+  /** IVF-ROUTED SEMANTIC DECONTAMINATION — the SCALE path of
+    * [[qEmbDecontam]] (E208), delivering the composition that op's own
+    * scaladoc defers to ("at extreme eval-set sizes, route the probe
+    * through the qEmbAnnIvf cell index"): E208 scores the full Q×N
+    * cosine stream against a broadcast eval set, which is the right
+    * EXACT arm while the benchmark is thousands of rows; when the eval
+    * side grows (multi-benchmark suites, dedup-against-eval at vendor
+    * scale) the screen must become index-routed — candidates bounded by
+    * the IVF cell structure instead of every (train, eval) pair (the
+    * E75 → E308 brute-force-to-cell-bounded discipline). The cost is
+    * the family's standard clipping caveat: a cross-cell semantic twin
+    * outside the probe set is invisible by design; nprobe is the recall
+    * knob.
+    *
+    * Fixture: the training side replants each eval vector RE-EMBEDDED
+    * (±0.02/dim deterministic jitter in DOUBLE — the stand-in for a
+    * rewritten/translated paraphrase whose meaning, hence embedding,
+    * survives; cos ≈ 0.987 vs [[semanticTau]] = 0.95, while the
+    * corpus's own most-similar pairs top out at ≈ 0.45) in the negative
+    * id space — content with zero shared text surface, which the E51
+    * exact and E310 fuzzy token gates provably cannot see.
+    *
+    * Mechanics: the corpus-side quantizer ([[centroidArrayOfE]], the
+    * production index) assigns the train side once (nprobe = 1 — its
+    * index cell); the benchmark probes its 2 nearest cells; candidates
+    * come from the cell EQUI-join with the benchmark side broadcast,
+    * verified by the exact sequential-[[dot]] cosine — the
+    * [[qEmbAnnIvf]] discipline end to end.
+    *
+    * Scale (100 TB): the corpus pays its (already-stored-in-production)
+    * cell assignment via the narrow 1-row-broadcast fold and ONE
+    * cell-keyed equi-join bounded by Σ|cell|·|eval∩cell| — never Q×N;
+    * output is O(contaminated docs). The same write-time bucketing note
+    * as [[qEmbAnnIvf]] applies.
+    */
+  def qEmbDecontamIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, sfDir)
+    val evalE = raw.filter(col("vec_id") % semanticEvalMod === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val planted = evalE.select((-col("vec_id") - 1).as("vec_id"), col("label"),
+      expr("transform(e, (x, i) -> x + CASE WHEN i % 2 = 0 " +
+        "THEN CAST(0.02 AS DOUBLE) ELSE CAST(-0.02 AS DOUBLE) END)").as("e"))
+    val train = raw.filter(col("vec_id") % semanticEvalMod =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .unionAll(planted)
+
+    // the corpus index's quantizer, trained on the train side (persist:
+    // both assignment folds consume it — the qEmbAnnIvf precedent)
+    val qArr = centroidArrayOfE(train, None).persist()
+    qArr.count()
+    val tA = probeCells(train.select(col("vec_id"), col("e")), qArr, 1)
+      .select(col("vec_id"), col("e"), col("cell"), col("norm"))
+    val eA = probeCells(evalE.select(col("vec_id"), col("e")), qArr, 2)
+      .select(col("vec_id").as("eval_vec_id"), col("e").as("qe"), col("cell"),
+        col("norm").as("q_norm"))
+    tA.join(broadcast(eA), Seq("cell"))
+      .select(col("vec_id"), col("eval_vec_id"), col("cell"),
+        (dot(col("qe"), col("e")) / (col("q_norm") * col("norm"))).as("cosine"))
+      .filter(col("cosine") >= semanticTau)
+      .orderBy(col("vec_id"), col("eval_vec_id"))
+  }
+
+  val qEmbDecontamIvfSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % $semanticEvalMod = 0
+       |),
+       |tr AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % $semanticEvalMod != 0
+       |  UNION ALL
+       |  SELECT -vec_id - 1 AS vec_id, label,
+       |    list_transform(generate_series(1, len(v)), i ->
+       |      v[i] + CASE WHEN (i - 1) % 2 = 0 THEN CAST(0.02 AS DOUBLE)
+       |                  ELSE CAST(-0.02 AS DOUBLE) END) AS v
+       |  FROM ev
+       |),
+       |pos AS (SELECT unnest(generate_series(1, $embDim)) AS i),
+       |${centroidsLongSqlOver("tr", "t")},
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM tcl GROUP BY label),
+       |ta AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM tr, cent
+       |),
+       |ea AS (
+       |  SELECT vec_id AS eval_vec_id, v AS qe,
+       |    sqrt(list_dot_product(v, v)) AS q_norm, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM ev, cent
+       |)
+       |SELECT t.vec_id, e.eval_vec_id, t.cell,
+       |  list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) AS cosine
+       |FROM (SELECT * FROM ta WHERE rn = 1) t
+       |JOIN (SELECT * FROM ea WHERE rn <= 2) e ON t.cell = e.cell
+       |WHERE list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) >= $semanticTau
+       |ORDER BY t.vec_id, e.eval_vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Triplet mining: per-anchor hardest in-cell positive and negative
   // ------------------------------------------------------------------
 

@@ -5393,6 +5393,58 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivf decontam: cell-routed screen replays; planted re-embeddings flagged") {
+    def dotSeq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val eval = embs.filter(_._1 % Similarity.semanticEvalMod == 0)
+    val planted = eval.map { case (id, l, e) =>
+      (-id - 1, l, e.zipWithIndex.map { case (x, i) =>
+        if (i % 2 == 0) x + 0.02 else x - 0.02 })
+    }
+    val train = embs.filter(_._1 % Similarity.semanticEvalMod != 0) ++ planted
+    // the corpus-side quantizer: per-label means, vec_id-ordered folds
+    val cents = train.groupBy(_._2).map { case (l, xs) =>
+      val s = xs.sortBy(_._1)
+      l -> Array.tabulate(64)(i => s.map(_._3(i)).foldLeft(0.0)(_ + _) / s.length)
+    }
+    def cellsOf(e: Array[Double], n: Int): Seq[Int] =
+      cents.toSeq.map { case (l, cv) =>
+        ((dotSeq(e, e) - 2 * dotSeq(e, cv)) + dotSeq(cv, cv), l)
+      }.sorted.take(n).map(_._2)
+    val tCell = train.map { case (id, _, e) =>
+      (id, cellsOf(e, 1).head, e, math.sqrt(dotSeq(e, e)))
+    }
+    val expected = (for {
+      (eid, _, qe) <- eval.toSeq
+      qn = math.sqrt(dotSeq(qe, qe))
+      ec <- cellsOf(qe, 2)
+      (tid, tc, te, tn) <- tCell if tc == ec
+      cos = dotSeq(qe, te) / (qn * tn)
+      if cos >= Similarity.semanticTau
+    } yield (tid, eid, cos)).toSet
+    val out = Similarity.qEmbDecontamIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_vec_id"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(out === expected, "cell-routed screen == naive cell replay")
+    // the planted re-embeddings (zero shared text surface — invisible to
+    // both token gates by construction) are caught semantically; a small
+    // cross-cell tail may clip (the family's documented recall knob)
+    val found = eval.count { case (eid, _, _) =>
+      out.exists(p => p._1 == -eid - 1 && p._2 == eid)
+    }
+    assert(found.toDouble / eval.length >= 0.9,
+      s"planted recall $found/${eval.length} below 90%")
+    // and nothing else is: organic same-cell cosines top out ≈ 0.45,
+    // a 2× margin below the threshold
+    assert(out.forall(_._1 < 0), s"organic pair above tau: ${out.find(_._1 >= 0)}")
+    spark.catalog.clearCache()
+  }
+
   test("ivf rebuild: drift trigger branches; merge law holds on both branches") {
     val raw = Tables.embeddings(spark, sf)
     def side(newSide: Boolean, shift: Double) = raw

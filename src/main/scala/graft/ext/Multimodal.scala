@@ -347,13 +347,30 @@ object Multimodal {
     * median thresholding is what makes blockhash a PERCEPTUAL hash: a
     * global brightness shift moves every block AND the median together,
     * so bits only flip where a byte wraps mod 256.
+    *
+    * Payloads longer than 64 bytes are first REDUCED to 32 block means
+    * (contiguous byte ranges, integer floor mean) — the real blockhash
+    * contract, where an image of any size averages down to a fixed block
+    * grid. Without the reduction the `1L << i` packing would wrap at bit
+    * 64 and silently OR unrelated byte positions into one bit (the r12
+    * advice catch); ≤64-byte payloads keep the historical byte-direct
+    * form (the 32-byte digest fixture is bit-for-bit unchanged).
     */
   def blockhashOf(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { records =>
       // real pipeline: init the image decoder once per partition here
       records.map { m =>
-        val px = m.media.map(_ & 0xFF)
+        val raw = m.media.map(_ & 0xFF)
+        // >64 bytes: average contiguous ranges down to the 32-block grid
+        // so every block mean owns exactly one bit of the code
+        val px =
+          if (raw.length <= 64) raw
+          else Array.tabulate(32) { i =>
+            val lo = i * raw.length / 32
+            val hi = (i + 1) * raw.length / 32
+            raw.slice(lo, hi).sum / (hi - lo)
+          }
         // degenerate payloads (corrupt/empty assets) hash to 0 instead of
         // killing the stage — flagged-as-identical beats a task failure
         val h =

@@ -1133,9 +1133,24 @@ object Similarity {
 
   /** Core of [[qEmbIvfRebuild]] over caller-supplied (vec_id, label, e)
     * base/batch frames — package-visible so NewOpsSpec can drive the
-    * UNDRIFTED branch. */
-  private[ext] def ivfRebuildFrom(spark: SparkSession, baseE: DataFrame,
-      batchE: DataFrame): DataFrame = {
+    * UNDRIFTED branch. Registry callers rely on the clearCache-between-
+    * entries contract to release the persisted intermediates; a
+    * long-lived caller must use [[ivfRebuildFromWith]] and unpersist the
+    * returned handles after consuming the output (the
+    * `fuzzyContamPairsWith` discipline — foreachBatch-style loops have
+    * no clearCache, so each invocation would otherwise leak up to six
+    * corpus-scale cached frames for the life of the caller).
+    */
+  private[graft] def ivfRebuildFrom(spark: SparkSession, baseE: DataFrame,
+      batchE: DataFrame): DataFrame =
+    ivfRebuildFromWith(spark, baseE, batchE)._1
+
+  /** [[ivfRebuildFrom]] plus every persisted intermediate handle (base,
+    * batch, quantizer(s), per-side stats), so long-lived callers can
+    * release the cache once the output is consumed. */
+  private[graft] def ivfRebuildFromWith(spark: SparkSession, baseE0: DataFrame,
+      batchE0: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val baseE = baseE0; val batchE = batchE0
     val bPersist = baseE.persist(); val nPersist = batchE.persist()
     val qBase = centroidArrayOfE(bPersist, None).persist()
     qBase.count() // eager: audit + (possibly) both proof passes consume it
@@ -1154,11 +1169,13 @@ object Similarity {
     // (the r12 self-review catch); the oracle widens to HUGEINT
     val rebuilt = nb > 0 && nn > 0 &&
       BigInt(2) * sn * nb > BigInt(3) * sb * nn
+    var handles = Seq(bPersist, nPersist, qBase, bStats, nStats)
     val q =
       if (!rebuilt) qBase
       else {
         val qU = centroidArrayOfE(bPersist.unionAll(nPersist), None).persist()
         qU.count()
+        handles :+= qU
         qU
       }
     // merge-law proof under the SELECTED quantizer: per-side passes added
@@ -1172,7 +1189,7 @@ object Similarity {
       else ivfMergeStats(ivfCellStats(bPersist, q), ivfCellStats(nPersist, q))
     val full = ivfCellStats(bPersist.unionAll(nPersist), q)
       .select(col("cell"), col("n").as("n_full"), col("sd").as("sd_full"))
-    merged.join(full, Seq("cell"), "full")
+    val out = merged.join(full, Seq("cell"), "full")
       .na.fill(0L, Seq("n_base", "n_new", "n_merged", "sd_merged", "n_full", "sd_full"))
       .select(col("cell"), col("n_base"), col("n_new"), col("n_merged"), col("n_full"),
         (col("n_merged") === col("n_full") && col("sd_merged") === col("sd_full"))
@@ -1182,6 +1199,7 @@ object Similarity {
           .as("mean_d_full"),
         lit(rebuilt).as("rebuilt"))
       .orderBy(col("cell"))
+    (out, handles)
   }
 
   val qEmbIvfRebuildSql: String = {
@@ -1216,10 +1234,14 @@ object Similarity {
        |${assign("eb", "bcent", "qb")},
        |${assign("en", "bcent", "qn")},
        |trig AS (
-       |  SELECT 2 * (SELECT CAST(sum(sd) AS HUGEINT) FROM qns) *
-       |           (SELECT CAST(sum(n) AS HUGEINT) FROM qbs) >
-       |         3 * (SELECT CAST(sum(sd) AS HUGEINT) FROM qbs) *
-       |           (SELECT CAST(sum(n) AS HUGEINT) FROM qns) AS rebuilt
+       |  -- COALESCE each scalar to 0: with an empty base or batch side the
+       |  -- sums are NULL and the compare would yield NULL, while the Spark
+       |  -- side guards nb > 0 && nn > 0 and returns false — 0s make the
+       |  -- strict > agree (0 > 0 is false) on degenerate input
+       |  SELECT 2 * COALESCE((SELECT CAST(sum(sd) AS HUGEINT) FROM qns), 0) *
+       |           COALESCE((SELECT CAST(sum(n) AS HUGEINT) FROM qbs), 0) >
+       |         3 * COALESCE((SELECT CAST(sum(sd) AS HUGEINT) FROM qbs), 0) *
+       |           COALESCE((SELECT CAST(sum(n) AS HUGEINT) FROM qns), 0) AS rebuilt
        |),
        |${centroidsLongSqlOver("eu", "u")},
        |ucent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM ucl GROUP BY label),

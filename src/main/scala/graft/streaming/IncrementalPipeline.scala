@@ -61,29 +61,31 @@ object IncrementalPipeline {
     * re-packing history.
     *
     * Mechanics per micro-batch (see [[appendPackedBatch]]):
-    *   1. read the running end offset = max(tok_start + n_tokens) over
-    *      the existing layout (0 when empty) and the already-seen batch
-    *      ids — the layout table itself is the ONE source of truth, so
-    *      there is no second state store to drift from it;
-    *   2. if this batchId is already present, the append is a NO-OP
-    *      (the foreachBatch retry guard — same exactly-once discipline
-    *      as the E58 JDBC publish, where the checkpointed file log makes
-    *      a whole re-RUN a no-op and the batch-id guard makes a retried
-    *      micro-batch a no-op);
+    *   1. read the running end offset and the highest committed batch id
+    *      from the compacted one-row [[StreamState]] table beside the
+    *      layout dir — O(1) per arrival (the r12 form recomputed the
+    *      offset from a full layout scan; at scale that was a
+    *      corpus-sized metadata read per shard);
+    *   2. if this batchId is ≤ the committed high-water mark, the append
+    *      is a NO-OP (the foreachBatch retry guard — same exactly-once
+    *      discipline as the E58 JDBC publish, where the checkpointed
+    *      file log makes a whole re-RUN a no-op and the batch-id guard
+    *      makes a retried micro-batch a no-op);
     *   3. otherwise lay the batch out with the SAME two-level
     *      decomposition kernel as the batch op
     *      ([[graft.ext.TextOps.packLayout]], shifted by the end offset)
-    *      and append it tagged with the batch id.
+    *      into its own `batch_id=<id>/` partition directory, then commit
+    *      the new state LAST — the marker, not any data row, is what
+    *      makes the batch "seen", so a crash inside the multi-file data
+    *      write is replayed (partition Overwrite), never half-skipped.
     *
     * Scale (100 TB): the per-batch layout work is the batch kernel's —
     * partition-parallel two-level prefix sum over the BATCH, never over
-    * history; history is touched only by the end-offset/seen-batch audit
-    * read, a two-column scan that a production deployment replaces with
-    * the running total its transactional table keeps in commit metadata
-    * (or a compacted one-row side table). Appending shards never
-    * re-shuffles packed history — the O(batch) incremental discipline of
-    * the E89/E306 index-maintenance family, applied to the packing
-    * surface.
+    * history; history is touched by NOTHING (the audit read is the
+    * one-row state table, the commit-metadata form). Appending shards
+    * never re-shuffles packed history — the O(batch) incremental
+    * discipline of the E89/E306 index-maintenance family, applied to the
+    * packing surface.
     */
   def packAvailableNow(
       spark: SparkSession,
@@ -110,10 +112,11 @@ object IncrementalPipeline {
     * micro-batch the SAME core runs batch-vs-eval
     * ([[graft.ext.Dedup.fuzzyContamPairs]] — normalize both sides,
     * recall-critical banding, exact-Jaccard verify, `caught_exact`) and
-    * the contaminated pairs append to a persistent flag table tagged
-    * with the batch id (retry guard, the E58/packer discipline; a
-    * CLEAN batch appends nothing, so its retry re-screens — harmlessly,
-    * the screen is deterministic and appends the same empty set).
+    * the contaminated pairs land in the flag table's per-batch partition
+    * directory, committed by the [[StreamState]] marker (retry guard,
+    * the E58/packer discipline — keyed on the marker, so even a CLEAN
+    * batch, which flags nothing, is recorded as done and its retry is a
+    * true no-op).
     *
     * The screen is EXACTLY shard-decomposable: no train-side doc
     * interacts with another, so the union of per-batch flag sets equals
@@ -142,6 +145,15 @@ object IncrementalPipeline {
 
   /** One idempotent micro-batch screen of [[decontamAvailableNow]] —
     * package-visible so the spec can drive a batch-retry directly.
+    *
+    * Exactly-once shape (shared with [[appendPackedBatch]]): the
+    * seen-check keys on the [[StreamState]] commit marker, NOT on data
+    * rows (clean batches flag nothing, so a data-row probe could never
+    * record them as done; and a crash inside the multi-file flag write
+    * must not read as "committed"); flags land in a per-batch partition
+    * directory overwritten on retry, and the state commit LAST is what
+    * marks the batch done. The per-batch audit read is the one-row
+    * state table — O(1), never a flag-history scan.
     */
   private[streaming] def appendContamFlags(
       spark: SparkSession,
@@ -150,22 +162,31 @@ object IncrementalPipeline {
       batchId: Long,
       flagDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val seen = new java.io.File(flagDir).exists() &&
-      spark.read.parquet(flagDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
+    val stateDir = s"${flagDir}_state"
+    if (batchId > StreamState.read(spark, stateDir).maxBatch) {
       val (pairs, cached) = graft.ext.Dedup.fuzzyContamPairsWith(spark,
         batch.select(col("doc_id"), col("text")), evalDocs)
-      pairs.withColumn("batch_id", lit(batchId))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(flagDir)
+      pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$flagDir/batch_id=$batchId")
       // release the batch's shard-scale prep cache: one invocation per
       // micro-batch for the life of the stream, no clearCache between
       cached.unpersist()
+      StreamState.commit(spark, stateDir, StreamState.State(0L, batchId))
     }
   }
 
   /** One idempotent micro-batch append of [[packAvailableNow]] —
     * package-visible so the spec can drive a batch-retry directly.
+    *
+    * The running end offset and the seen-batch guard both come from the
+    * compacted one-row [[StreamState]] table beside the layout dir —
+    * O(1) per arrival, where the r12 form recomputed
+    * `max(tok_start + n_tokens)` over the ENTIRE layout parquet per
+    * micro-batch (corpus-sized metadata scan at scale). Write order is
+    * data-then-marker: the batch's layout rows go to a per-batch
+    * partition directory (`batch_id=<id>/`, Overwrite — a retry after a
+    * crash mid-write replaces the partial, never duplicates it), and
+    * only the state commit that follows marks the batch seen.
     */
   private[streaming] def appendPackedBatch(
       spark: SparkSession,
@@ -173,19 +194,17 @@ object IncrementalPipeline {
       batchId: Long,
       layoutDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val (endOffset, seen) =
-      if (new java.io.File(layoutDir).exists()) {
-        val st = spark.read.parquet(layoutDir)
-          .agg(coalesce(max(col("tok_start") + col("n_tokens")), lit(0L)).as("e"),
-            coalesce(sum(when(col("batch_id") === batchId, 1L).otherwise(0L)),
-              lit(0L)).as("dup"))
-          .collect()(0)
-        (st.getAs[Long]("e"), st.getAs[Long]("dup") > 0)
-      } else (0L, false)
-    if (!seen) {
-      graft.ext.TextOps.packLayout(batch, endOffset)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(layoutDir)
+    val stateDir = s"${layoutDir}_state"
+    val st = StreamState.read(spark, stateDir)
+    if (batchId > st.maxBatch) {
+      val rows = graft.ext.TextOps.packLayout(batch, st.endOffset).persist()
+      val newEnd = rows
+        .agg(coalesce(max(col("tok_start") + col("n_tokens")), lit(st.endOffset)))
+        .collect()(0).getLong(0)
+      rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$layoutDir/batch_id=$batchId")
+      rows.unpersist()
+      StreamState.commit(spark, stateDir, StreamState.State(newEnd, batchId))
     }
   }
 }

@@ -176,6 +176,35 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("blockhash: payloads past 64 bytes reduce to 32 block means — no bit-shift wrap") {
+    import spark.implicits._
+    // 128-byte ramp payload: under the pre-fix 1L << i packing, bytes 64+
+    // would wrap (i mod 64) and OR unrelated positions into the code
+    val big = Array.tabulate(128)(i => ((i * 7 + 3) % 256).toByte)
+    val small = Array.tabulate(32)(i => ((i * 11 + 5) % 256).toByte)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, big, "image", 16, 16),
+      MediaRecord(2L, small, "image", 16, 16)))
+    val got = Multimodal.blockhashOf(ds).collect().map(h => h.doc_id -> h.blockhash).toMap
+    def hashOf(px: Array[Int]): Long = {
+      val thr = px.sorted.apply(px.length / 2 - 1)
+      px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v >= thr) acc | (1L << i) else acc
+      }
+    }
+    // expected: 32 contiguous-range floor means, then the usual threshold
+    val raw = big.map(_ & 0xFF)
+    val means = Array.tabulate(32) { i =>
+      val lo = i * raw.length / 32; val hi = (i + 1) * raw.length / 32
+      raw.slice(lo, hi).sum / (hi - lo)
+    }
+    assert(got(1L) === hashOf(means))
+    // all bits land in the 32-block range: bits 32..63 must be zero
+    assert((got(1L) >>> 32) === 0L, "blockhash leaked past bit 31")
+    // ≤64-byte payloads keep the historical byte-direct code unchanged
+    assert(got(2L) === hashOf(small.map(_ & 0xFF)))
+  }
+
   test("text stats: token invariants hold") {
     val rows = TextOps.qDocTextStats(spark, sf).collect()
     assert(rows.forall { r =>

@@ -86,9 +86,21 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(incremental === expected,
       "incrementally appended layout must equal the batch packing layout")
     // genuinely incremental: the two arrivals landed as distinct batches
-    val batchIds = spark.read.parquet(layoutDir)
-      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+    // (batch_id is the partition directory column — inferred int, cast up)
+    def batchIdsOf(dir: String) = spark.read.parquet(dir)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = batchIdsOf(layoutDir)
     assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+
+    // the compacted state table ≡ what a full layout recompute would say:
+    // end offset = max(tok_start + n_tokens), high-water mark = max batch
+    val st = StreamState.read(spark, layoutDir + "_state")
+    val endFromLayout = incremental.values.map(v => v._2 + v._1).max
+    assert(st.endOffset === endFromLayout,
+      "state end offset must equal the layout-recomputed end offset")
+    assert(st.maxBatch === batchIds.max,
+      "state high-water mark must equal the max committed batch id")
 
     // E58 discipline 1: a re-RUN with no new files is a checkpoint no-op
     IncrementalPipeline.packAvailableNow(spark, inDir, docs.schema, layoutDir, ckDir)
@@ -97,6 +109,30 @@ class IncrementalPipelineSpec extends SparkSuite {
     IncrementalPipeline.appendPackedBatch(
       spark, docs.filter(col("doc_id") < 250), batchIds.min, layoutDir)
     assert(layoutMap() === expected, "batch retry must not double-append")
+
+    // O(1) state proof: the per-batch audit read touches ONLY the state
+    // table. With the layout data deleted outright, a retried batch is
+    // still a recorded no-op (nothing recreated, nothing scanned — the
+    // r12 form would have read the missing layout as "empty", zeroed the
+    // offset, and re-appended the batch)...
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(layoutDir))
+    IncrementalPipeline.appendPackedBatch(
+      spark, docs.filter(col("doc_id") < 250), batchIds.min, layoutDir)
+    assert(!new java.io.File(layoutDir).exists(),
+      "retry of a committed batch must not touch the layout dir")
+    // ...and a genuinely new batch lays out from the state's end offset,
+    // not from a layout rescan
+    IncrementalPipeline.appendPackedBatch(
+      spark, docs.filter(col("doc_id") < 10), batchIds.max + 1, layoutDir)
+    val resumedStart = spark.read.parquet(layoutDir)
+      .agg(org.apache.spark.sql.functions.min(col("tok_start")))
+      .collect()(0).getLong(0)
+    assert(resumedStart === endFromLayout,
+      "new batch must continue from the committed end offset")
   }
 
   test("decontam screen: per-shard flags union == batch gate; re-run and retry are no-ops") {
@@ -146,8 +182,12 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(screened === expected)
     assert(screened.exists(_._1 < 0), "planted contamination not flagged")
     val batchIds = spark.read.parquet(flagDir)
-      .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
     assert(batchIds.size >= 2, s"expected >=2 contaminated micro-batches, got $batchIds")
+    // the seen-check keys on the state marker, not on flag rows — the
+    // high-water mark records every screened batch, clean ones included
+    assert(StreamState.read(spark, flagDir + "_state").maxBatch === batchIds.max)
 
     // E58 discipline: checkpointed re-run and batch retry are both no-ops
     IncrementalPipeline.decontamAvailableNow(

@@ -1490,13 +1490,16 @@ object Dedup {
     "concat_ws(' ', transform(split(text, ' '), (t, i) -> " +
       "CASE WHEN i % 24 = 6 THEN 'xnoise' " +
       "WHEN i % 4 = 0 THEN concat(upper(t), ',') ELSE t END))"
-  private val perturbSql =
-    """SELECT -doc_id - 1 AS doc_id,
-      |    array_to_string(list_transform(generate_series(1, len(toks)), i ->
-      |      CASE WHEN (i - 1) % 24 = 6 THEN 'xnoise'
-      |           WHEN (i - 1) % 4 = 0 THEN upper(toks[i]) || ','
-      |           ELSE toks[i] END), ' ') AS text
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ev)""".stripMargin
+  /** Oracle-side [[perturbExpr]] with a caller-chosen id remap (the fuzzy
+    * gate plants at `-doc_id - 1`; the E318 verdict at `-3*doc_id - 2`). */
+  private def perturbSqlWith(idExpr: String, src: String): String =
+    s"""SELECT $idExpr AS doc_id,
+       |    array_to_string(list_transform(generate_series(1, len(toks)), i ->
+       |      CASE WHEN (i - 1) % 24 = 6 THEN 'xnoise'
+       |           WHEN (i - 1) % 4 = 0 THEN upper(toks[i]) || ','
+       |           ELSE toks[i] END), ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)""".stripMargin
+  private val perturbSql = perturbSqlWith("-doc_id - 1", "ev")
 
   /** FUZZY training-set decontamination — the contamination mode
     * [[qDocDecontam]]'s exact 8-gram overlap misses, and the COMMON one
@@ -1571,7 +1574,15 @@ object Dedup {
     trainPrep.count() // eager: the band probe and the Jaccard verify
     // consume it concurrently (the nearDupShingled discipline)
     val evalPrep = decontamPrep(eval)
+    (fuzzyPairsFromPreps(trainPrep, evalPrep), trainPrep)
+  }
 
+  /** The band-probe + exact-Jaccard-verify half of the fuzzy gate over
+    * already-[[decontamPrep]]'d sides — factored so the E318 unified
+    * verdict can feed ONE persisted train prep to the exact arm and the
+    * fuzzy arm without recomputing it. */
+  private[ext] def fuzzyPairsFromPreps(trainPrep: DataFrame,
+      evalPrep: DataFrame): DataFrame = {
     val cand = sigBandsOf(trainPrep, decontamCoefs, decontamBands, decontamRowsPerBand)
       .join(broadcast(
         sigBandsOf(evalPrep, decontamCoefs, decontamBands, decontamRowsPerBand)
@@ -1581,37 +1592,60 @@ object Dedup {
 
     val ePrep = evalPrep.select(col("doc_id").as("eval_doc_id"),
       col("hs").as("hs_e"), col("hs8").as("hs8_e"))
-    val pairs = cand.join(trainPrep, "doc_id").join(broadcast(ePrep), "eval_doc_id")
+    cand.join(trainPrep, "doc_id").join(broadcast(ePrep), "eval_doc_id")
       .select(col("doc_id"), col("eval_doc_id"),
         (size(array_intersect(col("hs"), col("hs_e"))).cast("double") /
           size(array_union(col("hs"), col("hs_e"))).cast("double")).as("jaccard"),
         (size(array_intersect(col("hs8"), col("hs8_e"))) > 0).as("caught_exact"))
       .filter(col("jaccard") >= jaccardThreshold)
-    (pairs, trainPrep)
   }
 
-  val qDocDecontamFuzzySql: String = {
+  /** Oracle-side [[decontamPrep]]: two-stage prep — stage 1 hashes the
+    * RAW 8-grams and rewrites `text` to its normalized form, so stage 2's
+    * 3-shingle expr (which reads `text` literally) shingles the
+    * NORMALIZED text — then signatures and band keys. Emits
+    * `${pfx}prep` (doc_id, hs8, hs) and `${pfx}band`. */
+  private def decontamPrepSqlCtes(pfx: String, src: String): String = {
     val g8 = ngramHashSetSqlExpr(decontamN)
     val g3 = ngramHashSetSqlExpr(3)
-    // two-stage prep: stage 1 hashes the RAW 8-grams and rewrites `text`
-    // to its normalized form, so stage 2's 3-shingle expr (which reads
-    // `text` literally) shingles the NORMALIZED text
-    def prepCtes(pfx: String, src: String): String =
-      s"""${pfx}nrm AS (
-         |  SELECT doc_id, $g8 AS hs8, ${CorpusOps.normTextSql("text")} AS text
-         |  FROM $src
-         |),
-         |${pfx}prep AS (SELECT doc_id, hs8, $g3 AS hs FROM ${pfx}nrm),
-         |${pfx}sig AS (
-         |  SELECT doc_id,
-         |    ${minColsSqlFor(decontamCoefs)}
-         |  FROM ${pfx}prep
-         |),
-         |${pfx}band AS (
-         |  ${bandSelSqlFor(s"${pfx}sig", decontamBands, decontamRowsPerBand)}
-         |)""".stripMargin
+    s"""${pfx}nrm AS (
+       |  SELECT doc_id, $g8 AS hs8, ${CorpusOps.normTextSql("text")} AS text
+       |  FROM $src
+       |),
+       |${pfx}prep AS (SELECT doc_id, hs8, $g3 AS hs FROM ${pfx}nrm),
+       |${pfx}sig AS (
+       |  SELECT doc_id,
+       |    ${minColsSqlFor(decontamCoefs)}
+       |  FROM ${pfx}prep
+       |),
+       |${pfx}band AS (
+       |  ${bandSelSqlFor(s"${pfx}sig", decontamBands, decontamRowsPerBand)}
+       |)""".stripMargin
+  }
+
+  /** Oracle-side [[fuzzyPairsFromPreps]]: candidate + verify CTEs over
+    * `tprep`/`tband` and `eprep`/`eband` from [[decontamPrepSqlCtes]],
+    * emitting `fpairs AS (doc_id, eval_doc_id, jaccard, caught_exact)`. */
+  private def fuzzyPairsSqlCtes: String = {
     val jac = "CAST(len(list_intersect(t.hs, e.hs)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(t.hs, e.hs))) AS DOUBLE)"
+    s"""cand AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+       |  FROM tband t JOIN eband e
+       |    ON t.band_id = e.band_id AND t.band_key = e.band_key
+       |),
+       |fpairs AS (
+       |  SELECT c.doc_id, c.eval_doc_id,
+       |    $jac AS jaccard,
+       |    len(list_intersect(t.hs8, e.hs8)) > 0 AS caught_exact
+       |  FROM cand c
+       |  JOIN tprep t ON t.doc_id = c.doc_id
+       |  JOIN eprep e ON e.doc_id = c.eval_doc_id
+       |  WHERE $jac >= $jaccardThreshold
+       |)""".stripMargin
+  }
+
+  val qDocDecontamFuzzySql: String =
     s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
        |pert AS (
        |  $perturbSql
@@ -1620,22 +1654,166 @@ object Dedup {
        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
        |  UNION ALL SELECT doc_id, text FROM pert
        |),
-       |${prepCtes("t", "train")},
-       |${prepCtes("e", "ev")},
-       |cand AS (
-       |  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
-       |  FROM tband t JOIN eband e
-       |    ON t.band_id = e.band_id AND t.band_key = e.band_key
-       |)
-       |SELECT c.doc_id, c.eval_doc_id,
-       |  $jac AS jaccard,
-       |  len(list_intersect(t.hs8, e.hs8)) > 0 AS caught_exact
-       |FROM cand c
-       |JOIN tprep t ON t.doc_id = c.doc_id
-       |JOIN eprep e ON e.doc_id = c.eval_doc_id
-       |WHERE $jac >= $jaccardThreshold
-       |ORDER BY c.doc_id, c.eval_doc_id""".stripMargin
+       |${decontamPrepSqlCtes("t", "train")},
+       |${decontamPrepSqlCtes("e", "ev")},
+       |$fuzzyPairsSqlCtes
+       |SELECT doc_id, eval_doc_id, jaccard, caught_exact
+       |FROM fpairs
+       |ORDER BY doc_id, eval_doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Unified decontamination verdict: one doc-grain decision, three gates
+  // ------------------------------------------------------------------
+
+  /** UNIFIED PER-DOCUMENT DECONTAMINATION VERDICT — the composition the
+    * three gates individually stop short of: the exact 8-gram gate
+    * ([[qDocDecontam]], E51), the fuzzy normalized-shingle gate
+    * ([[qDocDecontamFuzzy]], E310), and the IVF-routed semantic gate
+    * ([[graft.ext.Similarity.qEmbDecontamIvf]], E317) each emit PAIR
+    * tables; a real curation run consumes ONE doc-grain decision —
+    * drop/keep, and which gate(s) fired. This op emits exactly that (the
+    * E312 funnel shape applied to contamination): per training document,
+    * every gate's boolean, the combined `contaminated` verdict, and the
+    * first-firing gate as `flag_reason` (exact → fuzzy → semantic,
+    * pipeline stage order — cheapest/highest-precision gate attributes
+    * first). The per-gate booleans also quantify gate OVERLAP in one
+    * output: how much fuzzy adds over exact, and semantic over both.
+    *
+    * Fixture: eval = every 50th doc/vector (the shared benchmark split
+    * of all three gates; doc_id ≡ vec_id per the sf alignment
+    * convention). Three planted contamination families in DISJOINT
+    * negative id spaces (−3d−1 / −3d−2 / −3v−3 are distinct mod 3):
+    * VERBATIM wrapped copies (the exact gate's plant — the fuzzy gate
+    * also sees them, J ≈ 0.9+: real overlap, reported as such),
+    * PERTURBED copies ([[perturbExpr]] — every raw 8-gram broken by
+    * construction, so `hit_exact = false` while the fuzzy gate fires),
+    * and RE-EMBEDDED vectors ([[Similarity.reembedExpr]] — zero shared
+    * text surface, only the semantic gate can see them). Text plants
+    * have no embedding row and vector plants no text row — exactly the
+    * real shape (a paraphrased leak lives in text space, a re-embedded
+    * one is only visible to the vector index), so the verdict universe
+    * is the UNION of both train sides.
+    *
+    * Exactness: every boolean is pair-EXISTENCE over the three gates'
+    * already-oracle-proven cores (shared kernels: [[decontamPrep]] +
+    * [[fuzzyPairsFromPreps]] + [[Similarity.semanticContamPairs]] — the
+    * standalone gates and the verdict cannot drift); the funnel CASE is
+    * pure boolean algebra.
+    *
+    * Scale (100 TB): ONE persisted train prep feeds both token gates
+    * (the corpus is shingled once, not twice); the eval side is
+    * benchmark-sized and broadcast in all three gates; the semantic arm
+    * is cell-bounded (E317); the closing assembly is three
+    * contaminated-bounded broadcast left-joins onto the id universe —
+    * the corpus never shuffles for the verdict itself.
+    */
+  def qDocDecontamVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionAll(eval.select((col("doc_id") * -3 - 1).as("doc_id"),
+        concat(lit("held out copy begins "), col("text"),
+          lit(" held out copy ends")).as("text")))
+      .unionAll(eval.select((col("doc_id") * -3 - 2).as("doc_id"),
+        expr(perturbExpr).as("text")))
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val evalE = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val trainE = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .unionAll(evalE.select((col("vec_id") * -3 - 3).as("vec_id"), col("label"),
+        expr(Similarity.reembedExpr).as("e")))
+
+    val par = spark.sparkContext.defaultParallelism
+    val trainPrep = decontamPrep(train.repartition(par, col("doc_id"))).persist()
+    trainPrep.count() // eager: exact arm, band probe, and verify share it
+    val evalPrep = decontamPrep(eval)
+
+    val exactIds = trainPrep.select(col("doc_id"), explode(col("hs8")).as("h"))
+      .join(broadcast(evalPrep.select(explode(col("hs8")).as("h")).distinct()), "h")
+      .select(col("doc_id")).distinct().withColumn("x", lit(true))
+    val fuzzyIds = fuzzyPairsFromPreps(trainPrep, evalPrep)
+      .select(col("doc_id")).distinct().withColumn("f", lit(true))
+    val semIds = Similarity.semanticContamPairs(trainE, evalE)
+      .select(col("vec_id").as("doc_id")).distinct().withColumn("s", lit(true))
+
+    train.select(col("doc_id"))
+      .unionAll(trainE.select(col("vec_id").as("doc_id"))).distinct()
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(fuzzyIds, Seq("doc_id"), "left")
+      .join(semIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("x"), lit(false)).as("hit_exact"),
+        coalesce(col("f"), lit(false)).as("hit_fuzzy"),
+        coalesce(col("s"), lit(false)).as("hit_semantic"))
+      .withColumn("contaminated",
+        col("hit_exact") || col("hit_fuzzy") || col("hit_semantic"))
+      .withColumn("flag_reason",
+        when(col("hit_exact"), "exact").when(col("hit_fuzzy"), "fuzzy")
+          .when(col("hit_semantic"), "semantic").otherwise("clean"))
+      .orderBy(col("doc_id"))
   }
+
+  val qDocDecontamVerdictSql: String =
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |pert AS (
+       |  ${perturbSqlWith("-3 * doc_id - 2", "ev")}
+       |),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT -3 * doc_id - 1 AS doc_id,
+       |    'held out copy begins ' || text || ' held out copy ends' AS text
+       |  FROM ev
+       |  UNION ALL SELECT doc_id, text FROM pert
+       |),
+       |${decontamPrepSqlCtes("t", "train")},
+       |${decontamPrepSqlCtes("e", "ev")},
+       |exact_ids AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(hs8) AS h FROM tprep) t
+       |  JOIN (SELECT DISTINCT unnest(hs8) AS h FROM eprep) e USING (h)
+       |),
+       |$fuzzyPairsSqlCtes,
+       |fuzzy_ids AS (SELECT DISTINCT doc_id FROM fpairs),
+       |evv AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |),
+       |trv AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT -3 * vec_id - 3 AS vec_id, label,
+       |    ${Similarity.reembedSql("v")} AS v
+       |  FROM evv
+       |),
+       |pos AS (SELECT unnest(generate_series(1, ${Similarity.embDim})) AS i),
+       |${Similarity.semanticContamSqlCtes("trv", "evv", "s")},
+       |sem_ids AS (SELECT DISTINCT vec_id AS doc_id FROM spairs),
+       |universe AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id FROM train UNION ALL SELECT vec_id AS doc_id FROM trv
+       |  )
+       |)
+       |SELECT u.doc_id,
+       |  x.doc_id IS NOT NULL AS hit_exact,
+       |  f.doc_id IS NOT NULL AS hit_fuzzy,
+       |  s.doc_id IS NOT NULL AS hit_semantic,
+       |  x.doc_id IS NOT NULL OR f.doc_id IS NOT NULL OR s.doc_id IS NOT NULL
+       |    AS contaminated,
+       |  CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN f.doc_id IS NOT NULL THEN 'fuzzy'
+       |       WHEN s.doc_id IS NOT NULL THEN 'semantic'
+       |       ELSE 'clean' END AS flag_reason
+       |FROM universe u
+       |LEFT JOIN exact_ids x ON u.doc_id = x.doc_id
+       |LEFT JOIN fuzzy_ids f ON u.doc_id = f.doc_id
+       |LEFT JOIN sem_ids s ON u.doc_id = s.doc_id
+       |ORDER BY u.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // End-to-end curation funnel: exact dedup → near dedup → quality gate

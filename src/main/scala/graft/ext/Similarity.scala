@@ -1319,13 +1319,34 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
     val planted = evalE.select((-col("vec_id") - 1).as("vec_id"), col("label"),
-      expr("transform(e, (x, i) -> x + CASE WHEN i % 2 = 0 " +
-        "THEN CAST(0.02 AS DOUBLE) ELSE CAST(-0.02 AS DOUBLE) END)").as("e"))
+      expr(reembedExpr).as("e"))
     val train = raw.filter(col("vec_id") % semanticEvalMod =!= 0)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .unionAll(planted)
+    semanticContamPairs(train, evalE)
+      .orderBy(col("vec_id"), col("eval_vec_id"))
+  }
 
+  /** The re-embedded-paraphrase plant of the semantic gates: ±0.02/dim
+    * deterministic jitter in DOUBLE over an `e` column (cos ≈ 0.987 vs
+    * [[semanticTau]] on unit-ish vectors). One definition, two fixtures
+    * ([[qEmbDecontamIvf]] and the E318 unified verdict). */
+  private[ext] val reembedExpr: String =
+    "transform(e, (x, i) -> x + CASE WHEN i % 2 = 0 " +
+      "THEN CAST(0.02 AS DOUBLE) ELSE CAST(-0.02 AS DOUBLE) END)"
+  private[ext] def reembedSql(v: String): String =
+    s"list_transform(generate_series(1, len($v)), i -> " +
+      s"$v[i] + CASE WHEN (i - 1) % 2 = 0 THEN CAST(0.02 AS DOUBLE) " +
+      s"ELSE CAST(-0.02 AS DOUBLE) END)"
+
+  /** Core of [[qEmbDecontamIvf]] over caller-supplied (vec_id, label, e)
+    * train/eval frames — also the semantic arm of the E318 unified
+    * decontamination verdict, so the standalone gate and the composed
+    * verdict cannot drift. Unordered; persisted quantizer released by
+    * the registry clearCache contract. */
+  private[graft] def semanticContamPairs(train: DataFrame,
+      evalE: DataFrame): DataFrame = {
     // the corpus index's quantizer, trained on the train side (persist:
     // both assignment folds consume it — the qEmbAnnIvf precedent)
     val qArr = centroidArrayOfE(train, None).persist()
@@ -1339,8 +1360,38 @@ object Similarity {
       .select(col("vec_id"), col("eval_vec_id"), col("cell"),
         (dot(col("qe"), col("e")) / (col("q_norm") * col("norm"))).as("cosine"))
       .filter(col("cosine") >= semanticTau)
-      .orderBy(col("vec_id"), col("eval_vec_id"))
   }
+
+  /** Oracle-side mirror of [[semanticContamPairs]]: the CTE chain from a
+    * (vec_id, label, v) train CTE `$trSrc` and eval CTE `$evSrc` to
+    * `${pfx}pairs AS (vec_id, eval_vec_id, cell, cosine)`. Expects a
+    * `pos` CTE (`1..embDim`) in scope, per [[centroidsLongSqlOver]]. */
+  private[ext] def semanticContamSqlCtes(trSrc: String, evSrc: String,
+      pfx: String): String =
+    s"""${centroidsLongSqlOver(trSrc, pfx)},
+       |${pfx}cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM ${pfx}cl GROUP BY label),
+       |${pfx}ta AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM $trSrc, ${pfx}cent
+       |),
+       |${pfx}ea AS (
+       |  SELECT vec_id AS eval_vec_id, v AS qe,
+       |    sqrt(list_dot_product(v, v)) AS q_norm, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
+       |      c_label) AS rn
+       |  FROM $evSrc, ${pfx}cent
+       |),
+       |${pfx}pairs AS (
+       |  SELECT t.vec_id, e.eval_vec_id, t.cell,
+       |    list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) AS cosine
+       |  FROM (SELECT * FROM ${pfx}ta WHERE rn = 1) t
+       |  JOIN (SELECT * FROM ${pfx}ea WHERE rn <= 2) e ON t.cell = e.cell
+       |  WHERE list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) >= $semanticTau
+       |)""".stripMargin
 
   val qEmbDecontamIvfSql: String =
     s"""WITH ev AS (
@@ -1351,36 +1402,14 @@ object Similarity {
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE vec_id % $semanticEvalMod != 0
        |  UNION ALL
-       |  SELECT -vec_id - 1 AS vec_id, label,
-       |    list_transform(generate_series(1, len(v)), i ->
-       |      v[i] + CASE WHEN (i - 1) % 2 = 0 THEN CAST(0.02 AS DOUBLE)
-       |                  ELSE CAST(-0.02 AS DOUBLE) END) AS v
+       |  SELECT -vec_id - 1 AS vec_id, label, ${reembedSql("v")} AS v
        |  FROM ev
        |),
        |pos AS (SELECT unnest(generate_series(1, $embDim)) AS i),
-       |${centroidsLongSqlOver("tr", "t")},
-       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM tcl GROUP BY label),
-       |ta AS (
-       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, c_label AS cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY
-       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
-       |      c_label) AS rn
-       |  FROM tr, cent
-       |),
-       |ea AS (
-       |  SELECT vec_id AS eval_vec_id, v AS qe,
-       |    sqrt(list_dot_product(v, v)) AS q_norm, c_label AS cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY
-       |      list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv),
-       |      c_label) AS rn
-       |  FROM ev, cent
-       |)
-       |SELECT t.vec_id, e.eval_vec_id, t.cell,
-       |  list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) AS cosine
-       |FROM (SELECT * FROM ta WHERE rn = 1) t
-       |JOIN (SELECT * FROM ea WHERE rn <= 2) e ON t.cell = e.cell
-       |WHERE list_dot_product(e.qe, t.v) / (e.q_norm * t.norm) >= $semanticTau
-       |ORDER BY t.vec_id, e.eval_vec_id""".stripMargin
+       |${semanticContamSqlCtes("tr", "ev", "s")}
+       |SELECT vec_id, eval_vec_id, cell, cosine
+       |FROM spairs
+       |ORDER BY vec_id, eval_vec_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Triplet mining: per-anchor hardest in-cell positive and negative

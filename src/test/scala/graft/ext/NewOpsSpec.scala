@@ -5557,6 +5557,67 @@ class NewOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("decontam verdict: each planted family caught and attributed to exactly its gate") {
+    val rows = Dedup.qDocDecontamVerdict(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    val evalIds = (0L until nDocs by 50L).toSeq
+
+    // structural invariants: contaminated == OR of the gates; the funnel
+    // attributes the FIRST firing gate in exact → fuzzy → semantic order
+    rows.foreach { r =>
+      val (x, f, s) = (r.getAs[Boolean]("hit_exact"),
+        r.getAs[Boolean]("hit_fuzzy"), r.getAs[Boolean]("hit_semantic"))
+      assert(r.getAs[Boolean]("contaminated") === (x || f || s))
+      val want = if (x) "exact" else if (f) "fuzzy" else if (s) "semantic" else "clean"
+      assert(r.getAs[String]("flag_reason") === want)
+    }
+
+    // verbatim wrapped copies (−3d−1): the exact gate fires on every one
+    // and attribution funnels to it; the fuzzy gate ALSO sees them (the
+    // gate-overlap quantification the composed output exists for)
+    evalIds.foreach { d =>
+      val v = byId(-3 * d - 1)
+      assert(v.getAs[Boolean]("hit_exact"), s"verbatim plant of $d missed by exact")
+      assert(v.getAs[String]("flag_reason") === "exact")
+      assert(!v.getAs[Boolean]("hit_semantic"), "text plant has no embedding row")
+    }
+    assert(evalIds.count(d => byId(-3 * d - 1).getAs[Boolean]("hit_fuzzy")) * 10 >=
+      evalIds.size * 9, "fuzzy gate should overlap the verbatim plants")
+
+    // perturbed copies (−3d−2): invisible to the exact gate by
+    // construction; fuzzy recall ≥ 90% (banding miss ~0.6% at J≈0.78)
+    // and every catch attributed to fuzzy
+    val pert = evalIds.map(d => byId(-3 * d - 2))
+    pert.foreach { r =>
+      assert(!r.getAs[Boolean]("hit_exact"), "perturbed plant shares a raw 8-gram")
+      assert(!r.getAs[Boolean]("hit_semantic"))
+    }
+    val pertCaught = pert.filter(_.getAs[Boolean]("hit_fuzzy"))
+    assert(pertCaught.size * 10 >= pert.size * 9,
+      s"fuzzy recall ${pertCaught.size}/${pert.size} below 90%")
+    pertCaught.foreach(r => assert(r.getAs[String]("flag_reason") === "fuzzy"))
+
+    // re-embedded vectors (−3v−3): zero text surface — only the semantic
+    // gate can fire; ≥ 90% recall (nprobe-2 cell clipping), attributed
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val sem = (0L until nVecs by 50L).map(v => byId(-3 * v - 3))
+    sem.foreach { r =>
+      assert(!r.getAs[Boolean]("hit_exact") && !r.getAs[Boolean]("hit_fuzzy"),
+        "vector plant has no text row")
+    }
+    val semCaught = sem.filter(_.getAs[Boolean]("hit_semantic"))
+    assert(semCaught.size * 10 >= sem.size * 9,
+      s"semantic recall ${semCaught.size}/${sem.size} below 90%")
+    semCaught.foreach(r => assert(r.getAs[String]("flag_reason") === "semantic"))
+
+    // the clean majority stays clean: real (non-planted) train docs
+    val real = rows.filter(_.getAs[Long]("doc_id") >= 0)
+    assert(real.count(_.getAs[String]("flag_reason") == "clean") * 10 >
+      real.length * 9, "organic corpus should be overwhelmingly clean")
+    spark.catalog.clearCache()
+  }
+
   test("triplet mining: per-anchor in-cell min/max cosine replays exactly") {
     val embs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding")).collect()

@@ -1703,6 +1703,278 @@ object CorpusOps {
        |ORDER BY u.source""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Frozen-model quality gate: the E312 funnel scored under E315 stats
+  // ------------------------------------------------------------------
+
+  /** The frozen reference model of [[qDocQualityGateFrozen]]: unigram
+    * counts, corpus totals, and the bigram table, trained on a base
+    * corpus once and then applied to arrivals without touching the base
+    * again. All three frames are vocabulary-bounded (Zipf-concentrated)
+    * — broadcast-sized at any corpus scale; at production scale they
+    * are read from the model store instead of recomputed. */
+  private[graft] final case class FrozenQualityModel(
+      uni: DataFrame, totals: DataFrame, bi: DataFrame) {
+    def persistAll(): FrozenQualityModel = {
+      Seq(uni, totals, bi).foreach { d => d.persist(); d.count() }
+      this
+    }
+    def unpersistAll(): Unit = Seq(uni, totals, bi).foreach(_.unpersist())
+  }
+
+  /** Train the frozen model on `base` (doc_id, text): one tokenized scan
+    * for unigram counts + totals, one bigram pass. */
+  private[graft] def frozenQualityModel(base: DataFrame): FrozenQualityModel = {
+    val toks = base.withColumn("toks", split(col("text"), " "))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1)," +
+        " i -> concat_ws(' ', slice(toks, i, 2)))")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    FrozenQualityModel(uni, totals, bi)
+  }
+
+  /** [[qualityGateFrozen]] plus the persisted per-batch docs handle, so a
+    * long-lived caller (the streaming ingest gate — one invocation per
+    * micro-batch, no clearCache between) can release the cache after
+    * consuming the verdicts (the `fuzzyContamPairsWith` discipline). */
+  private[graft] def qualityGateFrozenWith(spark: SparkSession, arrivals: DataFrame,
+      model: FrozenQualityModel): (DataFrame, DataFrame) = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = arrivals.repartition(par, col("doc_id")).persist()
+    docs.count() // eager: four signal branches consume it concurrently
+
+    // 1. repetition — model-free, the qDocRepetition kernel unchanged
+    val rep = TextOps.repetitionFrom(docs)
+      .select(col("doc_id"), col("n_shingles"), col("rep_ratio"))
+
+    // 2. bigram fluency under the FROZEN table: per position p =
+    // c2(bg)/c1(w1) from the base model, 0.0 for anything the base never
+    // saw (an OOV leading token or an unseen adjacency is non-fluency
+    // under the reference LM — that is the point of freezing); the same
+    // ordered position fold as the self-trained kernel
+    val bgExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> struct(i AS pos, toks[i-1] AS w1, concat_ws(' ', slice(toks, i, 2)) AS bg))"
+    val bgl = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"),
+        col("b.bg").as("bg"))
+    val bg = bgl
+      .join(broadcast(model.bi), Seq("bg"), "left")
+      .join(broadcast(model.uni.select(col("w").as("w1"), col("tf").as("c1"))),
+        Seq("w1"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("c2").isNotNull && col("c1").isNotNull,
+          col("c2").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(0.0)).as("p"))
+      .groupBy(col("doc_id"))
+      .agg((aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p"))
+        / count(lit(1))).as("avg_bigram_p"))
+
+    // 3. unigram cross-entropy under the frozen LM (micro-nats/token):
+    // OOV tokens score the +1-smoothed floor 1/(t+v) — the E315 form
+    val xent = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_dw"))
+      .join(broadcast(model.uni), Seq("w"), "left")
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(model.totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf_dw")).as("nt"),
+        sum(col("tf_dw") *
+          (TextOps.quantLog(col("tf0") + 1) - TextOps.quantLog(col("t") + col("v"))))
+          .as("sum_qlp"))
+      .select(col("doc_id"), expr("(-sum_qlp) div nt").as("xent_micronat"))
+
+    // 4. lexical quality + token floor — model-free
+    val qual = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      TextOps.qualityScoreCol.as("quality_score"))
+
+    val failRep = col("n_shingles") >= gateMinShingles &&
+      col("rep_ratio") > gateMaxRepRatio
+    val failBg = col("n_tokens") >= 2 &&
+      coalesce(col("avg_bigram_p"), lit(0.0)) < gateMinBigramP
+    val failXe = col("xent_micronat") > gateMaxXentMicroNat
+    val failQu = col("n_tokens") < gateMinTokens || col("quality_score") < gateMinQuality
+    val out = qual.join(rep, "doc_id").join(bg, Seq("doc_id"), "left")
+      .join(xent, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("rep_ratio"),
+        coalesce(col("avg_bigram_p"), lit(0.0)).as("avg_bigram_p"),
+        col("xent_micronat"), col("quality_score"),
+        failRep.as("fail_repetition"), failBg.as("fail_bigram"),
+        failXe.as("fail_xent"), failQu.as("fail_quality"),
+        when(failRep, "repetition").when(failBg, "bigram_lm")
+          .when(failXe, "perplexity").when(failQu, "low_quality")
+          .otherwise("kept").as("drop_reason"))
+    (out, docs)
+  }
+
+  /** FROZEN-MODEL QUALITY GATE — the [[qDocQualityGate]] funnel scored
+    * under the E315 frozen-stats discipline instead of self-training on
+    * the corpus being scored: the reference model (unigram LM, totals,
+    * bigram table) is trained on a content-keyed BASE split and frozen,
+    * and only the arrivals are scored — the form an INGEST-time gate
+    * must take, because a per-shard self-trained gate would re-score the
+    * corpus per arrival (O(corpus) per micro-batch) and its thresholds
+    * would drift with every batch's own statistics. This is the batch
+    * anchor of the streaming ingest gate
+    * ([[graft.streaming.IncrementalPipeline.qualityAvailableNow]]),
+    * which screens per micro-batch with the SAME kernel and the SAME
+    * frozen model — spec-proven shard-decomposable (scoring is per-doc
+    * under a fixed model, so per-batch verdicts union to this op's).
+    *
+    * Attribution under a frozen model differs from the self-trained gate
+    * exactly where it should: a 100%-OOV document now fails the BIGRAM
+    * arm first (p = 0 under the reference LM — under self-training its
+    * unique self-bigrams scored a perfect 1.0) while its `fail_xent`
+    * boolean still records the perplexity arm's independent verdict —
+    * the per-arm booleans, not just the funnel, are the output.
+    *
+    * Fixture: base/arrival split by content hash (the E315 rule — the
+    * synthetic `source` is id-derived, an id split would alias);
+    * arrivals carry the three E312 defect plants (negative id space,
+    * derived from every doc so every SF has plants): looping spam
+    * (repetition), per-doc-unique vocabulary (bigram-first under the
+    * frozen model, fail_xent also true), 10-token truncations (token
+    * floor).
+    *
+    * Scale (100 TB): the frozen tables are vocabulary-bounded and
+    * broadcast at every probe; arrivals shuffle only on their own
+    * doc-keyed partial aggregates; the base corpus is touched once to
+    * train the model (in production: read from the model store, the
+    * plan keeps it as separate broadcast inputs to mirror that).
+    */
+  def qDocQualityGateFrozen(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val h = TextOps.portableHash(concat(col("text"), lit("|qgate"))) % 10
+    val base = docs.filter(h =!= 0)
+    def inj(m: Int, textCol: Column): DataFrame =
+      docs.filter(col("doc_id") % 40 === m)
+        .select((-col("doc_id") - 1).as("doc_id"), textCol.as("text"))
+    val arrivals = docs.filter(h === 0)
+      .unionAll(inj(1, concat(expr("repeat('spam ', 60)"), lit("tail"),
+        col("doc_id").cast("string"))))
+      .unionAll(inj(3, expr("concat_ws(' ', transform(split(text, ' '), " +
+        "t -> concat(t, 'z', CAST(doc_id AS STRING))))")))
+      .unionAll(inj(4, expr("concat_ws(' ', slice(split(text, ' '), 1, 10))")))
+    val model = frozenQualityModel(base).persistAll()
+    qualityGateFrozenWith(spark, arrivals, model)._1.orderBy(col("doc_id"))
+  }
+
+  val qDocQualityGateFrozenSql: String = {
+    val failRep = s"(n_shingles >= $gateMinShingles AND rep_ratio > $gateMaxRepRatio)"
+    val failBg = s"(n_tokens >= 2 AND COALESCE(avg_bigram_p, 0.0) < $gateMinBigramP)"
+    val failXe = s"xent_micronat > $gateMaxXentMicroNat"
+    val failQu = s"(n_tokens < $gateMinTokens OR quality_score < $gateMinQuality)"
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    ${TextOps.portableHashSql("text || '|qgate'")} % 10 AS hsplit
+       |  FROM documents
+       |),
+       |base AS (SELECT doc_id, text FROM docs WHERE hsplit != 0),
+       |arrivals AS (
+       |  SELECT doc_id, text FROM docs WHERE hsplit = 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM docs WHERE doc_id % 40 = 1
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
+       |  FROM docs WHERE doc_id % 40 = 3
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
+       |  FROM docs WHERE doc_id % 40 = 4
+       |),
+       |uni AS (
+       |  SELECT w, count(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM base) GROUP BY w
+       |),
+       |totals AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(*) AS v FROM uni),
+       |bmodel AS (
+       |  SELECT bg, count(*) AS c2
+       |  FROM (
+       |    SELECT t[pos] || ' ' || t[pos + 1] AS bg
+       |    FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |          FROM (SELECT string_split(text, ' ') AS t FROM base))
+       |  ) GROUP BY bg
+       |),
+       |dt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM arrivals),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(${Dedup.shinglesSqlExpr}, s -> ${h31Sql("s")})) AS h
+       |  FROM dt
+       |),
+       |shc AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY doc_id, h),
+       |rep AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       |    CAST(max(c) AS DOUBLE) /
+       |    CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS rep_ratio
+       |  FROM shc GROUP BY doc_id
+       |),
+       |bgl AS (
+       |  SELECT doc_id, pos, t[pos] AS w1, t[pos] || ' ' || t[pos + 1] AS bg
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS pos
+       |        FROM dt)
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(CASE WHEN c2 IS NOT NULL AND tf IS NOT NULL
+       |               THEN CAST(c2 AS DOUBLE) / CAST(tf AS DOUBLE)
+       |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos)),
+       |      (acc, p) -> acc + p) / count(*) AS avg_bigram_p
+       |  FROM bgl
+       |  LEFT JOIN bmodel USING (bg)
+       |  LEFT JOIN (SELECT w AS w1, tf FROM uni) u USING (w1)
+       |  GROUP BY doc_id
+       |),
+       |by_doc AS (
+       |  SELECT doc_id, w, count(*) AS tf_dw
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dt) GROUP BY doc_id, w
+       |),
+       |xent AS (
+       |  SELECT doc_id,
+       |    (-CAST(sum(tf_dw * (${TextOps.quantLogSql("COALESCE(tf, 0) + 1")} -
+       |      ${TextOps.quantLogSql("t + v")})) AS BIGINT)) //
+       |      CAST(sum(tf_dw) AS BIGINT) AS xent_micronat
+       |  FROM by_doc LEFT JOIN uni USING (w) CROSS JOIN totals GROUP BY doc_id
+       |),
+       |qual AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${TextOps.qualityScoreSql} AS quality_score
+       |  FROM arrivals
+       |),
+       |gated AS (
+       |  SELECT q.doc_id, n_tokens, n_shingles, rep_ratio,
+       |    COALESCE(avg_bigram_p, 0.0) AS avg_bigram_p, xent_micronat, quality_score
+       |  FROM qual q
+       |  JOIN rep USING (doc_id)
+       |  LEFT JOIN bg USING (doc_id)
+       |  JOIN xent USING (doc_id)
+       |)
+       |SELECT doc_id, n_tokens, rep_ratio, avg_bigram_p, xent_micronat, quality_score,
+       |  $failRep AS fail_repetition,
+       |  $failBg AS fail_bigram,
+       |  $failXe AS fail_xent,
+       |  $failQu AS fail_quality,
+       |  CASE WHEN $failRep THEN 'repetition'
+       |       WHEN $failBg THEN 'bigram_lm'
+       |       WHEN $failXe THEN 'perplexity'
+       |       WHEN $failQu THEN 'low_quality'
+       |       ELSE 'kept' END AS drop_reason
+       |FROM gated
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qDocSourceGiniSql: String =
     """WITH by_source AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes

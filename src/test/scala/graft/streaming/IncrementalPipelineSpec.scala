@@ -199,6 +199,100 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("quality gate at ingest: per-shard verdicts union == frozen batch gate; re-run and retry are no-ops") {
+    import org.apache.spark.sql.functions.{concat, expr, lit}
+    import graft.ext.CorpusOps
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_qg_in").toString
+    val ckDir = Files.createTempDirectory("graft_qg_ck").toString
+    val verdictDir = Files.createTempDirectory("graft_qg_out").toString + "/verdicts"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // frozen reference model trains on the base; arrivals = held-out docs
+    // plus the three E312 defect plants (negative id space)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    def inj(m: Int, textCol: org.apache.spark.sql.Column) =
+      docs.filter(col("doc_id") % 40 === m)
+        .select((-col("doc_id") - 1).as("doc_id"), textCol.as("text"))
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+      .unionAll(inj(1, concat(expr("repeat('spam ', 60)"), lit("tail"),
+        col("doc_id").cast("string"))))
+      .unionAll(inj(3, expr("concat_ws(' ', transform(split(text, ' '), " +
+        "t -> concat(t, 'z', CAST(doc_id AS STRING))))")))
+      .unionAll(inj(4, expr("concat_ws(' ', slice(split(text, ' '), 1, 10))")))
+    // two shards split on the plant's SOURCE id so both carry defects
+    val shardA = arrivals.filter(col("doc_id").between(-251, 249))
+    val shardB = arrivals.filter(col("doc_id") < -251 || col("doc_id") >= 250)
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "docs_qg_a.parquet")
+    IncrementalPipeline.qualityAvailableNow(
+      spark, inDir, docs.schema, base, verdictDir, ckDir)
+    drop(shardB, "docs_qg_b.parquet")
+    IncrementalPipeline.qualityAvailableNow(
+      spark, inDir, docs.schema, base, verdictDir, ckDir)
+
+    def verdicts() = spark.read.parquet(verdictDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("rep_ratio"), r.getAs[Double]("avg_bigram_p"),
+        r.getAs[Long]("xent_micronat"), r.getAs[Double]("quality_score"),
+        r.getAs[String]("drop_reason"))).toSet
+    val screened = verdicts()
+    // per-doc scoring under a FIXED model is exactly shard-decomposable:
+    // union of per-batch verdicts == the batch gate over the union corpus
+    val model = CorpusOps.frozenQualityModel(base).persistAll()
+    val (batchGate, cached) = CorpusOps.qualityGateFrozenWith(
+      spark, shardA.unionAll(shardB), model)
+    val expected = batchGate.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("rep_ratio"), r.getAs[Double]("avg_bigram_p"),
+        r.getAs[Long]("xent_micronat"), r.getAs[Double]("quality_score"),
+        r.getAs[String]("drop_reason"))).toSet
+    cached.unpersist()
+    assert(screened === expected)
+    // each plant family attributes to its arm: spam → repetition;
+    // unique-vocab → bigram_lm FIRST under the frozen model (p = 0 for
+    // every OOV adjacency) with fail_xent true besides; truncation →
+    // token floor
+    val byReason = spark.read.parquet(verdictDir)
+      .filter(col("doc_id") < 0).collect()
+      .groupBy(r => -(r.getAs[Long]("doc_id")) - 1 match {
+        case d if d % 40 == 1 => "spam"
+        case d if d % 40 == 3 => "unique"
+        case _ => "trunc"
+      })
+    byReason("spam").foreach(r =>
+      assert(r.getAs[String]("drop_reason") === "repetition"))
+    byReason("unique").foreach { r =>
+      assert(r.getAs[String]("drop_reason") === "bigram_lm")
+      assert(r.getAs[Boolean]("fail_xent"),
+        "100%-OOV plant must also trip the frozen perplexity arm")
+    }
+    byReason("trunc").foreach(r =>
+      assert(r.getAs[String]("drop_reason") === "low_quality"))
+    val batchIds = spark.read.parquet(verdictDir)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+
+    // E58 discipline: checkpointed re-run and batch retry are both no-ops
+    IncrementalPipeline.qualityAvailableNow(
+      spark, inDir, docs.schema, base, verdictDir, ckDir)
+    assert(verdicts() === expected, "re-run must not change the verdicts")
+    val model2 = CorpusOps.frozenQualityModel(base).persistAll()
+    IncrementalPipeline.appendQualityVerdicts(
+      spark, shardA, model2, batchIds.min, verdictDir)
+    model2.unpersistAll()
+    assert(verdicts() === expected, "batch retry must not double-append")
+    spark.catalog.clearCache()
+  }
+
   test("streaming publish: foreachBatch appends each micro-batch to the JDBC warehouse") {
     // the stream-to-warehouse production pattern (reference: Job-2 publish,
     // pg:77-89, but fed continuously): each micro-batch of the incremental

@@ -2031,6 +2031,112 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental near-dup screen kernels: the minhash twin of the exact
+  // incremental dedup above, shared by the streaming ingest screen
+  // ------------------------------------------------------------------
+
+  /** Per-document row of the persistent near-dup SIGNATURE INDEX: the
+    * content hash (exact arm) + the distinct 3-shingle hash set (the
+    * Jaccard-verify arm). Band keys derive via [[nearDupBands]]. This is
+    * what the index stores per ingested document, so the screen never
+    * re-reads historical text. */
+  private[graft] def nearDupPrep(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), TextOps.portableHash(col("text")).as("h"),
+        expr(hashSetExpr).as("hs"))
+
+  /** The standard 4×4 dedup band table over a [[nearDupPrep]] frame —
+    * package-visible so the streaming screen can append a batch's band
+    * keys to the stored index. */
+  private[graft] def nearDupBands(prep: DataFrame): DataFrame =
+    sigBandsOf(prep, minhashCoefs, nBands, rowsPerBand)
+
+  /** One micro-batch of the incremental NEAR-dup screen — the
+    * [[qDocIncrDedup]] classification extended from exact content hashes
+    * to minhash-banded near-duplicates, against a STORED signature index
+    * (`indexSets` = accumulated [[nearDupPrep]] rows, `indexBands` =
+    * accumulated [[nearDupBands]] rows). Statuses, first-wins:
+    *
+    *   - `dup_of_corpus`: exact hash already indexed, OR a banded
+    *     candidate verified at Jaccard ≥ [[jaccardThreshold]] against an
+    *     indexed document's stored shingle set;
+    *   - `dup_in_batch`: same two arms against a SMALLER-id document of
+    *     this batch (the deterministic higher-id-drops rule of
+    *     [[qDocCurate]] — a doc paired only with already-dropped docs
+    *     still drops, which is what makes per-batch verdicts compose);
+    *   - `new`: enters the corpus.
+    *
+    * `dup_of` reports the id of the verdict's witness (min indexed
+    * partner, else min smaller-id batch partner). Returns the verdicts
+    * plus the batch's persisted prep handle: the CALLER appends prep +
+    * its band keys to the index (all batch docs, kept or not — the
+    * curate rule needs every arrived doc visible as a future partner)
+    * and then releases the handle.
+    *
+    * Scale (100 TB): the index sides are corpus-scale but NEVER
+    * recomputed — they stream from storage (pre-bucketed on hash /
+    * band key in production, the [[qDocIncrDedup]] note) while the
+    * batch side is broadcast into every probe; verify joins are
+    * candidate-bounded; the within-batch arms are batch-sized
+    * (band-bucketed candidates, not a batch cross-product). O(batch)
+    * per arrival.
+    */
+  private[graft] def nearDupScreenWith(spark: SparkSession, batch: DataFrame,
+      indexSets: DataFrame, indexBands: DataFrame): (DataFrame, DataFrame) = {
+    val par = spark.sparkContext.defaultParallelism
+    val prep = nearDupPrep(batch.repartition(par, col("doc_id"))).persist()
+    prep.count() // eager: five consumers (both arms, both self sides, out)
+    val bBands = nearDupBands(prep)
+      .select(col("doc_id").as("b_doc"), col("band_id"), col("band_key"))
+
+    // exact arm vs the index: hash equi-join, batch side broadcast so the
+    // stored index never shuffles
+    val exactIdx = indexSets.select(col("h"), col("doc_id").as("partner"))
+      .join(broadcast(prep.select(col("doc_id").as("b_doc"), col("h"))), "h")
+      .select(col("b_doc"), col("partner"))
+    // near arm vs the index: banded candidates (batch side broadcast),
+    // then exact-Jaccard verify against the partner's STORED shingle set
+    val candIdx = indexBands.join(broadcast(bBands), Seq("band_id", "band_key"))
+      .select(col("b_doc"), col("doc_id").as("partner")).distinct()
+    val nearIdx = indexSets.select(col("doc_id").as("partner"), col("hs").as("hs_p"))
+      .join(broadcast(candIdx), "partner")
+      .join(broadcast(prep.select(col("doc_id").as("b_doc"), col("hs"))), "b_doc")
+      .filter(size(array_intersect(col("hs"), col("hs_p"))).cast("double") /
+        size(array_union(col("hs"), col("hs_p"))).cast("double") >= jaccardThreshold)
+      .select(col("b_doc"), col("partner"))
+
+    // within-batch arms: exact hash equality or verified banded near
+    // pair, smaller id keeps (higher id of EVERY pair drops)
+    val selfExact = prep.select(col("doc_id").as("a"), col("h"))
+      .join(prep.select(col("doc_id").as("b"), col("h")), "h")
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+    val selfNear = bBands.select(col("b_doc").as("a"), col("band_id"), col("band_key"))
+      .join(bBands.select(col("b_doc").as("b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+      .join(prep.select(col("doc_id").as("a"), col("hs").as("hs_a")), "a")
+      .join(prep.select(col("doc_id").as("b"), col("hs").as("hs_b")), "b")
+      .filter(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+        size(array_union(col("hs_a"), col("hs_b"))).cast("double") >= jaccardThreshold)
+      .select(col("a"), col("b"))
+
+    val corpusPartners = exactIdx.unionAll(nearIdx)
+      .groupBy(col("b_doc")).agg(min(col("partner")).as("c_partner"))
+    val batchPartners = selfExact.unionAll(selfNear)
+      .groupBy(col("b")).agg(min(col("a")).as("b_partner"))
+      .withColumnRenamed("b", "b_doc")
+    val out = prep.select(col("doc_id").as("b_doc"), col("h").as("content_hash"))
+      .join(corpusPartners, Seq("b_doc"), "left")
+      .join(batchPartners, Seq("b_doc"), "left")
+      .select(col("b_doc").as("doc_id"), col("content_hash"),
+        when(col("c_partner").isNotNull, lit("dup_of_corpus"))
+          .when(col("b_partner").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("c_partner"), col("b_partner")).as("dup_of"))
+    (out, prep)
+  }
+
+  // ------------------------------------------------------------------
   // Prefix-filtering set-similarity join (AllPairs/PPJoin family)
   // ------------------------------------------------------------------
 

@@ -293,6 +293,142 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("near-dup ingest screen: per-shard verdicts == sequential replay; drop-set == one-shot rule; retry no-op") {
+    import org.apache.spark.sql.functions.{concat, lit, size, split}
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_nd_in").toString
+    val ckDir = Files.createTempDirectory("graft_nd_ck").toString
+    val indexDir = Files.createTempDirectory("graft_nd_idx").toString + "/index"
+    val verdictDir = Files.createTempDirectory("graft_nd_out").toString + "/verdicts"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    // per-shard arrivals: fresh docs + re-crawled corpus copies (exact,
+    // +2^40) + suffix-perturbed corpus near-copies (+2^42; sources >= 40
+    // tokens so the 4x4 banding recall is ~1) + intra-shard exact copies
+    // (+2^41) and near-copies (+2^43) of the shard's own fresh docs
+    def shard(lo: Long, hi: Long): org.apache.spark.sql.DataFrame = {
+      val in = (c: org.apache.spark.sql.Column) => c >= lo && c < hi
+      val fresh = docs.filter(col("doc_id") % 10 === 3 && in(col("doc_id")))
+      fresh
+        .unionAll(corpus.filter(col("doc_id") % 20 === 0 && in(col("doc_id")))
+          .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+        .unionAll(corpus.filter(col("doc_id") % 30 === 0 && in(col("doc_id")) &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + (1L << 42)).as("doc_id"),
+            concat(col("text"), lit(" nearqx tailqx")).as("text")))
+        .unionAll(fresh.filter(col("doc_id") % 30 === 3)
+          .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text")))
+        .unionAll(fresh.filter(col("doc_id") % 30 === 13 &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + (1L << 43)).as("doc_id"),
+            concat(col("text"), lit(" nearqx tailqx")).as("text")))
+    }
+    val shardA = shard(0L, 250L)
+    val shardB = shard(250L, 1L << 30)
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "docs_nd_a.parquet")
+    IncrementalPipeline.nearDupAvailableNow(
+      spark, inDir, docs.schema, corpus, indexDir, verdictDir, ckDir)
+    drop(shardB, "docs_nd_b.parquet")
+    IncrementalPipeline.nearDupAvailableNow(
+      spark, inDir, docs.schema, corpus, indexDir, verdictDir, ckDir)
+
+    def toTuple(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("content_hash"),
+        r.getAs[String]("status"),
+        if (r.isNullAt(r.fieldIndex("dup_of"))) Long.MinValue
+        else r.getAs[Long]("dup_of"))
+    def verdicts() = spark.read.parquet(verdictDir).collect().map(toTuple).toSet
+    val screened = verdicts()
+
+    // sequential replay through the SAME kernel: shard A against the
+    // corpus index, shard B against corpus + all of A — exact equality
+    val idx0 = Dedup.nearDupPrep(corpus).persist(); idx0.count()
+    val (v1, p1) = Dedup.nearDupScreenWith(spark, shardA,
+      idx0, Dedup.nearDupBands(idx0))
+    val v1t = v1.collect().map(toTuple).toSet
+    val idx1 = idx0.unionAll(p1)
+    val (v2, p2) = Dedup.nearDupScreenWith(spark, shardB,
+      idx1, Dedup.nearDupBands(idx1))
+    val expected = v1t ++ v2.collect().map(toTuple).toSet
+    Seq(p1, p2).foreach(_.unpersist())
+    assert(screened === expected,
+      "streamed verdicts must equal the sequential kernel replay")
+
+    // drop-set law vs the ONE-SHOT batch rule over the union (arrival
+    // order is id-consistent and the synthetic corpus has no organic
+    // cross-shard near-dups, so only attribution may differ, never the
+    // keep/drop decision)
+    val (vOne, pOne) = Dedup.nearDupScreenWith(spark, shardA.unionAll(shardB),
+      idx0, Dedup.nearDupBands(idx0))
+    val oneShotDrops = vOne.collect().map(toTuple)
+      .filter(_._3 != "new").map(_._1).toSet
+    pOne.unpersist(); idx0.unpersist()
+    assert(screened.filter(_._3 != "new").map(_._1) === oneShotDrops,
+      "streamed drop-set must equal the one-shot batch rule over the union")
+
+    // planted families. NOTE: the synthetic documents table carries its
+    // own ORGANIC near-duplicates (e.g. docs 8 and 360 at J ≈ 0.99), so a
+    // plant's witness may legitimately be an organic twin with a smaller
+    // id than the plant's source, and a "fresh" doc may legitimately be a
+    // corpus dup — the asserts below claim what the fixture guarantees.
+    // re-crawls: the exact hash IS in the corpus, so the corpus arm fires
+    val reCrawls = screened.filter(t => t._1 >= (1L << 40) && t._1 < (1L << 41))
+    assert(reCrawls.nonEmpty)
+    reCrawls.foreach { t =>
+      assert(t._3 === "dup_of_corpus", s"$t")
+      assert(t._4 >= 0 && t._4 <= t._1 - (1L << 40), s"witness out of range: $t")
+    }
+    // intra-shard exact copies: never new (their source arrived with
+    // them); at least one attributes within the batch (the self arm)
+    val intraExact = screened.filter(t => t._1 >= (1L << 41) && t._1 < (1L << 42))
+    assert(intraExact.nonEmpty)
+    intraExact.foreach(t => assert(t._3 !== "new", s"$t"))
+    assert(intraExact.exists(_._3 == "dup_in_batch"),
+      "no intra-shard exact copy attributed to the within-batch arm")
+    val nearCorpus = screened.filter(t => t._1 >= (1L << 42) && t._1 < (1L << 43))
+    assert(nearCorpus.nonEmpty)
+    assert(nearCorpus.count(_._3 == "dup_of_corpus") * 10 >= nearCorpus.size * 9,
+      s"near-corpus recall below 90%: $nearCorpus")
+    val nearIntra = screened.filter(t => t._1 >= (1L << 43))
+    assert(nearIntra.nonEmpty)
+    assert(nearIntra.count(_._3 != "new") * 10 >= nearIntra.size * 9,
+      s"near-intra recall below 90%: $nearIntra")
+    assert(nearIntra.exists(_._3 == "dup_in_batch"),
+      "no intra-shard near copy attributed to the within-batch arm")
+    // fresh docs: most are genuinely new (organic corpus twins excepted)
+    val fresh = screened.filter(t => t._1 < (1L << 40))
+    assert(fresh.count(_._3 == "new") * 2 > fresh.size,
+      "majority of fresh docs should be new")
+
+    // the index grew by exactly the arrived docs (kept or not)
+    val nIndexed = spark.read.parquet(s"$indexDir/sets").count()
+    assert(nIndexed === corpus.count() + shardA.count() + shardB.count())
+
+    // E58 discipline: re-run and batch retry are both no-ops
+    IncrementalPipeline.nearDupAvailableNow(
+      spark, inDir, docs.schema, corpus, indexDir, verdictDir, ckDir)
+    assert(verdicts() === expected, "re-run must not change the verdicts")
+    val batchIds = spark.read.parquet(verdictDir)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    IncrementalPipeline.appendNearDupBatch(
+      spark, shardA, batchIds.min, indexDir, verdictDir)
+    assert(verdicts() === expected, "batch retry must not double-append")
+    assert(spark.read.parquet(s"$indexDir/sets").count() === nIndexed,
+      "batch retry must not grow the index")
+    spark.catalog.clearCache()
+  }
+
   test("streaming publish: foreachBatch appends each micro-batch to the JDBC warehouse") {
     // the stream-to-warehouse production pattern (reference: Job-2 publish,
     // pg:77-89, but fed continuously): each micro-batch of the incremental

@@ -60,6 +60,36 @@ def close(a, b):
     return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
 
 
+# SCALING completeness guard (r12 verdict #8): the heavies list is derived
+# from bench_latest top-N, so an op that lands BELOW top-N but above the
+# "heavy" threshold could still skip certification. Any registry op slower
+# than SCALE_THRESH seconds at sf0.1 (per bench_latest.json) must have a
+# row in SCALING.md — otherwise the sweep goes red with a SCALEGAP line.
+# Disable for subset dev loops with SELFCHECK_SCALEGAP=0 (sweep.sh does).
+SCALE_THRESH = 1.5
+
+
+def scalegap(bench_queries, scaling_text, registry_names, thresh=SCALE_THRESH):
+    """Registry ops at/above `thresh` seconds in the bench artifact that
+    have no `| q_name |` row in SCALING.md. Pure so it can be self-tested
+    with a deliberately-missing op (see --selftest-scalegap)."""
+    import re
+    certified = set(re.findall(r"^\|\s*(q\w+)\s*\|", scaling_text, re.M))
+    return sorted(
+        n for n, t in bench_queries.items()
+        if n in registry_names and t >= thresh and n not in certified)
+
+
+def selftest_scalegap():
+    bench = {"q_fast": 0.2, "q_heavy_certified": 2.0, "q_heavy_missing": 1.7}
+    scaling = "| query | t |\n|---|---|\n| q_heavy_certified | 2.0 |\n"
+    got = scalegap(bench, scaling, set(bench), thresh=1.5)
+    assert got == ["q_heavy_missing"], got
+    # below-threshold and non-registry ops must NOT fire
+    assert scalegap({"q_slow_nonreg": 9.9}, scaling, set(), 1.5) == []
+    print("scalegap selftest OK")
+
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
@@ -84,6 +114,18 @@ def main():
             n_drift = len(missing)
             print(f"DRIFT {n_drift} registry entries missing from SURVEY.md: "
                   f"{missing[:10]}{'...' if n_drift > 10 else ''}")
+    root = Path(__file__).resolve().parent.parent
+    n_scalegap = 0
+    import os
+    if os.environ.get("SELFCHECK_SCALEGAP", "1") != "0":
+        bench_p, scaling_p = root / "bench_latest.json", root / "SCALING.md"
+        if bench_p.exists() and scaling_p.exists():
+            bq = json.loads(bench_p.read_text()).get("queries", {})
+            gaps = scalegap(bq, scaling_p.read_text(), set(oracle))
+            for g in gaps:
+                print(f"SCALEGAP {g} ({bq[g]:.2f}s at bench SF) has no "
+                      "SCALING.md row — regenerate tools/scaling.sh")
+            n_scalegap = len(gaps)
     n_pass = n_fail = n_close = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -169,9 +211,13 @@ def main():
             print(f"FAIL  {name}: {len(bad)} diffs, first 3: {bad[:3]}")
             n_fail += 1
     drift = f", {n_drift} survey-drift" if n_drift else ""
-    print(f"\n== {n_pass} pass, {n_close} close, {n_fail} fail{drift} ==")
-    sys.exit(1 if n_fail or n_close or n_drift else 0)
+    gap = f", {n_scalegap} scaling-gap" if n_scalegap else ""
+    print(f"\n== {n_pass} pass, {n_close} close, {n_fail} fail{drift}{gap} ==")
+    sys.exit(1 if n_fail or n_close or n_drift or n_scalegap else 0)
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest-scalegap":
+        selftest_scalegap()
+        sys.exit(0)
     main()

@@ -23,6 +23,9 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 
 rc=0
+# prove the SCALING-gap guard actually fires on a deliberately-missing op
+# before trusting any green sweep that relied on it
+python3 tools/selfcheck.py --selftest-scalegap || rc=1
 for sf in 0.001 0.01 0.1; do
   echo "=== sweep sf$sf ==="
   out="/tmp/sweep_sf$sf"
@@ -43,7 +46,9 @@ for sf in 0.001 0.01 0.1; do
     # subset mode: missing-dir lines are expected noise, but FAIL/CLOSE on
     # a dumped query (or survey DRIFT — always full-registry) must go red
     scerr="/tmp/sweep_sf$sf.selfcheck.err"
-    res=$(python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" 2>"$scerr")
+    # subset dev loop: the SCALING-gap guard compares full-registry bench
+    # artifacts, not this subset — full mode (below) keeps it on
+    res=$(SELFCHECK_SCALEGAP=0 python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" 2>"$scerr")
     src=$?
     filtered=$(echo "$res" | grep -v 'no spark output dir' || true)
     echo "$filtered"
@@ -56,7 +61,8 @@ for sf in 0.001 0.01 0.1; do
       rc=1
     fi
   else
-    python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" | tail -3
+    python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" \
+      | grep -E '^(FAIL|CLOSE|DRIFT|SCALEGAP|== )'
     s=${PIPESTATUS[0]}
     [ "$s" -ne 0 ] && rc=1
   fi

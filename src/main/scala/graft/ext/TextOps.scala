@@ -1227,7 +1227,11 @@ object TextOps {
     * keeps the historical full-corpus text byte-identical. */
   private def bpeTrainSqlCtes: String = bpeTrainSqlCtesFrom("")
 
-  private def bpeTrainSqlCtesFrom(docWhere: String): String = {
+  /** `wordWhere` (e.g. the [[qDocUnigramLm]] length cap) restricts the
+    * training VOCABULARY after word extraction; empty (every existing
+    * caller) keeps the historical CTE text unchanged. */
+  private def bpeTrainSqlCtesFrom(docWhere: String,
+      wordWhere: String = ""): String = {
     val rounds = (1 to bpeMergeRounds).map { r =>
       val prev = s"seg${r - 1}"
       s"""pairs$r AS (
@@ -1249,6 +1253,7 @@ object TextOps {
     s"""words AS (
        |  SELECT word, count(*) AS wcount
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents$docWhere)
+       |  $wordWhere
        |  GROUP BY word
        |),
        |seg0 AS (
@@ -3738,4 +3743,371 @@ object TextOps {
       |    84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
       |FROM agg
       |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer training — Viterbi EM
+  // ------------------------------------------------------------------
+
+  /** Word-length cap for the unigram-LM trainer: the Viterbi lattice is
+    * bounded per word, and the DuckDB oracle unrolls one CTE per
+    * position, so the bound must be a compile-time constant. Words past
+    * the cap are EXCLUDED from training and fertility — never silently:
+    * [[qDocUnigramLm]] reports the excluded occurrence count per source
+    * as `n_words_skipped`. Testdata words top out at 8 chars; a
+    * production corpus raises this constant (the unroll is generated). */
+  final val uniMaxWordLen = 12
+
+  /** Longest candidate piece (chars). */
+  final val uniMaxPieceLen = 4
+
+  /** Multi-char seed pieces kept after the frequency prune (single chars
+    * are always kept — they are the coverage guarantee that every word
+    * has at least one segmentation). */
+  final val uniSeedBudget = 60
+
+  /** Multi-char pieces surviving each EM prune (the fixed vocab budget). */
+  final val uniVocabBudget = 40
+
+  /** Final piece-table rows reported by [[qDocUnigramPieces]]. */
+  final val uniPieceTopK = 30
+
+  /** The (word, wcount) training vocabulary: words within the DP bound,
+    * one corpus scan, map-side combined. */
+  private def uniWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, uniMaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+
+  /** Seed piece frequencies: every substring of length 1..[[uniMaxPieceLen]]
+    * of every vocabulary word, weighted by word frequency × multiplicity —
+    * the standard SentencePiece seed. Vocab-bounded explode
+    * (|vocab|·len·[[uniMaxPieceLen]] rows), never corpus-scale. */
+  private def uniSeedFreq(words: DataFrame): DataFrame =
+    words.select(col("wcount"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($uniMaxPieceLen, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("freq"))
+
+  /** Add-one piece costs in integer micro-nats over a (piece, freq)
+    * vocabulary: qcost = ⌊ln(T+V)·10⁶⌋ − ⌊ln(freq+1)·10⁶⌋ — the repo's
+    * (tf+1)/(t+v) smoothing under the [[quantLog]] kernel, so Viterbi
+    * path costs accumulate as EXACT BIGINTs (order-free, engine-identical).
+    * Bound: one piece costs ≤ ln(T+V)·10⁶ ≈ 28·10⁶ even at T = 10¹²;
+    * a path has ≤ [[uniMaxWordLen]] pieces, so path cost < 4·10⁸ —
+    * int64-safe by 9 orders of magnitude. Totals ride a 1-row broadcast. */
+  private def uniCostsFrom(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("freq")).as("t"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (quantLog(col("t") + col("v")) - quantLog(col("freq") + 1)).as("qcost"))
+  }
+
+  /** VITERBI SEGMENTATION of every vocabulary word under a piece-cost
+    * table — the E-step. Each word's DP lattice runs INSIDE one
+    * higher-order `aggregate` expression: position r's best state is the
+    * (cost, n_pieces, seg)-lexicographic min over the ≤[[uniMaxPieceLen]]
+    * candidate extensions of earlier best states (ties broken by fewer
+    * pieces then segmentation string, so both engines pick the same path;
+    * no two distinct candidates share a seg string — the seg encodes the
+    * full path). Single-char pieces are always in the vocabulary, so
+    * every position has a state and `array_min` never sees an empty list.
+    *
+    * Scale (100 TB): the ONLY exchanges are the vocab-bounded substring
+    * explode + broadcast cost join + regroup by word (the (idx, qcost)
+    * array assembly — 4·len entries per word, positionally indexed so
+    * the lambda does O(1) lookups); the DP itself is a narrow per-row
+    * expression, no iteration, no driver round-trips, no window. This is
+    * why the lattice is an expression and not [[bpeTrainRounds]]-style
+    * driver rounds: the per-position state is per-WORD (vocab-scale
+    * model state), never collectable. */
+  private[ext] def uniSegment(words: DataFrame, costs: DataFrame): DataFrame = {
+    val L = uniMaxPieceLen
+    val idxed = words.select(col("word"), col("wcount"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, $L), l ->
+           |    struct((i - 1) * $L + l AS idx,
+           |           CASE WHEN i + l - 1 <= length(word)
+           |                THEN substring(word, i, l) END AS piece))))""".stripMargin))
+        .as("c"))
+      .select(col("word"), col("wcount"),
+        col("c.idx").as("idx"), col("c.piece").as("piece"))
+    val arr = idxed.join(broadcast(costs), Seq("piece"), "left")
+      .groupBy(col("word"), col("wcount"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, qcost)))," +
+        " x -> x.qcost)").as("cost_arr"))
+    arr.select(col("word"), col("wcount"), expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  array(struct(CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg)),
+           |  (acc, r) -> concat(acc, array(
+           |    array_min(filter(
+           |      transform(sequence(1, least($L, r)), s ->
+           |        CASE WHEN element_at(cost_arr, (r - s) * $L + s) IS NOT NULL
+           |             THEN struct(
+           |               element_at(acc, r - s + 1).cost +
+           |                 element_at(cost_arr, (r - s) * $L + s) AS cost,
+           |               element_at(acc, r - s + 1).np + 1 AS np,
+           |               concat(element_at(acc, r - s + 1).seg, ' ',
+           |                 substring(word, r - s + 1, s)) AS seg) END),
+           |      x -> x IS NOT NULL)))),
+           |  acc -> element_at(acc, length(word) + 1))""".stripMargin).as("st"))
+      .select(col("word"), col("wcount"),
+        col("st.np").as("np"), trim(col("st.seg")).as("seg"))
+  }
+
+  /** Piece usage counts of a segmentation table (the expected counts of
+    * hard EM: the best path contributes its pieces at the word's corpus
+    * frequency). Vocab-bounded. */
+  private def uniCounts(seg: DataFrame): DataFrame =
+    seg.select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("cnt"))
+
+  /** UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style hard EM), shared
+    * by [[qDocUnigramLm]] / [[qDocUnigramPieces]]: seed substring
+    * frequencies → prune to [[uniSeedBudget]] multi-char pieces + all
+    * single chars → TWO EM rounds, each a Viterbi E-step
+    * ([[uniSegment]]) whose usage counts retrain the add-one piece costs
+    * and re-prune to the [[uniVocabBudget]] fixed budget (single chars
+    * always retained at count-0 floor — coverage). Returns the final
+    * segmentation (word, wcount, np, seg) and final piece usage counts.
+    * All log-prob accumulation is [[quantLog]] integer micro-nats.
+    *
+    * Caching: `words` backs the seed explode and both E-step lattices —
+    * persisted; released by the registry's clearCache-between-entries
+    * contract (the [[bpeTrainRounds]] precedent; every frame here is
+    * vocab-bounded, not corpus-scale). */
+  private[ext] def uniTrainFromWords(words0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val words = words0.persist()
+    val seed = uniSeedFreq(words).persist()
+    val chars = seed.filter(length(col("piece")) === 1)
+    val multi0 = seed.filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(uniSeedBudget)
+    val cost0 = uniCostsFrom(chars.unionAll(multi0))
+    val seg1 = uniSegment(words, cost0)
+    val cnt1 = uniCounts(seg1).persist()
+    val vocab1 = chars.select(col("piece"))
+      .join(cnt1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("freq"))
+      .unionAll(cnt1.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(uniVocabBudget)
+        .select(col("piece"), col("cnt").as("freq")))
+    val cost1 = uniCostsFrom(vocab1)
+    val seg2 = uniSegment(words, cost1).persist()
+    (seg2, uniCounts(seg2))
+  }
+
+  /** The unrolled Viterbi-DP CTE chain for one E-step: `prefix_st{r}` =
+    * best (cost, np, seg) state at position r (materialized — each round
+    * is referenced by up to [[uniMaxPieceLen]] later rounds), `prefix_fin`
+    * = each word's state at its own length. Same candidate set, same
+    * (cost, np, seg) tie-break as [[uniSegment]]. */
+  private def uniDpSqlCtes(prefix: String, wordsCte: String,
+      costCte: String): String = {
+    val rounds = (1 to uniMaxWordLen).map { r =>
+      val branches = (1 to math.min(uniMaxPieceLen, r)).map { s =>
+        s"""      SELECT s.word, s.wcount, s.cost + c.qcost AS cost,
+           |        s.np + 1 AS np, s.seg || ' ' || c.piece AS seg
+           |      FROM ${prefix}_st${r - s} s JOIN $costCte c
+           |        ON c.piece = substr(s.word, ${r - s + 1}, $s)
+           |      WHERE length(s.word) >= $r""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""${prefix}_st$r AS MATERIALIZED (
+         |  SELECT word, wcount, cost, np, seg FROM (
+         |    SELECT word, wcount, cost, np, seg,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn
+         |    FROM (
+         |$branches
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to uniMaxWordLen).map { r =>
+      s"SELECT word, wcount, np, trim(seg) AS seg FROM ${prefix}_st$r " +
+        s"WHERE length(word) = $r"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}_st0 AS (
+       |  SELECT word, wcount, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg
+       |  FROM $wordsCte
+       |),
+       |$rounds,
+       |${prefix}_fin AS MATERIALIZED (
+       |  $fin
+       |)""".stripMargin
+  }
+
+  /** The full oracle-side trainer over a caller-named words CTE:
+    * seed → cost0 → E1 → retrain → cost1 → E2 → final counts
+    * (`ucnt2`), with the final segmentation in `ue2_fin`. */
+  private def uniTrainSqlCtes(wordsCte: String): String =
+    s"""useed AS (
+       |  SELECT substr(word, i, l) AS piece, CAST(sum(wcount) AS BIGINT) AS freq
+       |  FROM $wordsCte,
+       |       UNNEST(range(1, length(word) + 1)) AS t(i),
+       |       UNNEST(range(1, ${uniMaxPieceLen + 1})) AS u(l)
+       |  WHERE i + l <= length(word) + 1
+       |  GROUP BY piece
+       |),
+       |uchars AS (SELECT piece, freq FROM useed WHERE length(piece) = 1),
+       |uvocab0 AS (
+       |  SELECT piece, freq FROM uchars
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM useed WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT $uniSeedBudget)
+       |),
+       |ucost0 AS MATERIALIZED (
+       |  SELECT piece, ${quantLogSql("t + v")} - ${quantLogSql("freq + 1")} AS qcost
+       |  FROM uvocab0 CROSS JOIN
+       |    (SELECT CAST(sum(freq) AS BIGINT) AS t, count(*) AS v FROM uvocab0)
+       |),
+       |${uniDpSqlCtes("ue1", wordsCte, "ucost0")},
+       |ucnt1 AS (
+       |  SELECT p.piece, CAST(sum(wcount) AS BIGINT) AS cnt
+       |  FROM ue1_fin, UNNEST(string_split(seg, ' ')) AS p(piece)
+       |  GROUP BY p.piece
+       |),
+       |uvocab1 AS (
+       |  SELECT c.piece, COALESCE(n.cnt, 0) AS freq
+       |  FROM uchars c LEFT JOIN ucnt1 n ON n.piece = c.piece
+       |  UNION ALL
+       |  SELECT piece, cnt AS freq FROM (
+       |    SELECT piece, cnt FROM ucnt1 WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $uniVocabBudget)
+       |),
+       |ucost1 AS MATERIALIZED (
+       |  SELECT piece, ${quantLogSql("t + v")} - ${quantLogSql("freq + 1")} AS qcost
+       |  FROM uvocab1 CROSS JOIN
+       |    (SELECT CAST(sum(freq) AS BIGINT) AS t, count(*) AS v FROM uvocab1)
+       |),
+       |${uniDpSqlCtes("ue2", wordsCte, "ucost1")},
+       |ucnt2 AS (
+       |  SELECT p.piece, CAST(sum(wcount) AS BIGINT) AS cnt
+       |  FROM ue2_fin, UNNEST(string_split(seg, ' ')) AS p(piece)
+       |  GROUP BY p.piece
+       |)""".stripMargin
+
+  /** UNIGRAM-LM vs BPE TOKENIZER SELECTION (E323) — train BOTH production
+    * tokenizer families on the same capped vocabulary and report, per
+    * source: word/char/token totals under each, fertility
+    * (tokens-per-word) under each, and `fert_vs_bpe` — the in-engine
+    * number the tokenizer-selection decision reads (below 1.0 the
+    * unigram LM spends fewer pieces per word than [[bpeMergeRounds]] BPE
+    * merges on that source). Words past [[uniMaxWordLen]] are excluded
+    * from BOTH sides and surfaced as `n_words_skipped` (no silent caps);
+    * a source consisting ONLY of skipped words would drop out of the
+    * output entirely.
+    *
+    * Scale (100 TB): one corpus scan into the (source, word) table; both
+    * trainers and the closing fertility join run on vocab-bounded
+    * frames; the unigram E-step is a narrow per-row lattice expression
+    * ([[uniSegment]]); BPE model state is the usual 1-row-per-round
+    * argmax. No corpus re-shuffle anywhere.
+    */
+  def qDocUnigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrcAll = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("swcount"))
+      .persist()
+    val bySrc = bySrcAll.filter(length(col("word")) <= uniMaxWordLen)
+    val skipped = bySrcAll.filter(length(col("word")) > uniMaxWordLen)
+      .groupBy(col("source")).agg(sum(col("swcount")).as("n_skip"))
+    val words = bySrc.groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val (uniSeg, _) = uniTrainFromWords(words)
+    val (bpeSeg, _) = bpeTrainRounds(words)
+    val uniSyms = uniSeg.select(col("word"), col("np").cast("long").as("np_uni"))
+    val bpeSyms = bpeSeg.select(col("word"),
+      size(split(col("seg"), " ")).cast("long").as("np_bpe"))
+    bySrc.join(uniSyms, "word").join(bpeSyms, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("swcount")).as("n_words"),
+        sum(col("swcount") * length(col("word"))).as("n_chars"),
+        sum(col("swcount") * col("np_uni")).as("n_tokens_uni"),
+        sum(col("swcount") * col("np_bpe")).as("n_tokens_bpe"))
+      .join(skipped, Seq("source"), "left")
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_tokens_uni"), col("n_tokens_bpe"),
+        coalesce(col("n_skip"), lit(0L)).as("n_words_skipped"),
+        (col("n_tokens_uni").cast("double") / col("n_words"))
+          .as("fertility_uni"),
+        (col("n_tokens_bpe").cast("double") / col("n_words"))
+          .as("fertility_bpe"),
+        (col("n_tokens_uni").cast("double") / col("n_tokens_bpe"))
+          .as("fert_vs_bpe"))
+      .orderBy(col("source"))
+  }
+
+  val qDocUnigramLmSql: String = {
+    val lenCap = s"WHERE length(word) BETWEEN 1 AND $uniMaxWordLen"
+    s"""WITH ${bpeTrainSqlCtesFrom("", lenCap)},
+       |${uniTrainSqlCtes("words")},
+       |by_src AS (
+       |  SELECT source, word, count(*) AS swcount
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1
+       |  GROUP BY source, word
+       |),
+       |useg AS (SELECT word, CAST(np AS BIGINT) AS np_uni FROM ue2_fin),
+       |bseg AS (
+       |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS np_bpe
+       |  FROM seg$bpeMergeRounds
+       |),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(swcount) AS BIGINT) AS n_words,
+       |    CAST(sum(swcount * length(word)) AS BIGINT) AS n_chars,
+       |    CAST(sum(swcount * np_uni) AS BIGINT) AS n_tokens_uni,
+       |    CAST(sum(swcount * np_bpe) AS BIGINT) AS n_tokens_bpe
+       |  FROM by_src JOIN useg USING (word) JOIN bseg USING (word)
+       |  WHERE length(word) <= $uniMaxWordLen
+       |  GROUP BY source
+       |),
+       |skip AS (
+       |  SELECT source, CAST(sum(swcount) AS BIGINT) AS n_skip
+       |  FROM by_src WHERE length(word) > $uniMaxWordLen GROUP BY source
+       |)
+       |SELECT a.source, n_words, n_chars, n_tokens_uni, n_tokens_bpe,
+       |  CAST(COALESCE(n_skip, 0) AS BIGINT) AS n_words_skipped,
+       |  CAST(n_tokens_uni AS DOUBLE) / n_words AS fertility_uni,
+       |  CAST(n_tokens_bpe AS DOUBLE) / n_words AS fertility_bpe,
+       |  CAST(n_tokens_uni AS DOUBLE) / n_tokens_bpe AS fert_vs_bpe
+       |FROM agg a LEFT JOIN skip s ON s.source = a.source
+       |ORDER BY a.source""".stripMargin
+  }
+
+  /** THE TRAINED PIECE TABLE (E323's artifact): the top
+    * [[uniPieceTopK]] pieces of the final unigram-LM vocabulary by
+    * usage in the final Viterbi segmentation — piece, length, usage
+    * count, rank. The rank window runs on the vocab-BOUNDED final count
+    * table (≤ single chars + [[uniVocabBudget]] multi-char pieces), the
+    * same bounded-table justification as the [[qDocBpeEncode]] id
+    * table. */
+  def qDocUnigramPieces(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = uniWords(Tables.documents(spark, sfDir))
+    val (_, cnt2) = uniTrainFromWords(words)
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    cnt2.select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt").as("used_count"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= uniPieceTopK)
+      .orderBy(col("rank"))
+  }
+
+  val qDocUnigramPiecesSql: String =
+    s"""WITH uwords AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $uniMaxWordLen
+       |  GROUP BY word
+       |),
+       |${uniTrainSqlCtes("uwords")}
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+       |  cnt AS used_count,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank
+       |FROM ucnt2
+       |QUALIFY rank <= $uniPieceTopK
+       |ORDER BY rank""".stripMargin
 }

@@ -5750,3 +5750,104 @@ private object Graph2Bridge {
         r.getAs[Long]("common"), r.getAs[Long]("deg_a"),
         r.getAs[Long]("deg_b"), r.getAs[Double]("jaccard")))
 }
+
+class UnigramLmSpec extends graft.SparkSuite {
+
+  test("unigram-LM: pure-Scala hard-EM replay matches the lattice op on a structured corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // morpheme-structured corpus: 'ana'/'ban'/'dana'-style repeats so
+    // multi-char pieces genuinely beat the all-chars segmentation — the
+    // i.i.d. testdata vocabulary can't certify piece adoption
+    val wordCounts: Map[String, Long] = Map(
+      "banana" -> 9L, "bandana" -> 7L, "cabana" -> 6L, "anaban" -> 5L,
+      "nabana" -> 4L, "ana" -> 8L, "ban" -> 6L, "can" -> 3L,
+      "anana" -> 2L, "dana" -> 2L, "x" -> 1L, "qzqz" -> 1L)
+    val words = wordCounts.toSeq.toDF("word", "wcount")
+    val (segDf, cntDf) = TextOps.uniTrainFromWords(words)
+    val got = segDf.collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[Int]("np"), r.getAs[String]("seg")))).toMap
+    val gotCnt = cntDf.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+
+    // ---- pure-Scala reference: same seed, same costs, same DP tie-break
+    def q(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wordCounts; i <- 0 until w.length;
+         l <- 1 to math.min(TextOps.uniMaxPieceLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      seed(p) = seed.getOrElse(p, 0L) + c
+    }
+    val chars = seed.filter(_._1.length == 1).toMap
+    val multi0 = seed.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(TextOps.uniSeedBudget).toMap
+    def costs(vocab: Map[String, Long]): Map[String, Long] = {
+      val t = vocab.values.sum
+      val v = vocab.size.toLong
+      vocab.map { case (p, f) => p -> (q(t + v) - q(f + 1)) }
+    }
+    def segment(w: String, cost: Map[String, Long]): (Int, String) = {
+      val best = Array.fill[(Long, Int, String)](w.length + 1)(null)
+      best(0) = (0L, 0, "")
+      for (r <- 1 to w.length) {
+        var b: (Long, Int, String) = null
+        for (s <- 1 to math.min(TextOps.uniMaxPieceLen, r)) {
+          cost.get(w.substring(r - s, r)).foreach { pc =>
+            val prev = best(r - s)
+            val cand = (prev._1 + pc, prev._2 + 1,
+              prev._3 + " " + w.substring(r - s, r))
+            if (b == null || Ordering[(Long, Int, String)].lt(cand, b)) b = cand
+          }
+        }
+        best(r) = b
+      }
+      (best(w.length)._2, best(w.length)._3.trim)
+    }
+    def estep(cost: Map[String, Long])
+        : (Map[String, (Int, String)], Map[String, Long]) = {
+      val segs = wordCounts.keys.map(w => w -> segment(w, cost)).toMap
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, (_, seg)) <- segs; p <- seg.split(" "))
+        cnt(p) = cnt.getOrElse(p, 0L) + wordCounts(w)
+      (segs, cnt.toMap)
+    }
+    val (_, cnt1) = estep(costs(chars ++ multi0))
+    val vocab1 = chars.map { case (p, _) => p -> cnt1.getOrElse(p, 0L) } ++
+      cnt1.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(TextOps.uniVocabBudget).toMap
+    val (segs2, cnt2) = estep(costs(vocab1))
+
+    assert(got === segs2, "final Viterbi segmentations replay exactly")
+    assert(gotCnt === cnt2, "final piece usage counts replay exactly")
+    // reassembly invariant: every segmentation concatenates back to its word
+    got.foreach { case (w, (np, seg)) =>
+      assert(seg.replace(" ", "") === w)
+      assert(seg.split(" ").length === np)
+    }
+    // the trainer must actually ADOPT multi-char pieces (not collapse to
+    // the per-char baseline) and segment the repeated morphemes with them
+    assert(gotCnt.exists { case (p, c) => p.length >= 2 && c > 0 })
+    assert(got("banana")._1 < 6, "banana must not fall back to 6 chars")
+  }
+
+  test("unigram-LM fertility: per-source invariants and BPE comparison consistency") {
+    val rows = TextOps.qDocUnigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val nc = r.getAs[Long]("n_chars")
+      val ntu = r.getAs[Long]("n_tokens_uni")
+      val ntb = r.getAs[Long]("n_tokens_bpe")
+      // every word yields >= 1 and <= its char count pieces under BOTH
+      assert(ntu >= nw && ntu <= nc)
+      assert(ntb >= nw && ntb <= nc)
+      assert(r.getAs[Long]("n_words_skipped") === 0L,
+        "testdata words all fit the 12-char DP bound")
+      assert(math.abs(r.getAs[Double]("fertility_uni") -
+        ntu.toDouble / nw) < 1e-12)
+      assert(math.abs(r.getAs[Double]("fert_vs_bpe") -
+        ntu.toDouble / ntb) < 1e-12)
+    }
+  }
+}

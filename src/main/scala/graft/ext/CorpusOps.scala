@@ -64,9 +64,12 @@ object CorpusOps {
             s" i -> concat_ws(' ', slice(toks, i, $passageTokens)))"))
           .as(Seq("pos", "passage")))
       .select(col("doc_id"), col("pos"), h31(col("passage")).as("h"))
-    // global first occurrence: min (doc_id, pos) per passage hash, as one
-    // int64 key (pos is bounded by tokens/16 ≪ 100000)
-    val keyed = pass.withColumn("k", col("doc_id") * 100000L + col("pos"))
+    // global first occurrence: min (doc_id, pos) per passage hash as a
+    // STRUCT key — unbounded in both fields (the previous
+    // doc_id·100000+pos packing silently mis-ordered past 100000
+    // passages ≈ 1.6M tokens per doc, a real document size at corpus
+    // scale; both engines order structs field-lexicographically; r12 #6)
+    val keyed = pass.withColumn("k", struct(col("doc_id"), col("pos")))
       .withColumn("keep", col("k") === min(col("k")).over(Window.partitionBy(col("h"))))
     keyed.groupBy(col("doc_id"))
       .agg(
@@ -90,8 +93,9 @@ object CorpusOps {
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $passageTokens)) AS s FROM t)
        |),
        |k AS (
-       |  SELECT doc_id, pos, h, doc_id * 100000 + pos AS k,
-       |    doc_id * 100000 + pos = min(doc_id * 100000 + pos) OVER (PARTITION BY h) AS keep
+       |  SELECT doc_id, pos, h,
+       |    {'d': doc_id, 'p': pos} =
+       |      min({'d': doc_id, 'p': pos}) OVER (PARTITION BY h) AS keep
        |  FROM p
        |)
        |SELECT doc_id,

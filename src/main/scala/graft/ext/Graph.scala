@@ -666,8 +666,11 @@ object Graph {
         .join(labels.select(col("id").as(voteFrom), col("lbl").as("nlbl")), voteFrom)
         .groupBy(col(voteFor).as("uid"), col("nlbl"))
         .agg(count(lit(1)).as("cnt"))
+      // most votes, ties to the SMALLEST label: struct key — unbounded in
+      // the label domain (the oracle's packed cnt·lpTieScale − nlbl form
+      // needs nlbl < lpTieScale, an oracle-fidelity bound only; r12 #6)
       val best = votes.groupBy(col("uid"))
-        .agg(max_by(col("nlbl"), col("cnt") * lpTieScale - col("nlbl"))
+        .agg(max_by(col("nlbl"), struct(col("cnt"), -col("nlbl")))
           .as("new_lbl"))
       labels
         .join(best.withColumnRenamed("uid", "id"), Seq("id"), "left")

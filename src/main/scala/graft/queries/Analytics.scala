@@ -4196,7 +4196,11 @@ object Analytics {
       .agg(sum($"len").as("n_active_days"),
         count(lit(1)).as("n_streaks"),
         max($"len").as("longest_streak"),
-        expr("max_by(start_dn, len * 1048576 + (1048575 - start_dn))")
+        // longest streak, ties to the EARLIEST start: struct key — valid
+        // for any epoch day incl. pre-1970 (the oracle's packed
+        // len·2²⁰+(2²⁰−1−start_dn) form needs 0 ≤ start_dn < 2²⁰, an
+        // oracle-fidelity bound only; r12 #6)
+        expr("max_by(start_dn, struct(len, -start_dn))")
           .as("longest_start_dn"))
       .select($"user_id", $"n_active_days", $"n_streaks", $"longest_streak",
         expr("date_add(DATE '1970-01-01', CAST(longest_start_dn AS INT))")

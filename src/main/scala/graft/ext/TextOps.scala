@@ -4096,6 +4096,90 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** UNIGRAM ENCODE-TO-IDS — the tokenized-corpus artifact under the
+    * trained unigram LM (the [[qDocBpeEncode]] counterpart): every
+    * document as its ordered token-id sequence, ids assigned by final
+    * usage count (ties: lexicographic) over the trained piece table.
+    * Words past [[uniMaxWordLen]] cannot be encoded under the bounded
+    * lattice and are counted per doc as `n_words_skipped` (no silent
+    * drops); a doc with NO encodable word would drop out of the output.
+    *
+    * Scale (100 TB): identical exchange shape to [[qDocBpeEncode]] —
+    * the two corpus-scale shuffles any encoder must pay (word vocab
+    * aggregation, per-doc reassembly) plus the corpus-words ⋈
+    * vocab-bounded segmentation equi-join; the id table is broadcast;
+    * the per-doc collect_list is bounded by document length. */
+  def qDocUnigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (seg2, cnt2) = uniTrainFromWords(uniWords(docs))
+    val wIds = Window.orderBy(col("cnt").desc, col("piece"))
+    val ids = cnt2.select(col("piece"),
+      row_number().over(wIds).cast("long").as("tid"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "wpos", "word")
+    val joined = toks
+      .join(seg2.select(col("word"), col("seg")), Seq("word"), "left")
+      .persist()
+    val skip = joined.groupBy(col("doc_id"))
+      .agg(count(when(col("seg").isNull, 1)).as("n_words_skipped"))
+    val enc = joined.filter(col("seg").isNotNull)
+      .select(col("doc_id"), col("wpos"), posexplode(split(col("seg"), " ")))
+      .toDF("doc_id", "wpos", "spos", "piece")
+    enc.join(broadcast(ids), "piece")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(wpos, spos, tid)))," +
+            " x -> CAST(x.tid AS STRING))")).as("token_ids"))
+      .join(skip, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_words_skipped"),
+        col("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocUnigramEncodeSql: String =
+    s"""WITH uwords AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $uniMaxWordLen
+       |  GROUP BY word
+       |),
+       |${uniTrainSqlCtes("uwords")},
+       |ids AS (
+       |  SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS tid
+       |  FROM ucnt2
+       |),
+       |toks AS (
+       |  SELECT doc_id, i AS wpos, string_split(text, ' ')[i] AS word
+       |  FROM documents,
+       |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+       |),
+       |j AS (
+       |  SELECT t.doc_id, t.wpos, g.seg
+       |  FROM toks t LEFT JOIN ue2_fin g USING (word)
+       |),
+       |skip AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) FILTER (WHERE seg IS NULL) AS BIGINT) AS n_words_skipped
+       |  FROM j GROUP BY doc_id
+       |),
+       |enc AS (
+       |  SELECT doc_id, wpos, u.k AS spos, string_split(seg, ' ')[u.k] AS piece
+       |  FROM j, UNNEST(range(1, len(string_split(seg, ' ')) + 1)) AS u(k)
+       |  WHERE seg IS NOT NULL
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wpos, spos) AS token_ids
+       |  FROM enc JOIN ids USING (piece)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_words_skipped, token_ids
+       |FROM agg JOIN skip USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val qDocUnigramPiecesSql: String =
     s"""WITH uwords AS (
        |  SELECT word, count(*) AS wcount

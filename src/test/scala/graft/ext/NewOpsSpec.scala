@@ -5831,6 +5831,35 @@ class UnigramLmSpec extends graft.SparkSuite {
     assert(got("banana")._1 < 6, "banana must not fall back to 6 chars")
   }
 
+  test("unigram encode: ids decode back to every document's exact text") {
+    val enc = TextOps.qDocUnigramEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    // id -> piece map from the trained piece table (vocab-bounded)
+    val words = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, TextOps.uniMaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val (_, cnt2) = TextOps.uniTrainFromWords(words)
+    val byCnt = cnt2.collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt")))
+      .sortBy { case (p, c) => (-c, p) }
+    val idOf = byCnt.zipWithIndex.map { case ((p, _), i) => (i + 1).toLong -> p }.toMap
+    val texts = graft.model.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    enc.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val tids = r.getAs[String]("token_ids").split(" ").map(_.toLong)
+      assert(tids.length.toLong === r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_words_skipped") === 0L)
+      // the decoded pieces, concatenated, must reproduce the document
+      // byte-for-byte (modulo the word separators the encoding drops)
+      val decoded = tids.map(idOf).mkString
+      assert(decoded === texts(docId).replace(" ", ""), s"doc $docId roundtrip")
+    }
+    // every document encoded (no doc lost all its words to the length cap)
+    assert(enc.length === texts.size)
+  }
+
   test("unigram-LM fertility: per-source invariants and BPE comparison consistency") {
     val rows = TextOps.qDocUnigramLm(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -3810,8 +3810,12 @@ object TextOps {
     * candidate extensions of earlier best states (ties broken by fewer
     * pieces then segmentation string, so both engines pick the same path;
     * no two distinct candidates share a seg string — the seg encodes the
-    * full path). Single-char pieces are always in the vocabulary, so
-    * every position has a state and `array_min` never sees an empty list.
+    * full path). In TRAINING use every position has a state (single-char
+    * pieces of the training corpus are always in the vocabulary); in
+    * FROZEN use ([[uniEncodeFrozen]]) a word with a character outside the
+    * trained vocabulary has NO covering piece at that position, every
+    * later state is guarded NULL, and the word comes back with a NULL
+    * seg — the caller's unencodable/skip signal, never a crash.
     *
     * Scale (100 TB): the ONLY exchanges are the vocab-bounded substring
     * explode + broadcast cost join + regroup by word (the (idx, qcost)
@@ -3844,6 +3848,7 @@ object TextOps {
            |    array_min(filter(
            |      transform(sequence(1, least($L, r)), s ->
            |        CASE WHEN element_at(cost_arr, (r - s) * $L + s) IS NOT NULL
+           |              AND element_at(acc, r - s + 1) IS NOT NULL
            |             THEN struct(
            |               element_at(acc, r - s + 1).cost +
            |                 element_at(cost_arr, (r - s) * $L + s) AS cost,
@@ -3879,6 +3884,14 @@ object TextOps {
     * vocab-bounded, not corpus-scale). */
   private[ext] def uniTrainFromWords(words0: DataFrame)
       : (DataFrame, DataFrame) = {
+    val (_, seg2, cnt2) = uniTrainFull(words0)
+    (seg2, cnt2)
+  }
+
+  /** Full trainer also exposing the FINAL COST TABLE (the frozen-model
+    * artifact [[uniFrozenModel]] persists). */
+  private[ext] def uniTrainFull(words0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val words = words0.persist()
     val seed = uniSeedFreq(words).persist()
     val chars = seed.filter(length(col("piece")) === 1)
@@ -3893,9 +3906,9 @@ object TextOps {
       .unionAll(cnt1.filter(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece")).limit(uniVocabBudget)
         .select(col("piece"), col("cnt").as("freq")))
-    val cost1 = uniCostsFrom(vocab1)
+    val cost1 = uniCostsFrom(vocab1).persist()
     val seg2 = uniSegment(words, cost1).persist()
-    (seg2, uniCounts(seg2))
+    (cost1, seg2, uniCounts(seg2))
   }
 
   /** The unrolled Viterbi-DP CTE chain for one E-step: `prefix_st{r}` =
@@ -4102,7 +4115,8 @@ object TextOps {
     * usage count (ties: lexicographic) over the trained piece table.
     * Words past [[uniMaxWordLen]] cannot be encoded under the bounded
     * lattice and are counted per doc as `n_words_skipped` (no silent
-    * drops); a doc with NO encodable word would drop out of the output.
+    * drops); a doc with NO encodable word stays in the output at
+    * n_tokens = 0 with an empty id string.
     *
     * Scale (100 TB): identical exchange shape to [[qDocBpeEncode]] —
     * the two corpus-scale shuffles any encoder must pay (word vocab
@@ -4115,27 +4129,77 @@ object TextOps {
     val wIds = Window.orderBy(col("cnt").desc, col("piece"))
     val ids = cnt2.select(col("piece"),
       row_number().over(wIds).cast("long").as("tid"))
+    uniEncodeWith(docs, seg2, ids)
+  }
+
+  /** The shared encode tail: docs × a (word, seg) segmentation table ×
+    * a broadcast id table → (doc_id, n_tokens, n_words_skipped,
+    * token_ids). Words absent from the segmentation table (length cap,
+    * or unencodable under a frozen vocabulary) are COUNTED per doc —
+    * never dropped silently. */
+  private def uniEncodeWith(docs: DataFrame, segTable: DataFrame,
+      ids: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "wpos", "word")
     val joined = toks
-      .join(seg2.select(col("word"), col("seg")), Seq("word"), "left")
+      .join(segTable.select(col("word"), col("seg")), Seq("word"), "left")
       .persist()
     val skip = joined.groupBy(col("doc_id"))
       .agg(count(when(col("seg").isNull, 1)).as("n_words_skipped"))
     val enc = joined.filter(col("seg").isNotNull)
       .select(col("doc_id"), col("wpos"), posexplode(split(col("seg"), " ")))
       .toDF("doc_id", "wpos", "spos", "piece")
-    enc.join(broadcast(ids), "piece")
+    val agg = enc.join(broadcast(ids), "piece")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(wpos, spos, tid)))," +
             " x -> CAST(x.tid AS STRING))")).as("token_ids"))
-      .join(skip, "doc_id")
-      .select(col("doc_id"), col("n_tokens"), col("n_words_skipped"),
-        col("token_ids"))
+    // skip covers EVERY doc: a document whose words are all skipped stays
+    // in the output at n_tokens = 0 rather than dropping out
+    skip.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_words_skipped"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
       .orderBy(col("doc_id"))
+  }
+
+  /** FROZEN-MODEL ARTIFACTS of E323 training (the E315/E319 frozen-stats
+    * discipline applied to the tokenizer): the final vocabulary's cost
+    * table and the id table over the SAME full vocabulary — used pieces
+    * keep exactly their [[qDocUnigramEncode]] ranks (never-used pieces
+    * sort after every used piece at count 0), so a frozen encode of the
+    * training corpus is id-for-id identical to the in-corpus op. These
+    * two vocab-bounded tables are what production persists with the
+    * corpus ([[TokenizerLifecycleSpec]] proves the store→read→encode
+    * cycle). */
+  def uniFrozenModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (cost1, _, cnt2) = uniTrainFull(uniWords(docs))
+    val usage = cost1.select(col("piece"))
+      .join(cnt2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wIds = Window.orderBy(col("cnt").desc, col("piece"))
+    val ids = usage.select(col("piece"),
+      row_number().over(wIds).cast("long").as("tid"))
+    (cost1, ids)
+  }
+
+  /** ENCODE ARRIVING DOCUMENTS under a FROZEN stored model — O(batch):
+    * the batch's distinct words are Viterbi-segmented against the
+    * broadcast stored cost table ([[uniSegment]], the same lattice the
+    * trainer used), then the shared encode tail maps pieces to stored
+    * ids. A word with a character outside the trained vocabulary (or
+    * past the [[uniMaxWordLen]] lattice bound) surfaces in
+    * `n_words_skipped`; the training corpus is never touched. */
+  def uniEncodeFrozen(docs: DataFrame, costs: DataFrame,
+      ids: DataFrame): DataFrame = {
+    val arrWords = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, uniMaxWordLen))
+      .distinct().withColumn("wcount", lit(1L))
+    val segF = uniSegment(arrWords, costs).filter(col("seg").isNotNull)
+    uniEncodeWith(docs, segF, ids)
   }
 
   val qDocUnigramEncodeSql: String =
@@ -4176,8 +4240,9 @@ object TextOps {
        |  FROM enc JOIN ids USING (piece)
        |  GROUP BY doc_id
        |)
-       |SELECT doc_id, n_tokens, n_words_skipped, token_ids
-       |FROM agg JOIN skip USING (doc_id)
+       |SELECT doc_id, COALESCE(n_tokens, 0) AS n_tokens, n_words_skipped,
+       |  COALESCE(token_ids, '') AS token_ids
+       |FROM skip LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   val qDocUnigramPiecesSql: String =

@@ -2008,9 +2008,17 @@ object TextOps {
     * each micro-batch lays out AFTER the tokens already packed. Factored
     * so the batch op and the arriving-shard path cannot drift.
     */
-  private[graft] def packLayout(docs: DataFrame, baseOffset: Long): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+  private[graft] def packLayout(docs: DataFrame, baseOffset: Long): DataFrame =
+    packLayoutCounts(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")), baseOffset)
+
+  /** The same two-level layout over PRE-COUNTED (doc_id, n_tokens) rows —
+    * the form the ingest door packs with, where n_tokens is the FROZEN-
+    * tokenizer piece count rather than the whitespace proxy. */
+  private[graft] def packLayoutCounts(counts: DataFrame,
+      baseOffset: Long): DataFrame = {
+    val d = counts
+      .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id div $packBlockDiv").as("blk"))
     val blockTot = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("btoks"))
     val wBlk = Window.orderBy(col("blk"))
@@ -3878,10 +3886,9 @@ object TextOps {
     * segmentation (word, wcount, np, seg) and final piece usage counts.
     * All log-prob accumulation is [[quantLog]] integer micro-nats.
     *
-    * Caching: `words` backs the seed explode and both E-step lattices —
-    * persisted; released by the registry's clearCache-between-entries
-    * contract (the [[bpeTrainRounds]] precedent; every frame here is
-    * vocab-bounded, not corpus-scale). */
+    * Caching: every intermediate is localCheckpoint(true) — lineage
+    * truncation (see [[uniTrainFull]]'s note), vocab-bounded blocks,
+    * freed by the ContextCleaner when unreferenced. */
   private[ext] def uniTrainFromWords(words0: DataFrame)
       : (DataFrame, DataFrame) = {
     val (_, seg2, cnt2) = uniTrainFull(words0)
@@ -3892,22 +3899,27 @@ object TextOps {
     * artifact [[uniFrozenModel]] persists). */
   private[ext] def uniTrainFull(words0: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val words = words0.persist()
-    val seed = uniSeedFreq(words).persist()
+    // localCheckpoint(true), not persist: every frame here is reused by
+    // later rounds AND re-expanded per reference in the plan string each
+    // action renders (SQLExecution). Checkpointing cuts each round to a
+    // LogicalRDD leaf — the pointer-jumping lineage-truncation
+    // discipline — and the vocab-bounded blocks free via ContextCleaner.
+    val words = words0.localCheckpoint(true)
+    val seed = uniSeedFreq(words).localCheckpoint(true)
     val chars = seed.filter(length(col("piece")) === 1)
     val multi0 = seed.filter(length(col("piece")) >= 2)
       .orderBy(col("freq").desc, col("piece")).limit(uniSeedBudget)
     val cost0 = uniCostsFrom(chars.unionAll(multi0))
     val seg1 = uniSegment(words, cost0)
-    val cnt1 = uniCounts(seg1).persist()
+    val cnt1 = uniCounts(seg1).localCheckpoint(true)
     val vocab1 = chars.select(col("piece"))
       .join(cnt1, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("freq"))
       .unionAll(cnt1.filter(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece")).limit(uniVocabBudget)
         .select(col("piece"), col("cnt").as("freq")))
-    val cost1 = uniCostsFrom(vocab1).persist()
-    val seg2 = uniSegment(words, cost1).persist()
+    val cost1 = uniCostsFrom(vocab1).localCheckpoint(true)
+    val seg2 = uniSegment(words, cost1).localCheckpoint(true)
     (cost1, seg2, uniCounts(seg2))
   }
 
@@ -4144,7 +4156,7 @@ object TextOps {
       .toDF("doc_id", "wpos", "word")
     val joined = toks
       .join(segTable.select(col("word"), col("seg")), Seq("word"), "left")
-      .persist()
+      .localCheckpoint(true)
     val skip = joined.groupBy(col("doc_id"))
       .agg(count(when(col("seg").isNull, 1)).as("n_words_skipped"))
     val enc = joined.filter(col("seg").isNotNull)

@@ -353,6 +353,167 @@ object IncrementalPipeline {
     }
   }
 
+  /** THE INGEST FRONT DOOR (E326) — the composition every screen above
+    * exists for, run as ONE `foreachBatch` pipeline per arriving shard:
+    *
+    *   quality funnel (frozen model, E319/E320)
+    *     → fuzzy decontamination vs the benchmark (E310/E316)
+    *       → near-dup screen vs the persisted signature index (E89/E321)
+    *         → frozen-tokenizer encode (E323/E325)
+    *           → gapless pack after the tokens already admitted (E301/E311)
+    *
+    * Each stage runs only on the SURVIVORS of the previous one (the E312
+    * funnel applied across operators: a doc dropped for quality is never
+    * decontam-screened — its later-stage columns are NULL, not false),
+    * and every document of the batch lands in the verdict table with
+    * per-stage attribution and a first-failing `drop_reason`
+    * (`quality:<arm>` / `contaminated` / `duplicate` / `admitted`).
+    * Admitted documents leave the door TOKENIZED under the frozen stored
+    * unigram model and PACKED after the running end offset — the
+    * training-ready artifact — and only screened survivors grow the
+    * near-dup index (rejected docs never enter the corpus, so nothing
+    * may dedup against them).
+    *
+    * Exactly-once: all four batch partitions (verdicts, admitted layout,
+    * index sets, index bands) are written data-first into
+    * `batch_id=<id>/` dirs and the ONE [[StreamState]] marker commit
+    * (new end offset + batch high-water mark) lands LAST — a crash
+    * anywhere replays the whole batch (orphan index partitions from a
+    * mid-crash are deleted first, or the retry would match itself), a
+    * committed batch retries as a no-op, and a whole re-run is a no-op
+    * via the checkpointed file log.
+    *
+    * Scale (100 TB): O(batch) per arrival end-to-end — the frozen models
+    * (quality stats, tokenizer costs/ids) and the benchmark are
+    * broadcast-sized; the index streams from storage (pre-bucketed at
+    * write time, the E89 note) and grows by appending the batch's rows;
+    * packing is the batch kernel shifted by the one-row state offset;
+    * history is never re-read, re-shuffled, or re-packed.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      baseDocs: DataFrame,
+      evalDocs: DataFrame,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val qModel = graft.ext.CorpusOps.frozenQualityModel(baseDocs).persistAll()
+    // tokCosts is checkpointed by the trainer; checkpoint the id table
+    // too so every micro-batch probes two LogicalRDD leaves
+    val (tokCosts, tokIds0) = graft.ext.TextOps.uniFrozenModel(baseDocs)
+    val tokIds = tokIds0.localCheckpoint(true)
+    try {
+      seedNearDupIndex(spark, baseDocs, s"$outDir/index")
+      val raw = spark.readStream.schema(schema).parquet(inputDir)
+      val query = raw.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ingestBatch(spark, batch, batchId, qModel, tokCosts, tokIds,
+            evalDocs, outDir)
+        }
+        .start()
+      query.awaitTermination()
+    } finally qModel.unpersistAll()
+  }
+
+  /** One idempotent micro-batch of [[ingestAvailableNow]] —
+    * package-visible so the spec can drive a batch-retry directly. */
+  private[streaming] def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      qModel: graft.ext.CorpusOps.FrozenQualityModel,
+      tokCosts: DataFrame,
+      tokIds: DataFrame,
+      evalDocs: DataFrame,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val stateDir = s"${outDir}_state"
+    val st = StreamState.read(spark, stateDir)
+    if (batchId <= st.maxBatch) return
+    val indexDir = s"$outDir/index"
+    // a crash between the index writes and the marker can leave THIS
+    // batch's own index partitions behind — drop them before screening
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$indexDir/sets/batch_id=$batchId", s"$indexDir/bands/batch_id=$batchId")
+      .foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(conf).delete(path, true)
+      }
+
+    // every reused stage output below is localCheckpoint(true), NOT
+    // persist: each reuse of a cached frame re-expands its whole subtree
+    // in the plan STRING SQLExecution renders per action, and the
+    // composed five-stage DAG multiplies those re-expansions into a
+    // plan description that takes longer to PRINT than to run (observed:
+    // 20+ min of generateTreeString on a 500-doc batch). Checkpointing
+    // cuts each stage to a LogicalRDD leaf; the blocks release via the
+    // ContextCleaner once the batch's references go out of scope.
+    val docs = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    // stage 1: frozen quality funnel over the whole batch
+    val (qv, qCache) = graft.ext.CorpusOps.qualityGateFrozenWith(spark, docs, qModel)
+    val qvP = qv.localCheckpoint(true)
+    val surv1 = docs
+      .join(qvP.filter(col("drop_reason") === "kept").select(col("doc_id")), "doc_id")
+      .localCheckpoint(true)
+    // stage 2: fuzzy decontamination on quality survivors
+    val (pairs, dCache) = graft.ext.Dedup.fuzzyContamPairsWith(spark, surv1, evalDocs)
+    val contam = pairs.select(col("doc_id")).distinct().localCheckpoint(true)
+    val surv2 = surv1.join(contam, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // stage 3: near-dup screen of the remaining docs vs the stored index
+    val sets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id"), col("h"), col("hs"))
+    val bands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+    val (nd, prep) = graft.ext.Dedup.nearDupScreenWith(spark, surv2, sets, bands)
+    val ndP = nd.localCheckpoint(true)
+    // stage 4: tokenize the admitted docs under the frozen stored model,
+    // pack them after the tokens already admitted
+    val admitted = surv2
+      .join(ndP.filter(col("status") === "new").select(col("doc_id")), "doc_id")
+    val enc = graft.ext.TextOps.uniEncodeFrozen(admitted, tokCosts, tokIds)
+      .localCheckpoint(true)
+    val admRows = graft.ext.TextOps
+      .packLayoutCounts(enc.select(col("doc_id"), col("n_tokens")), st.endOffset)
+      .join(enc.select(col("doc_id"), col("token_ids"), col("n_words_skipped")),
+        "doc_id")
+      .localCheckpoint(true)
+    val newEnd = admRows
+      .agg(coalesce(max(col("tok_start") + col("n_tokens")), lit(st.endOffset)))
+      .collect()(0).getLong(0)
+    // per-doc verdict: per-stage attribution, NULL past the failing stage
+    val verdict = qvP
+      .select(col("doc_id"), (col("drop_reason") =!= "kept").as("fail_quality"),
+        col("drop_reason").as("quality_reason"))
+      .join(contam.withColumn("cflag", lit(true)), Seq("doc_id"), "left")
+      .join(ndP.select(col("doc_id"), col("status"), col("dup_of")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fail_quality"),
+        when(col("fail_quality"), lit(null).cast("boolean"))
+          .otherwise(coalesce(col("cflag"), lit(false))).as("contaminated"),
+        col("status"), col("dup_of"),
+        when(col("fail_quality"), concat(lit("quality:"), col("quality_reason")))
+          .when(coalesce(col("cflag"), lit(false)), lit("contaminated"))
+          .when(col("status") =!= "new", lit("duplicate"))
+          .otherwise(lit("admitted")).as("drop_reason"))
+
+    verdict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/verdicts/batch_id=$batchId")
+    admRows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/admitted/batch_id=$batchId")
+    prep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/sets/batch_id=$batchId")
+    graft.ext.Dedup.nearDupBands(prep)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/bands/batch_id=$batchId")
+    // the kernels' internal caches are persist()-ed — release them here;
+    // the checkpointed stage frames free via the ContextCleaner
+    Seq(prep, qCache, dCache).foreach(_.unpersist())
+    StreamState.commit(spark, stateDir, StreamState.State(newEnd, batchId))
+  }
+
   /** One idempotent micro-batch append of [[packAvailableNow]] —
     * package-visible so the spec can drive a batch-retry directly.
     *

@@ -465,4 +465,172 @@ class IncrementalPipelineSpec extends SparkSuite {
     publishRun()
     assert(spark.read.jdbc(url, "fact_trips_stream", props).count() === expected)
   }
+
+  test("ingest front door: quality -> decontam -> near-dup -> encode -> pack per shard; replay law; retry no-op") {
+    import org.apache.spark.sql.functions.{concat, expr, lit, max}
+    import graft.ext.{CorpusOps, Dedup, TextOps}
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_door_in").toString
+    val ckDir = Files.createTempDirectory("graft_door_ck").toString
+    val outDir = Files.createTempDirectory("graft_door_out").toString + "/door"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0) // held-out: %50=0 => %10=0
+    val clean = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 50 =!= 0)
+    // three plant families in disjoint negative id classes (mod-40 CRT:
+    // 1 vs 3 vs %50=0 never collide): spam fails the quality arm, a
+    // VERBATIM benchmark copy passes quality but hits the fuzzy gate, a
+    // base-doc copy passes both and is an exact dup of the stored index
+    val spam = docs.filter(col("doc_id") % 40 === 1)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(expr("repeat('spam ', 60)"), lit("tail"),
+          col("doc_id").cast("string")).as("text"))
+    val contamPlant = eval.select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val dupPlant = base.filter(col("doc_id") % 40 === 3)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val arrivals = clean.unionAll(spam).unionAll(contamPlant).unionAll(dupPlant)
+    // split on the underlying id so BOTH shards carry every family
+    val keyOf = org.apache.spark.sql.functions.abs(col("doc_id") + 1)
+    val shardA = arrivals.filter(keyOf < 250)
+    val shardB = arrivals.filter(keyOf >= 250)
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "docs_door_a.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, inDir, docs.schema, base, eval, outDir, ckDir)
+    drop(shardB, "docs_door_b.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, inDir, docs.schema, base, eval, outDir, ckDir)
+
+    def verdicts() = spark.read.parquet(s"$outDir/verdicts").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("drop_reason"),
+          Option(r.get(r.fieldIndex("contaminated"))).map(_ == true),
+          Option(r.getAs[String]("status"))))).toMap
+    def admitted() = spark.read.parquet(s"$outDir/admitted").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("token_ids")))).toMap
+    val v = verdicts()
+    val adm = admitted()
+
+    // ---- plant-family ground truth + funnel NULL discipline. A plant
+    // whose TEXT organically fails the frozen quality gate drops there
+    // first (the funnel is the point) — attribution conditions on the
+    // batch-kernel kept-set, and each family must have members that
+    // actually reach its own stage.
+    val spamIds = spam.collect().map(_.getLong(0)).toSet
+    val contamIds = contamPlant.collect().map(_.getLong(0)).toSet
+    val dupIds = dupPlant.collect().map(_.getLong(0)).toSet
+    assert(spamIds.nonEmpty && contamIds.nonEmpty && dupIds.nonEmpty)
+    val model0 = CorpusOps.frozenQualityModel(base).persistAll()
+    val (qAll, qAllCache) = CorpusOps.qualityGateFrozenWith(
+      spark, shardA.unionAll(shardB), model0)
+    val kept = qAll.filter(col("drop_reason") === "kept")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    qAllCache.unpersist(); model0.unpersistAll()
+    spamIds.foreach { id =>
+      assert(v(id)._1 === "quality:repetition", s"spam $id")
+      assert(v(id)._2.isEmpty && v(id)._3.isEmpty,
+        "stages past the failing one stay NULL")
+    }
+    assert((contamIds & kept).nonEmpty, "some benchmark copies reach decontam")
+    contamIds.foreach { id =>
+      if (kept(id)) {
+        assert(v(id)._1 === "contaminated", s"contam $id")
+        assert(v(id)._2 === Some(true) && v(id)._3.isEmpty)
+      } else assert(v(id)._1.startsWith("quality:"), s"contam $id")
+    }
+    assert((dupIds & kept).nonEmpty, "some corpus copies reach the dup screen")
+    dupIds.foreach { id =>
+      if (kept(id)) {
+        assert(v(id)._1 === "duplicate", s"dup $id")
+        assert(v(id)._2 === Some(false) && v(id)._3 === Some("dup_of_corpus"))
+      } else assert(v(id)._1.startsWith("quality:"), s"dup $id")
+    }
+    assert((spamIds ++ contamIds ++ dupIds).forall(!adm.contains(_)),
+      "no rejected doc reaches the admitted table")
+    assert(adm.keySet.subsetOf(clean.collect().map(_.getLong(0)).toSet))
+
+    // ---- the packed layout tiles [0, total) gaplessly ACROSS batches
+    val spans = adm.values.map(x => (x._1, x._2)).toSeq.sortBy(_._1)
+    assert(spans.nonEmpty)
+    spans.zip(spans.scanLeft(0L)(_ + _._2).dropRight(1)).foreach {
+      case ((start, _), expectedStart) => assert(start === expectedStart)
+    }
+
+    // ---- admitted docs decode back to their text under the stored model
+    val (tokCosts, tokIds) = TextOps.uniFrozenModel(base)
+    val idToPiece = tokIds.collect()
+      .map(r => r.getAs[Long]("tid") -> r.getAs[String]("piece")).toMap
+    val textOf = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    adm.foreach { case (id, (_, _, ids)) =>
+      val decoded = ids.split(" ").map(_.toLong).map(idToPiece).mkString
+      assert(decoded === textOf(id).replace(" ", ""), s"doc $id roundtrip")
+    }
+
+    // ---- composition law: the streamed door == a sequential batch-mode
+    // replay of the same four stage kernels over the shards in order
+    val model = CorpusOps.frozenQualityModel(base).persistAll()
+    val par = spark.sparkContext.defaultParallelism
+    var sets = Dedup.nearDupPrep(base.repartition(par, col("doc_id")))
+      .select(col("doc_id"), col("h"), col("hs")).persist()
+    var bands = Dedup.nearDupBands(sets).persist()
+    var offset = 0L
+    var expAdm = Map.empty[Long, (Long, Long, String)]
+    Seq(shardA, shardB).foreach { shard =>
+      val (qv, c1) = CorpusOps.qualityGateFrozenWith(spark, shard, model)
+      val surv1 = shard.join(
+        qv.filter(col("drop_reason") === "kept").select(col("doc_id")), "doc_id")
+      val (pairs, c2) = Dedup.fuzzyContamPairsWith(spark, surv1, eval)
+      val surv2 = surv1.join(pairs.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").persist()
+      val (nd, prep) = Dedup.nearDupScreenWith(spark, surv2, sets, bands)
+      val admB = surv2.join(
+        nd.filter(col("status") === "new").select(col("doc_id")), "doc_id")
+      val enc = TextOps.uniEncodeFrozen(admB, tokCosts, tokIds)
+      val lay = TextOps.packLayoutCounts(
+        enc.select(col("doc_id"), col("n_tokens")), offset)
+        .join(enc.select(col("doc_id"), col("token_ids")), "doc_id")
+        .collect()
+      lay.foreach(r => expAdm += r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("token_ids"))))
+      offset = (expAdm.values.map(x => x._1 + x._2) ++ Seq(offset)).max
+      sets = sets.unionAll(prep.select(col("doc_id"), col("h"), col("hs"))).persist()
+      bands = bands.unionAll(Dedup.nearDupBands(prep)).persist()
+      c1.unpersist(); c2.unpersist(); surv2.unpersist()
+    }
+    model.unpersistAll()
+    assert(adm === expAdm,
+      "streamed door == sequential batch-kernel replay, offsets included")
+
+    // ---- exactly-once: re-run and direct batch retry are no-ops
+    val batchIds = spark.read.parquet(s"$outDir/verdicts")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2)
+    assert(StreamState.read(spark, outDir + "_state").maxBatch === batchIds.max)
+    val endState = StreamState.read(spark, outDir + "_state").endOffset
+    assert(endState === adm.values.map(x => x._1 + x._2).max)
+    IncrementalPipeline.ingestAvailableNow(
+      spark, inDir, docs.schema, base, eval, outDir, ckDir)
+    assert(verdicts() === v && admitted() === adm, "re-run must be a no-op")
+    val model2 = CorpusOps.frozenQualityModel(base).persistAll()
+    val (tc2, ti2) = TextOps.uniFrozenModel(base)
+    IncrementalPipeline.ingestBatch(
+      spark, shardA, batchIds.min, model2, tc2, ti2, eval, outDir)
+    model2.unpersistAll()
+    assert(verdicts() === v && admitted() === adm,
+      "batch retry must not double-append or move the offset")
+    spark.catalog.clearCache()
+  }
 }

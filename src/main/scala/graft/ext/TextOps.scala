@@ -4257,6 +4257,104 @@ object TextOps {
        |FROM skip LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** UNIGRAM TOKENIZER TRANSFER AUDIT — the E307 frozen-merges
+    * discipline applied to the unigram family: train the piece model on
+    * every source EXCEPT [[bpeHoldout]], freeze it, Viterbi-segment the
+    * WHOLE corpus under the frozen costs, and report per source the
+    * fertility under the frozen model plus `fert_vs_base` (this source's
+    * fertility over the base sources' aggregate — the "does my tokenizer
+    * still fit the new domain" number; the held-out row is the answer).
+    * Held-out words the frozen model cannot cover (untrained characters,
+    * or past the [[uniMaxWordLen]] lattice bound) are excluded from the
+    * fertility basis and surfaced per source as `n_words_skipped`.
+    *
+    * Scale: one corpus scan into (source, word); training and the frozen
+    * segmentation both run on vocab-bounded frames; base totals ride a
+    * 1-row broadcast. */
+  def qDocUnigramTransfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("swcount"))
+      .persist()
+    val baseWords = bySrc
+      .filter(col("source") =!= bpeHoldout &&
+        length(col("word")) <= uniMaxWordLen)
+      .groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val (cost1, _, _) = uniTrainFull(baseWords)
+    val allWords = bySrc.filter(length(col("word")) <= uniMaxWordLen)
+      .groupBy(col("word")).agg(sum(col("swcount")).as("wcount"))
+    val segAll = uniSegment(allWords, cost1)
+      .filter(col("seg").isNotNull)
+      .select(col("word"), col("np").cast("long").as("np"))
+    val perSrc = bySrc.join(segAll, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("np").isNotNull, col("swcount")).otherwise(0L))
+          .as("n_words"),
+        sum(when(col("np").isNotNull, col("swcount") * col("np")).otherwise(0L))
+          .as("n_tokens"),
+        sum(when(col("np").isNull, col("swcount")).otherwise(0L))
+          .as("n_words_skipped"))
+    val baseTot = perSrc.filter(col("source") =!= bpeHoldout)
+      .agg(sum(col("n_words")).as("bw"), sum(col("n_tokens")).as("bt"))
+    perSrc.crossJoin(broadcast(baseTot))
+      .select(col("source"), (col("source") === bpeHoldout).as("held_out"),
+        col("n_words"), col("n_tokens"), col("n_words_skipped"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+        ((col("n_tokens").cast("double") / col("n_words"))
+          / (col("bt").cast("double") / col("bw"))).as("fert_vs_base"))
+      .orderBy(col("source"))
+  }
+
+  val qDocUnigramTransferSql: String =
+    s"""WITH ubase AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |        WHERE source != '$bpeHoldout')
+       |  WHERE length(word) BETWEEN 1 AND $uniMaxWordLen
+       |  GROUP BY word
+       |),
+       |${uniTrainSqlCtes("ubase")},
+       |all_words AS (
+       |  SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $uniMaxWordLen
+       |  GROUP BY word
+       |),
+       |${uniDpSqlCtes("ue3", "all_words", "ucost1")},
+       |seg_np AS (SELECT word, CAST(np AS BIGINT) AS np FROM ue3_fin),
+       |by_src AS (
+       |  SELECT source, word, count(*) AS swcount
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1
+       |  GROUP BY source, word
+       |),
+       |per_src AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN np IS NOT NULL THEN swcount ELSE 0 END)
+       |      AS BIGINT) AS n_words,
+       |    CAST(sum(CASE WHEN np IS NOT NULL THEN swcount * np ELSE 0 END)
+       |      AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN np IS NULL THEN swcount ELSE 0 END)
+       |      AS BIGINT) AS n_words_skipped
+       |  FROM by_src LEFT JOIN seg_np USING (word)
+       |  GROUP BY source
+       |),
+       |base_tot AS (
+       |  SELECT CAST(sum(n_words) AS BIGINT) AS bw,
+       |    CAST(sum(n_tokens) AS BIGINT) AS bt
+       |  FROM per_src WHERE source != '$bpeHoldout'
+       |)
+       |SELECT source, source = '$bpeHoldout' AS held_out,
+       |  n_words, n_tokens, n_words_skipped,
+       |  CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+       |  (CAST(n_tokens AS DOUBLE) / n_words) /
+       |    (CAST(bt AS DOUBLE) / bw) AS fert_vs_base
+       |FROM per_src CROSS JOIN base_tot
+       |ORDER BY source""".stripMargin
+
   val qDocUnigramPiecesSql: String =
     s"""WITH uwords AS (
        |  SELECT word, count(*) AS wcount

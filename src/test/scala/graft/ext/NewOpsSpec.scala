@@ -5860,6 +5860,32 @@ class UnigramLmSpec extends graft.SparkSuite {
     assert(enc.length === texts.size)
   }
 
+  test("unigram transfer: conservation, base-aggregate consistency, held-out row present") {
+    val rows = TextOps.qDocUnigramTransfer(spark, sf).collect()
+    assert(rows.count(_.getAs[Boolean]("held_out")) === 1)
+    // conservation: encodable + skipped occurrences == every word
+    // occurrence of the source
+    val totals = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_words") + r.getAs[Long]("n_words_skipped")
+        === totals(src), s"conservation for $src")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+    }
+    // fert_vs_base: re-derive the base aggregate from the base rows
+    val baseRows = rows.filter(!_.getAs[Boolean]("held_out"))
+    val baseFert = baseRows.map(_.getAs[Long]("n_tokens")).sum.toDouble /
+      baseRows.map(_.getAs[Long]("n_words")).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("fert_vs_base") -
+        r.getAs[Double]("fertility") / baseFert) < 1e-9)
+    }
+  }
+
   test("unigram-LM fertility: per-source invariants and BPE comparison consistency") {
     val rows = TextOps.qDocUnigramLm(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -97,8 +97,13 @@ object Bench {
         .mkString(""","errors":[""", ",", "]")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$om$er,"sf":"$sfDir"}"""
     }
-    // full-precision copy as a repo artifact, immune to stdout truncation
-    try {
+    // full-precision copy as a repo artifact, immune to stdout truncation.
+    // FULL-REGISTRY RUNS ONLY: a SPARK_GRAFT_ONLY subset run must not
+    // clobber the artifact — SCALING.md's heavies derivation and
+    // selfcheck's SCALEGAP guard both read it as the full registry, and a
+    // 70-query subset artifact was end-of-round-snapshotted at r13 head
+    // exactly this way.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_latest.json")
       try w.println(line(results, _.toString, 0)) finally w.close()
     } catch { case _: Throwable => () }

@@ -1708,6 +1708,354 @@ object CorpusOps {
   }
 
   // ------------------------------------------------------------------
+  // Corpus datasheet (E332)
+  // ------------------------------------------------------------------
+
+  /** CORPUS DATASHEET (E332) — the "datasheets for datasets" release
+    * artifact (Gebru et al., CACM 2021): ONE row per source with the
+    * numbers every data card publishes — volume (docs, tokens, mean
+    * doc length in tokens and chars), lexical spread (source vocabulary,
+    * type-token ratio), redundancy (exact-duplicate fraction over
+    * 60-bit content fingerprints — the E44 hash-dedup rate at source
+    * grain), and language composition (distinct langs + Shannon entropy
+    * of the lang mix, in exact integer micro-nats via the [[TextOps]]
+    * quantized-log kernel: H = qlog(n) − Σ cnt·qlog(cnt)/n, so the
+    * engines cannot drift in a last-ulp ln).
+    *
+    * This is deliberately a COMPOSITION — the per-signal deep dives are
+    * their own ops (vocab E46, dup clusters E85, lang quality E66,
+    * source mix E60); the datasheet is the one-query summary a release
+    * gate reads, and at 100 TB you want it in one pass, not eight.
+    *
+    * Scale: three corpus-scale map-side-combinable aggregations — on
+    * (source, token) for vocabulary, on (source, lang) for the mix, on
+    * source for masses (exact-distinct fingerprints ride the source
+    * exchange as a count-distinct partial) — joined on the SOURCE-
+    * cardinality key (broadcast-sized at any corpus scale).
+    */
+  def qDocDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_chars"))
+    val massC = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      sum(col("n_chars")).as("n_chars_sum"),
+      countDistinct(portableHash(col("text"))).as("n_distinct"))
+    val vocabC = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source")).agg(countDistinct(col("w")).as("vocab"))
+    val langC = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cl"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_langs"),
+        sum(col("cl") * TextOps.quantLog(col("cl"))).as("sum_clog"))
+    massC.join(vocabC, Seq("source")).join(langC, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        (col("n_chars_sum").cast("double") / col("n_docs")).as("mean_chars"),
+        col("vocab"),
+        (col("vocab").cast("double") / col("n_tokens")).as("ttr"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .as("dup_frac"),
+        col("n_langs"),
+        // integer div (not double-divide-then-cast: sum_clog exceeds 2^53
+        // past ~1e9 docs); operands non-negative so trunc == floor == //
+        (TextOps.quantLog(col("n_docs")) - expr("sum_clog div n_docs"))
+          .as("lang_ent_micronat"))
+      .orderBy(col("source"))
+  }
+
+  val qDocDatasheetSql: String =
+    s"""WITH mass AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       |    CAST(count(DISTINCT ${portableHashSql("text")}) AS BIGINT) AS n_distinct
+       |  FROM documents GROUP BY source
+       |),
+       |vocab AS (
+       |  SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS vocab
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY source
+       |),
+       |langmix AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+       |    CAST(sum(cl * ${TextOps.quantLogSql("cl")}) AS BIGINT) AS sum_clog
+       |  FROM (SELECT source, lang, count(*) AS cl FROM documents
+       |        GROUP BY source, lang)
+       |  GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
+       |  CAST(n_chars_sum AS DOUBLE) / n_docs AS mean_chars,
+       |  vocab,
+       |  CAST(vocab AS DOUBLE) / n_tokens AS ttr,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_frac,
+       |  n_langs,
+       |  ${TextOps.quantLogSql("n_docs")} - sum_clog // n_docs
+       |    AS lang_ent_micronat
+       |FROM mass JOIN vocab USING (source) JOIN langmix USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Boilerplate affix screen (E331)
+  // ------------------------------------------------------------------
+
+  /** Affix length (tokens) the boilerplate screen inspects. */
+  final val bpAffixLen = 3
+  /** A prefix/suffix shared by at least this fraction of a source's
+    * docs is boilerplate (C4 strips lines repeated across pages; the
+    * synthetic corpus has no line structure, so the unit is the k-token
+    * affix). */
+  final val bpMinFrac = 0.2
+  /** ...and by at least this many docs (guards tiny sources, where one
+    * organic repeat could clear the fraction bar alone). */
+  final val bpMinDocs = 3L
+
+  /** BOILERPLATE AFFIX SCREEN (E331) — the C4-style template-removal
+    * pass: crawled pages arrive wrapped in site chrome (headers,
+    * footers, nav text) that repeats across a site's pages, and
+    * training on it teaches the model the template, not the content.
+    * Detection is frequency-based WITHIN each source: the k-token
+    * prefix/suffix of every doc is counted per (source, affix), and an
+    * affix covering ≥ [[bpMinFrac]] of the source's docs (and ≥
+    * [[bpMinDocs]] absolute) is template, not content — organic
+    * prefixes are Zipf-diverse and never concentrate.
+    *
+    * Fixture: every `doc_id % 4 == 0` doc is wrapped IN PLACE with a
+    * per-source header/footer (`hdr <source> notice … end <source> ftr`)
+    * — 25% of each source clears the 20% bar by construction, while the
+    * organic 75% must come out unflagged.
+    *
+    * Output: one row per doc — affix flags, token counts before/after
+    * the strip — the accounting a curation funnel consumes (`n_tokens -
+    * stripped` is conserved by construction and spec-checked). Docs
+    * shorter than 2k tokens are never affix candidates (a whole-doc
+    * "affix" is dedup's job, not stripping's).
+    *
+    * Scale (100 TB): two corpus-scale aggregations on (source, affix) —
+    * both map-side combinable and Zipf-concentrated (the affix table is
+    * vocabulary-bounded in practice); the verdict join is affix-keyed
+    * against that bounded table, broadcast after the threshold filter.
+    * No windows, no per-source sorts.
+    */
+  def qDocBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = bpAffixLen
+    val docs0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = docs0.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("hdr "), col("source"), lit(" notice "), col("text"),
+          lit(" end "), col("source"), lit(" ftr")))
+        .otherwise(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // affix candidacy needs clear water between prefix and suffix
+      .withColumn("pref",
+        when(col("n_tokens") >= 2 * k,
+          concat_ws(" ", slice(col("toks"), 1, k))))
+      .withColumn("suff",
+        when(col("n_tokens") >= 2 * k,
+          concat_ws(" ", slice(col("toks"), -k, k))))
+    val nSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    def flagged(c: String): DataFrame = docs
+      .filter(col(c).isNotNull)
+      .groupBy(col("source"), col(c).as("affix"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(nSrc, Seq("source"))
+      .filter(col("cnt") >= bpMinDocs &&
+        col("cnt").cast("double") / col("n_src") >= bpMinFrac)
+      .select(col("source").as(s"${c}_src"), col("affix").as(s"${c}_affix"),
+        lit(true).as(s"bp_$c"))
+    docs
+      .join(broadcast(flagged("pref")),
+        col("source") === col("pref_src") && col("pref") === col("pref_affix"),
+        "left")
+      .join(broadcast(flagged("suff")),
+        col("source") === col("suff_src") && col("suff") === col("suff_affix"),
+        "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("bp_pref"), lit(false)).as("strip_header"),
+        coalesce(col("bp_suff"), lit(false)).as("strip_footer"),
+        col("n_tokens"),
+        (col("n_tokens")
+          - when(coalesce(col("bp_pref"), lit(false)), k).otherwise(0)
+          - when(coalesce(col("bp_suff"), lit(false)), k).otherwise(0))
+          .as("n_tokens_stripped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDocBoilerplateSql: String = {
+    val k = bpAffixLen
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    string_split(CASE WHEN doc_id % 4 = 0
+       |      THEN 'hdr ' || source || ' notice ' || text || ' end ' || source || ' ftr'
+       |      ELSE text END, ' ') AS toks
+       |  FROM documents
+       |),
+       |d2 AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) >= ${2 * k}
+       |      THEN array_to_string(toks[1:$k], ' ') END AS pref,
+       |    CASE WHEN len(toks) >= ${2 * k}
+       |      THEN array_to_string(toks[-$k:], ' ') END AS suff
+       |  FROM docs
+       |),
+       |n_src AS (SELECT source, count(*) AS n_src FROM d2 GROUP BY source),
+       |bp_pref AS (
+       |  SELECT source, pref AS affix FROM d2 JOIN n_src USING (source)
+       |  WHERE pref IS NOT NULL
+       |  GROUP BY source, pref, n_src
+       |  HAVING count(*) >= $bpMinDocs
+       |    AND CAST(count(*) AS DOUBLE) / n_src >= $bpMinFrac
+       |),
+       |bp_suff AS (
+       |  SELECT source, suff AS affix FROM d2 JOIN n_src USING (source)
+       |  WHERE suff IS NOT NULL
+       |  GROUP BY source, suff, n_src
+       |  HAVING count(*) >= $bpMinDocs
+       |    AND CAST(count(*) AS DOUBLE) / n_src >= $bpMinFrac
+       |)
+       |SELECT doc_id, d2.source,
+       |  p.affix IS NOT NULL AS strip_header,
+       |  s.affix IS NOT NULL AS strip_footer,
+       |  n_tokens,
+       |  n_tokens - CASE WHEN p.affix IS NOT NULL THEN $k ELSE 0 END
+       |           - CASE WHEN s.affix IS NOT NULL THEN $k ELSE 0 END
+       |    AS n_tokens_stripped
+       |FROM d2
+       |LEFT JOIN bp_pref p ON d2.source = p.source AND d2.pref = p.affix
+       |LEFT JOIN bp_suff s ON d2.source = s.source AND d2.suff = s.affix
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Quality-model incremental refresh: the E313 merge law, text side
+  // ------------------------------------------------------------------
+
+  /** QUALITY-MODEL INCREMENTAL REFRESH (E329) — the text twin of the
+    * IVF family's `ivfMergeStats` (E306/E313): when E315's
+    * `retrain_flag` says the frozen quality model has gone stale, a
+    * 100 TB pipeline cannot afford to re-aggregate the whole corpus —
+    * the refresh must be ADDITIVE: stats(base) ⊕ stats(batch) ≡
+    * stats(base ∪ batch), with the batch side computed from the batch
+    * alone. This op performs the additive merge for all three frozen
+    * artifacts (unigram counts, bigram counts, token totals) and emits
+    * the merge LAW as a checked output, not a claim: per table, every
+    * key's merged count is compared against a from-scratch union
+    * recount, and `merged_equals_full` must read true.
+    *
+    * Output (bounded: one row per artifact kind — 'uni' / 'bi' /
+    * 'totals'): key counts per side, merged vs full key counts (vocab
+    * merges by key UNION, masses by addition — `n_keys_merged` ≤
+    * `n_keys_base + n_keys_new` exactly where the batch re-observes
+    * known tokens), total masses, and `n_mismatch` (keys whose merged
+    * count ≠ recounted) with its boolean closure.
+    *
+    * Split: content-keyed (the E315 rule — the synthetic `source` is
+    * id-derived, an id split would alias whole sources out of the base).
+    *
+    * Scale (100 TB): the production path is base-stats (stored with the
+    * model, vocab-bounded) + one batch-sized aggregation + a
+    * vocab-bounded full-outer merge join — the base CORPUS is never
+    * re-read. The from-scratch recount arm exists here as the in-output
+    * proof that skipping it is sound (the E313 `merged_equals_full`
+    * discipline); production drops that arm — that is the point.
+    */
+  def qDocQualityRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val h = portableHash(concat(col("text"), lit("|qrefresh"))) % 10
+    val base = docs.filter(h =!= 0)
+    val batch = docs.filter(h === 0)
+    val union = base.unionAll(batch)
+    val bigramsExpr = "transform(sequence(1, size(toks) - 1)," +
+      " i -> concat_ws(' ', slice(toks, i, 2)))"
+    def uniOf(d: DataFrame): DataFrame =
+      d.select(explode(split(col("text"), " ")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    def biOf(d: DataFrame): DataFrame =
+      d.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(bigramsExpr)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // per kind: full-outer merge of the two sides' counts (the additive
+    // refresh), full-outer against the union recount (the proof arm),
+    // then ONE bounded aggregate row
+    def law(kind: String, b: DataFrame, n: DataFrame, f: DataFrame): DataFrame =
+      b.select(col("k"), col("c").as("c_base"))
+        .join(n.select(col("k"), col("c").as("c_new")), Seq("k"), "full")
+        .na.fill(0L, Seq("c_base", "c_new"))
+        .withColumn("c_merged", col("c_base") + col("c_new"))
+        .join(f.select(col("k"), col("c").as("c_full")), Seq("k"), "full")
+        .na.fill(0L, Seq("c_base", "c_new", "c_merged", "c_full"))
+        .agg(
+          sum(when(col("c_base") > 0, 1L).otherwise(0L)).as("n_keys_base"),
+          sum(when(col("c_new") > 0, 1L).otherwise(0L)).as("n_keys_new"),
+          count(lit(1)).as("n_keys_merged"),
+          sum(col("c_base")).as("mass_base"),
+          sum(col("c_new")).as("mass_new"),
+          sum(col("c_merged")).as("mass_merged"),
+          sum(when(col("c_merged") =!= col("c_full"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .select(lit(kind).as("kind"), col("n_keys_base"), col("n_keys_new"),
+          col("n_keys_merged"), col("mass_base"), col("mass_new"),
+          col("mass_merged"), col("n_mismatch"),
+          (col("n_mismatch") === 0L).as("merged_equals_full"))
+    // the totals artifact's law rides the 'uni' row: t merges by mass
+    // addition (mass_merged) and v by key union (n_keys_merged) — a
+    // separate row would recount the same frame
+    law("uni", uniOf(base), uniOf(batch), uniOf(union))
+      .unionAll(law("bi", biOf(base), biOf(batch), biOf(union)))
+      .orderBy(col("kind"))
+  }
+
+  val qDocQualityRefreshSql: String = {
+    val bgList = "list_transform(generate_series(1, len(toks) - 1)," +
+      " i -> toks[i] || ' ' || toks[i + 1])"
+    def uniSql(src: String): String =
+      s"SELECT w AS k, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src) GROUP BY w"
+    def biSql(src: String): String =
+      s"""SELECT bg AS k, count(*) AS c FROM (
+         |    SELECT unnest($bgList) AS bg
+         |    FROM (SELECT string_split(text, ' ') AS toks FROM $src)
+         |    WHERE len(toks) >= 2) GROUP BY bg""".stripMargin
+    def lawSql(kind: String, b: String, n: String, f: String): String =
+      s"""SELECT '$kind' AS kind,
+         |  CAST(sum(CASE WHEN c_base > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_base,
+         |  CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_new,
+         |  CAST(count(*) AS BIGINT) AS n_keys_merged,
+         |  CAST(sum(c_base) AS BIGINT) AS mass_base,
+         |  CAST(sum(c_new) AS BIGINT) AS mass_new,
+         |  CAST(sum(c_merged) AS BIGINT) AS mass_merged,
+         |  CAST(sum(CASE WHEN c_merged != c_full THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  sum(CASE WHEN c_merged != c_full THEN 1 ELSE 0 END) = 0 AS merged_equals_full
+         |FROM (
+         |  SELECT COALESCE(m.k, f.k) AS k,
+         |    COALESCE(c_base, 0) AS c_base, COALESCE(c_new, 0) AS c_new,
+         |    COALESCE(c_merged, 0) AS c_merged, COALESCE(f.c, 0) AS c_full
+         |  FROM (
+         |    SELECT COALESCE(b.k, n.k) AS k, COALESCE(b.c, 0) AS c_base,
+         |      COALESCE(n.c, 0) AS c_new,
+         |      COALESCE(b.c, 0) + COALESCE(n.c, 0) AS c_merged
+         |    FROM ($b) b FULL JOIN ($n) n ON b.k = n.k
+         |  ) m FULL JOIN ($f) f ON m.k = f.k
+         |)""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    ${portableHashSql("text || '|qrefresh'")} % 10 AS hsplit
+       |  FROM documents
+       |),
+       |base AS (SELECT doc_id, text FROM docs WHERE hsplit != 0),
+       |batch AS (SELECT doc_id, text FROM docs WHERE hsplit = 0)
+       |${lawSql("uni", uniSql("base"), uniSql("batch"), uniSql("docs"))}
+       |UNION ALL
+       |${lawSql("bi", biSql("base"), biSql("batch"), biSql("docs"))}
+       |ORDER BY kind""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Frozen-model quality gate: the E312 funnel scored under E315 stats
   // ------------------------------------------------------------------
 

@@ -1332,7 +1332,7 @@ object Similarity {
     * deterministic jitter in DOUBLE over an `e` column (cos ≈ 0.987 vs
     * [[semanticTau]] on unit-ish vectors). One definition, two fixtures
     * ([[qEmbDecontamIvf]] and the E318 unified verdict). */
-  private[ext] val reembedExpr: String =
+  private[graft] val reembedExpr: String =
     "transform(e, (x, i) -> x + CASE WHEN i % 2 = 0 " +
       "THEN CAST(0.02 AS DOUBLE) ELSE CAST(-0.02 AS DOUBLE) END)"
   private[ext] def reembedSql(v: String): String =
@@ -1351,16 +1351,37 @@ object Similarity {
     // both assignment folds consume it — the qEmbAnnIvf precedent)
     val qArr = centroidArrayOfE(train, None).persist()
     qArr.count()
-    val tA = probeCells(train.select(col("vec_id"), col("e")), qArr, 1)
-      .select(col("vec_id"), col("e"), col("cell"), col("norm"))
-    val eA = probeCells(evalE.select(col("vec_id"), col("e")), qArr, 2)
+    semanticScreenWith(train.select(col("vec_id"), col("e")),
+      semanticEvalAssign(evalE, qArr), qArr)
+  }
+
+  /** The benchmark side of the semantic gate, pre-assigned at nprobe=2
+    * against quantizer `qArr`: (eval_vec_id, qe, cell, q_norm), one row
+    * per probed cell. Benchmark-sized — computed ONCE (per stream, for
+    * the E328 screen) and broadcast into every verify join. */
+  private[graft] def semanticEvalAssign(evalE: DataFrame,
+      qArr: DataFrame): DataFrame =
+    probeCells(evalE.select(col("vec_id"), col("e")), qArr, 2)
       .select(col("vec_id").as("eval_vec_id"), col("e").as("qe"), col("cell"),
         col("norm").as("q_norm"))
-    tA.join(broadcast(eA), Seq("cell"))
+
+  /** Shared verify core of the semantic gates — [[semanticContamPairs]]
+    * (quantizer trained on the union train side) and the E328 streaming
+    * screen (quantizer FROZEN on the base corpus) differ only in where
+    * `qArr` comes from, so batch gate and door screen cannot drift:
+    * assign `side` (vec_id, e) to its nprobe=1 index cell via the narrow
+    * [[probeCells]] fold, equi-join the broadcast pre-assigned eval side
+    * `evalA` ([[semanticEvalAssign]]) on the cell key, verify by exact
+    * sequential-[[dot]] cosine at [[semanticTau]]. Per-batch cost is
+    * Σ|cell∩side|·|eval∩cell| — cell-bounded, never |side|×|eval|. */
+  private[graft] def semanticScreenWith(side: DataFrame, evalA: DataFrame,
+      qArr: DataFrame): DataFrame =
+    probeCells(side.select(col("vec_id"), col("e")), qArr, 1)
+      .select(col("vec_id"), col("e"), col("cell"), col("norm"))
+      .join(broadcast(evalA), Seq("cell"))
       .select(col("vec_id"), col("eval_vec_id"), col("cell"),
         (dot(col("qe"), col("e")) / (col("q_norm") * col("norm"))).as("cosine"))
       .filter(col("cosine") >= semanticTau)
-  }
 
   /** Oracle-side mirror of [[semanticContamPairs]]: the CTE chain from a
     * (vec_id, label, v) train CTE `$trSrc` and eval CTE `$evSrc` to

@@ -1069,6 +1069,77 @@ object Warehouse {
       |ORDER BY table_name""".stripMargin
 
   // ------------------------------------------------------------------
+  // k-anonymity / l-diversity audit (E330)
+  // ------------------------------------------------------------------
+
+  /** k of the k-anonymity audit: an equivalence class smaller than this
+    * is re-identifiable by its quasi-identifiers alone. */
+  final val kAnonK = 5L
+
+  /** l of the l-diversity audit: a class whose sensitive attribute takes
+    * fewer than this many values leaks it even when k-anonymous. */
+  final val lDivL = 2L
+
+  /** K-ANONYMITY / L-DIVERSITY AUDIT (E330) — the privacy screen a
+    * training-data pipeline runs BEFORE publishing structured metadata
+    * (the complement of the E149 row-erasure cascade: erasure removes a
+    * named subject; this audit says whether the REMAINING table
+    * re-identifies subjects by quasi-identifier intersection, Sweeney's
+    * k-anonymity). Quasi-identifiers: (nation, market segment, account
+    * balance band — `floor(c_acctbal / 2000)`, exact at band edges since
+    * integer-multiples-of-2000 are IEEE-representable and both engines
+    * divide the same doubles). Sensitive attribute: the customer's
+    * minimum order priority (deterministic per customer; 'NONE' for
+    * customers with no orders — absence is itself a value the class can
+    * leak).
+    *
+    * Output: one row per occupied equivalence class — size `n`,
+    * `is_k_anon` (n ≥ [[kAnonK]]), `n_sensitive` (distinct sensitive
+    * values in the class), `is_l_diverse` (≥ [[lDivL]]) — the table a
+    * release gate consumes (suppress or generalize every class failing
+    * either flag).
+    *
+    * Scale (100 TB): the per-customer sensitive reduction is a map-side-
+    * combinable min keyed on the customer — the one unavoidable
+    * entity-grain shuffle; the class roll-up partial-aggregates into the
+    * BOUNDED QI domain (|nations| × |segments| × |bands| rows), so the
+    * final exchange is constant-size regardless of corpus scale.
+    * countDistinct over the class rides the same exchange (sensitive
+    * domain is 5 priorities + 'NONE').
+    */
+  def qCustKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+    val sens = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey").agg(min($"o_orderpriority").as("sens"))
+    cust.select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 2000).cast("long").as("bal_band"))
+      .join(sens, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey", $"c_mktsegment", $"bal_band",
+        coalesce($"sens", lit("NONE")).as("s"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("n"), countDistinct($"s").as("n_sensitive"))
+      .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n",
+        ($"n" >= kAnonK).as("is_k_anon"), $"n_sensitive",
+        ($"n_sensitive" >= lDivL).as("is_l_diverse"))
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+  }
+
+  val qCustKAnonymitySql: String =
+    s"""WITH sens AS (
+       |  SELECT o_custkey, min(o_orderpriority) AS s
+       |  FROM orders GROUP BY o_custkey
+       |)
+       |SELECT c_nationkey, c_mktsegment,
+       |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       |  count(*) AS n, count(*) >= $kAnonK AS is_k_anon,
+       |  CAST(count(DISTINCT COALESCE(s, 'NONE')) AS BIGINT) AS n_sensitive,
+       |  count(DISTINCT COALESCE(s, 'NONE')) >= $lDivL AS is_l_diverse
+       |FROM customer LEFT JOIN sens ON c_custkey = o_custkey
+       |GROUP BY c_nationkey, c_mktsegment, bal_band
+       |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
+  // ------------------------------------------------------------------
   // Pareto frontier / skyline (E148)
   // ------------------------------------------------------------------
 
@@ -3250,6 +3321,7 @@ object Warehouse {
     "q_cust_rfm" -> ((qCustRfm _, qCustRfmSql)),
     "q_part_abc" -> ((qPartAbc _, qPartAbcSql)),
     "q_gdpr_erasure" -> ((qGdprErasure _, qGdprErasureSql)),
+    "q_cust_k_anonymity" -> ((qCustKAnonymity _, qCustKAnonymitySql)),
     "q_line_skyline" -> ((qLineSkyline _, qLineSkylineSql)),
     "q_weighted_median" -> ((qWeightedMedian _, qWeightedMedianSql)),
     "q_benford_audit" -> ((qBenfordAudit _, qBenfordAuditSql)),

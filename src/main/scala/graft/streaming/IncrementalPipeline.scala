@@ -143,6 +143,83 @@ object IncrementalPipeline {
     query.awaitTermination()
   }
 
+  /** STREAMING SEMANTIC DECONTAMINATION SCREEN — the ingest-time twin of
+    * the IVF-routed semantic gate
+    * ([[graft.ext.Similarity.qEmbDecontamIvf]], E317), completing the
+    * decontamination trilogy at the door: exact-token (E51) and fuzzy
+    * (E316) screens catch shared text surface; this one catches the
+    * rewritten/translated paraphrase with NO shared tokens — arriving
+    * embedding shards screened against the frozen benchmark before their
+    * vectors enter the corpus index.
+    *
+    * The quantizer is the production index's, trained ONCE on the base
+    * corpus at stream start and FROZEN (the E315/E319/E325 frozen-model
+    * discipline) — never on the arriving batch, which is exactly what
+    * makes the screen shard-decomposable: under a fixed quantizer each
+    * vector's cell, candidates, and cosine verify are functions of that
+    * vector alone, so the union of per-batch flag sets provably equals
+    * the frozen-quantizer batch screen over the union corpus (asserted by
+    * the spec). The batch gate trains on the union train side instead —
+    * the drift between the two is the E313 rebuild trigger's job to
+    * detect, not this screen's to hide.
+    *
+    * Per micro-batch (see [[appendSemanticFlags]]): assign the batch at
+    * nprobe=1 via the narrow probeCells fold, equi-join the ONCE-computed
+    * broadcast eval-side assignment (benchmark probes its 2 nearest
+    * cells), exact-cosine verify at τ, flags append under the
+    * [[StreamState]] marker-commit retry guard. O(batch) per arrival:
+    * the only non-broadcast input is the shard itself.
+    */
+  def semanticAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      baseEmb: DataFrame,
+      evalE: DataFrame,
+      flagDir: String,
+      checkpointDir: String): Unit = {
+    val qArr = graft.ext.Similarity.centroidArrayOfE(baseEmb, None).persist()
+    qArr.count()
+    // benchmark-sized, assigned once per stream — LogicalRDD leaf so the
+    // per-batch plan never re-expands the assignment subtree (E326 note)
+    val evalA = graft.ext.Similarity.semanticEvalAssign(evalE, qArr)
+      .localCheckpoint(true)
+    try {
+      val raw = spark.readStream.schema(schema).parquet(inputDir)
+      val query = raw.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          appendSemanticFlags(spark, batch, evalA, qArr, batchId, flagDir)
+        }
+        .start()
+      query.awaitTermination()
+    } finally qArr.unpersist()
+  }
+
+  /** One idempotent micro-batch screen of [[semanticAvailableNow]] —
+    * package-visible so the spec can drive a batch-retry directly. Same
+    * marker-commit shape as [[appendContamFlags]] (clean batches commit
+    * an empty partition; the marker, not data rows, records "seen"). */
+  private[streaming] def appendSemanticFlags(
+      spark: SparkSession,
+      batch: DataFrame,
+      evalA: DataFrame,
+      qArr: DataFrame,
+      batchId: Long,
+      flagDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val stateDir = s"${flagDir}_state"
+    if (batchId > StreamState.read(spark, stateDir).maxBatch) {
+      val side = batch.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      graft.ext.Similarity.semanticScreenWith(side, evalA, qArr)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$flagDir/batch_id=$batchId")
+      StreamState.commit(spark, stateDir, StreamState.State(0L, batchId))
+    }
+  }
+
   /** STREAMING QUALITY GATE AT INGEST — the arriving-shard twin of the
     * frozen-model quality funnel
     * ([[graft.ext.CorpusOps.qDocQualityGateFrozen]]): every micro-batch

@@ -144,6 +144,139 @@ class CorpusOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("quality refresh: additive stats merge replays; merged == full recount; batch contributes") {
+    def pHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val docsRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (batch, base) = docsRows.partition(d => pHash(d._2 + "|qrefresh") % 10 == 0)
+    assert(base.nonEmpty && batch.nonEmpty, "content split must be two-sided")
+    def uniOf(ds: Array[(Long, String)]): Map[String, Long] =
+      ds.flatMap(_._2.split(" ")).groupBy(identity).map { case (w, xs) =>
+        w -> xs.length.toLong }
+    def biOf(ds: Array[(Long, String)]): Map[String, Long] =
+      ds.flatMap { d =>
+        val toks = d._2.split(" ")
+        if (toks.length < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      }.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    def lawOf(b: Map[String, Long], n: Map[String, Long]) = {
+      val keys = b.keySet ++ n.keySet
+      (b.size.toLong, n.size.toLong, keys.size.toLong,
+        b.values.sum, n.values.sum, b.values.sum + n.values.sum)
+    }
+    val expected = Map(
+      "uni" -> lawOf(uniOf(base), uniOf(batch)),
+      "bi" -> lawOf(biOf(base), biOf(batch)))
+    val out = CorpusOps.qDocQualityRefresh(spark, sf).collect().map { r =>
+      r.getAs[String]("kind") -> ((
+        (r.getAs[Long]("n_keys_base"), r.getAs[Long]("n_keys_new"),
+          r.getAs[Long]("n_keys_merged"), r.getAs[Long]("mass_base"),
+          r.getAs[Long]("mass_new"), r.getAs[Long]("mass_merged")),
+        r.getAs[Long]("n_mismatch"), r.getAs[Boolean]("merged_equals_full")))
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (kind, e) =>
+      assert(out(kind)._1 === e, s"kind $kind: engine ${out(kind)._1} != replay $e")
+      // the merge LAW: per-key additive merge == from-scratch union recount
+      assert(out(kind)._2 === 0L, s"kind $kind: ${out(kind)._2} mismatched keys")
+      assert(out(kind)._3, s"kind $kind: merged_equals_full must hold")
+    }
+    // the refresh is non-trivial: the batch re-observes known tokens
+    // (union < base + new) AND the masses genuinely add
+    val (kb, kn, km, mb, mn, mm) = out("uni")._1
+    assert(km < kb + kn, "batch must re-observe at least one known token")
+    assert(mb > 0 && mn > 0 && mm === mb + mn)
+    spark.catalog.clearCache()
+  }
+
+  test("boilerplate: planted affixes flagged, organic docs clean, token accounting conserved") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the fixture's in-place wrap, replayed locally
+    val wrapped = rows.map { case (id, src, t) =>
+      (id, src, if (id % 4 == 0) s"hdr $src notice $t end $src ftr" else t)
+    }
+    val k = CorpusOps.bpAffixLen
+    def affixes(t: String): (Option[String], Option[String]) = {
+      val toks = t.split(" ")
+      if (toks.length < 2 * k) (None, None)
+      else (Some(toks.take(k).mkString(" ")), Some(toks.takeRight(k).mkString(" ")))
+    }
+    val bySrc = wrapped.groupBy(_._2)
+    def flaggedSet(pick: ((Option[String], Option[String])) => Option[String]) =
+      bySrc.flatMap { case (src, ds) =>
+        ds.flatMap(d => pick(affixes(d._3))).groupBy(identity)
+          .filter { case (_, xs) =>
+            xs.size >= CorpusOps.bpMinDocs &&
+              xs.size.toDouble / ds.size >= CorpusOps.bpMinFrac }
+          .keys.map(src -> _)
+      }.toSet
+    val hdrs = flaggedSet(_._1); val ftrs = flaggedSet(_._2)
+    val expected = wrapped.map { case (id, src, t) =>
+      val (p, s) = affixes(t)
+      val sh = p.exists(a => hdrs((src, a))); val sf_ = s.exists(a => ftrs((src, a)))
+      val n = t.split(" ").length.toLong
+      id -> (sh, sf_, n, n - (if (sh) k else 0) - (if (sf_) k else 0))
+    }.toMap
+    val out = CorpusOps.qDocBoilerplate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("strip_header"), r.getAs[Boolean]("strip_footer"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_stripped"))).toMap
+    assert(out === expected)
+    // the plant works both ways: every wrapped doc is stripped on both
+    // ends, and no organic doc loses a token
+    wrapped.foreach { case (id, _, _) =>
+      if (id % 4 == 0) assert(out(id)._1 && out(id)._2, s"planted doc $id unflagged")
+      else assert(!out(id)._1 && !out(id)._2 && out(id)._3 === out(id)._4,
+        s"organic doc $id stripped: ${out(id)}")
+    }
+  }
+
+  test("datasheet: per-source volume, vocab, dup and lang-entropy match a local replay") {
+    def pHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val nDocs = ds.length.toLong
+      val toks = ds.map(_._3.split(" "))
+      val nTok = toks.map(_.length.toLong).sum
+      val vocab = toks.flatten.distinct.length.toLong
+      val nDistinct = ds.map(d => pHash(d._3)).distinct.length.toLong
+      val langCnt = ds.groupBy(_._2).map { case (_, xs) => xs.length.toLong }
+      val ent = qlog(nDocs) - langCnt.map(c => c * qlog(c)).sum / nDocs
+      src -> ((nDocs, nTok, nTok.toDouble / nDocs,
+        ds.map(_._4).sum.toDouble / nDocs, vocab, vocab.toDouble / nTok,
+        1.0 - nDistinct.toDouble / nDocs, langCnt.size.toLong, ent))
+    }
+    val out = CorpusOps.qDocDatasheet(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_tokens"),
+        r.getAs[Double]("mean_chars"), r.getAs[Long]("vocab"),
+        r.getAs[Double]("ttr"), r.getAs[Double]("dup_frac"),
+        r.getAs[Long]("n_langs"), r.getAs[Long]("lang_ent_micronat")))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(out(src) === e, s"source $src: engine ${out(src)} != replay $e")
+    }
+    // entropy sanity: non-negative, and zero iff monolingual
+    out.values.foreach { case (_, _, _, _, _, _, _, nl, ent) =>
+      assert(ent >= 0L); if (nl === 1L) assert(ent === 0L)
+    }
+  }
+
   test("passage dedup: kept passages = distinct passages, deterministic") {
     val out = CorpusOps.qDocPassageDedup(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

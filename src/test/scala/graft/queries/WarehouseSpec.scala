@@ -273,6 +273,40 @@ class WarehouseSpec extends SparkSuite {
       liOrd.length - liDel, 0L)))
   }
 
+  test("k-anonymity: classes match a local replay; flags at exactly k and l; mass conserved") {
+    import org.apache.spark.sql.functions.col
+    val out = Warehouse.qCustKAnonymity(spark, sf).collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("bal_band")) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_k_anon"),
+          r.getAs[Long]("n_sensitive"), r.getAs[Boolean]("is_l_diverse"))).toMap
+    // local replay: per-customer sensitive = min order priority or NONE,
+    // classes = exact QI grouping
+    val sens = graft.model.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val cust = graft.model.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val expected = cust
+      .groupBy(c => (c._2, c._3, math.floor(c._4 / 2000).toLong))
+      .map { case (qi, cs) =>
+        val vals = cs.map(c => sens.getOrElse(c._1, "NONE")).distinct.length.toLong
+        qi -> (cs.length.toLong, cs.length >= Warehouse.kAnonK,
+          vals, vals >= Warehouse.lDivL)
+      }
+    assert(out === expected)
+    // every customer lands in exactly one class
+    assert(out.values.map(_._1).sum === cust.length.toLong)
+    // flags are thresholds, not accidents of the fixture
+    out.values.foreach { case (n, ka, nv, ld) =>
+      assert(ka === (n >= Warehouse.kAnonK)); assert(ld === (nv >= Warehouse.lDivL))
+      assert(nv <= n, "distinct sensitive values cannot exceed class size")
+    }
+  }
+
   test("skyline: exactly the non-dominated offers per nation (brute force)") {
     import org.apache.spark.sql.functions.col
     val out = Warehouse.qLineSkyline(spark, sf).collect()

@@ -199,6 +199,96 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("semantic screen: per-shard flags union == frozen batch screen; planted re-embeds caught; retry no-op") {
+    import org.apache.spark.sql.functions.{expr, transform => atransform}
+    import graft.ext.Similarity
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_sem_in").toString
+    val ckDir = Files.createTempDirectory("graft_sem_ck").toString
+    val flagDir = Files.createTempDirectory("graft_sem_flags").toString + "/flags"
+
+    val all = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
+      atransform(col("embedding"), _.cast("double")).as("e"))
+    val evalE = all.filter(col("vec_id") % 50 === 0)
+    val clean = all.filter(col("vec_id") % 50 =!= 0)
+    // the frozen corpus: the quantizer trains here ONCE, never on arrivals
+    val baseEmb = clean.filter(col("vec_id") < 250)
+    // arrivals: organic new vectors + re-embedded benchmark paraphrases
+    // (the E317 plant — zero shared text surface, cos ≈ 0.987), planted
+    // into BOTH shards so both micro-batches carry contamination
+    val planted = evalE.select((-col("vec_id") - 1).as("vec_id"),
+      expr(Similarity.reembedExpr).as("e"))
+    def asShard(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        atransform(col("e"), _.cast("float")).as("embedding"))
+    val organic = clean.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("e"))
+    val shardA = asShard(organic.filter(col("vec_id") < 375)
+      .unionAll(planted.filter(-col("vec_id") - 1 < 250)))
+    val shardB = asShard(organic.filter(col("vec_id") >= 375)
+      .unionAll(planted.filter(-col("vec_id") - 1 >= 250)))
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "emb_shard_a.parquet")
+    IncrementalPipeline.semanticAvailableNow(
+      spark, inDir, spark.read.parquet(s"$inDir/emb_shard_a.parquet").schema,
+      baseEmb, evalE, flagDir, ckDir)
+    drop(shardB, "emb_shard_b.parquet")
+    IncrementalPipeline.semanticAvailableNow(
+      spark, inDir, spark.read.parquet(s"$inDir/emb_shard_a.parquet").schema,
+      baseEmb, evalE, flagDir, ckDir)
+
+    def flags() = spark.read.parquet(flagDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_vec_id"))).toSet
+    val screened = flags()
+    // shard-decomposable under the FROZEN quantizer: union of per-batch
+    // flags == the frozen-quantizer screen over the union of arrivals,
+    // replayed from the SAME dropped files (float-roundtripped bytes)
+    val qArr = Similarity.centroidArrayOfE(baseEmb, None).persist()
+    qArr.count()
+    val arrivals = spark.read.parquet(s"$inDir/*.parquet")
+      .select(col("vec_id"), atransform(col("embedding"), _.cast("double")).as("e"))
+    val expected = Similarity.semanticScreenWith(
+      arrivals, Similarity.semanticEvalAssign(evalE, qArr), qArr)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_vec_id"))).toSet
+    qArr.unpersist()
+    assert(screened === expected)
+    // every flag is a planted re-embed attributed to its own source
+    // (organic arrivals top out near cos 0.45 — zero false flags)
+    assert(screened.forall { case (v, ev) => v < 0 && v === -ev - 1 },
+      s"organic arrival flagged: $screened")
+    // recall: the planted paraphrases are caught (cell clipping at
+    // nprobe=2 is the family's documented recall knob — >= 90%)
+    val nEval = evalE.count()
+    assert(screened.size >= (0.9 * nEval).toInt,
+      s"planted recall too low: ${screened.size} of $nEval")
+    val batchIds = spark.read.parquet(flagDir)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+    assert(StreamState.read(spark, flagDir + "_state").maxBatch === batchIds.max)
+
+    // E58 discipline: checkpointed re-run and batch retry are both no-ops
+    IncrementalPipeline.semanticAvailableNow(
+      spark, inDir, spark.read.parquet(s"$inDir/emb_shard_a.parquet").schema,
+      baseEmb, evalE, flagDir, ckDir)
+    assert(flags() === expected, "re-run must not change the flag table")
+    val qArr2 = Similarity.centroidArrayOfE(baseEmb, None)
+    IncrementalPipeline.appendSemanticFlags(
+      spark, asShard(planted),
+      Similarity.semanticEvalAssign(evalE, qArr2), qArr2,
+      batchIds.min, flagDir)
+    assert(flags() === expected, "batch retry must not double-append")
+    spark.catalog.clearCache()
+  }
+
   test("quality gate at ingest: per-shard verdicts union == frozen batch gate; re-run and retry are no-ops") {
     import org.apache.spark.sql.functions.{concat, expr, lit}
     import graft.ext.CorpusOps

@@ -1708,6 +1708,157 @@ object CorpusOps {
   }
 
   // ------------------------------------------------------------------
+  // Bradley-Terry preference ratings (E333)
+  // ------------------------------------------------------------------
+
+  /** MM iterations of the Bradley-Terry fit (Hunter 2004) — fixed and
+    * unrolled in the oracle, so a literal. */
+  final val btIters = 3
+  /** +½ win prior per source (Davidson-style regularization): keeps every
+    * rating strictly positive even for a source that loses all its
+    * matches, so no MM denominator can hit 0/0. */
+  final val btEps = 0.5
+
+  /** BRADLEY-TERRY PREFERENCE RATINGS (E333) — the aggregate every
+    * preference-data (RLHF) pipeline needs: given pairwise comparisons
+    * with winners, fit the Bradley-Terry model P(i beats j) =
+    * r_i/(r_i+r_j) and rank the parties. Here the parties are the
+    * corpus's SOURCES and the comparisons are head-to-head document
+    * quality matches — "which crawl source wins blind quality
+    * comparisons" — but the kernel is the one that rates annotators,
+    * model checkpoints, or response variants from the same pair table.
+    *
+    * Matches: doc i vs docs i+3 and i+7 (two id offsets COPRIME with the
+    * source count, so the comparison graph is a connected union of two
+    * full cycles over the sources — BT is only identified up to scale
+    * per connected component); the winner has the higher shared lexical
+    * [[TextOps.qualityScoreCol]] (per-row-deterministic double, the E68
+    * sampler's score), doc_id breaking exact ties; same-source matches
+    * carry no rating information and are dropped.
+    *
+    * Fit: [[btIters]] rounds of Hunter's MM update r_i ← (W_i + ε) /
+    * Σ_j n_ij/(r_i+r_j) from the uniform start, ratings then normalized
+    * to mean 1 (the scale gauge). Every float reduction — the MM
+    * denominator over neighbors, the normalization sum over sources —
+    * is a SEQUENTIAL fold in a deterministic key order (the centroid/
+    * dot discipline), so engines cannot drift by addition order; match
+    * and win counts are exact integers.
+    *
+    * Scale (100 TB): pair generation is two id-keyed corpus equi-joins
+    * (the inherent cost of materializing matches); everything after
+    * map-side combines onto the (source, source) BOUNDED neighbor table,
+    * and the MM iterations touch only that table — zero corpus re-scans
+    * per round, model state broadcast at every join.
+    */
+  def qDocBtRating(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), TextOps.qualityScoreCol.as("q"))
+    val a = q.select(col("doc_id").as("ida"), col("source").as("sa"), col("q").as("qa"))
+    val b = q.select(col("doc_id").as("idb"), col("source").as("sb"), col("q").as("qb"))
+    val m = Seq(3, 7).map { off =>
+      a.join(b, col("idb") === col("ida") + off)
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa"), col("sb"),
+          (col("qa") > col("qb") ||
+            (col("qa") === col("qb") && col("ida") < col("idb"))).as("win_a"))
+    }.reduce(_ unionAll _)
+    val nbr = m.select(col("sa").as("i"), col("sb").as("j"),
+        when(col("win_a"), 1L).otherwise(0L).as("w"))
+      .unionAll(m.select(col("sb").as("i"), col("sa").as("j"),
+        when(col("win_a"), 0L).otherwise(1L).as("w")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("w")).persist()
+    val tot = nbr.groupBy(col("i"))
+      .agg(sum(col("n")).as("n_tot"), sum(col("w")).as("w_tot")).persist()
+    tot.count()
+    // carry w_tot into the per-round aggregate via a pre-join (constant
+    // within each i group — max() just reads it back out)
+    def withTot(df: DataFrame): DataFrame =
+      df.join(broadcast(tot.select(col("i"), col("w_tot").as("w_tot_in"))), Seq("i"))
+    var r: DataFrame = tot.select(col("i"), lit(1.0).as("r"))
+    for (_ <- 1 to btIters) {
+      val ri = r.select(col("i"), col("r").as("r_i"))
+      val rj = r.select(col("i").as("j"), col("r").as("r_j"))
+      r = withTot(nbr)
+        .join(broadcast(ri), Seq("i")).join(broadcast(rj), Seq("j"))
+        .groupBy(col("i"))
+        .agg(((max(col("w_tot_in")) + lit(btEps)) /
+          aggregate(
+            array_sort(collect_list(struct(col("j").as("j"),
+              (col("n").cast("double") / (col("r_i") + col("r_j"))).as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v"))).as("r"))
+        // cut the round's lineage to a LogicalRDD leaf: each round embeds
+        // the previous ratings TWICE (ri + rj), so the composed plan
+        // STRING grows 2^btIters copies of the corpus-join subtree (the
+        // ingest-door plan-description lesson); the frame is |sources|
+        // rows of model state — materializing it per round is free
+        .localCheckpoint(true)
+    }
+    val norm = r.agg(
+      aggregate(array_sort(collect_list(struct(col("i").as("i"), col("r").as("r")))),
+        lit(0.0), (acc, x) => acc + x.getField("r")).as("sr"),
+      count(lit(1)).as("ns"))
+    tot.join(r, Seq("i")).crossJoin(broadcast(norm))
+      .select(col("i").as("source"), col("n_tot").as("n_matches"),
+        col("w_tot").as("n_wins"),
+        (col("r") * col("ns") / col("sr")).as("rating"))
+      .orderBy(col("source"))
+  }
+
+  val qDocBtRatingSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nbr.i,
+         |    (any_value(w_tot) + $btEps) / list_reduce(
+         |      list(CAST(nbr.n AS DOUBLE) / (ri.r + rj.r) ORDER BY nbr.j),
+         |      (a, b) -> a + b) AS r
+         |  FROM nbr
+         |  JOIN tot ON nbr.i = tot.i
+         |  JOIN $prev ri ON nbr.i = ri.i
+         |  JOIN $prev rj ON nbr.j = rj.i
+         |  GROUP BY nbr.i
+         |)""".stripMargin
+    val rounds = (1 to btIters).map(k => round(s"r${k - 1}", s"r$k")).mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT doc_id, source, ${TextOps.qualityScoreSql} AS q FROM documents
+       |),
+       |m AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    (a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id)) AS win_a
+       |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 3
+       |  WHERE a.source != b.source
+       |  UNION ALL
+       |  SELECT a.source, b.source,
+       |    (a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id))
+       |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 7
+       |  WHERE a.source != b.source
+       |),
+       |nbr AS (
+       |  SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT sa AS i, sb AS j, CASE WHEN win_a THEN 1 ELSE 0 END AS w FROM m
+       |    UNION ALL
+       |    SELECT sb, sa, CASE WHEN win_a THEN 0 ELSE 1 END FROM m
+       |  ) GROUP BY i, j
+       |),
+       |tot AS (
+       |  SELECT i, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(w) AS BIGINT) AS w_tot
+       |  FROM nbr GROUP BY i
+       |),
+       |r0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS r FROM tot),
+       |$rounds,
+       |norm AS (
+       |  SELECT list_reduce(list(r ORDER BY i), (a, b) -> a + b) AS sr,
+       |    count(*) AS ns
+       |  FROM r$btIters
+       |)
+       |SELECT tot.i AS source, n_tot AS n_matches, w_tot AS n_wins,
+       |  rf.r * ns / sr AS rating
+       |FROM tot JOIN r$btIters rf ON tot.i = rf.i CROSS JOIN norm
+       |ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Corpus datasheet (E332)
   // ------------------------------------------------------------------
 

@@ -1080,18 +1080,20 @@ object Warehouse {
     * fewer than this many values leaks it even when k-anonymous. */
   final val lDivL = 2L
 
-  /** K-ANONYMITY / L-DIVERSITY AUDIT (E330) — the privacy screen a
-    * training-data pipeline runs BEFORE publishing structured metadata
-    * (the complement of the E149 row-erasure cascade: erasure removes a
-    * named subject; this audit says whether the REMAINING table
-    * re-identifies subjects by quasi-identifier intersection, Sweeney's
-    * k-anonymity). Quasi-identifiers: (nation, market segment, account
+  /** PER-CLASS K-ANONYMITY / L-DIVERSITY RELEASE VERDICT (E330) — the
+    * ACTIONABLE complement of the aggregate privacy audits this repo
+    * already has: E106 ([[graft.etl.Quality.qKAnonCustomer]]) reports
+    * risk per generalization LEVEL, E166/E176 histogram class exposure —
+    * none emits the per-class suppress/keep list a release gate actually
+    * executes. Quasi-identifiers: (nation, market segment, account
     * balance band — `floor(c_acctbal / 2000)`, exact at band edges since
     * integer-multiples-of-2000 are IEEE-representable and both engines
-    * divide the same doubles). Sensitive attribute: the customer's
-    * minimum order priority (deterministic per customer; 'NONE' for
-    * customers with no orders — absence is itself a value the class can
-    * leak).
+    * divide the same doubles). Sensitive attribute: deliberately
+    * CROSS-TABLE — the customer's minimum order priority joined from
+    * `orders` (deterministic per customer; 'NONE' for customers with no
+    * orders — absence is itself a value the class can leak). A
+    * single-table audit cannot see this disclosure mode; linking
+    * attacks routinely can.
     *
     * Output: one row per occupied equivalence class — size `n`,
     * `is_k_anon` (n ≥ [[kAnonK]]), `n_sensitive` (distinct sensitive

@@ -238,6 +238,61 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("bt rating: MM fit matches an exact local replay; counts exact; ratings normalized") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the shared lexical score, replayed with the engine's operation order
+    def score(t: String): Double = {
+      val toks = t.split(" ")
+      val n = toks.length.toDouble
+      val stop = TextOps.stopwords.toSet
+      0.5 * (toks.distinct.length.toDouble / n) +
+        0.3 * (toks.count(stop).toDouble / n) +
+        0.2 * math.min(1.0, n / 100.0)
+    }
+    val byId = rows.map(d => d._1 -> d).toMap
+    val matches = for {
+      off <- Seq(3L, 7L); (ida, sa, ta) <- rows
+      (idb, sb, tb) <- byId.get(ida + off) if sa != sb
+    } yield {
+      val (qa, qb) = (score(ta), score(tb))
+      (sa, sb, qa > qb || (qa == qb && ida < idb))
+    }
+    val nbr = (matches.map { case (i, j, wa) => ((i, j), if (wa) 1L else 0L) } ++
+      matches.map { case (i, j, wa) => ((j, i), if (wa) 0L else 1L) })
+      .groupBy(_._1).map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).sum) }
+    val srcs = nbr.keys.map(_._1).toSeq.distinct.sorted
+    val tot = srcs.map { i =>
+      val mine = nbr.filter(_._1._1 == i).values
+      i -> (mine.map(_._1).sum, mine.map(_._2).sum)
+    }.toMap
+    var r = srcs.map(_ -> 1.0).toMap
+    for (_ <- 1 to CorpusOps.btIters) {
+      r = srcs.map { i =>
+        val denom = nbr.collect { case ((`i`, j), (n, _)) => (j, n) }.toSeq
+          .sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (j, n)) => acc + n.toDouble / (r(i) + r(j)) }
+        i -> (tot(i)._2 + CorpusOps.btEps) / denom
+      }.toMap
+    }
+    val sr = srcs.sorted.foldLeft(0.0)((acc, i) => acc + r(i))
+    val ns = srcs.length.toLong
+    val expected = srcs.map(i =>
+      i -> (tot(i)._1, tot(i)._2, r(i) * ns / sr)).toMap
+    val out = CorpusOps.qDocBtRating(spark, sf).collect()
+      .map(rr => rr.getAs[String]("source") -> (rr.getAs[Long]("n_matches"),
+        rr.getAs[Long]("n_wins"), rr.getAs[Double]("rating"))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (s, e) =>
+      assert(out(s) === e, s"source $s: engine ${out(s)} != replay $e")
+    }
+    // ratings are gauge-fixed to mean 1 and strictly positive
+    assert(math.abs(out.values.map(_._3).sum / out.size - 1.0) < 1e-9)
+    out.values.foreach { case (_, _, rt) => assert(rt > 0.0) }
+    spark.catalog.clearCache()
+  }
+
   test("datasheet: per-source volume, vocab, dup and lang-entropy match a local replay") {
     def pHash(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -689,4 +689,30 @@ class PlanAssertionsSpec extends SparkSuite {
         s"empty-key window in drift-test plan:\n$p")
     }
   }
+
+  test("streaming semantic screen: the per-batch plan has ZERO shuffle exchanges") {
+    // the E328 O(batch) claim, pinned structurally: batch-side cell
+    // assignment is the narrow 1-row-quantizer fold (BNLJ against a
+    // single-row build), the verify join probes a BROADCAST eval-side
+    // assignment, and nothing groups or sorts — so a micro-batch plan
+    // must contain no shuffle at all. (The quantizer/eval frames are
+    // stream-lifetime state, built once outside the per-batch path.)
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        atransform(col("embedding"), _.cast("double")).as("e"))
+    val qArr = graft.ext.Similarity.centroidArrayOfE(
+      emb.filter(col("vec_id") % 2 === 0), None).localCheckpoint(true)
+    val evalA = graft.ext.Similarity.semanticEvalAssign(
+      emb.filter(col("vec_id") % 50 === 0), qArr).localCheckpoint(true)
+    val p = plan(graft.ext.Similarity.semanticScreenWith(
+      emb.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("e")),
+      evalA, qArr))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"shuffle in the per-batch screen plan:\n$p")
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"verify join must probe the broadcast eval assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1751,8 +1751,12 @@ object CorpusOps {
     * per round, model state broadcast at every join.
     */
   def qDocBtRating(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist: the scored frame feeds BOTH sides of BOTH offset joins (4
+    // consumers) — score each doc once, not four times; released by the
+    // registry clearCache contract
     val q = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), TextOps.qualityScoreCol.as("q"))
+      .persist()
     val a = q.select(col("doc_id").as("ida"), col("source").as("sa"), col("q").as("qa"))
     val b = q.select(col("doc_id").as("idb"), col("source").as("sb"), col("q").as("qb"))
     val m = Seq(3, 7).map { off =>

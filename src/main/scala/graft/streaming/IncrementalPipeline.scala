@@ -466,6 +466,11 @@ object IncrementalPipeline {
     * write time, the E89 note) and grows by appending the batch's rows;
     * packing is the batch kernel shifted by the one-row state offset;
     * history is never re-read, re-shuffled, or re-packed.
+    *
+    * The door is TEXT-grain; arriving EMBEDDING shards (different grain,
+    * different table) pass through their own vector-side door —
+    * [[semanticAvailableNow]] (E328), which closes the decontamination
+    * trilogy the two token gates here start.
     */
   def ingestAvailableNow(
       spark: SparkSession,

@@ -1406,28 +1406,18 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
-  val qDocQualityGateSql: String = {
+  /** The full self-trained quality-funnel oracle as a CTE-chain + SELECT
+    * over a `corpus(doc_id, text)` CTE the caller provides — factored so
+    * the standalone gate (plant-injected corpus) and the E334 release
+    * gate (raw train corpus) run the IDENTICAL kernel SQL. Emits one row
+    * per doc with signals, per-arm booleans, and funnel `drop_reason`;
+    * unordered (callers add their own ORDER BY). */
+  private[ext] val qualityGateSqlBody: String = {
     val failRep = s"(n_shingles >= $gateMinShingles AND rep_ratio > $gateMaxRepRatio)"
     val failBg = s"(n_tokens >= 2 AND COALESCE(avg_bigram_p, 0.0) < $gateMinBigramP)"
     val failXe = s"xent_micronat > $gateMaxXentMicroNat"
     val failQu = s"(n_tokens < $gateMinTokens OR quality_score < $gateMinQuality)"
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
-       |  FROM documents WHERE doc_id % 40 = 1
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    array_to_string(list_transform(string_split(text, ' '),
-       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
-       |  FROM documents WHERE doc_id % 40 = 3
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
-       |  FROM documents WHERE doc_id % 40 = 4
-       |),
-       |dt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
+    s"""dt AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
        |sh AS (
        |  SELECT doc_id,
        |    unnest(list_transform(${Dedup.shinglesSqlExpr}, s -> ${h31Sql("s")})) AS h
@@ -1496,9 +1486,28 @@ object CorpusOps {
        |       WHEN $failXe THEN 'perplexity'
        |       WHEN $failQu THEN 'low_quality'
        |       ELSE 'kept' END AS drop_reason
-       |FROM gated
-       |ORDER BY doc_id""".stripMargin
+       |FROM gated""".stripMargin
   }
+
+  val qDocQualityGateSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 40 = 1
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
+       |  FROM documents WHERE doc_id % 40 = 3
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id,
+       |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
+       |  FROM documents WHERE doc_id % 40 = 4
+       |),
+       |$qualityGateSqlBody
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Quality-model transfer audit: frozen corpus stats vs arrivals
@@ -1706,6 +1715,130 @@ object CorpusOps {
        |LEFT JOIN base_xent USING (source)
        |ORDER BY u.source""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // The release gate (E334)
+  // ------------------------------------------------------------------
+
+  /** Block a source whose organic contamination rate exceeds this. */
+  final val relMaxContamFrac = 0.03
+  /** ...or whose exact-duplicate fraction exceeds this. */
+  final val relMaxDupFrac = 0.02
+  /** ...or whose quality-funnel drop rate exceeds this (the corpus's
+    * organic drop rates straddle this at every test SF, so both verdict
+    * outcomes stay live). */
+  final val relMaxQfailFrac = 0.15
+
+  /** THE RELEASE GATE (E334) — the batch-side capstone the E326 ingest
+    * door is the streaming twin of: ONE query that decides, per source,
+    * whether its slice of the corpus ships. It composes the three
+    * release-review signals over the REAL corpus (no fixture plants —
+    * the organic rates are the decision input):
+    *
+    *   - quality drop rate under the self-trained funnel
+    *     ([[qualityGateSqlBody]] / [[qualityGateFrom]] — the E312 kernel
+    *     verbatim, factored so gate and release gate cannot drift),
+    *   - fuzzy contamination rate against the held-out eval split (the
+    *     E310 kernel on raw docs — the synthetic corpus carries organic
+    *     near-duplicates across the split, so the signal is live),
+    *   - exact-duplicate fraction over 60-bit content fingerprints
+    *     (the E44/E332 redundancy number).
+    *
+    * Output: one row per source with the exact counts, the fractions,
+    * and the funnel verdict — `blocked:contaminated` →
+    * `blocked:duplicated` → `blocked:quality` → `ship` (first failing
+    * threshold wins, the E312 attribution shape at source grain).
+    *
+    * Scale (100 TB): each signal is its own op's plan (gate: one
+    * persisted tokenized scan into four branches; fuzzy: banded
+    * candidates with the benchmark side broadcast; dup: one map-side-
+    * combinable distinct-count) and the composition only adds three
+    * source-keyed aggregates joined on the SOURCE-cardinality key —
+    * broadcast-sized at any corpus. The expensive arms are exactly the
+    * ops a release review runs anyway; the gate buys running them in
+    * one pass with one verdict table out.
+    */
+  def qDocReleaseGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val trainDT = train.select(col("doc_id"), col("text"))
+    val srcOf = train.select(col("doc_id"), col("source"))
+    val qf = qualityGateFrom(spark, trainDT)
+      .select(col("doc_id"),
+        when(col("drop_reason") =!= "kept", 1L).otherwise(0L).as("qx"))
+      .join(srcOf, "doc_id")
+      .groupBy(col("source")).agg(sum(col("qx")).as("n_qfail"))
+    val cf = Dedup.fuzzyContamPairs(spark, trainDT, ev)
+      .select(col("doc_id")).distinct()
+      .join(srcOf, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contam"))
+    val mass = train.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(portableHash(col("text"))).as("n_distinct"))
+    val contamFrac = col("n_contam").cast("double") / col("n_docs")
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_docs")
+    val qfailFrac = col("n_qfail").cast("double") / col("n_docs")
+    mass.join(qf, Seq("source"), "left").join(cf, Seq("source"), "left")
+      .na.fill(0L, Seq("n_qfail", "n_contam"))
+      .select(col("source"), col("n_docs"), col("n_qfail"), col("n_contam"),
+        col("n_distinct"), qfailFrac.as("qfail_frac"),
+        contamFrac.as("contam_frac"), dupFrac.as("dup_frac"),
+        when(contamFrac > relMaxContamFrac, lit("blocked:contaminated"))
+          .when(dupFrac > relMaxDupFrac, lit("blocked:duplicated"))
+          .when(qfailFrac > relMaxQfailFrac, lit("blocked:quality"))
+          .otherwise(lit("ship")).as("verdict"))
+      .orderBy(col("source"))
+  }
+
+  val qDocReleaseGateSql: String =
+    s"""WITH docsrc AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0
+       |),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, text FROM docsrc),
+       |gate AS (
+       |  WITH corpus AS (SELECT doc_id, text FROM docsrc),
+       |  $qualityGateSqlBody
+       |),
+       |${Dedup.decontamPrepSqlCtes("t", "train")},
+       |${Dedup.decontamPrepSqlCtes("e", "ev")},
+       |${Dedup.fuzzyPairsSqlCtes},
+       |contam AS (SELECT DISTINCT doc_id FROM fpairs),
+       |mass AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(count(DISTINCT ${portableHashSql("text")}) AS BIGINT) AS n_distinct
+       |  FROM docsrc GROUP BY source
+       |),
+       |qf AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN drop_reason <> 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_qfail
+       |  FROM gate JOIN docsrc USING (doc_id) GROUP BY source
+       |),
+       |cf AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_contam
+       |  FROM contam JOIN docsrc USING (doc_id) GROUP BY source
+       |)
+       |SELECT m.source, n_docs,
+       |  COALESCE(n_qfail, 0) AS n_qfail,
+       |  COALESCE(n_contam, 0) AS n_contam,
+       |  n_distinct,
+       |  CAST(COALESCE(n_qfail, 0) AS DOUBLE) / n_docs AS qfail_frac,
+       |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_docs AS contam_frac,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_frac,
+       |  CASE
+       |    WHEN CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_docs > $relMaxContamFrac
+       |      THEN 'blocked:contaminated'
+       |    WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_docs > $relMaxDupFrac
+       |      THEN 'blocked:duplicated'
+       |    WHEN CAST(COALESCE(n_qfail, 0) AS DOUBLE) / n_docs > $relMaxQfailFrac
+       |      THEN 'blocked:quality'
+       |    ELSE 'ship' END AS verdict
+       |FROM mass m LEFT JOIN qf USING (source) LEFT JOIN cf USING (source)
+       |ORDER BY m.source""".stripMargin
 
   // ------------------------------------------------------------------
   // Bradley-Terry preference ratings (E333)

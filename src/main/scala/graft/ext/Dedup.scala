@@ -1605,7 +1605,7 @@ object Dedup {
     * 3-shingle expr (which reads `text` literally) shingles the
     * NORMALIZED text — then signatures and band keys. Emits
     * `${pfx}prep` (doc_id, hs8, hs) and `${pfx}band`. */
-  private def decontamPrepSqlCtes(pfx: String, src: String): String = {
+  private[ext] def decontamPrepSqlCtes(pfx: String, src: String): String = {
     val g8 = ngramHashSetSqlExpr(decontamN)
     val g3 = ngramHashSetSqlExpr(3)
     s"""${pfx}nrm AS (
@@ -1626,7 +1626,7 @@ object Dedup {
   /** Oracle-side [[fuzzyPairsFromPreps]]: candidate + verify CTEs over
     * `tprep`/`tband` and `eprep`/`eband` from [[decontamPrepSqlCtes]],
     * emitting `fpairs AS (doc_id, eval_doc_id, jaccard, caught_exact)`. */
-  private def fuzzyPairsSqlCtes: String = {
+  private[ext] def fuzzyPairsSqlCtes: String = {
     val jac = "CAST(len(list_intersect(t.hs, e.hs)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(t.hs, e.hs))) AS DOUBLE)"
     s"""cand AS (

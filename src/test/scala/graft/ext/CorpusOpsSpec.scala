@@ -238,6 +238,67 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("release gate: composition equals the component kernels; verdict is the threshold funnel") {
+    import org.apache.spark.sql.functions.{col => c}
+    def pHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(c("doc_id"), c("source"), c("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(_._1 % 50 != 0)
+    val srcOf = train.map(d => d._1 -> d._2).toMap
+    // component 1: the self-trained funnel, from the ENGINE's own proven
+    // kernel (its per-arm semantics are certified by the E312 spec +
+    // oracle; the gate must compose it verbatim)
+    val trainDF = Tables.documents(spark, sf)
+      .filter(c("doc_id") % 50 =!= 0).select(c("doc_id"), c("text"))
+    val qfail = CorpusOps.qualityGateFrom(spark, trainDF).collect()
+      .filter(_.getAs[String]("drop_reason") != "kept")
+      .map(r => srcOf(r.getAs[Long]("doc_id")))
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    spark.catalog.clearCache()
+    // component 2: the fuzzy gate, same sourcing rule
+    val evDF = Tables.documents(spark, sf)
+      .filter(c("doc_id") % 50 === 0).select(c("doc_id"), c("text"))
+    val contam = Dedup.fuzzyContamPairs(spark, trainDF, evDF).collect()
+      .map(_.getAs[Long]("doc_id")).distinct
+      .map(srcOf).groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    spark.catalog.clearCache()
+    // component 3 + verdict: pure local replay
+    val expected = train.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val nDistinct = ds.map(d => pHash(d._3)).distinct.length.toLong
+      val nq = qfail.getOrElse(src, 0L); val nc = contam.getOrElse(src, 0L)
+      val (qf, cf, df) =
+        (nq.toDouble / n, nc.toDouble / n, 1.0 - nDistinct.toDouble / n)
+      val verdict =
+        if (cf > CorpusOps.relMaxContamFrac) "blocked:contaminated"
+        else if (df > CorpusOps.relMaxDupFrac) "blocked:duplicated"
+        else if (qf > CorpusOps.relMaxQfailFrac) "blocked:quality"
+        else "ship"
+      src -> ((n, nq, nc, nDistinct, qf, cf, df, verdict))
+    }
+    val out = CorpusOps.qDocReleaseGate(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_qfail"), r.getAs[Long]("n_contam"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("qfail_frac"),
+        r.getAs[Double]("contam_frac"), r.getAs[Double]("dup_frac"),
+        r.getAs[String]("verdict")))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (s, e) =>
+      assert(out(s) === e, s"source $s: engine ${out(s)} != replay $e")
+    }
+    // the decision is live: at least one source ships and at least one
+    // blocks (organic rates straddle the thresholds at every test SF)
+    val vs = out.values.map(_._8).toSet
+    assert(vs.contains("ship") && vs.exists(_.startsWith("blocked:")),
+      s"degenerate verdict mix: $vs")
+    spark.catalog.clearCache()
+  }
+
   test("bt rating: MM fit matches an exact local replay; counts exact; ratings normalized") {
     val rows = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()

@@ -690,6 +690,25 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("bt rating: MM rounds run on model state only — no corpus rescan in the final plan") {
+    // matches/neighbor aggregation pay the corpus once (persisted nbr);
+    // each MM round is a checkpointed |sources|-row leaf. The final plan
+    // must therefore read the cached neighbor table and the round leaves
+    // — never parquet again.
+    val p = plan(graft.ext.CorpusOps.qDocBtRating(spark, sf))
+    // corpus scans may only appear in the cached-lineage dump, which
+    // prints BELOW the first InMemoryRelation marker (the TwoNN-test
+    // reading rule); the LIVE region above it must be parquet-free
+    val firstImr = p.indexOf("InMemoryRelation")
+    assert(firstImr >= 0, s"expected the persisted neighbor table:\n$p")
+    assert(!p.substring(0, firstImr).contains("FileScan parquet"),
+      s"MM/normalization replanned a corpus scan:\n$p")
+    assert(p.substring(0, firstImr).contains("Scan ExistingRDD") ||
+      p.substring(0, firstImr).contains("InMemoryTableScan"),
+      s"expected checkpointed round leaves / cached neighbors:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("streaming semantic screen: the per-batch plan has ZERO shuffle exchanges") {
     // the E328 O(batch) claim, pinned structurally: batch-side cell
     // assignment is the narrow 1-row-quantizer fold (BNLJ against a

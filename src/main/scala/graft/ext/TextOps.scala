@@ -2037,6 +2037,96 @@ object TextOps {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
   }
 
+  /** Probe count of the pack-lookup op (prime, so probes never align
+    * with chunk boundaries). `k·total` stays int64-safe: k < 17 and a
+    * 100 TB corpus is ~10¹⁴ tokens → < 2⁶³. */
+  final val packProbeCount = 17L
+
+  /** PACK-LAYOUT INVERSE LOOKUP (E335) — the read side the packing
+    * family was missing: given a global training-token offset, WHICH
+    * document (and source) owns it? This is the lineage query a
+    * training-run debugger asks the moment a batch shows garbage at
+    * offset o — and the composition that makes the E301 layout table an
+    * INDEX, not just an artifact. Probes are [[packProbeCount]]
+    * deterministic offsets spread over the packed corpus
+    * (`k·total div 17`).
+    *
+    * Mechanics: the layout's chunk span IS the range index — exploding
+    * each doc to its chunk ids costs Σ n_chunks ≈ total/2048 BOUNDED
+    * rows, and turns the offset range-join into an EQUI-join on
+    * `chunk = o div 2048` (the same range-to-equi discipline as the
+    * E142 band pigeonhole), verified by the exact two-sided offset
+    * filter; source attribution joins the ≤17 matched rows back against
+    * the corpus as a broadcast.
+    *
+    * Scale (100 TB): no range join ever materializes — the probe side
+    * broadcasts into the chunk-exploded layout (metadata-scale: one row
+    * per 2048 tokens), and the only corpus-scale work is the layout
+    * itself (the packing op's two-level prefix sum, already paid by the
+    * pipeline that wrote the layout; in production this op reads the
+    * STORED layout and touches no text at all).
+    */
+  def qDocPackLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val layout = packLayout(docs, 0L)
+    val probes = layout.agg(sum(col("n_tokens")).as("total"))
+      .select(explode(expr(s"sequence(0L, ${packProbeCount - 1}L)")).as("k"),
+        col("total"))
+      .select(col("k"), expr(s"k * total div $packProbeCount").as("o"))
+    val matched = layout
+      .select(col("doc_id"), col("tok_start"), col("n_tokens"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk"))
+      .join(broadcast(probes
+        .withColumn("chunk", expr(s"o div $packChunkTokens"))), Seq("chunk"))
+      .filter(col("o") >= col("tok_start") &&
+        col("o") < col("tok_start") + col("n_tokens"))
+      .select(col("k"), col("o").as("offset"), col("chunk"), col("doc_id"),
+        (col("o") - col("tok_start")).as("off_in_doc"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(matched), Seq("doc_id"))
+      .select(col("k"), col("offset"), col("chunk"), col("doc_id"),
+        col("source"), col("off_in_doc"))
+      .orderBy(col("k"))
+  }
+
+  val qDocPackLookupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM d
+       |),
+       |layout AS (
+       |  SELECT doc_id, n_tokens, tok_start,
+       |    tok_start // $packChunkTokens AS chunk_first,
+       |    (tok_start + n_tokens - 1) // $packChunkTokens AS chunk_last
+       |  FROM c
+       |),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d),
+       |probes AS (
+       |  SELECT k, k * total // $packProbeCount AS o
+       |  FROM (SELECT unnest(generate_series(0, ${packProbeCount - 1})) AS k)
+       |  CROSS JOIN tot
+       |),
+       |lc AS (
+       |  SELECT doc_id, tok_start, n_tokens,
+       |    unnest(generate_series(chunk_first, chunk_last)) AS chunk
+       |  FROM layout
+       |)
+       |SELECT k, o AS offset, lc.chunk, lc.doc_id, documents.source,
+       |  o - tok_start AS off_in_doc
+       |FROM probes
+       |JOIN lc ON lc.chunk = o // $packChunkTokens
+       |JOIN documents ON documents.doc_id = lc.doc_id
+       |WHERE o >= tok_start AND o < tok_start + n_tokens
+       |ORDER BY k""".stripMargin
+
   val qDocPackChunksSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,

@@ -13,6 +13,40 @@ import graft.queries.Analytics
   */
 class NewOpsSpec extends SparkSuite {
 
+  test("pack lookup: every probe resolves to exactly the owning doc; offsets in bounds") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    // local layout replay: gapless prefix sum in doc_id order
+    var off = 0L
+    val layout = docs.map { case (id, src, t) =>
+      val n = t.split(" ").length.toLong
+      val row = (id, src, off, n); off += n; row
+    }
+    val total = off
+    val expected = (0L until TextOps.packProbeCount).map { k =>
+      val o = k * total / TextOps.packProbeCount
+      val (id, src, ts, _) = layout
+        .find(d => o >= d._3 && o < d._3 + d._4)
+        .getOrElse(fail(s"probe $o owns no doc"))
+      k -> ((o, o / TextOps.packChunkTokens, id, src, o - ts))
+    }.toMap
+    val out = TextOps.qDocPackLookup(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("offset"),
+        r.getAs[Long]("chunk"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("off_in_doc"))))
+    // exactly one owner per probe — the boundary-chunk equi-join must
+    // not double-match a neighbor
+    assert(out.length === TextOps.packProbeCount,
+      s"expected ${TextOps.packProbeCount} rows, got ${out.length}")
+    assert(out.toMap === expected)
+    out.foreach { case (_, (_, _, id, _, oid)) =>
+      val n = layout.find(_._1 == id).get._4
+      assert(oid >= 0 && oid < n, s"off_in_doc $oid out of [0, $n) for doc $id")
+    }
+  }
+
   test("HLL sketch lands within tolerance of the exact distinct counts") {
     // The oracle-checked columns of q_approx_distinct are the exact
     // two-phase counts plus a within-±15% flag; the quantitative

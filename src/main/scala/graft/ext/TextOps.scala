@@ -2068,8 +2068,20 @@ object TextOps {
     */
   def qDocPackLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val layout = packLayout(docs, 0L)
-    val probes = layout.agg(sum(col("n_tokens")).as("total"))
+    packLookupFrom(packLayout(docs, 0L), docs.select(col("doc_id"), col("source")))
+      .orderBy(col("k"))
+  }
+
+  /** The lookup kernel over a caller-supplied layout frame — the seam
+    * that lets the op run off the STORED layout table (e.g. the one the
+    * streaming packer maintains) without touching any text: production's
+    * form, proven by IncrementalPipelineSpec driving it off the packer's
+    * persisted output. `docsrc` supplies (doc_id, source) attribution.
+    * Unordered. */
+  private[graft] def packLookupFrom(layout: DataFrame,
+      docsrc: DataFrame): DataFrame = {
+    val probes = layout
+      .agg(max(col("tok_start") + col("n_tokens")).as("total"))
       .select(explode(expr(s"sequence(0L, ${packProbeCount - 1}L)")).as("k"),
         col("total"))
       .select(col("k"), expr(s"k * total div $packProbeCount").as("o"))
@@ -2082,11 +2094,9 @@ object TextOps {
         col("o") < col("tok_start") + col("n_tokens"))
       .select(col("k"), col("o").as("offset"), col("chunk"), col("doc_id"),
         (col("o") - col("tok_start")).as("off_in_doc"))
-    docs.select(col("doc_id"), col("source"))
-      .join(broadcast(matched), Seq("doc_id"))
+    docsrc.join(broadcast(matched), Seq("doc_id"))
       .select(col("k"), col("offset"), col("chunk"), col("doc_id"),
         col("source"), col("off_in_doc"))
-      .orderBy(col("k"))
   }
 
   val qDocPackLookupSql: String =

@@ -110,6 +110,23 @@ class IncrementalPipelineSpec extends SparkSuite {
       spark, docs.filter(col("doc_id") < 250), batchIds.min, layoutDir)
     assert(layoutMap() === expected, "batch retry must not double-append")
 
+    // E335 stored-layout lineage: the inverse lookup driven off the
+    // PERSISTED layout the packer maintains (production's no-text form)
+    // equals the lookup over the batch op's layout — and its plan's
+    // only corpus-text input is the broadcast source-attribution join
+    val storedLayout = spark.read.parquet(layoutDir)
+    val docsrc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    def lookupMap(l: org.apache.spark.sql.DataFrame) =
+      TextOps.packLookupFrom(l, docsrc).collect()
+        .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("offset"),
+          r.getAs[Long]("chunk"), r.getAs[Long]("doc_id"),
+          r.getAs[String]("source"), r.getAs[Long]("off_in_doc")))).toMap
+    val fromStored = lookupMap(storedLayout)
+    assert(fromStored === lookupMap(TextOps.qDocPackChunks(spark, sf)),
+      "stored-layout lookup must equal the batch-layout lookup")
+    assert(fromStored.size === TextOps.packProbeCount.toInt)
+
     // O(1) state proof: the per-batch audit read touches ONLY the state
     // table. With the layout data deleted outright, a retried batch is
     // still a recorded no-op (nothing recreated, nothing scanned — the

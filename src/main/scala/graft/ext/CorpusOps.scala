@@ -2376,6 +2376,33 @@ object CorpusOps {
     FrozenQualityModel(uni, totals, bi)
   }
 
+  /** The per-batch stats partials of the E336 streaming maintenance —
+    * exactly [[frozenQualityModel]]'s two aggregations over ONE batch,
+    * factored so the stored stats and the from-docs model cannot drift.
+    * Totals are not stored: t = Σ tf and v = |keys| are derivable from
+    * the summed unigram table. */
+  private[graft] def statsPartials(batch: DataFrame): (DataFrame, DataFrame) = {
+    val m = frozenQualityModel(batch)
+    (m.uni, m.bi)
+  }
+
+  /** Rebuild the [[FrozenQualityModel]] from a STORED stats table — the
+    * E336 read side: per-batch unigram/bigram count partials land in
+    * `batch_id=<n>/` partition dirs, and the model is their additive
+    * roll-up (the E329 merge law, live: vocab-bounded groupBy-sum over
+    * metadata-scale partials — the corpus text is never re-read). At
+    * production scale the partials are periodically compacted; the
+    * roll-up here IS that compaction. */
+  private[graft] def storedQualityModel(spark: SparkSession,
+      statsDir: String): FrozenQualityModel = {
+    val uni = spark.read.parquet(s"$statsDir/uni")
+      .groupBy(col("w")).agg(sum(col("tf")).as("tf"))
+    val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
+    val bi = spark.read.parquet(s"$statsDir/bi")
+      .groupBy(col("bg")).agg(sum(col("c2")).as("c2"))
+    FrozenQualityModel(uni, totals, bi)
+  }
+
   /** [[qualityGateFrozen]] plus the persisted per-batch docs handle, so a
     * long-lived caller (the streaming ingest gate — one invocation per
     * micro-batch, no clearCache between) can release the cache after

@@ -430,6 +430,63 @@ object IncrementalPipeline {
     }
   }
 
+  /** STREAMING CORPUS-STATS MAINTENANCE (E336) — the operational form of
+    * the E329 merge law: every arriving shard's unigram/bigram count
+    * partials (the [[graft.ext.CorpusOps.frozenQualityModel]]
+    * aggregations, factored through `statsPartials` so stored stats and
+    * from-docs model cannot drift) append to a persistent stats table in
+    * `batch_id=<n>/` partition dirs under the [[StreamState]]
+    * marker-commit retry guard. The additive roll-up of the stored
+    * partials ([[graft.ext.CorpusOps.storedQualityModel]]) IS the frozen
+    * quality model — so when E315's `retrain_flag` fires, the refresh is
+    * a vocab-bounded groupBy-sum over metadata-scale partials, and the
+    * corpus text is NEVER re-read (the stored model provably equals
+    * training on the union of everything that arrived — the spec drives
+    * the E319 gate under both and demands identical verdicts).
+    *
+    * Scale (100 TB): per batch, two batch-sized aggregations (map-side
+    * combinable, Zipf-concentrated output); the stats table grows by one
+    * vocab-bounded partial per batch and compacts by the same roll-up
+    * that reads it.
+    */
+  def statsAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      statsDir: String,
+      checkpointDir: String): Unit = {
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    val query = raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendStatsBatch(spark, batch, batchId, statsDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One idempotent micro-batch append of [[statsAvailableNow]] — both
+    * partials land data-first, the marker commit makes them visible;
+    * package-visible for the spec's retry drive. */
+  private[streaming] def appendStatsBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      statsDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val stateDir = s"${statsDir}_state"
+    if (batchId > StreamState.read(spark, stateDir).maxBatch) {
+      val (uni, bi) = graft.ext.CorpusOps.statsPartials(
+        batch.select(col("doc_id"), col("text")))
+      uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$statsDir/uni/batch_id=$batchId")
+      bi.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$statsDir/bi/batch_id=$batchId")
+      StreamState.commit(spark, stateDir, StreamState.State(0L, batchId))
+    }
+  }
+
   /** THE INGEST FRONT DOOR (E326) — the composition every screen above
     * exists for, run as ONE `foreachBatch` pipeline per arriving shard:
     *

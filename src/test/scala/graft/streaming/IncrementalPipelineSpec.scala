@@ -400,6 +400,67 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("stats maintenance: stored partials roll up to the union-trained model; gate verdicts identical; retry no-op") {
+    import graft.ext.CorpusOps
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_stats_in").toString
+    val ckDir = Files.createTempDirectory("graft_stats_ck").toString
+    val statsDir = Files.createTempDirectory("graft_stats_t").toString + "/stats"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(docs.filter(col("doc_id") < 250), "docs_stats_a.parquet")
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    drop(docs.filter(col("doc_id") >= 250), "docs_stats_b.parquet")
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+
+    // the merge law, live: the stored roll-up equals training on the
+    // union of everything that arrived — table for table
+    def uniMap(m: CorpusOps.FrozenQualityModel) = m.uni.collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("tf")).toMap
+    def biMap(m: CorpusOps.FrozenQualityModel) = m.bi.collect()
+      .map(r => r.getAs[String]("bg") -> r.getAs[Long]("c2")).toMap
+    def totRow(m: CorpusOps.FrozenQualityModel) = {
+      val r = m.totals.collect()(0); (r.getAs[Long]("t"), r.getAs[Long]("v"))
+    }
+    val stored = CorpusOps.storedQualityModel(spark, statsDir)
+    val fromDocs = CorpusOps.frozenQualityModel(docs)
+    assert(uniMap(stored) === uniMap(fromDocs))
+    assert(biMap(stored) === biMap(fromDocs))
+    assert(totRow(stored) === totRow(fromDocs))
+
+    // the payoff: the frozen gate under the STORED model gives verdicts
+    // identical to the gate under the from-docs model (no corpus re-read
+    // needed to refresh the gate's reference stats)
+    val arrivals = docs.filter(col("doc_id") % 7 === 0)
+    def verdicts(m: CorpusOps.FrozenQualityModel) = {
+      val (v, cached) = CorpusOps.qualityGateFrozenWith(spark, arrivals, m.persistAll())
+      val out = v.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("drop_reason")).toMap
+      cached.unpersist(); m.unpersistAll(); out
+    }
+    assert(verdicts(stored) === verdicts(fromDocs))
+
+    // retry + re-run no-ops (marker-keyed, like every screen)
+    val batchIds = spark.read.parquet(s"$statsDir/uni")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+    val before = uniMap(CorpusOps.storedQualityModel(spark, statsDir))
+    IncrementalPipeline.appendStatsBatch(
+      spark, docs.filter(col("doc_id") < 250), batchIds.min, statsDir)
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    assert(uniMap(CorpusOps.storedQualityModel(spark, statsDir)) === before,
+      "retry/re-run must not double-count stats")
+    spark.catalog.clearCache()
+  }
+
   test("near-dup ingest screen: per-shard verdicts == sequential replay; drop-set == one-shot rule; retry no-op") {
     import org.apache.spark.sql.functions.{concat, lit, size, split}
     import graft.ext.Dedup

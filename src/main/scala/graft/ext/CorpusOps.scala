@@ -1346,19 +1346,44 @@ object CorpusOps {
     * broadcast totals); the final assembly is three doc-keyed joins.
     * Adding a signal or re-cutting a threshold touches one arm.
     */
-  def qDocQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDocQualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    qualityGateFrom(spark, gateFixtureCorpus(spark, sfDir))
+
+  /** The gate's three-defect-family plant corpus — factored so the gate
+    * (E312) and its calibration audit (E337) inject the IDENTICAL
+    * defects: id-mod-40 slices re-landed in negative id space as
+    * repetition spam (m=1), token-gibberish (m=3, every token made OOV),
+    * and 10-token truncations (m=4). */
+  private[ext] def gateFixtureCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     def inj(m: Int, textCol: Column): DataFrame =
       base.filter(col("doc_id") % 40 === m)
         .select((-col("doc_id") - 1).as("doc_id"), textCol.as("text"))
-    val corpus = base
+    base
       .unionAll(inj(1, concat(expr("repeat('spam ', 60)"), lit("tail"),
         col("doc_id").cast("string"))))
       .unionAll(inj(3, expr("concat_ws(' ', transform(split(text, ' '), " +
         "t -> concat(t, 'z', CAST(doc_id AS STRING))))")))
       .unionAll(inj(4, expr("concat_ws(' ', slice(split(text, ' '), 1, 10))")))
-    qualityGateFrom(spark, corpus)
   }
+
+  /** [[gateFixtureCorpus]]'s oracle mirror: the `corpus(doc_id, text)`
+    * CTE body. */
+  private[ext] val gateFixtureSqlCte: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id,
+      |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 40 = 1
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id,
+      |    array_to_string(list_transform(string_split(text, ' '),
+      |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
+      |  FROM documents WHERE doc_id % 40 = 3
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id,
+      |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
+      |  FROM documents WHERE doc_id % 40 = 4""".stripMargin
 
   /** Core of [[qDocQualityGate]] over any (doc_id, text) corpus frame —
     * package-visible so CorpusOpsSpec can run the gate on a STRUCTURED
@@ -1491,23 +1516,125 @@ object CorpusOps {
 
   val qDocQualityGateSql: String =
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    repeat('spam ', 60) || 'tail' || CAST(doc_id AS VARCHAR) AS text
-       |  FROM documents WHERE doc_id % 40 = 1
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    array_to_string(list_transform(string_split(text, ' '),
-       |      t -> t || 'z' || CAST(doc_id AS VARCHAR)), ' ') AS text
-       |  FROM documents WHERE doc_id % 40 = 3
-       |  UNION ALL
-       |  SELECT -doc_id - 1 AS doc_id,
-       |    array_to_string((string_split(text, ' '))[1:10], ' ') AS text
-       |  FROM documents WHERE doc_id % 40 = 4
+       |  $gateFixtureSqlCte
        |),
        |$qualityGateSqlBody
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quality-score calibration AUC (E337)
+  // ------------------------------------------------------------------
+
+  /** QUALITY-SCORE CALIBRATION AUC (E337) — does the cheap lexical
+    * quality score actually SEPARATE garbage? The gate (E312) uses the
+    * score as one of four arms; this op measures the score itself, per
+    * defect family, as an exact ROC AUC: over the gate's own plant
+    * corpus ([[gateFixtureCorpus]] — identical plants by construction),
+    * AUC = P(defect scores below clean) + ½·P(tie), computed through the
+    * Mann-Whitney doubled-midrank identity (the E-family tie-corrected
+    * drift-test discipline): scores quantized to integer micro-units
+    * (floor(score·10⁶) — midranked at that resolution), 2·R₁ and
+    * 2·U₁ = 2R₁ − n₁(n₁+1) exact BIGINTs, one final double division.
+    *
+    * The per-family rows are the POINT, and they measure TWO blind
+    * spots: repetition spam craters the score (AUC = 1.0 — every spam
+    * doc below every clean doc), token-gibberish barely separates
+    * (≈ 0.65: each token unique, so distinct/total is high — the
+    * perplexity arm's justification), and truncation comes out
+    * ANTI-correlated (≈ 0.07: a 10-token prefix has near-perfect
+    * type-token ratio, so the score REWARDS it and only the n_tokens
+    * floor arm catches it). The audit turns the E312 multi-arm design
+    * argument into measured numbers — one arm per blind spot.
+    *
+    * Mechanics: each defect doc enters its family's comparison
+    * population AND the 'all' row; clean docs replicate into every
+    * population (constant ×(families+1) fan-out — the scale knob is the
+    * family count, never the corpus). One (population, score)-keyed
+    * map-side-combinable pre-aggregate, one population-partitioned
+    * cumulative window over DISTINCT score values, 4-row rollup.
+    */
+  def qDocGateAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = gateFixtureCorpus(spark, sfDir)
+      .select(col("doc_id"),
+        floor(TextOps.qualityScoreCol * lit(1000000L)).cast("long").as("s6"),
+        when(col("doc_id") >= 0, lit(null).cast("string"))
+          .otherwise(when((-col("doc_id") - 1) % 40 === 1, "spam")
+            .when((-col("doc_id") - 1) % 40 === 3, "gibberish")
+            .otherwise("truncated")).as("family"))
+    val pops = scored.filter(col("family").isNull)
+      .select(explode(array(lit("all"), lit("spam"), lit("gibberish"),
+        lit("truncated"))).as("p"), col("s6"), lit(0L).as("d"))
+      .unionAll(scored.filter(col("family").isNotNull)
+        .select(explode(array(col("family"), lit("all"))).as("p"),
+          col("s6"), lit(1L).as("d")))
+    val perValue = pops.groupBy(col("p"), col("s6"))
+      .agg(sum(col("d")).as("a1"), sum(lit(1L) - col("d")).as("a0"))
+      .withColumn("t", col("a1") + col("a0"))
+    val w = Window.partitionBy(col("p")).orderBy(col("s6"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = perValue.select(col("p"), col("a1"), col("a0"), col("t"),
+      (lit(2L) * (sum(col("t")).over(w) - col("t")) + (col("t") + 1L))
+        .as("rank2"))
+    ranked.groupBy(col("p"))
+      .agg(sum(col("a1")).as("n_defect"), sum(col("a0")).as("n_clean"),
+        sum(col("a1") * col("rank2")).as("r2sum"))
+      .withColumn("u1_doubled",
+        col("r2sum") - col("n_defect") * (col("n_defect") + 1L))
+      .select(col("p").as("family"), col("n_defect"), col("n_clean"),
+        col("u1_doubled"),
+        (lit(1.0) - col("u1_doubled").cast("double") /
+          (lit(2.0) * col("n_defect").cast("double")
+            * col("n_clean").cast("double"))).as("auc_low"))
+      .orderBy(col("family"))
+  }
+
+  val qDocGateAucSql: String =
+    s"""WITH corpus AS (
+       |  $gateFixtureSqlCte
+       |),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(floor((@QSCORE@) * 1000000) AS BIGINT) AS s6,
+       |    CASE WHEN doc_id >= 0 THEN NULL
+       |         WHEN (-doc_id - 1) % 40 = 1 THEN 'spam'
+       |         WHEN (-doc_id - 1) % 40 = 3 THEN 'gibberish'
+       |         ELSE 'truncated' END AS family
+       |  FROM corpus
+       |),
+       |pops AS (
+       |  SELECT unnest(['all', 'spam', 'gibberish', 'truncated']) AS p,
+       |    s6, CAST(0 AS BIGINT) AS d
+       |  FROM scored WHERE family IS NULL
+       |  UNION ALL
+       |  SELECT unnest([family, 'all']) AS p, s6, CAST(1 AS BIGINT) AS d
+       |  FROM scored WHERE family IS NOT NULL
+       |),
+       |per_value AS (
+       |  SELECT p, s6, CAST(sum(d) AS BIGINT) AS a1,
+       |    CAST(sum(1 - d) AS BIGINT) AS a0,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM pops GROUP BY p, s6
+       |),
+       |ranked AS (
+       |  SELECT p, a1, a0, t,
+       |    2 * (sum(t) OVER (PARTITION BY p ORDER BY s6
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) +
+       |      (t + 1) AS rank2
+       |  FROM per_value
+       |),
+       |agg AS (
+       |  SELECT p, CAST(sum(a1) AS BIGINT) AS n_defect,
+       |    CAST(sum(a0) AS BIGINT) AS n_clean,
+       |    CAST(sum(a1 * rank2) AS BIGINT) AS r2sum
+       |  FROM ranked GROUP BY p
+       |)
+       |SELECT p AS family, n_defect, n_clean,
+       |  r2sum - n_defect * (n_defect + 1) AS u1_doubled,
+       |  1.0 - CAST(r2sum - n_defect * (n_defect + 1) AS DOUBLE) /
+       |    (2.0 * CAST(n_defect AS DOUBLE) * CAST(n_clean AS DOUBLE)) AS auc_low
+       |FROM agg
+       |ORDER BY family""".stripMargin
+      .replace("@QSCORE@", TextOps.qualityScoreSql)
 
   // ------------------------------------------------------------------
   // Quality-model transfer audit: frozen corpus stats vs arrivals

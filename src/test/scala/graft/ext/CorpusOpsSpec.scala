@@ -238,6 +238,58 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("gate auc: exact MW replay per family; spam craters, gibberish weak, truncation anti-correlated") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the fixture, replayed
+    val corpus = rows.map { case (id, t) => (id, t, null: String) } ++
+      rows.collect { case (id, t) if id % 40 == 1 =>
+        (-id - 1, "spam " * 60 + "tail" + id, "spam") } ++
+      rows.collect { case (id, t) if id % 40 == 3 =>
+        (-id - 1, t.split(" ").map(w => s"${w}z$id").mkString(" "), "gibberish") } ++
+      rows.collect { case (id, t) if id % 40 == 4 =>
+        (-id - 1, t.split(" ").take(10).mkString(" "), "truncated") }
+    def score(t: String): Double = {
+      val toks = t.split(" "); val n = toks.length.toDouble
+      val stop = TextOps.stopwords.toSet
+      0.5 * (toks.distinct.length.toDouble / n) +
+        0.3 * (toks.count(stop).toDouble / n) + 0.2 * math.min(1.0, n / 100.0)
+    }
+    val scored = corpus.map { case (id, t, fam) =>
+      (math.floor(score(t) * 1000000L).toLong, fam)
+    }
+    def auc(fam: String): (Long, Long, Long, Double) = {
+      val pop = scored.filter(s => s._2 == null || fam == "all" || s._2 == fam)
+      val defects = pop.filter(_._2 != null).map(_._1).sorted
+      val clean = pop.filter(_._2 == null).map(_._1)
+      val all = pop.map(_._1)
+      // doubled midrank of v in the combined sample
+      def rank2(v: Long): Long =
+        2L * all.count(_ < v) + (all.count(_ == v) + 1L)
+      val r2 = defects.map(rank2).sum
+      val n1 = defects.length.toLong; val n0 = clean.length.toLong
+      val u2 = r2 - n1 * (n1 + 1)
+      (n1, n0, u2, 1.0 - u2.toDouble / (2.0 * n1 * n0))
+    }
+    val expected = Seq("all", "spam", "gibberish", "truncated")
+      .map(f => f -> auc(f)).toMap
+    val out = CorpusOps.qDocGateAuc(spark, sf).collect()
+      .map(r => r.getAs[String]("family") -> ((r.getAs[Long]("n_defect"),
+        r.getAs[Long]("n_clean"), r.getAs[Long]("u1_doubled"),
+        r.getAs[Double]("auc_low")))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (f, (n1, n0, u2, a)) =>
+      assert(out(f) === ((n1, n0, u2, a)), s"family $f: ${out(f)} != ($n1,$n0,$u2,$a)")
+    }
+    // the measured blind spots: spam fully separated, gibberish weak,
+    // truncation ANTI-correlated (the n_tokens floor's job, not the score's)
+    assert(out("spam")._4 > 0.9, s"spam ${out("spam")._4}")
+    assert(out("gibberish")._4 > 0.4 && out("gibberish")._4 < 0.85,
+      s"gibberish ${out("gibberish")._4}")
+    assert(out("truncated")._4 < 0.3, s"truncated ${out("truncated")._4}")
+  }
+
   test("release gate: composition equals the component kernels; verdict is the threshold funnel") {
     import org.apache.spark.sql.functions.{col => c}
     def pHash(s: String): Long = {

@@ -335,6 +335,83 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cross-source duplication matrix (E338)
+  // ------------------------------------------------------------------
+
+  /** CROSS-SOURCE DUPLICATION MATRIX (E338) — the provenance question
+    * behind every near-dup pair: WHICH sources duplicate into which?
+    * A crawl pipeline reads this matrix to find mirror sites, scraped
+    * re-posts, and aggregators ("who is scraping whom") — per-pair dedup
+    * (E47) says WHAT to drop, this says WHERE redundancy keeps coming
+    * from, which is an acquisition decision, not a filtering one.
+    *
+    * Mechanics: the verified near-dup pairs are the E47 banded-minhash
+    * kernel VERBATIM (shared `minhashVerifiedPairs`, fixture plants
+    * excluded — organic pairs only, which the synthetic corpus provably
+    * contains); sources attach by two id equi-joins; the unordered
+    * source pair is canonicalized lexicographically (least/greatest) so
+    * (a,b) and (b,a) land in one cell. Per cell: exact pair count,
+    * exact min/max Jaccard (order-free reductions — no float-sum
+    * nondeterminism), and the cell's share of all organic near-dup
+    * pairs (one closing division against the 1-row broadcast total).
+    * Diagonal cells (a = a) are within-source duplication — re-posts
+    * inside a site; off-diagonal is the scraping signal.
+    *
+    * Scale (100 TB): everything up to the pairs is the E47 plan (banded
+    * equi-join, capped buckets); the matrix itself aggregates
+    * |pairs| → ≤ |sources|² bounded rows, map-side combinable.
+    */
+  def qDocDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    // the E47 fixture plants near-dup twins at doc_id + 100000; the
+    // matrix reads ORGANIC redundancy only, so both ends must be real
+    val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
+      .filter(col("doc_a") < 100000L && col("doc_b") < 100000L)
+    val src = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") === col("source_b")).as("within_source"),
+        col("min_jaccard"), col("max_jaccard"),
+        (col("n_pairs").cast("double") / col("n_total")).as("share"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qDocDupMatrixSql: String =
+    s"""WITH pairs AS (
+       |  $qDocMinhashPairsSql
+       |),
+       |cells AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    count(*) AS n_pairs,
+       |    min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+       |  FROM pairs
+       |  JOIN documents da ON pairs.doc_a = da.doc_id
+       |  JOIN documents db ON pairs.doc_b = db.doc_id
+       |  WHERE pairs.doc_a < 100000 AND pairs.doc_b < 100000
+       |  GROUP BY source_a, source_b
+       |),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM cells)
+       |SELECT source_a, source_b, n_pairs,
+       |  source_a = source_b AS within_source,
+       |  min_jaccard, max_jaccard,
+       |  CAST(n_pairs AS DOUBLE) / n_total AS share
+       |FROM cells CROSS JOIN tot
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // LSH recall evaluation: banded candidates vs the exact join
   // ------------------------------------------------------------------
 

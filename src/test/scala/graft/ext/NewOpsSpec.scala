@@ -47,6 +47,40 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("dup matrix: cells replay from the engine's organic pair set; shares close") {
+    val pairs = Dedup.qDocMinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+      .filter(p => p._1 < 100000L && p._2 < 100000L)
+    spark.catalog.clearCache()
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (src(a), src(b))
+        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), j)
+      }
+      .groupBy(_._1).map { case ((sa, sb), xs) =>
+        (sa, sb) -> ((xs.length.toLong, sa == sb,
+          xs.map(_._2).min, xs.map(_._2).max,
+          xs.length.toDouble / pairs.length))
+      }
+    val out = Dedup.qDocDupMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Boolean]("within_source"),
+          r.getAs[Double]("min_jaccard"), r.getAs[Double]("max_jaccard"),
+          r.getAs[Double]("share")))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (k, e) =>
+      assert(out(k) === e, s"cell $k: ${out(k)} != $e")
+    }
+    // canonical orientation + share closure over the whole matrix
+    out.keys.foreach { case (a, b) => assert(a <= b, s"uncanonical cell ($a,$b)") }
+    assert(math.abs(out.values.map(_._5).sum - 1.0) < 1e-9)
+    spark.catalog.clearCache()
+  }
+
   test("HLL sketch lands within tolerance of the exact distinct counts") {
     // The oracle-checked columns of q_approx_distinct are the exact
     // two-phase counts plus a within-±15% flag; the quantitative

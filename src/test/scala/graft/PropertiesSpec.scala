@@ -185,4 +185,41 @@ class PropertiesSpec extends SparkSuite {
       once.count() == rows.toSet.size && once.dropDuplicates().count() == rows.toSet.size
     }, n = 8)
   }
+
+  test("semantic screen is shard-decomposable under ANY split of the arrivals") {
+    // the E328 composition law as a property, not a two-shard example:
+    // under a FROZEN quantizer, screen(A) ∪ screen(B) == screen(A ∪ B)
+    // for EVERY partition of the arrivals — the spec's fixture checks one
+    // split; this checks arbitrary ones (modulus + remainder drawn by
+    // ScalaCheck). Few trials: each evaluates three Spark screens.
+    import graft.ext.Similarity
+    import graft.model.Tables
+    val all = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val evalE = all.filter(col("vec_id") % 50 === 0)
+    val base = all.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 250)
+    val arrivals = all.filter(col("vec_id") % 50 =!= 0 && col("vec_id") >= 250)
+      .select(col("vec_id"), col("e"))
+      .unionAll(evalE.select((-col("vec_id") - 1).as("vec_id"),
+        expr(Similarity.reembedExpr).as("e")))
+      .localCheckpoint(true)
+    val qArr = Similarity.centroidArrayOfE(base, None).persist()
+    qArr.count()
+    val evalA = Similarity.semanticEvalAssign(evalE, qArr).localCheckpoint(true)
+    def screen(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.semanticScreenWith(df.select(col("vec_id"), col("e")), evalA, qArr)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_vec_id"))).toSet
+    val whole = screen(arrivals)
+    assert(whole.nonEmpty, "planted re-embeds must flag")
+    val genSplit: Gen[(Int, Int)] = for {
+      m <- Gen.choose(2, 7); r <- Gen.choose(0, m - 1)
+    } yield (m, r)
+    check("semantic shard-decomposability", Prop.forAll(genSplit) { case (m, r) =>
+      val a = arrivals.filter(pmod(col("vec_id"), lit(m)) === r)
+      val b = arrivals.filter(pmod(col("vec_id"), lit(m)) =!= r)
+      (screen(a) | screen(b)) == whole
+    }, n = 5)
+    qArr.unpersist()
+  }
 }

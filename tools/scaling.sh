@@ -37,6 +37,21 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 
 mkdir -p /tmp/scaling
+# Incremental mode: SCALING_MERGE=q_a,q_b times ONLY those queries and
+# merges them into the existing /tmp/scaling/sf*.json before the report —
+# the cheap way to certify a few new heavies (e.g. ones the selfcheck
+# SCALEGAP guard flags) without re-timing the whole table.
+if [ -n "${SCALING_MERGE:-}" ]; then
+  for sf in 0.001 0.01 0.1; do
+    [ -f "/tmp/scaling/sf$sf.json" ] || {
+      echo "SCALING_MERGE needs existing /tmp/scaling/sf$sf.json (run full first)"; exit 1; }
+  done
+  HEAVIES="$SCALING_MERGE"
+  OUTDIR=/tmp/scaling_merge
+else
+  OUTDIR=/tmp/scaling
+fi
+mkdir -p "$OUTDIR"
 for sf in 0.001 0.01 0.1; do
   echo "=== sf$sf ==="
   SPARK_GRAFT_SF_DIR="/root/testdata/sf$sf" \
@@ -46,10 +61,23 @@ for sf in 0.001 0.01 0.1; do
   java $ADD_OPENS -Xmx32g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-    graft.Bench | tail -1 > "/tmp/scaling/sf$sf.json"
-  # Bench writes bench_latest.json in cwd on every run; the scaling run
-  # must not clobber the round artifact, so restore it from git.
+    graft.Bench | tail -1 > "$OUTDIR/sf$sf.json"
+  # Bench writes bench_latest.json in cwd only on FULL-registry runs (a
+  # subset artifact once shadowed the round artifact); the restore stays
+  # as a belt-and-braces guard.
   git checkout -- bench_latest.json 2>/dev/null || true
 done
+if [ -n "${SCALING_MERGE:-}" ]; then
+  python3 - <<'PY'
+import json
+for sf in ('0.001', '0.01', '0.1'):
+    base = json.load(open(f'/tmp/scaling/sf{sf}.json'))
+    ext = json.load(open(f'/tmp/scaling_merge/sf{sf}.json'))
+    base['queries'].update(ext['queries'])
+    base['value'] = sum(v for v in base['queries'].values() if v >= 0)
+    json.dump(base, open(f'/tmp/scaling/sf{sf}.json', 'w'))
+print('merged')
+PY
+fi
 python3 tools/scaling_report.py /tmp/scaling > SCALING.md
 echo "wrote SCALING.md"

@@ -1582,9 +1582,14 @@ object CorpusOps {
         col("r2sum") - col("n_defect") * (col("n_defect") + 1L))
       .select(col("p").as("family"), col("n_defect"), col("n_clean"),
         col("u1_doubled"),
-        (lit(1.0) - col("u1_doubled").cast("double") /
-          (lit(2.0) * col("n_defect").cast("double")
-            * col("n_clean").cast("double"))).as("auc_low"))
+        // NULL when a comparison population is empty (tiny fixtures can
+        // leave a defect family unpopulated): a bare divide would produce
+        // NaN/div-by-zero with engine-divergent semantics vs the oracle
+        when(col("n_defect") === 0L || col("n_clean") === 0L,
+          lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("u1_doubled").cast("double") /
+            (lit(2.0) * col("n_defect").cast("double")
+              * col("n_clean").cast("double"))).as("auc_low"))
       .orderBy(col("family"))
   }
 
@@ -1630,8 +1635,10 @@ object CorpusOps {
        |)
        |SELECT p AS family, n_defect, n_clean,
        |  r2sum - n_defect * (n_defect + 1) AS u1_doubled,
-       |  1.0 - CAST(r2sum - n_defect * (n_defect + 1) AS DOUBLE) /
-       |    (2.0 * CAST(n_defect AS DOUBLE) * CAST(n_clean AS DOUBLE)) AS auc_low
+       |  CASE WHEN n_defect = 0 OR n_clean = 0 THEN NULL
+       |       ELSE 1.0 - CAST(r2sum - n_defect * (n_defect + 1) AS DOUBLE) /
+       |         (2.0 * CAST(n_defect AS DOUBLE) * CAST(n_clean AS DOUBLE))
+       |  END AS auc_low
        |FROM agg
        |ORDER BY family""".stripMargin
       .replace("@QSCORE@", TextOps.qualityScoreSql)
@@ -2273,6 +2280,8 @@ object CorpusOps {
       .withColumn("suff",
         when(col("n_tokens") >= 2 * k,
           concat_ws(" ", slice(col("toks"), -k, k))))
+      .persist()
+    docs.count() // eager: four consumers (nSrc, both flagged(), final join)
     val nSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     def flagged(c: String): DataFrame = docs
       .filter(col(c).isNotNull)

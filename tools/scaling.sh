@@ -8,7 +8,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-if [ -n "${SCALING_ONLY:-}" ]; then
+# Mode resolution FIRST (merge > only > default), and the two explicit
+# modes are mutually exclusive — SCALING_MERGE used to silently shadow
+# SCALING_ONLY, and the default bench_latest derivation ran (and could
+# fail) even when merge mode was about to discard it.
+if [ -n "${SCALING_MERGE:-}" ] && [ -n "${SCALING_ONLY:-}" ]; then
+  echo "set SCALING_MERGE or SCALING_ONLY, not both" >&2; exit 1
+fi
+if [ -n "${SCALING_MERGE:-}" ]; then
+  HEAVIES="$SCALING_MERGE"
+elif [ -n "${SCALING_ONLY:-}" ]; then
   HEAVIES="$SCALING_ONLY"
 else
   # default: the top-N slowest queries in the committed bench artifact
@@ -46,7 +55,6 @@ if [ -n "${SCALING_MERGE:-}" ]; then
     [ -f "/tmp/scaling/sf$sf.json" ] || {
       echo "SCALING_MERGE needs existing /tmp/scaling/sf$sf.json (run full first)"; exit 1; }
   done
-  HEAVIES="$SCALING_MERGE"
   OUTDIR=/tmp/scaling_merge
 else
   OUTDIR=/tmp/scaling
@@ -69,13 +77,34 @@ for sf in 0.001 0.01 0.1; do
 done
 if [ -n "${SCALING_MERGE:-}" ]; then
   python3 - <<'PY'
-import json
+import json, os
+# the committed full-registry artifact defines the CURRENT registry: merge
+# prunes baseline keys that no longer exist (renamed/removed ops would
+# otherwise persist stale in /tmp/scaling forever)
+registry = None
+if os.path.exists('bench_latest.json'):
+    registry = set(json.load(open('bench_latest.json'))['queries'])
 for sf in ('0.001', '0.01', '0.1'):
     base = json.load(open(f'/tmp/scaling/sf{sf}.json'))
     ext = json.load(open(f'/tmp/scaling_merge/sf{sf}.json'))
     base['queries'].update(ext['queries'])
+    if registry is not None:
+        base['queries'] = {k: v for k, v in base['queries'].items() if k in registry}
+    # carry failure labels: a query that errored in the merge run lands as
+    # -1 in 'queries' — keep its label too, replacing any stale label for
+    # the same query (errors are '<query>: <msg>' strings)
+    merged_qs = set(ext['queries'])
+    errs = [e for e in base.get('errors', [])
+            if e.split(':', 1)[0] not in merged_qs
+            and (registry is None or e.split(':', 1)[0] in registry)]
+    errs += ext.get('errors', [])
+    base['errors'] = errs
     base['value'] = sum(v for v in base['queries'].values() if v >= 0)
-    json.dump(base, open(f'/tmp/scaling/sf{sf}.json', 'w'))
+    # temp-file + rename: a crash mid-dump must not corrupt the full-run
+    # baseline artifact
+    tmp = f'/tmp/scaling/sf{sf}.json.tmp'
+    json.dump(base, open(tmp, 'w'))
+    os.replace(tmp, f'/tmp/scaling/sf{sf}.json')
 print('merged')
 PY
 fi

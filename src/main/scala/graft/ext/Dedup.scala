@@ -2128,6 +2128,65 @@ object Dedup {
   private[graft] def nearDupBands(prep: DataFrame): DataFrame =
     sigBandsOf(prep, minhashCoefs, nBands, rowsPerBand)
 
+  // ------------------------------------------------------------------
+  // Bucket layout of the PERSISTED near-dup index — the partition-pruned
+  // probe that keeps the per-micro-batch screen O(batch), not O(index)
+  // ------------------------------------------------------------------
+
+  /** Bucket fan-out of the persisted signature index's partition dirs.
+    * The screen probes the index three ways — by content hash (exact
+    * arm), by band key (candidate generation), by partner doc id (the
+    * verify arm's stored-shingle-set fetch) — and each probe's key set
+    * is batch-bounded, so bucketing the index dirs on a hash of the
+    * probe key lets every micro-batch read only `|batch-key buckets| /
+    * nearDupIndexBuckets` of the index instead of scanning it whole
+    * (the r13 scale residual: per-arrival cost was O(index)). 16 here
+    * keeps the test fixtures' dynamic-partition writes cheap; at 100 TB
+    * the constant scales with index size — pruning factor is
+    * buckets/batch-distinct-keys either way. */
+  val nearDupIndexBuckets = 16
+
+  /** Deterministic bucket of any single key column (murmur3, same
+    * function at write and probe time — that identity is what makes the
+    * pruning lossless: equal keys always land in equal buckets). */
+  private[graft] def nearDupBucket(c: Column): Column =
+    pmod(hash(c), lit(nearDupIndexBuckets))
+
+  /** Bucket of a band row's compound (band_id, band_key) probe key. */
+  private[graft] def nearDupBandBucket: Column =
+    pmod(hash(col("band_id"), col("band_key")), lit(nearDupIndexBuckets))
+
+  /** A [[nearDupPrep]] frame extended with BOTH partition-bucket columns
+    * of the stored sets index: `hb` (content-hash bucket, the exact
+    * arm's probe key) and `db` (doc-id bucket, the verify arm's probe
+    * key). Written with `partitionBy("hb", "db")` — nested partition
+    * dirs, so a filter on EITHER column alone prunes directories. */
+  private[graft] def nearDupSetsBucketed(prep: DataFrame): DataFrame =
+    prep.withColumn("hb", nearDupBucket(col("h")))
+      .withColumn("db", nearDupBucket(col("doc_id")))
+
+  /** A [[nearDupBands]] frame extended with its `bb` partition bucket. */
+  private[graft] def nearDupBandsBucketed(prep: DataFrame): DataFrame =
+    nearDupBands(prep).withColumn("bb", nearDupBandBucket)
+
+  /** Prune a stored-index frame to the partition buckets an in-memory
+    * probe side actually touches: collect the probe's DISTINCT bucket
+    * values (≤ [[nearDupIndexBuckets]] ints — bounded by the constant,
+    * never by batch or index size) and filter the index's partition
+    * column with `isin`, which Catalyst turns into directory-level
+    * PartitionFilters on the parquet scan (asserted in
+    * IncrementalPipelineSpec with the full-scan form as the red
+    * control). Pass-through when the index frame carries no such
+    * column — the spec's sequential-replay kernel feeds unbucketed
+    * in-memory frames. */
+  private[graft] def pruneToBuckets(index: DataFrame, bucketCol: String,
+      probeBuckets: DataFrame): DataFrame =
+    if (!index.columns.contains(bucketCol)) index
+    else {
+      val bks = probeBuckets.distinct().collect().map(_.getInt(0)).toSeq
+      index.filter(col(bucketCol).isin(bks: _*))
+    }
+
   /** One micro-batch of the incremental NEAR-dup screen — the
     * [[qDocIncrDedup]] classification extended from exact content hashes
     * to minhash-banded near-duplicates, against a STORED signature index
@@ -2151,12 +2210,14 @@ object Dedup {
     * and then releases the handle.
     *
     * Scale (100 TB): the index sides are corpus-scale but NEVER
-    * recomputed — they stream from storage (pre-bucketed on hash /
-    * band key in production, the [[qDocIncrDedup]] note) while the
-    * batch side is broadcast into every probe; verify joins are
-    * candidate-bounded; the within-batch arms are batch-sized
-    * (band-bucketed candidates, not a batch cross-product). O(batch)
-    * per arrival.
+    * recomputed OR scanned whole — they stream from storage bucketed on
+    * each probe's key ([[nearDupSetsBucketed]]/[[nearDupBandsBucketed]])
+    * and every probe is partition-PRUNED to the batch's bucket set via
+    * [[pruneToBuckets]], so the per-arrival read is O(batch·buckets)
+    * dirs, not O(index); the batch side is broadcast into every probe;
+    * verify joins are candidate-bounded; the within-batch arms are
+    * batch-sized (band-bucketed candidates, not a batch cross-product).
+    * O(batch) per arrival end-to-end.
     */
   private[graft] def nearDupScreenWith(spark: SparkSession, batch: DataFrame,
       indexSets: DataFrame, indexBands: DataFrame): (DataFrame, DataFrame) = {
@@ -2167,15 +2228,27 @@ object Dedup {
       .select(col("doc_id").as("b_doc"), col("band_id"), col("band_key"))
 
     // exact arm vs the index: hash equi-join, batch side broadcast so the
-    // stored index never shuffles
-    val exactIdx = indexSets.select(col("h"), col("doc_id").as("partner"))
+    // stored index never shuffles — and, when the index is the bucketed
+    // stored form, partition-PRUNED to the batch's content-hash buckets
+    // first, so the scan reads O(batch-buckets) dirs, not the whole index
+    val exactIdx = pruneToBuckets(indexSets, "hb",
+        prep.select(nearDupBucket(col("h"))))
+      .select(col("h"), col("doc_id").as("partner"))
       .join(broadcast(prep.select(col("doc_id").as("b_doc"), col("h"))), "h")
       .select(col("b_doc"), col("partner"))
-    // near arm vs the index: banded candidates (batch side broadcast),
-    // then exact-Jaccard verify against the partner's STORED shingle set
-    val candIdx = indexBands.join(broadcast(bBands), Seq("band_id", "band_key"))
+    // near arm vs the index: banded candidates (batch side broadcast,
+    // index pruned to the batch's band-key buckets), then exact-Jaccard
+    // verify against the partner's STORED shingle set. candIdx is
+    // candidate-bounded and consumed twice (bucket collect + verify
+    // join) — checkpoint it to one eager LogicalRDD leaf.
+    val candIdx = pruneToBuckets(indexBands, "bb",
+        bBands.select(nearDupBandBucket))
+      .join(broadcast(bBands), Seq("band_id", "band_key"))
       .select(col("b_doc"), col("doc_id").as("partner")).distinct()
-    val nearIdx = indexSets.select(col("doc_id").as("partner"), col("hs").as("hs_p"))
+      .localCheckpoint(true)
+    val nearIdx = pruneToBuckets(indexSets, "db",
+        candIdx.select(nearDupBucket(col("partner"))))
+      .select(col("doc_id").as("partner"), col("hs").as("hs_p"))
       .join(broadcast(candIdx), "partner")
       .join(broadcast(prep.select(col("doc_id").as("b_doc"), col("hs"))), "b_doc")
       .filter(size(array_intersect(col("hs"), col("hs_p"))).cast("double") /

@@ -340,9 +340,12 @@ object IncrementalPipeline {
     * production-truthful label.
     *
     * Scale (100 TB): the index streams from storage and never
-    * recomputes or reshuffles (pre-bucket it on hash/band key at write
-    * time — the E89 note); the arriving shard broadcasts into every
-    * probe; index growth is an append of the batch's prep + band rows.
+    * recomputes or reshuffles — and its partition dirs are BUCKETED on
+    * each probe's key (hash/doc/band-key buckets,
+    * [[graft.ext.Dedup.nearDupSetsBucketed]]), so every per-batch probe
+    * partition-prunes to the batch's buckets instead of scanning the
+    * index whole; the arriving shard broadcasts into every probe; index
+    * growth is an append of the batch's prep + band rows.
     */
   def nearDupAvailableNow(
       spark: SparkSession,
@@ -379,14 +382,57 @@ object IncrementalPipeline {
         corpusDocs.select(col("doc_id"), col("text"))
           .repartition(par, col("doc_id"))).persist()
       prep.count()
-      prep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // bucketed layout: sets partitioned on (hb, db) — content-hash
+      // bucket for the exact arm, doc-id bucket for the verify arm —
+      // bands on the band-key bucket, so every per-batch probe prunes
+      // to the batch's buckets instead of scanning the index whole
+      graft.ext.Dedup.nearDupSetsBucketed(prep)
+        .write.partitionBy("hb", "db")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/sets/batch_id=-1")
-      graft.ext.Dedup.nearDupBands(prep)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      graft.ext.Dedup.nearDupBandsBucketed(prep)
+        .write.partitionBy("bb")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/bands/batch_id=-1")
       prep.unpersist()
       StreamState.commit(spark, stateDir, StreamState.State(1L, st.maxBatch))
     }
+  }
+
+  /** Read the persisted signature index's two tables WITH their
+    * partition-bucket columns (`hb`/`db` on sets, `bb` on bands) so the
+    * screen's [[graft.ext.Dedup.pruneToBuckets]] probes prune to the
+    * arriving batch's buckets at the parquet-directory level — the read
+    * path every per-micro-batch screen shares. Package-visible so the
+    * spec can assert the pruned scan's file count directly. */
+  private[streaming] def readNearDupIndex(
+      spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    // StreamTable.read resolves the compacted generation ∪ hot batch
+    // dirs; pre-compaction it is exactly the plain directory read
+    val sets = StreamTable.read(spark, s"$indexDir/sets")
+      .select(col("doc_id"), col("h"), col("hs"), col("hb"), col("db"))
+    val bands = StreamTable.read(spark, s"$indexDir/bands")
+      .select(col("doc_id"), col("band_id"), col("band_key"), col("bb"))
+    (sets, bands)
+  }
+
+  /** Compact the persisted near-dup signature index's two tables (and,
+    * when `verdictDir` is given, the verdict table) through the
+    * committed high-water of `stateDir` — the between-drains maintenance
+    * pass that keeps per-micro-batch listing cost flat over 10⁴⁺
+    * batches. Bucket partition columns survive the rewrite, so the
+    * screens' pruned probes prune the merged generation too. */
+  def compactNearDupTables(
+      spark: SparkSession,
+      indexDir: String,
+      stateDir: String,
+      verdictDir: Option[String] = None,
+      targetRows: Long = 1000000L): Unit = {
+    val m = StreamState.read(spark, stateDir).maxBatch
+    StreamTable.compact(spark, s"$indexDir/sets", m, Seq("hb", "db"), targetRows)
+    StreamTable.compact(spark, s"$indexDir/bands", m, Seq("bb"), targetRows)
+    verdictDir.foreach(v => StreamTable.compact(spark, v, m, Seq.empty, targetRows))
   }
 
   /** One idempotent micro-batch of [[nearDupAvailableNow]] — verdicts +
@@ -412,18 +458,18 @@ object IncrementalPipeline {
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(conf).delete(path, true)
         }
-      val sets = spark.read.parquet(s"$indexDir/sets")
-        .select(col("doc_id"), col("h"), col("hs"))
-      val bands = spark.read.parquet(s"$indexDir/bands")
-        .select(col("doc_id"), col("band_id"), col("band_key"))
+      val (sets, bands) = readNearDupIndex(spark, indexDir)
       val (verdicts, prep) = graft.ext.Dedup.nearDupScreenWith(
         spark, batch.select(col("doc_id"), col("text")), sets, bands)
       verdicts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$verdictDir/batch_id=$batchId")
-      prep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      graft.ext.Dedup.nearDupSetsBucketed(prep)
+        .write.partitionBy("hb", "db")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/sets/batch_id=$batchId")
-      graft.ext.Dedup.nearDupBands(prep)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      graft.ext.Dedup.nearDupBandsBucketed(prep)
+        .write.partitionBy("bb")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/bands/batch_id=$batchId")
       prep.unpersist()
       StreamState.commit(spark, stateDir, StreamState.State(1L, batchId))
@@ -519,8 +565,9 @@ object IncrementalPipeline {
     *
     * Scale (100 TB): O(batch) per arrival end-to-end — the frozen models
     * (quality stats, tokenizer costs/ids) and the benchmark are
-    * broadcast-sized; the index streams from storage (pre-bucketed at
-    * write time, the E89 note) and grows by appending the batch's rows;
+    * broadcast-sized; the index streams from storage bucket-PRUNED to
+    * the batch's partition buckets and grows by appending the batch's
+    * bucketed rows;
     * packing is the batch kernel shifted by the one-row state offset;
     * history is never re-read, re-shuffled, or re-packed.
     *
@@ -602,10 +649,9 @@ object IncrementalPipeline {
     val contam = pairs.select(col("doc_id")).distinct().localCheckpoint(true)
     val surv2 = surv1.join(contam, Seq("doc_id"), "left_anti").localCheckpoint(true)
     // stage 3: near-dup screen of the remaining docs vs the stored index
-    val sets = spark.read.parquet(s"$indexDir/sets")
-      .select(col("doc_id"), col("h"), col("hs"))
-    val bands = spark.read.parquet(s"$indexDir/bands")
-      .select(col("doc_id"), col("band_id"), col("band_key"))
+    // (bucketed reads — the screen prunes each probe to the batch's
+    // partition buckets)
+    val (sets, bands) = readNearDupIndex(spark, indexDir)
     val (nd, prep) = graft.ext.Dedup.nearDupScreenWith(spark, surv2, sets, bands)
     val ndP = nd.localCheckpoint(true)
     // stage 4: tokenize the admitted docs under the frozen stored model,
@@ -642,10 +688,13 @@ object IncrementalPipeline {
       .parquet(s"$outDir/verdicts/batch_id=$batchId")
     admRows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/admitted/batch_id=$batchId")
-    prep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    graft.ext.Dedup.nearDupSetsBucketed(prep)
+      .write.partitionBy("hb", "db")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/sets/batch_id=$batchId")
-    graft.ext.Dedup.nearDupBands(prep)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    graft.ext.Dedup.nearDupBandsBucketed(prep)
+      .write.partitionBy("bb")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/bands/batch_id=$batchId")
     // the kernels' internal caches are persist()-ed — release them here;
     // the checkpointed stage frames free via the ContextCleaner

@@ -597,6 +597,210 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("near-dup index probes partition-prune to the batch's buckets; the full scan is the red control") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val indexDir = Files.createTempDirectory("graft_ndprune").toString + "/index"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    IncrementalPipeline.seedNearDupIndex(spark, docs, indexDir)
+
+    // a deliberately tiny batch: its distinct hash/band buckets cover a
+    // strict fraction of the 16-way bucketed index dirs
+    val batch = docs.filter(col("doc_id").isin(1L, 2L))
+    val prep = Dedup.nearDupPrep(batch).persist(); prep.count()
+
+    // run an action on the probe frame, then read the parquet scan's
+    // driver-side IO metric: files actually listed into the scan
+    def filesRead(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
+      (scans.map(_.metrics("numFiles").value).sum,
+        df.queryExecution.executedPlan.toString)
+    }
+    // ground truth from the filesystem: data files per partition dir
+    def dirFiles(root: String, keep: String => Boolean): Long = {
+      def walk(f: java.io.File, under: Boolean): Long =
+        if (f.isFile)
+          (if (under && f.getName.endsWith(".parquet")) 1L else 0L)
+        else f.listFiles().map(c =>
+          walk(c, under || keep(c.getName))).sum
+      walk(new java.io.File(root), under = false)
+    }
+
+    val (sets, bands) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
+
+    // exact arm: prune sets on the batch's content-hash buckets
+    val hbVals = prep.select(Dedup.nearDupBucket(col("h")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(hbVals.size < 16, "fixture must not cover every bucket")
+    val (fullSetFiles, _) = filesRead(sets)
+    val (prunedSetFiles, setPlan) =
+      filesRead(Dedup.pruneToBuckets(sets, "hb",
+        prep.select(Dedup.nearDupBucket(col("h")))))
+    assert(setPlan.contains("PartitionFilters") && setPlan.contains("hb"),
+      s"pruned sets probe must carry a partition filter on hb:\n$setPlan")
+    assert(fullSetFiles === dirFiles(s"$indexDir/sets", _ => true),
+      "red control: the unpruned probe scans the whole index")
+    val expectedSetFiles = dirFiles(s"$indexDir/sets",
+      n => hbVals.exists(b => n == s"hb=$b"))
+    assert(prunedSetFiles === expectedSetFiles,
+      "pruned probe must read exactly the batch's hb partition dirs")
+    assert(prunedSetFiles < fullSetFiles,
+      s"pruning must cut IO: $prunedSetFiles vs $fullSetFiles")
+
+    // verify arm: prune sets on partner doc-id buckets (same helper, the
+    // db partition column) — probe with a 2-doc partner set
+    val dbVals = prep.select(Dedup.nearDupBucket(col("doc_id")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (prunedDbFiles, dbPlan) =
+      filesRead(Dedup.pruneToBuckets(sets, "db",
+        prep.select(Dedup.nearDupBucket(col("doc_id")))))
+    assert(dbPlan.contains("PartitionFilters") && dbPlan.contains("db"))
+    assert(prunedDbFiles === dirFiles(s"$indexDir/sets",
+      n => dbVals.exists(b => n == s"db=$b")),
+      "db-pruned probe must read exactly the partner buckets' dirs")
+    assert(prunedDbFiles < fullSetFiles)
+
+    // candidate arm: prune bands on the batch's band-key buckets
+    val bbVals = Dedup.nearDupBandsBucketed(prep).select(col("bb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (fullBandFiles, _) = filesRead(bands)
+    val (prunedBandFiles, bandPlan) =
+      filesRead(Dedup.pruneToBuckets(bands, "bb",
+        Dedup.nearDupBandsBucketed(prep).select(col("bb"))))
+    assert(bandPlan.contains("PartitionFilters") && bandPlan.contains("bb"))
+    assert(fullBandFiles === dirFiles(s"$indexDir/bands", _ => true))
+    assert(prunedBandFiles === dirFiles(s"$indexDir/bands",
+      n => bbVals.exists(b => n == s"bb=$b")),
+      "bb-pruned probe must read exactly the batch's band buckets")
+    assert(prunedBandFiles < fullBandFiles,
+      s"pruning must cut IO: $prunedBandFiles vs $fullBandFiles")
+
+    // and the PRUNED screen's verdicts equal the UNBUCKETED kernel's —
+    // pruning is a pure IO optimization, never a semantic change
+    val (vPruned, pP) = Dedup.nearDupScreenWith(spark, batch, sets, bands)
+    val got = vPruned.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    pP.unpersist()
+    val mem = Dedup.nearDupPrep(docs).persist(); mem.count()
+    val (vMem, pM) = Dedup.nearDupScreenWith(spark, batch,
+      mem, Dedup.nearDupBands(mem))
+    val want = vMem.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    Seq(pM, mem, prep).foreach(_.unpersist())
+    assert(got === want, "pruned-probe verdicts must equal the in-memory kernel")
+    spark.catalog.clearCache()
+  }
+
+  test("stream-table compaction: row identity, crash tolerance, retry survival, planner-target file count") {
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_cmp_in").toString
+    val ckDir = Files.createTempDirectory("graft_cmp_ck").toString
+    val indexDir = Files.createTempDirectory("graft_cmp_idx").toString + "/index"
+    val verdictDir = Files.createTempDirectory("graft_cmp_out").toString + "/verdicts"
+    val stateDir = s"${indexDir}_state"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    def run(): Unit = IncrementalPipeline.nearDupAvailableNow(
+      spark, inDir, docs.schema, docs, indexDir, verdictDir, ckDir)
+    drop(docs.filter(col("doc_id") % 10 === 3 && col("doc_id") < 250)
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")), "a.parquet")
+    run()
+    drop(docs.filter(col("doc_id") % 10 === 3 && col("doc_id") >= 250)
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")), "b.parquet")
+    run()
+
+    def setRows() = StreamTable.read(spark, s"$indexDir/sets")
+      .select(col("doc_id"), col("h"), col("hb"), col("db"), col("batch_id"),
+        org.apache.spark.sql.functions.size(col("hs")).as("nhs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getInt(5))).toSet
+    def bandRows() = StreamTable.read(spark, s"$indexDir/bands")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_id"),
+        r.getAs[Long]("band_key"), r.getAs[Int]("bb"),
+        r.getAs[Long]("batch_id"))).toSet
+    def verdictRows() = StreamTable.read(spark, verdictDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("content_hash"), r.getAs[String]("status"),
+        r.getAs[Long]("batch_id"))).toSet
+    def nFiles(root: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1L else 0L)
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(root))
+    }
+
+    val (sets0, bands0, verd0) = (setRows(), bandRows(), verdictRows())
+    val filesBefore = nFiles(s"$indexDir/sets")
+
+    // a crashed earlier compaction attempt: hidden partial generation
+    // with no cstate commit — invisible to readers, swept by the retry
+    val ghost = new java.io.File(s"$indexDir/sets/.merged/v=1/junk")
+    ghost.getParentFile.mkdirs(); ghost.createNewFile()
+    assert(setRows() === sets0, "uncommitted generation must be invisible")
+
+    val m = StreamState.read(spark, stateDir).maxBatch
+    assert(m === 1L)
+    IncrementalPipeline.compactNearDupTables(
+      spark, indexDir, stateDir, None, targetRows = 200L)
+    val nGroups = StreamTable.compact(spark, verdictDir, m, Seq.empty, 20L)
+    assert(nGroups >= 2L, "fixture must plan more than one merge group")
+
+    assert(setRows() === sets0, "compaction must preserve every sets row")
+    assert(bandRows() === bands0, "compaction must preserve every bands row")
+    assert(verdictRows() === verd0, "compaction must preserve every verdict")
+    assert(!ghost.exists(), "stale crashed generation must be swept")
+    assert(nFiles(s"$indexDir/sets") < filesBefore,
+      "compaction must reduce the sets file count")
+    assert(nFiles(verdictDir) === nGroups,
+      "verdict file count must equal the planner's group count")
+    // superseded hot dirs are gone — the listing wall actually shrank
+    assert(!new java.io.File(s"$indexDir/sets/batch_id=-1").exists())
+    assert(!new java.io.File(verdictDir + "/batch_id=0").exists())
+
+    // retry of a committed batch is STILL a no-op after compaction (the
+    // guard keys on the untouched main StreamState marker)
+    IncrementalPipeline.appendNearDupBatch(
+      spark, docs.limit(3), 0L, indexDir, verdictDir)
+    assert(setRows() === sets0 && verdictRows() === verd0,
+      "retry after compaction must not re-append")
+
+    // the screens keep working against the merged generation: new
+    // arrivals probe it (re-crawls must attribute to the compacted
+    // corpus rows) and land as a fresh hot dir
+    drop(docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + (1L << 42)).as("doc_id"), col("text")),
+      "c.parquet")
+    run()
+    val verd1 = verdictRows()
+    val newOnes = verd1 -- verd0
+    assert(newOnes.nonEmpty && newOnes.forall(_._3 == "dup_of_corpus"),
+      s"post-compaction re-crawls must match the compacted index: $newOnes")
+    assert(setRows().size === sets0.size + newOnes.size)
+
+    // a second compaction absorbs the new batch on top of generation 1
+    val m2 = StreamState.read(spark, stateDir).maxBatch
+    IncrementalPipeline.compactNearDupTables(
+      spark, indexDir, stateDir, Some(verdictDir), targetRows = 200L)
+    assert(verdictRows() === verd1, "second compaction must preserve rows")
+    assert(StreamState.read(spark, s"$indexDir/sets_cstate").maxBatch === m2)
+    assert(!new java.io.File(s"$indexDir/sets/.merged/v=1").exists(),
+      "superseded generation must be retired")
+    spark.catalog.clearCache()
+  }
+
   test("streaming publish: foreachBatch appends each micro-batch to the JDBC warehouse") {
     // the stream-to-warehouse production pattern (reference: Job-2 publish,
     // pg:77-89, but fed continuously): each micro-batch of the incremental

@@ -838,6 +838,89 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(spark.read.jdbc(url, "fact_trips_stream", props).count() === expected)
   }
 
+  test("ingest front door restarts from stored artifacts alone: baseDocs never forced; verdicts identical") {
+    import org.apache.spark.sql.functions.{concat, expr, lit}
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val clean = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 50 =!= 0)
+    val spam = docs.filter(col("doc_id") % 40 === 1)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(expr("repeat('spam ', 60)"), lit("tail"),
+          col("doc_id").cast("string")).as("text"))
+    val contamPlant = eval.select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val dupPlant = base.filter(col("doc_id") % 40 === 3)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val arrivals = clean.unionAll(spam).unionAll(contamPlant).unionAll(dupPlant)
+    val keyOf = org.apache.spark.sql.functions.abs(col("doc_id") + 1)
+    val shardA = arrivals.filter(keyOf < 250)
+    val shardB = arrivals.filter(keyOf >= 250)
+
+    def mkDoor(): (String, String, String) = {
+      val in = Files.createTempDirectory("graft_boot_in").toString
+      val ck = Files.createTempDirectory("graft_boot_ck").toString
+      val out = Files.createTempDirectory("graft_boot_out").toString + "/door"
+      (in, ck, out)
+    }
+    def drop(inDir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    def verdicts(out: String) = spark.read.parquet(s"$out/verdicts").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("drop_reason"),
+        Option(r.getAs[String]("status")))).toSet
+    def admitted(out: String) = spark.read.parquet(s"$out/admitted").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("token_ids"))).toSet
+
+    // door 1: first start trains AND persists the artifacts; the
+    // RESTART for shard B is handed a thunk that throws if forced —
+    // the hard proof that boot is stored-artifact-only, stronger than
+    // any plan assertion
+    val (in1, ck1, out1) = mkDoor()
+    drop(in1, shardA, "a.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, in1, docs.schema, base, eval, out1, ck1)
+    Seq("quality/uni", "quality/bi", "tok/costs", "tok/ids").foreach { t =>
+      assert(new java.io.File(s"$out1/artifacts/$t").exists(),
+        s"first start must persist artifact $t")
+    }
+    drop(in1, shardB, "b.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, in1, docs.schema,
+      sys.error("restart must not touch baseDocs"): org.apache.spark.sql.DataFrame,
+      eval, out1, ck1)
+
+    // door 2: identical shards, trained-at-start on every run (fresh
+    // door per run would retrain; here both runs get the REAL base) —
+    // the restart door's verdicts and admitted artifacts must be
+    // indistinguishable from it
+    val (in2, ck2, out2) = mkDoor()
+    drop(in2, shardA, "a.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, in2, docs.schema, base, eval, out2, ck2)
+    // wipe the artifacts + marker so the second run provably RETRAINS
+    val aDir = new java.io.File(s"$out2/artifacts")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(aDir); rmrf(new java.io.File(s"$out2/artifacts_state"))
+    drop(in2, shardB, "b.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, in2, docs.schema, base, eval, out2, ck2)
+
+    assert(verdicts(out1) === verdicts(out2),
+      "stored-artifact restart must produce the trained-at-start verdicts")
+    assert(admitted(out1) === admitted(out2),
+      "stored-artifact restart must produce the trained-at-start encodes")
+    assert(verdicts(out1).nonEmpty && admitted(out1).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("ingest front door: quality -> decontam -> near-dup -> encode -> pack per shard; replay law; retry no-op") {
     import org.apache.spark.sql.functions.{concat, expr, lit, max}
     import graft.ext.{CorpusOps, Dedup, TextOps}

@@ -30,6 +30,7 @@ object SparkEntry {
     graft.ext.Sketches.registry,
     graft.sources.Interchange.registry,
     graft.sources.SeqSource.registry,
+    graft.sources.StoreSource.registry,
     graft.etl.Dims.registry
   )
 

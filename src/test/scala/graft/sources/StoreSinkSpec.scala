@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSuite
+
+/** The DSv2 WRITE path must give exactly-once through Spark's committer
+  * interface: staged task output is invisible until the single job-level
+  * `commit`, aborts at either level leave the table byte-identical, and
+  * a re-delivered `commit` publishes no duplicate rows.
+  */
+class StoreSinkSpec extends SparkSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_store").toString + "/t"
+
+  private def rows(dir: String): Set[(Long, Option[String], Double)] =
+    StoreSource.read(spark, dir).collect().map { r =>
+      (r.getLong(0), Option(r.getString(1)), r.getDouble(2))
+    }.toSet
+
+  private val spark0 = SparkSuite.session
+  import spark0.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("plain"), 1.5),
+    (2L, Some("tab\tand\nnewline and back\\slash"), -0.25),
+    (3L, None, 0.0)).toDF("k", "s", "x")
+
+  test("append through the committer roundtrips typed rows; second append accumulates") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    assert(rows(dir) === Set(
+      (1L, Some("plain"), 1.5),
+      (2L, Some("tab\tand\nnewline and back\\slash"), -0.25),
+      (3L, None, 0.0)))
+    StoreSource.write(Seq((4L, Some("more"), 9.0)).toDF("k", "s", "x"), dir)
+    assert(rows(dir).map(_._1) === Set(1L, 2L, 3L, 4L))
+    // column pruning reaches the scan
+    val pruned = StoreSource.read(spark, dir).select(col("k"))
+    pruned.collect()
+    val desc = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("cols=k") && !desc.contains("s,"),
+      s"reader must prune to the projected column: $desc")
+  }
+
+  test("uncommitted staged writes are invisible; job abort publishes nothing and sweeps staging") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    val before = rows(dir)
+
+    val schema = StoreSource.read(spark, dir).schema
+    val bw = new StoreWriteBuilder(dir, schema, "qabort").build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 7L)
+    w.write(InternalRow.fromSeq(Seq(99L, UTF8String.fromString("ghost"), 1.0)))
+    val msg = w.commit()
+    // task committed, job NOT: nothing visible
+    assert(rows(dir) === before, "staged rows must be invisible before job commit")
+    bw.abort(Array(msg))
+    assert(rows(dir) === before, "job abort must publish nothing")
+    assert(!new java.io.File(s"$dir/_staging/qabort").exists(),
+      "job abort must sweep the query's staging dir")
+  }
+
+  test("job commit is atomic and a re-delivered commit is idempotent") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    val before = rows(dir)
+
+    val schema = StoreSource.read(spark, dir).schema
+    val bw = new StoreWriteBuilder(dir, schema, "qtwice").build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 11L)
+    w.write(InternalRow.fromSeq(Seq(50L, UTF8String.fromString("once"), 2.0)))
+    val msg = w.commit()
+    bw.commit(Array[WriterCommitMessage](msg))
+    val after = rows(dir)
+    assert(after === before + ((50L, Some("once"), 2.0)))
+    // a re-delivered job commit (driver retry after a commit-ack loss)
+    bw.commit(Array[WriterCommitMessage](msg))
+    assert(rows(dir) === after, "re-commit must not duplicate rows")
+    val all = StoreSource.read(spark, dir).collect()
+    assert(all.length === all.map(_.getLong(0)).distinct.length)
+  }
+
+  test("task abort deletes its staging file; speculative losing attempt never publishes") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    val before = rows(dir)
+    val schema = StoreSource.read(spark, dir).schema
+
+    // task-level abort
+    val bwA = new StoreWriteBuilder(dir, schema, "qtask").build().toBatch
+    val wA = bwA.createBatchWriterFactory(null).createWriter(0, 3L)
+    wA.write(InternalRow.fromSeq(Seq(77L, UTF8String.fromString("dead"), 0.5)))
+    wA.abort()
+    assert(rows(dir) === before)
+
+    // speculation: two attempts of partition 0; only the winner's message
+    // reaches job commit; the loser's staged file dies with the sweep
+    val bw = new StoreWriteBuilder(dir, schema, "qspec").build().toBatch
+    val fac = bw.createBatchWriterFactory(null)
+    val w1 = fac.createWriter(0, 100L)
+    val w2 = fac.createWriter(0, 101L)
+    val row = InternalRow.fromSeq(Seq(60L, UTF8String.fromString("winner"), 3.0))
+    w1.write(row); w2.write(row)
+    val winner = w1.commit()
+    bw.commit(Array[WriterCommitMessage](winner))
+    assert(rows(dir) === before + ((60L, Some("winner"), 3.0)),
+      "exactly one copy of the speculated partition must publish")
+    assert(!new java.io.File(s"$dir/_staging/qspec").exists())
+  }
+
+  test("schema is pinned at first commit; a mismatched append is rejected") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    val bad = Seq((1L, 2L)).toDF("k", "wrong")
+    intercept[Exception] { StoreSource.write(bad, dir) }
+    assert(rows(dir).size === 3, "the rejected write must not publish")
+  }
+}

@@ -174,27 +174,57 @@ object IncrementalPipeline {
       spark: SparkSession,
       inputDir: String,
       schema: StructType,
-      baseEmb: DataFrame,
-      evalE: DataFrame,
+      baseEmb: => DataFrame,
+      evalE: => DataFrame,
       flagDir: String,
       checkpointDir: String): Unit = {
-    val qArr = graft.ext.Similarity.centroidArrayOfE(baseEmb, None).persist()
-    qArr.count()
-    // benchmark-sized, assigned once per stream — LogicalRDD leaf so the
-    // per-batch plan never re-expands the assignment subtree (E326 note)
-    val evalA = graft.ext.Similarity.semanticEvalAssign(evalE, qArr)
-      .localCheckpoint(true)
-    try {
-      val raw = spark.readStream.schema(schema).parquet(inputDir)
-      val query = raw.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          appendSemanticFlags(spark, batch, evalA, qArr, batchId, flagDir)
-        }
-        .start()
-      query.awaitTermination()
-    } finally qArr.unpersist()
+    // frozen quantizer + benchmark assignment boot from their STORED
+    // forms after the first start (E322/E325 lifecycle applied here):
+    // a restart is metadata-only and never forces the by-name frames
+    val (qArr, evalA) = bootSemanticArtifacts(spark,
+      s"${flagDir}_artifacts", Some(() => baseEmb), Some(() => evalE)).get
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    val query = raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendSemanticFlags(spark, batch, evalA, qArr, batchId, flagDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** STORED SEMANTIC ARTIFACTS — the frozen quantizer (one
+    * centroid-array row) and the benchmark's pre-assigned probe cells
+    * (benchmark-sized), persisted at first training under a marker
+    * commit and loaded on every later start (the r13 #6 residual:
+    * [[semanticAvailableNow]] re-derived both per stream start). Returns
+    * None when nothing is stored AND no training sources are supplied —
+    * the embedding-blind door. Both loaded frames are checkpointed
+    * LogicalRDD leaves (broadcast-sized per-batch probes). */
+  private[streaming] def bootSemanticArtifacts(
+      spark: SparkSession,
+      dir: String,
+      semBase: Option[() => DataFrame],
+      semEval: Option[() => DataFrame]): Option[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.SaveMode
+    val stateDir = s"${dir}_state"
+    if (StreamState.read(spark, stateDir).endOffset == 0L) {
+      (semBase, semEval) match {
+        case (Some(b), Some(ev)) =>
+          val qArr = graft.ext.Similarity.centroidArrayOfE(b(), None).persist()
+          qArr.count()
+          qArr.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+          graft.ext.Similarity.semanticEvalAssign(ev(), qArr)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/eval_assign")
+          qArr.unpersist()
+          StreamState.commit(spark, stateDir, StreamState.State(1L, -1L))
+        case _ => return None
+      }
+    }
+    Some((
+      spark.read.parquet(s"$dir/centroids").localCheckpoint(true),
+      spark.read.parquet(s"$dir/eval_assign").localCheckpoint(true)))
   }
 
   /** One idempotent micro-batch screen of [[semanticAvailableNow]] —
@@ -577,10 +607,15 @@ object IncrementalPipeline {
     * the first touches neither `baseDocs` (by-name, never forced) nor
     * the corpus.
     *
-    * The door is TEXT-grain; arriving EMBEDDING shards (different grain,
-    * different table) pass through their own vector-side door —
-    * [[semanticAvailableNow]] (E328), which closes the decontamination
-    * trilogy the two token gates here start.
+    * EMBEDDING-AWARE: a shard whose schema carries a `vec` column
+    * (array&lt;float&gt;, nullable) passes the E328 semantic screen as a
+    * FOURTH gate between fuzzy decontamination and the dup screen —
+    * the full trilogy (exact/fuzzy token + semantic paraphrase) inside
+    * ONE funnel. The frozen quantizer and benchmark assignment boot
+    * from stored artifacts ([[bootSemanticArtifacts]]); a doc with no
+    * embedding gets `sem_contaminated = NULL` (unscreenable, not
+    * clean). Standalone embedding TABLES (vector grain, no text) still
+    * use [[semanticAvailableNow]].
     */
   def ingestAvailableNow(
       spark: SparkSession,
@@ -589,8 +624,14 @@ object IncrementalPipeline {
       baseDocs: => DataFrame,
       evalDocs: DataFrame,
       outDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      semBase: Option[() => DataFrame] = None,
+      semEval: Option[() => DataFrame] = None): Unit = {
     val (qModel, tokCosts, tokIds) = bootIngestArtifacts(spark, baseDocs, outDir)
+    // the semantic fourth gate arms itself from stored artifacts (or
+    // trains once from the supplied sources); None => embedding-blind
+    val sem = bootSemanticArtifacts(spark, s"$outDir/artifacts/sem",
+      semBase, semEval)
     try {
       seedNearDupIndex(spark, baseDocs, s"$outDir/index")
       val raw = spark.readStream.schema(schema).parquet(inputDir)
@@ -599,7 +640,7 @@ object IncrementalPipeline {
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           ingestBatch(spark, batch, batchId, qModel, tokCosts, tokIds,
-            evalDocs, outDir)
+            evalDocs, outDir, sem)
         }
         .start()
       query.awaitTermination()
@@ -663,7 +704,8 @@ object IncrementalPipeline {
       tokCosts: DataFrame,
       tokIds: DataFrame,
       evalDocs: DataFrame,
-      outDir: String): Unit = {
+      outDir: String,
+      sem: Option[(DataFrame, DataFrame)] = None): Unit = {
     import org.apache.spark.sql.functions._
     val stateDir = s"${outDir}_state"
     val st = StreamState.read(spark, stateDir)
@@ -697,15 +739,33 @@ object IncrementalPipeline {
     val (pairs, dCache) = graft.ext.Dedup.fuzzyContamPairsWith(spark, surv1, evalDocs)
     val contam = pairs.select(col("doc_id")).distinct().localCheckpoint(true)
     val surv2 = surv1.join(contam, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    // stage 3: near-dup screen of the remaining docs vs the stored index
+    // stage 3: SEMANTIC decontamination (E328, the trilogy's third gate)
+    // on vec-carrying fuzzy survivors — a doc with no embedding passes
+    // through (NULL verdict, not false); the quantizer and benchmark
+    // assignment are the stored frozen artifacts
+    val hasVecCol = batch.columns.contains("vec")
+    val semFlag: Option[DataFrame] = sem.filter(_ => hasVecCol).map {
+      case (qArr, evalA) =>
+        val side = batch
+          .filter(col("vec").isNotNull)
+          .select(col("doc_id").as("vec_id"),
+            transform(col("vec"), _.cast("double")).as("e"))
+          .join(surv2.select(col("doc_id").as("vec_id")), "vec_id")
+        graft.ext.Similarity.semanticScreenWith(side, evalA, qArr)
+          .select(col("vec_id").as("doc_id")).distinct().localCheckpoint(true)
+    }
+    val surv3 = semFlag.map(f =>
+      surv2.join(f, Seq("doc_id"), "left_anti").localCheckpoint(true))
+      .getOrElse(surv2)
+    // stage 4: near-dup screen of the remaining docs vs the stored index
     // (bucketed reads — the screen prunes each probe to the batch's
     // partition buckets)
     val (sets, bands) = readNearDupIndex(spark, indexDir)
-    val (nd, prep) = graft.ext.Dedup.nearDupScreenWith(spark, surv2, sets, bands)
+    val (nd, prep) = graft.ext.Dedup.nearDupScreenWith(spark, surv3, sets, bands)
     val ndP = nd.localCheckpoint(true)
-    // stage 4: tokenize the admitted docs under the frozen stored model,
+    // stage 5: tokenize the admitted docs under the frozen stored model,
     // pack them after the tokens already admitted
-    val admitted = surv2
+    val admitted = surv3
       .join(ndP.filter(col("status") === "new").select(col("doc_id")), "doc_id")
     val enc = graft.ext.TextOps.uniEncodeFrozen(admitted, tokCosts, tokIds)
       .localCheckpoint(true)
@@ -717,19 +777,37 @@ object IncrementalPipeline {
     val newEnd = admRows
       .agg(coalesce(max(col("tok_start") + col("n_tokens")), lit(st.endOffset)))
       .collect()(0).getLong(0)
-    // per-doc verdict: per-stage attribution, NULL past the failing stage
+    // per-doc verdict: per-stage attribution, NULL past the failing
+    // stage; `sem_contaminated` is additionally NULL for a doc that
+    // carries no embedding (unscreenable, not clean)
+    val hasVec =
+      if (hasVecCol && sem.isDefined)
+        batch.select(col("doc_id"), col("vec").isNotNull.as("has_vec"))
+      else batch.select(col("doc_id"), lit(false).as("has_vec"))
+    val semJoined = semFlag.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType)))))
+      .withColumn("sflag", lit(true))
     val verdict = qvP
       .select(col("doc_id"), (col("drop_reason") =!= "kept").as("fail_quality"),
         col("drop_reason").as("quality_reason"))
       .join(contam.withColumn("cflag", lit(true)), Seq("doc_id"), "left")
+      .join(semJoined, Seq("doc_id"), "left")
+      .join(hasVec, Seq("doc_id"), "left")
       .join(ndP.select(col("doc_id"), col("status"), col("dup_of")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("fail_quality"),
         when(col("fail_quality"), lit(null).cast("boolean"))
           .otherwise(coalesce(col("cflag"), lit(false))).as("contaminated"),
+        when(col("fail_quality") || coalesce(col("cflag"), lit(false)) ||
+            !coalesce(col("has_vec"), lit(false)), lit(null).cast("boolean"))
+          .otherwise(coalesce(col("sflag"), lit(false))).as("sem_contaminated"),
         col("status"), col("dup_of"),
         when(col("fail_quality"), concat(lit("quality:"), col("quality_reason")))
           .when(coalesce(col("cflag"), lit(false)), lit("contaminated"))
+          .when(coalesce(col("sflag"), lit(false)), lit("contaminated_semantic"))
           .when(col("status") =!= "new", lit("duplicate"))
           .otherwise(lit("admitted")).as("drop_reason"))
 

@@ -292,10 +292,14 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
     assert(StreamState.read(spark, flagDir + "_state").maxBatch === batchIds.max)
 
-    // E58 discipline: checkpointed re-run and batch retry are both no-ops
+    // E58 discipline: checkpointed re-run and batch retry are both
+    // no-ops — and the re-run RESTART boots from the stored quantizer +
+    // eval assignment alone (metadata-only: the thunks must never fire)
     IncrementalPipeline.semanticAvailableNow(
       spark, inDir, spark.read.parquet(s"$inDir/emb_shard_a.parquet").schema,
-      baseEmb, evalE, flagDir, ckDir)
+      sys.error("restart must not retrain"): org.apache.spark.sql.DataFrame,
+      sys.error("restart must not reassign"): org.apache.spark.sql.DataFrame,
+      flagDir, ckDir)
     assert(flags() === expected, "re-run must not change the flag table")
     val qArr2 = Similarity.centroidArrayOfE(baseEmb, None)
     IncrementalPipeline.appendSemanticFlags(
@@ -918,6 +922,134 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(admitted(out1) === admitted(out2),
       "stored-artifact restart must produce the trained-at-start encodes")
     assert(verdicts(out1).nonEmpty && admitted(out1).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("embedding-aware front door: semantic fourth gate attributes per-stage; stored-artifact restart") {
+    import org.apache.spark.sql.functions.{concat, expr, lit, transform => atransform}
+    import graft.ext.{CorpusOps, Dedup, Similarity}
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_edoor_in").toString
+    val ckDir = Files.createTempDirectory("graft_edoor_ck").toString
+    val outDir = Files.createTempDirectory("graft_edoor_out").toString + "/door"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 50 === 0)
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
+      atransform(col("embedding"), _.cast("double")).as("e"))
+    val baseEmb = emb.filter(col("vec_id") % 50 =!= 0)
+    val evalEmb = emb.filter(col("vec_id") % 50 === 0)
+
+    // clean arrivals: organic text; EVEN ids carry their own organic
+    // embedding (must pass the semantic gate), odd ids carry none (the
+    // NULL-verdict discipline)
+    val fvec = atransform(col("e"), _.cast("float"))
+    val clean = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 50 =!= 0)
+      .join(emb.select(col("vec_id").as("doc_id"), col("e")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.when(col("doc_id") % 20 === 0, fvec)
+          .otherwise(lit(null)).as("vec"))
+    // spam: fails quality, never reaches any later gate
+    val spam = docs.filter(col("doc_id") % 40 === 1)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(expr("repeat('spam ', 60)"), lit("tail"),
+          col("doc_id").cast("string")).as("text"),
+        lit(null).cast("array<float>").as("vec"))
+    // semantic plants: CLEAN organic text (a base doc's — zero shared
+    // eval surface unless organically twinned, handled below) but a
+    // RE-EMBEDDED benchmark vector: only the third gate can catch them
+    val semPlant = evalEmb
+      .select(col("vec_id"), expr(Similarity.reembedExpr).as("e"))
+      .join(docs.select((col("doc_id") - 1).as("vec_id"), col("text")), "vec_id")
+      .select((-col("vec_id") - 1000001).as("doc_id"), col("text"),
+        fvec.as("vec"))
+    // near-dup plants: base-doc copies, benign organic vec
+    val dupPlant = base.filter(col("doc_id") % 40 === 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("e")), Seq("doc_id"), "left")
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"), fvec.as("vec"))
+    val arrivals = clean.unionAll(spam).unionAll(semPlant).unionAll(dupPlant)
+    val keyOf = org.apache.spark.sql.functions.abs(col("doc_id"))
+    val shardA = arrivals.filter(keyOf % 2 === 0)
+    val shardB = arrivals.filter(keyOf % 2 === 1)
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    drop(shardA, "a.parquet")
+    val schema = spark.read.parquet(s"$inDir/a.parquet").schema
+    IncrementalPipeline.ingestAvailableNow(
+      spark, inDir, schema, base, eval, outDir, ckDir,
+      Some(() => baseEmb), Some(() => evalEmb))
+    // RESTART for shard B: every model artifact boots from its stored
+    // form — the thunks must never fire
+    drop(shardB, "b.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, inDir, schema,
+      sys.error("restart must not touch baseDocs"): org.apache.spark.sql.DataFrame,
+      eval, outDir, ckDir,
+      Some(() => sys.error("restart must not retrain the quantizer")),
+      Some(() => sys.error("restart must not reassign the benchmark")))
+
+    val v = spark.read.parquet(s"$outDir/verdicts").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("drop_reason"),
+          Option(r.get(r.fieldIndex("sem_contaminated"))).map(_ == true),
+          Option(r.getAs[String]("status"))))).toMap
+
+    // which docs reach which stage (kernel replays under the same frozen
+    // models — the artifact-vs-train equality is the other spec's law)
+    val model0 = CorpusOps.frozenQualityModel(base).persistAll()
+    val (qAll, qc) = CorpusOps.qualityGateFrozenWith(
+      spark, arrivals.select(col("doc_id"), col("text")), model0)
+    val kept = qAll.filter(col("drop_reason") === "kept")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    qc.unpersist(); model0.unpersistAll()
+    val fuzzyFlagged = Dedup.fuzzyContamPairs(spark,
+      arrivals.select(col("doc_id"), col("text")), eval)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+
+    val semIds = semPlant.collect().map(_.getLong(0)).toSet
+    val reachSem = semIds.filter(id => kept(id) && !fuzzyFlagged(id))
+    assert(reachSem.nonEmpty, "fixture must push semantic plants to the gate")
+    val caught = reachSem.filter(id => v(id)._1 == "contaminated_semantic")
+    assert(caught.size * 10 >= reachSem.size * 9,
+      s"semantic recall below 90%: ${caught.size} of ${reachSem.size}")
+    caught.foreach { id =>
+      assert(v(id)._2 === Some(true) && v(id)._3.isEmpty,
+        s"semantic drop must attribute its own stage and NULL the rest: $id ${v(id)}")
+    }
+
+    // NULL/false discipline on the clean family
+    val cleanRows = clean.collect().map(r =>
+      (r.getLong(0), !r.isNullAt(2))).toMap
+    cleanRows.foreach { case (id, hadVec) =>
+      if (kept(id) && !fuzzyFlagged(id)) {
+        if (hadVec)
+          assert(v(id)._2 === Some(false),
+            s"organic vec must screen clean: $id ${v(id)}")
+        else
+          assert(v(id)._2.isEmpty,
+            s"no-vec doc must read NULL, not false: $id ${v(id)}")
+        assert(v(id)._1 != "contaminated_semantic",
+          s"organic arrival semantically flagged: $id")
+      }
+    }
+    // dup plants that reach the dup screen still attribute there, with
+    // their benign vec screened false on the way through
+    val dupIds = dupPlant.collect().map(_.getLong(0)).toSet
+    val reachDup = dupIds.filter(id => kept(id) && !fuzzyFlagged(id) &&
+      v(id)._1 == "duplicate")
+    assert(reachDup.nonEmpty, "fixture must push dup plants past the semantic gate")
+    reachDup.foreach(id => assert(v(id)._2 === Some(false), s"$id ${v(id)}"))
+    // no plant is admitted
+    val adm = spark.read.parquet(s"$outDir/admitted").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert((semIds ++ dupIds).forall(!adm.contains(_)))
     spark.catalog.clearCache()
   }
 

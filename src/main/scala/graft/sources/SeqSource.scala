@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -79,8 +81,24 @@ object SeqSource {
       |WHERE n >= 20000 AND n < 60000 AND n % 2 = 0
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Registry query for the aggregate-pushdown rung: count/min/max over
+    * a filtered range answer from the scan's CLOSED FORMS — the plan
+    * contains a [[SeqAggScan]] and generates zero sequence rows
+    * (plan-asserted in SeqSourceSpec; values oracle-checked here). */
+  def qSeqAggPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, 0L, 1000000L, 8)
+      .filter(col("n") >= 12345L && col("n") < 987654L)
+      .agg(count(lit(1)).as("n_rows"), min(col("n")).as("min_n"),
+        max(col("n")).as("max_n"))
+
+  val qSeqAggPushdownSql: String =
+    """SELECT count(*) AS n_rows, min(n) AS min_n, max(n) AS max_n
+      |FROM range(0, 1000000) t(n)
+      |WHERE n >= 12345 AND n < 987654""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "q_seq_source" -> ((qSeqSource _, qSeqSourceSql)))
+    "q_seq_source" -> ((qSeqSource _, qSeqSourceSql)),
+    "q_seq_agg_pushdown" -> ((qSeqAggPushdown _, qSeqAggPushdownSql)))
 }
 
 class SeqTableProvider extends TableProvider {
@@ -107,11 +125,14 @@ class SeqTable(start: Long, end: Long, slices: Int) extends Table with SupportsR
   * everything else is handed back as a residual.
   */
 class SeqScanBuilder(start: Long, end: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo: Long = start
   private var hi: Long = end // exclusive
   private var accepted: Array[Filter] = Array.empty
+  private var residualHeld = false
   private var required: StructType = SeqSource.schema
+  private var pushedAggs: Option[Array[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -132,12 +153,90 @@ class SeqScanBuilder(start: Long, end: Long, slices: Int)
       case _ =>
     }
     accepted = ours
+    residualHeld = residual.nonEmpty
     residual
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(lo, hi, slices, required)
+
+  // ---- aggregate pushdown (the last read-side rung): count/min/max
+  // over the range have CLOSED FORMS, so a pushed aggregate generates
+  // NO rows at all — the scan answers from its bounds. COMPLETE
+  // pushdown only (Spark adds no partial agg), and only when every
+  // filter was consumed into the bounds (a residual would make the
+  // closed forms wrong — the redundant guard behind Spark's own rule,
+  // which only pushes aggregates when no post-scan filter remains).
+  private def isN(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("n"))
+      case _ => false
+    }
+  private def encode(agg: Aggregation): Option[Array[String]] =
+    if (residualHeld || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) None
+    else {
+      val enc = agg.aggregateExpressions.map {
+        case _: CountStar => "count"
+        case c: Count if !c.isDistinct && isN(c.column) => "count"
+        case m: Min if isN(m.column) => "min"
+        case m: Max if isN(m.column) => "max"
+        case _ => return None
+      }
+      Some(enc)
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    encode(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    encode(agg) match {
+      case Some(enc) => pushedAggs = Some(enc); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new SeqAggScan(lo, hi, aggs)
+    case None => new SeqScan(lo, hi, slices, required)
+  }
+}
+
+/** The scan a pushed aggregate builds: ONE partition, ONE row, every
+  * value computed in closed form over the pushed bounds — `count = hi −
+  * lo`, `min = lo`, `max = hi − 1` (NULL min/max on the empty range, the
+  * engine's empty-aggregate semantics). No sequence row is ever
+  * generated. */
+class SeqAggScan(lo: Long, hi: Long, aggs: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (a, i) => StructField(s"agg_$i", LongType, nullable = a != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqAggScan[$lo, $hi) PushedAggregates=[${aggs.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqAggPartition(lo, hi, aggs))
+  override def createReaderFactory(): PartitionReaderFactory = SeqAggReaderFactory()
+}
+
+case class SeqAggPartition(lo: Long, hi: Long, aggs: Array[String])
+  extends InputPartition
+
+case class SeqAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqAggPartition]
+    val n = math.max(0L, p.hi - p.lo)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.aggs.map[Any] {
+          case "count" => n
+          case "min" => if (n > 0) p.lo else null
+          case "max" => if (n > 0) p.hi - 1 else null
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)

@@ -61,4 +61,42 @@ class SeqSourceSpec extends SparkSuite {
     assert(tiny.rdd.getNumPartitions === 3)
     assert(tiny.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
   }
+
+  test("aggregate pushdown answers count/min/max from closed forms; residuals and group-bys stay unpushed") {
+    def planOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      (df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.description()
+      }.mkString, df.queryExecution.executedPlan.toString)
+    }
+    // pushed: scan becomes SeqAggScan, no aggregate exec, no generated rows
+    val agg = SeqSource.read(spark, 0L, 100000L, 8)
+      .filter(col("n") >= 20000L && col("n") < 60000L)
+      .agg(count(lit(1)).as("c"), min(col("n")).as("lo"), max(col("n")).as("hi"))
+    val row = agg.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((40000L, 20000L, 59999L)))
+    val (desc, plan) = planOf(agg)
+    assert(desc.contains("SeqAggScan[20000, 60000)"),
+      s"aggregate must reach the scan: $desc")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must plan no aggregate exec:\n$plan")
+    // empty range: count 0, NULL min/max — the engine's empty-agg semantics
+    val emptyRow = SeqSource.read(spark, 0L, 100000L, 8)
+      .filter(col("n") >= 70000L && col("n") < 60000L)
+      .agg(count(lit(1)).as("c"), min(col("n")).as("lo")).collect()(0)
+    assert(emptyRow.getLong(0) === 0L && emptyRow.isNullAt(1))
+    // red control 1: a residual predicate blocks the closed forms
+    val res = SeqSource.read(spark, 0L, 1000L, 4)
+      .filter(col("n") % 2 === 0).agg(count(lit(1)).as("c"))
+    assert(res.collect()(0).getLong(0) === 500L)
+    val (dRes, pRes) = planOf(res)
+    assert(!dRes.contains("SeqAggScan") && pRes.contains("Aggregate"),
+      s"residual filter must keep the aggregate in Spark: $dRes")
+    // red control 2: group-bys are not pushed
+    val grp = SeqSource.read(spark, 0L, 1000L, 4)
+      .groupBy((col("n") % 3).as("g")).agg(count(lit(1)).as("c"))
+    assert(grp.collect().map(_.getLong(1)).sum === 1000L)
+    assert(!planOf(grp)._1.contains("SeqAggScan"))
+  }
 }

@@ -467,6 +467,24 @@ object IncrementalPipeline {
     verdictDir.foreach(v => StreamTable.compact(spark, v, m, Seq.empty, targetRows))
   }
 
+  /** Compact ALL FOUR of the ingest door's per-batch tables (verdicts,
+    * admitted layout, index sets, index bands) through the door's own
+    * committed high-water — the between-drains maintenance pass for the
+    * E326 composition. Safe with respect to the door's retry guard
+    * (which keys on the untouched `${outDir}_state` marker) and its
+    * orphan-index cleanup (which only ever deletes dirs ABOVE the
+    * high-water this pass compacts below). */
+  def compactDoorTables(
+      spark: SparkSession,
+      outDir: String,
+      targetRows: Long = 1000000L): Unit = {
+    val m = StreamState.read(spark, s"${outDir}_state").maxBatch
+    StreamTable.compact(spark, s"$outDir/verdicts", m, Seq.empty, targetRows)
+    StreamTable.compact(spark, s"$outDir/admitted", m, Seq.empty, targetRows)
+    StreamTable.compact(spark, s"$outDir/index/sets", m, Seq("hb", "db"), targetRows)
+    StreamTable.compact(spark, s"$outDir/index/bands", m, Seq("bb"), targetRows)
+  }
+
   /** One idempotent micro-batch of [[nearDupAvailableNow]] — verdicts +
     * index growth under one marker commit; package-visible for the spec
     * retry drive. */

@@ -922,6 +922,33 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(admitted(out1) === admitted(out2),
       "stored-artifact restart must produce the trained-at-start encodes")
     assert(verdicts(out1).nonEmpty && admitted(out1).nonEmpty)
+
+    // door-table maintenance: compacting all four tables preserves every
+    // row, and the NEXT restart screens a re-crawl shard against the
+    // MERGED index generation
+    val (vPre, aPre) = (verdicts(out1), admitted(out1))
+    IncrementalPipeline.compactDoorTables(spark, out1, targetRows = 50L)
+    def vRead() = StreamTable.read(spark, s"$out1/verdicts").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("drop_reason"),
+        Option(r.getAs[String]("status")))).toSet
+    def aRead() = StreamTable.read(spark, s"$out1/admitted").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("token_ids"))).toSet
+    assert(vRead() === vPre, "door compaction must preserve every verdict")
+    assert(aRead() === aPre, "door compaction must preserve the layout")
+    val shardC = base.filter(col("doc_id") % 40 === 7)
+      .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text"))
+    drop(in1, shardC, "c.parquet")
+    IncrementalPipeline.ingestAvailableNow(
+      spark, in1, docs.schema,
+      sys.error("restart must not touch baseDocs"): org.apache.spark.sql.DataFrame,
+      eval, out1, ck1)
+    val newV = vRead() -- vPre
+    assert(newV.size === shardC.count())
+    assert(newV.forall(_._2 != "admitted"),
+      s"a re-crawl of the seeded corpus must never be admitted: $newV")
+    assert(newV.exists(_._2 == "duplicate"),
+      "the compacted index generation must serve the dup probe")
     spark.catalog.clearCache()
   }
 

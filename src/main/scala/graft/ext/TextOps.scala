@@ -2157,6 +2157,81 @@ object TextOps {
        |    tok_start // $packChunkTokens + 1 AS n_chunks
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PER-CHUNK DOCUMENT-BOUNDARY MASKS (E345) — the trainer-facing face
+    * of the packed layout: for every fixed [[packChunkTokens]]-token
+    * context window, the ORDERED spans of the documents inside it
+    * (`doc@start+len`, the cross-document attention-mask / separator
+    * table a training job consumes chunk by chunk), plus the audit
+    * columns that make the tiling checkable — span count, span-token
+    * sum (= 2048 on every chunk but the ragged last one: conservation),
+    * and the count of documents WHOLLY contained in the chunk (neither
+    * continuing in from the previous window nor out to the next — the
+    * boundary-loss bookkeeping).
+    *
+    * Scale (100 TB): the spans table is the layout exploded to one row
+    * per (doc, covered chunk) — Σ n_chunks ≈ total/2048 + n_docs,
+    * metadata-scale — grouped once on the chunk key (map-side
+    * combinable); the mask string is an order-free `array_sort` over
+    * the chunk's own spans, never a window. The corpus-scale work is
+    * the layout's two-level prefix sum, shared with [[qDocPackChunks]]
+    * (production reads the STORED layout and touches no text). */
+  def qDocPackMasks(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = packChunkTokens
+    val layout = packLayout(Tables.documents(spark, sfDir), 0L)
+    val spans = layout
+      .select(col("doc_id"), col("tok_start"), col("n_tokens"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk"))
+      .select(col("chunk"), col("doc_id"),
+        (greatest(col("tok_start"), col("chunk") * l) - col("chunk") * l).as("s"),
+        (least(col("tok_start") + col("n_tokens"), (col("chunk") + 1) * l)
+          - greatest(col("tok_start"), col("chunk") * l)).as("len"),
+        (col("tok_start") < col("chunk") * l).as("cont_prev"),
+        (col("tok_start") + col("n_tokens") > (col("chunk") + 1) * l).as("cont_next"))
+    spans.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("len")).as("span_tokens"),
+        sum(when(col("cont_prev") || col("cont_next"), 0L).otherwise(1L))
+          .as("n_whole_docs"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("s"), col("doc_id"), col("len")))),
+          x => concat(x.getField("doc_id").cast("string"), lit("@"),
+            x.getField("s").cast("string"), lit("+"),
+            x.getField("len").cast("string")))).as("mask"))
+      .orderBy(col("chunk"))
+  }
+
+  val qDocPackMasksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM d
+       |),
+       |spans AS (
+       |  SELECT u.chunk, doc_id,
+       |    greatest(tok_start, u.chunk * $packChunkTokens)
+       |      - u.chunk * $packChunkTokens AS s,
+       |    least(tok_start + n_tokens, (u.chunk + 1) * $packChunkTokens)
+       |      - greatest(tok_start, u.chunk * $packChunkTokens) AS len,
+       |    tok_start < u.chunk * $packChunkTokens AS cont_prev,
+       |    tok_start + n_tokens > (u.chunk + 1) * $packChunkTokens AS cont_next
+       |  FROM c, UNNEST(range(tok_start // $packChunkTokens,
+       |    (tok_start + n_tokens - 1) // $packChunkTokens + 1)) AS u(chunk)
+       |)
+       |SELECT chunk, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(len) AS BIGINT) AS span_tokens,
+       |  CAST(count(*) FILTER (WHERE NOT cont_prev AND NOT cont_next)
+       |    AS BIGINT) AS n_whole_docs,
+       |  string_agg(doc_id || '@' || s || '+' || len, ' ' ORDER BY s)
+       |    AS mask
+       |FROM spans GROUP BY chunk ORDER BY chunk""".stripMargin
+
   // ------------------------------------------------------------------
   // Padding-waste audit: length-bucketed batching vs packed layout
   // ------------------------------------------------------------------

@@ -5973,4 +5973,49 @@ class UnigramLmSpec extends graft.SparkSuite {
         ntu.toDouble / ntb) < 1e-12)
     }
   }
+
+}
+
+class PackMasksSpec extends graft.SparkSuite {
+
+  test("pack masks: every chunk tiles gaplessly; whole-doc flags replay against the layout") {
+    val l = TextOps.packChunkTokens
+    val rows = TextOps.qDocPackMasks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    // chunk ids are exactly 0..ceil(total/L)-1
+    assert(rows.map(_.getAs[Long]("chunk")).toSeq ===
+      (0L until (total + l - 1) / l).toSeq)
+    val layout = TextOps.qDocPackChunks(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens")))).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Long]("chunk")
+      val isLast = c == rows.length - 1
+      // conservation: the spans tile the window (ragged last chunk)
+      val want = if (isLast) total - c * l else l
+      assert(r.getAs[Long]("span_tokens") === want, s"chunk $c")
+      // the mask itself tiles gaplessly from 0 in order, and each span
+      // replays the layout's global offsets; whole-doc count replays too
+      var cursor = 0L
+      var whole = 0L
+      r.getAs[String]("mask").split(" ").foreach { sp =>
+        val Array(docS, rest) = sp.split("@")
+        val Array(sS, lenS) = rest.split("\\+")
+        val (doc, s, len) = (docS.toLong, sS.toLong, lenS.toLong)
+        assert(s === cursor, s"gap in chunk $c at $sp")
+        cursor += len
+        val (ts, nt) = layout(doc)
+        assert(ts <= c * l + s && ts + nt >= c * l + s + len,
+          s"span $sp outside doc $doc's layout")
+        if (ts == c * l + s && nt == len) whole += 1
+      }
+      assert(cursor === want)
+      assert(r.getAs[Long]("n_whole_docs") === whole, s"chunk $c")
+      assert(r.getAs[Long]("n_spans").toInt ===
+        r.getAs[String]("mask").split(" ").length)
+    }
+  }
 }

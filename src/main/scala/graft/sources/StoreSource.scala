@@ -252,9 +252,20 @@ class StoreBatchWrite(dir: String, schema: StructType, queryId: String)
     }
     if (readSchema(dir).isEmpty)
       writeAtomic(dir, "schema.json", schema.json)
-    val (v, current) = latestManifest(dir)
-    val all = (current ++ finals).distinct // idempotent re-commit
-    writeAtomic(dir, s"manifest/v=${v + 1}", all.mkString("\n"))
+    // publish-and-verify loop: local-FS rename REPLACES an existing
+    // target, so a concurrent committer racing to the same version could
+    // silently shadow this commit's manifest — re-read after publishing
+    // and retry at the next version (merging the other commit's files)
+    // until OUR files are in the live manifest. Versions strictly
+    // increase, so the loop terminates; single-commit jobs run it once.
+    var published = false
+    while (!published) {
+      val (v, current) = latestManifest(dir)
+      val all = (current ++ finals).distinct // idempotent re-commit
+      writeAtomic(dir, s"manifest/v=${v + 1}", all.mkString("\n"))
+      val (_, now) = latestManifest(dir)
+      published = finals.forall(now.contains)
+    }
     // sweep the query's staging dir (speculative attempts never commit)
     f.delete(new Path(s"$dir/_staging/$queryId"), true)
   }

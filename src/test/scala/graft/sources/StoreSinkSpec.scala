@@ -118,6 +118,25 @@ class StoreSinkSpec extends SparkSuite {
     assert(!new java.io.File(s"$dir/_staging/qspec").exists())
   }
 
+  test("two independent job commits both publish; the later manifest carries the earlier files") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    val before = rows(dir)
+    val schema = StoreSource.read(spark, dir).schema
+    val bw1 = new StoreWriteBuilder(dir, schema, "qc1").build().toBatch
+    val bw2 = new StoreWriteBuilder(dir, schema, "qc2").build().toBatch
+    val w1 = bw1.createBatchWriterFactory(null).createWriter(0, 1L)
+    val w2 = bw2.createBatchWriterFactory(null).createWriter(0, 2L)
+    w1.write(InternalRow.fromSeq(Seq(201L, UTF8String.fromString("a"), 1.0)))
+    w2.write(InternalRow.fromSeq(Seq(202L, UTF8String.fromString("b"), 2.0)))
+    val (m1, m2) = (w1.commit(), w2.commit())
+    bw1.commit(Array[WriterCommitMessage](m1))
+    bw2.commit(Array[WriterCommitMessage](m2))
+    assert(rows(dir) ===
+      before + ((201L, Some("a"), 1.0)) + ((202L, Some("b"), 2.0)),
+      "the second job's manifest must merge, not shadow, the first's")
+  }
+
   test("schema is pinned at first commit; a mismatched append is rejected") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)

@@ -240,17 +240,52 @@ case class SeqAggReaderFactory() extends PartitionReaderFactory {
 }
 
 class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  // RUNTIME filtering (SPARK-35779, the DPP analog for custom sources):
+  // when this scan joins a broadcast-able side on `n` behind a selective
+  // predicate, Spark hands the build side's actual key set to `filter`
+  // AT EXECUTION TIME and the scan re-plans — generation collapses from
+  // the static range to exactly the joined keys' runs, the row-group/
+  // partition pruning a parquet fact table gets from DPP, implemented
+  // for a generated source.
+  @volatile private var allowed: Option[Array[Long]] = None
+  @volatile private[sources] var runtimeNarrowed = false
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("n"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("n", vs) =>
+      val keep = vs.collect { case v: java.lang.Long
+        if v >= lo && v < hi => v.longValue }.sorted
+      allowed = Some(keep)
+      runtimeNarrowed = true
+    case _ => // unconsumed runtime shapes: scan stays at static bounds
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SeqScan[$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    val k = math.max(1, math.min(slices.toLong, n).toInt)
-    Array.tabulate[InputPartition](k) { i =>
-      SeqRange(lo + i * n / k, lo + (i + 1) * n / k)
-    }
+    s"SeqScan[$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}" +
+      " runtimeFilters=n"
+  override def planInputPartitions(): Array[InputPartition] = allowed match {
+    case Some(vs) =>
+      // contiguous runs of surviving keys, one partition per run
+      val runs = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var i = 0
+      while (i < vs.length) {
+        var j = i
+        while (j + 1 < vs.length && vs(j + 1) == vs(j) + 1) j += 1
+        runs += SeqRange(vs(i), vs(j) + 1)
+        i = j + 1
+      }
+      runs.toArray
+    case None =>
+      val n = math.max(0L, hi - lo)
+      val k = math.max(1, math.min(slices.toLong, n).toInt)
+      Array.tabulate[InputPartition](k) { i =>
+        SeqRange(lo + i * n / k, lo + (i + 1) * n / k)
+      }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SeqReaderFactory(required.fieldNames)

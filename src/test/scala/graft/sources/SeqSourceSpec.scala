@@ -62,6 +62,57 @@ class SeqSourceSpec extends SparkSuite {
     assert(tiny.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("runtime filtering: a broadcast join's key set reaches the scan at execution and collapses generation") {
+    val spark0 = graft.SparkSuite.session
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark0.implicits._
+
+    def seqScans(df: org.apache.spark.sql.DataFrame): Seq[SeqScan] = {
+      // descend AQE wrappers: both the adaptive root and its query
+      // stages are leaf nodes that hide their subtrees from collect
+      def walk(p: SparkPlan): Seq[SeqScan] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case b: BatchScanExec if b.scan.isInstanceOf[SeqScan] =>
+            Seq(b.scan.asInstanceOf[SeqScan])
+        }.flatten
+      walk(df.queryExecution.executedPlan)
+    }
+
+    // the dim must survive optimization as scan+Filter (a literal local
+    // Seq constant-folds its filter away and the injection rule sees no
+    // selective predicate) — parquet-backed, as production dims are
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_rtf_dim").toString
+    Seq((7L, "a"), (8L, "b"), (9L, "c"), (5000L, "d"), (99999L, "e"),
+      (123456L, "x")).toDF("n", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+
+    // selective non-join-key predicate on the build side: the DPP-style
+    // injection condition; the probe side's scan must generate ONLY the
+    // surviving keys' runs
+    val joined = SeqSource.read(spark, 0L, 100000L, 8)
+      .join(dim.filter(col("tag") =!= "x"), "n")
+    val got = joined.collect().map(_.getAs[Long]("n")).sorted.toSeq
+    assert(got === Seq(7L, 8L, 9L, 5000L, 99999L))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      "the optimizer must inject a runtime pruning filter on the scan")
+    val scans = seqScans(joined)
+    assert(scans.nonEmpty, "expected the seq scan in the executed plan")
+    assert(scans.exists(_.runtimeNarrowed),
+      "the join's key set must reach the scan as a runtime filter")
+
+    // red control: no selective predicate on the build side -> no
+    // injection, the scan stays at its static bounds (fresh scan object)
+    val wide = SeqSource.read(spark, 0L, 100000L, 8).join(dim, "n")
+    assert(wide.collect().length === 5) // 123456 is outside the range
+    assert(seqScans(wide).forall(!_.runtimeNarrowed),
+      "an unselective join must not claim runtime narrowing")
+  }
+
   test("aggregate pushdown answers count/min/max from closed forms; residuals and group-bys stay unpushed") {
     def planOf(df: org.apache.spark.sql.DataFrame) = {
       df.collect()

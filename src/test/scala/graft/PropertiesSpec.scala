@@ -222,4 +222,43 @@ class PropertiesSpec extends SparkSuite {
     }, n = 5)
     qArr.unpersist()
   }
+
+  test("stream-table compaction preserves row identity for ANY batch split, compaction point, and target") {
+    // the E342 row-identity law as a property: for EVERY assignment of
+    // rows to batch dirs, EVERY committed-through point, and EVERY merge
+    // target, read-after-compact == read-before — including a SECOND
+    // compaction that absorbs the rest on top of the first generation.
+    // Few trials: each runs two rewrite jobs.
+    import graft.streaming.StreamTable
+    val spark0 = spark
+    import spark0.implicits._
+    val genCase: Gen[(List[(Int, Long)], Int, Long)] = for {
+      k <- Gen.choose(1, 4) // batch count
+      n <- Gen.choose(0, 30) // row count
+      asg <- Gen.listOfN(n, Gen.choose(0, k - 1)) // row -> batch
+      cut <- Gen.choose(0, k - 1) // first compaction's high-water
+      target <- Gen.oneOf(1L, 3L, 1000L) // merge-group target rows
+    } yield (asg.zipWithIndex.map { case (b, i) => (b, i.toLong) }, cut, target)
+    check("compaction row identity", Prop.forAll(genCase) {
+      case (rows, cut, target) =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ct_prop").toString + "/t"
+        val k = (rows.map(_._1) :+ cut).max + 1
+        (0 until k).foreach { b =>
+          rows.filter(_._1 == b).map { case (_, id) => (id, id * 7L) }
+            .toDF("doc_id", "v").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/batch_id=$b")
+        }
+        def read() = StreamTable.read(spark, root).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("v"),
+            r.getAs[Long]("batch_id"))).toSet
+        val expected = rows.map { case (b, id) => (id, id * 7L, b.toLong) }.toSet
+        val before = read() == expected
+        StreamTable.compact(spark, root, cut.toLong, Seq.empty, target)
+        val mid = read() == expected
+        StreamTable.compact(spark, root, (k - 1).toLong, Seq.empty, target)
+        val after = read() == expected
+        before && mid && after
+    }, n = 6)
+  }
 }

@@ -91,6 +91,41 @@ object StoreSource {
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_store_roundtrip" -> ((qStoreRoundtrip _, qStoreRoundtripSql)))
 
+  /** Table maintenance: retain the newest `keep` manifest versions and
+    * delete data files no retained manifest references (files stranded
+    * by a lost publish race — never files a live reader can see: the
+    * store is append-only, so every retained manifest's file set is a
+    * superset of every older one's). One metadata listing + bounded
+    * deletes; never touches staging (in-flight writers own that). */
+  def vacuum(dir: String, keep: Int = 2): (Int, Int) = {
+    require(keep >= 1, "must retain at least the live manifest")
+    val f = fs(dir)
+    val md = new Path(manifestDir(dir))
+    if (!f.exists(md)) return (0, 0)
+    val versions = f.listStatus(md).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=")).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
+    val retained = versions.takeRight(keep).toSet
+    val dropped = versions.filterNot(retained)
+    dropped.foreach(v => f.delete(new Path(md, s"v=$v"), false))
+    val referenced = retained.flatMap { v =>
+      val in = f.open(new Path(md, s"v=$v"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split("\n").filter(_.nonEmpty)
+    }
+    val dataDir = new Path(s"$dir/data")
+    val orphans =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).toSeq.map(_.getPath)
+        // hidden siblings (checksum files etc.) are the FS's bookkeeping
+        .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+        .filterNot(p => referenced.contains(p.getName))
+    orphans.foreach(p => f.delete(p, true))
+    (dropped.size, orphans.size)
+  }
+
   // ---------------- shared path/format helpers ----------------
 
   private[sources] def fs(dir: String): FileSystem =

@@ -137,6 +137,29 @@ class StoreSinkSpec extends SparkSuite {
       "the second job's manifest must merge, not shadow, the first's")
   }
 
+  test("vacuum retains the newest manifests and collects stranded data files; readers unchanged") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    StoreSource.write(Seq((10L, Some("x"), 1.0)).toDF("k", "s", "x"), dir)
+    StoreSource.write(Seq((11L, Some("y"), 2.0)).toDF("k", "s", "x"), dir)
+    val before = rows(dir)
+    def manifests() = new java.io.File(s"$dir/manifest").listFiles()
+      .count(_.getName.startsWith("v="))
+    assert(manifests() === 3)
+    // strand a data file no manifest references (a lost publish race)
+    val orphan = new java.io.File(s"$dir/data/stranded.tsv")
+    val w = new java.io.PrintWriter(orphan); w.println("9\tz\t0.0"); w.close()
+
+    val (droppedManifests, collected) = StoreSource.vacuum(dir, keep = 1)
+    assert(droppedManifests === 2 && collected === 1)
+    assert(!orphan.exists())
+    assert(manifests() === 1)
+    assert(rows(dir) === before, "vacuum must not change what readers see")
+    // the store keeps working after maintenance
+    StoreSource.write(Seq((12L, Some("z"), 3.0)).toDF("k", "s", "x"), dir)
+    assert(rows(dir) === before + ((12L, Some("z"), 3.0)))
+  }
+
   test("schema is pinned at first commit; a mismatched append is rejected") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)

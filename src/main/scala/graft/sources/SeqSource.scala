@@ -241,7 +241,26 @@ case class SeqAggReaderFactory() extends PartitionReaderFactory {
 
 class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  // CLOSED-FORM statistics (`SupportsReportStatistics`): without them a
+  // V2 relation defaults to "unknown = infinite" and the planner can
+  // never auto-broadcast a small generated side — a join against a tiny
+  // pushed range would shuffle both sides. Row count is exact (the
+  // pushed bounds), bytes = rows × the average encoded width of the
+  // PRUNED columns (8 for n; n_str averages ~20 chars over the range).
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows = math.max(0L, hi - lo)
+      private val width = required.fieldNames.map {
+        case "n" => 8L
+        case "n_str" => 20L
+      }.sum.max(1L)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   // RUNTIME filtering (SPARK-35779, the DPP analog for custom sources):
   // when this scan joins a broadcast-able side on `n` behind a selective
   // predicate, Spark hands the build side's actual key set to `filter`

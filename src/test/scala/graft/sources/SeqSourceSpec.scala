@@ -113,6 +113,22 @@ class SeqSourceSpec extends SparkSuite {
       "an unselective join must not claim runtime narrowing")
   }
 
+  test("reported closed-form statistics drive broadcast planning for the generated side") {
+    // without SupportsReportStatistics a V2 relation is "unknown =
+    // infinite" and can never be the auto-broadcast build side; with the
+    // closed form, a tiny pushed range broadcasts and a huge one does not
+    val other = spark.range(0L, 5000000L).selectExpr("id AS n", "id * 2 AS w")
+    val small = other.join(SeqSource.read(spark, 0L, 50L, 2), "n")
+    val planSmall = small.queryExecution.executedPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin") &&
+      planSmall.split("BroadcastExchange").last.contains("BatchScan seq"),
+      s"a 50-row generated side must broadcast:\n$planSmall")
+    val large = other.join(SeqSource.read(spark, 0L, 5000000L, 8), "n")
+    val planLarge = large.queryExecution.executedPlan.toString
+    assert(!planLarge.contains("BroadcastHashJoin"),
+      s"a ~140MB generated side must not broadcast at plan time:\n$planLarge")
+  }
+
   test("aggregate pushdown answers count/min/max from closed forms; residuals and group-bys stay unpushed") {
     def planOf(df: org.apache.spark.sql.DataFrame) = {
       df.collect()

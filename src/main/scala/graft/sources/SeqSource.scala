@@ -126,7 +126,10 @@ class SeqTable(start: Long, end: Long, slices: Int) extends Table with SupportsR
   */
 class SeqScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var lo: Long = start
   private var hi: Long = end // exclusive
   private var accepted: Array[Filter] = Array.empty
@@ -191,6 +194,38 @@ class SeqScanBuilder(start: Long, end: Long, slices: Int)
     encode(agg) match {
       case Some(enc) => pushedAggs = Some(enc); true
       case None => false
+    }
+  }
+
+  // ---- paginate pushdown: limit/offset/top-n(n) have closed forms on
+  // a monotone generated range — limit keeps the bounds' head, offset
+  // drops it, and an ORDER BY n top-n keeps the head (ASC) or tail
+  // (DESC). The row SETS are exact, but `isPartiallyPushed` is ONE
+  // method shared by the Limit and TopN interfaces, and a fully-pushed
+  // TopN would let Spark drop its Sort — which the DESC case cannot
+  // honor (the reader emits ascending). So everything reports partial:
+  // Spark keeps its (now trivial, ≤n-row) Limit/Sort and the scan just
+  // stops generating rows that cannot survive them. Refused after an
+  // aggregate push — the bounds then mean something else.
+  override def pushLimit(limit: Int): Boolean =
+    if (pushedAggs.isDefined) false
+    else { hi = math.min(hi, lo + limit); true }
+  override def pushOffset(offset: Int): Boolean =
+    if (pushedAggs.isDefined) false
+    else { lo = math.min(hi, lo + offset); true }
+  override def isPartiallyPushed(): Boolean = true
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (pushedAggs.isDefined || orders.length != 1) return false
+    val o = orders(0)
+    if (!isN(o.expression)) return false
+    o.direction match {
+      case org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING =>
+        hi = math.min(hi, lo + limit); true
+      case org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING =>
+        lo = math.max(lo, hi - limit); true
+      case _ => false
     }
   }
 

@@ -113,6 +113,36 @@ class SeqSourceSpec extends SparkSuite {
       "an unselective join must not claim runtime narrowing")
   }
 
+  test("limit/offset/top-n push into the generation bounds") {
+    // limit: the scan's upper bound collapses to lo + n
+    val lim = SeqSource.read(spark, 0L, 100000L, 8).limit(5)
+    assert(lim.collect().map(_.getAs[Long]("n")).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L))
+    assert(scanOf(lim.select("n")).description().contains("[0, 5)"))
+    // offset + limit: both bounds move
+    val page = SeqSource.read(spark, 0L, 100000L, 8).offset(10).limit(5)
+    assert(page.collect().map(_.getAs[Long]("n")).sorted.toSeq ===
+      Seq(10L, 11L, 12L, 13L, 14L))
+    assert(scanOf(page.select("n")).description().contains("[10, 15)"))
+    // descending top-n: generation collapses to the range TAIL, and the
+    // kept Sort still returns rows in the requested order
+    val top = SeqSource.read(spark, 0L, 100000L, 8)
+      .orderBy(col("n").desc).limit(3)
+    assert(top.collect().map(_.getAs[Long]("n")).toSeq ===
+      Seq(99999L, 99998L, 99997L))
+    assert(scanOf(top.select("n")).description().contains("[99997, 100000)"))
+    // ascending top-n keeps the head
+    val bot = SeqSource.read(spark, 0L, 100000L, 8)
+      .orderBy(col("n")).limit(2)
+    assert(bot.collect().map(_.getAs[Long]("n")).toSeq === Seq(0L, 1L))
+    assert(scanOf(bot.select("n")).description().contains("[0, 2)"))
+    // a filter composes: pushed bounds tighten first, then the page
+    val fp = SeqSource.read(spark, 0L, 100000L, 8)
+      .filter(col("n") >= 50000L).limit(4)
+    assert(fp.collect().map(_.getAs[Long]("n")).sorted.toSeq ===
+      Seq(50000L, 50001L, 50002L, 50003L))
+  }
+
   test("reported closed-form statistics drive broadcast planning for the generated side") {
     // without SupportsReportStatistics a V2 relation is "unknown =
     // infinite" and can never be the auto-broadcast build side; with the

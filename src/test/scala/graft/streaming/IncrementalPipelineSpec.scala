@@ -802,6 +802,35 @@ class IncrementalPipelineSpec extends SparkSuite {
     assert(StreamState.read(spark, s"$indexDir/sets_cstate").maxBatch === m2)
     assert(!new java.io.File(s"$indexDir/sets/.merged/v=1").exists(),
       "superseded generation must be retired")
+
+    // E341 × E342: bucket pruning keeps pruning the MERGED generation —
+    // a probe reads only its hb dirs (scan IO metric vs FS ground truth)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prep2 = Dedup.nearDupPrep(docs.filter(col("doc_id").isin(11L, 12L)))
+      .persist()
+    prep2.count()
+    val hb2 = prep2.select(Dedup.nearDupBucket(col("h")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (setsAll, _) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    val pruned2 = Dedup.pruneToBuckets(setsAll, "hb",
+      prep2.select(Dedup.nearDupBucket(col("h"))))
+    pruned2.collect()
+    val gotFiles = pruned2.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    def bucketFiles(keep: String => Boolean): Long = {
+      def walk(f: java.io.File, under: Boolean): Long =
+        if (f.isFile) (if (under && f.getName.endsWith(".parquet")) 1L else 0L)
+        else Option(f.listFiles())
+          .map(_.map(c => walk(c, under || keep(c.getName))).sum)
+          .getOrElse(0L)
+      walk(new java.io.File(s"$indexDir/sets"), under = false)
+    }
+    assert(gotFiles === bucketFiles(n => hb2.exists(b => n == s"hb=$b")),
+      "pruned probe must read exactly the probe buckets' merged dirs")
+    assert(gotFiles < bucketFiles(_ => true),
+      "probing the merged generation must not read every bucket")
+    prep2.unpersist()
     spark.catalog.clearCache()
   }
 

@@ -982,6 +982,101 @@ object CorpusOps {
     * map-side combined); the solve runs entirely on the |sources|-grain
     * frame — windows and broadcast totals over dim-sized rows.
     */
+  /** Budget multiple for [[qDocEpochValue]] (total budget = 2× the
+    * corpus) and the epoch cap that keeps the power-of-two decay terms
+    * exactly representable. Literal RHS `final` per the init-cycle
+    * rule. */
+  final val evBudgetMult = 2L
+  final val evEpochCap = 50L
+
+  /** EPOCHS UNDER DATA CONSTRAINT — the planning table for the question
+    * waterfilling stops short of: when the token budget EXCEEDS a
+    * source's unique data, how much is each additional pass worth?
+    * (The data-constrained scaling regime — public result: repeated
+    * epochs have rapidly diminishing returns, roughly exponential decay
+    * in epoch count.) The budget (2× the corpus) splits EQUALLY across
+    * sources, so small sources run many epochs and large ones less than
+    * one — per source: full epochs, the partial-epoch fraction
+    * (exact millionths), EFFECTIVE tokens under a half-per-epoch decay
+    * (epoch k is worth 2^{1−k} of its tokens — the engine's
+    * exact-arithmetic stand-in for the fitted exponential), the
+    * marginal value of the last started epoch, and a `diminished` flag
+    * once a source is past 3 passes.
+    *
+    * Cross-engine exactness: every count is BIGINT; the decay uses ONLY
+    * powers of two capped at [[evEpochCap]] — exactly representable
+    * doubles, so `2 − 2^{1−R}` and the final products round identically
+    * in both engines (IEEE correctly-rounded ×/−; no transcendentals).
+    *
+    * Scale (100 TB): one source-keyed map-side-combinable token count;
+    * everything after runs on the |sources|-grain frame with a 1-row
+    * broadcast total.
+    */
+  def qDocEpochValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val caps = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("unique_tokens"), count(lit(1)).as("n_docs"))
+    val tot = caps.agg(count(lit(1)).as("m"), sum(col("unique_tokens")).as("total"))
+      .select(col("m"), expr(s"(total * $evBudgetMult) div m").as("alloc"))
+    caps.crossJoin(broadcast(tot))
+      .withColumn("epochs_full", expr("alloc div unique_tokens"))
+      .withColumn("frac_millionths",
+        expr("(alloc % unique_tokens) * 1000000L div unique_tokens"))
+      .withColumn("r", least(col("epochs_full"), lit(evEpochCap)).cast("int"))
+      .withColumn("effective_tokens",
+        when(col("epochs_full") === 0L,
+          (col("alloc") % col("unique_tokens")).cast("double"))
+          .otherwise(col("unique_tokens").cast("double") *
+            (lit(2.0) - pow(lit(2.0), lit(1) - col("r"))) +
+            (col("alloc") % col("unique_tokens")).cast("double") *
+              pow(lit(2.0), -col("r"))))
+      .withColumn("marginal_value_last",
+        pow(lit(2.0), -greatest(
+          least(when(col("alloc") % col("unique_tokens") === 0L,
+            col("epochs_full") - 1L).otherwise(col("epochs_full")),
+            lit(evEpochCap)), lit(0L)).cast("int")))
+      .select(col("source"), col("n_docs"), col("unique_tokens"),
+        col("alloc").as("alloc_tokens"), col("epochs_full"),
+        col("frac_millionths"), col("effective_tokens"),
+        col("marginal_value_last"),
+        (col("epochs_full") >= 3L).as("diminished"))
+      .orderBy(col("source"))
+  }
+
+  val qDocEpochValueSql: String =
+    s"""WITH caps AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT count(*) AS m,
+       |    CAST((sum(unique_tokens) * $evBudgetMult) // count(*) AS BIGINT) AS alloc
+       |  FROM caps
+       |),
+       |base AS (
+       |  SELECT source, n_docs, unique_tokens, alloc,
+       |    alloc // unique_tokens AS epochs_full,
+       |    (alloc % unique_tokens) * 1000000 // unique_tokens AS frac_millionths,
+       |    CAST(least(alloc // unique_tokens, $evEpochCap) AS INTEGER) AS r
+       |  FROM caps CROSS JOIN tot
+       |)
+       |SELECT source, n_docs, unique_tokens, alloc AS alloc_tokens,
+       |  epochs_full, CAST(frac_millionths AS BIGINT) AS frac_millionths,
+       |  CASE WHEN epochs_full = 0
+       |       THEN CAST(alloc % unique_tokens AS DOUBLE)
+       |       ELSE CAST(unique_tokens AS DOUBLE) * (2.0 - power(2.0, 1 - r)) +
+       |         CAST(alloc % unique_tokens AS DOUBLE) * power(2.0, -r)
+       |  END AS effective_tokens,
+       |  power(2.0, -greatest(least(
+       |    CASE WHEN alloc % unique_tokens = 0 THEN epochs_full - 1
+       |         ELSE epochs_full END, $evEpochCap), 0)) AS marginal_value_last,
+       |  epochs_full >= 3 AS diminished
+       |FROM base
+       |ORDER BY source""".stripMargin
+
   def qDocMixWaterfill(spark: SparkSession, sfDir: String): DataFrame = {
     val caps = Tables.documents(spark, sfDir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))

@@ -780,4 +780,36 @@ class CorpusOpsSpec extends SparkSuite {
     assert(en.nonEmpty && rest.nonEmpty)
     assert(meanPerGram(en.toSeq) > meanPerGram(rest.toSeq))
   }
+
+  test("epoch value: budget conserved, decay ceilings hold, marginal/diminished consistent") {
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    import graft.model.Tables
+    val rows = CorpusOps.qDocEpochValue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalU = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    val m = rows.length.toLong
+    // equal split: every alloc is the same integer share of 2x corpus
+    rows.foreach(r => assert(
+      r.getAs[Long]("alloc_tokens") === (CorpusOps.evBudgetMult * totalU) / m))
+    rows.foreach { r =>
+      val (u, a) = (r.getAs[Long]("unique_tokens"), r.getAs[Long]("alloc_tokens"))
+      val ef = r.getAs[Double]("effective_tokens")
+      val ep = r.getAs[Long]("epochs_full")
+      val frac = r.getAs[Long]("frac_millionths")
+      assert(ep === a / u && frac === (a % u) * 1000000L / u)
+      // geometric half-decay ceilings: never more than what was read,
+      // never more than the infinite-epoch limit 2U; a completed first
+      // epoch guarantees at least the unique data's value
+      assert(ef <= a.toDouble + 1e-9 && ef <= 2.0 * u)
+      if (ep >= 1) assert(ef >= u.toDouble)
+      // marginal value of the LAST STARTED epoch k is 2^(1-k)
+      val k = if (a % u == 0L) ep else ep + 1L
+      val expected = math.pow(2.0, -math.max(math.min(k - 1L,
+        CorpusOps.evEpochCap), 0L).toDouble)
+      assert(r.getAs[Double]("marginal_value_last") === expected, s"$r")
+      assert(r.getAs[Boolean]("diminished") === (ep >= 3L))
+    }
+  }
 }

@@ -208,6 +208,9 @@ object IncrementalPipeline {
       semBase: Option[() => DataFrame],
       semEval: Option[() => DataFrame]): Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.SaveMode
+    // a half-specified gate must fail loudly, not silently disarm
+    require(semBase.isDefined == semEval.isDefined,
+      "semantic artifacts need both a base and an eval source (or neither)")
     val stateDir = s"${dir}_state"
     if (StreamState.read(spark, stateDir).endOffset == 0L) {
       (semBase, semEval) match {

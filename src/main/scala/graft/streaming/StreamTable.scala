@@ -170,6 +170,10 @@ object StreamTable {
       .select(col("batch_id"), col("grp").as("cgrp"))
       .localCheckpoint(true) // batch-count-sized; consumed twice
     val nGroups = plan.select(col("cgrp")).distinct().count()
+    // zero rows to merge (every candidate dir empty): rewriting would
+    // publish a footer-less generation no reader can open — leave the
+    // empty hot dirs in place instead
+    if (nGroups == 0L) return 0L
 
     val outCols = ("cgrp" +: innerPartCols).map(col)
     input.join(broadcast(plan), "batch_id")

@@ -245,8 +245,13 @@ class PropertiesSpec extends SparkSuite {
           .createTempDirectory("graft_ct_prop").toString + "/t"
         val k = (rows.map(_._1) :+ cut).max + 1
         (0 until k).foreach { b =>
+          // repartition(1), not coalesce: an EMPTY batch must still write
+          // a footer-bearing part file (coalesce of a 0-partition local
+          // relation writes only _SUCCESS — unreadable), matching the
+          // real appenders, whose repartitioned micro-batch frames always
+          // carry at least one partition
           rows.filter(_._1 == b).map { case (_, id) => (id, id * 7L) }
-            .toDF("doc_id", "v").coalesce(1)
+            .toDF("doc_id", "v").repartition(1)
             .write.mode("overwrite").parquet(s"$root/batch_id=$b")
         }
         def read() = StreamTable.read(spark, root).collect()

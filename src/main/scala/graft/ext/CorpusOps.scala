@@ -2626,10 +2626,14 @@ object CorpusOps {
     * roll-up here IS that compaction. */
   private[graft] def storedQualityModel(spark: SparkSession,
       statsDir: String): FrozenQualityModel = {
-    val uni = spark.read.parquet(s"$statsDir/uni")
+    // readAny: the partial dirs may be the door's one-shot artifact dump
+    // (plain parquet) OR a streaming stats table with per-batch dirs —
+    // which, once compacted, serves its rows from the hidden merged
+    // generation a plain glob would silently miss
+    val uni = graft.streaming.StreamTable.readAny(spark, s"$statsDir/uni")
       .groupBy(col("w")).agg(sum(col("tf")).as("tf"))
     val totals = uni.agg(sum(col("tf")).as("t"), count(lit(1)).as("v"))
-    val bi = spark.read.parquet(s"$statsDir/bi")
+    val bi = graft.streaming.StreamTable.readAny(spark, s"$statsDir/bi")
       .groupBy(col("bg")).agg(sum(col("c2")).as("c2"))
     FrozenQualityModel(uni, totals, bi)
   }

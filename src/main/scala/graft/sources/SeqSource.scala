@@ -49,6 +49,16 @@ object SeqSource {
     StructField("n", LongType, nullable = false),
     StructField("n_str", StringType, nullable = false)))
 
+  /** The key-grouped variant's schema: the partition key `g = n mod
+    * buckets` is a REAL column, so the reported
+    * `KeyGroupedPartitioning(identity(g))` resolves against the scan
+    * output with no function-catalog dependency, and a join that lists
+    * `g` among its keys satisfies the clustering-⊆-join-keys rule. */
+  val bucketedSchema: StructType = StructType(Seq(
+    StructField("g", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("n_str", StringType, nullable = false)))
+
   /** Derived wide column (stands in for an expensive fetch/decode). */
   def nStr(n: Long): String = s"seq-$n-${java.lang.Long.toHexString(n)}"
 
@@ -96,35 +106,105 @@ object SeqSource {
       |FROM range(0, 1000000) t(n)
       |WHERE n >= 12345 AND n < 987654""".stripMargin
 
+  /** The KEY-GROUPED form of the source ([[SupportsReportPartitioning]],
+    * the last read-side connector rung): the table exposes its partition
+    * key as a real column `g = n mod buckets`, plans one partition per
+    * residue class, and DECLARES that layout to the planner as a
+    * `KeyGroupedPartitioning(identity(g))` — so a join between two such
+    * scans that includes `g` in its keys plans with NO shuffle exchange
+    * on either side (storage-partitioned join), the co-located-join
+    * geometry a bucketed warehouse table gets, implemented for a custom
+    * connector. */
+  def readBucketed(spark: SparkSession, start: Long, end: Long,
+      buckets: Int): DataFrame =
+    spark.read.format(classOf[SeqTableProvider].getName)
+      .option("start", start).option("end", end)
+      .option("buckets", buckets).load()
+
+  /** Registry query for the storage-partitioned-join rung: two
+    * key-grouped sequence scans (1.5M and 1.2M rows — both sides above
+    * the broadcast threshold, so without SPJ this is a two-sided
+    * shuffle join) join on (g, n); `g = n mod 8` is functionally
+    * determined by `n`, so including it in the join keys changes no
+    * result row while matching the declared partitioning — the planner
+    * aligns the two scans' reported partition values and drops BOTH
+    * exchanges (plan-asserted in SeqSourceSpec with the
+    * bucketing-disabled form as the red control; values oracle-checked
+    * here against DuckDB's own range join). */
+  def qSeqSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    // the two planner confs SPJ needs — v2 bucketing on, and subset
+    // co-partitioning allowed (the partition key [g] is a strict subset
+    // of the join keys [g, n]) — are scoped to THIS query: the 7-row
+    // aggregate materializes eagerly under them and the previous values
+    // restore before returning, so no other registry query ever plans
+    // under a relaxed co-partition requirement
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k,
+      if (k.endsWith("enabled")) "true" else "false"))
+    try {
+      val a = readBucketed(spark, 0L, 1500000L, 8).select(col("g"), col("n"))
+      val b = readBucketed(spark, 300000L, 1500000L, 8)
+        .select(col("g"), col("n"), col("n_str"))
+      a.join(b, Seq("g", "n"))
+        .groupBy((col("n") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+          // BIGINT on both sides: DuckDB length() is BIGINT, Spark's INT
+          max(length(col("n_str")).cast("long")).as("max_len"))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true) // eager: the SPJ plan runs under the confs
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val qSeqSpjSql: String =
+    """SELECT a.n % 7 AS bucket, count(*) AS n_rows,
+      |  CAST(sum(a.n) AS BIGINT) AS sum_n,
+      |  max(length('seq-' || b.n || '-' || format('{:x}', b.n))) AS max_len
+      |FROM range(0, 1500000) a(n) JOIN range(300000, 1500000) b(n)
+      |  ON a.n % 8 = b.n % 8 AND a.n = b.n
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q_seq_source" -> ((qSeqSource _, qSeqSourceSql)),
-    "q_seq_agg_pushdown" -> ((qSeqAggPushdown _, qSeqAggPushdownSql)))
+    "q_seq_agg_pushdown" -> ((qSeqAggPushdown _, qSeqAggPushdownSql)),
+    "q_seq_spj" -> ((qSeqSpj _, qSeqSpjSql)))
 }
 
 class SeqTableProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SeqSource.schema
+  private def bucketsOf(o: CaseInsensitiveStringMap): Option[Int] =
+    Option(o.get("buckets")).map(_.toInt)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (bucketsOf(options).isDefined) SeqSource.bucketedSchema else SeqSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SeqTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "0").toLong,
-      properties.getOrDefault("slices", "1").toInt)
+      properties.getOrDefault("slices", "1").toInt,
+      Option(properties.get("buckets")).map(_.toInt))
 }
 
-class SeqTable(start: Long, end: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(start: Long, end: Long, slices: Int,
+    buckets: Option[Int] = None) extends Table with SupportsRead {
   override def name(): String = s"seq($start, $end)"
-  override def schema(): StructType = SeqSource.schema
+  override def schema(): StructType =
+    if (buckets.isDefined) SeqSource.bucketedSchema else SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end, slices)
+    new SeqScanBuilder(start, end, slices, buckets)
 }
 
 /** Mutable per-scan state: bound tightening from pushed filters + column
   * pruning. Only conjunctive top-level range shapes on `n` are consumed;
   * everything else is handed back as a residual.
   */
-class SeqScanBuilder(start: Long, end: Long, slices: Int)
+class SeqScanBuilder(start: Long, end: Long, slices: Int,
+    buckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -134,7 +214,8 @@ class SeqScanBuilder(start: Long, end: Long, slices: Int)
   private var hi: Long = end // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var residualHeld = false
-  private var required: StructType = SeqSource.schema
+  private var required: StructType =
+    if (buckets.isDefined) SeqSource.bucketedSchema else SeqSource.schema
   private var pushedAggs: Option[Array[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -231,7 +312,7 @@ class SeqScanBuilder(start: Long, end: Long, slices: Int)
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new SeqAggScan(lo, hi, aggs)
-    case None => new SeqScan(lo, hi, slices, required)
+    case None => new SeqScan(lo, hi, slices, required, buckets)
   }
 }
 
@@ -274,10 +355,30 @@ case class SeqAggReaderFactory() extends PartitionReaderFactory {
   }
 }
 
-class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
+class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType,
+    buckets: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  // KEY-GROUPED mode (`SupportsReportPartitioning`, SPJ): one partition
+  // per residue class of n mod buckets, each declaring its g value via
+  // HasPartitionKey — the planner aligns two such scans' partition
+  // values and a join whose keys include g needs NO exchange on either
+  // side (EnsureRequirements' storage-partitioned-join path, enabled by
+  // spark.sql.sources.v2.bucketing.enabled). This is the declared twin
+  // of what a bucketed warehouse table provides.
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    buckets match {
+      case Some(k) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("g")), k)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          slices)
+    }
   // CLOSED-FORM statistics (`SupportsReportStatistics`): without them a
   // V2 relation defaults to "unknown = infinite" and the planner can
   // never auto-broadcast a small generated side — a join against a tiny
@@ -290,6 +391,7 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
       private val width = required.fieldNames.map {
         case "n" => 8L
         case "n_str" => 20L
+        case "g" => 4L
       }.sum.max(1L)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * width)
@@ -307,11 +409,20 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
   @volatile private[sources] var runtimeNarrowed = false
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("n"))
+    // key-grouped scans refuse runtime filtering: a post-planning
+    // re-plan to key runs would break the partition-value contract the
+    // SPJ planner already committed to
+    if (buckets.isDefined) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("n"))
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
-    case org.apache.spark.sql.sources.In("n", vs) =>
-      val keep = vs.collect { case v: java.lang.Long
-        if v >= lo && v < hi => v.longValue }.sorted
+    case org.apache.spark.sql.sources.In("n", vs)
+        // consume ONLY when every delivered value is the expected boxed
+        // Long — a partial collect would silently DROP rows (wrong join
+        // results); an unexpected boxing/type instead falls through to
+        // the static bounds, which is merely conservative (r14 advice)
+        if vs.forall(_.isInstanceOf[java.lang.Long]) =>
+      val keep = vs.map(_.asInstanceOf[java.lang.Long].longValue)
+        .filter(v => v >= lo && v < hi).sorted
       allowed = Some(keep)
       runtimeNarrowed = true
     case _ => // unconsumed runtime shapes: scan stays at static bounds
@@ -322,24 +433,30 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
   override def description(): String =
     s"SeqScan[$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}" +
       " runtimeFilters=n"
-  override def planInputPartitions(): Array[InputPartition] = allowed match {
-    case Some(vs) =>
-      // contiguous runs of surviving keys, one partition per run
-      val runs = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var i = 0
-      while (i < vs.length) {
-        var j = i
-        while (j + 1 < vs.length && vs(j + 1) == vs(j) + 1) j += 1
-        runs += SeqRange(vs(i), vs(j) + 1)
-        i = j + 1
-      }
-      runs.toArray
-    case None =>
-      val n = math.max(0L, hi - lo)
-      val k = math.max(1, math.min(slices.toLong, n).toInt)
-      Array.tabulate[InputPartition](k) { i =>
-        SeqRange(lo + i * n / k, lo + (i + 1) * n / k)
-      }
+  override def planInputPartitions(): Array[InputPartition] = buckets match {
+    case Some(k) =>
+      // one partition per residue class — every row of partition r has
+      // g == r, which is what HasPartitionKey promises the SPJ planner
+      Array.tabulate[InputPartition](k)(r => SeqResidue(lo, hi, k, r))
+    case None => allowed match {
+      case Some(vs) =>
+        // contiguous runs of surviving keys, one partition per run
+        val runs = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        var i = 0
+        while (i < vs.length) {
+          var j = i
+          while (j + 1 < vs.length && vs(j + 1) == vs(j) + 1) j += 1
+          runs += SeqRange(vs(i), vs(j) + 1)
+          i = j + 1
+        }
+        runs.toArray
+      case None =>
+        val n = math.max(0L, hi - lo)
+        val k = math.max(1, math.min(slices.toLong, n).toInt)
+        Array.tabulate[InputPartition](k) { i =>
+          SeqRange(lo + i * n / k, lo + (i + 1) * n / k)
+        }
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SeqReaderFactory(required.fieldNames)
@@ -347,19 +464,41 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
 
 case class SeqRange(lo: Long, hi: Long) extends InputPartition
 
+/** A residue class {n ∈ [lo, hi) : n ≡ res (mod k)} — the key-grouped
+  * partition, reporting its g value to the SPJ planner. */
+case class SeqResidue(lo: Long, hi: Long, k: Int, res: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](res))
+}
+
 case class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[SeqRange]
-    new PartitionReader[InternalRow] {
-      private var cur = r.lo - 1
-      override def next(): Boolean = { cur += 1; cur < r.hi }
-      // materialize ONLY the pruned columns — n_str is never built unless asked
-      override def get(): InternalRow =
-        new GenericInternalRow(cols.map[Any] {
-          case "n" => cur
-          case "n_str" => UTF8String.fromString(SeqSource.nStr(cur))
-        })
-      override def close(): Unit = ()
+    // materialize ONLY the pruned columns — n_str is never built unless asked
+    def row(n: Long, g: Int): InternalRow =
+      new GenericInternalRow(cols.map[Any] {
+        case "n" => n
+        case "n_str" => UTF8String.fromString(SeqSource.nStr(n))
+        case "g" => g
+      })
+    partition match {
+      case r: SeqRange =>
+        new PartitionReader[InternalRow] {
+          private var cur = r.lo - 1
+          override def next(): Boolean = { cur += 1; cur < r.hi }
+          override def get(): InternalRow = row(cur, -1)
+          override def close(): Unit = ()
+        }
+      case p: SeqResidue =>
+        // first n ≥ lo with n ≡ res (mod k), then stride by k
+        val first = p.lo + java.lang.Math.floorMod(p.res - p.lo, p.k.toLong)
+        new PartitionReader[InternalRow] {
+          private var cur = first - p.k
+          override def next(): Boolean = { cur += p.k; cur < p.hi }
+          override def get(): InternalRow = row(cur, p.res)
+          override def close(): Unit = ()
+        }
     }
   }
 }

@@ -43,8 +43,14 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object StreamState {
 
   /** One committed state row. `endOffset` is appender-defined payload
-    * (the packer's running token offset; screens leave it 0). */
-  case class State(endOffset: Long, maxBatch: Long)
+    * (the packer's running token offset; screens leave it 0). `aux` is a
+    * second appender-defined slot (default 0 = unset): the bucketed
+    * stream tables record the PARTITION FAN-OUT their dirs were written
+    * under here (r14 verdict #1 — a compiled constant silently breaks
+    * pruning losslessness the moment it changes; the stored value makes
+    * the layout self-describing, and it commits in the SAME marker write
+    * as the layout generation it describes). */
+  case class State(endOffset: Long, maxBatch: Long, aux: Long = 0L)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -71,7 +77,9 @@ object StreamState {
     else {
       val latest = vs.maxBy(_._1)._2.toString
       val r = spark.read.parquet(latest).collect()(0)
-      State(r.getAs[Long]("end_offset"), r.getAs[Long]("max_batch"))
+      State(r.getAs[Long]("end_offset"), r.getAs[Long]("max_batch"),
+        // states written before the aux column existed read as unset
+        if (r.schema.fieldNames.contains("aux")) r.getAs[Long]("aux") else 0L)
     }
   }
 
@@ -80,7 +88,8 @@ object StreamState {
     import spark.implicits._
     val vs = versionsOf(spark, stateDir)
     val next = if (vs.isEmpty) 0L else vs.map(_._1).max + 1L
-    Seq((state.endOffset, state.maxBatch)).toDF("end_offset", "max_batch")
+    Seq((state.endOffset, state.maxBatch, state.aux))
+      .toDF("end_offset", "max_batch", "aux")
       .coalesce(1)
       // Overwrite: a crashed earlier attempt at this same version number
       // (no _SUCCESS, so invisible to read) is replaced, not appended to

@@ -125,21 +125,60 @@ object StreamTable {
     }
   }
 
+  /** The table's committed aux payload (0 = unset) — the bucketed
+    * tables' self-described partition fan-out lives here, committed in
+    * the same marker write as the generation whose layout it describes
+    * (so layout and its description can never be observed torn). */
+  def aux(spark: SparkSession, root: String): Long =
+    StreamState.read(spark, cstateDir(root)).aux
+
+  /** Commit a new aux payload, leaving generation and compacted-through
+    * mark untouched (the seed-time fan-out record). */
+  def commitAux(spark: SparkSession, root: String, aux: Long): Unit = {
+    val st = StreamState.read(spark, cstateDir(root))
+    StreamState.commit(spark, cstateDir(root), st.copy(aux = aux))
+  }
+
+  /** [[read]] for roots that may instead be a PLAIN parquet directory
+    * (no `batch_id=` dirs, no merged generation): the stored-artifact
+    * form of a table (e.g. the door's one-shot `quality/uni` dump) and
+    * its streaming-appended form (`uni/batch_id=<n>` dirs, compactable)
+    * resolve through one reader, so a roll-up written against the
+    * artifact shape keeps working when pointed at a compacted stream
+    * table — and vice versa. */
+  def readAny(spark: SparkSession, root: String): DataFrame =
+    if (batchDirs(spark, root).nonEmpty ||
+      StreamState.read(spark, cstateDir(root)).endOffset > 0L)
+      read(spark, root)
+    else spark.read.parquet(root)
+
   /** Compact every batch committed through `committedThrough` (the
     * CALLER's main [[StreamState]] high-water — compaction must never
     * absorb an uncommitted batch, whose dir a crash-retry will
     * overwrite) plus the previous merged generation into generation
     * j+1, under the `${root}_cstate` marker. No-op when nothing new is
     * committed. Returns the number of merge groups planned (== output
-    * files per inner partition combination). */
+    * files per inner partition combination).
+    *
+    * `transform` rewrites every absorbed row before the generation is
+    * written — the MIGRATION hook (re-bucketing a partition fan-out
+    * recomputes the bucket columns here); `newAux` commits a new aux
+    * payload with the generation (the existing one is preserved
+    * otherwise); `force = true` rewrites even when no new batch is
+    * committed (a pure migration pass over the merged generation and/or
+    * the seed dir, which plain compaction deliberately skips). */
   def compact(spark: SparkSession, root: String, committedThrough: Long,
-      innerPartCols: Seq[String], targetRows: Long): Long = {
+      innerPartCols: Seq[String], targetRows: Long,
+      transform: DataFrame => DataFrame = identity,
+      newAux: Option[Long] = None, force: Boolean = false): Long = {
     val st = StreamState.read(spark, cstateDir(root))
     val (c, j) = (st.maxBatch, st.endOffset)
-    if (committedThrough < 0L) return 0L // nothing but a possible seed: skip
+    // nothing but a possible seed: skip — unless forced, where absorbing
+    // the seed dir is exactly the point (migration before first batch)
+    if (committedThrough < 0L && !force) return 0L
     val toMerge = batchDirs(spark, root)
       .filter { case (id, _) => live(id, c) && id <= committedThrough }
-    if (toMerge.isEmpty) return 0L
+    if (toMerge.isEmpty && !force) return 0L
 
     val f = fsOf(spark, root)
     // sweep stale generations (crashed attempts, superseded survivors)
@@ -153,14 +192,14 @@ object StreamTable {
     // of storage, deliberately NOT cached: the input is the whole
     // committed table, and caching a table-sized frame to plan its own
     // rewrite would double-store it
-    val input = (mergedFrame(spark, root, j),
+    val input = transform((mergedFrame(spark, root, j),
       liveFrame(spark, root, toMerge)
         .map(_.withColumn("batch_id", col("batch_id").cast("long")))) match {
       case (Some(m), Some(h)) => m.unionByName(h)
       case (None, Some(h))    => h
       case (Some(m), None)    => m
       case (None, None)       => return 0L
-    }
+    })
 
     // E132 plan over per-batch row masses: group = rows-before div target
     val masses = input.groupBy(col("batch_id"))
@@ -181,9 +220,13 @@ object StreamTable {
       .write.partitionBy(("cgrp" +: innerPartCols): _*)
       .mode(SaveMode.Overwrite).parquet(genPath(root, j + 1))
 
-    // marker LAST; only then retire the superseded generation and dirs
+    // marker LAST; only then retire the superseded generation and dirs.
+    // The compacted-through mark never regresses (a forced migration may
+    // run with committedThrough below the stored mark); aux re-commits
+    // unchanged unless the caller is migrating it with this generation.
     StreamState.commit(spark, cstateDir(root),
-      StreamState.State(j + 1, committedThrough))
+      StreamState.State(j + 1, math.max(c, committedThrough),
+        newAux.getOrElse(st.aux)))
     if (j > 0L) f.delete(new Path(genPath(root, j)), true)
     toMerge.foreach { case (_, p) => f.delete(p, true) }
     nGroups

@@ -113,6 +113,71 @@ class SeqSourceSpec extends SparkSuite {
       "an unselective join must not claim runtime narrowing")
   }
 
+  test("runtime In-filter with unexpected boxing falls back to static bounds (conservative, never lossy)") {
+    // the scan consumes a delivered key set ONLY when every value is the
+    // boxed Long it expects; anything else must leave the static bounds
+    // in place — dropping individual values would under-produce rows and
+    // corrupt join results silently (r14 advice)
+    val scan = new SeqScan(0L, 100L, 4, SeqSource.schema)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("n",
+      Array[Any](java.lang.Long.valueOf(3L), java.lang.Integer.valueOf(7)))))
+    assert(!scan.runtimeNarrowed,
+      "a mixed-type key set must be refused wholesale")
+    assert(scan.planInputPartitions().map { case SeqRange(lo, hi) => hi - lo }
+      .sum === 100L, "the scan must keep generating the full static range")
+    // and the well-typed set still narrows
+    val scan2 = new SeqScan(0L, 100L, 4, SeqSource.schema)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("n",
+      Array[Any](java.lang.Long.valueOf(3L), java.lang.Long.valueOf(7L)))))
+    assert(scan2.runtimeNarrowed)
+    assert(scan2.planInputPartitions().map { case SeqRange(lo, hi) => hi - lo }
+      .sum === 2L)
+  }
+
+  test("storage-partitioned join: two key-grouped scans join with no shuffle; disabled bucketing is the red control") {
+    val conf = spark.conf
+    val saved = (conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      conf.getOption("spark.sql.requireAllClusterKeysForCoPartition"))
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // force a non-broadcast join so the exchange question is real
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the partition key [g] is a strict SUBSET of the join keys [g, n]
+      // (n functionally determines g) — co-partitioning on the subset is
+      // exactly what SPJ permits once the all-keys requirement is relaxed
+      conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def joined() = SeqSource.readBucketed(spark, 0L, 50000L, 8)
+        .select(col("g"), col("n"))
+        .join(SeqSource.readBucketed(spark, 10000L, 60000L, 8)
+          .select(col("g"), col("n")), Seq("g", "n"))
+      val df = joined()
+      val rows = df.count()
+      assert(rows === 40000L, "join values must match the range overlap")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a join on the declared partition key must plan NO exchange:\n$plan")
+      // per-partition alignment really is by g: spot-check values
+      val sample = joined().filter(col("n") % 9999 === 0)
+        .collect().map(_.getAs[Long]("n")).sorted
+      assert(sample.toSeq === (10000L until 60000L)
+        .filter(n => n < 50000L && n % 9999 == 0).toSeq)
+
+      // red control: same query with the SPJ planner path off shuffles
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = joined()
+      off.count()
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
+        "without v2 bucketing the same join must fall back to shuffles")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      restore("spark.sql.sources.v2.bucketing.enabled", saved._1)
+      restore("spark.sql.autoBroadcastJoinThreshold", saved._2)
+      restore("spark.sql.requireAllClusterKeysForCoPartition", saved._3)
+    }
+  }
+
   test("limit/offset/top-n push into the generation bounds") {
     // limit: the scan's upper bound collapses to lo + n
     val lim = SeqSource.read(spark, 0L, 100000L, 8).limit(5)

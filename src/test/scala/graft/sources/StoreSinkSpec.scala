@@ -11,9 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.SparkSuite
 
 /** The DSv2 WRITE path must give exactly-once through Spark's committer
-  * interface: staged task output is invisible until the single job-level
-  * `commit`, aborts at either level leave the table byte-identical, and
-  * a re-delivered `commit` publishes no duplicate rows.
+  * interface: uncommitted attempt files are invisible (the manifest
+  * alone gates visibility — there is no rename pass), aborts at either
+  * level leave the table byte-identical, a re-delivered `commit`
+  * publishes no duplicate rows, and the manifest's recorded statistics
+  * make a small read-back plan as the broadcast side.
   */
 class StoreSinkSpec extends SparkSuite {
 
@@ -25,13 +27,25 @@ class StoreSinkSpec extends SparkSuite {
       (r.getLong(0), Option(r.getString(1)), r.getDouble(2))
     }.toSet
 
+  private def dataFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/data")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filterNot(n =>
+      n.startsWith(".") || n.startsWith("_")).toSeq
+  }
+
   private val spark0 = SparkSuite.session
   import spark0.implicits._
 
+  // the "\u0000N" payload is the regression for the r14 advice: the old
+  // TSV codec used exactly that byte sequence as its NULL sentinel, so a
+  // user string equal to it silently round-tripped as NULL; the parquet
+  // codec has native nulls and no sentinel to collide with
   private def fixture = Seq(
     (1L, Some("plain"), 1.5),
     (2L, Some("tab\tand\nnewline and back\\slash"), -0.25),
-    (3L, None, 0.0)).toDF("k", "s", "x")
+    (3L, None, 0.0),
+    (4L, Some("\u0000N"), 4.0)).toDF("k", "s", "x")
 
   test("append through the committer roundtrips typed rows; second append accumulates") {
     val dir = freshDir()
@@ -39,9 +53,10 @@ class StoreSinkSpec extends SparkSuite {
     assert(rows(dir) === Set(
       (1L, Some("plain"), 1.5),
       (2L, Some("tab\tand\nnewline and back\\slash"), -0.25),
-      (3L, None, 0.0)))
-    StoreSource.write(Seq((4L, Some("more"), 9.0)).toDF("k", "s", "x"), dir)
-    assert(rows(dir).map(_._1) === Set(1L, 2L, 3L, 4L))
+      (3L, None, 0.0),
+      (4L, Some("\u0000N"), 4.0)))
+    StoreSource.write(Seq((5L, Some("more"), 9.0)).toDF("k", "s", "x"), dir)
+    assert(rows(dir).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
     // column pruning reaches the scan
     val pruned = StoreSource.read(spark, dir).select(col("k"))
     pruned.collect()
@@ -52,7 +67,7 @@ class StoreSinkSpec extends SparkSuite {
       s"reader must prune to the projected column: $desc")
   }
 
-  test("uncommitted staged writes are invisible; job abort publishes nothing and sweeps staging") {
+  test("uncommitted attempt files are invisible; job abort publishes nothing and sweeps them") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)
     val before = rows(dir)
@@ -62,12 +77,15 @@ class StoreSinkSpec extends SparkSuite {
     val w = bw.createBatchWriterFactory(null).createWriter(0, 7L)
     w.write(InternalRow.fromSeq(Seq(99L, UTF8String.fromString("ghost"), 1.0)))
     val msg = w.commit()
-    // task committed, job NOT: nothing visible
-    assert(rows(dir) === before, "staged rows must be invisible before job commit")
+    // task committed, job NOT: the file sits in data/ but no manifest
+    // names it — invisible without any staging indirection
+    assert(dataFiles(dir).exists(_.startsWith("qabort-")),
+      "the attempt file is written directly under data/")
+    assert(rows(dir) === before, "unmanifested rows must be invisible")
     bw.abort(Array(msg))
     assert(rows(dir) === before, "job abort must publish nothing")
-    assert(!new java.io.File(s"$dir/_staging/qabort").exists(),
-      "job abort must sweep the query's staging dir")
+    assert(!dataFiles(dir).exists(_.startsWith("qabort-")),
+      "job abort must sweep the query's attempt files")
   }
 
   test("job commit is atomic and a re-delivered commit is idempotent") {
@@ -90,7 +108,7 @@ class StoreSinkSpec extends SparkSuite {
     assert(all.length === all.map(_.getLong(0)).distinct.length)
   }
 
-  test("task abort deletes its staging file; speculative losing attempt never publishes") {
+  test("task abort deletes its attempt file; speculative losing attempt never publishes") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)
     val before = rows(dir)
@@ -102,9 +120,10 @@ class StoreSinkSpec extends SparkSuite {
     wA.write(InternalRow.fromSeq(Seq(77L, UTF8String.fromString("dead"), 0.5)))
     wA.abort()
     assert(rows(dir) === before)
+    assert(!dataFiles(dir).exists(_.startsWith("qtask-")))
 
     // speculation: two attempts of partition 0; only the winner's message
-    // reaches job commit; the loser's staged file dies with the sweep
+    // reaches job commit; the loser's attempt file dies with the sweep
     val bw = new StoreWriteBuilder(dir, schema, "qspec").build().toBatch
     val fac = bw.createBatchWriterFactory(null)
     val w1 = fac.createWriter(0, 100L)
@@ -112,10 +131,13 @@ class StoreSinkSpec extends SparkSuite {
     val row = InternalRow.fromSeq(Seq(60L, UTF8String.fromString("winner"), 3.0))
     w1.write(row); w2.write(row)
     val winner = w1.commit()
+    val loser = w2.commit() // closes its file; message never reaches commit
+    assert(loser != null)
     bw.commit(Array[WriterCommitMessage](winner))
     assert(rows(dir) === before + ((60L, Some("winner"), 3.0)),
       "exactly one copy of the speculated partition must publish")
-    assert(!new java.io.File(s"$dir/_staging/qspec").exists())
+    assert(dataFiles(dir).count(_.startsWith("qspec-")) === 1,
+      "the losing attempt's file must be swept at job commit")
   }
 
   test("two independent job commits both publish; the later manifest carries the earlier files") {
@@ -137,7 +159,7 @@ class StoreSinkSpec extends SparkSuite {
       "the second job's manifest must merge, not shadow, the first's")
   }
 
-  test("vacuum retains the newest manifests and collects stranded data files; readers unchanged") {
+  test("vacuum retains the newest manifests and collects aged stranded files; in-flight files survive") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)
     StoreSource.write(Seq((10L, Some("x"), 1.0)).toDF("k", "s", "x"), dir)
@@ -146,18 +168,29 @@ class StoreSinkSpec extends SparkSuite {
     def manifests() = new java.io.File(s"$dir/manifest").listFiles()
       .count(_.getName.startsWith("v="))
     assert(manifests() === 3)
-    // strand a data file no manifest references (a lost publish race)
-    val orphan = new java.io.File(s"$dir/data/stranded.tsv")
-    val w = new java.io.PrintWriter(orphan); w.println("9\tz\t0.0"); w.close()
+    // strand a data file no manifest references (a lost publish race),
+    // AGED past the live manifest — collection is age-gated, so only a
+    // file older than every retained manifest is a collectible orphan
+    val orphan = new java.io.File(s"$dir/data/stranded.parquet")
+    val w = new java.io.PrintWriter(orphan); w.println("x"); w.close()
+    assert(orphan.setLastModified(System.currentTimeMillis() - 3600000L))
+    // an IN-FLIGHT commit's file (newer than the live manifest, not yet
+    // manifested) must SURVIVE vacuum — deleting it would leave the
+    // about-to-publish manifest pointing at nothing (the r14 advice race)
+    val inflight = new java.io.File(s"$dir/data/qlive-p0-a9.parquet")
+    val w2 = new java.io.PrintWriter(inflight); w2.println("y"); w2.close()
+    assert(inflight.setLastModified(System.currentTimeMillis() + 60000L))
 
     val (droppedManifests, collected) = StoreSource.vacuum(dir, keep = 1)
     assert(droppedManifests === 2 && collected === 1)
     assert(!orphan.exists())
+    assert(inflight.exists(), "vacuum must spare files newer than the live manifest")
     assert(manifests() === 1)
     assert(rows(dir) === before, "vacuum must not change what readers see")
     // the store keeps working after maintenance
     StoreSource.write(Seq((12L, Some("z"), 3.0)).toDF("k", "s", "x"), dir)
     assert(rows(dir) === before + ((12L, Some("z"), 3.0)))
+    inflight.delete()
   }
 
   test("schema is pinned at first commit; a mismatched append is rejected") {
@@ -165,6 +198,25 @@ class StoreSinkSpec extends SparkSuite {
     StoreSource.write(fixture, dir)
     val bad = Seq((1L, 2L)).toDF("k", "wrong")
     intercept[Exception] { StoreSource.write(bad, dir) }
-    assert(rows(dir).size === 3, "the rejected write must not publish")
+    assert(rows(dir).size === 4, "the rejected write must not publish")
+  }
+
+  test("manifest statistics make a small store read-back the broadcast side of a join") {
+    val dir = freshDir()
+    StoreSource.write(fixture, dir)
+    // exact stats from the manifest
+    val m = StoreSource.latestManifest(dir)
+    assert(m.entries.map(_.rows).sum === 4L)
+    assert(m.entries.forall(_.bytes > 0L))
+    // a few-KB committed table joined against a larger frame: the stats
+    // report a sub-threshold size, so the planner must choose broadcast
+    // with the STORE as the build side — the rung that makes a custom
+    // connector plan like a stats-bearing parquet table
+    val big = spark.range(0L, 50000L).withColumnRenamed("id", "k")
+    val joined = big.join(StoreSource.read(spark, dir), "k")
+    assert(joined.count() === 4L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"store side must broadcast from manifest stats:\n$plan")
   }
 }

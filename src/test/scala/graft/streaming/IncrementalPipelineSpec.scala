@@ -404,6 +404,81 @@ class IncrementalPipelineSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("quality gate through the DSv2 committer: epoch-keyed store commits give the same exactly-once laws with no marker") {
+    import graft.ext.CorpusOps
+    import graft.model.Tables
+    import graft.sources.StoreSource
+    val inDir = Files.createTempDirectory("graft_qgs_in").toString
+    val ckDir = Files.createTempDirectory("graft_qgs_ck").toString
+    val storeDir = Files.createTempDirectory("graft_qgs_store").toString + "/verdicts"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+    val shardA = arrivals.filter(col("doc_id") < 300)
+    val shardB = arrivals.filter(col("doc_id") >= 300)
+
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    def verdicts() = StoreSource.read(spark, storeDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("drop_reason"))).toSet
+
+    drop(shardA, "docs_qgs_a.parquet")
+    IncrementalPipeline.qualityAvailableNowStore(
+      spark, inDir, docs.schema, base, storeDir, ckDir)
+    drop(shardB, "docs_qgs_b.parquet")
+    IncrementalPipeline.qualityAvailableNowStore(
+      spark, inDir, docs.schema, base, storeDir, ckDir)
+
+    // union of committer-backed per-batch verdicts == the frozen batch gate
+    val model = CorpusOps.frozenQualityModel(base).persistAll()
+    val (batchGate, cached) = CorpusOps.qualityGateFrozenWith(
+      spark, shardA.unionAll(shardB), model)
+    val expected = batchGate.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("drop_reason"))).toSet
+    cached.unpersist()
+    assert(verdicts() === expected)
+
+    // checkpointed re-run: no new input, no change
+    IncrementalPipeline.qualityAvailableNowStore(
+      spark, inDir, docs.schema, base, storeDir, ckDir)
+    assert(verdicts() === expected, "re-run must not change the verdicts")
+
+    // batch RETRY (crash after commit, foreachBatch re-delivered): the
+    // epoch key — not any StreamState marker — makes it a no-op
+    val model2 = CorpusOps.frozenQualityModel(base).persistAll()
+    IncrementalPipeline.appendQualityVerdictsStore(spark, shardA, model2, 0L, storeDir)
+    assert(verdicts() === expected, "a re-delivered epoch must not double-append")
+
+    // CRASH BETWEEN EPOCHS: wipe the newest streaming commit marker, so
+    // the next drain re-runs the last micro-batch against the same
+    // offsets — the store recognizes the epoch and publishes nothing new
+    val commits = new java.io.File(s"$ckDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    IncrementalPipeline.qualityAvailableNowStore(
+      spark, inDir, docs.schema, base, storeDir, ckDir)
+    assert(verdicts() === expected,
+      "a replayed epoch after a commit-log crash must not double-publish")
+    // every surviving data file is manifest-referenced (replay swept)
+    val referenced = StoreSource.latestManifest(storeDir).entries.map(_.name).toSet
+    val onDisk = new java.io.File(s"$storeDir/data").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    assert(onDisk === referenced, s"unswept replay files: ${onDisk -- referenced}")
+    model2.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("stats maintenance: stored partials roll up to the union-trained model; gate verdicts identical; retry no-op") {
     import graft.ext.CorpusOps
     import graft.model.Tables
@@ -462,6 +537,117 @@ class IncrementalPipelineSpec extends SparkSuite {
     IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
     assert(uniMap(CorpusOps.storedQualityModel(spark, statsDir)) === before,
       "retry/re-run must not double-count stats")
+    spark.catalog.clearCache()
+  }
+
+  test("stats + standalone screen tables compact: roll-up and rows identical, dirs collapse, retry guards intact") {
+    import graft.ext.CorpusOps
+    import graft.model.Tables
+    val inDir = Files.createTempDirectory("graft_cmp2_in").toString
+    val ckDir = Files.createTempDirectory("graft_cmp2_ck").toString
+    val statsDir = Files.createTempDirectory("graft_cmp2_s").toString + "/stats"
+    val inDir2 = Files.createTempDirectory("graft_cmp2_in2").toString
+    val ckDir2 = Files.createTempDirectory("graft_cmp2_ck2").toString
+    val verdictDir = Files.createTempDirectory("graft_cmp2_v").toString + "/verdicts"
+    val inDir3 = Files.createTempDirectory("graft_cmp2_in3").toString
+    val ckDir3 = Files.createTempDirectory("graft_cmp2_ck3").toString
+    val flagDir = Files.createTempDirectory("graft_cmp2_f").toString + "/flags"
+
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def drop(inD: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, java.nio.file.Paths.get(inD, name))
+    }
+    def batchDirCount(root: String): Int = {
+      val fs = new java.io.File(root).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.startsWith("batch_id="))
+    }
+
+    // --- E336 stats table: two drops, then compact uni/bi ---
+    drop(inDir, docs.filter(col("doc_id") < 250), "a.parquet")
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    drop(inDir, docs.filter(col("doc_id") >= 250 && col("doc_id") < 500), "b.parquet")
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    def uniMap() = CorpusOps.storedQualityModel(spark, statsDir).uni.collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("tf")).toMap
+    val statsBefore = uniMap()
+    assert(batchDirCount(s"$statsDir/uni") >= 2)
+    IncrementalPipeline.compactStatsTables(spark, statsDir)
+    assert(batchDirCount(s"$statsDir/uni") === 0 &&
+      batchDirCount(s"$statsDir/bi") === 0,
+      "compaction must retire the per-batch stats dirs")
+    assert(uniMap() === statsBefore,
+      "the roll-up must read identical partials from the merged generation")
+    // retry + re-run against the compacted table: the appender marker is
+    // untouched, so both are refused
+    IncrementalPipeline.appendStatsBatch(
+      spark, docs.filter(col("doc_id") < 250), 0L, statsDir)
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    assert(uniMap() === statsBefore, "retry after compaction must not double-count")
+    // and a FRESH arrival still lands + rolls up on top of the merged rows
+    drop(inDir, docs.filter(col("doc_id") >= 500 && col("doc_id") < 600), "c.parquet")
+    IncrementalPipeline.statsAvailableNow(spark, inDir, docs.schema, statsDir, ckDir)
+    val uniAll = CorpusOps.frozenQualityModel(docs.filter(col("doc_id") < 600))
+      .uni.collect().map(r => r.getAs[String]("w") -> r.getAs[Long]("tf")).toMap
+    assert(uniMap() === uniAll, "post-compaction arrivals must merge with the generation")
+
+    // --- standalone quality screen's verdict table ---
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+    drop(inDir2, arrivals.filter(col("doc_id") < 300), "qa.parquet")
+    IncrementalPipeline.qualityAvailableNow(
+      spark, inDir2, docs.schema, base, verdictDir, ckDir2)
+    drop(inDir2, arrivals.filter(col("doc_id") >= 300), "qb.parquet")
+    IncrementalPipeline.qualityAvailableNow(
+      spark, inDir2, docs.schema, base, verdictDir, ckDir2)
+    val vBefore = spark.read.parquet(verdictDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("drop_reason"))).toSet
+    assert(batchDirCount(verdictDir) >= 2)
+    val groups = IncrementalPipeline.compactScreenTable(spark, verdictDir)
+    assert(groups >= 1L)
+    assert(batchDirCount(verdictDir) === 0,
+      "compaction must retire the per-batch verdict dirs")
+    val vAfter = StreamTable.read(spark, verdictDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("drop_reason"))).toSet
+    assert(vAfter === vBefore, "verdict rows must survive compaction identically")
+    // one file per planned group in the merged generation
+    val gen = new java.io.File(s"$verdictDir/.merged").listFiles()
+      .filter(_.getName.startsWith("v=")).head
+    val genFiles = gen.listFiles().flatMap(g =>
+      if (g.isDirectory) g.listFiles().toSeq else Seq(g))
+      .count(_.getName.endsWith(".parquet"))
+    assert(genFiles === groups.toInt,
+      s"expected one file per merge group, got $genFiles vs $groups")
+    // retry refused by the untouched marker
+    val model = graft.ext.CorpusOps.frozenQualityModel(base).persistAll()
+    IncrementalPipeline.appendQualityVerdicts(
+      spark, arrivals.filter(col("doc_id") < 300), model, 0L, verdictDir)
+    model.unpersistAll()
+    assert(StreamTable.read(spark, verdictDir).collect().length === vBefore.size,
+      "a retried batch must not re-append after compaction")
+
+    // --- decontam screen's flag table (same shape as the semantic one) ---
+    val eval = docs.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    drop(inDir3, docs.filter(col("doc_id") % 50 === 1 && col("doc_id") < 300)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text")), "fa.parquet")
+    IncrementalPipeline.decontamAvailableNow(
+      spark, inDir3, docs.schema, eval, flagDir, ckDir3)
+    drop(inDir3, docs.filter(col("doc_id") % 50 === 1 && col("doc_id") >= 300)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text")), "fb.parquet")
+    IncrementalPipeline.decontamAvailableNow(
+      spark, inDir3, docs.schema, eval, flagDir, ckDir3)
+    val fBefore = spark.read.parquet(flagDir).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(fBefore.nonEmpty, "planted eval copies must flag")
+    IncrementalPipeline.compactScreenTable(spark, flagDir)
+    assert(batchDirCount(flagDir) === 0)
+    assert(StreamTable.read(spark, flagDir).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet === fBefore,
+      "flag rows must survive compaction identically")
     spark.catalog.clearCache()
   }
 
@@ -635,7 +821,7 @@ class IncrementalPipelineSpec extends SparkSuite {
       walk(new java.io.File(root), under = false)
     }
 
-    val (sets, bands) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    val (sets, bands, _, _) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
 
     // exact arm: prune sets on the batch's content-hash buckets
     val hbVals = prep.select(Dedup.nearDupBucket(col("h")))
@@ -697,6 +883,148 @@ class IncrementalPipelineSpec extends SparkSuite {
       (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     Seq(pM, mem, prep).foreach(_.unpersist())
     assert(got === want, "pruned-probe verdicts must equal the in-memory kernel")
+    spark.catalog.clearCache()
+  }
+
+  test("index fan-out is self-describing: a 5-bucket layout probed from a 16-default session stays lossless; the compiled-constant probe is the red control") {
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val indexDir = Files.createTempDirectory("graft_fanout").toString + "/index"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // seed under fan-out 5 — deliberately ≠ the compiled default (16)
+    assert(Dedup.nearDupIndexBuckets === 16)
+    IncrementalPipeline.seedNearDupIndex(spark, docs, indexDir, buckets = 5)
+    val (sets, bands, sbk, bbk) =
+      IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    assert(sbk === 5 && bbk === 5,
+      "probes must learn the fan-out from the index's own table state")
+
+    // plant EXACT copies of corpus documents under fresh ids: every one
+    // must screen as a duplicate of the corpus. The plants are chosen so
+    // EVERY probe bucket the compiled default would compute — the
+    // content-hash bucket AND all four band buckets, mod 16 — is ≥ 5:
+    // under the mismatch, the probe's bucket sets then cannot contain
+    // ANY stored value (all in 0..4), so the red control's exact AND
+    // candidate arms are deterministically blind, not probabilistically
+    import org.apache.spark.sql.functions.{pmod, hash => mh, lit => l, min => mn}
+    val cand = docs.filter(col("doc_id") % 10 === 0)
+    val cprep = Dedup.nearDupPrep(cand).persist(); cprep.count()
+    val okHb = cprep.filter(pmod(mh(col("h")), l(16)) >= 5).select(col("doc_id"))
+    val okBb = Dedup.nearDupBandsBucketed(cprep, 16).groupBy(col("doc_id"))
+      .agg(mn(col("bb")).as("mbb")).filter(col("mbb") >= 5).select(col("doc_id"))
+    val plantIds = okHb.join(okBb, "doc_id").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    cprep.unpersist()
+    assert(plantIds.size >= 3, s"fixture needs enough plants, got $plantIds")
+    val plants = docs.filter(col("doc_id").isin(plantIds: _*))
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    val nPlants = plants.count()
+
+    val (v, p) = Dedup.nearDupScreenWith(spark, plants, sets, bands, sbk, bbk)
+    val missedStored = v.filter(col("status") === "new").count()
+    p.unpersist()
+    assert(missedStored === 0L,
+      "under the STORED fan-out the pruned probes must find every planted dup")
+
+    // RED CONTROL — the pre-r15 behavior: probe buckets computed with
+    // the compiled default against dirs written under 5. Equal keys now
+    // land in UNequal buckets, pruning drops the dirs holding the true
+    // matches, and planted duplicates silently read as "new" — missed
+    // duplicates with no error, the hazard the stored value closes.
+    val (vBad, pBad) = Dedup.nearDupScreenWith(spark, plants, sets, bands)
+    val missedCompiled = vBad.filter(col("status") === "new").count()
+    pBad.unpersist()
+    assert(missedCompiled > 0L,
+      "the mismatched compiled fan-out must lose planted duplicates " +
+        s"(found ${nPlants - missedCompiled}/$nPlants) — red control")
+    spark.catalog.clearCache()
+  }
+
+  test("fan-out migration 16→64: rebucket through compact, losslessness and the pruned-IO law re-hold at the new fan-out") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ext.Dedup
+    import graft.model.Tables
+    val indexDir = Files.createTempDirectory("graft_rebkt").toString + "/index"
+    val verdictDir = Files.createTempDirectory("graft_rebkt_v").toString + "/verdicts"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val shard0 = docs.filter(col("doc_id") % 3 === 1)
+
+    // seed at the default 16 and commit one streamed batch on top
+    IncrementalPipeline.seedNearDupIndex(spark, corpus, indexDir)
+    IncrementalPipeline.appendNearDupBatch(spark, shard0, 0L, indexDir, verdictDir)
+    val before = spark.read.parquet(verdictDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSet
+
+    // MIGRATE: one forced compact per table recomputes the bucket
+    // columns and commits the new fan-out with the same marker
+    IncrementalPipeline.rebucketNearDupIndex(
+      spark, indexDir, s"${indexDir}_state", 64)
+    val (sets, bands, sbk, bbk) =
+      IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    assert(sbk === 64 && bbk === 64)
+
+    // the E341 IO law RE-HOLDS at the migrated fan-out: a tiny probe
+    // reads exactly its hb bucket dirs of the merged generation
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    def dirFiles(root: String, keep: String => Boolean): Long = {
+      def walk(f: java.io.File, under: Boolean): Long =
+        if (f.isFile) (if (under && f.getName.endsWith(".parquet")) 1L else 0L)
+        else f.listFiles().map(c => walk(c, under || keep(c.getName))).sum
+      walk(new java.io.File(root), under = false)
+    }
+    val probe = docs.filter(col("doc_id").isin(3L, 6L))
+    val prep = Dedup.nearDupPrep(probe).persist(); prep.count()
+    val hbVals = prep.select(Dedup.nearDupBucket(col("h"), 64))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = filesRead(Dedup.pruneToBuckets(sets, "hb",
+      prep.select(Dedup.nearDupBucket(col("h"), 64))))
+    val full = filesRead(sets)
+    prep.unpersist()
+    assert(full === dirFiles(indexDir + "/sets", _ => true))
+    assert(pruned === dirFiles(indexDir + "/sets",
+      n => hbVals.exists(b => n == s"hb=$b")),
+      "pruned probe must read exactly the probe buckets' migrated dirs")
+    assert(pruned < full, s"pruning must cut IO at 64: $pruned vs $full")
+
+    // LOSSLESS at 64: exact copies of corpus docs AND of batch-0 docs
+    // (rows that crossed the migration rewrite) all screen as dups
+    val plants = corpus.filter(col("doc_id") % 12 === 0)
+      .unionAll(shard0.filter(col("doc_id") % 12 === 1))
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    assert(plants.count() >= 10)
+    val (v2, p2) = Dedup.nearDupScreenWith(spark, plants, sets, bands, sbk, bbk)
+    assert(v2.filter(col("status") === "new").count() === 0L,
+      "post-migration probes must find every pre-migration row")
+    p2.unpersist()
+
+    // the migrated index keeps GROWING under the stored 64: a second
+    // batch appends hot dirs bucketed at 64, and a replay of batch 0
+    // (crash retry) is still refused by the untouched main marker
+    val shard1 = docs.filter(col("doc_id") % 3 === 2)
+    IncrementalPipeline.appendNearDupBatch(spark, shard1, 1L, indexDir, verdictDir)
+    IncrementalPipeline.appendNearDupBatch(spark, shard0, 0L, indexDir, verdictDir)
+    val after = spark.read.parquet(verdictDir)
+      .filter(col("batch_id").cast("long") === 0L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSet
+    assert(after === before, "batch-0 verdicts must survive migration + retry")
+    val hot = new java.io.File(indexDir + "/sets/batch_id=1")
+    assert(hot.exists() &&
+      hot.listFiles().exists(f => f.getName.startsWith("hb=") &&
+        f.getName.stripPrefix("hb=").toInt >= 16),
+      "post-migration appends must bucket under the stored 64, not the default")
+    // and aux survives a subsequent PLAIN compaction
+    IncrementalPipeline.compactNearDupTables(
+      spark, indexDir, s"${indexDir}_state", Some(verdictDir))
+    assert(StreamTable.aux(spark, s"$indexDir/sets") === 64L)
+    assert(StreamTable.aux(spark, s"$indexDir/bands") === 64L)
+    val (_, _, sbk2, bbk2) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    assert(sbk2 === 64 && bbk2 === 64)
     spark.catalog.clearCache()
   }
 
@@ -811,7 +1139,7 @@ class IncrementalPipelineSpec extends SparkSuite {
     prep2.count()
     val hb2 = prep2.select(Dedup.nearDupBucket(col("h")))
       .distinct().collect().map(_.getInt(0)).toSet
-    val (setsAll, _) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
+    val (setsAll, _, _, _) = IncrementalPipeline.readNearDupIndex(spark, indexDir)
     val pruned2 = Dedup.pruneToBuckets(setsAll, "hb",
       prep2.select(Dedup.nearDupBucket(col("h"))))
     pruned2.collect()

@@ -3,12 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The host-calibration job: 2B xxhash64 over a generated range,
     * reduced to ONE row the caller must consume by value (head()), so no
-    * Catalyst rule can prune the hashing out. Factored from `calibPass`
-    * so BenchCalibSpec can assert the executed plan still hashes. */
-  def calibFrame(spark: SparkSession, cpus: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
-    spark.range(0L, 2000000000L, 1L, cpus)
-      .select(sum(xxhash64(col("id"))).as("calib_hash"))
+    * Catalyst rule can prune the hashing out. The sum is over `hash mod
+    * 1e6`, NOT the raw hash: 2B ~uniform 64-bit values overflow a LONG
+    * sum immediately and Spark 4's ANSI default turns that into a
+    * runtime abort (found the hard way — the pruned `.count()` form
+    * never evaluated the sum, so the overflow was invisible until the
+    * r15 fix made the hash real). |v| < 1e6 bounds the sum by 2e15.
+    * Factored from `calibPass` so BenchCalibSpec can both assert the
+    * executed plan still hashes AND execute a small-range instance. */
+  def calibFrame(spark: SparkSession, cpus: Int,
+      n: Long = 2000000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
+    spark.range(0L, n, 1L, cpus)
+      .select(sum(xxhash64(col("id")) % lit(1000000L)).as("calib_hash"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -360,7 +360,26 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  // Every reader emits n ASCENDING within its partition (ranges, runs,
+  // and residue classes all stride upward), and in key-grouped mode g is
+  // constant per partition — so the scan DECLARES [g, n] / [n] as its
+  // per-partition output ordering (`SupportsReportOrdering`) and a
+  // sort-merge join over two such scans drops its Sort nodes too: with
+  // E353's dropped exchanges, the SPJ plan is scan → merge-join, nothing
+  // else (plan-asserted).
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val asc = (c: String) => Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING)
+    val cols = required.fieldNames
+    if (buckets.isDefined && cols.contains("g") && cols.contains("n"))
+      Array(asc("g"), asc("n"))
+    else if (cols.contains("n")) Array(asc("n"))
+    else Array.empty
+  }
   // KEY-GROUPED mode (`SupportsReportPartitioning`, SPJ): one partition
   // per residue class of n mod buckets, each declaring its g value via
   // HasPartitionKey — the planner aligns two such scans' partition

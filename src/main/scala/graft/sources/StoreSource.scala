@@ -124,8 +124,41 @@ object StoreSource {
       |FROM range(0, 20000) t(n)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Registry query for the manifest zone map: four commits land four
+    * contiguous 10k ranges (tight per-file min/max), and the filtered
+    * read-back plans ONLY the files whose recorded range intersects the
+    * predicate — file-level pruning from manifest statistics, with the
+    * untouched residual filter guaranteeing the rows regardless
+    * (plan-asserted in StoreSinkSpec; values oracle-checked here). */
+  def qStorePruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = System.getProperty("java.io.tmpdir") +
+      s"/graft_store_${UUID.randomUUID().toString.take(12)}"
+    try {
+      (0 until 4).foreach { i =>
+        write(SeqSource.read(spark, i * 10000L, (i + 1) * 10000L, 8)
+          .select(col("n"), col("n_str")), dir)
+      }
+      read(spark, dir)
+        .filter(col("n") >= 25000L && col("n") < 38000L)
+        .groupBy((col("n") % 3).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+          min(col("n_str")).as("min_str"))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true) // eager: the files may be deleted after
+    } finally fs(dir).delete(new Path(dir), true)
+  }
+
+  val qStorePrunedSql: String =
+    """SELECT n % 3 AS bucket, count(*) AS n_rows,
+      |  CAST(sum(n) AS BIGINT) AS sum_n,
+      |  min('seq-' || n || '-' || format('{:x}', n)) AS min_str
+      |FROM range(0, 40000) t(n)
+      |WHERE n >= 25000 AND n < 38000
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "q_store_roundtrip" -> ((qStoreRoundtrip _, qStoreRoundtripSql)))
+    "q_store_roundtrip" -> ((qStoreRoundtrip _, qStoreRoundtripSql)),
+    "q_store_pruned" -> ((qStorePruned _, qStorePrunedSql)))
 
   /** Table maintenance: retain the newest `keep` manifest versions and
     * delete data files no retained manifest references. Collection is
@@ -171,8 +204,14 @@ object StoreSource {
 
   // ---------------- manifest: the single visibility gate ----------------
 
-  /** One visible data file with its exact statistics. */
-  private[sources] case class ManifestEntry(name: String, rows: Long, bytes: Long)
+  /** One visible data file with its exact statistics: row/byte counts
+    * plus per-column min/max for the INTEGRAL columns its writer saw
+    * (`stats(col) = (lo, hi)`, absent for all-null or non-integral
+    * columns) — the file-level zone map that lets a filtered read skip
+    * whole files at plan time, the manifest-resident analog of parquet
+    * row-group statistics one level up. */
+  private[graft] case class ManifestEntry(name: String, rows: Long, bytes: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** A committed manifest version: the visible file set plus the set of
     * committed streaming epoch keys (`<streamId>:<epochId>`). Both ride
@@ -181,7 +220,11 @@ object StoreSource {
       entries: Seq[ManifestEntry]) {
     def render: String =
       (epochs.toSeq.sorted.map("#epoch=" + _) ++
-        entries.map(e => s"${e.name}\t${e.rows}\t${e.bytes}")).mkString("\n")
+        entries.map { e =>
+          val st = e.stats.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(",")
+          s"${e.name}\t${e.rows}\t${e.bytes}\t$st"
+        }).mkString("\n")
   }
 
   private[sources] def parseManifest(txt: String): Manifest = {
@@ -191,8 +234,20 @@ object StoreSource {
       hdr.collect { case h if h.startsWith("#epoch=") => h.stripPrefix("#epoch=") }.toSet,
       data.map { l =>
         val c = l.split("\t", -1)
+        val stats =
+          if (c.length > 3 && c(3).nonEmpty)
+            c(3).split(",").flatMap { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) => v.split("\\.\\.", 2) match {
+                  case Array(lo, hi) => Some(k -> (lo.toLong, hi.toLong))
+                  case _ => None
+                }
+                case _ => None
+              }
+            }.toMap
+          else Map.empty[String, (Long, Long)]
         ManifestEntry(c(0), if (c.length > 1) c(1).toLong else 0L,
-          if (c.length > 2) c(2).toLong else 0L)
+          if (c.length > 2) c(2).toLong else 0L, stats)
       })
   }
 
@@ -269,7 +324,7 @@ object StoreSource {
       }
       val have = m.entries.map(_.name).toSet
       val all = m.entries ++ msgs.filterNot(g => have(g.name))
-        .map(g => ManifestEntry(g.name, g.rows, g.bytes))
+        .map(g => ManifestEntry(g.name, g.rows, g.bytes, g.stats))
       writeAtomic(dir, s"manifest/v=${m.version + 1}",
         Manifest(m.version + 1, m.epochs ++ epochKey, all).render)
       val now = latestManifest(dir)
@@ -436,7 +491,8 @@ class StoreStreamingWrite(dir: String, schema: StructType, streamId: String)
     abortFiles(dir, s"$streamId-e$epochId-")
 }
 
-case class StoreCommitMsg(name: String, rows: Long, bytes: Long)
+case class StoreCommitMsg(name: String, rows: Long, bytes: Long,
+    stats: Map[String, (Long, Long)] = Map.empty)
   extends WriterCommitMessage
 
 case class StoreWriterFactory(dir: String, schemaJson: String, queryId: String)
@@ -472,14 +528,36 @@ class StoreDataWriter(dir: String, schema: StructType, fileName: String)
     ExampleParquetWriter.builder(path).withConf(conf).withType(mt).build()
   }
   private var rows = 0L
+  // per-column min/max for integral columns — the task-side half of the
+  // manifest zone map (streamed, O(columns) state, no second pass)
+  private val intIdx = schema.fields.zipWithIndex.collect {
+    case (fd, i) if fd.dataType == LongType || fd.dataType == IntegerType => i
+  }
+  private val mins = Array.fill(schema.fields.length)(Long.MaxValue)
+  private val maxs = Array.fill(schema.fields.length)(Long.MinValue)
 
   override def write(row: InternalRow): Unit = {
     out.write(groupOf(mt, schema, row))
+    var j = 0
+    while (j < intIdx.length) {
+      val i = intIdx(j)
+      if (!row.isNullAt(i)) {
+        val v = if (schema.fields(i).dataType == LongType) row.getLong(i)
+                else row.getInt(i).toLong
+        if (v < mins(i)) mins(i) = v
+        if (v > maxs(i)) maxs(i) = v
+      }
+      j += 1
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    StoreCommitMsg(fileName, rows, fs(dir).getFileStatus(path).getLen)
+    val stats = intIdx.collect {
+      case i if mins(i) <= maxs(i) =>
+        schema.fields(i).name -> (mins(i), maxs(i))
+    }.toMap
+    StoreCommitMsg(fileName, rows, fs(dir).getFileStatus(path).getLen, stats)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
@@ -491,36 +569,76 @@ class StoreDataWriter(dir: String, schema: StructType, fileName: String)
 // ---------------------------- read path -----------------------------
 
 class StoreScanBuilder(dir: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = schema
+  // conjunctive bounds per integral column, tightened from range shapes;
+  // used ONLY for manifest zone-map file pruning — every filter is
+  // handed back as a residual (accepted = empty), so Spark re-applies
+  // them all and a stale/absent stat can only cost IO, never rows
+  private var bounds = Map.empty[String, (Long, Long)]
+  private def tighten(c: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    bounds += c -> (math.max(l0, lo), math.min(h0, hi))
+  }
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case _ => None
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo(c, v) => asLong(v).foreach(x => tighten(c, x, x))
+      case GreaterThan(c, v) => asLong(v).foreach(x => tighten(c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => asLong(v).foreach(x => tighten(c, x, Long.MaxValue))
+      case LessThan(c, v) => asLong(v).foreach(x => tighten(c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) => asLong(v).foreach(x => tighten(c, Long.MinValue, x))
+      case _ =>
+    }
+    filters // ALL residual: pruning is an IO optimization, never semantics
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new StoreScan(dir, schema, required)
+  override def build(): Scan = new StoreScan(dir, schema, required, bounds)
 }
 
-class StoreScan(dir: String, full: StructType, required: StructType)
+class StoreScan(dir: String, full: StructType, required: StructType,
+    bounds: Map[String, (Long, Long)] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   private lazy val manifest = StoreSource.latestManifest(dir)
+
+  /** Zone-map test: a file survives unless SOME bounded column's stats
+    * PROVE no row can match (stats absent → keep — all-null columns and
+    * pre-stats manifests stay readable, just unpruned). */
+  private def mayMatch(e: StoreSource.ManifestEntry): Boolean =
+    bounds.forall { case (c, (lo, hi)) =>
+      e.stats.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+    }
+  private lazy val visible = manifest.entries.filter(mayMatch)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"StoreScan($dir) cols=${required.fieldNames.mkString(",")}"
+    s"StoreScan($dir) cols=${required.fieldNames.mkString(",")}" +
+      s" files=${visible.length}/${manifest.entries.length}"
 
   /** EXACT statistics from the manifest (each entry carries the row and
-    * byte counts its task commit recorded): without them a V2 relation
-    * defaults to "unknown = infinite" and the planner could never
-    * auto-broadcast a small store read-back — a join against a tiny
-    * committed table would shuffle both sides. Bytes are scaled by the
-    * pruned-column fraction, mirroring what a pruned parquet scan
-    * actually transfers. */
+    * byte counts its task commit recorded), over the zone-map-SURVIVING
+    * files only — a selectively filtered read-back reports the size it
+    * will actually scan, so broadcast planning follows the pruned set:
+    * without them a V2 relation defaults to "unknown = infinite" and
+    * the planner could never auto-broadcast a small store read-back.
+    * Bytes are scaled by the pruned-column fraction, mirroring what a
+    * pruned parquet scan actually transfers. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = manifest.entries.map(_.rows).sum
+    private val rows = visible.map(_.rows).sum
     private val frac =
       if (full.fields.isEmpty) 1.0
       else math.max(1, required.fields.length).toDouble / full.fields.length
     private val bytes =
-      math.max(1L, (manifest.entries.map(_.bytes).sum * frac).toLong)
+      math.max(1L, (visible.map(_.bytes).sum * frac).toLong)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -528,7 +646,7 @@ class StoreScan(dir: String, full: StructType, required: StructType)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.entries
+    visible
       .map(e => StoreFilePartition(s"$dir/data/${e.name}"): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     StoreReaderFactory(full.json, required.fieldNames)

@@ -15,6 +15,14 @@ class BenchCalibSpec extends SparkSuite {
       s"the calibration aggregate must keep the hash in the executed plan:\n$plan")
   }
 
+  test("calibration EXECUTES under ANSI: the bounded sum cannot overflow") {
+    // the r15 regression class this guards: the raw-hash sum passed the
+    // plan assertion but aborted at runtime with ARITHMETIC_OVERFLOW
+    // once it actually evaluated — so execute a small-range instance
+    val r = Bench.calibFrame(spark, 4, n = 1000000L).head()
+    assert(!r.isNullAt(0), "the consumed sum must be a real value")
+  }
+
   test("the red control: consuming via count() would prune the hash away") {
     val pruned = Bench.calibFrame(spark, 4).select(
       org.apache.spark.sql.functions.count(

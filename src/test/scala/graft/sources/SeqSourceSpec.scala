@@ -157,6 +157,12 @@ class SeqSourceSpec extends SparkSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"a join on the declared partition key must plan NO exchange:\n$plan")
+      // and with SupportsReportOrdering declaring [g, n] ascending per
+      // partition, the merge join needs no Sort either: the whole plan
+      // is scan -> merge-join ("+- Sort"/ ":- Sort" are Sort NODES;
+      // SortMergeJoin itself contains the substring but not the node)
+      assert(!plan.contains("- Sort ["),
+        s"declared per-partition ordering must drop the SMJ sorts:\n$plan")
       // per-partition alignment really is by g: spot-check values
       val sample = joined().filter(col("n") % 9999 === 0)
         .collect().map(_.getAs[Long]("n")).sorted

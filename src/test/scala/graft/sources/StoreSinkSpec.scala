@@ -201,6 +201,50 @@ class StoreSinkSpec extends SparkSuite {
     assert(rows(dir).size === 4, "the rejected write must not publish")
   }
 
+  test("manifest zone maps prune whole files at plan time; residual filters keep correctness") {
+    val dir = freshDir()
+    // four commits, each a contiguous key range -> tight per-file stats
+    (0 until 4).foreach { i =>
+      StoreSource.write(
+        spark.range(i * 1000L, (i + 1) * 1000L)
+          .select(col("id").as("k"),
+            concat(lit("s"), col("id")).as("s"),
+            (col("id") * 0.5).as("x")), dir)
+    }
+    val m = StoreSource.latestManifest(dir)
+    assert(m.entries.nonEmpty && m.entries.forall(_.stats.contains("k")),
+      "every committed file must carry its integral zone map")
+    val total = m.entries.length
+
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.description()
+      }.mkString
+    }
+    // ground truth from the manifest itself
+    val expectSurvivors = m.entries.count { e =>
+      val (lo, hi) = e.stats("k"); hi >= 2500L && lo <= 3499L
+    }
+    assert(expectSurvivors < total, "fixture must make pruning possible")
+    val filtered = StoreSource.read(spark, dir)
+      .filter(col("k") >= 2500L && col("k") < 3500L)
+    assert(filtered.count() === 1000L, "pruning must never change results")
+    assert(scanDesc(filtered).contains(s"files=$expectSurvivors/$total"),
+      s"the scan must plan exactly the zone-map survivors: ${scanDesc(filtered)}")
+    // red control: the unfiltered read plans every file
+    val all = StoreSource.read(spark, dir)
+    assert(scanDesc(all).contains(s"files=$total/$total"))
+    // a proven-empty predicate plans zero files and returns zero rows
+    val none = StoreSource.read(spark, dir).filter(col("k") > 100000L)
+    assert(none.count() === 0L)
+    assert(scanDesc(none).contains(s"files=0/$total"))
+    // non-integral predicates prune nothing but still filter correctly
+    val str = StoreSource.read(spark, dir).filter(col("s") === "s42")
+    assert(str.count() === 1L)
+    assert(scanDesc(str).contains(s"files=$total/$total"))
+  }
+
   test("manifest statistics make a small store read-back the broadcast side of a join") {
     val dir = freshDir()
     StoreSource.write(fixture, dir)

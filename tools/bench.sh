@@ -11,14 +11,18 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-ADD_OPENS=""
+# the FULL org.apache.spark.launcher.JavaModuleOptions set — the partial
+# list sweep.sh historically used is enough for Verify but NOT for the
+# three custom-Aggregator bench queries (jdk.internal.ref + native access
+# are the load-bearing additions for their serializer encoders)
+ADD_OPENS="--enable-native-access=ALL-UNNAMED"
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         jdk.internal.ref jdk.internal.misc \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
+ADD_OPENS="$ADD_OPENS --add-opens java.security.jgss/sun.security.krb5=ALL-UNNAMED"
 
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \

@@ -2344,7 +2344,14 @@ object Dedup {
       .unionAll(docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" near duplicate suffix")).as("text")))
-    val toks = corpus
+    // doc_id-keyed spread before the md5-dense shingle projection (r15,
+    // the nearDupShingled pattern): on raw scan splits the hashing +
+    // explode ran on however few partitions the file layout produced
+    // (3 tasks at sf0.1, one per split at scale) — the repartition moves
+    // only (doc_id, text) and keys the cache on exactly the column the
+    // per-doc window and size aggregate cluster on.
+    val par = spark.sparkContext.defaultParallelism
+    val toks = corpus.repartition(par, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(hashSetExpr)).as("tok"))
       .persist()
@@ -2355,9 +2362,14 @@ object Dedup {
     val ranked = toks.join(dfTab, "tok")
       .select(col("doc_id"), col("tok"),
         row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
+    // MATERIALIZED (r15): prefix feeds both sides of the candidate
+    // self-join, and the planner broadcasts one side — a broadcast
+    // exchange cannot reuse the other side's subtree, so the df-join +
+    // double window ran twice (probe: two identical window stages).
     val prefix = ranked
       .filter(col("rk") <= col("nt") - expr("(3 * nt + 4) div 5") + 1)
       .select(col("doc_id"), col("tok"))
+      .localCheckpoint(true)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -2470,7 +2482,12 @@ object Dedup {
         .select((col("doc_id") + 400000).as("doc_id"),
           expr("concat_ws(' ', slice(toks, 1, greatest((2 * size(toks)) div 5, 3)))")
             .as("text")))
-    val toks = corpus
+    // doc_id-keyed spread before the md5-dense shingle projection (r15):
+    // same rationale as qDocSimJoinPrefix — scan-split parallelism does
+    // not fit CPU-dense per-doc work, and doc_id is the downstream
+    // window/aggregate key.
+    val par = spark.sparkContext.defaultParallelism
+    val toks = corpus.repartition(par, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(hashSetExpr)).as("tok"))
       .persist()
@@ -2479,11 +2496,16 @@ object Dedup {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tdf"), col("tok"))
     val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // MATERIALIZED (r15): the one-sided prefix probes toks on the other
+    // join side, and the planner broadcasts the prefix — materializing it
+    // keeps the df-join + double window from re-running inside the
+    // broadcast build (sibling-exchange non-reuse, see qDocSimJoinPrefix).
     val prefix = toks.join(dfTab, "tok")
       .select(col("doc_id"), col("tok"),
         row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
       .filter(col("rk") <= col("nt") - expr("(4 * nt + 4) div 5") + 1)
       .select(col("doc_id"), col("tok"))
+      .localCheckpoint(true)
     val cand = prefix.as("a")
       .join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))

@@ -278,15 +278,29 @@ object Graph {
     val pairs = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
     // per-order quadratic, bounded by order width (≤7 lineitems) — the
-    // standard co-occurrence edge build, same shape as qEventCooccur
-    val und = pairs.as("a")
+    // standard co-occurrence edge build, same shape as qEventCooccur.
+    // The STREAM side is hash-spread on the order key first (r15, guide
+    // §2.5/§2.6): the expansion's cost follows order count, not input
+    // bytes, so leaving it on raw scan splits serializes the quadratic
+    // work onto however few splits the file layout produced (3 tasks at
+    // sf0.1; one giant unsplittable file in production) — the shuffle
+    // moves only the 16-byte (ok, p) projection and the order-key
+    // partitioning is what the equi-join clusters on anyway.
+    val par = spark.sparkContext.defaultParallelism
+    val und = pairs.repartition(par, col("ok")).as("a")
       .join(pairs.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
       .persist()
     und.count() // eager: degree agg + both orientation probes consume it
+    // MATERIALIZED (r15): deg feeds TWO broadcast attachment joins, and a
+    // broadcast exchange cannot reuse a sibling broadcast's subtree — the
+    // node-degree aggregation over the full edge set ran twice (probe:
+    // two identical 64-task stages). localCheckpoint(true) runs it once;
+    // both broadcast builds then read |V| cached rows.
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     // orient low→high by (degree, id): a total order, so each undirected
     // edge appears exactly once; dst_d rides along for the wedge compare
     val lowFirst = col("du") < col("dv") ||
@@ -324,8 +338,13 @@ object Graph {
     // |V| rows — broadcastable far beyond this harness (at billions of
     // edges swap both broadcasts for hint("shuffle_hash") on src/dst:
     // the intersect math is unchanged).
+    // MATERIALIZED (r15): adj feeds TWO broadcast probes (nu and nv) and
+    // would otherwise be aggregated twice, same sibling-broadcast
+    // non-reuse as deg above — the collect_list shuffle is the closure's
+    // most expensive build, so run it exactly once.
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint(true)
     val tris = oriented.select(col("src"), col("dst"))
       .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
       .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), "dst")

@@ -450,9 +450,18 @@ object Dedup {
     * CC-loop lesson).
     */
   def qDocMinhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // OVERLAPPED ARMS (r15, guide §2.6): the LSH and truth arms are
+    // independent materialization chains off the shared persisted
+    // shingle table — submit them concurrently so one arm's job-barrier
+    // tails back-fill with the other arm's tasks (see qDocDedupEnsemble).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val shingled = nearDupShingled(spark, sfDir)
-    val mh = evalSampledMh(shingled)
-    val truth = evalTruthPairs(shingled)
+    val mhF = Future(evalSampledMh(shingled))
+    val truthF = Future(evalTruthPairs(shingled))
+    val mh = Await.result(mhF, Duration.Inf)
+    val truth = Await.result(truthF, Duration.Inf)
     val truthC = truth.agg(count(lit(1)).as("n_true_pairs"))
     val mhC = mh.agg(count(lit(1)).as("n_lsh_pairs"))
     val foundC = truth.join(mh, Seq("doc_a", "doc_b"))
@@ -492,9 +501,13 @@ object Dedup {
     val ranked = toks.join(dfTab, "tok")
       .select(col("doc_id"), col("tok"),
         row_number().over(wDoc).as("rk"), count(lit(1)).over(wCnt).as("nt"))
+    // MATERIALIZED (r15): both candidate-join sides read prefix and the
+    // planner broadcasts one — sibling-broadcast non-reuse would run the
+    // df-join + double window twice (see qDocSimJoinPrefix).
     val prefix = ranked
       .filter(col("rk") <= col("nt") - expr("(nt + 1) div 2") + 1)
       .select(col("doc_id"), col("tok"))
+      .localCheckpoint(true)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -1157,32 +1170,55 @@ object Dedup {
     * broadcast cross-joins.
     */
   def qDocDedupEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    // OVERLAPPED ARMS (r15, guide §2.6): the truth, LSH, winnow and
+    // simhash arms are mutually independent chains of eager
+    // materializations (persist+count / localCheckpoint barriers); run
+    // sequentially each barrier's tail left the cluster idle — four
+    // arms ≈ ten sequential job latencies. Spark's scheduler runs
+    // concurrent jobs FIFO with back-fill, so submitting the arms from
+    // futures overlaps each arm's stragglers with the next arm's work.
+    // Pure transformations + count barriers: results are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val shingled = nearDupShingled(spark, sfDir)
-    val truth = evalTruthPairs(shingled)
-    val mh = evalSampledMh(shingled)
+    val truthF = Future(evalTruthPairs(shingled))
+    val mhF = Future(evalSampledMh(shingled))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // doc_id-keyed spread (r15): both the winnow fingerprint projection
+    // and the simhash token explode + 60-bit partial aggregate are
+    // CPU-dense per-doc work that otherwise runs on raw scan splits
+    // (2 tasks at sf0.1); doc_id is also the simhash groupBy key, so the
+    // partial aggregate's exchange is established here once.
     val sampled = nearCorpus(docs).filter(evalKeep(col("doc_id")))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val hLambda = TextOps.h31ExprSql("s")
     // winnow arm (the qDocWinnow pipeline, sample-restricted)
     val fpExpr =
       s"array_distinct(transform(sequence(1, greatest(size(gs) - ${winnowW - 1}, 1))," +
         s" j -> array_min(slice(gs, j, $winnowW))))"
-    val fps = sampled
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("gs", expr(s"transform($shinglesExpr, s -> $hLambda)"))
-      .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
-      .persist()
-    fps.count() // eager: df table + both pair-join sides
-    val okFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= winnowMaxDf).select(col("fp"))
-    val filtered = fps.join(okFp, "fp")
-    val wPairs = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= winnowMinShared)
-      .select(col("doc_a"), col("doc_b"))
+    val wPairsF = Future {
+      val fps = sampled
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("gs", expr(s"transform($shinglesExpr, s -> $hLambda)"))
+        .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
+        .persist()
+      fps.count() // eager: df table + both pair-join sides
+      val okFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= winnowMaxDf).select(col("fp"))
+      val filtered = fps.join(okFp, "fp")
+      // MATERIALIZED (r15): the stats consume each prediction frame twice
+      // (n_pred aggregate + the truth join) — without the checkpoint the
+      // whole winnow pair join re-ran per consumer.
+      filtered.as("a")
+        .join(filtered.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= winnowMinShared)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    }
     // simhash arm: signature → band index → exact Hamming verify
     val bitAggs = (0 until ensSimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -1191,53 +1227,77 @@ object Dedup {
     val sigExpr = (0 until ensSimhashBits)
       .map(j => when(col(s"s$j") >= 0, 1L << j).otherwise(0L))
       .reduce((a, b) => a + b)
-    val sigs = sampled
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), TextOps.portableHash(col("t")).as("h"))
-      .groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"), sigExpr.as("sig")).persist()
-    sigs.count() // eager: band build + both verify probes
-    val bandCols = (0 until simhashBands).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftright(col("sig"), b * simhashBandBits)
-          .bitwiseAND(lit((1L << simhashBandBits) - 1)).as("band_key"))
+    val sPairsF = Future {
+      val sigs = sampled
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), TextOps.portableHash(col("t")).as("h"))
+        .groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"), sigExpr.as("sig")).persist()
+      sigs.count() // eager: band build + both verify probes
+      val bandCols = (0 until simhashBands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * simhashBandBits)
+            .bitwiseAND(lit((1L << simhashBandBits) - 1)).as("band_key"))
+      }
+      val sbands = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+      val scand = sbands.as("a")
+        .join(sbands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // MATERIALIZED (r15): same two-consumer fan-out as wPairs.
+      scand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(expr(s"bit_count(sig_a ^ sig_b) <= $simhashMaxHam"))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
     }
-    val sbands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
-    val scand = sbands.as("a")
-      .join(sbands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sPairs = scand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(expr(s"bit_count(sig_a ^ sig_b) <= $simhashMaxHam"))
-      .select(col("doc_a"), col("doc_b"))
-    def statsOf(method: String, pred: DataFrame): DataFrame = {
-      val nPred = pred.agg(count(lit(1)).as("n_pred"))
-      val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      val found = truth.join(pred, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_found"))
-      nPred.crossJoin(broadcast(nTrue)).crossJoin(broadcast(found))
-        .select(lit(method).as("method"), col("n_pred"), col("n_true"),
-          col("n_found"),
-          when(col("n_pred") === 0, 0.0)
-            .otherwise(col("n_found").cast("double") / col("n_pred").cast("double"))
-            .as("prec"),
-          when(col("n_true") === 0, 0.0)
-            .otherwise(col("n_found").cast("double") / col("n_true").cast("double"))
-            .as("rec"))
-        .withColumn("f1",
-          when(col("prec") + col("rec") === 0.0, 0.0)
-            .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
-    }
-    statsOf("minhash_lsh", mh)
-      .unionAll(statsOf("simhash", sPairs))
-      .unionAll(statsOf("winnow", wPairs))
+    val truth = Await.result(truthF, Duration.Inf)
+    val mh = Await.result(mhF, Duration.Inf)
+    val wPairs = Await.result(wPairsF, Duration.Inf)
+    val sPairs = Await.result(sPairsF, Duration.Inf)
+    // ONE-PASS method stats (r15): the per-arm statsOf helper ran three
+    // n_pred aggregates, three n_true aggregates over the same truth
+    // table and three truth-join count jobs, stitched with six broadcast
+    // cross-joins — 9 jobs' worth of scheduling for 3 output rows.
+    // Tagging each prediction frame with its method and aggregating the
+    // union computes identical counts in one n_pred pass + one
+    // truth-join pass + one n_true aggregate; a left join from the
+    // literal method list keeps the zero-pair semantics (count = 0) the
+    // per-arm form produced for an empty arm.
+    def tagged(method: String, pred: DataFrame): DataFrame =
+      pred.select(lit(method).as("method"), col("doc_a"), col("doc_b"))
+    val preds = tagged("minhash_lsh", mh)
+      .unionAll(tagged("simhash", sPairs))
+      .unionAll(tagged("winnow", wPairs))
+    val nPred = preds.groupBy(col("method")).agg(count(lit(1)).as("np"))
+    val nFound = truth.join(preds, Seq("doc_a", "doc_b"))
+      .groupBy(col("method")).agg(count(lit(1)).as("nf"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val methods = Seq("minhash_lsh", "simhash", "winnow")
+      .map(m => s"SELECT '$m' AS method").mkString(" UNION ALL ")
+    spark.sql(methods)
+      .join(nPred, Seq("method"), "left")
+      .join(nFound, Seq("method"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("method"),
+        coalesce(col("np"), lit(0L)).as("n_pred"), col("n_true"),
+        coalesce(col("nf"), lit(0L)).as("n_found"))
+      .select(col("method"), col("n_pred"), col("n_true"), col("n_found"),
+        when(col("n_pred") === 0, 0.0)
+          .otherwise(col("n_found").cast("double") / col("n_pred").cast("double"))
+          .as("prec"),
+        when(col("n_true") === 0, 0.0)
+          .otherwise(col("n_found").cast("double") / col("n_true").cast("double"))
+          .as("rec"))
+      .withColumn("f1",
+        when(col("prec") + col("rec") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
       .orderBy(col("method"))
   }
 

@@ -35,6 +35,30 @@ import graft.model.Tables
   */
 object Graph {
 
+  /** Scale-adaptive spread (r15, guide §2.5/§2.6): hash-partition `df` on
+    * `key` to default parallelism ONLY when its current plan would run on
+    * fewer partitions. Every graph query starts from the
+    * orders⋈lineitem purchase-edge build, whose map-side join + partial
+    * distinct cost follows ROW count while scan parallelism follows
+    * BYTES — a tiny sf0.1 scan yields 3 splits and serializes the build
+    * onto 3 of 32 cores. At production scale the scan already fans wider
+    * than the core count and this is a no-op, so no extra exchange is
+    * paid where it wouldn't help. `key` is always the equi-join key, so
+    * the spread's partitioning is the one the join wants anyway.
+    */
+  private def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
+  /** The (l_orderkey, l_suppkey) projection of lineitem, spread to full
+    * parallelism — the shared stream side of every purchase-graph edge
+    * build below.
+    */
+  private def lineitemOrderSupp(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")), col("l_orderkey"))
+
   /** Scaled-integer rank unit: 1.0 == 10¹². */
   val rankScale: Long = 1000000000000L
 
@@ -91,7 +115,7 @@ object Graph {
       .unionAll(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + supplierIdOffset).as("id")))
     val edges = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir),
+      .join(lineitemOrderSupp(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + supplierIdOffset).as("dst"))
@@ -190,7 +214,7 @@ object Graph {
       .unionAll(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + supplierIdOffset).as("id")))
     val fwd = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir),
+      .join(lineitemOrderSupp(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + supplierIdOffset).as("dst"))
@@ -435,7 +459,7 @@ object Graph {
     */
   def qGraphKcore(spark: SparkSession, sfDir: String): DataFrame = {
     val fwd = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir),
+      .join(lineitemOrderSupp(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + supplierIdOffset).as("dst"))
@@ -505,13 +529,17 @@ object Graph {
     */
   def qGraphLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir),
+      .join(lineitemOrderSupp(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
       .persist()
     edges.count() // eager: wedge self-join + degree agg consume it
+    // MATERIALIZED (r15): deg feeds two broadcast attachments and a
+    // sibling broadcast cannot reuse the other's subtree — without the
+    // checkpoint the degree aggregate ran twice (see qGraphTriangles).
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val pairs = edges.as("a")
       .join(edges.as("b"), col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("s_a"), col("b.s").as("s_b"))
@@ -576,7 +604,7 @@ object Graph {
     */
   def qGraphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .join(lineitemOrderSupp(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("x"))
@@ -669,7 +697,7 @@ object Graph {
       .unionAll(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + supplierIdOffset).as("id")))
     val fwd = Tables.orders(spark, sfDir)
-      .join(Tables.lineitem(spark, sfDir),
+      .join(lineitemOrderSupp(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(spark, sfDir),
         col("c_custkey") === col("o_custkey"))

@@ -1613,29 +1613,58 @@ object Similarity {
     * stats are 1-row broadcast aggregates unioned into the 3-row result.
     */
   def qEmbAnnNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = qEmbCosineTopk(spark, sfDir)
-      .select(col("q_id"), col("vec_id")).persist()
-    exact.count()
+    // OVERLAPPED ARMS + ONE-PASS STATS (r15, guide §2.6 / §1.2): the
+    // exact arm, the quantizer build and the three sweep-point probes
+    // are mutually independent materialization chains — submitted from
+    // futures their barrier tails back-fill. Per-point stats then tag
+    // each candidate set with its nprobe and aggregate the union ONCE
+    // (one n_ann pass + one overlap-join pass + one n_exact aggregate)
+    // instead of nine 1-row jobs and six broadcast cross-joins; a left
+    // join from the literal nprobe list keeps empty-arm counts at 0.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future {
+      val e = qEmbCosineTopk(spark, sfDir)
+        .select(col("q_id"), col("vec_id")).persist()
+      e.count()
+      e
+    }
     // ONE quantizer for every sweep point, persisted here (the owner) —
     // per-point qEmbAnnIvfNprobe calls would each re-persist the same
     // plan (the r7 bench tail's "already cached" warnings)
     val centArr = centroidArrayDf(spark, sfDir, None).persist()
     centArr.count()
-    val rows = sweepNprobes.map { n =>
-      val ann = annIvfNprobeWith(spark, sfDir, n, centArr)
-        .select(col("q_id"), col("vec_id")).persist()
-      ann.count()
-      val exC = exact.agg(count(lit(1)).as("n_exact"))
-      val annC = ann.agg(count(lit(1)).as("n_ann"))
-      val ovC = exact.join(ann, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-      exC.crossJoin(broadcast(annC)).crossJoin(broadcast(ovC))
-        .select(lit(n).as("nprobe"), col("n_exact"), col("n_ann"),
-          col("n_overlap"),
-          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
-            .as("recall_at_k"))
+    val annFs = sweepNprobes.map { n =>
+      n -> Future {
+        val a = annIvfNprobeWith(spark, sfDir, n, centArr)
+          .select(col("q_id"), col("vec_id")).persist()
+        a.count()
+        a
+      }
     }
-    rows.reduce(_ unionAll _).orderBy(col("nprobe"))
+    val exact = Await.result(exactF, Duration.Inf)
+    val anns = annFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+    val tagged = anns.map { case (n, a) =>
+      a.select(lit(n).as("nprobe"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val nAnn = tagged.groupBy(col("nprobe")).agg(count(lit(1)).as("na"))
+    val nOv = exact.join(tagged, Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("no"))
+    val exC = exact.agg(count(lit(1)).as("n_exact"))
+    val points = sweepNprobes
+      .map(n => s"SELECT $n AS nprobe").mkString(" UNION ALL ")
+    spark.sql(points)
+      .join(nAnn, Seq("nprobe"), "left")
+      .join(nOv, Seq("nprobe"), "left")
+      .crossJoin(broadcast(exC))
+      .select(col("nprobe"), col("n_exact"),
+        coalesce(col("na"), lit(0L)).as("n_ann"),
+        coalesce(col("no"), lit(0L)).as("n_overlap"))
+      .select(col("nprobe"), col("n_exact"), col("n_ann"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_k"))
+      .orderBy(col("nprobe"))
   }
 
   /** Oracle: one assignment CTE (rn over distance-ordered cells), a qn/sc/
@@ -3081,7 +3110,19 @@ object Similarity {
     * and [[qEmbPowerIter]].
     */
   private def gramCells(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(spark, sfDir)
+    // Scale-adaptive spread on vec_id (r15, guide §2.5): the O(d²)
+    // upper-triangle expansion is ~2080 cell rows per vector — cost
+    // follows VECTOR count while scan parallelism follows bytes, so the
+    // one-split sf0.1 scan ran the whole expansion single-task (probe:
+    // one 2 s 1-task stage). At production scale the scan already fans
+    // wider than the core count and this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val embRaw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val embSpread =
+      if (embRaw.rdd.getNumPartitions < par) embRaw.repartition(par, col("vec_id"))
+      else embRaw
+    val emb = embSpread
       .select(col("vec_id"),
         expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
           .as("q"))
@@ -3094,8 +3135,12 @@ object Similarity {
       .select(col("c.di"), col("c.dj"), col("c.p"))
       .groupBy(col("di"), col("dj"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("s_ij"))
+    // MATERIALIZED (r15): dims is d rows and feeds two broadcast
+    // attachments in qEmbGram — sibling broadcasts cannot share the
+    // subtree, so the per-dimension aggregate over the corpus ran twice.
     val dims = emb.select(posexplode(col("q")).as(Seq("d", "qv")))
       .groupBy(col("d")).agg(sum(col("qv")).as("s_d"))
+      .localCheckpoint(true)
     (cells, dims)
   }
 
@@ -3499,11 +3544,28 @@ object Similarity {
     * ranking window runs over exactly d rows. Output d rows.
     */
   def qEmbEnergySpectrum(spark: SparkSession, sfDir: String): DataFrame = {
-    val (cells, dims) = gramCells(spark, sfDir)
-    val diag = cells.filter(col("di") === col("dj"))
-      .join(broadcast(dims.select(col("d").as("di"), col("s_d"))), "di")
-      .select(col("di").as("d"),
-        (col("n") * col("s_ij") - col("s_d") * col("s_d")).as("var_num"))
+    // DIAGONAL-ONLY sufficient statistic (r15, guide §1.2 "don't compute
+    // things you throw away"): this query consumes ONLY the d diagonal
+    // cells, but gramCells expands the full O(d²) upper triangle per
+    // vector (~2080 rows/vec) before the filter could drop 2016 of them.
+    // One posexplode pass computes (n, Σq_i², Σq_i) per dimension — the
+    // same exact integers the diagonal of cells ⋈ dims carried — at
+    // O(n·d) instead of O(n·d²). Spread on vec_id as in gramCells.
+    val par = spark.sparkContext.defaultParallelism
+    val embRaw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val embSpread =
+      if (embRaw.rdd.getNumPartitions < par) embRaw.repartition(par, col("vec_id"))
+      else embRaw
+    val diag = embSpread
+      .select(expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $gramScale) AS BIGINT))")
+        .as("q"))
+      .select(posexplode(col("q")).as(Seq("d", "qv")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("qv") * col("qv")).as("s_ii"),
+        sum(col("qv")).as("s_d"))
+      .select(col("d"),
+        (col("n") * col("s_ii") - col("s_d") * col("s_d")).as("var_num"))
     val tot = diag.agg(sum(col("var_num")).as("tv"))
     val wRank = Window.orderBy(col("var_num").desc, col("d"))
     val wCum = Window.orderBy(col("var_num").desc, col("d"))

@@ -670,9 +670,17 @@ object Dedup {
     *   adversarial general graphs.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = ccMaxIters): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").persist()
+    // ONE-PASS edge build (r15): explode emits both directions from a
+    // single evaluation of `pairs` — the union form's two legs each
+    // re-read the caller's frame, which forced every caller to persist
+    // and eagerly count `pairs` first (an extra cache + barrier job per
+    // query). With one consumer the pair-mining pipeline runs exactly
+    // once, inside this cache fill.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).persist()
     // materialize the cache EAGERLY: the loop's first job would otherwise
     // fan out into several concurrent branches (labels init + join sides)
     // that race on the unfilled cache and re-run the upstream pair mining
@@ -719,8 +727,8 @@ object Dedup {
 
   def qDocDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
-      .select(col("doc_a"), col("doc_b")).persist()
-    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
+      .select(col("doc_a"), col("doc_b"))
+    // no persist (r15): connectedComponents consumes pairs exactly once
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
@@ -795,8 +803,8 @@ object Dedup {
     */
   def qDocSplitLeakfree(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
-      .select(col("doc_a"), col("doc_b")).persist()
-    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
+      .select(col("doc_a"), col("doc_b"))
+    // no persist (r15): connectedComponents consumes pairs exactly once
     val labels = connectedComponents(pairs)
     val corpus = nearCorpus(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
@@ -895,8 +903,8 @@ object Dedup {
     */
   def qDocClusterReps(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashVerifiedPairs(nearDupShingled(spark, sfDir))
-      .select(col("doc_a"), col("doc_b")).persist()
-    pairs.count() // eager: the edge union's two legs must hit a FILLED cache
+      .select(col("doc_a"), col("doc_b"))
+    // no persist (r15): connectedComponents consumes pairs exactly once
     val labels = connectedComponents(pairs)
     val quality = nearCorpus(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))

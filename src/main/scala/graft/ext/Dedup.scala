@@ -2832,9 +2832,15 @@ object Dedup {
       when(bucket < CorpusOps.trainPct, "train")
         .when(bucket < CorpusOps.valPct, "val")
         .otherwise("test").as("fold"))
+    // MATERIALIZED (r15): marked feeds the totals aggregate AND the
+    // fold-cell aggregate — unmaterialized, the whole band-mine + verify
+    // pair pipeline evaluated twice (10 parquet scans in the plan). The
+    // checkpointed frame is pair-count rows of two fold tags.
     val marked = pairs
       .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
       .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+      .select(col("fold_a"), col("fold_b"))
+      .localCheckpoint(true)
     val tot = marked.agg(count(lit(1)).as("n_total"),
       sum(when(col("fold_a") =!= col("fold_b"), 1L).otherwise(0L)).as("n_cross"))
     marked.groupBy(col("fold_a"), col("fold_b"))

@@ -2948,8 +2948,27 @@ object Warehouse {
       .select($"c_mktsegment".as("seg"),
         datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"),
         rev.as("v"))
-    val span = placed.select($"dn")
-      .unionAll(shipped.select($"dn"))
+    // DAY-GRAIN REDUCTION, materialized (r15, guide §1.2): placed and
+    // shipped each fed the span aggregate AND their weekly-moment arm,
+    // and span feeds both arms as a broadcast — unmaterialized, each
+    // side's full join pipeline evaluated FOUR times (15 parquet scans
+    // in the plan). DECIMAL sums are exact and associative, so summing
+    // per (seg, day) first and weekly-summing the day sums is
+    // bit-identical to the direct weekly sum (floor applied after, as
+    // before), while the checkpointed frames are |segments|·|days| rows
+    // at any corpus scale.
+    def dayGrain(src: DataFrame): DataFrame = src
+      .groupBy($"seg", $"dn").agg(sum($"v").as("v"))
+      .localCheckpoint(true)
+    // the two sides are independent — materialize them concurrently so
+    // one side's job tail back-fills with the other's tasks (guide §2.6)
+    val fs = Seq(placed, shipped).map(s =>
+      scala.concurrent.Future(dayGrain(s))(
+        scala.concurrent.ExecutionContext.Implicits.global))
+    val Seq(placedD, shippedD) = fs.map(
+      scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+    val span = placedD.select($"dn")
+      .unionAll(shippedD.select($"dn"))
       .agg(min($"dn").as("d0"), max($"dn").as("d1"))
       .select($"d0", (expr(s"(d1 - d0) div $xyzWeekDays") + 1).as("n_weeks"))
     def weeklyMoments(src: DataFrame): DataFrame = src
@@ -2963,9 +2982,9 @@ object Warehouse {
       ((w.cast("double") * q.cast("double") - s.cast("double") * s.cast("double")) *
         w.cast("double")) /
         ((s.cast("double") * s.cast("double")) * (w.cast("double") - 1.0))
-    val p = weeklyMoments(placed)
+    val p = weeklyMoments(placedD)
       .select($"seg", $"s".as("sp"), $"q".as("qp"), $"w")
-    val sh = weeklyMoments(shipped)
+    val sh = weeklyMoments(shippedD)
       .select($"seg".as("seg2"), $"s".as("ss"), $"q".as("qs"))
     p.join(sh, $"seg" === $"seg2")
       .filter($"sp" > 0 && $"ss" > 0 && $"w" >= 2)

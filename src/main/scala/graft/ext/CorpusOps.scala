@@ -2128,46 +2128,53 @@ object CorpusOps {
           (col("qa") > col("qb") ||
             (col("qa") === col("qb") && col("ida") < col("idb"))).as("win_a"))
     }.reduce(_ unionAll _)
-    val nbr = m.select(col("sa").as("i"), col("sb").as("j"),
-        when(col("win_a"), 1L).otherwise(0L).as("w"))
-      .unionAll(m.select(col("sb").as("i"), col("sa").as("j"),
-        when(col("win_a"), 0L).otherwise(1L).as("w")))
+    // one-pass direction explode (r15): the union form's two legs each
+    // re-ran both offset joins (4 joins of the cached corpus); explode
+    // emits both match directions from one evaluation
+    val nbr = m.select(explode(array(
+        struct(col("sa").as("i"), col("sb").as("j"),
+          when(col("win_a"), 1L).otherwise(0L).as("w")),
+        struct(col("sb").as("i"), col("sa").as("j"),
+          when(col("win_a"), 0L).otherwise(1L).as("w")))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.w").as("w"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("w")).as("w")).persist()
     val tot = nbr.groupBy(col("i"))
       .agg(sum(col("n")).as("n_tot"), sum(col("w")).as("w_tot")).persist()
     tot.count()
-    // carry w_tot into the per-round aggregate via a pre-join (constant
-    // within each i group — max() just reads it back out)
-    def withTot(df: DataFrame): DataFrame =
-      df.join(broadcast(tot.select(col("i"), col("w_tot").as("w_tot_in"))), Seq("i"))
-    var r: DataFrame = tot.select(col("i"), lit(1.0).as("r"))
-    for (_ <- 1 to btIters) {
-      val ri = r.select(col("i"), col("r").as("r_i"))
-      val rj = r.select(col("i").as("j"), col("r").as("r_j"))
-      r = withTot(nbr)
-        .join(broadcast(ri), Seq("i")).join(broadcast(rj), Seq("j"))
-        .groupBy(col("i"))
-        .agg(((max(col("w_tot_in")) + lit(btEps)) /
-          aggregate(
-            array_sort(collect_list(struct(col("j").as("j"),
-              (col("n").cast("double") / (col("r_i") + col("r_j"))).as("v")))),
-            lit(0.0), (acc, x) => acc + x.getField("v"))).as("r"))
-        // cut the round's lineage to a LogicalRDD leaf: each round embeds
-        // the previous ratings TWICE (ri + rj), so the composed plan
-        // STRING grows 2^btIters copies of the corpus-join subtree (the
-        // ingest-door plan-description lesson); the frame is |sources|
-        // rows of model state — materializing it per round is free
-        .localCheckpoint(true)
+    // DRIVER-SIDE MM LOOP (r15): the (source, source) neighbor table is
+    // BOUNDED model state (|sources|² rows at any corpus scale), and the
+    // DataFrame-per-round formulation paid ~10 scheduler stages per
+    // round for a handful of rows — the exact situation the kmeans/MMR
+    // precedent collects: distribute the corpus-scale match mining,
+    // iterate the constant-size model on the driver. Float semantics are
+    // preserved operation-for-operation: the old per-i denominator was a
+    // sequential (acc + v) fold over struct(j, v) in array_sort order
+    // (ascending j), and the normalization a sequential fold over
+    // ascending i — both replicated below with the same IEEE doubles, so
+    // ratings are bit-identical (oracle-checked at 3 SFs).
+    val nbrL = nbr.select(col("i"), col("j"), col("n"), col("w")).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    val totL = tot.select(col("i"), col("n_tot"), col("w_tot")).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
+      .sortBy(_._1)
+    val byI = nbrL.groupBy(_._1).map { case (i, es) =>
+      i -> es.sortBy(_._2).map(e => (e._2, e._3))
     }
-    val norm = r.agg(
-      aggregate(array_sort(collect_list(struct(col("i").as("i"), col("r").as("r")))),
-        lit(0.0), (acc, x) => acc + x.getField("r")).as("sr"),
-      count(lit(1)).as("ns"))
-    tot.join(r, Seq("i")).crossJoin(broadcast(norm))
-      .select(col("i").as("source"), col("n_tot").as("n_matches"),
-        col("w_tot").as("n_wins"),
-        (col("r") * col("ns") / col("sr")).as("rating"))
+    var r: Map[String, Double] = totL.map(t => t._1 -> 1.0).toMap
+    for (_ <- 1 to btIters) {
+      r = totL.map { case (i, _, wTot) =>
+        val den = byI(i).foldLeft(0.0) { case (acc, (j, n)) =>
+          acc + n.toDouble / (r(i) + r(j))
+        }
+        i -> ((wTot + btEps) / den)
+      }.toMap
+    }
+    val sr = totL.foldLeft(0.0)((acc, t) => acc + r(t._1))
+    val ns = totL.length.toLong
+    import spark.implicits._
+    totL.map { case (i, nTot, wTot) => (i, nTot, wTot, r(i) * ns / sr) }
+      .toSeq.toDF("source", "n_matches", "n_wins", "rating")
       .orderBy(col("source"))
   }
 

@@ -2215,7 +2215,16 @@ object Similarity {
   }
 
   def qEmbTwonnId(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val embRaw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // scale-adaptive spread (r15): the probe cross-join evaluates
+    // |sample| squared distances per vector — row-count-bound work that
+    // ran on the one-split scan as a single 1.5 s task (see gramCells)
+    val par = spark.sparkContext.defaultParallelism
+    val embSpread =
+      if (embRaw.rdd.getNumPartitions < par) embRaw.repartition(par, col("vec_id"))
+      else embRaw
+    val emb = embSpread
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
     val sample = emb.filter(col("vec_id") % twonnSampleMod === 0)
       .select(col("vec_id").as("s_id"), col("e").as("se"))

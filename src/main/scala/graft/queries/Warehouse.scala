@@ -2709,10 +2709,17 @@ object Warehouse {
     import spark.implicits._
     val rev = (col("l_extendedprice").cast(DecimalType(18, 4)) *
       (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
-    val li = Tables.lineitem(spark, sfDir)
+    val liRaw = Tables.lineitem(spark, sfDir)
       .select($"l_partkey",
         datediff(to_date($"l_shipdate"), lit("1970-01-01")).cast("long").as("dn"),
         $"l_quantity".cast(DecimalType(18, 4)).as("qd"), rev.as("rev"))
+    // scale-adaptive spread on the weekly aggregate's key (r15, guide
+    // §2.5): the decimal projection + (partkey, week) partial aggregate
+    // ran on 3 scan splits at sf0.1; no-op where the scan fans wider
+    val li =
+      if (liRaw.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        liRaw.repartition(spark.sparkContext.defaultParallelism, $"l_partkey")
+      else liRaw
     val span = li.agg(min($"dn").as("d0"), max($"dn").as("d1"))
       .select($"d0", (expr(s"(d1 - d0) div $xyzWeekDays") + 1).as("n_weeks"))
     val weekly = li.crossJoin(broadcast(span))
@@ -2738,6 +2745,10 @@ object Warehouse {
         when($"cum" * 10 <= $"tot" * 7, "A")
           .when($"cum" * 10 <= $"tot" * 9, "B")
           .otherwise("C").as("cls_abc"))
+      // MATERIALIZED (r15): the cell aggregate AND the 1-row revenue
+      // total both read classed — unmaterialized, the whole weekly /
+      // per-part pipeline evaluated twice. |parts| rows.
+      .localCheckpoint(true)
     classed.groupBy($"cls_abc", $"cls_xyz")
       .agg(count(lit(1)).as("n_parts"), sum($"rev_bp").as("rev_bp"))
       .crossJoin(broadcast(classed.agg(sum($"rev_bp").as("tot_bp"))))

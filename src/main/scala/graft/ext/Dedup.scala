@@ -392,6 +392,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         min(col("jaccard")).as("min_jaccard"),
         max(col("jaccard")).as("max_jaccard"))
+    // NOT materialized (r15, tested): the total's duplicate evaluation
+    // runs concurrently with the main arm off the persisted shingle/band
+    // caches and costs less than a serializing checkpoint barrier here.
     val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
     cells.crossJoin(broadcast(tot))
       .select(col("source_a"), col("source_b"), col("n_pairs"),

@@ -726,7 +726,11 @@ object Graph {
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     var round = 0
     while (round < 3) {
+      // the customer phase consumes its input twice (vote join + the
+      // keep-old-label left join), so an unmaterialized supplier phase
+      // evaluated twice per round (r15); |V| rows per checkpoint
       val afterSupp = phase(labels, "src", "dst") // suppliers from customers
+        .localCheckpoint(true)
       labels = phase(afterSupp, "dst", "src")     // customers from NEW supplier labels
         .localCheckpoint(true)
       round += 1

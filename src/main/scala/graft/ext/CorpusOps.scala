@@ -2770,7 +2770,9 @@ object CorpusOps {
       .unionAll(inj(3, expr("concat_ws(' ', transform(split(text, ' '), " +
         "t -> concat(t, 'z', CAST(doc_id AS STRING))))")))
       .unionAll(inj(4, expr("concat_ws(' ', slice(split(text, ' '), 1, 10))")))
-    val model = frozenQualityModel(base).persistAll()
+    // scale-adaptive spread (r15): the model's unigram/bigram explodes
+    // ran on the one-split scan as a single 0.7 s task; no-op at scale
+    val model = frozenQualityModel(graft.ext.Dedup.spreadByDoc(base)).persistAll()
     qualityGateFrozenWith(spark, arrivals, model)._1.orderBy(col("doc_id"))
   }
 

@@ -2447,11 +2447,18 @@ object TextOps {
     val n = noveltyN
     val gramsExpr = "transform(sequence(1, size(toks) - " + (n - 1) +
       s"), i -> concat_ws(' ', slice(toks, i, $n)))"
-    val gd = Tables.documents(spark, sfDir)
+    // spread + persist (r15): the gram explode ran on the one-split scan
+    // (two ~0.8 s single-task stages), and gd feeds BOTH the first-doc
+    // aggregate and the novelty join — unpersisted, the explode+distinct
+    // evaluated twice.
+    val gd = Dedup.spreadByDoc(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("source"), explode(expr(gramsExpr)).as("g"))
       .select(col("doc_id"), col("source"), col("g")).distinct()
+      .persist()
+    gd.count() // eager: both consumers schedule concurrently
     val firsts = gd.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
     gd.join(firsts, "g")
       .groupBy(col("source"))

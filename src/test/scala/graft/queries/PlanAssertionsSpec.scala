@@ -691,21 +691,17 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("bt rating: MM rounds run on model state only — no corpus rescan in the final plan") {
-    // matches/neighbor aggregation pay the corpus once (persisted nbr);
-    // each MM round is a checkpointed |sources|-row leaf. The final plan
-    // must therefore read the cached neighbor table and the round leaves
-    // — never parquet again.
+    // matches/neighbor aggregation pay the corpus once (persisted nbr,
+    // collected as |sources|²-bounded model state); the MM rounds run on
+    // the driver (r15, the kmeans/MMR precedent) and the final frame is
+    // the driver-built rating table. The final plan must therefore be a
+    // pure local relation — no parquet rescan, no join, no aggregation:
+    // the strongest possible form of the no-corpus-rescan claim.
     val p = plan(graft.ext.CorpusOps.qDocBtRating(spark, sf))
-    // corpus scans may only appear in the cached-lineage dump, which
-    // prints BELOW the first InMemoryRelation marker (the TwoNN-test
-    // reading rule); the LIVE region above it must be parquet-free
-    val firstImr = p.indexOf("InMemoryRelation")
-    assert(firstImr >= 0, s"expected the persisted neighbor table:\n$p")
-    assert(!p.substring(0, firstImr).contains("FileScan parquet"),
+    assert(p.contains("LocalTableScan"),
+      s"expected the driver-built rating table as a local relation:\n$p")
+    assert(!p.contains("FileScan parquet"),
       s"MM/normalization replanned a corpus scan:\n$p")
-    assert(p.substring(0, firstImr).contains("Scan ExistingRDD") ||
-      p.substring(0, firstImr).contains("InMemoryTableScan"),
-      s"expected checkpointed round leaves / cached neighbors:\n$p")
     spark.catalog.clearCache()
   }
 
